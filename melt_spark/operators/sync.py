@@ -1,0 +1,40 @@
+"""Sync — turn a diff into the message batch that repairs the topic.
+
+Reference sync-kafka (src/jdbc/melt.clj:495-509): produce every :table-only
+row (upsert) and a nil-value tombstone for every `deleted` key, return the
+total messages sent. Upserts carry the ORIGINAL values (unfuzz-keys,
+melt.clj:415-416) — diffing happened in lossy space but what's sent is the
+source row's canonical serialization, which for us is the same `value` string
+(our canonical form IS the wire form, so no unfuzz step is needed).
+
+Spark restatement: two projections of the diff output unioned into one
+Kafka-sink-shaped DataFrame (topic, key, value) — a single write, tombstones
+included as value=NULL rows.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .diff import SIDE, TABLE_ONLY, TOPIC_ONLY
+
+
+def sync_plan(diff_df: DataFrame,
+              on: Sequence[str] = ("topic", "key")) -> DataFrame:
+    """Diff rows → repair messages: upserts (side=table_only, send source
+    value) + tombstones (side=topic_only, value=NULL). Output matches the
+    Kafka sink contract exactly."""
+    on = list(on)
+    upserts = (diff_df.filter(F.col(SIDE) == TABLE_ONLY)
+               .select(*on, F.col("src_value").alias("value")))
+    tombs = (diff_df.filter(F.col(SIDE) == TOPIC_ONLY)
+             .select(*on, F.lit(None).cast("string").alias("value")))
+    return upserts.unionByName(tombs)
+
+
+def sync_count(sync_df: DataFrame) -> int:
+    """Total repair messages (reference returns the sum, melt.clj:504-508)."""
+    return sync_df.count()

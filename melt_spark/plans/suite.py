@@ -1,0 +1,564 @@
+"""The oracle-checked query suite — one entry per operator in SURVEY.md §2.
+
+Each SUITE entry: name -> (spark_builder(spark, sf_dir) -> DataFrame,
+oracle_sql: str | None). The oracle SQL runs in DuckDB over the same parquet
+(views pre-registered by the driver). Column names are aliased identically on
+both sides; value-sensitive columns are rendered engine-portably:
+
+- doubles: both engines print shortest round-trip repr (same bits -> same
+  text) and our value ranges avoid exponent-notation divergence;
+- exact aggregates: computed in DECIMAL (bit-exact, order-independent) —
+  never SUM(double), whose low bits depend on partial-agg order;
+- timestamps: rendered as ISO-8601 UTC text (Spark date_format "SSS'Z'" ==
+  DuckDB strftime %g, both truncating to millis);
+- canonical JSON: Spark to_json(sorted struct) mirrored in DuckDB by explicit
+  string construction (fixture columns are null-free ASCII, so no escaping
+  divergence).
+
+Fixture conventions for changelog/CDC derivation are documented in
+melt_spark.sources.changelog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..canonical import ISO_MILLIS, canonical_json
+from ..model import Source
+from ..operators.cdc import replay_changes
+from ..operators.diff import SIDE, diff, deleted_keys
+from ..operators.latest_state import latest_state, offset_watermarks
+from ..operators.sync import sync_plan
+from ..catalog.discovery import discover_schema, trackable
+from ..sources.changelog import cdc_changes_from_events
+from ..sources.parquet import read_table
+
+# ---------------------------------------------------------------------------
+# shared fixture SQL fragments (DuckDB side)
+
+# canonical JSON of a full customer row — mirrors canonical_json() exactly:
+# sorted field order, no spaces, strings quoted, numbers via shortest repr.
+_CUST_JSON = (
+    "'{\"c_acctbal\":' || CAST(c_acctbal AS VARCHAR)"
+    " || ',\"c_custkey\":' || c_custkey"
+    " || ',\"c_mktsegment\":\"' || c_mktsegment"
+    " || '\",\"c_name\":\"' || c_name"
+    " || '\",\"c_nationkey\":' || c_nationkey || '}'"
+)
+_CUST_KEY = "'{\"c_custkey\":' || c_custkey || '}'"
+
+# the changelog fixture (melt_spark.sources.changelog.events_changelog)
+_CHANGELOG_CTE = """
+log AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'melt.main.users_even'
+              ELSE 'melt.main.users_odd' END AS topic,
+         CAST(user_id % 4 AS INT) AS part,
+         event_id AS off,
+         event_type, user_id, value
+  FROM events
+)
+"""
+
+# the topic-state mutation fixture for diff/sync (deterministic drift):
+#   - keys with c_custkey % 97 = 0 missing from topic      -> table_only
+#   - keys with c_custkey % 31 = 0 stale (acctbal + 1.0)   -> table_only
+#   - ghost keys (c_custkey+1000000) for % 53 = 0          -> topic_only
+_TOPIC_STATE_CTE = f"""
+src AS (
+  SELECT 'melt.main.customer' AS topic, {_CUST_KEY} AS key,
+         {_CUST_JSON} AS value
+  FROM customer
+),
+topic_rows AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CASE WHEN c_custkey % 31 = 0 THEN c_acctbal + 1.0
+              ELSE c_acctbal END AS c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 97 <> 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 53 = 0
+),
+top AS (
+  SELECT 'melt.main.customer' AS topic, {_CUST_KEY} AS key,
+         {_CUST_JSON} AS value
+  FROM topic_rows
+),
+d AS (
+  SELECT COALESCE(src.topic, top.topic) AS topic,
+         COALESCE(src.key, top.key) AS key,
+         src.value AS src_value, top.value AS topic_value,
+         CASE WHEN src.value IS NOT NULL THEN 'table_only'
+              ELSE 'topic_only' END AS side
+  FROM src FULL OUTER JOIN top ON src.topic = top.topic AND src.key = top.key
+  WHERE src.value IS DISTINCT FROM top.value
+)
+"""
+
+
+def _customer_source() -> Source:
+    return Source(name="customer", schema="main", keys=("c_custkey",))
+
+
+def _mutated_topic_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    kept = cust.filter(F.col("c_custkey") % 97 != 0).withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 31 == 0, F.col("c_acctbal") + F.lit(1.0))
+         .otherwise(F.col("c_acctbal")),
+    )
+    ghosts = (cust.filter(F.col("c_custkey") % 53 == 0)
+              .withColumn("c_custkey", F.col("c_custkey") + F.lit(1000000)))
+    rows = kept.unionByName(ghosts)
+    return _customer_source().messages(rows).select("topic", "key", "value")
+
+
+def _diff_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _customer_source().messages(read_table(spark, sf_dir, "customer"))
+    return diff(src, _mutated_topic_state(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# S-queries: scans / sources / sinks
+
+
+def q_message_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/F1/F2/O4: rows -> (topic, key, value) message envelopes."""
+    return (_customer_source()
+            .messages(read_table(spark, sf_dir, "customer"))
+            .select("topic", "key", "value"))
+
+
+SQL_MESSAGE_ENVELOPE = f"""
+SELECT 'melt.main.customer' AS topic,
+       {_CUST_KEY} AS key,
+       {_CUST_JSON} AS value
+FROM customer
+"""
+
+
+def q_sample_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: deterministic top-N sample (reference TOP 10, melt.clj:165)."""
+    return (read_table(spark, sf_dir, "customer")
+            .orderBy("c_custkey").limit(10))
+
+
+SQL_SAMPLE_TOP10 = "SELECT * FROM customer ORDER BY c_custkey LIMIT 10"
+
+
+def q_load_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: per-source load counts (reference logs per-table counts,
+    melt.clj:456-465; golden counts melt_test.clj:41-56)."""
+    parts = []
+    for t in ("customer", "orders", "lineitem", "events", "nation"):
+        parts.append(
+            read_table(spark, sf_dir, t)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(t).alias("source"), "n"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+SQL_LOAD_COUNTS = """
+SELECT 'customer' AS source, COUNT(*) AS n FROM customer
+UNION ALL SELECT 'orders', COUNT(*) FROM orders
+UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+UNION ALL SELECT 'events', COUNT(*) FROM events
+UNION ALL SELECT 'nation', COUNT(*) FROM nation
+"""
+
+
+def q_topic_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: message count per topic."""
+    from ..sources.changelog import events_changelog
+
+    log = events_changelog(read_table(spark, sf_dir, "events"))
+    return log.groupBy("topic").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_TOPIC_COUNTS = f"""
+WITH {_CHANGELOG_CTE}
+SELECT topic, COUNT(*) AS n FROM log GROUP BY topic
+"""
+
+
+# ---------------------------------------------------------------------------
+# A-queries: latest-state compaction and watermarks
+
+
+def q_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: last-write-wins per (topic,key) in offset order, tombstones
+    (event_type='error') dropped."""
+    events = read_table(spark, sf_dir, "events")
+    log = events.select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("melt.main.users_even"))
+         .otherwise(F.lit("melt.main.users_odd")).alias("topic"),
+        canonical_json(["user_id"]).alias("key"),
+        F.col("event_id").alias("off"),
+        "event_type",
+        F.when(F.col("event_type") == "error", F.lit(None).cast("double"))
+         .otherwise(F.col("value")).alias("value"),
+    )
+    st = latest_state(log, key_cols=("topic", "key"), order_col="off",
+                      payload_cols=["event_type", "value"],
+                      tombstone_col="value")
+    return st.select(
+        "topic", "key", F.col("off").alias("last_offset"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"))
+
+
+SQL_LATEST_STATE = f"""
+WITH {_CHANGELOG_CTE},
+ranked AS (
+  SELECT topic, '{{"user_id":' || user_id || '}}' AS key, off, event_type,
+         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value,
+         row_number() OVER (PARTITION BY topic, user_id ORDER BY off DESC) AS rn
+  FROM log
+)
+SELECT topic, key, off AS last_offset, event_type AS last_event_type,
+       value AS last_value
+FROM ranked WHERE rn = 1 AND value IS NOT NULL
+"""
+
+
+def q_offset_watermarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/T9: consumer checkpoint — max offset per (topic, partition)."""
+    from ..sources.changelog import events_changelog
+
+    log = events_changelog(read_table(spark, sf_dir, "events"))
+    return (offset_watermarks(log)
+            .select("topic", "partition", "max_offset"))
+
+
+SQL_OFFSET_WATERMARKS = f"""
+WITH {_CHANGELOG_CTE}
+SELECT topic, part AS partition, MAX(off) AS max_offset
+FROM log GROUP BY topic, part
+"""
+
+
+# ---------------------------------------------------------------------------
+# J-queries: diff / deletes / sync
+
+
+def q_diff_sides(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/E1: out-of-sync rows tagged table_only/topic_only."""
+    return _diff_df(spark, sf_dir).select("topic", "key", SIDE)
+
+
+SQL_DIFF_SIDES = f"""
+WITH {_TOPIC_STATE_CTE}
+SELECT topic, key, side FROM d
+"""
+
+
+def q_sync_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 sync: upserts (original values) + tombstones, Kafka-sink shaped."""
+    return sync_plan(_diff_df(spark, sf_dir))
+
+
+SQL_SYNC_PLAN = f"""
+WITH {_TOPIC_STATE_CTE}
+SELECT topic, key, src_value AS value FROM d WHERE side = 'table_only'
+UNION ALL
+SELECT topic, key, NULL AS value FROM d WHERE side = 'topic_only'
+"""
+
+
+def q_deleted_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: keys to tombstone (in topic, absent from table)."""
+    return deleted_keys(_diff_df(spark, sf_dir))
+
+
+SQL_DELETED_KEYS = f"""
+WITH {_TOPIC_STATE_CTE}
+SELECT topic, key FROM d WHERE side = 'topic_only'
+"""
+
+
+# ---------------------------------------------------------------------------
+# CDC queries
+
+
+def q_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11/S12/P5/P7/T6: replay changes with version > 5000 as messages."""
+    events = read_table(spark, sf_dir, "events")
+    cust = read_table(spark, sf_dir, "customer")
+    changes = cdc_changes_from_events(events, cust)
+    msgs = replay_changes(changes, _customer_source(), from_version=5000)
+    return msgs.select("topic", "key", "sys_change_operation",
+                       "sys_change_version", "value")
+
+
+SQL_CDC_REPLAY = f"""
+WITH changes AS (
+  SELECT e.user_id + 1 AS c_custkey,
+         CASE WHEN e.event_type = 'signup' THEN 'I'
+              WHEN e.event_type = 'error' THEN 'D'
+              ELSE 'U' END AS sys_change_operation,
+         e.event_id + 1 AS sys_change_version,
+         c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+  FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id + 1
+)
+SELECT 'melt.main.customer' AS topic,
+       '{{"c_custkey":' || c_custkey || '}}' AS key,
+       sys_change_operation, sys_change_version,
+       CASE WHEN sys_change_operation = 'D' THEN NULL
+            ELSE {_CUST_JSON} END AS value
+FROM changes WHERE sys_change_version > 5000
+"""
+
+
+def q_cdc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: checkpoint stats — max version + sent count in one aggregate."""
+    events = read_table(spark, sf_dir, "events")
+    cust = read_table(spark, sf_dir, "customer")
+    changes = cdc_changes_from_events(events, cust)
+    msgs = replay_changes(changes, _customer_source(), from_version=5000)
+    return msgs.agg(F.max("sys_change_version").alias("version"),
+                    F.count(F.lit(1)).alias("sent_count"))
+
+
+SQL_CDC_STATS = """
+SELECT MAX(event_id + 1) AS version, COUNT(*) AS sent_count
+FROM events WHERE event_id + 1 > 5000
+"""
+
+
+# ---------------------------------------------------------------------------
+# schema discovery (fixture F7 built inline in both engines)
+
+_FIX_TABLES = [
+    ("cat", "main", "customer", "TABLE"),
+    ("cat", "main", "orders", "TABLE"),
+    ("cat", "main", "lineitem", "TABLE"),
+    ("cat", "sys", "objects", "TABLE"),
+    ("cat", "INFORMATION_SCHEMA", "tables", "TABLE"),
+    ("cat", "main", "v_orders", "VIEW"),
+]
+_FIX_COLUMNS = [
+    ("cat", "main", "customer", "C_CustKey"),
+    ("cat", "main", "customer", "c_name"),
+    ("cat", "main", "customer", "C_ACCTBAL"),
+    ("cat", "main", "orders", "O_OrderKey"),
+    ("cat", "main", "orders", "o_orderdate"),
+    ("cat", "main", "orders", "O_TotalPrice"),
+    ("cat", "main", "lineitem", "L_OrderKey"),
+    ("cat", "main", "lineitem", "l_quantity"),
+    ("cat", "sys", "objects", "id"),
+]
+_FIX_KEYS = [
+    ("cat", "main", "customer", "C_CustKey"),
+    ("cat", "main", "orders", "O_OrderKey"),
+    ("cat", "main", "orders", "o_orderdate"),   # composite key incl. date (F2)
+]
+_META_COLS = ["table_cat", "table_schem", "table_name"]
+
+
+def q_schema_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-S3/P2-P4/P9: catalog scan -> table descriptors."""
+    tables = spark.createDataFrame(_FIX_TABLES, _META_COLS + ["table_type"])
+    columns = spark.createDataFrame(_FIX_COLUMNS, _META_COLS + ["column_name"])
+    keys = spark.createDataFrame(_FIX_KEYS, _META_COLS + ["column_name"])
+    desc = discover_schema(tables, columns, keys)
+    return desc.select(
+        "table_schem", "table_name",
+        F.array_join("columns", ",").alias("columns_csv"),
+        F.array_join("keys", ",").alias("keys_csv"))
+
+
+def _values_sql(rows, cols) -> str:
+    vals = ", ".join(
+        "(" + ", ".join(f"'{v}'" for v in r) + ")" for r in rows)
+    return f"(VALUES {vals}) AS t({', '.join(cols)})"
+
+
+SQL_SCHEMA_DISCOVERY = f"""
+WITH tabs AS (SELECT * FROM {_values_sql(_FIX_TABLES, _META_COLS + ['table_type'])}),
+cols AS (SELECT * FROM {_values_sql(_FIX_COLUMNS, _META_COLS + ['column_name'])}),
+pks AS (SELECT * FROM {_values_sql(_FIX_KEYS, _META_COLS + ['column_name'])}),
+user_tables AS (
+  SELECT table_cat, table_schem, table_name FROM tabs
+  WHERE table_type = 'TABLE'
+    AND table_schem NOT IN ('sys', 'INFORMATION_SCHEMA')
+)
+SELECT t.table_schem, t.table_name,
+  (SELECT string_agg(DISTINCT lower(c.column_name), ',' ORDER BY lower(c.column_name))
+     FROM cols c WHERE c.table_schem = t.table_schem
+      AND c.table_name = t.table_name) AS columns_csv,
+  COALESCE((SELECT string_agg(DISTINCT lower(k.column_name), ',' ORDER BY lower(k.column_name))
+     FROM pks k WHERE k.table_schem = t.table_schem
+      AND k.table_name = t.table_name), '') AS keys_csv
+FROM user_tables t
+"""
+
+
+def q_trackable_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9/E2: CDC-eligible = has PK; lineitem (PK-less fixture) excluded."""
+    tables = spark.createDataFrame(_FIX_TABLES, _META_COLS + ["table_type"])
+    columns = spark.createDataFrame(_FIX_COLUMNS, _META_COLS + ["column_name"])
+    keys = spark.createDataFrame(_FIX_KEYS, _META_COLS + ["column_name"])
+    return (trackable(discover_schema(tables, columns, keys))
+            .select("table_schem", "table_name"))
+
+
+SQL_TRACKABLE = """
+SELECT DISTINCT table_schem, table_name FROM (VALUES
+  ('main', 'customer'), ('main', 'orders')) AS t(table_schem, table_name)
+"""
+
+
+# ---------------------------------------------------------------------------
+# scalar-function queries
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: JSON decode — pull props.k out of the events props JSON."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"))
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+"""
+
+
+def q_iso_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: ISO-8601 UTC rendering (millis) of timestamps."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.date_format("ts", ISO_MILLIS).alias("ts_iso"))
+
+
+SQL_ISO_TIMESTAMPS = """
+SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.%gZ') AS ts_iso FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# analytics (bench headliners; beyond-reference query capability)
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary. Exact DECIMAL aggregates (order-
+    independent — SUM(double) low bits would depend on partial-agg order)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    disc_price = (d2("l_extendedprice") * (one - d2("l_discount"))) \
+        .cast("decimal(18,4)")
+    charge = disc_price * (one + d2("l_tax"))
+    qty = d2("l_quantity")
+    return (li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(qty).cast("decimal(38,2)").alias("sum_qty"),
+                F.sum(d2("l_extendedprice")).cast("decimal(38,2)").alias("sum_base_price"),
+                F.sum(disc_price).cast("decimal(38,4)").alias("sum_disc_price"),
+                F.sum(charge).cast("decimal(38,6)").alias("sum_charge"),
+                (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+                (F.sum(d2("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+                (F.sum(d2("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+                F.count(F.lit(1)).alias("count_order"),
+            ))
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        AS DECIMAL(18,4))
+        * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))))
+        AS DECIMAL(38,6)) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: 3-way join + grouped revenue + deterministic top-10.
+    customer is the small side — broadcast happens via AQE/threshold."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    return (cust.filter(F.col("c_mktsegment") == "BUILDING")
+            .join(orders, cust.c_custkey == orders.o_custkey)
+            .join(li, F.col("o_orderkey") == li.l_orderkey)
+            .filter((F.col("o_orderdate") < cut) & (F.col("l_shipdate") > cut))
+            .groupBy("o_orderkey", "o_orderdate")
+            .agg(F.sum(d2("l_extendedprice") * (one - d2("l_discount")))
+                 .cast("decimal(38,4)").alias("revenue"))
+            .select("o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+                    "revenue")
+            .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+            .limit(10))
+
+
+SQL_TPCH_Q3 = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+       * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+       AS DECIMAL(38,4)) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# suite registry
+
+SUITE: dict[str, tuple] = {
+    "message_envelope": (q_message_envelope, SQL_MESSAGE_ENVELOPE),
+    "sample_top10": (q_sample_top10, SQL_SAMPLE_TOP10),
+    "load_counts": (q_load_counts, SQL_LOAD_COUNTS),
+    "topic_counts": (q_topic_counts, SQL_TOPIC_COUNTS),
+    "latest_state": (q_latest_state, SQL_LATEST_STATE),
+    "offset_watermarks": (q_offset_watermarks, SQL_OFFSET_WATERMARKS),
+    "diff_sides": (q_diff_sides, SQL_DIFF_SIDES),
+    "sync_plan": (q_sync_plan, SQL_SYNC_PLAN),
+    "deleted_keys": (q_deleted_keys, SQL_DELETED_KEYS),
+    "cdc_replay": (q_cdc_replay, SQL_CDC_REPLAY),
+    "cdc_stats": (q_cdc_stats, SQL_CDC_STATS),
+    "schema_discovery": (q_schema_discovery, SQL_SCHEMA_DISCOVERY),
+    "trackable_tables": (q_trackable_tables, SQL_TRACKABLE),
+    "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
+    "iso_timestamps": (q_iso_timestamps, SQL_ISO_TIMESTAMPS),
+    "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
+    "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
+}
+
+
+def spark_queries() -> dict:
+    return {name: fn for name, (fn, _sql) in SUITE.items()}
+
+
+def oracle_queries() -> dict[str, str]:
+    return {name: sql for name, (_fn, sql) in SUITE.items() if sql}

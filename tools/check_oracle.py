@@ -1,0 +1,132 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every __spark_entry__.queries() entry in Spark AND its oracle_sql() in
+DuckDB over the same parquet dir, then compares row count, sorted column
+names, and an order-insensitive multiset of normalized row values. Exit 0 iff
+everything matches.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+import sys
+from collections import Counter
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb  # noqa: E402
+
+TABLES = ("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings")
+
+
+def norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{norm(v[k])}" for k in sorted(v)) + "}"
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
+
+
+def spark_rows(df):
+    cols = df.columns
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    data = [tuple(norm(row[i]) for i in order) for row in df.collect()]
+    return sorted(c for c in cols), data
+
+
+def duck_rows(con, sql):
+    cur = con.sql(sql)
+    cols = cur.columns
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    data = [tuple(norm(row[i]) for i in order) for row in cur.fetchall()]
+    return sorted(c for c in cols), data
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from melt_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures, checked, weak = [], 0, []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        sql = oracles.get(name)
+        try:
+            df = fn(spark, sf_dir)
+            s_cols, s_data = spark_rows(df)
+        except Exception as e:
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if sql is None:
+            weak.append(name)
+            print(f"weak  {name}: rows={len(s_data)} (no oracle)")
+            continue
+        try:
+            d_cols, d_data = duck_rows(con, sql)
+        except Exception as e:
+            failures.append((name, f"DUCKDB ERROR: {e}"))
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+        checked += 1
+        if s_cols != d_cols:
+            failures.append((name, f"columns differ: spark={s_cols} duck={d_cols}"))
+            print(f"FAIL  {name}: columns spark={s_cols} duck={d_cols}")
+            continue
+        if len(s_data) != len(d_data):
+            failures.append((name, f"rowcount spark={len(s_data)} duck={len(d_data)}"))
+            print(f"FAIL  {name}: rowcount spark={len(s_data)} duck={len(d_data)}")
+            continue
+        sc, dc = Counter(s_data), Counter(d_data)
+        if sc != dc:
+            only_s = list((sc - dc).elements())[:3]
+            only_d = list((dc - sc).elements())[:3]
+            failures.append((name, "values differ"))
+            print(f"FAIL  {name}: values differ")
+            for r in only_s:
+                print(f"      spark-only: {r}")
+            for r in only_d:
+                print(f"      duck-only:  {r}")
+            continue
+        print(f"PASS  {name} ({len(s_data)} rows)")
+
+    print(f"\n{checked - len(failures)}/{checked} oracle-checked pass;"
+          f" {len(weak)} weak (rows-only): {weak}")
+    if failures:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
