@@ -1,0 +1,190 @@
+"""Deduplication — exact and near-dup, designed for 100 TB.
+
+Strategies (all shuffle-bounded; no O(n²) cross joins except where the
+candidate set is already banded/bucketed):
+
+- exact: groupBy fingerprint — one shuffle, map-side combine.
+- n-gram Jaccard: inverted index on shingles (explode → self-join on
+  shingle → per-pair common counts). Never compares documents that share no
+  shingle — at scale add a document-frequency cap on hot shingles.
+- MinHash + LSH: per-doc signature = min hash per seed (one aggregation);
+  banding groups signatures into buckets; only same-bucket pairs are
+  verified. O(n·k) work + near-uniform shuffle keys.
+- SimHash: per-bit majority over token hashes — one explode + one groupBy.
+- embedding cosine near-dup: see similarity.py (bucketed LSH variant).
+
+Hashes are md5-based so every step is restatable in ANSI SQL for the DuckDB
+oracle (a murmur/xxhash signature would be Spark-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative per identical (normalized) text.
+    ONE shuffle on the 16-byte fingerprint; survivors keep all columns."""
+    fp = df.withColumn("__fp", fingerprint(text_col))
+    keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return fp.join(keep, ["__fp", id_col], "inner").drop("__fp")
+
+
+def duplicate_groups(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(fingerprint, n_docs, min_doc) for groups with >1 member."""
+    return (df.groupBy(fingerprint(text_col).alias("fingerprint"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min(id_col).alias("min_doc"))
+            .filter(F.col("n_docs") > 1))
+
+
+# ---------------------------------------------------------------------------
+# shingling
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             k: int = 3) -> DataFrame:
+    """Distinct k-token shingles per document: (id, shingle) exploded.
+    Construction is array-native (split → sequence → transform) — no UDF."""
+    toks = F.split(F.col(text_col), " ")
+    # guard: Spark's sequence(0, negative) would DESCEND — short docs get
+    # an empty shingle set instead
+    idx = F.when(F.size(toks) >= k,
+                 F.sequence(F.lit(0), F.size(toks) - k)) \
+           .otherwise(F.array().cast("array<int>"))
+    sh = F.transform(idx, lambda i: F.concat_ws(
+        " ", *[F.element_at(toks, i + j + 1) for j in range(k)]))
+    return (df.select(F.col(id_col), F.explode(F.array_distinct(sh))
+                      .alias("shingle")))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard via inverted index
+
+def jaccard_pairs(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 3,
+                  threshold: float = 0.5) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs with Jaccard(shingle sets) >=
+    threshold, doc_a < doc_b. Inverted-index join: only docs sharing a
+    shingle meet. Scale note: for web-scale corpora, first drop shingles
+    with document frequency above a cap (they create quadratic hot keys)."""
+    sh = shingles(df, text_col, id_col, k).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                     & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+              .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
+                       F.col(f"b.{id_col}").alias("doc_b"))
+              .agg(F.count(F.lit(1)).alias("common")))
+
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = (common.join(sa, "doc_a").join(sb, "doc_b")
+           .withColumn("jaccard",
+                       F.col("common").cast("double")
+                       / (F.col("n_a") + F.col("n_b") - F.col("common")))
+           .filter(F.col("jaccard") >= threshold))
+    return jac.select("doc_a", "doc_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+def _minhash_col(seed: int) -> Column:
+    """One MinHash permutation: lexicographic min of md5(seed|shingle).
+    md5 with a seed prefix is a fine stand-in for a hash family, and is
+    restatable in any SQL dialect."""
+    return F.min(F.md5(F.concat(F.lit(f"{seed}|"), F.col("shingle"))))
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 3,
+                       num_hashes: int = 8) -> DataFrame:
+    """(id, mh0..mh{n-1}): one aggregation over exploded shingles."""
+    sh = shingles(df, text_col, id_col, k)
+    aggs = [_minhash_col(s).alias(f"mh{s}") for s in range(num_hashes)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
+                        num_hashes: int = 8, bands: int = 4) -> DataFrame:
+    """Band the signature, bucket by (band, band-key), emit same-bucket
+    pairs (doc_a < doc_b, distinct). Probability a pair with Jaccard j
+    collides: 1-(1-j^r)^b with r = num_hashes/bands rows per band."""
+    rows = num_hashes // bands
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.concat_ws("|", F.lit(str(band)),
+                        *[F.col(f"mh{band * rows + r}") for r in range(rows)])
+            .alias("bk") for band in range(bands)
+        ])).alias("band_key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("doc_a"),
+                    F.col(f"b.{id_col}").alias("doc_b"))
+            .distinct())
+
+
+def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3,
+                        num_hashes: int = 8, bands: int = 4,
+                        threshold: float = 0.5) -> DataFrame:
+    """Full MinHash-LSH pipeline: candidates from banding, then exact
+    Jaccard verification of ONLY the candidates (the scale path — compare
+    with jaccard_pairs which verifies every shingle-sharing pair)."""
+    cands = lsh_candidate_pairs(
+        minhash_signatures(df, text_col, id_col, k, num_hashes),
+        id_col, num_hashes, bands)
+    sh = shingles(df, text_col, id_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (cands.join(a, "doc_a").join(b, ["doc_b", "shingle"])
+              .groupBy("doc_a", "doc_b")
+              .agg(F.count(F.lit(1)).alias("common")))
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (common.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("jaccard",
+                        F.col("common").cast("double")
+                        / (F.col("n_a") + F.col("n_b") - F.col("common")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit, md5-backed — portable)
+
+SIMHASH_BITS = 16
+
+
+def simhash(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash bitstring): bit b is the majority vote of md5(token)'s
+    b-th hex nibble high bit across the document's tokens. Near-duplicate
+    docs agree on most bits (compare via Hamming distance)."""
+    tok = df.select(F.col(id_col),
+                    F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    h = tok.withColumn("h", F.md5("tok"))
+    votes = [
+        F.sum(F.when(F.substring("h", b + 1, 1)
+                     .isin(*list("89abcdef")), 1).otherwise(-1)).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = h.groupBy(id_col).agg(*votes)
+    bits = F.concat(*[
+        F.when(F.col(f"v{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for b in range(SIMHASH_BITS)
+    ])
+    return agg.select(F.col(id_col), bits.alias("simhash"))

@@ -1,0 +1,80 @@
+"""Multimodal columns — image/audio/video as opaque binary + typed metadata.
+
+The pattern for 100 TB multimodal pipelines: payloads are `binary` columns
+(or object-store URIs) with typed metadata columns beside them; decode /
+feature-extract / resize / frame-sample run as Arrow-batched Python
+(mapInPandas) because codecs don't exist on the JVM. Batch shape, schema,
+and partitioning are the real engineering; the codec call is a library call.
+
+This container has no image/audio libraries, so the decode step is a
+clearly-marked deterministic fake (byte-derived metadata) behind the same
+Spark plumbing a real decoder would use; `real_decode` raises
+NotImplementedError to mark the seam.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODE_SCHEMA = ("doc_id long, n_bytes int, width int, height int,"
+                 " n_frames int")
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes int"
+
+
+def attach_binary(df: DataFrame, text_col: str = "text",
+                  out: str = "content") -> DataFrame:
+    """Fixture adapter: derive an opaque binary payload column (utf-8 bytes
+    of the text). Real pipelines read the bytes from parquet/object store."""
+    return df.withColumn(out, F.encode(F.col(text_col), "utf-8"))
+
+
+def real_decode(content: bytes) -> dict:
+    """The seam where a real codec (PIL/ffmpeg/soundfile) plugs in."""
+    raise NotImplementedError(
+        "no media codecs in this environment — fake_decode stands in")
+
+
+def fake_decode(content: bytes) -> dict:
+    """Deterministic stand-in: metadata derived from the byte payload only
+    (restatable in SQL, so the Spark plumbing is oracle-checkable)."""
+    n = len(content)
+    return {"n_bytes": n, "width": 320 + n % 320, "height": 240 + n % 240,
+            "n_frames": n % 5 + 1}
+
+
+def decode_metadata(df: DataFrame, content_col: str = "content",
+                    id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas decode: Arrow batches in, metadata rows out. One narrow
+    stage; partitioning of the input is preserved (no shuffle)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [fake_decode(b) for b in pdf[content_col]]
+            out = pd.DataFrame(meta)
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
+
+    return df.select(id_col, content_col).mapInPandas(run, DECODE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, content_col: str = "content",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Frame sampling: one row per (doc, frame). Demonstrates the
+    row-exploding mapInPandas shape a video pipeline uses."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes = [], [], []
+            for i, b in zip(pdf[id_col], pdf[content_col]):
+                meta = fake_decode(b)
+                per = meta["n_bytes"] // meta["n_frames"]
+                for f in range(meta["n_frames"]):
+                    ids.append(i)
+                    idxs.append(f)
+                    sizes.append(per)
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "frame_bytes": sizes})
+
+    return df.select(id_col, content_col).mapInPandas(run, FRAME_SCHEMA)

@@ -1,0 +1,108 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: exact baseline. The dot product is an
+  array-native fold (zip_with + aggregate) — JVM-side, no Python. Queries ×
+  corpus is a broadcast nested-loop join: fine when the query set is small
+  (it is: top-k FOR a handful of probes), unacceptable corpus × corpus.
+- hyperplane-LSH buckets: the scale path. Deterministic pseudo-random
+  hyperplanes (integer-hash-derived, no RNG — resumable and
+  oracle-restatable); sign pattern = bucket; candidates share a bucket, then
+  exact cosine on candidates only. At 100 TB: one narrow projection to
+  (bucket, id, vec), one shuffle on bucket, per-bucket pair generation.
+
+All math is double-precision with left-to-right folds, matching DuckDB's
+list_dot_product evaluation order — results hash-match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dvec(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k neighbors per query vector (excluding self).
+    queries is expected to be small → Spark broadcasts it; corpus streams.
+    Deterministic tie-break: (cosine desc, neighbor id asc)."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _dvec(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      _dvec(vec_col).alias("cv"))
+    scored = (F.broadcast(q).crossJoin(c)
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("cos", cosine(F.col("qv"), F.col("cv"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cos"))
+
+
+# ---------------------------------------------------------------------------
+# hyperplane LSH
+
+def _plane_component(plane: int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    integer arithmetic only, so any SQL engine reproduces it exactly."""
+    v = (F.lit((plane + 1) * 73856093).cast("long") * F.lit(dim + 1)
+         + F.lit(19349663)) % 2001  # long math: 7*73856093*64 > int32
+    return (v - 1000).cast("double") / 1000.0
+
+
+def lsh_bucket(vec: Column, num_planes: int, dims: int) -> Column:
+    """Sign pattern of the vector against num_planes hyperplanes → bucket
+    bitstring. Computed as an unrolled sum per plane (array element_at),
+    all JVM-side."""
+    bits = []
+    for p in range(num_planes):
+        s = F.lit(0.0)
+        for d in range(dims):
+            s = s + F.element_at(vec, d + 1) * _plane_component(p, d)
+        bits.append(F.when(s >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_bucketed(corpus: DataFrame, num_planes: int = 6, dims: int = 64,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    return corpus.select(
+        F.col(id_col),
+        lsh_bucket(_dvec(vec_col), num_planes, dims).alias("bucket"))
+
+
+def lsh_cosine_pairs(corpus: DataFrame, threshold: float = 0.9,
+                     num_planes: int = 6, dims: int = 64,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Near-duplicate embedding pairs: bucket → same-bucket candidates →
+    exact cosine filter. The corpus×corpus problem becomes
+    sum-over-buckets(|bucket|²) — tractable when planes spread the space."""
+    vecs = corpus.select(F.col(id_col), _dvec(vec_col).alias("v"))
+    bucketed = lsh_bucketed(corpus, num_planes, dims, id_col, vec_col) \
+        .join(vecs, id_col)
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cands = a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+    return (cands.select(F.col(f"a.{id_col}").alias("id_a"),
+                         F.col(f"b.{id_col}").alias("id_b"),
+                         cosine(F.col("a.v"), F.col("b.v")).alias("cos"))
+            .filter(F.col("cos") >= threshold))

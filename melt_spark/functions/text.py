@@ -1,0 +1,118 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Beyond-reference operators (driver north star, BASELINE.json): language ID,
+quality scoring, token counting, document fingerprinting — all pure Catalyst
+expressions (whole-stage codegen; no Python on the hot path), so they scan
+100 TB at parquet-read speed and shuffle nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Distinctive stopwords per language for the n-gram/stopword heuristic.
+# Deliberately small + ASCII so the same literal lists embed in oracle SQL.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf"],
+    "es": ["el", "la", "los", "las", "es", "un", "una", "por", "como"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "dans"],
+    "zh": ["de5", "shi4", "le5", "zai4", "you3"],  # pinyin-ish placeholder
+}
+
+# BPE-ish token regex: word runs or single non-space punctuation.
+TOKEN_REGEX = r"\w+|[^\w\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (single-space split — matches the fixture
+    corpus; swap for regex split on messy corpora)."""
+    return F.split(col, " ")
+
+
+def token_count_ws(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def token_count_bpe(col: Column | str) -> Column:
+    """BPE-ish: count of word/punct tokens under TOKEN_REGEX."""
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_REGEX), F.lit(0)))
+
+
+def stopword_hits(col: Column | str, lang: str) -> Column:
+    """Distinct stopwords of `lang` present in the text."""
+    return F.size(F.array_intersect(
+        tokens(col), F.array(*[F.lit(w) for w in STOPWORDS[lang]])))
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language ID: argmax stopword hits, ties broken by language
+    code order, 'und' (undetermined) when no stopword matches at all."""
+    scores = {lang: stopword_hits(col, lang) for lang in sorted(STOPWORDS)}
+    best = None
+    best_score = None
+    for lang in sorted(STOPWORDS):  # later langs must win strictly
+        if best is None:
+            best, best_score = F.lit(lang), scores[lang]
+        else:
+            cond = scores[lang] > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+def punct_count(col: Column | str) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(r"[^\w\s]"), F.lit(0)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features + a composite score in [0,1]:
+    length, token stats, punctuation ratio, English-stopword ratio.
+    All ratios are single divisions of exact ints — bit-deterministic."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_tokens = token_count_ws(c)
+    return df.select(
+        "*",
+        n_chars.alias("q_chars"),
+        n_tokens.alias("q_tokens"),
+        (n_chars.cast("double") / n_tokens).alias("q_mean_tok_len"),
+        (punct_count(c).cast("double") / n_tokens).alias("q_punct_ratio"),
+        (stopword_hits(c, "en").cast("double")
+         / F.lit(len(STOPWORDS["en"]))).alias("q_stopword_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite score: rewards stopword coverage and sane token lengths,
+    penalizes punctuation soup. Formula kept to portable arithmetic so the
+    oracle can restate it exactly."""
+    feats = quality_features(df, text_col)
+    score = (
+        F.least(F.col("q_stopword_ratio") * 2, F.lit(1.0)) * 0.5
+        + F.when((F.col("q_mean_tok_len") >= 3) & (F.col("q_mean_tok_len") <= 10),
+                 F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(F.col("q_punct_ratio") < 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
+    )
+    return feats.withColumn("quality", score)
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized lowercase text
+    — the exact-dedup key. (md5 is engine-portable; a rolling/karp-rabin
+    hash would not hash-match any SQL oracle.)"""
+    normalized = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    return F.md5(normalized)
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass convenience projection: counts, language, fingerprint."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        token_count_ws(c).alias("n_tokens_ws"),
+        token_count_bpe(c).alias("n_tokens_bpe"),
+        lang_id(c).alias("lang_pred"),
+        fingerprint(c).alias("fingerprint"),
+    )

@@ -1,0 +1,322 @@
+"""Oracle-checked queries for the LLM-data-pipeline operators (SURVEY.md §7
+Phase 5 / driver north star): dedup, similarity search, text analysis,
+multimodal. Same registry shape as suite.py; merged there.
+
+Oracle-portability notes: hashes are md5 (identical hex in any engine);
+float folds are left-to-right in both Spark (aggregate) and DuckDB
+(list_reduce) with a 0.0 seed, so doubles hash-match bit-for-bit; integer
+plane/metadata arithmetic is pure int math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.dedup import (duplicate_groups, jaccard_pairs,
+                               minhash_dedup_pairs, simhash, SIMHASH_BITS)
+from ..functions.multimodal import (attach_binary, decode_metadata,
+                                    sample_frames)
+from ..functions.similarity import cosine_topk, lsh_bucketed
+from ..functions.text import STOPWORDS, quality_score, with_text_stats
+from ..sources.parquet import read_table
+
+# ---------------------------------------------------------------------------
+# shared oracle SQL fragments
+
+_TOKS = "string_split(text, ' ')"
+
+_SHINGLES_CTE = f"""
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len({_TOKS}) - 2),
+           i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]
+         ))) AS shingle
+  FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+
+def _stopword_hits_sql(lang: str) -> str:
+    lits = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_intersect({_TOKS}, [{lits}]))"
+
+
+def _lang_case_sql() -> str:
+    langs = sorted(STOPWORDS)
+    scores = {lg: f"s_{lg}" for lg in langs}
+    greatest = "greatest(" + ", ".join(scores.values()) + ")"
+    whens = "\n".join(
+        f"  WHEN {scores[lg]} = {greatest} THEN '{lg}'" for lg in langs)
+    return f"CASE WHEN {greatest} = 0 THEN 'und'\n{whens}\n  END"
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (ws + BPE-ish), language-ID heuristic, fingerprint."""
+    docs = read_table(spark, sf_dir, "documents")
+    return with_text_stats(docs).select(
+        "doc_id", "n_tokens_ws", "n_tokens_bpe", "lang_pred", "fingerprint")
+
+
+SQL_TEXT_STATS = f"""
+WITH scored AS (
+  SELECT doc_id, text,
+         {", ".join(f"{_stopword_hits_sql(lg)} AS s_{lg}" for lg in sorted(STOPWORDS))}
+  FROM documents
+)
+SELECT doc_id,
+  len({_TOKS}) AS n_tokens_ws,
+  len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_tokens_bpe,
+  {_lang_case_sql()} AS lang_pred,
+  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM scored
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features + composite score."""
+    docs = read_table(spark, sf_dir, "documents")
+    return quality_score(docs).select(
+        "doc_id", "q_chars", "q_tokens", "q_mean_tok_len",
+        "q_punct_ratio", "q_stopword_ratio", "quality")
+
+
+SQL_QUALITY_SCORES = f"""
+WITH feats AS (
+  SELECT doc_id,
+    length(text) AS q_chars,
+    len({_TOKS}) AS q_tokens,
+    CAST(length(text) AS DOUBLE) / len({_TOKS}) AS q_mean_tok_len,
+    CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+      / len({_TOKS}) AS q_punct_ratio,
+    CAST({_stopword_hits_sql('en')} AS DOUBLE)
+      / {len(STOPWORDS['en'])} AS q_stopword_ratio
+  FROM documents
+)
+SELECT doc_id, q_chars, q_tokens, q_mean_tok_len, q_punct_ratio,
+  q_stopword_ratio,
+  least(q_stopword_ratio * 2, 1.0) * 0.5
+    + CASE WHEN q_mean_tok_len >= 3 AND q_mean_tok_len <= 10
+           THEN 0.3 ELSE 0.0 END
+    + CASE WHEN q_punct_ratio < 0.2 THEN 0.2 ELSE 0.0 END AS quality
+FROM feats
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups over a corpus with planted duplicates (documents
+    unioned with an id-shifted copy of itself)."""
+    docs = read_table(spark, sf_dir, "documents")
+    copy = docs.withColumn("doc_id", F.col("doc_id") + F.lit(10000))
+    return duplicate_groups(docs.unionByName(copy))
+
+
+SQL_DEDUP_EXACT = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 10000, text FROM documents
+)
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs (inverted-index join), j >= 0.8."""
+    docs = read_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, threshold=0.8)
+
+
+SQL_DEDUP_JACCARD = f"""
+WITH {_SHINGLES_CTE},
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8) + LSH(4 bands) candidates, verified at j >= 0.8 — the
+    scale path: only same-bucket pairs are verified."""
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs, num_hashes=8, bands=4, threshold=0.8)
+
+
+_SIGS = ", ".join(
+    f"min(md5('{s}|' || shingle)) AS mh{s}" for s in range(8))
+_BANDS = ", ".join(
+    f"'{b}' || '|' || mh{2*b} || '|' || mh{2*b+1}" for b in range(4))
+
+SQL_DEDUP_MINHASH = f"""
+WITH {_SHINGLES_CTE},
+sigs AS (SELECT doc_id, {_SIGS} FROM sh GROUP BY doc_id),
+bands AS (SELECT doc_id, unnest([{_BANDS}]) AS band_key FROM sigs),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+common AS (
+  SELECT doc_a, doc_b, COUNT(*) AS c
+  FROM cands
+  JOIN sh a ON a.doc_id = doc_a
+  JOIN sh b ON b.doc_id = doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit md5-backed SimHash per document."""
+    return simhash(read_table(spark, sf_dir, "documents"))
+
+
+_SIM_SUMS = ", ".join(
+    "SUM(CASE WHEN substr(h, {p}, 1) IN "
+    "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v{b}"
+    .format(p=b + 1, b=b) for b in range(SIMHASH_BITS))
+_SIM_BITS = " || ".join(
+    f"CASE WHEN v{b} > 0 THEN '1' ELSE '0' END" for b in range(SIMHASH_BITS))
+
+SQL_SIMHASH = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+agg AS (SELECT doc_id, {_SIM_SUMS} FROM h GROUP BY doc_id)
+SELECT doc_id, {_SIM_BITS} AS simhash FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+_DVEC = "CAST(embedding AS DOUBLE[])"
+
+
+def _dot_sql(a: str, b: str, dims: int = 64) -> str:
+    return (f"list_reduce(list_transform(generate_series(1, {dims}),"
+            f" i -> {a}[i] * {b}[i]), (x, y) -> x + y)")
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for query vectors vec_id < 5."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+SQL_ANN_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, {_DVEC} AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, {_DVEC} AS cv FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id,
+         {_dot_sql('qv', 'cv')}
+           / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')}))
+           AS cos
+  FROM q, c WHERE query_id <> neighbor_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 10
+"""
+
+
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucket histogram (the ANN scale path's partitioning)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return (lsh_bucketed(emb, num_planes=6, dims=64)
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")))
+
+
+def _plane_sql(p: int, dims: int = 64) -> str:
+    # mirrors similarity._plane_component: ((p+1)*73856093*(d+1)+19349663)%2001
+    # with d = i-1 for 1-based i
+    return (f"list_reduce(list_transform(generate_series(1, {dims}),"
+            f" i -> {_DVEC}[i] * CAST((({(p + 1) * 73856093}::BIGINT * i"
+            f" + 19349663) % 2001 - 1000) AS DOUBLE) / 1000.0),"
+            f" (x, y) -> x + y)")
+
+
+_BUCKET_SQL = " || ".join(
+    f"CASE WHEN {_plane_sql(p)} >= 0 THEN '1' ELSE '0' END"
+    for p in range(6))
+
+SQL_LSH_BUCKETS = f"""
+SELECT {_BUCKET_SQL} AS bucket, COUNT(*) AS n
+FROM embeddings GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal (binary columns + Arrow-batched Python decode)
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binary payload -> metadata via mapInPandas (deterministic fake
+    decode; see functions.multimodal for the real-codec seam)."""
+    docs = attach_binary(read_table(spark, sf_dir, "documents"))
+    return decode_metadata(docs)
+
+
+SQL_MULTIMODAL_DECODE = """
+SELECT doc_id,
+  CAST(strlen(text) AS INT) AS n_bytes,
+  CAST(320 + strlen(text) % 320 AS INT) AS width,
+  CAST(240 + strlen(text) % 240 AS INT) AS height,
+  CAST(strlen(text) % 5 + 1 AS INT) AS n_frames
+FROM documents
+"""
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: one row per (doc, frame) via mapInPandas."""
+    docs = attach_binary(read_table(spark, sf_dir, "documents"))
+    return sample_frames(docs)
+
+
+SQL_FRAME_SAMPLE = """
+SELECT doc_id,
+  CAST(unnest(generate_series(0, strlen(text) % 5)) AS INT) AS frame_idx,
+  CAST(strlen(text) // (strlen(text) % 5 + 1) AS INT) AS frame_bytes
+FROM documents
+"""
+
+
+PIPELINE_SUITE: dict[str, tuple] = {
+    "text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
+    "simhash": (q_simhash, SQL_SIMHASH),
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_TOPK),
+    "lsh_buckets": (q_lsh_buckets, SQL_LSH_BUCKETS),
+    "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
+    "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
+}

@@ -535,6 +535,8 @@ LIMIT 10
 # ---------------------------------------------------------------------------
 # suite registry
 
+from .pipeline_suite import PIPELINE_SUITE  # noqa: E402
+
 SUITE: dict[str, tuple] = {
     "message_envelope": (q_message_envelope, SQL_MESSAGE_ENVELOPE),
     "sample_top10": (q_sample_top10, SQL_SAMPLE_TOP10),
@@ -553,6 +555,7 @@ SUITE: dict[str, tuple] = {
     "iso_timestamps": (q_iso_timestamps, SQL_ISO_TIMESTAMPS),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
+    **PIPELINE_SUITE,
 }
 
 

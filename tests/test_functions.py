@@ -1,0 +1,106 @@
+"""LLM-pipeline operators: dedup, similarity, text analysis, multimodal."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from melt_spark.functions.dedup import (exact_dedup, jaccard_pairs,
+                                        lsh_candidate_pairs,
+                                        minhash_signatures, shingles, simhash)
+from melt_spark.functions.multimodal import (attach_binary, decode_metadata,
+                                             fake_decode, sample_frames)
+from melt_spark.functions.similarity import cosine_topk, lsh_bucketed
+from melt_spark.functions.text import lang_id, quality_score, with_text_stats
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the old barn"),
+    (2, "the quick brown fox jumps over the lazy dog near the old barn"),
+    (3, "the quick brown fox jumps over the lazy dog near the new barn"),
+    (4, "completely different words entirely unrelated anything else here"),
+    (5, "der hund ist nicht auf der couch und das ist gut"),
+]
+
+
+def _docs(spark, rows=None):
+    return spark.createDataFrame(rows or DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    out = exact_dedup(_docs(spark))
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {1, 3, 4, 5}  # doc 2 is an exact dup of 1
+
+
+def test_shingles_short_doc_empty(spark):
+    df = _docs(spark, [(1, "one two")])
+    assert shingles(df, k=3).count() == 0
+
+
+def test_jaccard_pairs_finds_near_dup(spark):
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in jaccard_pairs(_docs(spark), threshold=0.5).collect()}
+    assert (1, 2) in out and out[(1, 2)] == 1.0
+    assert (1, 3) in out and 0.5 <= out[(1, 3)] < 1.0
+    assert not any(4 in p for p in out)
+
+
+def test_minhash_lsh_candidates_catch_identical(spark):
+    sigs = minhash_signatures(_docs(spark), num_hashes=8)
+    cands = {(r["doc_a"], r["doc_b"])
+             for r in lsh_candidate_pairs(sigs).collect()}
+    assert (1, 2) in cands  # identical docs always share every band
+
+
+def test_simhash_near_dups_close(spark):
+    out = {r["doc_id"]: r["simhash"] for r in simhash(_docs(spark)).collect()}
+    ham = lambda a, b: sum(x != y for x, y in zip(out[a], out[b]))
+    assert ham(1, 2) == 0
+    assert ham(1, 3) <= ham(1, 4)
+
+
+def test_cosine_topk_matches_bruteforce(spark):
+    vecs = [(1, [1.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0]),
+            (3, [0.0, 1.0, 0.0]), (4, [-1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = cosine_topk(df, df.filter("vec_id = 1"), k=3).collect()
+    order = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert order == [2, 3, 4]
+    top = [r for r in out if r["rank"] == 1][0]
+    expect = 0.9 / math.sqrt(0.9 ** 2 + 0.1 ** 2)
+    assert abs(top["cos"] - expect) < 1e-12
+
+
+def test_lsh_bucket_identical_vectors_collide(spark):
+    vecs = [(1, [0.5] * 8), (2, [0.5] * 8), (3, [-0.5] * 8)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["bucket"]
+           for r in lsh_bucketed(df, num_planes=4, dims=8).collect()}
+    assert out[1] == out[2] and out[1] != out[3]
+
+
+def test_lang_id_and_stats(spark):
+    out = {r["doc_id"]: r for r in
+           with_text_stats(_docs(spark)).collect()}
+    assert out[1]["lang_pred"] == "en"
+    assert out[5]["lang_pred"] == "de"
+    assert out[4]["lang_pred"] == "und"
+    assert out[1]["n_tokens_ws"] == 13
+    assert out[1]["fingerprint"] == out[2]["fingerprint"]
+
+
+def test_quality_score_bounds(spark):
+    rows = quality_score(_docs(spark)).collect()
+    assert all(0.0 <= r["quality"] <= 1.0 for r in rows)
+    by_id = {r["doc_id"]: r["quality"] for r in rows}
+    assert by_id[1] > by_id[4]  # stopword-rich beats stopword-free
+
+
+def test_multimodal_decode_and_frames(spark):
+    docs = attach_binary(_docs(spark, [(1, "abcdefgh")]))  # 8 bytes
+    meta = decode_metadata(docs).collect()[0]
+    expect = fake_decode(b"abcdefgh")
+    assert (meta["n_bytes"], meta["width"], meta["height"], meta["n_frames"]) \
+        == (8, expect["width"], expect["height"], expect["n_frames"])
+    frames = sample_frames(docs).collect()
+    assert len(frames) == expect["n_frames"]
+    assert {r["frame_idx"] for r in frames} == set(range(expect["n_frames"]))
