@@ -535,6 +535,39 @@ LIMIT 10
 # ---------------------------------------------------------------------------
 # suite registry
 
+def q_stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: continuous latest-state via Structured Streaming (file-source
+    stand-in for the Kafka stream), same output contract & oracle as the
+    batch q_latest_state."""
+    from ..streaming.continuous import stream_latest_state_query
+
+    return stream_latest_state_query(spark, sf_dir)
+
+
+def q_stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming op (applyInPandasWithState): emit each
+    document fingerprint once with its min doc_id."""
+    from ..functions.text import fingerprint
+    from ..streaming.continuous import run_to_memory, stream_from_parquet
+    from ..streaming.dedup_state import streaming_first_seen
+
+    stream = (stream_from_parquet(spark, f"{sf_dir}/documents.parquet")
+              .withColumn("fingerprint", fingerprint("text")))
+    out = streaming_first_seen(stream)
+    query, name = run_to_memory(out, mode="append")
+    try:
+        return spark.table(name).cache().localCheckpoint(eager=True)
+    finally:
+        query.stop()
+
+
+SQL_STREAM_FIRST_SEEN = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       MIN(doc_id) AS doc_id
+FROM documents GROUP BY 1
+"""
+
+
 from .pipeline_suite import PIPELINE_SUITE  # noqa: E402
 
 SUITE: dict[str, tuple] = {
@@ -556,6 +589,8 @@ SUITE: dict[str, tuple] = {
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
     **PIPELINE_SUITE,
+    "stream_latest_state": (q_stream_latest_state, SQL_LATEST_STATE),
+    "stream_first_seen": (q_stream_first_seen, SQL_STREAM_FIRST_SEEN),
 }
 
 

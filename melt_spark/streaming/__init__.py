@@ -1,0 +1,12 @@
+from .continuous import (stream_from_parquet, stream_latest_state_query,
+                         windowed_event_counts)
+from .dedup_state import streaming_first_seen
+from .cdc_tail import CdcTail
+
+__all__ = [
+    "stream_from_parquet",
+    "stream_latest_state_query",
+    "windowed_event_counts",
+    "streaming_first_seen",
+    "CdcTail",
+]
