@@ -26,13 +26,15 @@ def sync_plan(diff_df: DataFrame,
               on: Sequence[str] = ("topic", "key")) -> DataFrame:
     """Diff rows → repair messages: upserts (side=table_only, send source
     value) + tombstones (side=topic_only, value=NULL). Output matches the
-    Kafka sink contract exactly."""
-    on = list(on)
-    upserts = (diff_df.filter(F.col(SIDE) == TABLE_ONLY)
-               .select(*on, F.col("src_value").alias("value")))
-    tombs = (diff_df.filter(F.col(SIDE) == TOPIC_ONLY)
-             .select(*on, F.lit(None).cast("string").alias("value")))
-    return upserts.unionByName(tombs)
+    Kafka sink contract exactly.
+
+    Single CASE projection rather than union-of-filters: a union would
+    recompute the diff join once per branch (Spark does not dedup common
+    subplans) — at 100 TB that doubles the dominant shuffle."""
+    return diff_df.select(
+        *on,
+        F.when(F.col(SIDE) == TABLE_ONLY, F.col("src_value"))
+         .otherwise(F.lit(None).cast("string")).alias("value"))
 
 
 def sync_count(sync_df: DataFrame) -> int:

@@ -1,0 +1,253 @@
+"""Analytics coverage: window functions, set operations, rollup, sessionization,
+incremental refresh equivalence, and heavier join trees for the bench.
+
+The reference has none of these (SURVEY.md §2.5/§2.7/§2.12) — they're part of
+the "complete engine" surface this repo adds, each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.latest_state import incremental_refresh, latest_state
+from ..sources.parquet import read_table
+
+
+# ---------------------------------------------------------------------------
+# window functions
+
+
+def q_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number() per group: top-3 orders by totalprice per customer."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (orders.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("o_custkey", "o_orderkey", "o_totalprice", "rk"))
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag + cumulative sum: a new session starts after a
+    >30 min gap; count sessions and events per user."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = (ev.withColumn("new_sess", new_sess)
+            .withColumn("session_id", F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (sess.groupBy("user_id")
+            .agg(F.max("session_id").alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+SQL_EVENT_SESSIONS = """
+WITH g AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY event_id) AS gap
+  FROM events
+), s AS (
+  SELECT user_id,
+         SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+FROM s GROUP BY user_id
+"""
+
+
+def q_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec window: running sum of event value per user in event order
+    (last value per user = deterministic single row each)."""
+    ev = read_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    run = ev.withColumn(
+        "running", F.sum(F.col("value").cast("decimal(18,2)")).over(w))
+    latest = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+    return (run.withColumn("rn", F.row_number().over(latest))
+            .filter("rn = 1")
+            .select("user_id",
+                    F.col("running").cast("decimal(38,2)").alias("total")))
+
+
+SQL_RUNNING_BALANCE = """
+SELECT user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# set operations
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT / anti-join: customers with no order since 2001."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+    return (cust.select("c_custkey")
+            .exceptAll(orders.select(F.col("o_custkey").alias("c_custkey")))
+            .distinct())
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+"""
+
+
+def q_active_entity_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct): all entity keys present in either side."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    return (cust.select(F.col("c_custkey").alias("k"))
+            .union(orders.select(F.col("o_custkey").alias("k")))
+            .distinct())
+
+
+SQL_ACTIVE_ENTITY_UNION = """
+SELECT c_custkey AS k FROM customer
+UNION
+SELECT o_custkey AS k FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# rollup / grouping sets
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): subtotals + grand total."""
+    li = read_table(spark, sf_dir, "lineitem")
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.sum(d2("l_extendedprice")).cast("decimal(38,2)")
+                 .alias("sum_price"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price,
+  COUNT(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# incremental refresh (T5) — equivalence with full recompaction
+
+
+def q_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split the changelog at offset 5000: compact the prefix, then fold in
+    the suffix incrementally. Must equal one-shot compaction (the oracle
+    computes the one-shot answer)."""
+    from ..sources.changelog import events_changelog
+
+    log = events_changelog(read_table(spark, sf_dir, "events")) \
+        .select("topic", "key", "offset", "value")
+    prior = latest_state(log.filter(F.col("offset") <= 5000),
+                         drop_tombstones=False)
+    delta = log.filter(F.col("offset") > 5000)
+    out = incremental_refresh(prior, delta)
+    return out.select("topic", "key", F.col("offset").alias("last_offset"))
+
+
+SQL_INCREMENTAL_REFRESH = """
+WITH log AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'melt.main.users_even'
+              ELSE 'melt.main.users_odd' END AS topic,
+         '{"user_id":' || user_id || '}' AS key,
+         event_id AS off,
+         CASE WHEN event_type = 'error' THEN NULL ELSE 'v' END AS value
+  FROM events
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY topic, key
+                               ORDER BY off DESC) AS rn
+  FROM log
+)
+SELECT topic, key, off AS last_offset
+FROM ranked WHERE rn = 1 AND value IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# heavier join tree (bench)
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: 6-table join, revenue per nation. Dimension chain
+    (region→nation→customer/supplier) broadcasts; the orders⋈lineitem
+    shuffle dominates — exactly the shape AQE optimizes at scale."""
+    region = read_table(spark, sf_dir, "region")
+    nation = read_table(spark, sf_dir, "nation")
+    cust = read_table(spark, sf_dir, "customer")
+    sup = read_table(spark, sf_dir, "supplier")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    return (region.filter(F.col("r_name") == "ASIA")
+            .join(nation, nation.n_regionkey == region.r_regionkey)
+            .join(cust, cust.c_nationkey == nation.n_nationkey)
+            .join(orders, orders.o_custkey == cust.c_custkey)
+            .join(li, li.l_orderkey == orders.o_orderkey)
+            .join(sup, (li.l_suppkey == sup.s_suppkey)
+                  & (sup.s_nationkey == nation.n_nationkey))
+            .filter((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                    & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+            .groupBy("n_name")
+            .agg(F.sum(d2("l_extendedprice") * (one - d2("l_discount")))
+                 .cast("decimal(38,4)").alias("revenue")))
+
+
+SQL_TPCH_Q5 = """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+       * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+       AS DECIMAL(38,4)) AS revenue
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+ANALYTICS_SUITE: dict[str, tuple] = {
+    "topk_orders_per_customer": (q_topk_orders_per_customer, SQL_TOPK_ORDERS),
+    "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
+    "running_balance": (q_running_balance, SQL_RUNNING_BALANCE),
+    "customers_without_orders": (q_customers_without_orders,
+                                 SQL_CUSTOMERS_WITHOUT_ORDERS),
+    "active_entity_union": (q_active_entity_union, SQL_ACTIVE_ENTITY_UNION),
+    "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP_REVENUE),
+    "incremental_refresh": (q_incremental_refresh, SQL_INCREMENTAL_REFRESH),
+    "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),
+}

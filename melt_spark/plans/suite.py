@@ -568,6 +568,7 @@ FROM documents GROUP BY 1
 """
 
 
+from .analytics_suite import ANALYTICS_SUITE  # noqa: E402
 from .pipeline_suite import PIPELINE_SUITE  # noqa: E402
 
 SUITE: dict[str, tuple] = {
@@ -589,6 +590,7 @@ SUITE: dict[str, tuple] = {
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
     **PIPELINE_SUITE,
+    **ANALYTICS_SUITE,
     "stream_latest_state": (q_stream_latest_state, SQL_LATEST_STATE),
     "stream_first_seen": (q_stream_first_seen, SQL_STREAM_FIRST_SEEN),
 }
