@@ -24,10 +24,15 @@ from melt_spark.session import get_spark  # noqa: E402
 BENCH_QUERIES = [
     "message_envelope",   # full scan -> canonical JSON projection
     "latest_state",       # changelog compaction (groupBy + max_by)
-    "sync_plan",          # full-outer diff join + union
+    "sync_plan",          # full-outer diff join + CASE projection
     "cdc_replay",         # filter + broadcast join + JSON projection
     "tpch_q1",            # wide aggregation
     "tpch_q3",            # 3-way join + top-k
+    "tpch_q5",            # 6-table join tree
+    "event_sessions",     # window functions (lag + cumulative sum)
+    "text_stats",         # tokenize/lang-id/fingerprint full-corpus scan
+    "dedup_minhash_lsh",  # shingle explode + minhash agg + band join
+    "ann_cosine_topk",    # broadcast NL join + vector folds + window
 ]
 
 

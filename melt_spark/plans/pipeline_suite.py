@@ -161,7 +161,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SIGS = ", ".join(
-    f"min(md5('{s}|' || shingle)) AS mh{s}" for s in range(8))
+    f"min(substr(md5('{s // 4}|' || shingle), {(s % 4) * 8 + 1}, 8)) AS mh{s}"
+    for s in range(8))
 _BANDS = ", ".join(
     f"'{b}' || '|' || mh{2*b} || '|' || mh{2*b+1}" for b in range(4))
 
@@ -273,6 +274,32 @@ FROM embeddings GROUP BY 1
 """
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup via LSH buckets: same-bucket candidate
+    pairs verified at cos >= 0.4 (corpus plants no >0.52 pairs; the
+    operator's recall/cost profile is the point, the threshold is data-
+    dependent config)."""
+    from ..functions.similarity import lsh_cosine_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return lsh_cosine_pairs(emb, threshold=0.4, num_planes=6, dims=64)
+
+
+SQL_EMBEDDING_NEAR_DUP = f"""
+WITH b AS (
+  SELECT vec_id, {_DVEC} AS v, {_BUCKET_SQL} AS bucket FROM embeddings
+)
+SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+       {_dot_sql('a.v', 'b2.v')}
+         / (sqrt({_dot_sql('a.v', 'a.v')}) * sqrt({_dot_sql('b2.v', 'b2.v')}))
+         AS cos
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+WHERE {_dot_sql('a.v', 'b2.v')}
+        / (sqrt({_dot_sql('a.v', 'a.v')}) * sqrt({_dot_sql('b2.v', 'b2.v')}))
+        >= 0.4
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal (binary columns + Arrow-batched Python decode)
 
@@ -317,6 +344,7 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "simhash": (q_simhash, SQL_SIMHASH),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_TOPK),
     "lsh_buckets": (q_lsh_buckets, SQL_LSH_BUCKETS),
+    "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
 }
