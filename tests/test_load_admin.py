@@ -58,5 +58,6 @@ def test_change_sql_shape():
     assert "Left Outer Join" in sql
     assert "ct.[addressid] = t.[addressid]" in sql
     select_list = sql.split(" From ")[0]
-    assert "t.[city]" in select_list and "t.[addressid]" not in select_list
+    assert "t.[city]" in select_list
+    assert " t.[addressid]" not in select_list  # PK comes from ct. side only
     assert sql.endswith("Order By ct.sys_change_version")
