@@ -240,6 +240,49 @@ GROUP BY n_name
 """
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: pure filter + aggregate — the pushdown showcase
+    (all three predicates reach the parquet scan)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")
+    return (li.filter(
+                (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+                & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+                & (F.col("l_quantity") < 24))
+            .agg(F.sum(d2("l_extendedprice") * d2("l_discount"))
+                 .cast("decimal(38,4)").alias("revenue"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+SQL_TPCH_Q6 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators/skew.py): counts per
+    event_type (5 hot keys over 10k+ rows — the shape where one reducer
+    would otherwise take the whole table)."""
+    from ..operators.skew import salted_count
+
+    ev = read_table(spark, sf_dir, "events")
+    return salted_count(ev, ["event_type"], entropy_col="event_id",
+                        buckets=8, out="n")
+
+
+SQL_SALTED_EVENT_COUNTS = """
+SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+"""
+
+
 ANALYTICS_SUITE: dict[str, tuple] = {
     "topk_orders_per_customer": (q_topk_orders_per_customer, SQL_TOPK_ORDERS),
     "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
@@ -250,4 +293,6 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP_REVENUE),
     "incremental_refresh": (q_incremental_refresh, SQL_INCREMENTAL_REFRESH),
     "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),
+    "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
+    "salted_event_counts": (q_salted_event_counts, SQL_SALTED_EVENT_COUNTS),
 }

@@ -138,6 +138,27 @@ FROM customer
 """
 
 
+def q_message_envelope_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Envelope over a harder row shape: embedded-JSON string column (props
+    must escape identically), ISO-millis timestamp, doubles."""
+    src = Source(name="events", schema="main", keys=("event_id",))
+    return (src.messages(read_table(spark, sf_dir, "events"))
+            .select("topic", "key", "value"))
+
+
+SQL_MESSAGE_ENVELOPE_EVENTS = """
+SELECT 'melt.main.events' AS topic,
+  '{"event_id":' || event_id || '}' AS key,
+  '{"event_id":' || event_id
+    || ',"event_type":"' || event_type
+    || '","props":"' || replace(replace(props, '\\', '\\\\'), '"', '\\"')
+    || '","ts":"' || strftime(ts, '%Y-%m-%dT%H:%M:%S.%gZ')
+    || '","user_id":' || user_id
+    || ',"value":' || CAST(value AS VARCHAR) || '}' AS value
+FROM events
+"""
+
+
 def q_sample_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7: deterministic top-N sample (reference TOP 10, melt.clj:165)."""
     return (read_table(spark, sf_dir, "customer")
@@ -573,6 +594,8 @@ from .pipeline_suite import PIPELINE_SUITE  # noqa: E402
 
 SUITE: dict[str, tuple] = {
     "message_envelope": (q_message_envelope, SQL_MESSAGE_ENVELOPE),
+    "message_envelope_events": (q_message_envelope_events,
+                                SQL_MESSAGE_ENVELOPE_EVENTS),
     "sample_top10": (q_sample_top10, SQL_SAMPLE_TOP10),
     "load_counts": (q_load_counts, SQL_LOAD_COUNTS),
     "topic_counts": (q_topic_counts, SQL_TOPIC_COUNTS),
