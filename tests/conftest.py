@@ -13,7 +13,10 @@ def spark():
     from melt_spark.session import get_spark
 
     s = get_spark("melt-spark-tests", master="local[4]",
-                  extra_conf={"spark.sql.shuffle.partitions": "4"})
+                  extra_conf={
+                      "spark.sql.shuffle.partitions": "4",
+                      "spark.sql.warehouse.dir": "/tmp/melt_spark_warehouse",
+                  })
     yield s
 
 
