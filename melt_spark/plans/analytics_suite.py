@@ -283,6 +283,36 @@ SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
 """
 
 
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): for every event, the user's most
+    recent 'purchase' at or before it (sequence order = event_id, which is
+    unique — no tie ambiguity). NULL when the user hasn't purchased yet."""
+    from ..operators.asof import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id",
+                         F.col("event_id").alias("purchase_event_id"),
+                         F.col("value").alias("purchase_value")))
+    out = asof_join(left, purchases, on=["user_id"],
+                    left_ts="event_id", right_ts="purchase_event_id")
+    return out.select("event_id", "user_id", "purchase_event_id",
+                      "purchase_value")
+
+
+SQL_ASOF_LAST_PURCHASE = """
+SELECT e.event_id, e.user_id, p.purchase_event_id, p.purchase_value
+FROM events e LEFT JOIN LATERAL (
+  SELECT event_id AS purchase_event_id, value AS purchase_value
+  FROM events p
+  WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+    AND p.event_id <= e.event_id
+  ORDER BY p.event_id DESC LIMIT 1
+) p ON TRUE
+"""
+
+
 ANALYTICS_SUITE: dict[str, tuple] = {
     "topk_orders_per_customer": (q_topk_orders_per_customer, SQL_TOPK_ORDERS),
     "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
@@ -295,4 +325,5 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),
     "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
     "salted_event_counts": (q_salted_event_counts, SQL_SALTED_EVENT_COUNTS),
+    "asof_last_purchase": (q_asof_last_purchase, SQL_ASOF_LAST_PURCHASE),
 }
