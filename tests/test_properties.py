@@ -1,0 +1,85 @@
+"""Property-based checks (hypothesis) of the engine's core invariants:
+
+1. latest_state == a naive single-threaded fold (the reference's
+   merge-seq-entry semantics, melt.clj:307-323) for ANY changelog.
+2. sync is self-healing: applying sync_plan(diff) always yields a clean
+   diff (the reference's integration suite checks one scenario; the
+   property holds for all states).
+
+Kept to few, small examples — each example is a Spark job.
+"""
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from melt_spark.operators.diff import diff, diff_matches
+from melt_spark.operators.latest_state import latest_state
+from melt_spark.operators.sync import sync_plan
+
+KEYS = ["k1", "k2", "k3"]
+VALUES = [None, "a", "b", "c"]
+
+records = st.lists(
+    st.tuples(st.sampled_from(KEYS), st.sampled_from(VALUES)),
+    min_size=0, max_size=12)
+
+state_maps = st.dictionaries(st.sampled_from(KEYS),
+                             st.sampled_from(["a", "b", "c"]),
+                             max_size=3)
+
+_spark = None
+
+
+def _get_spark():
+    global _spark
+    if _spark is None:
+        from melt_spark.session import get_spark
+        _spark = get_spark("melt-spark-tests", master="local[4]",
+                           extra_conf={"spark.sql.shuffle.partitions": "4"})
+    return _spark
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(records)
+def test_latest_state_equals_naive_fold(recs):
+    spark = _get_spark()
+    rows = [("t", k, i, v) for i, (k, v) in enumerate(recs)]
+    naive: dict[str, str] = {}
+    for _t, k, _o, v in rows:          # offset order == list order
+        if v is None:
+            naive.pop(k, None)
+        else:
+            naive[k] = v
+
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "topic string, key string, offset long, value string")
+    got = {r["key"]: r["value"] for r in latest_state(df).collect()}
+    assert got == naive
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(state_maps, state_maps)
+def test_sync_always_heals(src_state, top_state):
+    spark = _get_spark()
+
+    def msgs(state):
+        rows = [("t", k, v) for k, v in sorted(state.items())]
+        return spark.createDataFrame(
+            rows, "topic string, key string, value string")
+
+    src, top = msgs(src_state), msgs(top_state)
+    repair = {(r["key"]): r["value"]
+              for r in sync_plan(diff(src, top)).collect()}
+
+    healed = dict(top_state)
+    for k, v in repair.items():
+        if v is None:
+            healed.pop(k, None)
+        else:
+            healed[k] = v
+    assert healed == src_state
+    # and the healed topic now diffs clean
+    assert diff_matches(diff(src, msgs(healed)))
