@@ -53,6 +53,12 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
              k: int = 3) -> DataFrame:
     """Distinct k-token shingles per document: (id, shingle) exploded.
     Construction is array-native (split → sequence → transform) — no UDF."""
+    # the explode+hash downstream is CPU-bound: make sure it isn't pinned to
+    # a handful of input splits (a single parquet file = one task otherwise)
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        df = df.repartition(cores, F.col(id_col))
     toks = F.split(F.col(text_col), " ")
     # guard: Spark's sequence(0, negative) would DESCEND — short docs get
     # an empty shingle set instead
