@@ -300,6 +300,64 @@ WHERE {_dot_sql('a.v', 'b2.v')}
 """
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (functions/ivf.py): probe the 3 nearest of ~10 deterministic
+    centroid lists per query instead of scanning the corpus."""
+    from ..functions.ivf import ivf_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5),
+                    k=10, nprobe=3, every=50)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (f"{_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)})"
+            f" * sqrt({_dot_sql(b, b)}))")
+
+
+SQL_IVF_TOPK = f"""
+WITH cents AS (
+  SELECT CAST(vec_id / 50 AS BIGINT) AS list_id,
+         {_DVEC} AS centroid
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+corpus AS (SELECT vec_id, {_DVEC} AS v FROM embeddings),
+assign_s AS (
+  SELECT c.vec_id, ct.list_id, c.v,
+         {_cos_sql('c.v', 'ct.centroid')} AS sim
+  FROM corpus c, cents ct
+),
+assign_r AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY sim DESC, list_id) AS rn
+  FROM assign_s
+),
+assigned AS (SELECT vec_id, list_id, v FROM assign_r WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, {_DVEC} AS qv
+      FROM embeddings WHERE vec_id < 5),
+qc AS (
+  SELECT query_id, qv, list_id,
+         {_cos_sql('qv', 'centroid')} AS csim
+  FROM q, cents
+),
+qr AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY csim DESC, list_id) AS rn
+  FROM qc
+),
+probes AS (SELECT query_id, qv, list_id FROM qr WHERE rn <= 3),
+scored AS (
+  SELECT p.query_id, a.vec_id, {_cos_sql('p.qv', 'a.v')} AS cos
+  FROM probes p JOIN assigned a USING (list_id)
+  WHERE p.query_id <> a.vec_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, vec_id) AS rank
+      FROM scored)
+SELECT query_id, vec_id AS neighbor_id, rank, cos FROM r WHERE rank <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal (binary columns + Arrow-batched Python decode)
 
@@ -345,6 +403,7 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_TOPK),
     "lsh_buckets": (q_lsh_buckets, SQL_LSH_BUCKETS),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
 }

@@ -1,0 +1,42 @@
+"""IVF ANN: assignment, probing, and recall against brute force."""
+
+from pyspark.sql import functions as F
+
+from melt_spark.functions.ivf import (deterministic_centroids, ivf_assign,
+                                      ivf_topk)
+from melt_spark.functions.similarity import cosine_topk
+from melt_spark.sources.parquet import read_table
+
+
+def test_assignment_covers_corpus(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = deterministic_centroids(emb, every=20)
+    assigned = ivf_assign(emb, cents)
+    assert assigned.count() == emb.count()          # every vector has a list
+    assert assigned.select("vec_id").distinct().count() == emb.count()
+    n_lists = assigned.select("list_id").distinct().count()
+    assert 1 < n_lists <= cents.count()
+
+
+def test_centroid_assigned_to_own_list(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = deterministic_centroids(emb, every=20)
+    assigned = ivf_assign(emb, cents)
+    own = (assigned.filter(F.col("vec_id") % 20 == 0)
+           .filter(F.col("vec_id") / 20 == F.col("list_id")))
+    # a centroid's nearest centroid is itself (cosine 1.0)
+    assert own.count() == cents.count()
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(emb, queries, k=10).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in ivf_topk(emb, queries, k=10, nprobe=3).collect()}
+    # ANN trade-off: partial overlap expected, full recall not required —
+    # but probing 3/10 lists should recover a reasonable fraction
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2
+    assert all(q in {0, 1, 2} for q, _ in approx)
