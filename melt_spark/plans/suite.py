@@ -589,6 +589,50 @@ FROM documents GROUP BY 1
 """
 
 
+def q_sql_passthrough_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL API surface: spark.sql() executes the ORACLE's own ANSI text
+    verbatim over registered views — dialect parity, not just DataFrame
+    parity."""
+    from ..sources.parquet import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(SQL_TPCH_Q1)
+
+
+def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling windows + watermark, append mode: only windows
+    the watermark (max event time − 1 day) has closed are emitted — the
+    oracle states that same rule in batch SQL."""
+    from ..streaming.continuous import (run_to_memory, stream_from_parquet,
+                                        windowed_event_counts)
+
+    stream = stream_from_parquet(spark, f"{sf_dir}/events.parquet")
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    out = windowed_event_counts(stream, window="1 day", watermark="1 day")
+    out = out.select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+        "event_type", "n")
+    query, name = run_to_memory(out, mode="append")
+    try:
+        return spark.table(name).cache().localCheckpoint(eager=True)
+    finally:
+        query.stop()
+
+
+SQL_STREAM_WINDOWED_COUNTS = """
+WITH b AS (
+  SELECT time_bucket(INTERVAL 1 DAY, ts) AS day_start, event_type,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(day_start, '%Y-%m-%d') AS day, event_type, n
+FROM b
+WHERE day_start + INTERVAL 1 DAY
+      <= (SELECT MAX(ts) FROM events) - INTERVAL 1 DAY
+"""
+
+
 from .analytics_suite import ANALYTICS_SUITE  # noqa: E402
 from .pipeline_suite import PIPELINE_SUITE  # noqa: E402
 
@@ -616,6 +660,9 @@ SUITE: dict[str, tuple] = {
     **ANALYTICS_SUITE,
     "stream_latest_state": (q_stream_latest_state, SQL_LATEST_STATE),
     "stream_first_seen": (q_stream_first_seen, SQL_STREAM_FIRST_SEEN),
+    "stream_windowed_counts": (q_stream_windowed_counts,
+                               SQL_STREAM_WINDOWED_COUNTS),
+    "sql_passthrough_q1": (q_sql_passthrough_q1, SQL_TPCH_Q1),
 }
 
 

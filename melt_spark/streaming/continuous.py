@@ -93,6 +93,39 @@ def stream_latest_state_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         query.stop()
 
 
+class BackgroundConsumer:
+    """Reference background-consume (melt.clj:325-340): a continuously-
+    maintained latest-state view with an AutoCloseable shutdown handle.
+
+    Context manager over a streaming query materializing compacted state
+    into an in-session table; `.state()` reads the current snapshot,
+    exiting the `with` block stops the query (the reference's closeable
+    flag). Production variant: same plan, foreachBatch-MERGE sink.
+    """
+
+    def __init__(self, changelog_stream: DataFrame,
+                 key_cols=("topic", "key"), order_col: str = "offset"):
+        self._result = stream_latest_state(changelog_stream, key_cols,
+                                           order_col)
+        self._spark = changelog_stream.sparkSession
+        self._query = None
+        self._table = None
+
+    def __enter__(self) -> "BackgroundConsumer":
+        self._query, self._table = run_to_memory(self._result,
+                                                 mode="complete")
+        return self
+
+    def state(self) -> DataFrame:
+        """Current compacted snapshot (drains available input first)."""
+        self._query.processAllAvailable()
+        return self._spark.table(self._table)
+
+    def __exit__(self, *exc) -> None:
+        if self._query is not None:
+            self._query.stop()
+
+
 def windowed_event_counts(events_stream: DataFrame,
                           window: str = "1 hour",
                           watermark: str = "2 hours",

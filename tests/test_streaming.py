@@ -60,6 +60,25 @@ def test_windowed_counts_with_watermark(spark, sf_dir):
     assert got is None or got <= total  # closed windows only, never over
 
 
+def test_background_consumer_closeable(spark, tmp_path):
+    """T3: live latest-state view + AutoCloseable handle."""
+    from melt_spark.streaming.continuous import BackgroundConsumer
+
+    log = spark.createDataFrame(
+        [("t", "k1", 0, "v0"), ("t", "k1", 5, "v5"), ("t", "k2", 1, None)],
+        "topic string, key string, offset long, value string")
+    pq = str(tmp_path / "log")
+    log.repartition(1).write.parquet(pq)
+    stream = spark.readStream.schema(log.schema).parquet(pq)
+
+    with BackgroundConsumer(stream) as bc:
+        state = {r["key"]: r["value"] for r in bc.state().collect()}
+        assert state == {"k1": "v5"}   # tombstoned k2 absent
+        q = bc._query
+        assert q.isActive
+    assert not q.isActive              # closed on exit
+
+
 def test_cdc_tail_version_chaining(spark, tmp_path):
     src = Source(name="users", schema="main", keys=("id",))
     schema = ("id long, name string, sys_change_operation string,"
