@@ -19,3 +19,21 @@ strategy and nothing needs to fit in one process's memory:
 """
 
 __version__ = "0.1.0"
+
+from .model import Source
+from .canonical import canonical_json, canonical_key, with_canonical
+from .operators import (diff, deleted_keys, latest_state, message_df,
+                        replay_changes, change_stats, sync_plan)
+from .operators.asof import asof_join
+from .operators.verify import verify, verify_sync
+from .operators.load import load_sources
+from .session import get_spark, tune_session
+
+__all__ = [
+    "Source",
+    "canonical_json", "canonical_key", "with_canonical",
+    "message_df", "latest_state", "diff", "deleted_keys", "sync_plan",
+    "replay_changes", "change_stats", "asof_join",
+    "verify", "verify_sync", "load_sources",
+    "get_spark", "tune_session",
+]

@@ -171,8 +171,10 @@ SQL_SAMPLE_TOP10 = "SELECT * FROM customer ORDER BY c_custkey LIMIT 10"
 def q_load_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: per-source load counts (reference logs per-table counts,
     melt.clj:456-465; golden counts melt_test.clj:41-56)."""
+    from ..sources.parquet import TABLES
+
     parts = []
-    for t in ("customer", "orders", "lineitem", "events", "nation"):
+    for t in TABLES:
         parts.append(
             read_table(spark, sf_dir, t)
             .agg(F.count(F.lit(1)).alias("n"))
@@ -184,11 +186,16 @@ def q_load_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_LOAD_COUNTS = """
-SELECT 'customer' AS source, COUNT(*) AS n FROM customer
+SELECT 'region' AS source, COUNT(*) AS n FROM region
+UNION ALL SELECT 'nation', COUNT(*) FROM nation
+UNION ALL SELECT 'customer', COUNT(*) FROM customer
+UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+UNION ALL SELECT 'part', COUNT(*) FROM part
 UNION ALL SELECT 'orders', COUNT(*) FROM orders
 UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
 UNION ALL SELECT 'events', COUNT(*) FROM events
-UNION ALL SELECT 'nation', COUNT(*) FROM nation
+UNION ALL SELECT 'documents', COUNT(*) FROM documents
+UNION ALL SELECT 'embeddings', COUNT(*) FROM embeddings
 """
 
 
@@ -437,6 +444,102 @@ SELECT DISTINCT table_schem, table_name FROM (VALUES
 # scalar-function queries
 
 
+_DRIFT_CACHED = [
+    ("main", "customer", "c_custkey,c_name"),
+    ("main", "orders", "o_orderkey"),
+    ("main", "dropped_table", "id"),
+]
+_DRIFT_LIVE = [
+    ("main", "customer", "c_custkey,c_name,c_new_col"),   # changed
+    ("main", "orders", "o_orderkey"),                     # unchanged
+    ("main", "added_table", "id"),                        # only-live
+]
+
+
+def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 drift detection as a relational op: full-outer join of cached vs
+    live descriptors, classify added/removed/changed (schema-diff,
+    melt.clj:117-126)."""
+    cols = ["table_schem", "table_name", "columns_csv"]
+    cached = spark.createDataFrame(_DRIFT_CACHED, cols)
+    live = spark.createDataFrame(_DRIFT_LIVE, cols)
+    j = (cached.alias("c").join(
+            live.alias("l"),
+            (F.col("c.table_schem").eqNullSafe(F.col("l.table_schem")))
+            & (F.col("c.table_name").eqNullSafe(F.col("l.table_name"))),
+            "full_outer"))
+    status = (F.when(F.col("c.table_name").isNull(), F.lit("added"))
+              .when(F.col("l.table_name").isNull(), F.lit("removed"))
+              .when(F.col("c.columns_csv") != F.col("l.columns_csv"),
+                    F.lit("changed")))
+    return (j.select(
+                F.coalesce("c.table_schem", "l.table_schem").alias("table_schem"),
+                F.coalesce("c.table_name", "l.table_name").alias("table_name"),
+                status.alias("status"))
+            .filter(F.col("status").isNotNull()))
+
+
+def _drift_values(rows):
+    return ", ".join("(" + ", ".join(f"'{v}'" for v in r) + ")" for r in rows)
+
+
+SQL_SCHEMA_DRIFT = f"""
+WITH cached(table_schem, table_name, columns_csv) AS (
+  VALUES {_drift_values(_DRIFT_CACHED)}),
+live(table_schem, table_name, columns_csv) AS (
+  VALUES {_drift_values(_DRIFT_LIVE)}),
+j AS (
+  SELECT COALESCE(c.table_schem, l.table_schem) AS table_schem,
+         COALESCE(c.table_name, l.table_name) AS table_name,
+         CASE WHEN c.table_name IS NULL THEN 'added'
+              WHEN l.table_name IS NULL THEN 'removed'
+              WHEN c.columns_csv <> l.columns_csv THEN 'changed'
+         END AS status
+  FROM cached c FULL OUTER JOIN live l
+    ON c.table_schem = l.table_schem AND c.table_name = l.table_name
+)
+SELECT * FROM j WHERE status IS NOT NULL
+"""
+
+
+def q_consumer_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring (T4/T9): per-(topic, partition) lag between a committed
+    checkpoint (offsets <= 5000 consumed) and the topic end offsets."""
+    from ..sources.changelog import events_changelog
+
+    log = events_changelog(read_table(spark, sf_dir, "events"))
+    committed = (log.filter(F.col("offset") <= 5000)
+                 .groupBy("topic", "partition")
+                 .agg(F.max("offset").alias("committed")))
+    ends = (log.groupBy("topic", "partition")
+            .agg(F.max("offset").alias("end_offset"),
+                 F.count(F.lit(1)).alias("n_total")))
+    return (ends.join(committed, ["topic", "partition"], "left")
+            .select("topic", "partition",
+                    F.coalesce("committed", F.lit(-1)).alias("committed"),
+                    "end_offset",
+                    (F.col("end_offset")
+                     - F.coalesce("committed", F.lit(-1))).alias("lag")))
+
+
+SQL_CONSUMER_LAG = f"""
+WITH {_CHANGELOG_CTE},
+committed AS (
+  SELECT topic, part, MAX(off) AS committed FROM log
+  WHERE off <= 5000 GROUP BY topic, part
+),
+ends AS (
+  SELECT topic, part, MAX(off) AS end_offset FROM log GROUP BY topic, part
+)
+SELECT e.topic, e.part AS partition,
+       COALESCE(c.committed, -1) AS committed,
+       e.end_offset,
+       e.end_offset - COALESCE(c.committed, -1) AS lag
+FROM ends e LEFT JOIN committed c
+  ON c.topic = e.topic AND c.part = e.part
+"""
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3: JSON decode — pull props.k out of the events props JSON."""
     ev = read_table(spark, sf_dir, "events")
@@ -651,6 +754,8 @@ SUITE: dict[str, tuple] = {
     "cdc_replay": (q_cdc_replay, SQL_CDC_REPLAY),
     "cdc_stats": (q_cdc_stats, SQL_CDC_STATS),
     "schema_discovery": (q_schema_discovery, SQL_SCHEMA_DISCOVERY),
+    "schema_drift": (q_schema_drift, SQL_SCHEMA_DRIFT),
+    "consumer_lag": (q_consumer_lag, SQL_CONSUMER_LAG),
     "trackable_tables": (q_trackable_tables, SQL_TRACKABLE),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     "iso_timestamps": (q_iso_timestamps, SQL_ISO_TIMESTAMPS),
