@@ -79,6 +79,37 @@ def test_background_consumer_closeable(spark, tmp_path):
     assert not q.isActive              # closed on exit
 
 
+def test_foreach_merge_sink_incremental(spark, tmp_path):
+    """Production-path sink: two micro-batches merge incrementally; the
+    snapshot pointer always names a complete state."""
+    from melt_spark.streaming.foreach_merge import KeyedStateSink
+
+    schema = "topic string, key string, offset long, value string"
+    b1 = spark.createDataFrame(
+        [("t", "k1", 0, "v0"), ("t", "k2", 1, "x")], schema)
+    b2 = spark.createDataFrame(
+        [("t", "k1", 5, "v5"), ("t", "k2", 6, None), ("t", "k3", 7, "n")],
+        schema)
+    # write two files so maxFilesPerTrigger=1 yields two real micro-batches
+    src = str(tmp_path / "log")
+    b1.repartition(1).write.mode("append").parquet(src)
+    b2.repartition(1).write.mode("append").parquet(src)
+
+    sink = KeyedStateSink(spark, str(tmp_path / "state"))
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = sink.attach(stream, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    live = {r["key"]: r["value"] for r in sink.compacted_view().collect()}
+    assert live == {"k1": "v5", "k3": "n"}   # k2 tombstoned
+    full = {r["key"]: r["value"] for r in sink.state().collect()}
+    assert full["k2"] is None                # tombstone retained in storage
+
+
 def test_cdc_tail_version_chaining(spark, tmp_path):
     src = Source(name="users", schema="main", keys=("id",))
     schema = ("id long, name string, sys_change_operation string,"
