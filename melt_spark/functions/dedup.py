@@ -199,3 +199,37 @@ def simhash(df: DataFrame, text_col: str = "text",
         for b in range(SIMHASH_BITS)
     ])
     return agg.select(F.col(id_col), bits.alias("simhash"))
+
+
+def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           max_hamming: int = 3,
+                           bands: int = 4) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 16-bit signature into `bands`
+    nibbles; pairs sharing ANY band are candidates (Hamming-LSH — a pair
+    within distance d must agree on >= bands - d bands, so d < bands
+    guarantees recall 1.0); verify exact Hamming <= max_hamming.
+    O(n·bands) bucket keys, no all-pairs scan."""
+    width = SIMHASH_BITS // bands
+    sig = simhash(df, text_col, id_col)
+    banded = sig.select(
+        F.col(id_col), "simhash",
+        F.explode(F.array(*[
+            F.concat(F.lit(f"{b}|"),
+                     F.substring("simhash", b * width + 1, width))
+            for b in range(bands)
+        ])).alias("band_key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("doc_a"),
+                    F.col(f"b.{id_col}").alias("doc_b"),
+                    F.col("a.simhash").alias("sig_a"),
+                    F.col("b.simhash").alias("sig_b"))
+            .distinct())
+    hamming = sum(
+        (F.substring("sig_a", i + 1, 1) != F.substring("sig_b", i + 1, 1))
+        .cast("int") for i in range(SIMHASH_BITS))
+    return (cand.withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))

@@ -60,6 +60,37 @@ def decode_metadata(df: DataFrame, content_col: str = "content",
     return df.select(id_col, content_col).mapInPandas(run, DECODE_SCHEMA)
 
 
+FEATURE_SCHEMA = ("doc_id long, f_alpha int, f_digit int, f_space int,"
+                  " f_other int")
+
+
+def extract_features(df: DataFrame, content_col: str = "content",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Feature extraction over the binary payload (the embed/CLIP seam):
+    deterministic byte-class histogram via Arrow-batched mapInPandas —
+    the exact plumbing a real encoder uses (binary in, fixed-width feature
+    row out), minus the model."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[content_col]):
+                alpha = digit = space = other = 0
+                for byte in bytes(b):
+                    if (65 <= byte <= 90) or (97 <= byte <= 122):
+                        alpha += 1
+                    elif 48 <= byte <= 57:
+                        digit += 1
+                    elif byte in (32, 9, 10, 13):
+                        space += 1
+                    else:
+                        other += 1
+                rows.append((i, alpha, digit, space, other))
+            yield pd.DataFrame(rows, columns=[id_col, "f_alpha", "f_digit",
+                                              "f_space", "f_other"])
+
+    return df.select(id_col, content_col).mapInPandas(run, FEATURE_SCHEMA)
+
+
 def sample_frames(df: DataFrame, content_col: str = "content",
                   id_col: str = "doc_id") -> DataFrame:
     """Frame sampling: one row per (doc, frame). Demonstrates the

@@ -196,6 +196,13 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(read_table(spark, sf_dir, "documents"))
 
 
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via Hamming-LSH banding (hamming <= 3)."""
+    from ..functions.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(read_table(spark, sf_dir, "documents"))
+
+
 _SIM_SUMS = ", ".join(
     "SUM(CASE WHEN substr(h, {p}, 1) IN "
     "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v{b}"
@@ -210,6 +217,32 @@ WITH tok AS (
 h AS (SELECT doc_id, md5(tok) AS h FROM tok),
 agg AS (SELECT doc_id, {_SIM_SUMS} FROM h GROUP BY doc_id)
 SELECT doc_id, {_SIM_BITS} AS simhash FROM agg
+"""
+
+_SIM_BANDS = ", ".join(
+    f"'{b}|' || substr(simhash, {b * 4 + 1}, 4)" for b in range(4))
+_SIM_HAMMING = " + ".join(
+    f"CASE WHEN substr(sig_a, {i + 1}, 1) <> substr(sig_b, {i + 1}, 1)"
+    f" THEN 1 ELSE 0 END" for i in range(SIMHASH_BITS))
+
+SQL_SIMHASH_NEAR_DUP = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+agg AS (SELECT doc_id, {_SIM_SUMS} FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, {_SIM_BITS} AS simhash FROM agg),
+banded AS (
+  SELECT doc_id, simhash, unnest([{_SIM_BANDS}]) AS band_key FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sig_a, b.simhash AS sig_b
+  FROM banded a JOIN banded b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, {_SIM_HAMMING} AS hamming
+FROM cand WHERE {_SIM_HAMMING} <= 3
 """
 
 
@@ -379,6 +412,26 @@ FROM documents
 """
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-class histogram features via mapInPandas (the encoder seam)."""
+    from ..functions.multimodal import extract_features
+
+    docs = attach_binary(read_table(spark, sf_dir, "documents"))
+    return extract_features(docs)
+
+
+SQL_MULTIMODAL_FEATURES = """
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS INT) AS f_alpha,
+  CAST(len(regexp_extract_all(text, '[0-9]')) AS INT) AS f_digit,
+  CAST(len(regexp_extract_all(text, '[ \\t\\n\\r]')) AS INT) AS f_space,
+  CAST(strlen(text)
+       - len(regexp_extract_all(text, '[A-Za-z0-9 \\t\\n\\r]'))
+       AS INT) AS f_other
+FROM documents
+"""
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: one row per (doc, frame) via mapInPandas."""
     docs = attach_binary(read_table(spark, sf_dir, "documents"))
@@ -400,10 +453,12 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
     "simhash": (q_simhash, SQL_SIMHASH),
+    "simhash_near_dup": (q_simhash_near_dup, SQL_SIMHASH_NEAR_DUP),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_TOPK),
     "lsh_buckets": (q_lsh_buckets, SQL_LSH_BUCKETS),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
 }

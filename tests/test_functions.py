@@ -95,6 +95,24 @@ def test_quality_score_bounds(spark):
     assert by_id[1] > by_id[4]  # stopword-rich beats stopword-free
 
 
+def test_simhash_near_dup_pairs(spark):
+    from melt_spark.functions.dedup import simhash_near_dup_pairs
+
+    out = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in simhash_near_dup_pairs(_docs(spark)).collect()}
+    assert out.get((1, 2)) == 0          # identical docs: distance 0
+    assert all(h <= 3 for h in out.values())
+
+
+def test_extract_features_histogram(spark):
+    from melt_spark.functions.multimodal import extract_features
+
+    docs = attach_binary(_docs(spark, [(1, "ab1 2!")]))
+    r = extract_features(docs).collect()[0]
+    assert (r["f_alpha"], r["f_digit"], r["f_space"], r["f_other"]) \
+        == (2, 2, 1, 1)
+
+
 def test_multimodal_decode_and_frames(spark):
     docs = attach_binary(_docs(spark, [(1, "abcdefgh")]))  # 8 bytes
     meta = decode_metadata(docs).collect()[0]
