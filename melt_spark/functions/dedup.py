@@ -74,14 +74,28 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 # n-gram Jaccard via inverted index
 
+def df_capped(sh: DataFrame, max_df: int, id_col: str = "doc_id") -> DataFrame:
+    """Drop shingles whose document frequency exceeds max_df — the
+    quadratic-hot-key guard: a shingle shared by d docs generates d²/2
+    candidate pairs, so web-scale corpora MUST cap stopword-like shingles.
+    (Discriminative power of a shingle falls with df anyway — removing hot
+    shingles barely moves Jaccard for true near-dups.)"""
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    return (sh.join(dfreq.filter(F.col("__df") <= max_df), "shingle",
+                    "left_semi"))
+
+
 def jaccard_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", k: int = 3,
-                  threshold: float = 0.5) -> DataFrame:
+                  threshold: float = 0.5,
+                  max_df: int | None = None) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs with Jaccard(shingle sets) >=
     threshold, doc_a < doc_b. Inverted-index join: only docs sharing a
-    shingle meet. Scale note: for web-scale corpora, first drop shingles
-    with document frequency above a cap (they create quadratic hot keys)."""
+    shingle meet. max_df enables the hot-shingle guard (see df_capped) —
+    Jaccard is then computed over the capped shingle sets."""
     sh = shingles(df, text_col, id_col, k)
+    if max_df is not None:
+        sh = df_capped(sh, max_df, id_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
     a, b = sh.alias("a"), sh.alias("b")

@@ -313,6 +313,118 @@ FROM events e LEFT JOIN LATERAL (
 """
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style: EXISTS semi-join — orders placed in 1997 having at
+    least one line shipped after the order date, counted by priority."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+    late = li.join(o, li.l_orderkey == o.o_orderkey) \
+             .filter(F.col("l_shipdate") > F.col("o_orderdate")) \
+             .select("l_orderkey")
+    qualified = o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+    return (qualified.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+SQL_TPCH_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style: bilateral shipping volume between two nations by
+    year (supplier nation ≠ customer nation, both ∈ {0, 1})."""
+    nation = read_table(spark, sf_dir, "nation")
+    cust = read_table(spark, sf_dir, "customer")
+    sup = read_table(spark, sf_dir, "supplier")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nk"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"),
+                       F.col("n_name").alias("cust_nation"))
+    return (li
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(sup, li.l_suppkey == sup.s_suppkey)
+            .join(n1, sup.s_nationkey == F.col("s_nk"))
+            .join(n2, cust.c_nationkey == F.col("c_nk"))
+            .filter(F.col("s_nk").isin(0, 1) & F.col("c_nk").isin(0, 1)
+                    & (F.col("s_nk") != F.col("c_nk")))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").alias("l_year"))
+            .agg(F.sum(d2("l_extendedprice") * (one - d2("l_discount")))
+                 .cast("decimal(38,4)").alias("revenue")))
+
+
+SQL_TPCH_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+       * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+       AS DECIMAL(38,4)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_nationkey IN (0, 1) AND n2.n_nationkey IN (0, 1)
+  AND n1.n_nationkey <> n2.n_nationkey
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+"""
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: top-20 customers by returned-goods revenue in one
+    quarter (deterministic tiebreak on custkey)."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    return (cust
+            .join(orders, cust.c_custkey == orders.o_custkey)
+            .join(li, orders.o_orderkey == li.l_orderkey)
+            .filter((F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+                    & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+                    & (F.col("l_returnflag") == "R"))
+            .groupBy("c_custkey", "c_name")
+            .agg(F.sum(d2("l_extendedprice") * (one - d2("l_discount")))
+                 .cast("decimal(38,4)").alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+            .limit(20))
+
+
+SQL_TPCH_Q10 = """
+SELECT c_custkey, c_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+       * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+       AS DECIMAL(38,4)) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 ANALYTICS_SUITE: dict[str, tuple] = {
     "topk_orders_per_customer": (q_topk_orders_per_customer, SQL_TOPK_ORDERS),
     "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
@@ -326,4 +438,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
     "salted_event_counts": (q_salted_event_counts, SQL_SALTED_EVENT_COUNTS),
     "asof_last_purchase": (q_asof_last_purchase, SQL_ASOF_LAST_PURCHASE),
+    "tpch_q4": (q_tpch_q4, SQL_TPCH_Q4),
+    "tpch_q7": (q_tpch_q7, SQL_TPCH_Q7),
+    "tpch_q10": (q_tpch_q10, SQL_TPCH_Q10),
 }

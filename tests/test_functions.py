@@ -95,6 +95,19 @@ def test_quality_score_bounds(spark):
     assert by_id[1] > by_id[4]  # stopword-rich beats stopword-free
 
 
+def test_df_cap_preserves_rare_near_dups(spark):
+    """The hot-shingle cap must not lose near-dup pairs whose shingles are
+    rare; pairs driven only by ubiquitous shingles disappear."""
+    rows = DOCS + [(6 + i, "common filler words shared by every document here")
+                   for i in range(4)]
+    out = {(r["doc_a"], r["doc_b"])
+           for r in jaccard_pairs(_docs(spark, rows), threshold=0.5,
+                                  max_df=3).collect()}
+    assert (1, 2) in out          # rare-shingle near-dup survives
+    # the 4 identical filler docs share only capped shingles (df=4 > 3)
+    assert not any(a >= 6 and b >= 6 for a, b in out)
+
+
 def test_simhash_near_dup_pairs(spark):
     from melt_spark.functions.dedup import simhash_near_dup_pairs
 
