@@ -34,6 +34,25 @@ def deterministic_centroids(corpus: DataFrame, every: int = 50,
                     _dvec(vec_col).alias("centroid")))
 
 
+def kmeans_centroids(corpus: DataFrame, k: int = 10, seed: int = 42,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Production centroids: seeded MLlib KMeans over the corpus. Same
+    (list_id, centroid) contract as deterministic_centroids, so the search
+    plan (ivf_assign / ivf_topk centroids=...) is unchanged. Train on a
+    sample at 100 TB — centroid quality converges long before full data."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(_dvec(vec_col)).alias("features"))
+    model = KMeans(k=k, seed=seed, featuresCol="features").fit(feats)
+    spark = corpus.sparkSession
+    rows = [(i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())]
+    return spark.createDataFrame(rows, "list_id long, centroid array<double>")
+
+
 def ivf_assign(corpus: DataFrame, centroids: DataFrame,
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Assign each vector to its nearest centroid by cosine (ties → lowest
@@ -49,10 +68,14 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              nprobe: int = 3, every: int = 50,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: DataFrame | None = None) -> DataFrame:
     """Top-k neighbors per query, probing only the nprobe nearest lists.
-    Work per query ≈ (nprobe / nlists) of the corpus — the ANN trade-off."""
-    cents = deterministic_centroids(corpus, every, id_col, vec_col)
+    Work per query ≈ (nprobe / nlists) of the corpus — the ANN trade-off.
+    Pass centroids=kmeans_centroids(...) for trained lists; defaults to the
+    deterministic (oracle-restatable) choice."""
+    cents = centroids if centroids is not None else \
+        deterministic_centroids(corpus, every, id_col, vec_col)
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
 
     q = queries.select(F.col(id_col).alias("query_id"),

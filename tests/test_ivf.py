@@ -28,6 +28,22 @@ def test_centroid_assigned_to_own_list(spark, sf_dir):
     assert own.count() == cents.count()
 
 
+def test_kmeans_centroids_deterministic_and_usable(spark, sf_dir):
+    from melt_spark.functions.ivf import kmeans_centroids
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    c1 = sorted(map(tuple, kmeans_centroids(emb, k=5, seed=7).collect()))
+    c2 = sorted(map(tuple, kmeans_centroids(emb, k=5, seed=7).collect()))
+    assert [r[0] for r in c1] == [0, 1, 2, 3, 4]
+    assert c1 == c2  # seeded fit is reproducible
+
+    queries = emb.filter(F.col("vec_id") < 2)
+    cents = kmeans_centroids(emb, k=5, seed=7)
+    out = ivf_topk(emb, queries, k=5, nprobe=2,
+                   centroids=cents).collect()
+    assert len(out) == 10  # 2 queries x top-5 through trained lists
+
+
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
