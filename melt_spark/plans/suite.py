@@ -723,6 +723,57 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         query.stop()
 
 
+def q_stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (merge-on-gap) in append mode: emitted set =
+    sessions whose end (last event + gap) the watermark has passed."""
+    from ..streaming.continuous import (run_to_memory, session_event_counts,
+                                        stream_from_parquet)
+
+    stream = stream_from_parquet(spark, f"{sf_dir}/events.parquet")
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    out = session_event_counts(stream, gap="30 minutes", watermark="1 day")
+    out = out.select(
+        "user_id",
+        F.date_format("session_start", ISO_MILLIS).alias("session_start"),
+        F.date_format("session_end", ISO_MILLIS).alias("session_end"),
+        "n_events")
+    query, name = run_to_memory(out, mode="append")
+    try:
+        return spark.table(name).cache().localCheckpoint(eager=True)
+    finally:
+        query.stop()
+
+
+SQL_STREAM_SESSION_COUNTS = """
+WITH g AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END
+      AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+), sess AS (
+  SELECT user_id,
+         MIN(ts) AS session_start,
+         MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+         COUNT(*) AS n_events
+  FROM s GROUP BY user_id, sid
+)
+SELECT user_id,
+       strftime(session_start, '%Y-%m-%dT%H:%M:%S.%gZ') AS session_start,
+       strftime(session_end, '%Y-%m-%dT%H:%M:%S.%gZ') AS session_end,
+       n_events
+FROM sess
+WHERE session_end <= (SELECT MAX(ts) FROM events) - INTERVAL 1 DAY
+"""
+
+
 SQL_STREAM_WINDOWED_COUNTS = """
 WITH b AS (
   SELECT time_bucket(INTERVAL 1 DAY, ts) AS day_start, event_type,
@@ -767,6 +818,8 @@ SUITE: dict[str, tuple] = {
     "stream_first_seen": (q_stream_first_seen, SQL_STREAM_FIRST_SEEN),
     "stream_windowed_counts": (q_stream_windowed_counts,
                                SQL_STREAM_WINDOWED_COUNTS),
+    "stream_session_counts": (q_stream_session_counts,
+                              SQL_STREAM_SESSION_COUNTS),
     "sql_passthrough_q1": (q_sql_passthrough_q1, SQL_TPCH_Q1),
 }
 

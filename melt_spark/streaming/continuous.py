@@ -139,3 +139,24 @@ def windowed_event_counts(events_stream: DataFrame,
             .select(F.col("win.start").alias("window_start"),
                     F.col("win.end").alias("window_end"),
                     "event_type", "n"))
+
+
+def session_event_counts(events_stream: DataFrame,
+                         gap: str = "30 minutes",
+                         watermark: str = "1 day",
+                         ts_col: str = "ts",
+                         key_col: str = "user_id") -> DataFrame:
+    """Event-time SESSION windows (merge-on-gap) per key — Spark's native
+    session_window; sessions emit in append mode once the watermark passes
+    their end (last event + gap). The reference has no session concept at
+    all (SURVEY.md §2.9) — this is the streaming sessionization a real
+    event pipeline needs."""
+    return (events_stream
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.session_window(ts_col, gap).alias("win"),
+                     F.col(key_col))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col(key_col),
+                    F.col("win.start").alias("session_start"),
+                    F.col("win.end").alias("session_end"),
+                    "n_events"))
