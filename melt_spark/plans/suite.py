@@ -774,6 +774,46 @@ WHERE session_end <= (SELECT MAX(ts) FROM events) - INTERVAL 1 DAY
 """
 
 
+def q_stream_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join: purchases ⋈ same-user clicks within the prior
+    hour (event-time range condition, watermarked state on both sides)."""
+    from ..streaming.continuous import (run_to_memory, stream_from_parquet,
+                                        stream_stream_join)
+
+    def events_stream():
+        s = stream_from_parquet(spark, f"{sf_dir}/events.parquet")
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return s
+
+    purchases = (events_stream().filter(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("p_ts")))
+    clicks = (events_stream().filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("c_ts")))
+    joined = stream_stream_join(
+        purchases, clicks.withColumnRenamed("c_user", "user_id"),
+        key="user_id", left_ts="p_ts", right_ts="c_ts", lookback="1 hour")
+    out = joined.select(F.col("l.user_id").alias("user_id"),
+                        "purchase_id", "click_id")
+    query, name = run_to_memory(out, mode="append")
+    try:
+        return spark.table(name).cache().localCheckpoint(eager=True)
+    finally:
+        query.stop()
+
+
+SQL_STREAM_CLICK_TO_PURCHASE = """
+SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+"""
+
+
 SQL_STREAM_WINDOWED_COUNTS = """
 WITH b AS (
   SELECT time_bucket(INTERVAL 1 DAY, ts) AS day_start, event_type,
@@ -820,6 +860,8 @@ SUITE: dict[str, tuple] = {
                                SQL_STREAM_WINDOWED_COUNTS),
     "stream_session_counts": (q_stream_session_counts,
                               SQL_STREAM_SESSION_COUNTS),
+    "stream_click_to_purchase": (q_stream_click_to_purchase,
+                                 SQL_STREAM_CLICK_TO_PURCHASE),
     "sql_passthrough_q1": (q_sql_passthrough_q1, SQL_TPCH_Q1),
 }
 

@@ -93,6 +93,25 @@ def stream_latest_state_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         query.stop()
 
 
+def stream_stream_join(left_stream: DataFrame, right_stream: DataFrame,
+                       key: str,
+                       left_ts: str, right_ts: str,
+                       lookback: str = "1 hour",
+                       watermark: str = "1 day") -> DataFrame:
+    """Stream-stream inner join with an event-time range condition: right
+    events within `lookback` BEFORE each left event, same key. Watermarks
+    on both sides bound the join state (Spark evicts right rows older than
+    watermark+lookback) — the enrich-a-stream-with-a-recent-stream shape
+    (e.g. purchases joined to the clicks that preceded them)."""
+    l = left_stream.withWatermark(left_ts, watermark).alias("l")
+    r = right_stream.withWatermark(right_ts, watermark).alias("r")
+    cond = ((F.col(f"l.{key}") == F.col(f"r.{key}"))
+            & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+            & (F.col(f"r.{right_ts}")
+               >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {lookback}")))
+    return l.join(r, cond, "inner")
+
+
 class BackgroundConsumer:
     """Reference background-consume (melt.clj:325-340): a continuously-
     maintained latest-state view with an AutoCloseable shutdown handle.
