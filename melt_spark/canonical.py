@@ -78,3 +78,44 @@ def canonical_hash(names: Iterable[str]) -> Column:
     """64-bit hash of the canonical form — cheaper join/compare key at scale
     (hash the 8-byte value, not the JSON text, through the shuffle)."""
     return F.xxhash64(canonical_json(names))
+
+
+def canonical_json_nested(col: Column | str) -> Column:
+    """Canonical JSON for NESTED values (maps/structs/arrays created by user
+    transforms): keys sorted recursively at every level, the deep analogue
+    of the reference's top-level ensure-sorted (melt.clj:359-362).
+
+    Arrow-batched pandas UDF — the documented slow path; use only when a
+    transform actually produces nested maps (flat rows stay on
+    canonical_json, pure Catalyst). Self-consistent rendering: both sides
+    of a diff must go through THIS function."""
+    import datetime
+    import json
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _default(o):
+        if isinstance(o, (datetime.datetime,)):
+            return o.strftime("%Y-%m-%dT%H:%M:%S.") + f"{o.microsecond // 1000:03d}Z"
+        if isinstance(o, (datetime.date,)):
+            return o.isoformat()
+        if isinstance(o, (bytes, bytearray)):
+            return o.hex()
+        raise TypeError(type(o).__name__)
+
+    # NB: no pd.Series type hints — `from __future__ import annotations`
+    # stringifies them and pyspark's hint inference rejects that
+    def _render(s):
+        def enc(v):
+            if v is None:
+                return None
+            if hasattr(v, "asDict"):
+                v = v.asDict(recursive=True)
+            return json.dumps(v, sort_keys=True, separators=(",", ":"),
+                              default=_default)
+        return s.map(enc)
+
+    _render.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    render = pandas_udf(_render, "string")
+    return render(F.col(col) if isinstance(col, str) else col)

@@ -42,6 +42,21 @@ def test_timestamp_iso_utc(spark):
     assert j == '{"t":"2007-08-01T00:00:00Z"}'
 
 
+def test_canonical_json_nested_sorts_recursively(spark):
+    from melt_spark.canonical import canonical_json_nested
+
+    df = spark.sql(
+        "SELECT map('b', map('z', 1, 'a', 2), 'a', map('k', 3)) AS m")
+    out = df.select(canonical_json_nested("m").alias("j")).first()["j"]
+    assert out == '{"a":{"k":3},"b":{"a":2,"z":1}}'
+
+    # logically-equal maps built in different orders render identically
+    df2 = spark.sql(
+        "SELECT map('a', map('k', 3), 'b', map('a', 2, 'z', 1)) AS m")
+    out2 = df2.select(canonical_json_nested("m").alias("j")).first()["j"]
+    assert out == out2
+
+
 def test_with_canonical_equality_detects_change(spark):
     df1 = spark.createDataFrame([Row(id=1, v="a")])
     df2 = spark.createDataFrame([Row(id=1, v="b")])

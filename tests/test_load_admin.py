@@ -25,6 +25,37 @@ def test_load_counts_per_topic(spark):
     assert len(sent) == 2
 
 
+GOLDEN_COUNTS = {
+    # reference style: exact per-topic load counts (melt_test.clj:41-56)
+    "melt.main.region": 5, "melt.main.nation": 25,
+    "melt.main.customer": 150, "melt.main.supplier": 10,
+    "melt.main.part": 200, "melt.main.orders": 1500,
+    "melt.main.lineitem": 6000, "melt.main.events": 1000,
+    "melt.main.documents": 500, "melt.main.embeddings": 500,
+}
+
+KEYS = {
+    "region": ("r_regionkey",), "nation": ("n_nationkey",),
+    "customer": ("c_custkey",), "supplier": ("s_suppkey",),
+    "part": ("p_partkey",), "orders": ("o_orderkey",),
+    "lineitem": ("l_orderkey", "l_linenumber"),
+    "events": ("event_id",), "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
+
+def test_full_load_golden_counts(spark, sf_dir):
+    """Load ALL fixture tables through the real message pipeline; exact
+    per-topic counts (the reference's golden load fact)."""
+    from melt_spark.sources.parquet import read_table
+
+    sources = [Source(name=t, schema="main", keys=KEYS[t]) for t in KEYS]
+    counts = load_sources(sources,
+                          read_fn=lambda s: read_table(spark, sf_dir, s.name),
+                          send_fn=lambda df: None)
+    assert counts == GOLDEN_COUNTS
+
+
 def test_load_validates_keyed_sources(spark):
     # keyless source with NO key-supplying transform must fail validation
     bad = Source(name="nokeys", schema="main", keys=())
