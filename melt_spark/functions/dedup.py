@@ -161,13 +161,20 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
 def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
                         num_hashes: int = 8, bands: int = 4,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_df: int | None = None) -> DataFrame:
     """Full MinHash-LSH pipeline: candidates from banding, then exact
     Jaccard verification of ONLY the candidates (the scale path — compare
-    with jaccard_pairs which verifies every shingle-sharing pair)."""
+    with jaccard_pairs which verifies every shingle-sharing pair).
+    max_df (hot-shingle cap, see df_capped) applies to the document
+    representation itself — signatures AND verification use the capped
+    shingle sets, so the computed Jaccard stays self-consistent."""
     # one cached shingle pass feeds signatures AND verification (the explode
     # is the dominant cost; measured ~30% faster than recomputing it)
-    sh = shingles(df, text_col, id_col, k).cache()
+    sh = shingles(df, text_col, id_col, k)
+    if max_df is not None:
+        sh = df_capped(sh, max_df, id_col)
+    sh = sh.cache()
     sigs = sh.groupBy(id_col).agg(
         *[_minhash_col(s).alias(f"mh{s}") for s in range(num_hashes)])
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)

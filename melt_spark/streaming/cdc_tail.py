@@ -84,3 +84,27 @@ class CdcTail:
         backfill()
         self.save_version(current_version)
         return self.tick()
+
+
+class CdcTailSet:
+    """Tail MANY tables with one shared version-vector checkpoint file —
+    the multi-table orchestration the reference leaves to its caller
+    (track-all enables tracking per table, sql_server.clj:53-61; version
+    chaining is per-table, integration_test.clj:203-226).
+
+    Each tick replays every table's delta independently (tables progress at
+    their own version pace); the checkpoint file maps full_name → version,
+    so a crash resumes every table exactly where it left off."""
+
+    def __init__(self, tails: list[CdcTail]):
+        names = [t.source.full_name for t in tails]
+        if len(set(names)) != len(names):
+            raise ValueError(f"duplicate sources in tail set: {names}")
+        self.tails = tails
+
+    def tick_all(self) -> dict[str, dict]:
+        """One micro-batch across every table; returns per-table stats."""
+        return {t.source.full_name: t.tick() for t in self.tails}
+
+    def total_sent(self, stats: dict[str, dict]) -> int:
+        return sum(s["sent_count"] for s in stats.values())
