@@ -446,6 +446,54 @@ FROM documents
 """
 
 
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data cleaning pipeline in one plan:
+    quality-gate the corpus, then drop the higher-id member of every
+    near-duplicate pair (Jaccard >= 0.8). Returns surviving doc ids —
+    the operator composition a 100 TB pretraining pipeline actually runs."""
+    docs = read_table(spark, sf_dir, "documents")
+    scored = quality_score(docs).select("doc_id", "quality")
+    good = scored.filter(F.col("quality") >= 0.6).select("doc_id")
+    dup_losers = (jaccard_pairs(docs, threshold=0.8)
+                  .select(F.col("doc_b").alias("doc_id")).distinct())
+    return good.join(dup_losers, "doc_id", "left_anti")
+
+
+SQL_CLEAN_CORPUS = f"""
+WITH feats AS (
+  SELECT doc_id,
+    CAST(length(text) AS DOUBLE) / len({_TOKS}) AS q_mean_tok_len,
+    CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+      / len({_TOKS}) AS q_punct_ratio,
+    CAST({_stopword_hits_sql('en')} AS DOUBLE)
+      / {len(STOPWORDS['en'])} AS q_stopword_ratio
+  FROM documents
+),
+good AS (
+  SELECT doc_id FROM feats
+  WHERE least(q_stopword_ratio * 2, 1.0) * 0.5
+      + CASE WHEN q_mean_tok_len >= 3 AND q_mean_tok_len <= 10
+             THEN 0.3 ELSE 0.0 END
+      + CASE WHEN q_punct_ratio < 0.2 THEN 0.2 ELSE 0.0 END >= 0.6
+),
+{_SHINGLES_CTE},
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+losers AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+)
+SELECT doc_id FROM good
+WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+
 PIPELINE_SUITE: dict[str, tuple] = {
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
@@ -461,4 +509,5 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
+    "clean_corpus": (q_clean_corpus, SQL_CLEAN_CORPUS),
 }

@@ -110,6 +110,42 @@ def test_foreach_merge_sink_incremental(spark, tmp_path):
     assert full["k2"] is None                # tombstone retained in storage
 
 
+def test_foreach_merge_sink_restart_recovery(spark, tmp_path):
+    """Stop the stream, restart from the same checkpoint, add data: state
+    resumes without double-applying old batches (merge is idempotent on
+    (key, offset) but the checkpoint must prevent re-reading old files)."""
+    from melt_spark.streaming.foreach_merge import KeyedStateSink
+
+    schema = "topic string, key string, offset long, value string"
+    src = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    sink = KeyedStateSink(spark, str(tmp_path / "state"))
+
+    spark.createDataFrame([("t", "k1", 0, "v0")], schema) \
+        .repartition(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = sink.attach(stream, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    v_after_first = sink._current_version()
+
+    # restart from the same checkpoint; new data arrives
+    spark.createDataFrame([("t", "k1", 9, "v9"), ("t", "k2", 1, "x")],
+                          schema) \
+        .repartition(1).write.mode("append").parquet(src)
+    stream2 = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", "1").parquet(src))
+    q2 = sink.attach(stream2, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+
+    state = {r["key"]: r["value"] for r in sink.compacted_view().collect()}
+    assert state == {"k1": "v9", "k2": "x"}
+    # exactly one extra merge ran after restart (old batch not re-read)
+    assert sink._current_version() == v_after_first + 1
+
+
 def test_cdc_tail_version_chaining(spark, tmp_path):
     src = Source(name="users", schema="main", keys=("id",))
     schema = ("id long, name string, sys_change_operation string,"
