@@ -33,6 +33,8 @@ BENCH_QUERIES = [
     "text_stats",         # tokenize/lang-id/fingerprint full-corpus scan
     "dedup_minhash_lsh",  # shingle explode + minhash agg + band join
     "ann_cosine_topk",    # broadcast NL join + vector folds + window
+    "tpch_q10",           # join + group + deterministic top-k
+    "clean_corpus",       # quality gate + near-dup anti-join composition
 ]
 
 

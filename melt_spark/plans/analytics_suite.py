@@ -425,6 +425,68 @@ LIMIT 20
 """
 
 
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style: conditional aggregation — per linestatus, how many
+    1997-shipped lines belong to high- vs low-priority orders."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .filter((F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+                    & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).cast("long")
+                 .alias("high_line_count"),
+                 F.sum(F.when(high, 0).otherwise(1)).cast("long")
+                 .alias("low_line_count")))
+
+
+SQL_TPCH_Q12 = """
+SELECT l_linestatus,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+"""
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style: promo revenue share — ratio of two exact decimal
+    sums, divided in double (deterministic: one division of exact values)."""
+    part = read_table(spark, sf_dir, "part")
+    li = read_table(spark, sf_dir, "lineitem")
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    rev = d2("l_extendedprice") * (one - d2("l_discount"))
+    return (li.join(part, li.l_partkey == part.p_partkey)
+            .filter((F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+                    & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp")))
+            .agg((F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                        .otherwise(F.lit(0).cast("decimal(18,4)")))
+                  .cast("double") * 100.0
+                  / F.sum(rev).cast("double")).alias("promo_revenue_pct")))
+
+
+SQL_TPCH_Q14 = """
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2))
+                         - CAST(l_discount AS DECIMAL(18,2)))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) * 100.0
+     / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (CAST(1 AS DECIMAL(18,2))
+               - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+     AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+"""
+
+
 ANALYTICS_SUITE: dict[str, tuple] = {
     "topk_orders_per_customer": (q_topk_orders_per_customer, SQL_TOPK_ORDERS),
     "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
@@ -441,4 +503,6 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "tpch_q4": (q_tpch_q4, SQL_TPCH_Q4),
     "tpch_q7": (q_tpch_q7, SQL_TPCH_Q7),
     "tpch_q10": (q_tpch_q10, SQL_TPCH_Q10),
+    "tpch_q12": (q_tpch_q12, SQL_TPCH_Q12),
+    "tpch_q14": (q_tpch_q14, SQL_TPCH_Q14),
 }
