@@ -540,6 +540,59 @@ FROM ends e LEFT JOIN committed c
 """
 
 
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured data: parse_json once,
+    typed variant_get extraction (the modern alternative to per-field
+    get_json_object rescans)."""
+    ev = read_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+        (F.variant_get(v, "$.k", "bigint") % 10).alias("k_bucket"))
+
+
+SQL_VARIANT_EXTRACT = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket
+FROM events
+"""
+
+
+def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector (Spark 4 Python DataSource API): deterministic
+    synthetic change feed read through format("melt_changes"), then the
+    standard CDC replay stats over it."""
+    from ..sources.python_datasource import register
+
+    register(spark)
+    changes = (spark.read.format("melt_changes")
+               .option("from_version", 1000)
+               .option("count", 500)
+               .option("partitions", 8).load())
+    return (changes.groupBy("sys_change_operation")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.max("sys_change_version").alias("max_version"),
+                 F.min("c_custkey").alias("min_pk")))
+
+
+SQL_PYTHON_DATASOURCE = """
+WITH feed AS (
+  SELECT v % 150 + 1 AS c_custkey,
+         CASE WHEN v % 5 = 0 THEN 'I'
+              WHEN v % 7 = 0 THEN 'D'
+              ELSE 'U' END AS sys_change_operation,
+         v AS sys_change_version
+  FROM (SELECT unnest(generate_series(1001, 1500)) AS v)
+)
+SELECT sys_change_operation, COUNT(*) AS n,
+       MAX(sys_change_version) AS max_version,
+       MIN(c_custkey) AS min_pk
+FROM feed GROUP BY sys_change_operation
+"""
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3: JSON decode — pull props.k out of the events props JSON."""
     ev = read_table(spark, sf_dir, "events")
@@ -849,6 +902,8 @@ SUITE: dict[str, tuple] = {
     "consumer_lag": (q_consumer_lag, SQL_CONSUMER_LAG),
     "trackable_tables": (q_trackable_tables, SQL_TRACKABLE),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
+    "variant_extract": (q_variant_extract, SQL_VARIANT_EXTRACT),
+    "python_datasource": (q_python_datasource, SQL_PYTHON_DATASOURCE),
     "iso_timestamps": (q_iso_timestamps, SQL_ISO_TIMESTAMPS),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
