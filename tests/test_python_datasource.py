@@ -26,6 +26,32 @@ def test_version_window_option(spark):
     assert versions == list(range(51, 61))
 
 
+def test_streaming_cdc_source_micro_batches(spark, tmp_path):
+    """readStream over the custom source: version-windowed micro-batches,
+    checkpointed offsets, full feed consumed exactly once."""
+    register(spark)
+    stream = (spark.readStream.format("melt_changes")
+              .option("from_version", 0)
+              .option("batch_size", 40)
+              .option("max_version", 130).load())
+    batches = []
+    q = (stream.writeStream
+         .foreachBatch(lambda df, bid: batches.append(
+             (bid, df.count(),
+              df.agg({"sys_change_version": "max"}).collect()[0][0])))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    nonempty = [b for b in batches if b[1] > 0]
+    assert sum(b[1] for b in nonempty) == 130        # every version once
+    assert len(nonempty) >= 3                        # real micro-batching
+    assert max(b[2] for b in nonempty) == 130        # reached feed end
+
+
 def test_feeds_cdc_replay(spark):
     """The custom connector slots straight into the CDC pipeline."""
     changes = _read(spark, count=50)
