@@ -593,6 +593,21 @@ FROM feed GROUP BY sys_change_operation
 """
 
 
+def q_binary_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: opaque binary payloads embedded as base64 text (the reference's
+    Blob→JSON path, melt.clj:364-366). Spark's base64 is MIME-chunked
+    (\\r\\n per 76 chars) — normalized to the canonical unchunked form."""
+    docs = read_table(spark, sf_dir, "documents")
+    b64 = F.regexp_replace(
+        F.base64(F.encode(F.col("text"), "utf-8")), "[\\r\\n]", "")
+    return docs.select("doc_id", b64.alias("payload_b64"))
+
+
+SQL_BINARY_BASE64 = """
+SELECT doc_id, to_base64(encode(text)) AS payload_b64 FROM documents
+"""
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3: JSON decode — pull props.k out of the events props JSON."""
     ev = read_table(spark, sf_dir, "events")
@@ -903,6 +918,7 @@ SUITE: dict[str, tuple] = {
     "trackable_tables": (q_trackable_tables, SQL_TRACKABLE),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     "variant_extract": (q_variant_extract, SQL_VARIANT_EXTRACT),
+    "binary_base64": (q_binary_base64, SQL_BINARY_BASE64),
     "python_datasource": (q_python_datasource, SQL_PYTHON_DATASOURCE),
     "iso_timestamps": (q_iso_timestamps, SQL_ISO_TIMESTAMPS),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),

@@ -52,6 +52,42 @@ def test_streaming_cdc_source_micro_batches(spark, tmp_path):
     assert max(b[2] for b in nonempty) == 130        # reached feed end
 
 
+def test_end_to_end_streaming_cdc_to_state(spark, tmp_path):
+    """Capstone: streaming CDC source → message projection → KeyedStateSink
+    merge; final compacted state == batch replay of the same feed."""
+    import pyspark.sql.functions as F
+    from melt_spark.streaming.foreach_merge import KeyedStateSink
+
+    register(spark)
+    stream = (spark.readStream.format("melt_changes")
+              .option("batch_size", 50).option("max_version", 120).load())
+    log = stream.select(
+        F.lit("t").alias("topic"),
+        F.col("c_custkey").cast("string").alias("key"),
+        F.col("sys_change_version").alias("offset"),
+        F.when(F.col("sys_change_operation") == "D", F.lit(None))
+         .otherwise(F.concat(F.lit("v"), F.col("sys_change_version")))
+         .cast("string").alias("value"))
+    sink = KeyedStateSink(spark, str(tmp_path / "state"))
+    q = sink.attach(log, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["key"]: r["value"] for r in sink.compacted_view().collect()}
+
+    batch = _read(spark, count=120)
+    expect = {}
+    for r in sorted(batch.collect(), key=lambda r: r["sys_change_version"]):
+        k = str(r["c_custkey"])
+        if r["sys_change_operation"] == "D":
+            expect[k] = None
+        else:
+            expect[k] = f"v{r['sys_change_version']}"
+    expect = {k: v for k, v in expect.items() if v is not None}
+    assert got == expect and len(got) > 0
+
+
 def test_feeds_cdc_replay(spark):
     """The custom connector slots straight into the CDC pipeline."""
     changes = _read(spark, count=50)
