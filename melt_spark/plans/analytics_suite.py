@@ -487,6 +487,71 @@ WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
 """
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS beyond rollup: (returnflag), (linestatus), and grand
+    total in one pass, with grouping-id disambiguation."""
+    li = read_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               CAST(grouping(l_linestatus) AS INT) AS g_ls,
+               COUNT(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+SQL_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) AS INT) AS g_rf,
+       CAST(grouping(l_linestatus) AS INT) AS g_ls,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation: exact COUNT(DISTINCT) + multi-distinct in one
+    grouped pass (machinery the reference lacks entirely, SURVEY §2.4)."""
+    ev = read_table(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("distinct_users"),
+                 F.countDistinct((F.col("user_id") % 4)).alias("distinct_parts"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+SQL_DISTINCT_COUNTS = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS distinct_users,
+       COUNT(DISTINCT user_id % 4) AS distinct_parts,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (linear interpolation —
+    bit-identical to DuckDB's quantile_cont on the same doubles)."""
+    orders = read_table(spark, sf_dir, "orders")
+    return (orders.groupBy("o_orderstatus")
+            .agg(F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
+                 F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+                 F.expr("percentile(o_totalprice, 0.75)").alias("p75"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+SQL_ORDER_PERCENTILES = """
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.25) AS p25,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.75) AS p75,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 ANALYTICS_SUITE: dict[str, tuple] = {
     "topk_orders_per_customer": (q_topk_orders_per_customer, SQL_TOPK_ORDERS),
     "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
@@ -505,4 +570,8 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "tpch_q10": (q_tpch_q10, SQL_TPCH_Q10),
     "tpch_q12": (q_tpch_q12, SQL_TPCH_Q12),
     "tpch_q14": (q_tpch_q14, SQL_TPCH_Q14),
+    "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
+    "distinct_counts": (q_distinct_counts, SQL_DISTINCT_COUNTS),
+    "order_value_percentiles": (q_order_value_percentiles,
+                                SQL_ORDER_PERCENTILES),
 }
