@@ -159,6 +159,69 @@ FROM events
 """
 
 
+def q_masked_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 xform parity: the reference's masking transducer test rewrites
+    every non-key field to 1 before sending (melt_test.clj:86-97). Here the
+    mask is a per-source transform on the message envelope — the value is
+    re-canonicalized from the masked row."""
+    def mask(df: DataFrame) -> DataFrame:
+        masked_value = F.to_json(F.struct(
+            F.lit(1).alias("c_acctbal"),
+            F.col("key_struct.c_custkey").alias("c_custkey"),
+            F.lit(1).alias("c_mktsegment"),
+            F.lit(1).alias("c_name"),
+            F.lit(1).alias("c_nationkey")))
+        return df.withColumn("value", masked_value)
+
+    src = Source(name="customer", schema="main", keys=("c_custkey",),
+                 transforms=(mask,))
+    return (src.messages(read_table(spark, sf_dir, "customer"))
+            .select("topic", "key", "value"))
+
+
+SQL_MASKED_MESSAGES = f"""
+SELECT 'melt.main.customer' AS topic,
+       {_CUST_KEY} AS key,
+       '{{"c_acctbal":1,"c_custkey":' || c_custkey
+         || ',"c_mktsegment":1,"c_name":1,"c_nationkey":1}}' AS value
+FROM customer
+"""
+
+
+def q_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation: each user's first 5 event types in event
+    order, as one string (array_agg ORDER BY / sort_array-of-structs)."""
+    ev = read_table(spark, sf_dir, "events")
+    packed = F.array_agg(F.struct(F.col("event_id"), F.col("event_type")))
+    seq = F.transform(F.slice(F.array_sort(packed), 1, 5),
+                      lambda s: s["event_type"])
+    return (ev.groupBy("user_id")
+            .agg(F.array_join(seq, ",").alias("first5")))
+
+
+SQL_USER_EVENT_SEQUENCES = """
+SELECT user_id,
+       array_to_string((array_agg(event_type ORDER BY event_id))[1:5], ',')
+         AS first5
+FROM events GROUP BY user_id
+"""
+
+
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency: explode + count + deterministic top-20."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    return (tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("token")).limit(20))
+
+
+SQL_TOP_TOKENS = """
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+"""
+
+
 def q_sample_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7: deterministic top-N sample (reference TOP 10, melt.clj:165)."""
     return (read_table(spark, sf_dir, "customer")
@@ -902,6 +965,10 @@ SUITE: dict[str, tuple] = {
     "message_envelope": (q_message_envelope, SQL_MESSAGE_ENVELOPE),
     "message_envelope_events": (q_message_envelope_events,
                                 SQL_MESSAGE_ENVELOPE_EVENTS),
+    "masked_messages": (q_masked_messages, SQL_MASKED_MESSAGES),
+    "user_event_sequences": (q_user_event_sequences,
+                             SQL_USER_EVENT_SEQUENCES),
+    "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "sample_top10": (q_sample_top10, SQL_SAMPLE_TOP10),
     "load_counts": (q_load_counts, SQL_LOAD_COUNTS),
     "topic_counts": (q_topic_counts, SQL_TOPIC_COUNTS),
