@@ -222,6 +222,44 @@ def simhash(df: DataFrame, text_col: str = "text",
     return agg.select(F.col(id_col), bits.alias("simhash"))
 
 
+def connected_components(pairs: DataFrame, a_col: str = "doc_a",
+                         b_col: str = "doc_b",
+                         max_iterations: int = 20) -> DataFrame:
+    """Dedup CLUSTERS from near-dup pairs: connected components by
+    min-label propagation (each node converges to the smallest doc id
+    reachable from it). Iterative DataFrame algorithm — the loop is driver
+    control flow, every step a distributed self-join; iterations needed =
+    graph diameter in label-hops (near-dup clusters are shallow).
+    localCheckpoint per round truncates the growing lineage."""
+    edges = (pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+             .unionByName(
+                 pairs.select(F.col(b_col).alias("src"),
+                              F.col(a_col).alias("dst")))
+             .distinct().localCheckpoint(eager=True))
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+
+    for _ in range(max_iterations):
+        neighbor_min = (edges.join(labels, edges.dst == labels.node)
+                        .groupBy("src").agg(F.min("label").alias("nmin")))
+        new_labels = (labels.join(neighbor_min,
+                                  labels.node == neighbor_min.src, "left")
+                      .select(F.col("node"),
+                              F.least(F.col("label"),
+                                      F.coalesce("nmin", F.col("label")))
+                              .alias("label"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
 def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id",
                            max_hamming: int = 3,

@@ -191,6 +191,56 @@ WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clusters: connected components (iterative min-label
+    propagation) over the MinHash-LSH near-dup pairs; cluster id = smallest
+    member. Oracle: recursive-CTE transitive closure."""
+    from ..functions.dedup import connected_components
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, num_hashes=8, bands=4, threshold=0.8)
+    return connected_components(pairs)
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+sigs AS (SELECT doc_id, {_SIGS} FROM sh GROUP BY doc_id),
+bands AS (SELECT doc_id, unnest([{_BANDS}]) AS band_key FROM sigs),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+common AS (
+  SELECT doc_a, doc_b, COUNT(*) AS c
+  FROM cands
+  JOIN sh a ON a.doc_id = doc_a
+  JOIN sh b ON b.doc_id = doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT src AS node, src AS reached FROM edges
+  UNION
+  SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.reached
+)
+SELECT node AS doc_id, MIN(reached) AS cluster_id
+FROM (SELECT node, reached FROM reach
+      UNION SELECT src, src FROM edges) t
+GROUP BY node
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit md5-backed SimHash per document."""
     return simhash(read_table(spark, sf_dir, "documents"))
@@ -500,6 +550,7 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "simhash": (q_simhash, SQL_SIMHASH),
     "simhash_near_dup": (q_simhash_near_dup, SQL_SIMHASH_NEAR_DUP),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_TOPK),

@@ -108,6 +108,21 @@ def test_df_cap_preserves_rare_near_dups(spark):
     assert not any(a >= 6 and b >= 6 for a, b in out)
 
 
+def test_connected_components_chain_and_islands(spark):
+    from melt_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain -> one component, min 1
+         (10, 11),                    # island pair
+         (20, 21), (21, 22)],         # triangle-ish chain
+        "doc_a long, doc_b long")
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
 def test_simhash_near_dup_pairs(spark):
     from melt_spark.functions.dedup import simhash_near_dup_pairs
 
