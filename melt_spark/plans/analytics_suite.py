@@ -552,6 +552,74 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style: HAVING-subquery membership — customers whose orders
+    total more than 150 quantity units."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .alias("sum_qty"))
+           .filter(F.col("sum_qty") > 150)
+           .select("l_orderkey"))
+    return (orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .groupBy("c_custkey", "c_name")
+            .agg(F.count(F.lit(1)).alias("n_big_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("decimal(38,2)").alias("total_spent")))
+
+
+SQL_TPCH_Q18 = """
+SELECT c_custkey, c_name, COUNT(*) AS n_big_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+    AS total_spent
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+GROUP BY c_custkey, c_name
+"""
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: scalar-subquery threshold + anti-join — wealthy
+    (above-average balance) customers with no orders since 2001, by nation."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    avg_bal = (cust.filter(F.col("c_acctbal") > 0)
+               .agg((F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                     .cast("double")
+                     / F.count(F.lit(1))).alias("a")))
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")) \
+        .select("o_custkey")
+    wealthy = (cust.crossJoin(F.broadcast(avg_bal))
+               .filter(F.col("c_acctbal") > F.col("a")))
+    idle = wealthy.join(recent, wealthy.c_custkey == recent.o_custkey,
+                        "left_anti")
+    return (idle.groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_cust"),
+                 F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                 .cast("decimal(38,2)").alias("total_bal")))
+
+
+SQL_TPCH_Q22 = """
+SELECT c_nationkey, COUNT(*) AS n_cust,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_bal
+FROM customer
+WHERE c_acctbal > (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+  FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+GROUP BY c_nationkey
+"""
+
+
 ANALYTICS_SUITE: dict[str, tuple] = {
     "topk_orders_per_customer": (q_topk_orders_per_customer, SQL_TOPK_ORDERS),
     "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
@@ -574,4 +642,6 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "distinct_counts": (q_distinct_counts, SQL_DISTINCT_COUNTS),
     "order_value_percentiles": (q_order_value_percentiles,
                                 SQL_ORDER_PERCENTILES),
+    "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),
+    "tpch_q22": (q_tpch_q22, SQL_TPCH_Q22),
 }

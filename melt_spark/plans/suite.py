@@ -945,6 +945,46 @@ FROM events p JOIN events c
 """
 
 
+def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) event-time windows: 2-day windows every 1 day —
+    each event lands in two windows; append mode emits watermark-closed
+    windows only (oracle restates both rules)."""
+    from ..streaming.continuous import run_to_memory, stream_from_parquet
+
+    stream = stream_from_parquet(spark, f"{sf_dir}/events.parquet")
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    out = (stream.withWatermark("ts", "1 day")
+           .groupBy(F.window("ts", "2 days", "1 day").alias("win"),
+                    "event_type")
+           .agg(F.count(F.lit(1)).alias("n"))
+           .select(F.date_format("win.start", "yyyy-MM-dd").alias("win_start"),
+                   "event_type", "n"))
+    query, name = run_to_memory(out, mode="append")
+    try:
+        return spark.table(name).cache().localCheckpoint(eager=True)
+    finally:
+        query.stop()
+
+
+SQL_STREAM_SLIDING_COUNTS = """
+WITH b AS (
+  SELECT time_bucket(INTERVAL 1 DAY, ts) AS day0, event_type FROM events
+),
+exploded AS (
+  SELECT day0 AS win_start, event_type FROM b
+  UNION ALL
+  SELECT day0 - INTERVAL 1 DAY, event_type FROM b
+)
+SELECT strftime(win_start, '%Y-%m-%d') AS win_start, event_type,
+       COUNT(*) AS n
+FROM exploded
+WHERE win_start + INTERVAL 2 DAY
+      <= (SELECT MAX(ts) FROM events) - INTERVAL 1 DAY
+GROUP BY win_start, event_type
+"""
+
+
 SQL_STREAM_WINDOWED_COUNTS = """
 WITH b AS (
   SELECT time_bucket(INTERVAL 1 DAY, ts) AS day_start, event_type,
@@ -1000,6 +1040,8 @@ SUITE: dict[str, tuple] = {
                               SQL_STREAM_SESSION_COUNTS),
     "stream_click_to_purchase": (q_stream_click_to_purchase,
                                  SQL_STREAM_CLICK_TO_PURCHASE),
+    "stream_sliding_counts": (q_stream_sliding_counts,
+                              SQL_STREAM_SLIDING_COUNTS),
     "sql_passthrough_q1": (q_sql_passthrough_q1, SQL_TPCH_Q1),
 }
 
