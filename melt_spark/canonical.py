@@ -32,8 +32,11 @@ from pyspark.sql import functions as F
 ISO_MILLIS = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
 ISO_SECONDS = "yyyy-MM-dd'T'HH:mm:ss'Z'"
 
+# timestampNTZFormat matters too: parquet timestamps without UTC adjustment
+# arrive as TIMESTAMP_NTZ, which to_json formats with a DIFFERENT option
+# (default drops the trailing Z — silent canonical-form divergence)
 _JSON_OPTS = {"ignoreNullFields": "false", "timestampFormat": ISO_MILLIS,
-              "dateFormat": "yyyy-MM-dd"}
+              "timestampNTZFormat": ISO_MILLIS, "dateFormat": "yyyy-MM-dd"}
 
 
 def iso_utc(col: Column | str, fmt: str = ISO_MILLIS) -> Column:
@@ -56,6 +59,7 @@ def canonical_json(names: Iterable[str], ts_format: str = ISO_MILLIS) -> Column:
     the reference's lossy-space row equality (melt.clj:380-390)."""
     opts = dict(_JSON_OPTS)
     opts["timestampFormat"] = ts_format
+    opts["timestampNTZFormat"] = ts_format
     return F.to_json(canonical_struct(names), opts)
 
 

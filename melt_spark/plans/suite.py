@@ -159,6 +159,25 @@ FROM events
 """
 
 
+def q_composite_key_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 parity: composite key INCLUDING a timestamp column (the
+    reference's dates-in-keys scenario, integration_test.clj:124-130) —
+    the key's timestamp field must canonicalize identically on both
+    engines inside the sorted-field JSON."""
+    src = Source(name="orders", schema="main",
+                 keys=("o_orderkey", "o_orderdate"))
+    return (src.messages(read_table(spark, sf_dir, "orders"))
+            .select("topic", "key"))
+
+
+SQL_COMPOSITE_KEY_MESSAGES = """
+SELECT 'melt.main.orders' AS topic,
+  '{"o_orderdate":"' || strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%gZ')
+    || '","o_orderkey":' || o_orderkey || '}' AS key
+FROM orders
+"""
+
+
 def q_masked_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 xform parity: the reference's masking transducer test rewrites
     every non-key field to 1 before sending (melt_test.clj:86-97). Here the
@@ -1005,6 +1024,8 @@ SUITE: dict[str, tuple] = {
     "message_envelope": (q_message_envelope, SQL_MESSAGE_ENVELOPE),
     "message_envelope_events": (q_message_envelope_events,
                                 SQL_MESSAGE_ENVELOPE_EVENTS),
+    "composite_key_messages": (q_composite_key_messages,
+                               SQL_COMPOSITE_KEY_MESSAGES),
     "masked_messages": (q_masked_messages, SQL_MASKED_MESSAGES),
     "user_event_sequences": (q_user_event_sequences,
                              SQL_USER_EVENT_SEQUENCES),
