@@ -42,6 +42,17 @@ def test_timestamp_iso_utc(spark):
     assert j == '{"t":"2007-08-01T00:00:00Z"}'
 
 
+def test_decimal_and_ntz_rendering(spark):
+    """Scale-preserving decimal rendering + NTZ timestamps keep the Z
+    (regression: to_json's timestampNTZFormat defaulted Z-less)."""
+    df = spark.sql("""
+        SELECT CAST(1.5 AS DECIMAL(10,2)) AS d,
+               TIMESTAMP_NTZ '2007-08-01 00:00:00' AS t
+    """)
+    out = df.select(canonical_json(["d", "t"]).alias("j")).first()["j"]
+    assert out == '{"d":1.50,"t":"2007-08-01T00:00:00.000Z"}'
+
+
 def test_canonical_json_nested_sorts_recursively(spark):
     from melt_spark.canonical import canonical_json_nested
 
