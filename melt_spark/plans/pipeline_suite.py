@@ -544,6 +544,25 @@ WHERE doc_id NOT IN (SELECT doc_id FROM losers)
 """
 
 
+def q_user_features_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped applyInPandas: per-user feature rows computed in pandas,
+    checked against the plain-SQL restatement."""
+    from ..functions.grouped import user_features
+
+    return user_features(read_table(spark, sf_dir, "events"))
+
+
+SQL_USER_FEATURES = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchases,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       MAX(value) AS max_single
+FROM events GROUP BY user_id
+"""
+
+
 PIPELINE_SUITE: dict[str, tuple] = {
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
@@ -561,4 +580,5 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     "clean_corpus": (q_clean_corpus, SQL_CLEAN_CORPUS),
+    "user_features_pandas": (q_user_features_pandas, SQL_USER_FEATURES),
 }
