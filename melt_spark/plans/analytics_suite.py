@@ -620,6 +620,97 @@ GROUP BY c_nationkey
 """
 
 
+def q_rank_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank vs dense_rank vs row_number on REAL ties (order dates repeat):
+    the three must diverge exactly as SQL defines."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        "o_orderdate", "o_orderkey")
+    wd = Window.partitionBy("o_orderstatus").orderBy("o_orderdate")
+    return (orders.select(
+        "o_orderkey", "o_orderstatus",
+        F.rank().over(wd).alias("rk"),
+        F.dense_rank().over(wd).alias("drk"),
+        F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 50))
+
+
+SQL_RANK_SEMANTICS = """
+SELECT o_orderkey, o_orderstatus, rk, drk, rn FROM (
+  SELECT o_orderkey, o_orderstatus,
+         rank() OVER (PARTITION BY o_orderstatus ORDER BY o_orderdate) AS rk,
+         dense_rank() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_orderdate) AS drk,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 50
+"""
+
+
+def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: user × event_type count matrix (fixed column set so the
+    schema is static — dynamic pivot is an anti-pattern at scale)."""
+    ev = read_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (ev.groupBy("user_id")
+            .pivot("event_type", types)
+            .agg(F.count(F.lit(1)))
+            .na.fill(0, types))
+
+
+SQL_PIVOT_EVENT_COUNTS = """
+SELECT user_id,
+  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events GROUP BY user_id
+"""
+
+
+def q_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long — the literal 'melt' operation): part numeric
+    columns to (key, metric, value) rows."""
+    part = read_table(spark, sf_dir, "part")
+    return (part.select(
+        "p_partkey",
+        F.expr("stack(2, 'p_size', CAST(p_size AS DOUBLE),"
+               " 'p_retailprice', p_retailprice) AS (metric, value)")))
+
+
+SQL_UNPIVOT_PART_METRICS = """
+SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+"""
+
+
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregates per vector: norm (left fold), min/max elements —
+    all JVM-side array ops."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return emb.select(
+        "vec_id", norm.alias("norm"),
+        F.array_min(v).alias("vmin"), F.array_max(v).alias("vmax"),
+        F.size(v).alias("dims"))
+
+
+SQL_EMBEDDING_STATS = """
+SELECT vec_id,
+  sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]),
+       x -> x * x), (a, b) -> a + b)) AS norm,
+  list_min(CAST(embedding AS DOUBLE[])) AS vmin,
+  list_max(CAST(embedding AS DOUBLE[])) AS vmax,
+  len(embedding) AS dims
+FROM embeddings
+"""
+
+
 ANALYTICS_SUITE: dict[str, tuple] = {
     "topk_orders_per_customer": (q_topk_orders_per_customer, SQL_TOPK_ORDERS),
     "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
@@ -644,4 +735,9 @@ ANALYTICS_SUITE: dict[str, tuple] = {
                                 SQL_ORDER_PERCENTILES),
     "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),
     "tpch_q22": (q_tpch_q22, SQL_TPCH_Q22),
+    "rank_semantics": (q_rank_semantics, SQL_RANK_SEMANTICS),
+    "pivot_event_counts": (q_pivot_event_counts, SQL_PIVOT_EVENT_COUNTS),
+    "unpivot_part_metrics": (q_unpivot_part_metrics,
+                             SQL_UNPIVOT_PART_METRICS),
+    "embedding_stats": (q_embedding_stats, SQL_EMBEDDING_STATS),
 }
