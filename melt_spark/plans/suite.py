@@ -1004,6 +1004,32 @@ GROUP BY win_start, event_type
 """
 
 
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup: dropDuplicatesWithinWatermark on the key columns —
+    state-bounded exactly-once-per-key emission (the streaming analogue of
+    exact dedup; state evicts as the watermark advances, unlike an
+    unbounded dropDuplicates)."""
+    from ..streaming.continuous import run_to_memory, stream_from_parquet
+
+    stream = stream_from_parquet(spark, f"{sf_dir}/events.parquet")
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    out = (stream.withWatermark("ts", "30 days")
+           .select("user_id", "event_type", "ts")
+           .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+           .select("user_id", "event_type"))
+    query, name = run_to_memory(out, mode="append")
+    try:
+        return spark.table(name).cache().localCheckpoint(eager=True)
+    finally:
+        query.stop()
+
+
+SQL_STREAM_DEDUP_WATERMARK = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 SQL_STREAM_WINDOWED_COUNTS = """
 WITH b AS (
   SELECT time_bucket(INTERVAL 1 DAY, ts) AS day_start, event_type,
@@ -1063,6 +1089,8 @@ SUITE: dict[str, tuple] = {
                                  SQL_STREAM_CLICK_TO_PURCHASE),
     "stream_sliding_counts": (q_stream_sliding_counts,
                               SQL_STREAM_SLIDING_COUNTS),
+    "stream_dedup_watermark": (q_stream_dedup_watermark,
+                               SQL_STREAM_DEDUP_WATERMARK),
     "sql_passthrough_q1": (q_sql_passthrough_q1, SQL_TPCH_Q1),
 }
 

@@ -27,6 +27,48 @@ def test_outbox_roundtrip_and_compaction(spark, tmp_path):
     assert state == {("t1", "k1"): "v2", ("t2", "k9"): "w"}
 
 
+def test_streaming_sync_to_outbox(spark, tmp_path):
+    """Streaming sync pipeline: custom CDC stream source → message
+    projection → outbox (foreachBatch) → compacted state matches the full
+    feed's last-write-wins expectation."""
+    import pyspark.sql.functions as F
+    from melt_spark.operators.outbox import latest_outbox_state, write_outbox
+    from melt_spark.sources.python_datasource import register
+
+    register(spark)
+    stream = (spark.readStream.format("melt_changes")
+              .option("batch_size", 30).option("max_version", 90).load())
+    msgs = stream.select(
+        F.lit("t").alias("topic"),
+        F.col("c_custkey").cast("string").alias("key"),
+        F.when(F.col("sys_change_operation") == "D", F.lit(None))
+         .otherwise(F.concat(F.lit("v"), F.col("sys_change_version")))
+         .cast("string").alias("value"),
+        F.col("sys_change_version"))
+    path = str(tmp_path / "outbox")
+
+    def to_outbox(df, bid):
+        # preserve intra-batch order via version-derived batch sequencing:
+        # one outbox batch per micro-batch, rows keyed uniquely per version
+        write_outbox(df.orderBy("sys_change_version"), path, batch_id=bid)
+
+    q = (msgs.writeStream.foreachBatch(to_outbox)
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    state = {r["key"]: r["value"]
+             for r in latest_outbox_state(spark, path).collect()}
+    expect = {}
+    for v in range(1, 91):
+        op = "I" if v % 5 == 0 else ("D" if v % 7 == 0 else "U")
+        expect[str(v % 150 + 1)] = None if op == "D" else f"v{v}"
+    expect = {k: x for k, x in expect.items() if x is not None}
+    assert state == expect
+
+
 def test_cdc_tail_set_version_vector(spark, tmp_path):
     schema = ("id long, name string, sys_change_operation string,"
               " sys_change_version long")
