@@ -441,6 +441,38 @@ SELECT query_id, vec_id AS neighbor_id, rank, cos FROM r WHERE rank <= 10
 """
 
 
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measurement: recall@10 of IVF (nprobe=3) against the
+    exact brute-force top-10, per query vector — the metric that justifies
+    the probe/cost trade-off."""
+    from ..functions.ivf import ivf_topk
+    from ..functions.similarity import cosine_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=10) \
+        .select("query_id", "neighbor_id")
+    approx = ivf_topk(emb, queries, k=10, nprobe=3, every=50) \
+        .select(F.col("query_id").alias("a_qid"),
+                F.col("neighbor_id").alias("a_nid"))
+    hits = exact.join(
+        approx, (exact.query_id == approx.a_qid)
+        & (exact.neighbor_id == approx.a_nid), "left")
+    return (hits.groupBy("query_id")
+            .agg(F.count("a_nid").alias("hits"),
+                 (F.count("a_nid").cast("double") / 10.0).alias("recall")))
+
+
+SQL_IVF_RECALL = f"""
+SELECT e.query_id, COUNT(a.neighbor_id) AS hits,
+       CAST(COUNT(a.neighbor_id) AS DOUBLE) / 10.0 AS recall
+FROM ({{ann}}) e
+LEFT JOIN ({{ivf}}) a
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal (binary columns + Arrow-batched Python decode)
 
@@ -576,6 +608,8 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "lsh_buckets": (q_lsh_buckets, SQL_LSH_BUCKETS),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
+    "ivf_recall": (q_ivf_recall,
+                   SQL_IVF_RECALL.format(ann=SQL_ANN_TOPK, ivf=SQL_IVF_TOPK)),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
