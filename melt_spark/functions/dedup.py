@@ -222,6 +222,67 @@ def simhash(df: DataFrame, text_col: str = "text",
     return agg.select(F.col(id_col), bits.alias("simhash"))
 
 
+SIMHASH64_BITS = 60  # packed into BIGINT; 60 < 63 keeps the sign bit clear
+
+
+def _hex_val(col_expr: str, pos: int) -> str:
+    """SQL for the 0-15 value of the pos-th (1-based) hex char — via
+    strpos/instr so the SAME string works in Spark and DuckDB."""
+    return (f"(instr('0123456789abcdef', substr({col_expr}, {pos}, 1)) - 1)")
+
+
+def simhash64(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Packed 60-bit SimHash as one BIGINT: per-bit majority vote over
+    md5(token) bits, packed so Hamming distance is bit_count(a ^ b) — the
+    production representation (compare simhash(): 16-bit string demo)."""
+    tok = df.select(F.col(id_col),
+                    F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    h = tok.withColumn("h", F.md5("tok"))
+    votes = []
+    for b in range(SIMHASH64_BITS):
+        val = _hex_val("h", b // 4 + 1)
+        bit = f"(CAST(floor({val} / {2 ** (b % 4)}) AS BIGINT) % 2)"
+        votes.append(F.expr(
+            f"SUM(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END)").alias(f"v{b}"))
+    agg = h.groupBy(id_col).agg(*votes)
+    packed = F.expr(" + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({2 ** b} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END)" for b in range(SIMHASH64_BITS)))
+    return agg.select(F.col(id_col), packed.alias("simhash64"))
+
+
+def simhash64_near_dup_pairs(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             max_hamming: int = 10,
+                             bands: int = 4) -> DataFrame:
+    """Near-dup pairs on the packed signature: band join on 15-bit chunks
+    (recall guaranteed for hamming < bands), exact Hamming via
+    bit_count(xor) on candidates."""
+    width = SIMHASH64_BITS // bands
+    mask = (1 << width) - 1
+    sig = simhash64(df, text_col, id_col)
+    banded = sig.select(
+        F.col(id_col), "simhash64",
+        F.explode(F.array(*[
+            F.expr(f"concat('{b}|', CAST((simhash64 >> {b * width})"
+                   f" & {mask} AS STRING))")
+            for b in range(bands)
+        ])).alias("band_key"))
+    a, b2 = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b2, (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("doc_a"),
+                    F.col(f"b.{id_col}").alias("doc_b"),
+                    F.col("a.simhash64").alias("sig_a"),
+                    F.col("b.simhash64").alias("sig_b"))
+            .distinct())
+    return (cand.withColumn(
+                "hamming", F.expr("bit_count(sig_a ^ sig_b)"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))
+
+
 def connected_components(pairs: DataFrame, a_col: str = "doc_a",
                          b_col: str = "doc_b",
                          max_iterations: int = 20) -> DataFrame:

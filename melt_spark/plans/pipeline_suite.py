@@ -246,6 +246,13 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(read_table(spark, sf_dir, "documents"))
 
 
+def q_simhash64_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed 60-bit SimHash near-dups: banded join + bit_count(xor)."""
+    from ..functions.dedup import simhash64_near_dup_pairs
+
+    return simhash64_near_dup_pairs(read_table(spark, sf_dir, "documents"))
+
+
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs via Hamming-LSH banding (hamming <= 3)."""
     from ..functions.dedup import simhash_near_dup_pairs
@@ -267,6 +274,40 @@ WITH tok AS (
 h AS (SELECT doc_id, md5(tok) AS h FROM tok),
 agg AS (SELECT doc_id, {_SIM_SUMS} FROM h GROUP BY doc_id)
 SELECT doc_id, {_SIM_BITS} AS simhash FROM agg
+"""
+
+from ..functions.dedup import SIMHASH64_BITS, _hex_val  # noqa: E402
+
+_S64_SUMS = ", ".join(
+    f"SUM(CASE WHEN (CAST(floor({_hex_val('h', b // 4 + 1)}"
+    f" / {2 ** (b % 4)}) AS BIGINT) % 2) = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(SIMHASH64_BITS))
+_S64_PACK = " + ".join(
+    f"(CASE WHEN v{b} > 0 THEN CAST({2 ** b} AS BIGINT)"
+    f" ELSE CAST(0 AS BIGINT) END)" for b in range(SIMHASH64_BITS))
+_S64_W = SIMHASH64_BITS // 4
+_S64_BANDS = ", ".join(
+    f"'{b}|' || CAST((simhash64 >> {b * _S64_W}) & {(1 << _S64_W) - 1}"
+    f" AS VARCHAR)" for b in range(4))
+
+SQL_SIMHASH64_NEAR_DUP = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+agg AS (SELECT doc_id, {_S64_SUMS} FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, {_S64_PACK} AS simhash64 FROM agg),
+banded AS (
+  SELECT doc_id, simhash64, unnest([{_S64_BANDS}]) AS band_key FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash64 AS sig_a, b.simhash64 AS sig_b
+  FROM banded a JOIN banded b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 10
 """
 
 _SIM_BANDS = ", ".join(
@@ -604,6 +645,7 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "simhash": (q_simhash, SQL_SIMHASH),
     "simhash_near_dup": (q_simhash_near_dup, SQL_SIMHASH_NEAR_DUP),
+    "simhash64_near_dup": (q_simhash64_near_dup, SQL_SIMHASH64_NEAR_DUP),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_TOPK),
     "lsh_buckets": (q_lsh_buckets, SQL_LSH_BUCKETS),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
