@@ -60,6 +60,31 @@ def decode_metadata(df: DataFrame, content_col: str = "content",
     return df.select(id_col, content_col).mapInPandas(run, DECODE_SCHEMA)
 
 
+RESIZE_SCHEMA = ("doc_id long, width int, height int, out_w int, out_h int")
+
+
+def resize_metadata(df: DataFrame, target: int = 128,
+                    content_col: str = "content",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Resize step (aspect-preserving fit into target×target): the real
+    pipeline calls PIL here; the dimension arithmetic — the part that
+    determines batch shapes downstream — is exact and oracle-checkable."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[content_col]):
+                meta = fake_decode(bytes(b))
+                w, h = meta["width"], meta["height"]
+                scale_num, scale_den = target, max(w, h)
+                rows.append((i, w, h,
+                             max(1, (w * scale_num) // scale_den),
+                             max(1, (h * scale_num) // scale_den)))
+            yield pd.DataFrame(rows, columns=[id_col, "width", "height",
+                                              "out_w", "out_h"])
+
+    return df.select(id_col, content_col).mapInPandas(run, RESIZE_SCHEMA)
+
+
 FEATURE_SCHEMA = ("doc_id long, f_alpha int, f_digit int, f_space int,"
                   " f_other int")
 

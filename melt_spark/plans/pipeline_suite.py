@@ -555,6 +555,51 @@ FROM documents
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize-to-fit metadata via mapInPandas."""
+    from ..functions.multimodal import resize_metadata
+
+    docs = attach_binary(read_table(spark, sf_dir, "documents"))
+    return resize_metadata(docs, target=128)
+
+
+SQL_MULTIMODAL_RESIZE = """
+WITH m AS (
+  SELECT doc_id,
+         CAST(320 + strlen(text) % 320 AS INT) AS width,
+         CAST(240 + strlen(text) % 240 AS INT) AS height
+  FROM documents
+)
+SELECT doc_id, width, height,
+  CAST(greatest(1, (width * 128) // greatest(width, height)) AS INT) AS out_w,
+  CAST(greatest(1, (height * 128) // greatest(width, height)) AS INT) AS out_h
+FROM m
+"""
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True polynomial rolling hash (Karp-Rabin-style): left fold
+    (acc*31 + ascii(char)) mod 2^31-1 over the text's characters — pure
+    arithmetic, portable across engines (md5 fingerprints cover the
+    cryptographic case; this is the cheap streaming-friendly one)."""
+    docs = read_table(spark, sf_dir, "documents")
+    chars = F.split(F.col("text"), "")
+    rhash = F.aggregate(
+        chars, F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % 2147483647)
+    return docs.select("doc_id", rhash.alias("rhash"))
+
+
+SQL_ROLLING_FINGERPRINT = """
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+    (acc, c) -> (acc * 31 + c) % 2147483647) AS rhash
+FROM documents
+"""
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: one row per (doc, frame) via mapInPandas."""
     docs = attach_binary(read_table(spark, sf_dir, "documents"))
@@ -654,6 +699,8 @@ PIPELINE_SUITE: dict[str, tuple] = {
                    SQL_IVF_RECALL.format(ann=SQL_ANN_TOPK, ivf=SQL_IVF_TOPK)),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+    "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
+    "rolling_fingerprint": (q_rolling_fingerprint, SQL_ROLLING_FINGERPRINT),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     "clean_corpus": (q_clean_corpus, SQL_CLEAN_CORPUS),
     "user_features_pandas": (q_user_features_pandas, SQL_USER_FEATURES),
