@@ -711,6 +711,52 @@ FROM embeddings
 """
 
 
+def q_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed distinct counts: daily active users."""
+    ev = read_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.date_format(F.date_trunc("day", "ts"),
+                                     "yyyy-MM-dd").alias("day"))
+            .agg(F.countDistinct("user_id").alias("dau"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+SQL_DAILY_ACTIVE_USERS = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       COUNT(DISTINCT user_id) AS dau, COUNT(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+def q_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue trend with month-over-month delta (lag window over
+    an aggregate)."""
+    orders = read_table(spark, sf_dir, "orders")
+    monthly = (orders.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"),
+                      "yyyy-MM").alias("month"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+             .cast("decimal(38,2)").alias("revenue")))
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month", "revenue",
+        (F.col("revenue") - F.lag("revenue").over(w))
+        .cast("decimal(38,2)").alias("mom_delta"))
+
+
+SQL_MONTHLY_REVENUE = """
+WITH m AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+      AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue,
+  CAST(revenue - lag(revenue) OVER (ORDER BY month) AS DECIMAL(38,2))
+    AS mom_delta
+FROM m
+"""
+
+
 ANALYTICS_SUITE: dict[str, tuple] = {
     "topk_orders_per_customer": (q_topk_orders_per_customer, SQL_TOPK_ORDERS),
     "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
@@ -740,4 +786,6 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "unpivot_part_metrics": (q_unpivot_part_metrics,
                              SQL_UNPIVOT_PART_METRICS),
     "embedding_stats": (q_embedding_stats, SQL_EMBEDDING_STATS),
+    "daily_active_users": (q_daily_active_users, SQL_DAILY_ACTIVE_USERS),
+    "monthly_revenue": (q_monthly_revenue, SQL_MONTHLY_REVENUE),
 }
