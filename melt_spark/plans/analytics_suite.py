@@ -757,6 +757,97 @@ FROM m
 """
 
 
+# Deterministic partsupp synthesis (the fixture set lacks the TPC-H
+# partsupp table; derive it so q2/q11-style shapes are expressible):
+# each part gets 4 suppliers s = (p*7 + i) % n_supp, availqty/supplycost
+# from pure arithmetic — identical construction in both engines.
+_PARTSUPP_SQL = """
+partsupp AS (
+  SELECT p_partkey AS ps_partkey,
+         ((p_partkey * 7 + i) % (SELECT COUNT(*) FROM supplier)) + 1
+           AS ps_suppkey,
+         (p_partkey * 31 + i * 131) % 9000 + 1 AS ps_availqty,
+         CAST((p_partkey * 13 + i * 17) % 99900 + 100 AS DOUBLE) / 100.0
+           AS ps_supplycost
+  FROM part, (SELECT unnest(generate_series(0, 3)) AS i)
+)
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part")
+    n_supp = read_table(spark, sf_dir, "supplier").count()
+    i = spark.range(4).select(F.col("id").cast("int").alias("i"))
+    return (part.crossJoin(i).select(
+        F.col("p_partkey").alias("ps_partkey"),
+        ((F.col("p_partkey") * 7 + F.col("i")) % n_supp + 1)
+        .alias("ps_suppkey"),
+        ((F.col("p_partkey") * 31 + F.col("i") * 131) % 9000 + 1)
+        .alias("ps_availqty"),
+        (((F.col("p_partkey") * 13 + F.col("i") * 17) % 99900 + 100)
+         .cast("double") / 100.0).alias("ps_supplycost")))
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style: inventory value per part vs a global scalar
+    threshold (group-agg + scalar subquery over the same relation)."""
+    ps = _partsupp(spark, sf_dir)
+    value = (F.col("ps_supplycost") * F.col("ps_availqty"))
+    per_part = (ps.groupBy("ps_partkey")
+                .agg(F.sum(value.cast("decimal(18,4)"))
+                     .cast("decimal(38,4)").alias("part_value")))
+    total = per_part.agg(
+        (F.sum("part_value").cast("double") * 0.001).alias("threshold"))
+    return (per_part.crossJoin(F.broadcast(total))
+            .filter(F.col("part_value").cast("double") > F.col("threshold"))
+            .select("ps_partkey", "part_value"))
+
+
+SQL_TPCH_Q11 = f"""
+WITH {_PARTSUPP_SQL},
+per_part AS (
+  SELECT ps_partkey,
+    CAST(SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(18,4)))
+         AS DECIMAL(38,4)) AS part_value
+  FROM partsupp GROUP BY ps_partkey
+)
+SELECT ps_partkey, part_value FROM per_part
+WHERE CAST(part_value AS DOUBLE) >
+  (SELECT CAST(SUM(part_value) AS DOUBLE) * 0.001 FROM per_part)
+"""
+
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style: min-cost supplier per part (correlated-min pattern
+    as a join against the per-group minimum)."""
+    ps = _partsupp(spark, sf_dir)
+    sup = read_table(spark, sf_dir, "supplier")
+    mins = ps.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("min_cost"))
+    best = (ps.join(mins, "ps_partkey")
+            .filter(F.col("ps_supplycost") == F.col("min_cost")))
+    return (best.join(sup, best.ps_suppkey == sup.s_suppkey)
+            .groupBy("ps_partkey")
+            .agg(F.min("s_suppkey").alias("best_suppkey"),  # tie -> lowest
+                 F.min("min_cost").alias("min_cost")))
+
+
+SQL_TPCH_Q2 = f"""
+WITH {_PARTSUPP_SQL},
+mins AS (
+  SELECT ps_partkey, MIN(ps_supplycost) AS min_cost
+  FROM partsupp GROUP BY ps_partkey
+)
+SELECT ps.ps_partkey, MIN(s.s_suppkey) AS best_suppkey,
+       MIN(m.min_cost) AS min_cost
+FROM partsupp ps
+JOIN mins m ON m.ps_partkey = ps.ps_partkey
+           AND ps.ps_supplycost = m.min_cost
+JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+GROUP BY ps.ps_partkey
+"""
+
+
 ANALYTICS_SUITE: dict[str, tuple] = {
     "topk_orders_per_customer": (q_topk_orders_per_customer, SQL_TOPK_ORDERS),
     "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
@@ -788,4 +879,6 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "embedding_stats": (q_embedding_stats, SQL_EMBEDDING_STATS),
     "daily_active_users": (q_daily_active_users, SQL_DAILY_ACTIVE_USERS),
     "monthly_revenue": (q_monthly_revenue, SQL_MONTHLY_REVENUE),
+    "tpch_q2": (q_tpch_q2, SQL_TPCH_Q2),
+    "tpch_q11": (q_tpch_q11, SQL_TPCH_Q11),
 }
