@@ -59,6 +59,30 @@ def test_latest_state_equals_naive_fold(recs):
     assert got == naive
 
 
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(records, st.integers(min_value=0, max_value=12))
+def test_incremental_refresh_equals_full_compaction(recs, split):
+    """T5 invariant: compact(prefix) + fold(suffix) == compact(all), for
+    ANY changelog and ANY split point."""
+    from melt_spark.operators.latest_state import incremental_refresh
+
+    spark = _get_spark()
+    rows = [("t", k, i, v) for i, (k, v) in enumerate(recs)]
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "topic string, key string, offset long, value string")
+    full = {r["key"]: (r["offset"], r["value"])
+            for r in latest_state(df).collect()}
+    prior = latest_state(df.filter(f"offset < {split}"),
+                         drop_tombstones=False)
+    delta = df.filter(f"offset >= {split}")
+    inc = {r["key"]: (r["offset"], r["value"])
+           for r in incremental_refresh(prior, delta).collect()}
+    assert inc == full
+
+
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(state_maps, state_maps)

@@ -146,6 +146,22 @@ def test_foreach_merge_sink_restart_recovery(spark, tmp_path):
     assert sink._current_version() == v_after_first + 1
 
 
+def test_foreach_merge_idempotent_replay(spark, tmp_path):
+    """At-least-once tolerance: re-merging the SAME batch (failure replay)
+    leaves the state unchanged — the merge is idempotent on (key, offset)."""
+    from melt_spark.streaming.foreach_merge import KeyedStateSink
+
+    schema = "topic string, key string, offset long, value string"
+    batch = spark.createDataFrame(
+        [("t", "k1", 5, "v5"), ("t", "k2", 6, None)], schema)
+    sink = KeyedStateSink(spark, str(tmp_path / "state"))
+    sink.merge_batch(batch, 0)
+    first = sorted(map(tuple, sink.state().collect()))
+    sink.merge_batch(batch, 0)   # replayed batch
+    second = sorted(map(tuple, sink.state().collect()))
+    assert first == second
+
+
 def test_cdc_tail_version_chaining(spark, tmp_path):
     src = Source(name="users", schema="main", keys=("id",))
     schema = ("id long, name string, sys_change_operation string,"
