@@ -848,6 +848,96 @@ GROUP BY ps.ps_partkey
 """
 
 
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL edge cases — the classic engine-parity traps: null-safe
+    equality, coalesce/nullif, NULL propagation through arithmetic and
+    concat, COUNT vs COUNT(col), aggregates over all-NULL groups."""
+    docs = spark.createDataFrame(
+        [(1, "a", 10), (2, None, 20), (3, "a", None), (4, None, None)],
+        "id long, s string, v long")
+    docs.createOrReplaceTempView("nulldemo")
+    return spark.sql("""
+        SELECT g,
+               COUNT(*) AS n_rows, COUNT(v) AS n_vals,
+               CAST(SUM(v) AS BIGINT) AS sum_v,
+               MIN(v) AS min_v
+        FROM (
+          SELECT CASE WHEN s <=> NULL THEN 'null_s'
+                      ELSE coalesce(nullif(s, 'z'), 'subst') END AS g,
+                 v
+          FROM nulldemo
+        ) GROUP BY g
+    """)
+
+
+SQL_NULL_SEMANTICS = """
+WITH nulldemo(id, s, v) AS (VALUES
+  (1, 'a', 10), (2, NULL, 20), (3, 'a', NULL), (4, NULL, NULL))
+SELECT g, COUNT(*) AS n_rows, COUNT(v) AS n_vals,
+       CAST(SUM(v) AS BIGINT) AS sum_v, MIN(v) AS min_v
+FROM (
+  SELECT CASE WHEN s IS NOT DISTINCT FROM NULL THEN 'null_s'
+              ELSE coalesce(nullif(s, 'z'), 'subst') END AS g,
+         v
+  FROM nulldemo
+) t GROUP BY g
+"""
+
+
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function parity incl. levenshtein (identical DP algorithm in
+    both engines), padding, slicing, case mapping."""
+    cust = read_table(spark, sf_dir, "customer").limit(200)
+    return cust.select(
+        "c_custkey",
+        F.upper(F.col("c_mktsegment")).alias("seg_up"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_pad"),
+        F.substring("c_name", 10, 5).alias("name_mid"),
+        F.replace(F.col("c_name"), F.lit("Customer"),
+                  F.lit("Cst")).alias("name_repl"),
+        F.levenshtein("c_name", "c_mktsegment").alias("lev"),
+        F.length("c_name").alias("name_len"))
+
+
+SQL_STRING_FUNCTIONS = """
+SELECT c_custkey,
+  upper(c_mktsegment) AS seg_up,
+  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_pad,
+  substr(c_name, 10, 5) AS name_mid,
+  replace(c_name, 'Customer', 'Cst') AS name_repl,
+  levenshtein(c_name, c_mktsegment) AS lev,
+  length(c_name) AS name_len
+FROM (SELECT * FROM customer ORDER BY c_custkey LIMIT 200)
+"""
+
+
+def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic math subset (floor/ceil/abs/sign/sqrt/mod — IEEE-exact
+    everywhere; deliberately NOT exp/ln whose libm bits vary)."""
+    cust = read_table(spark, sf_dir, "customer")
+    b = F.col("c_acctbal")
+    return cust.select(
+        "c_custkey",
+        F.floor(b).cast("long").alias("fl"),
+        F.ceil(b).cast("long").alias("ce"),
+        F.abs(b).alias("ab"),
+        F.signum(b).cast("int").alias("sg"),
+        F.sqrt(F.abs(b)).alias("sq"),
+        F.pmod(F.col("c_custkey"), F.lit(7)).cast("long").alias("md"))
+
+
+SQL_MATH_FUNCTIONS = """
+SELECT c_custkey,
+  CAST(floor(c_acctbal) AS BIGINT) AS fl,
+  CAST(ceil(c_acctbal) AS BIGINT) AS ce,
+  abs(c_acctbal) AS ab,
+  CAST(sign(c_acctbal) AS INT) AS sg,
+  sqrt(abs(c_acctbal)) AS sq,
+  CAST(c_custkey % 7 AS BIGINT) AS md
+FROM customer
+"""
+
+
 ANALYTICS_SUITE: dict[str, tuple] = {
     "topk_orders_per_customer": (q_topk_orders_per_customer, SQL_TOPK_ORDERS),
     "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
@@ -881,4 +971,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "monthly_revenue": (q_monthly_revenue, SQL_MONTHLY_REVENUE),
     "tpch_q2": (q_tpch_q2, SQL_TPCH_Q2),
     "tpch_q11": (q_tpch_q11, SQL_TPCH_Q11),
+    "null_semantics": (q_null_semantics, SQL_NULL_SEMANTICS),
+    "string_functions": (q_string_functions, SQL_STRING_FUNCTIONS),
+    "math_functions": (q_math_functions, SQL_MATH_FUNCTIONS),
 }
