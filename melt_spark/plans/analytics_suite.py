@@ -972,6 +972,37 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "tpch_q2": (q_tpch_q2, SQL_TPCH_Q2),
     "tpch_q11": (q_tpch_q11, SQL_TPCH_Q11),
     "null_semantics": (q_null_semantics, SQL_NULL_SEMANTICS),
+    "ship_latency_histogram": (
+        lambda spark, sf_dir: (
+            read_table(spark, sf_dir, "lineitem")
+            .join(read_table(spark, sf_dir, "orders"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .select(F.datediff("l_shipdate", "o_orderdate").alias("days"))
+            .groupBy(F.floor(F.col("days") / 30).cast("int")
+                     .alias("month_bucket"))
+            .agg(F.count(F.lit(1)).alias("n"))),
+        """
+        SELECT CAST(floor(CAST(datediff('day', o_orderdate, l_shipdate)
+                    AS DOUBLE) / 30) AS INT) AS month_bucket,
+               COUNT(*) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
+        """),
+    "regex_extract_ids": (
+        lambda spark, sf_dir: (
+            read_table(spark, sf_dir, "customer")
+            .select("c_custkey",
+                    F.regexp_extract("c_name", r"Customer#(\d+)", 1)
+                    .cast("long").alias("name_id"))
+            .filter(F.col("name_id") == F.col("c_custkey"))),
+        """
+        SELECT c_custkey,
+               CAST(regexp_extract(c_name, 'Customer#(\\d+)', 1) AS BIGINT)
+                 AS name_id
+        FROM customer
+        WHERE CAST(regexp_extract(c_name, 'Customer#(\\d+)', 1) AS BIGINT)
+              = c_custkey
+        """),
     "string_functions": (q_string_functions, SQL_STRING_FUNCTIONS),
     "math_functions": (q_math_functions, SQL_MATH_FUNCTIONS),
 }
