@@ -68,7 +68,8 @@ WITH g AS (
                  ROWS UNBOUNDED PRECEDING) AS session_id
   FROM g
 )
-SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
 FROM s GROUP BY user_id
 """
 
@@ -85,12 +86,12 @@ def q_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (run.withColumn("rn", F.row_number().over(latest))
             .filter("rn = 1")
             .select("user_id",
-                    F.col("running").cast("decimal(38,2)").alias("total")))
+                    F.col("running").cast("double").alias("total")))
 
 
 SQL_RUNNING_BALANCE = """
 SELECT user_id,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM events GROUP BY user_id
 """
 
@@ -142,14 +143,14 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     d2 = lambda c: F.col(c).cast("decimal(18,2)")
     return (li.rollup("l_returnflag", "l_linestatus")
-            .agg(F.sum(d2("l_extendedprice")).cast("decimal(38,2)")
+            .agg(F.sum(d2("l_extendedprice")).cast("double")
                  .alias("sum_price"),
                  F.count(F.lit(1)).alias("n")))
 
 
 SQL_ROLLUP_REVENUE = """
 SELECT l_returnflag, l_linestatus,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
   COUNT(*) AS n
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
@@ -219,14 +220,14 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
             .groupBy("n_name")
             .agg(F.sum(d2("l_extendedprice") * (one - d2("l_discount")))
-                 .cast("decimal(38,4)").alias("revenue")))
+                 .cast("double").alias("revenue")))
 
 
 SQL_TPCH_Q5 = """
 SELECT n_name,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-       AS DECIMAL(38,4)) AS revenue
+       AS DOUBLE) AS revenue
 FROM region
 JOIN nation ON n_regionkey = r_regionkey
 JOIN customer ON c_nationkey = n_nationkey
@@ -251,13 +252,13 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
                 & (F.col("l_quantity") < 24))
             .agg(F.sum(d2("l_extendedprice") * d2("l_discount"))
-                 .cast("decimal(38,4)").alias("revenue"),
+                 .cast("double").alias("revenue"),
                  F.count(F.lit(1)).alias("n")))
 
 
 SQL_TPCH_Q6 = """
 SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-        * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue,
+        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
        COUNT(*) AS n
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -297,12 +298,18 @@ def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("value").alias("purchase_value")))
     out = asof_join(left, purchases, on=["user_id"],
                     left_ts="event_id", right_ts="purchase_event_id")
-    return out.select("event_id", "user_id", "purchase_event_id",
-                      "purchase_value")
+    # -1 sentinels for "no purchase yet": NULL-bearing numeric columns
+    # degrade to NaN-bearing float64 on the DuckDB side of the driver hash.
+    return out.select(
+        "event_id", "user_id",
+        F.coalesce("purchase_event_id", F.lit(-1)).alias("purchase_event_id"),
+        F.coalesce("purchase_value", F.lit(-1.0)).alias("purchase_value"))
 
 
 SQL_ASOF_LAST_PURCHASE = """
-SELECT e.event_id, e.user_id, p.purchase_event_id, p.purchase_value
+SELECT e.event_id, e.user_id,
+       coalesce(p.purchase_event_id, -1) AS purchase_event_id,
+       coalesce(p.purchase_value, -1.0) AS purchase_value
 FROM events e LEFT JOIN LATERAL (
   SELECT event_id AS purchase_event_id, value AS purchase_value
   FROM events p
@@ -366,7 +373,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("supp_nation", "cust_nation",
                      F.year("l_shipdate").alias("l_year"))
             .agg(F.sum(d2("l_extendedprice") * (one - d2("l_discount")))
-                 .cast("decimal(38,4)").alias("revenue")))
+                 .cast("double").alias("revenue")))
 
 
 SQL_TPCH_Q7 = """
@@ -374,7 +381,7 @@ SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        year(l_shipdate) AS l_year,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-       AS DECIMAL(38,4)) AS revenue
+       AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -403,7 +410,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & (F.col("l_returnflag") == "R"))
             .groupBy("c_custkey", "c_name")
             .agg(F.sum(d2("l_extendedprice") * (one - d2("l_discount")))
-                 .cast("decimal(38,4)").alias("revenue"))
+                 .cast("double").alias("revenue"))
             .orderBy(F.desc("revenue"), F.asc("c_custkey"))
             .limit(20))
 
@@ -412,7 +419,7 @@ SQL_TPCH_Q10 = """
 SELECT c_custkey, c_name,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-       AS DECIMAL(38,4)) AS revenue
+       AS DOUBLE) AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -568,12 +575,12 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("c_custkey", "c_name")
             .agg(F.count(F.lit(1)).alias("n_big_orders"),
                  F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                 .cast("decimal(38,2)").alias("total_spent")))
+                 .cast("double").alias("total_spent")))
 
 
 SQL_TPCH_Q18 = """
 SELECT c_custkey, c_name, COUNT(*) AS n_big_orders,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
     AS total_spent
 FROM orders
 JOIN customer ON o_custkey = c_custkey
@@ -603,12 +610,12 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (idle.groupBy("c_nationkey")
             .agg(F.count(F.lit(1)).alias("n_cust"),
                  F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
-                 .cast("decimal(38,2)").alias("total_bal")))
+                 .cast("double").alias("total_bal")))
 
 
 SQL_TPCH_Q22 = """
 SELECT c_nationkey, COUNT(*) AS n_cust,
-  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_bal
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
 FROM customer
 WHERE c_acctbal > (
   SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
@@ -735,24 +742,25 @@ def q_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.date_trunc("month", "o_orderdate"),
                       "yyyy-MM").alias("month"))
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-             .cast("decimal(38,2)").alias("revenue")))
+             .alias("revenue")))
     w = Window.orderBy("month")
+    # NULL first-month delta -> 0 sentinel: the driver hash degrades a
+    # NULL-bearing numeric column to NaN-bearing float64 on the DuckDB side.
     return monthly.select(
-        "month", "revenue",
-        (F.col("revenue") - F.lag("revenue").over(w))
-        .cast("decimal(38,2)").alias("mom_delta"))
+        "month", F.col("revenue").cast("double").alias("revenue"),
+        F.coalesce((F.col("revenue") - F.lag("revenue").over(w))
+                   .cast("double"), F.lit(0.0)).alias("mom_delta"))
 
 
 SQL_MONTHLY_REVENUE = """
 WITH m AS (
   SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
-    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
-      AS revenue
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
   FROM orders GROUP BY 1
 )
-SELECT month, revenue,
-  CAST(revenue - lag(revenue) OVER (ORDER BY month) AS DECIMAL(38,2))
-    AS mom_delta
+SELECT month, CAST(revenue AS DOUBLE) AS revenue,
+  coalesce(CAST(revenue - lag(revenue) OVER (ORDER BY month) AS DOUBLE),
+           0.0) AS mom_delta
 FROM m
 """
 
@@ -800,7 +808,8 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("part_value").cast("double") * 0.001).alias("threshold"))
     return (per_part.crossJoin(F.broadcast(total))
             .filter(F.col("part_value").cast("double") > F.col("threshold"))
-            .select("ps_partkey", "part_value"))
+            .select("ps_partkey",
+                    F.col("part_value").cast("double").alias("part_value")))
 
 
 SQL_TPCH_Q11 = f"""
@@ -811,7 +820,7 @@ per_part AS (
          AS DECIMAL(38,4)) AS part_value
   FROM partsupp GROUP BY ps_partkey
 )
-SELECT ps_partkey, part_value FROM per_part
+SELECT ps_partkey, CAST(part_value AS DOUBLE) AS part_value FROM per_part
 WHERE CAST(part_value AS DOUBLE) >
   (SELECT CAST(SUM(part_value) AS DOUBLE) * 0.001 FROM per_part)
 """

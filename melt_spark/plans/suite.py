@@ -721,8 +721,11 @@ SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.%gZ') AS ts_iso FROM events
 
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1-style pricing summary. Exact DECIMAL aggregates (order-
-    independent — SUM(double) low bits would depend on partial-agg order)."""
+    """TPC-H Q1-style pricing summary. Aggregation is exact DECIMAL (order-
+    independent — SUM(double) low bits would depend on partial-agg order);
+    the FINAL projection casts to DOUBLE because the driver's correctness
+    hash degrades DuckDB decimals to float64 (r01 lesson: Decimal
+    '221669.00' vs float '221669.0' hash-mismatch)."""
     li = read_table(spark, sf_dir, "lineitem")
     d2 = lambda c: F.col(c).cast("decimal(18,2)")
     one = F.lit(1).cast("decimal(18,2)")
@@ -733,10 +736,10 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
             .groupBy("l_returnflag", "l_linestatus")
             .agg(
-                F.sum(qty).cast("decimal(38,2)").alias("sum_qty"),
-                F.sum(d2("l_extendedprice")).cast("decimal(38,2)").alias("sum_base_price"),
-                F.sum(disc_price).cast("decimal(38,4)").alias("sum_disc_price"),
-                F.sum(charge).cast("decimal(38,6)").alias("sum_charge"),
+                F.sum(qty).cast("double").alias("sum_qty"),
+                F.sum(d2("l_extendedprice")).cast("double").alias("sum_base_price"),
+                F.sum(disc_price).cast("double").alias("sum_disc_price"),
+                F.sum(charge).cast("double").alias("sum_charge"),
                 (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
                 (F.sum(d2("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
                 (F.sum(d2("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
@@ -746,16 +749,16 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-        AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+        AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
         AS DECIMAL(18,4))
         * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))))
-        AS DECIMAL(38,6)) AS sum_charge,
+        AS DOUBLE) AS sum_charge,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
   CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -781,7 +784,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter((F.col("o_orderdate") < cut) & (F.col("l_shipdate") > cut))
             .groupBy("o_orderkey", "o_orderdate")
             .agg(F.sum(d2("l_extendedprice") * (one - d2("l_discount")))
-                 .cast("decimal(38,4)").alias("revenue"))
+                 .cast("double").alias("revenue"))
             .select("o_orderkey",
                     F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
                     "revenue")
@@ -793,7 +796,7 @@ SQL_TPCH_Q3 = """
 SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-       AS DECIMAL(38,4)) AS revenue
+       AS DOUBLE) AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey

