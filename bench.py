@@ -17,24 +17,28 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from melt_spark.plans.suite import spark_queries  # noqa: E402
+from melt_spark.plans import analytics_suite as a  # noqa: E402
+from melt_spark.plans import pipeline_suite as p  # noqa: E402
+from melt_spark.plans import suite as s  # noqa: E402
 from melt_spark.session import get_spark  # noqa: E402
 
 # Headliners: the scan/shuffle-heavy queries that dominate real workloads.
+# Bound to the operator functions directly (not the consolidated suite
+# registry) so the bench measures the same plans round over round.
 BENCH_QUERIES = [
-    "message_envelope",   # full scan -> canonical JSON projection
-    "latest_state",       # changelog compaction (groupBy + max_by)
-    "sync_plan",          # full-outer diff join + CASE projection
-    "cdc_replay",         # filter + broadcast join + JSON projection
-    "tpch_q1",            # wide aggregation
-    "tpch_q3",            # 3-way join + top-k
-    "tpch_q5",            # 6-table join tree
-    "event_sessions",     # window functions (lag + cumulative sum)
-    "text_stats",         # tokenize/lang-id/fingerprint full-corpus scan
-    "dedup_minhash_lsh",  # shingle explode + minhash agg + band join
-    "ann_cosine_topk",    # broadcast NL join + vector folds + window
-    "tpch_q10",           # join + group + deterministic top-k
-    "clean_corpus",       # quality gate + near-dup anti-join composition
+    ("message_envelope", s.q_message_envelope),    # scan -> canonical JSON
+    ("latest_state", s.q_latest_state),            # compaction (max_by)
+    ("sync_plan", s.q_sync_plan),                  # full-outer diff join
+    ("cdc_replay", s.q_cdc_replay),                # filter + bcast join
+    ("tpch_q1", s.q_tpch_q1),                      # wide aggregation
+    ("tpch_q3", s.q_tpch_q3),                      # 3-way join + top-k
+    ("tpch_q5", a.q_tpch_q5),                      # 6-table join tree
+    ("event_sessions", a.q_event_sessions),        # window lag + cumsum
+    ("text_stats", p.q_text_stats),                # full-corpus text scan
+    ("dedup_minhash_lsh", p.q_dedup_minhash_lsh),  # minhash band join
+    ("ann_cosine_topk", p.q_ann_cosine_topk),      # bcast NL join + folds
+    ("tpch_q10", a.q_tpch_q10),                    # join + group + top-k
+    ("clean_corpus", p.q_clean_corpus),            # quality + near-dup
 ]
 
 
@@ -48,28 +52,24 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("melt-spark-bench")
-    qs = spark_queries()
 
     # warm-up (not timed): run each query once at the smallest SF so
     # whole-stage-codegen compilation and JVM JIT are paid before timing —
     # the generated code is plan-shaped, so it's reused at the real SF
     warm_dir = "/root/testdata/sf0.001"
-    for name in BENCH_QUERIES:
-        if name in qs:
-            try:
-                _force(qs[name](spark, warm_dir))
-            except Exception:
-                pass
-    qs["load_counts"](spark, sf_dir).collect()
+    for _name, fn in BENCH_QUERIES:
+        try:
+            _force(fn(spark, warm_dir))
+        except Exception:
+            pass
+    s.q_load_counts(spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        if name not in qs:
-            continue
+    for name, fn in BENCH_QUERIES:
         best = None
         for _ in range(2):  # min of 2: drops scheduler noise, stays honest
             t0 = time.perf_counter()
-            _force(qs[name](spark, sf_dir))
+            _force(fn(spark, sf_dir))
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)

@@ -29,6 +29,15 @@ from pyspark.sql import functions as F
 # literal Z ("2007-08-01T00:00:00Z", integration_test.clj:68). Sub-second data
 # would alias under that; we default to millisecond precision and expose the
 # parity format for golden comparisons.
+#
+# INTEROP WARNING (wire-format parity): key/value bytes written with the
+# ISO_MILLIS default will NOT byte-match a topic produced by the reference
+# tool — its wire format is second precision. Compaction identity in a mixed
+# migration (reference-written topic + this engine's producer) then breaks:
+# the "same" key serializes differently. Migrating a reference-written topic
+# requires ts_format=ISO_SECONDS END-TO-END — pass it to every
+# canonical_json()/message_df() call in the pipeline (it is one pipeline-level
+# setting: Source.messages → message_df(ts_format=...)), or re-key the topic.
 ISO_MILLIS = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
 ISO_SECONDS = "yyyy-MM-dd'T'HH:mm:ss'Z'"
 

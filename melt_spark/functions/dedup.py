@@ -300,6 +300,7 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("label", F.col("node")))
 
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (edges.join(labels, edges.dst == labels.node)
                         .groupBy("src").agg(F.min("label").alias("nmin")))
@@ -316,7 +317,15 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
                    .limit(1).count())
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # deep chain graphs (diameter > max_iterations label-hops) would
+        # otherwise return silently-wrong cluster labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations — graph has label chains deeper than the budget; "
+            "raise max_iterations (rounds needed ≈ graph diameter)")
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
 

@@ -28,29 +28,39 @@ from pyspark.sql import functions as F
 
 def latest_state(changelog: DataFrame,
                  key_cols: Sequence[str] = ("topic", "key"),
-                 order_col: str = "offset",
+                 order_col: str | Sequence[str] = "offset",
                  payload_cols: Sequence[str] | None = None,
                  tombstone_col: str = "value",
                  drop_tombstones: bool = True) -> DataFrame:
     """Compact a changelog to latest state per key.
 
-    changelog: one row per record with key_cols + order_col (monotone per
-    key, e.g. Kafka offset within a partition or CDC version) + payload.
-    Returns key_cols + order_col + payload columns of the winning record.
+    changelog: one row per record with key_cols + order column(s) (monotone
+    per key) + payload. Returns key_cols + order + payload columns of the
+    winning record.
+
+    Ordering caveat (SURVEY §7 risks): a raw Kafka offset is only comparable
+    WITHIN a partition. If a key's records can span partitions (e.g. after a
+    partition-count change), pass a compound order — order_col accepts a
+    sequence like ("partition", "offset") or ("ts", "offset"), compared
+    lexicographically via struct ordering. A single CDC version / outbox
+    sequence is globally monotone and fine alone.
     """
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     payload_cols = list(payload_cols) if payload_cols is not None else [
         c for c in changelog.columns
-        if c not in set(key_cols) and c != order_col
+        if c not in set(key_cols) and c not in order_cols
     ]
-    packed = F.struct(F.col(order_col).alias(order_col),
+    order_key = (F.col(order_cols[0]) if len(order_cols) == 1
+                 else F.struct(*[F.col(c) for c in order_cols]))
+    packed = F.struct(*[F.col(c).alias(c) for c in order_cols],
                       *[F.col(c).alias(c) for c in payload_cols])
-    winner = F.max_by(packed, F.col(order_col)).alias("__w")
+    winner = F.max_by(packed, order_key).alias("__w")
 
     out = (changelog
            .groupBy(*key_cols)
            .agg(winner)
            .select(*key_cols,
-                   F.col(f"__w.{order_col}").alias(order_col),
+                   *[F.col(f"__w.{c}").alias(c) for c in order_cols],
                    *[F.col(f"__w.{c}").alias(c) for c in payload_cols]))
     if drop_tombstones and tombstone_col in payload_cols:
         out = out.filter(F.col(tombstone_col).isNotNull())

@@ -20,9 +20,16 @@ from pyspark.sql import functions as F
 
 def write_outbox(messages: DataFrame, path: str, batch_id: int,
                  mode: str = "append") -> None:
-    """Append one batch of (topic, key, value) messages."""
+    """Append one batch of (topic, key, value) messages.
+
+    A real monotone-within-batch sequence (`seq`) is persisted AT WRITE TIME
+    so replay order is exact even when one key appears twice in a batch —
+    a derived tiebreak (e.g. a key hash) would make latest-state pick a
+    nondeterministic winner for such keys. monotonically_increasing_id is
+    assigned once here and frozen in the file, so every re-read agrees."""
     (messages.select("topic", "key", "value")
      .withColumn("batch_id", F.lit(batch_id).cast("long"))
+     .withColumn("seq", F.monotonically_increasing_id())
      .write.mode(mode).partitionBy("topic").parquet(path))
 
 
@@ -36,23 +43,21 @@ def read_outbox(spark: SparkSession, path: str,
 
 
 def outbox_as_changelog(spark: SparkSession, path: str) -> DataFrame:
-    """Expose the outbox as a changelog consumable by latest_state:
-    offset = (batch_id, intra-batch hash order surrogate). Batch id is the
-    coarse order (matches produce order); within a batch the Kafka contract
-    itself gives no order across keys, so any deterministic tiebreak works."""
-    df = read_outbox(spark, path)
-    return df.select(
-        "topic", "key", "value",
-        (F.col("batch_id") * F.lit(1_000_000_000)
-         + F.pmod(F.xxhash64("key"), F.lit(1_000_000_000)))
-        .alias("offset"))
+    """Expose the outbox as a changelog consumable by latest_state with the
+    compound order (batch_id, seq): batch id is the coarse produce order;
+    seq is the persisted write-time sequence, so two records for the SAME
+    key within one batch replay in their written order (deterministic
+    winner — see write_outbox)."""
+    return read_outbox(spark, path).select(
+        "topic", "key", "value", "batch_id", "seq")
 
 
 def latest_outbox_state(spark: SparkSession, path: str) -> DataFrame:
     """Compacted latest-state view of the outbox (tombstones applied)."""
     from .latest_state import latest_state
 
-    return latest_state(outbox_as_changelog(spark, path)) \
+    return latest_state(outbox_as_changelog(spark, path),
+                        order_col=("batch_id", "seq")) \
         .select("topic", "key", "value")
 
 

@@ -37,6 +37,28 @@ sh AS (
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
 """
 
+# hot-shingle document-frequency cap (see functions/dedup.py df_capped):
+# a shingle shared by d docs creates d²/2 candidate pairs, so the scale
+# path MUST cap stopword-like shingles. Mirrored on both engines.
+MAX_SHINGLE_DF = 200
+
+_CAPPED_SHINGLES_CTE = f"""
+sh0 AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len({_TOKS}) - 2),
+           i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]
+         ))) AS shingle
+  FROM documents
+),
+sh AS (
+  SELECT sh0.* FROM sh0
+  JOIN (SELECT shingle FROM sh0
+        GROUP BY shingle HAVING COUNT(*) <= {MAX_SHINGLE_DF}) ok
+  USING (shingle)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+"""
+
 
 def _stopword_hits_sql(lang: str) -> str:
     lits = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
@@ -132,13 +154,15 @@ FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard near-dup pairs (inverted-index join), j >= 0.8."""
+    """n-gram Jaccard near-dup pairs (inverted-index join), j >= 0.8,
+    with the hot-shingle df cap ON (the scale default — an uncapped
+    inverted index is quadratic on stopword-like shingles)."""
     docs = read_table(spark, sf_dir, "documents")
-    return jaccard_pairs(docs, threshold=0.8)
+    return jaccard_pairs(docs, threshold=0.8, max_df=MAX_SHINGLE_DF)
 
 
 SQL_DEDUP_JACCARD = f"""
-WITH {_SHINGLES_CTE},
+WITH {_CAPPED_SHINGLES_CTE},
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -618,11 +642,16 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end training-data cleaning pipeline in one plan:
     quality-gate the corpus, then drop the higher-id member of every
     near-duplicate pair (Jaccard >= 0.8). Returns surviving doc ids —
-    the operator composition a 100 TB pretraining pipeline actually runs."""
+    the operator composition a 100 TB pretraining pipeline actually runs.
+
+    Dedup rides the SCALE path: MinHash-LSH banding (only same-bucket
+    candidates are verified) + the hot-shingle df cap — never the uncapped
+    inverted index, whose hottest shingle alone generates d²/2 pairs."""
     docs = read_table(spark, sf_dir, "documents")
     scored = quality_score(docs).select("doc_id", "quality")
     good = scored.filter(F.col("quality") >= 0.6).select("doc_id")
-    dup_losers = (jaccard_pairs(docs, threshold=0.8)
+    dup_losers = (minhash_dedup_pairs(docs, num_hashes=8, bands=4,
+                                      threshold=0.8, max_df=MAX_SHINGLE_DF)
                   .select(F.col("doc_b").alias("doc_id")).distinct())
     return good.join(dup_losers, "doc_id", "left_anti")
 
@@ -644,10 +673,19 @@ good AS (
              THEN 0.3 ELSE 0.0 END
       + CASE WHEN q_punct_ratio < 0.2 THEN 0.2 ELSE 0.0 END >= 0.6
 ),
-{_SHINGLES_CTE},
+{_CAPPED_SHINGLES_CTE},
+sigs AS (SELECT doc_id, {_SIGS} FROM sh GROUP BY doc_id),
+bands AS (SELECT doc_id, unnest([{_BANDS}]) AS band_key FROM sigs),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
 common AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  SELECT doc_a, doc_b, COUNT(*) AS c
+  FROM cands
+  JOIN sh a ON a.doc_id = doc_a
+  JOIN sh b ON b.doc_id = doc_b AND b.shingle = a.shingle
   GROUP BY 1, 2
 ),
 losers AS (

@@ -27,6 +27,19 @@ def test_outbox_roundtrip_and_compaction(spark, tmp_path):
     assert state == {("t1", "k1"): "v2", ("t2", "k9"): "w"}
 
 
+def test_outbox_same_key_in_batch_is_deterministic(spark, tmp_path):
+    """Two records for the SAME key in ONE batch: the persisted write-time
+    seq makes the later row win on every replay (a key-hash tiebreak gave
+    both rows the same offset → nondeterministic winner)."""
+    path = str(tmp_path / "outbox")
+    write_outbox(_msgs(spark, [("t", "k", "first"), ("t", "k", "second")])
+                 .coalesce(1), path, batch_id=1)
+    for _ in range(3):
+        state = {r["key"]: r["value"]
+                 for r in latest_outbox_state(spark, path).collect()}
+        assert state == {"k": "second"}
+
+
 def test_streaming_sync_to_outbox(spark, tmp_path):
     """Streaming sync pipeline: custom CDC stream source → message
     projection → outbox (foreachBatch) → compacted state matches the full

@@ -146,6 +146,47 @@ def test_foreach_merge_sink_restart_recovery(spark, tmp_path):
     assert sink._current_version() == v_after_first + 1
 
 
+def test_keyed_state_sink_backend_selection(spark, tmp_path):
+    """auto picks Delta only when delta-spark + extension are present;
+    requesting the missing backend fails loudly, never silently degrades."""
+    import pytest
+    from melt_spark.streaming.foreach_merge import (KeyedStateSink,
+                                                    delta_available)
+
+    sink = KeyedStateSink(spark, str(tmp_path / "s1"))
+    assert sink.backend == ("delta" if delta_available(spark) else "parquet")
+    explicit = KeyedStateSink(spark, str(tmp_path / "s2"), backend="parquet")
+    assert explicit.backend == "parquet"
+    if not delta_available(spark):
+        with pytest.raises(RuntimeError, match="delta"):
+            KeyedStateSink(spark, str(tmp_path / "s3"), backend="delta")
+    with pytest.raises(ValueError):
+        KeyedStateSink(spark, str(tmp_path / "s4"), backend="hudi")
+
+
+def test_keyed_state_sink_delta_merge(spark, tmp_path):
+    """Real MERGE INTO path — runs only where delta-spark is installed
+    (skipped in this sandbox; the parquet fallback covers the contract)."""
+    import pytest
+    from melt_spark.streaming.foreach_merge import (KeyedStateSink,
+                                                    delta_available)
+
+    if not delta_available(spark):
+        pytest.skip("delta-spark not available in this session")
+    schema = "topic string, key string, offset long, value string"
+    sink = KeyedStateSink(spark, str(tmp_path / "state"), backend="delta")
+    sink.merge_batch(spark.createDataFrame(
+        [("t", "k1", 0, "v0"), ("t", "k2", 1, "x")], schema), 0)
+    sink.merge_batch(spark.createDataFrame(
+        [("t", "k1", 2, "v2"), ("t", "k2", 1, "stale"),
+         ("t", "k3", 3, None)], schema), 1)
+    state = {r["key"]: (r["offset"], r["value"])
+             for r in sink.state().collect()}
+    assert state == {"k1": (2, "v2"), "k2": (1, "x"), "k3": (3, None)}
+    live = {r["key"] for r in sink.compacted_view().collect()}
+    assert live == {"k1", "k2"}
+
+
 def test_foreach_merge_idempotent_replay(spark, tmp_path):
     """At-least-once tolerance: re-merging the SAME batch (failure replay)
     leaves the state unchanged — the merge is idempotent on (key, offset)."""
