@@ -21,6 +21,11 @@ from pyspark.sql import DataFrame
 DEFAULT_SCHEMA_PATH = "target/schema.json"  # reference: target/schema.edn
 ABORT_ENV = "ABORT_ON_SCHEMA_CHANGE"        # melt.clj:24
 
+# File-format parity: a path ending in .edn round-trips through the EDN
+# emitter/parser (melt_spark/formats/edn.py), so SCHEMA_PATH=target/schema.edn
+# reproduces the reference's artifact format (melt.clj:102-115), not just its
+# content. Default stays JSON.
+
 
 def _descriptors(schema_df: DataFrame) -> dict[str, dict]:
     out = {}
@@ -37,8 +42,13 @@ def _descriptors(schema_df: DataFrame) -> dict[str, dict]:
 def save_schema(schema_df: DataFrame, path: str | None = None) -> str:
     path = path or os.environ.get("SCHEMA_PATH", DEFAULT_SCHEMA_PATH)
     Path(path).parent.mkdir(parents=True, exist_ok=True)
+    desc = _descriptors(schema_df)
     with open(path, "w") as f:
-        json.dump(_descriptors(schema_df), f, indent=2, sort_keys=True)
+        if path.endswith(".edn"):
+            from ..formats.edn import dumps
+            f.write(dumps({k: desc[k] for k in sorted(desc)}) + "\n")
+        else:
+            json.dump(desc, f, indent=2, sort_keys=True)
     return path
 
 
@@ -47,6 +57,9 @@ def load_schema(path: str | None = None) -> dict[str, dict] | None:
     if not os.path.exists(path):
         return None
     with open(path) as f:
+        if path.endswith(".edn"):
+            from ..formats.edn import loads
+            return loads(f.read())
         return json.load(f)
 
 

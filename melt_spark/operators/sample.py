@@ -25,17 +25,29 @@ def sample_table(df: DataFrame, n: int = 10,
     return sample, df.count()
 
 
-def sample_db(tables: dict[str, DataFrame], out_dir: str, n: int = 10) -> list[str]:
-    """Write one JSON sample file per table (reference writes one pprint file
-    per table, melt.clj:153-170). Returns written paths."""
+def sample_db(tables: dict[str, DataFrame], out_dir: str, n: int = 10,
+              fmt: str = "json") -> list[str]:
+    """Write one sample file per table (reference writes one pprint file per
+    table, melt.clj:153-170). fmt='edn' reproduces the reference's artifact
+    format (pretty-printed EDN maps) via melt_spark/formats/edn.py; 'json'
+    is the default. Returns written paths."""
+    if fmt not in ("json", "edn"):
+        raise ValueError(f"unknown sample format {fmt!r}")
     Path(out_dir).mkdir(parents=True, exist_ok=True)
     paths = []
     for name, df in sorted(tables.items()):
         sample, total = sample_table(df, n)
-        rows = [r.asDict(recursive=True) for r in sample.collect()]
-        path = os.path.join(out_dir, f"{name}.json")
+        rows = [{k: v if isinstance(v, (str, int, float, bool, list, dict,
+                                        type(None))) else str(v)
+                 for k, v in r.asDict(recursive=True).items()}
+                for r in sample.collect()]
+        path = os.path.join(out_dir, f"{name}.{fmt}")
         with open(path, "w") as f:
-            json.dump({"table": name, "count": total, "sample": rows},
-                      f, indent=2, sort_keys=True, default=str)
+            doc = {"table": name, "count": total, "sample": rows}
+            if fmt == "edn":
+                from ..formats.edn import dumps
+                f.write(dumps(doc) + "\n")
+            else:
+                json.dump(doc, f, indent=2, sort_keys=True, default=str)
         paths.append(path)
     return paths

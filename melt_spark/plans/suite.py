@@ -774,6 +774,60 @@ FROM feed GROUP BY sys_change_operation
 """
 
 
+def q_broker_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kafka-shaped produce→consume→compact loop EXECUTED end-to-end
+    against the file-backed mock broker (sources/mock_broker.py) — the
+    reference's core I/O boundary (consumer melt.clj:239-299, producer
+    :431-443) as running code, not a restatement.
+
+    Three produced batches over the nation table: full load, updates for
+    nationkey%5==0, tombstones for nationkey%7==3. Bounded envelope read,
+    then latest-state compaction on (partition, offset) — a key lives on
+    one partition, so that order is total per key. The oracle states the
+    surviving (key, value) set directly from nation."""
+    import tempfile
+
+    from ..sources import mock_broker as mb
+
+    mb.register(spark)
+    root = tempfile.mkdtemp(prefix="melt_broker_q_")
+    topic = "melt.main.nation"
+    mb.create_topic(root, topic, partitions=3)
+
+    nation = read_table(spark, sf_dir, "nation")
+    key = F.col("n_nationkey").cast("string")
+    base = nation.select(
+        F.lit(topic).alias("topic"), key.alias("key"),
+        F.concat(F.lit('{"name":"'), F.col("n_name"),
+                 F.lit('"}')).alias("value"))
+    mb.write_messages(base, root)
+    upd = (nation.filter(F.col("n_nationkey") % 5 == 0)
+           .select(F.lit(topic).alias("topic"), key.alias("key"),
+                   F.concat(F.lit('{"name":"'), F.col("n_name"),
+                            F.lit('","v":2}')).alias("value")))
+    mb.write_messages(upd, root)
+    tomb = (nation.filter(F.col("n_nationkey") % 7 == 3)
+            .select(F.lit(topic).alias("topic"), key.alias("key"),
+                    F.lit(None).cast("string").alias("value")))
+    mb.write_messages(tomb, root)
+
+    env = mb.read_topics(spark, root, [topic])
+    state = latest_state(
+        env.select("topic", "key", "value", "partition", "offset"),
+        key_cols=("topic", "key"), order_col=("partition", "offset"))
+    return state.select("topic", "key", "value")
+
+
+SQL_BROKER_ROUNDTRIP = """
+SELECT 'melt.main.nation' AS topic,
+       CAST(n_nationkey AS VARCHAR) AS key,
+       '{"name":"' || n_name || '"'
+         || CASE WHEN n_nationkey % 5 = 0 THEN ',"v":2}' ELSE '}' END AS value
+FROM nation
+WHERE n_nationkey % 7 <> 3
+"""
+
+
 def q_binary_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5: opaque binary payloads embedded as base64 text (the reference's
     Blob→JSON path, melt.clj:364-366). Spark's base64 is MIME-chunked
@@ -1335,7 +1389,28 @@ SUITE: dict[str, tuple] = {
                               F.col("ts_iso").alias("encoded")),
          "SELECT 'iso_ts' AS kind, event_id AS id, ts_iso AS encoded"),
     ),
-    "python_datasource": (q_python_datasource, SQL_PYTHON_DATASOURCE),
+    # -- custom connectors: synthetic CT feed + the executed broker loop
+    #    (S8 S10 S14 S15 T1 compaction — see q_broker_roundtrip)
+    "python_datasource": merged(
+        ((q_python_datasource, SQL_PYTHON_DATASOURCE),
+         lambda df: df.select(
+             F.lit("feed").alias("kind"),
+             F.col("sys_change_operation").alias("c1"),
+             F.col("n").cast("string").alias("c2"),
+             F.col("max_version").cast("string").alias("c3"),
+             F.col("min_pk").cast("string").alias("c4")),
+         "SELECT 'feed' AS kind, sys_change_operation AS c1,"
+         " CAST(n AS VARCHAR) AS c2, CAST(max_version AS VARCHAR) AS c3,"
+         " CAST(min_pk AS VARCHAR) AS c4"),
+        ((q_broker_roundtrip, SQL_BROKER_ROUNDTRIP),
+         lambda df: df.select(
+             F.lit("broker").alias("kind"),
+             F.col("key").alias("c1"),
+             F.col("value").alias("c2"),
+             F.col("topic").alias("c3"),
+             F.lit("").alias("c4")),
+         "SELECT 'broker' AS kind, key AS c1, value AS c2,"
+         " topic AS c3, '' AS c4")),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
     # -- LLM-pipeline text analysis: stats ⋈ quality scores per doc

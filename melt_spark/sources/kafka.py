@@ -16,7 +16,10 @@ at-least-once semantics per batch, tombstones as value=NULL rows.
 
 No Kafka broker or spark-sql-kafka package exists in this test environment —
 these builders are import-safe, and offset-bookkeeping logic is pure and
-unit-tested; the changelog fixtures stand in for topic data everywhere else.
+unit-tested. The SAME four surfaces (bounded read, incremental refresh,
+producer sink, streaming tail/sink) run for real against the file-backed
+mock broker in sources/mock_broker.py, which mirrors every signature here —
+swap the module, keep the call sites.
 """
 
 from __future__ import annotations
