@@ -56,14 +56,22 @@ def kmeans_centroids(corpus: DataFrame, k: int = 10, seed: int = 42,
 def ivf_assign(corpus: DataFrame, centroids: DataFrame,
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Assign each vector to its nearest centroid by cosine (ties → lowest
-    list_id). Centroids are tiny → broadcast; one pass over the corpus."""
+    list_id). Centroids are tiny → broadcast; one pass over the corpus.
+
+    argmax is max_by over (sim, -list_id), NOT a row_number window: after
+    the crossJoin every vector carries nlists rows, and max_by pre-reduces
+    them map-side to one row per vector before the shuffle — a window would
+    ship and sort all nlists× rows. At 100 TB that is the difference
+    between shuffling the corpus once and shuffling it nlists times."""
     c = corpus.select(F.col(id_col), _dvec(vec_col).alias("v"))
     scored = (c.crossJoin(F.broadcast(centroids))
               .withColumn("sim", cosine(F.col("v"), F.col("centroid"))))
-    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("list_id"))
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter("rn = 1")
-            .select(id_col, "list_id", "v"))
+    best = scored.groupBy(id_col).agg(
+        F.max_by(F.struct(F.col("list_id"), F.col("v")),
+                 F.struct(F.col("sim"),
+                          (-F.col("list_id")).alias("neg"))).alias("b"))
+    return best.select(id_col, F.col("b.list_id").alias("list_id"),
+                       F.col("b.v").alias("v"))
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -89,8 +97,9 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
               .filter(F.col("rn") <= nprobe)
               .select("query_id", "qv", "list_id"))
 
-    # score ONLY vectors in probed lists
-    cand = probes.join(assigned, "list_id") \
+    # score ONLY vectors in probed lists. probes is queries×nprobe rows →
+    # broadcast it so the corpus-sized `assigned` side never shuffles.
+    cand = F.broadcast(probes).join(assigned, "list_id") \
         .filter(F.col("query_id") != F.col(id_col))
     scored = cand.withColumn("cos", cosine(F.col("qv"), F.col("v")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc(id_col))
