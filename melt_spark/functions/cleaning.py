@@ -1,0 +1,180 @@
+"""Corpus-cleaning operators for LLM training-data pipelines: PII
+redaction, repetition signals, benchmark decontamination, deterministic
+stratified sampling, and training-shard assignment.
+
+All hot-path logic is pure Catalyst expressions (whole-stage codegen, no
+Python): regexp_replace chains for PII, per-row array folds for repetition,
+a broadcast n-gram semi-join for decontamination, md5-bucket arithmetic for
+sampling/sharding. Every step is restatable in ANSI SQL for the DuckDB
+oracle (md5 is hex-identical across engines; hex→int is Spark `conv` vs a
+DuckDB list_reduce fold over nibbles).
+
+Scale notes (100 TB):
+- PII / repetition are narrow per-row projections — scan-speed, no shuffle.
+- Decontamination joins the corpus' exploded n-grams against the BENCHMARK
+  set's n-grams. Benchmarks are small (eval suites, not corpora) → the
+  n-gram set broadcasts and the corpus never shuffles; the per-doc hit
+  count is a map-side-combined groupBy on doc_id.
+- Stratified sampling is stateless per-row arithmetic on a hash bucket —
+  resumable, no RNG, no shuffle, identical decisions on retry (rand()
+  would break idempotent re-runs).
+- Shard assignment hashes doc ids to shards; at export time
+  `df.repartition(n_shards, "shard")` + `sortWithinPartitions` writes each
+  shard as one sorted file — the deterministic global shuffle a training
+  run wants. The in-plan row_number here exists for oracle checking; the
+  write path never needs a global sort.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# PII redaction — portable regex subset (works in Java regex and RE2)
+
+PII_PATTERNS = {
+    # order matters: emails contain dots that would otherwise IP-match
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{1,2}-\d{3}-\d{3}-\d{4}",
+}
+
+
+def pii_count(col: Column | str, kind: str) -> Column:
+    """Occurrences of one PII category in the text."""
+    return F.size(F.regexp_extract_all(col, F.lit(PII_PATTERNS[kind]),
+                                       F.lit(0)))
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Redact all PII categories with <KIND> placeholders, in PII_PATTERNS
+    order (email before ipv4 so dotted mail hosts never half-match)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for kind, pat in PII_PATTERNS.items():
+        c = F.regexp_replace(c, pat, f"<{kind.upper()}>")
+    return c
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher-style quality heuristics, per-document)
+
+
+def _bigrams(toks: Column) -> Column:
+    return F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat(F.element_at(toks, i), F.lit(" "),
+                           F.element_at(toks, i + 1)))
+
+
+def repetition_features(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Per-document repetition ratios — the signals used to drop
+    boilerplate/spam before training:
+
+    - dup_token_frac:  1 − |distinct tokens| / |tokens|
+    - dup_bigram_frac: 1 − |distinct bigrams| / |bigrams|
+    - top_bigram_frac: occurrences of the most frequent bigram / |bigrams|
+
+    Pure per-row array folds — no explode, no shuffle; a 100 TB corpus
+    scans once. The top-bigram count is O(distinct²) per document, bounded
+    by document length, not corpus size."""
+    toks = F.split(F.col(text_col), " ")
+    bg = _bigrams(toks)
+    n_tok = F.size(toks)
+    n_bg = F.size(bg)
+    top_bg = F.array_max(F.transform(
+        F.array_distinct(bg),
+        lambda x: F.size(F.filter(bg, lambda y: y == x))))
+    return df.select(
+        F.col(id_col),
+        (F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double")
+         / n_tok).alias("dup_token_frac"),
+        F.when(n_bg < 1, F.lit(0.0))
+         .otherwise(F.lit(1.0) - F.size(F.array_distinct(bg)).cast("double")
+                    / n_bg).alias("dup_bigram_frac"),
+        F.when(n_bg < 1, F.lit(0.0))
+         .otherwise(top_bg.cast("double") / n_bg).alias("top_bigram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+
+
+def ngram_set(df: DataFrame, n: int = 3, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """(id, ngram) — distinct word n-grams per document."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]))
+    return (df.select(F.col(id_col),
+                      F.explode(F.array_distinct(grams)).alias("ngram")))
+
+
+def contamination(docs: DataFrame, benchmark: DataFrame, n: int = 3,
+                  min_hits: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-document count of distinct n-grams shared with the benchmark
+    set — the train/eval decontamination pass every serious pretraining
+    pipeline runs. Returns (id, n_hits) for docs meeting min_hits.
+
+    The benchmark n-gram set is DISTINCT'd then broadcast (eval suites are
+    MBs, not TBs), so the corpus side is explode → broadcast-semi-hash-join
+    → map-side-combined count: one shuffle of (doc_id, count) partials
+    only."""
+    bench_grams = (ngram_set(benchmark, n, text_col, id_col)
+                   .select("ngram").distinct())
+    doc_grams = ngram_set(docs, n, text_col, id_col)
+    hits = (doc_grams.join(F.broadcast(bench_grams), "ngram")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_hits")))
+    return hits.filter(F.col("n_hits") >= min_hits)
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling + shard assignment
+
+
+def hash_bucket(col: Column | str, buckets: int = 100) -> Column:
+    """Stable pseudo-uniform bucket in [0, buckets): first 6 hex digits of
+    md5 → int → mod. No RNG: the same row lands in the same bucket on every
+    run/retry/engine, which is what makes sampling resumable and
+    oracle-checkable."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.conv(F.substring(F.md5(c.cast("string")), 1, 6), 16, 10)
+            .cast("long") % buckets)
+
+
+def stratified_sample(df: DataFrame, rates: Mapping[str, int],
+                      strata_col: str = "source", id_col: str = "doc_id",
+                      default_rate: int = 0) -> DataFrame:
+    """Keep each row iff its hash bucket < its stratum's percentage rate —
+    per-source mixing weights (web 10%, books 90%, …) applied in one
+    stateless scan. rates maps stratum value → percent [0, 100]."""
+    rate = F.lit(default_rate)
+    for value, pct in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(pct)).otherwise(rate)
+    return df.filter(hash_bucket(F.col(id_col)) < rate)
+
+
+def assign_shards(df: DataFrame, n_shards: int,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Deterministic global shuffle for training export: shard = md5-hash
+    bucket, position = rank of the full md5 within the shard. Adds
+    (shard, shard_pos). Export writes with
+    `repartition(n_shards, "shard").sortWithinPartitions("sort_key")` —
+    each shard sorts independently; nothing global."""
+    from pyspark.sql.window import Window
+
+    with_key = df.withColumn(
+        "sort_key", F.md5(F.col(id_col).cast("string")))
+    shard = hash_bucket(F.col(id_col), n_shards).alias("shard")
+    w = Window.partitionBy("shard").orderBy("sort_key")
+    return (with_key.select("*", shard)
+            .withColumn("shard_pos", F.row_number().over(w).cast("long"))
+            .drop("sort_key"))

@@ -13,6 +13,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.cleaning import (assign_shards, contamination,
+                                  pii_count, repetition_features,
+                                  scrub_pii, stratified_sample)
 from ..functions.dedup import (duplicate_groups, jaccard_pairs,
                                minhash_dedup_pairs, simhash, SIMHASH_BITS)
 from ..functions.multimodal import (attach_binary, decode_metadata,
@@ -127,6 +130,100 @@ SELECT doc_id, q_chars, q_tokens, q_mean_tok_len, q_punct_ratio,
            THEN 0.3 ELSE 0.0 END
     + CASE WHEN q_punct_ratio < 0.2 THEN 0.2 ELSE 0.0 END AS quality
 FROM feats
+"""
+
+
+# ---------------------------------------------------------------------------
+# repetition signals + PII scrub (corpus cleaning, functions/cleaning.py)
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition ratios per document — boilerplate/spam
+    signals. Pure per-row array folds: scan-speed, no shuffle."""
+    docs = read_table(spark, sf_dir, "documents")
+    return repetition_features(docs)
+
+
+_BG = ("list_transform(range(1, len(toks)), "
+       "i -> toks[i] || ' ' || toks[i+1])")
+
+SQL_REPETITION = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+b AS (SELECT doc_id, toks, {_BG} AS bg FROM t)
+SELECT doc_id,
+  1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+    AS dup_token_frac,
+  CASE WHEN len(bg) < 1 THEN 0.0
+       ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+  END AS dup_bigram_frac,
+  CASE WHEN len(bg) < 1 THEN 0.0
+       ELSE CAST(list_max(list_transform(list_distinct(bg),
+                 x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg)
+  END AS top_bigram_frac
+FROM b
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction battery. The fixture corpus is PII-free, so the query
+    plants deterministic PII per doc (email iff doc_id%3=0, IP iff %4=0,
+    phone iff %5=0), then counts and scrubs it — counts and the scrubbed
+    fingerprint prove detection AND redaction on both engines."""
+    docs = read_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0,
+               F.concat(F.lit(" mail user"), did.cast("string"),
+                        F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(did % 4 == 0,
+               F.concat(F.lit(" host 10.0."), (did % 256).cast("string"),
+                        F.lit(".7"))).otherwise(F.lit("")),
+        F.when(did % 5 == 0,
+               F.concat(F.lit(" tel +1-555-"),
+                        F.lpad((did % 1000).cast("string"), 3, "0"),
+                        F.lit("-"),
+                        F.lpad((did % 10000).cast("string"), 4, "0")))
+         .otherwise(F.lit("")),
+    )
+    salted = docs.select("doc_id", planted.alias("text"))
+    return salted.select(
+        "doc_id",
+        pii_count("text", "email").alias("n_email"),
+        pii_count("text", "ipv4").alias("n_ipv4"),
+        pii_count("text", "phone").alias("n_phone"),
+        F.md5(scrub_pii("text")).alias("scrubbed_fp"))
+
+
+_PII_SQL_RE = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4": "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "phone": "\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}",
+}
+
+SQL_PII_SCRUB = f"""
+WITH planted AS (
+  SELECT doc_id,
+    text
+      || CASE WHEN doc_id % 3 = 0
+              THEN ' mail user' || doc_id || '@example.com' ELSE '' END
+      || CASE WHEN doc_id % 4 = 0
+              THEN ' host 10.0.' || (doc_id % 256) || '.7' ELSE '' END
+      || CASE WHEN doc_id % 5 = 0
+              THEN ' tel +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                   || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(text, '{_PII_SQL_RE["email"]}')) AS n_email,
+  len(regexp_extract_all(text, '{_PII_SQL_RE["ipv4"]}')) AS n_ipv4,
+  len(regexp_extract_all(text, '{_PII_SQL_RE["phone"]}')) AS n_phone,
+  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      '{_PII_SQL_RE["email"]}', '<EMAIL>', 'g'),
+      '{_PII_SQL_RE["ipv4"]}', '<IPV4>', 'g'),
+      '{_PII_SQL_RE["phone"]}', '<PHONE>', 'g')) AS scrubbed_fp
+FROM planted
 """
 
 
@@ -638,36 +735,71 @@ FROM documents
 """
 
 
-def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The end-to-end training-data cleaning pipeline in one plan:
-    quality-gate the corpus, then drop the higher-id member of every
-    near-duplicate pair (Jaccard >= 0.8). Returns surviving doc ids —
-    the operator composition a 100 TB pretraining pipeline actually runs.
+# per-source sampling rates (percent) — the data-mixing weights a training
+# run applies; formula-derived so the oracle CASE is generated, not typed
+SAMPLE_RATES = {f"src{i}": 30 + (i * 7) % 50 for i in range(20)}
+N_SHARDS = 8
+BENCH_MOD = 97          # doc_id % 97 == 0 → held-out "benchmark" doc
+CONTAM_MIN_HITS = 3     # shared distinct 3-grams to call a doc contaminated
 
-    Dedup rides the SCALE path: MinHash-LSH banding (only same-bucket
-    candidates are verified) + the hot-shingle df cap — never the uncapped
-    inverted index, whose hottest shingle alone generates d²/2 pairs."""
+
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data pipeline in ONE plan — the composition
+    a 100 TB pretraining run actually executes:
+
+      1. quality gate (composite score >= 0.6),
+      2. near-dedup: drop the higher-id member of every MinHash-LSH pair
+         (banded buckets + hot-shingle df cap — the scale path, never the
+         uncapped inverted index),
+      3. benchmark decontamination: drop train docs sharing >= 3 distinct
+         3-grams with the held-out set (broadcast n-gram join),
+      4. deterministic stratified sampling by source (md5-bucket, no RNG),
+      5. training-shard assignment (shard, shard_pos) for export.
+
+    Output: (doc_id, shard, shard_pos) — the export manifest."""
     docs = read_table(spark, sf_dir, "documents")
-    scored = quality_score(docs).select("doc_id", "quality")
-    good = scored.filter(F.col("quality") >= 0.6).select("doc_id")
+    train = docs.filter(F.col("doc_id") % BENCH_MOD != 0)
+    bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0)
+    scored = quality_score(train).select("doc_id", "source", "quality")
+    good = scored.filter(F.col("quality") >= 0.6).select("doc_id", "source")
     dup_losers = (minhash_dedup_pairs(docs, num_hashes=8, bands=4,
                                       threshold=0.8, max_df=MAX_SHINGLE_DF)
                   .select(F.col("doc_b").alias("doc_id")).distinct())
-    return good.join(dup_losers, "doc_id", "left_anti")
+    contaminated = contamination(train, bench, n=3,
+                                 min_hits=CONTAM_MIN_HITS).select("doc_id")
+    kept = (good.join(dup_losers, "doc_id", "left_anti")
+            .join(contaminated, "doc_id", "left_anti"))
+    sampled = stratified_sample(kept, SAMPLE_RATES)
+    return (assign_shards(sampled, N_SHARDS)
+            .select("doc_id", "shard", "shard_pos"))
 
+
+def _hex_int_sql(expr: str) -> str:
+    """DuckDB restatement of Spark conv(substr(md5(x),1,6),16,10): fold the
+    six hex nibbles left-to-right. Verified equal on both engines."""
+    return ("list_reduce(list_transform(string_split_regex("
+            f"substr(md5({expr}), 1, 6), ''), "
+            "c -> instr('0123456789abcdef', c) - 1), (a,b) -> a*16+b)")
+
+
+_DOC_HASH = _hex_int_sql("CAST(doc_id AS VARCHAR)")
+_RATE_CASE = ("CASE " + " ".join(
+    f"WHEN source = '{s}' THEN {p}"
+    for s, p in sorted(SAMPLE_RATES.items())) + " ELSE 0 END")
 
 SQL_CLEAN_CORPUS = f"""
 WITH feats AS (
-  SELECT doc_id,
+  SELECT doc_id, source,
     CAST(length(text) AS DOUBLE) / len({_TOKS}) AS q_mean_tok_len,
     CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
       / len({_TOKS}) AS q_punct_ratio,
     CAST({_stopword_hits_sql('en')} AS DOUBLE)
       / {len(STOPWORDS['en'])} AS q_stopword_ratio
   FROM documents
+  WHERE doc_id % {BENCH_MOD} <> 0
 ),
 good AS (
-  SELECT doc_id FROM feats
+  SELECT doc_id, source FROM feats
   WHERE least(q_stopword_ratio * 2, 1.0) * 0.5
       + CASE WHEN q_mean_tok_len >= 3 AND q_mean_tok_len <= 10
              THEN 0.3 ELSE 0.0 END
@@ -694,9 +826,36 @@ losers AS (
   JOIN sizes sa ON sa.doc_id = doc_a
   JOIN sizes sb ON sb.doc_id = doc_b
   WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+),
+benchgrams AS (
+  SELECT DISTINCT shingle FROM sh0 WHERE doc_id % {BENCH_MOD} = 0
+),
+contaminated AS (
+  SELECT t.doc_id
+  FROM sh0 t JOIN benchgrams b USING (shingle)
+  WHERE t.doc_id % {BENCH_MOD} <> 0
+  GROUP BY t.doc_id
+  HAVING COUNT(*) >= {CONTAM_MIN_HITS}
+),
+kept AS (
+  SELECT doc_id, source FROM good
+  WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+sampled AS (
+  SELECT doc_id FROM kept
+  WHERE {_DOC_HASH} % 100 < {_RATE_CASE}
+),
+shards AS (
+  SELECT doc_id,
+         CAST({_DOC_HASH} % {N_SHARDS} AS BIGINT) AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS sort_key
+  FROM sampled
 )
-SELECT doc_id FROM good
-WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY sort_key)
+            AS BIGINT) AS shard_pos
+FROM shards
 """
 
 
@@ -722,6 +881,8 @@ FROM events GROUP BY user_id
 PIPELINE_SUITE: dict[str, tuple] = {
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
+    "repetition": (q_repetition, SQL_REPETITION),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),

@@ -1,0 +1,92 @@
+"""Corpus-cleaning operators: PII scrub, repetition, decontamination,
+stratified sampling, shard assignment (functions/cleaning.py)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from melt_spark.functions.cleaning import (assign_shards, contamination,
+                                           hash_bucket, pii_count,
+                                           repetition_features, scrub_pii,
+                                           stratified_sample)
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_scrub_pii_redacts_all_categories(spark):
+    df = _docs(spark, [(1, "mail a.b@x-corp.io host 10.0.3.7 "
+                           "tel +1-555-123-4567 done")])
+    out = df.select(scrub_pii("text").alias("t")).head()[0]
+    assert out == "mail <EMAIL> host <IPV4> tel <PHONE> done"
+
+
+def test_pii_counts(spark):
+    df = _docs(spark, [(1, "a@b.co c@d.org 1.2.3.4 no phone")])
+    row = df.select(pii_count("text", "email").alias("e"),
+                    pii_count("text", "ipv4").alias("i"),
+                    pii_count("text", "phone").alias("p")).head()
+    assert (row.e, row.i, row.p) == (2, 1, 0)
+
+
+def test_repetition_features_known_values(spark):
+    # tokens: a a a b → distinct 2/4; bigrams: [a a, a a, a b] → distinct 2/3
+    df = _docs(spark, [(1, "a a a b")])
+    r = repetition_features(df).head()
+    assert r.dup_token_frac == pytest.approx(0.5)
+    assert r.dup_bigram_frac == pytest.approx(1 - 2 / 3)
+    assert r.top_bigram_frac == pytest.approx(2 / 3)
+
+
+def test_repetition_no_repeats(spark):
+    r = repetition_features(_docs(spark, [(1, "w x y z")])).head()
+    assert r.dup_token_frac == 0.0
+    assert r.dup_bigram_frac == 0.0
+    assert r.top_bigram_frac == pytest.approx(1 / 3)
+
+
+def test_contamination_flags_overlapping_doc(spark):
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon")])
+    docs = _docs(spark, [
+        # shares 3 distinct 3-grams with bench → contaminated
+        (1, "alpha beta gamma delta epsilon zeta"),
+        # shares only 1 → clean at min_hits=3
+        (2, "alpha beta gamma nine ten eleven"),
+        (3, "totally different words here now"),
+    ])
+    hits = {r.doc_id: r.n_hits
+            for r in contamination(docs, bench, n=3, min_hits=3).collect()}
+    assert hits == {1: 3}
+
+
+def test_stratified_sample_deterministic_and_rate_bounded(spark):
+    rows = [(i, f"src{i % 4}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {"src0": 0, "src1": 100, "src2": 50, "src3": 50}
+    a = {r.doc_id for r in stratified_sample(df, rates).collect()}
+    b = {r.doc_id for r in stratified_sample(df, rates).collect()}
+    assert a == b  # no RNG — identical on re-run
+    assert not any(i % 4 == 0 for i in a)       # rate 0 → nothing
+    assert all(i in a for i in range(400) if i % 4 == 1)  # rate 100 → all
+    n2 = sum(1 for i in a if i % 4 == 2)
+    assert 20 <= n2 <= 80  # ~50% of 100, md5-uniform
+
+
+def test_assign_shards_contiguous_positions(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    out = assign_shards(df, n_shards=4).collect()
+    assert {r.shard for r in out} <= set(range(4))
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.shard_pos)
+    for shard, positions in by_shard.items():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+
+
+def test_hash_bucket_range(spark):
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    vals = [r.b for r in df.select(hash_bucket("doc_id").alias("b")).collect()]
+    assert all(0 <= v < 100 for v in vals)
+    assert len(set(vals)) > 50  # spreads
