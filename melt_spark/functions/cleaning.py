@@ -118,7 +118,9 @@ def ngram_set(df: DataFrame, n: int = 3, text_col: str = "text",
 
 def contamination(docs: DataFrame, benchmark: DataFrame, n: int = 3,
                   min_hits: int = 3, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  doc_grams: DataFrame | None = None,
+                  bench_grams: DataFrame | None = None) -> DataFrame:
     """Per-document count of distinct n-grams shared with the benchmark
     set — the train/eval decontamination pass every serious pretraining
     pipeline runs. Returns (id, n_hits) for docs meeting min_hits.
@@ -126,10 +128,16 @@ def contamination(docs: DataFrame, benchmark: DataFrame, n: int = 3,
     The benchmark n-gram set is DISTINCT'd then broadcast (eval suites are
     MBs, not TBs), so the corpus side is explode → broadcast-semi-hash-join
     → map-side-combined count: one shuffle of (doc_id, count) partials
-    only."""
-    bench_grams = (ngram_set(benchmark, n, text_col, id_col)
-                   .select("ngram").distinct())
-    doc_grams = ngram_set(docs, n, text_col, id_col)
+    only.
+
+    doc_grams / bench_grams: precomputed (id, ngram) frames — pass them
+    when the pipeline already exploded the corpus once (clean_corpus shares
+    one cached shingle pass across dedup and decontamination)."""
+    if bench_grams is None:
+        bench_grams = ngram_set(benchmark, n, text_col, id_col)
+    bench_grams = bench_grams.select("ngram").distinct()
+    if doc_grams is None:
+        doc_grams = ngram_set(docs, n, text_col, id_col)
     hits = (doc_grams.join(F.broadcast(bench_grams), "ngram")
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_hits")))

@@ -162,16 +162,21 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
                         num_hashes: int = 8, bands: int = 4,
                         threshold: float = 0.5,
-                        max_df: int | None = None) -> DataFrame:
+                        max_df: int | None = None,
+                        shingles_df: DataFrame | None = None) -> DataFrame:
     """Full MinHash-LSH pipeline: candidates from banding, then exact
     Jaccard verification of ONLY the candidates (the scale path — compare
     with jaccard_pairs which verifies every shingle-sharing pair).
     max_df (hot-shingle cap, see df_capped) applies to the document
     representation itself — signatures AND verification use the capped
-    shingle sets, so the computed Jaccard stays self-consistent."""
+    shingle sets, so the computed Jaccard stays self-consistent.
+    shingles_df: precomputed (id, shingle) distinct set — pass it when the
+    surrounding pipeline already built one (e.g. clean_corpus shares a
+    single cached explode with decontamination); the cap still applies."""
     # one cached shingle pass feeds signatures AND verification (the explode
     # is the dominant cost; measured ~30% faster than recomputing it)
-    sh = shingles(df, text_col, id_col, k)
+    sh = shingles(df, text_col, id_col, k) \
+        if shingles_df is None else shingles_df
     if max_df is not None:
         sh = df_capped(sh, max_df, id_col)
     sh = sh.cache()

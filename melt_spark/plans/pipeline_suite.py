@@ -757,16 +757,26 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
       5. training-shard assignment (shard, shard_pos) for export.
 
     Output: (doc_id, shard, shard_pos) — the export manifest."""
+    from ..functions.dedup import shingles
+
     docs = read_table(spark, sf_dir, "documents")
     train = docs.filter(F.col("doc_id") % BENCH_MOD != 0)
     bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0)
     scored = quality_score(train).select("doc_id", "source", "quality")
     good = scored.filter(F.col("quality") >= 0.6).select("doc_id", "source")
+    # ONE cached shingle explode feeds dedup signatures, dedup verification
+    # AND decontamination — the explode is the pipeline's dominant cost
+    sh_all = shingles(docs).cache()
     dup_losers = (minhash_dedup_pairs(docs, num_hashes=8, bands=4,
-                                      threshold=0.8, max_df=MAX_SHINGLE_DF)
+                                      threshold=0.8, max_df=MAX_SHINGLE_DF,
+                                      shingles_df=sh_all)
                   .select(F.col("doc_b").alias("doc_id")).distinct())
-    contaminated = contamination(train, bench, n=3,
-                                 min_hits=CONTAM_MIN_HITS).select("doc_id")
+    grams = sh_all.withColumnRenamed("shingle", "ngram")
+    contaminated = contamination(
+        train, bench, n=3, min_hits=CONTAM_MIN_HITS,
+        doc_grams=grams.filter(F.col("doc_id") % BENCH_MOD != 0),
+        bench_grams=grams.filter(F.col("doc_id") % BENCH_MOD == 0),
+    ).select("doc_id")
     kept = (good.join(dup_losers, "doc_id", "left_anti")
             .join(contaminated, "doc_id", "left_anti"))
     sampled = stratified_sample(kept, SAMPLE_RATES)
