@@ -721,6 +721,79 @@ FROM documents
 """
 
 
+CHUNK_SIZE, CHUNK_STRIDE = 32, 24
+PACK_BUDGET, PACK_GROUPS = 256, 16
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (RAG/embedding prep) — pure
+    Catalyst: sequence → slice → explode, no Python."""
+    from ..functions.packing import chunk_docs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return chunk_docs(docs, size=CHUNK_SIZE, stride=CHUNK_STRIDE)
+
+
+SQL_CHUNK_DOCS = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+c AS (
+  SELECT doc_id, toks,
+    unnest(generate_series(1,
+      CASE WHEN len(toks) <= {CHUNK_SIZE} THEN 1
+           ELSE CAST(floor((len(toks) - {CHUNK_SIZE} + {CHUNK_STRIDE} - 1)
+                     / {CHUNK_STRIDE}) AS INT) + 1 END)) AS chunk_id
+  FROM t
+),
+p AS (
+  SELECT doc_id, chunk_id,
+    array_slice(toks, (chunk_id - 1) * {CHUNK_STRIDE} + 1,
+      least(len(toks),
+            (chunk_id - 1) * {CHUNK_STRIDE} + {CHUNK_SIZE})) AS piece
+  FROM c
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(piece) AS BIGINT) AS n_tokens,
+       md5(array_to_string(piece, ' ')) AS chunk_fp
+FROM p
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget sequence packing via applyInPandas — sequential
+    within a hash group, embarrassingly parallel across groups. The DuckDB
+    oracle restates the greedy walk as a recursive CTE."""
+    from ..functions.packing import pack_sequences
+
+    docs = read_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=PACK_BUDGET, n_groups=PACK_GROUPS)
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id % {PACK_GROUPS} AS grp, doc_id,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         CAST(row_number() OVER (PARTITION BY doc_id % {PACK_GROUPS}
+                                 ORDER BY doc_id) AS BIGINT) AS rn
+  FROM documents
+),
+packed AS (
+  SELECT grp, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS pack_id,
+         CAST(1 AS BIGINT) AS pack_pos, n_tokens AS fill
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT d.grp, d.rn, d.doc_id, d.n_tokens,
+    CASE WHEN p.fill + d.n_tokens <= {PACK_BUDGET}
+         THEN p.pack_id ELSE p.pack_id + 1 END,
+    CASE WHEN p.fill + d.n_tokens <= {PACK_BUDGET}
+         THEN p.pack_pos + 1 ELSE CAST(1 AS BIGINT) END,
+    CASE WHEN p.fill + d.n_tokens <= {PACK_BUDGET}
+         THEN p.fill + d.n_tokens ELSE d.n_tokens END
+  FROM packed p JOIN base d ON d.grp = p.grp AND d.rn = p.rn + 1
+)
+SELECT grp, doc_id, n_tokens, pack_id, pack_pos FROM packed
+"""
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: one row per (doc, frame) via mapInPandas."""
     docs = attach_binary(read_table(spark, sf_dir, "documents"))
@@ -910,6 +983,8 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
     "rolling_fingerprint": (q_rolling_fingerprint, SQL_ROLLING_FINGERPRINT),
+    "chunk_docs": (q_chunk_docs, SQL_CHUNK_DOCS),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     "clean_corpus": (q_clean_corpus, SQL_CLEAN_CORPUS),
     "user_features_pandas": (q_user_features_pandas, SQL_USER_FEATURES),

@@ -1476,10 +1476,48 @@ SUITE: dict[str, tuple] = {
         (PIPELINE_SUITE["multimodal_features"],
          ["f_alpha", "f_digit", "f_space", "f_other"]),
         (PIPELINE_SUITE["multimodal_resize"], ["out_w", "out_h"])),
-    "rolling_fingerprint": PIPELINE_SUITE["rolling_fingerprint"],
+    # -- per-doc fingerprints: Karp-Rabin rolling hash + RAG chunk windows
+    "rolling_fingerprint": merged(
+        (PIPELINE_SUITE["rolling_fingerprint"],
+         lambda df: df.select(F.lit("karp").alias("kind"), "doc_id",
+                              F.col("rhash").alias("n"),
+                              F.lit("").alias("fp"),
+                              F.lit(-1).cast("long").alias("m")),
+         "SELECT 'karp' AS kind, doc_id, rhash AS n, '' AS fp,"
+         " CAST(-1 AS BIGINT) AS m"),
+        (PIPELINE_SUITE["chunk_docs"],
+         lambda df: df.select(F.lit("chunk").alias("kind"), "doc_id",
+                              F.col("chunk_id").alias("n"),
+                              F.col("chunk_fp").alias("fp"),
+                              F.col("n_tokens").alias("m")),
+         "SELECT 'chunk' AS kind, doc_id, chunk_id AS n, chunk_fp AS fp,"
+         " n_tokens AS m"),
+    ),
     "frame_sample": PIPELINE_SUITE["frame_sample"],
     "clean_corpus": PIPELINE_SUITE["clean_corpus"],
-    "user_features_pandas": PIPELINE_SUITE["user_features_pandas"],
+    # -- applyInPandas pair: per-user features + greedy sequence packing
+    "user_features_pandas": merged(
+        (PIPELINE_SUITE["user_features_pandas"],
+         lambda df: df.select(F.lit("feat").alias("kind"),
+                              F.col("user_id").alias("id"),
+                              F.col("n_events").cast("double").alias("a"),
+                              F.col("n_purchases").cast("double").alias("b"),
+                              F.col("total_value").alias("c"),
+                              F.col("max_single").alias("d")),
+         "SELECT 'feat' AS kind, user_id AS id,"
+         " CAST(n_events AS DOUBLE) AS a, CAST(n_purchases AS DOUBLE) AS b,"
+         " total_value AS c, max_single AS d"),
+        (PIPELINE_SUITE["pack_sequences"],
+         lambda df: df.select(F.lit("pack").alias("kind"),
+                              F.col("doc_id").alias("id"),
+                              F.col("grp").cast("double").alias("a"),
+                              F.col("n_tokens").cast("double").alias("b"),
+                              F.col("pack_id").cast("double").alias("c"),
+                              F.col("pack_pos").cast("double").alias("d")),
+         "SELECT 'pack' AS kind, doc_id AS id, CAST(grp AS DOUBLE) AS a,"
+         " CAST(n_tokens AS DOUBLE) AS b, CAST(pack_id AS DOUBLE) AS c,"
+         " CAST(pack_pos AS DOUBLE) AS d"),
+    ),
     # -- window functions: top-k per group + rank/dense_rank/row_number
     "window_ranking": merged(
         (ANALYTICS_SUITE["topk_orders_per_customer"],
