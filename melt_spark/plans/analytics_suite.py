@@ -857,6 +857,234 @@ GROUP BY ps.ps_partkey
 """
 
 
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style: national market share — share of AMERICA-region
+    ECONOMY-part order volume supplied by NATION_3, per year. The full
+    8-relation snowflake; every dimension broadcasts, the orders⋈lineitem
+    spine is the only shuffle."""
+    region = read_table(spark, sf_dir, "region")
+    nation = read_table(spark, sf_dir, "nation")
+    cust = read_table(spark, sf_dir, "customer")
+    sup = read_table(spark, sf_dir, "supplier")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    vol = (d2("l_extendedprice") * (one - d2("l_discount")))
+    n_cust = nation.select(F.col("n_nationkey").alias("cn_key"),
+                           F.col("n_regionkey").alias("cn_region"))
+    n_supp = nation.select(F.col("n_nationkey").alias("sn_key"),
+                           F.col("n_name").alias("supp_nation"))
+    joined = (li
+              .join(part.filter(F.col("p_type") == "ECONOMY"),
+                    li.l_partkey == F.col("p_partkey"))
+              .join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(cust, orders.o_custkey == cust.c_custkey)
+              .join(n_cust, cust.c_nationkey == F.col("cn_key"))
+              .join(region.filter(F.col("r_name") == "AMERICA"),
+                    F.col("cn_region") == F.col("r_regionkey"))
+              .join(sup, li.l_suppkey == sup.s_suppkey)
+              .join(n_supp, sup.s_nationkey == F.col("sn_key"))
+              .filter((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                      & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))))
+    return (joined
+            .groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg(F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)
+                       .otherwise(F.lit(0).cast("decimal(18,2)")))
+                 .cast("double").alias("nation_vol"),
+                 F.sum(vol).cast("double").alias("total_vol"))
+            .select(F.col("o_year").cast("long").alias("o_year"),
+                    (F.col("nation_vol") / F.col("total_vol"))
+                    .alias("mkt_share")))
+
+
+SQL_TPCH_Q8 = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+  CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+    AS DOUBLE) AS mkt_share
+FROM lineitem
+JOIN part ON p_partkey = l_partkey AND p_type = 'ECONOMY'
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+JOIN region ON r_regionkey = cn.n_regionkey AND r_name = 'AMERICA'
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY year(o_orderdate)
+"""
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style: profit by supplier nation and year over PROMO
+    parts; cost side comes from the synthesized partsupp (same derivation
+    both engines)."""
+    nation = read_table(spark, sf_dir, "nation")
+    sup = read_table(spark, sf_dir, "supplier")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    ps = _partsupp(spark, sf_dir)
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    profit = (d2("l_extendedprice") * (one - d2("l_discount"))
+              - F.col("ps_supplycost").cast("decimal(18,2)")
+              * d2("l_quantity")).cast("decimal(18,4)")
+    return (li
+            .join(part.filter(F.col("p_type") == "PROMO"),
+                  li.l_partkey == F.col("p_partkey"))
+            .join(ps, (li.l_partkey == ps.ps_partkey)
+                  & (li.l_suppkey == ps.ps_suppkey))
+            .join(sup, li.l_suppkey == sup.s_suppkey)
+            .join(nation, sup.s_nationkey == nation.n_nationkey)
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg(F.sum(profit).cast("double").alias("sum_profit")))
+
+
+SQL_TPCH_Q9 = f"""
+WITH {_PARTSUPP_SQL}
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+  CAST(SUM(CAST(
+    CAST(l_extendedprice AS DECIMAL(18,2))
+      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      - CAST(ps_supplycost AS DECIMAL(18,2))
+      * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4)))
+    AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style: top supplier(s) by revenue in a ship-date window
+    (scalar-max subquery kept in DECIMAL so the equality is exact)."""
+    sup = read_table(spark, sf_dir, "supplier")
+    li = read_table(spark, sf_dir, "lineitem")
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    rev = (li.filter(
+               (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+               & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp")))
+           .groupBy("l_suppkey")
+           .agg(F.sum(d2("l_extendedprice") * (one - d2("l_discount")))
+                .alias("total_rev")))
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (rev.crossJoin(F.broadcast(mx))
+            .filter(F.col("total_rev") == F.col("max_rev"))
+            .join(sup, F.col("l_suppkey") == sup.s_suppkey)
+            .select("s_suppkey", "s_name",
+                    F.col("total_rev").cast("double").alias("total_rev")))
+
+
+SQL_TPCH_Q15 = """
+WITH rev AS (
+  SELECT l_suppkey,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+"""
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style: revenue from small-quantity orders of Brand#1
+    small parts — the correlated-average pattern as a per-part aggregate
+    join. Threshold arithmetic is written identically on both engines
+    (DECIMAL sum → double → *0.2 → /count)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")
+    small = part.filter((F.col("p_brand") == "Brand#1")
+                        & (F.col("p_size") < 10))
+    avg_q = (li.groupBy("l_partkey")
+             .agg((F.sum(d2("l_quantity")).cast("double") * 0.2
+                   / F.count(F.lit(1))).alias("qty_thr")))
+    return (li
+            .join(F.broadcast(small), li.l_partkey == F.col("p_partkey"))
+            .join(avg_q, "l_partkey")
+            .filter(F.col("l_quantity") < F.col("qty_thr"))
+            .agg((F.sum(d2("l_extendedprice")).cast("double") / 7.0)
+                 .alias("avg_yearly"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+SQL_TPCH_Q17 = """
+WITH avg_q AS (
+  SELECT l_partkey,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * 0.2
+      / COUNT(*) AS qty_thr
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       COUNT(*) AS n
+FROM lineitem
+JOIN part ON p_partkey = l_partkey AND p_brand = 'Brand#1' AND p_size < 10
+JOIN avg_q ON avg_q.l_partkey = lineitem.l_partkey
+WHERE l_quantity < qty_thr
+"""
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style: disjunction of brand/size/quantity conjuncts —
+    the CNF-conversion + pushdown stressor (Catalyst splits the common
+    p_partkey = l_partkey conjunct out of the OR)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    joined = li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 5))
+         & (F.col("l_quantity").between(1, 11)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(1, 10))
+           & (F.col("l_quantity").between(10, 20)))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 15))
+           & (F.col("l_quantity").between(20, 30))))
+    return (joined.filter(cond)
+            .agg(F.sum(d2("l_extendedprice") * (one - d2("l_discount")))
+                 .cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+SQL_TPCH_Q19 = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+       * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+    AS DOUBLE) AS revenue,
+  COUNT(*) AS n
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULL edge cases — the classic engine-parity traps: null-safe
     equality, coalesce/nullif, NULL propagation through arithmetic and
@@ -980,6 +1208,11 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "monthly_revenue": (q_monthly_revenue, SQL_MONTHLY_REVENUE),
     "tpch_q2": (q_tpch_q2, SQL_TPCH_Q2),
     "tpch_q11": (q_tpch_q11, SQL_TPCH_Q11),
+    "tpch_q8": (q_tpch_q8, SQL_TPCH_Q8),
+    "tpch_q9": (q_tpch_q9, SQL_TPCH_Q9),
+    "tpch_q15": (q_tpch_q15, SQL_TPCH_Q15),
+    "tpch_q17": (q_tpch_q17, SQL_TPCH_Q17),
+    "tpch_q19": (q_tpch_q19, SQL_TPCH_Q19),
     "null_semantics": (q_null_semantics, SQL_NULL_SEMANTICS),
     "ship_latency_histogram": (
         lambda spark, sf_dir: (

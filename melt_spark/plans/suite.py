@@ -1600,6 +1600,20 @@ SUITE: dict[str, tuple] = {
                                           "c_name").alias("grp"), "revenue"),
          "SELECT 'q10' AS q, CAST(c_custkey AS VARCHAR) || '|' || c_name"
          " AS grp, revenue"),
+        (ANALYTICS_SUITE["tpch_q8"],
+         lambda df: df.select(F.lit("q8").alias("q"),
+                              F.col("o_year").cast("string").alias("grp"),
+                              F.col("mkt_share").alias("revenue")),
+         "SELECT 'q8' AS q, CAST(o_year AS VARCHAR) AS grp,"
+         " mkt_share AS revenue"),
+        (ANALYTICS_SUITE["tpch_q9"],
+         lambda df: df.select(F.lit("q9").alias("q"),
+                              F.concat_ws("|", "nation",
+                                          F.col("o_year").cast("string"))
+                              .alias("grp"),
+                              F.col("sum_profit").alias("revenue")),
+         "SELECT 'q9' AS q, nation || '|' || CAST(o_year AS VARCHAR)"
+         " AS grp, sum_profit AS revenue"),
     ),
     "tpch_aggregates": merged(
         (ANALYTICS_SUITE["tpch_q4"],
@@ -1636,6 +1650,16 @@ SUITE: dict[str, tuple] = {
                               F.lit(-1.0).alias("v"), "n"),
          "SELECT 'ship_hist' AS q, CAST(month_bucket AS VARCHAR) AS grp,"
          " CAST(-1.0 AS DOUBLE) AS v, n"),
+        (ANALYTICS_SUITE["tpch_q17"],
+         lambda df: df.select(F.lit("q17").alias("q"),
+                              F.lit("all").alias("grp"),
+                              F.col("avg_yearly").alias("v"), "n"),
+         "SELECT 'q17' AS q, 'all' AS grp, avg_yearly AS v, n"),
+        (ANALYTICS_SUITE["tpch_q19"],
+         lambda df: df.select(F.lit("q19").alias("q"),
+                              F.lit("all").alias("grp"),
+                              F.col("revenue").alias("v"), "n"),
+         "SELECT 'q19' AS q, 'all' AS grp, revenue AS v, n"),
     ),
     "tpch_big_spenders": merged(
         (ANALYTICS_SUITE["tpch_q18"],
@@ -1655,6 +1679,15 @@ SUITE: dict[str, tuple] = {
                               F.col("total_bal").alias("total")),
          "SELECT 'q22' AS q, CAST(c_nationkey AS VARCHAR) AS grp,"
          " n_cust AS n, total_bal AS total"),
+        (ANALYTICS_SUITE["tpch_q15"],
+         lambda df: df.select(F.lit("q15").alias("q"),
+                              F.concat_ws("|",
+                                          F.col("s_suppkey").cast("string"),
+                                          "s_name").alias("grp"),
+                              F.lit(-1).cast("bigint").alias("n"),
+                              F.col("total_rev").alias("total")),
+         "SELECT 'q15' AS q, CAST(s_suppkey AS VARCHAR) || '|' || s_name"
+         " AS grp, CAST(-1 AS BIGINT) AS n, total_rev AS total"),
     ),
     "tpch_partsupp": merged(
         (ANALYTICS_SUITE["tpch_q2"],
