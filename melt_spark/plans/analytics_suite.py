@@ -1085,6 +1085,105 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
 """
 
 
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style: customer order-count distribution (left outer join
+    preserving zero-order customers, then a second aggregation)."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    per_cust = (cust.join(orders, cust.c_custkey == orders.o_custkey,
+                          "left_outer")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+SQL_TPCH_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey
+) per_cust
+GROUP BY c_count
+"""
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style: distinct supplier count per (brand, type, size)
+    for non-excluded parts, minus a NOT-IN supplier blacklist (the
+    deterministic s_suppkey % 7 = 0 stand-in for the comment filter)."""
+    part = read_table(spark, sf_dir, "part")
+    sup = read_table(spark, sf_dir, "supplier")
+    ps = _partsupp(spark, sf_dir)
+    sizes = [1, 4, 9, 14, 19, 24, 29, 34]
+    good_parts = part.filter((F.col("p_brand") != "Brand#1")
+                             & (F.col("p_type") != "PROMO")
+                             & F.col("p_size").isin(sizes))
+    blacklist = sup.filter(F.col("s_suppkey") % 7 == 0).select("s_suppkey")
+    return (ps.join(F.broadcast(good_parts),
+                    ps.ps_partkey == F.col("p_partkey"))
+            .join(F.broadcast(blacklist),
+                  ps.ps_suppkey == F.col("s_suppkey"), "left_anti")
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt")))
+
+
+SQL_TPCH_Q16 = f"""
+WITH {_PARTSUPP_SQL}
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp
+JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+  AND ps_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style: suppliers whose available stock exceeds half of
+    what they shipped of that part in 1997 (semi-join against a
+    per-(part,supplier) shipped-quantity aggregate)."""
+    sup = read_table(spark, sf_dir, "supplier")
+    li = read_table(spark, sf_dir, "lineitem")
+    ps = _partsupp(spark, sf_dir)
+    shipped = (li.filter(
+                   (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+                   & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+               .groupBy("l_partkey", "l_suppkey")
+               .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                    .cast("double").alias("qty")))
+    overstocked = (ps.join(shipped,
+                           (ps.ps_partkey == F.col("l_partkey"))
+                           & (ps.ps_suppkey == F.col("l_suppkey")))
+                   .filter(F.col("ps_availqty") > F.col("qty") * 0.5)
+                   .select("ps_suppkey").distinct())
+    return (sup.join(overstocked, sup.s_suppkey == F.col("ps_suppkey"))
+            .select("s_suppkey", "s_name"))
+
+
+SQL_TPCH_Q20 = f"""
+WITH {_PARTSUPP_SQL},
+shipped AS (
+  SELECT l_partkey, l_suppkey,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT ps_suppkey FROM partsupp
+  JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+  WHERE ps_availqty > qty * 0.5)
+"""
+
+
 def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULL edge cases — the classic engine-parity traps: null-safe
     equality, coalesce/nullif, NULL propagation through arithmetic and
@@ -1213,6 +1312,9 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "tpch_q15": (q_tpch_q15, SQL_TPCH_Q15),
     "tpch_q17": (q_tpch_q17, SQL_TPCH_Q17),
     "tpch_q19": (q_tpch_q19, SQL_TPCH_Q19),
+    "tpch_q13": (q_tpch_q13, SQL_TPCH_Q13),
+    "tpch_q16": (q_tpch_q16, SQL_TPCH_Q16),
+    "tpch_q20": (q_tpch_q20, SQL_TPCH_Q20),
     "null_semantics": (q_null_semantics, SQL_NULL_SEMANTICS),
     "ship_latency_histogram": (
         lambda spark, sf_dir: (

@@ -1688,19 +1688,48 @@ SUITE: dict[str, tuple] = {
                               F.col("total_rev").alias("total")),
          "SELECT 'q15' AS q, CAST(s_suppkey AS VARCHAR) || '|' || s_name"
          " AS grp, CAST(-1 AS BIGINT) AS n, total_rev AS total"),
+        (ANALYTICS_SUITE["tpch_q13"],
+         lambda df: df.select(F.lit("q13").alias("q"),
+                              F.col("c_count").cast("string").alias("grp"),
+                              F.col("custdist").alias("n"),
+                              F.lit(-1.0).alias("total")),
+         "SELECT 'q13' AS q, CAST(c_count AS VARCHAR) AS grp,"
+         " custdist AS n, CAST(-1.0 AS DOUBLE) AS total"),
     ),
     "tpch_partsupp": merged(
         (ANALYTICS_SUITE["tpch_q2"],
-         lambda df: df.select(F.lit("q2").alias("q"), "ps_partkey",
-                              F.col("best_suppkey").alias("ref"),
+         lambda df: df.select(F.lit("q2").alias("q"),
+                              F.col("ps_partkey").cast("string")
+                              .alias("key"),
+                              F.col("best_suppkey").alias("n"),
                               F.col("min_cost").alias("v")),
-         "SELECT 'q2' AS q, ps_partkey, best_suppkey AS ref, min_cost AS v"),
+         "SELECT 'q2' AS q, CAST(ps_partkey AS VARCHAR) AS key,"
+         " best_suppkey AS n, min_cost AS v"),
         (ANALYTICS_SUITE["tpch_q11"],
-         lambda df: df.select(F.lit("q11").alias("q"), "ps_partkey",
-                              F.lit(-1).cast("bigint").alias("ref"),
+         lambda df: df.select(F.lit("q11").alias("q"),
+                              F.col("ps_partkey").cast("string")
+                              .alias("key"),
+                              F.lit(-1).cast("bigint").alias("n"),
                               F.col("part_value").alias("v")),
-         "SELECT 'q11' AS q, ps_partkey, CAST(-1 AS BIGINT) AS ref,"
-         " part_value AS v"),
+         "SELECT 'q11' AS q, CAST(ps_partkey AS VARCHAR) AS key,"
+         " CAST(-1 AS BIGINT) AS n, part_value AS v"),
+        (ANALYTICS_SUITE["tpch_q16"],
+         lambda df: df.select(F.lit("q16").alias("q"),
+                              F.concat_ws("|", "p_brand", "p_type",
+                                          F.col("p_size").cast("string"))
+                              .alias("key"),
+                              F.col("supplier_cnt").alias("n"),
+                              F.lit(-1.0).alias("v")),
+         "SELECT 'q16' AS q, p_brand || '|' || p_type || '|' ||"
+         " CAST(p_size AS VARCHAR) AS key, supplier_cnt AS n,"
+         " CAST(-1.0 AS DOUBLE) AS v"),
+        (ANALYTICS_SUITE["tpch_q20"],
+         lambda df: df.select(F.lit("q20").alias("q"),
+                              F.col("s_name").alias("key"),
+                              F.col("s_suppkey").alias("n"),
+                              F.lit(-1.0).alias("v")),
+         "SELECT 'q20' AS q, s_name AS key, s_suppkey AS n,"
+         " CAST(-1.0 AS DOUBLE) AS v"),
     ),
     "salted_event_counts": ANALYTICS_SUITE["salted_event_counts"],
     "asof_last_purchase": ANALYTICS_SUITE["asof_last_purchase"],
