@@ -69,6 +69,28 @@ def _bigrams(toks: Column) -> Column:
                            F.element_at(toks, i + 1)))
 
 
+def repetition_cols(text_col: str = "text") -> dict[str, Column]:
+    """The repetition expressions, reusable inside any one-pass
+    projection (see plans/pipeline_suite.q_text_quality)."""
+    toks = F.split(F.col(text_col), " ")
+    bg = _bigrams(toks)
+    n_tok = F.size(toks)
+    n_bg = F.size(bg)
+    top_bg = F.array_max(F.transform(
+        F.array_distinct(bg),
+        lambda x: F.size(F.filter(bg, lambda y: y == x))))
+    return {
+        "dup_token_frac": (F.lit(1.0)
+                           - F.size(F.array_distinct(toks)).cast("double")
+                           / n_tok),
+        "dup_bigram_frac": F.when(n_bg < 1, F.lit(0.0))
+        .otherwise(F.lit(1.0) - F.size(F.array_distinct(bg)).cast("double")
+                   / n_bg),
+        "top_bigram_frac": F.when(n_bg < 1, F.lit(0.0))
+        .otherwise(top_bg.cast("double") / n_bg),
+    }
+
+
 def repetition_features(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id") -> DataFrame:
     """Per-document repetition ratios — the signals used to drop
@@ -81,23 +103,9 @@ def repetition_features(df: DataFrame, text_col: str = "text",
     Pure per-row array folds — no explode, no shuffle; a 100 TB corpus
     scans once. The top-bigram count is O(distinct²) per document, bounded
     by document length, not corpus size."""
-    toks = F.split(F.col(text_col), " ")
-    bg = _bigrams(toks)
-    n_tok = F.size(toks)
-    n_bg = F.size(bg)
-    top_bg = F.array_max(F.transform(
-        F.array_distinct(bg),
-        lambda x: F.size(F.filter(bg, lambda y: y == x))))
-    return df.select(
-        F.col(id_col),
-        (F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double")
-         / n_tok).alias("dup_token_frac"),
-        F.when(n_bg < 1, F.lit(0.0))
-         .otherwise(F.lit(1.0) - F.size(F.array_distinct(bg)).cast("double")
-                    / n_bg).alias("dup_bigram_frac"),
-        F.when(n_bg < 1, F.lit(0.0))
-         .otherwise(top_bg.cast("double") / n_bg).alias("top_bigram_frac"),
-    )
+    cols = repetition_cols(text_col)
+    return df.select(F.col(id_col),
+                     *[c.alias(name) for name, c in cols.items()])
 
 
 # ---------------------------------------------------------------------------

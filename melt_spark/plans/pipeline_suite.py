@@ -164,14 +164,12 @@ FROM b
 """
 
 
-def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII redaction battery. The fixture corpus is PII-free, so the query
-    plants deterministic PII per doc (email iff doc_id%3=0, IP iff %4=0,
-    phone iff %5=0), then counts and scrubs it — counts and the scrubbed
-    fingerprint prove detection AND redaction on both engines."""
-    docs = read_table(spark, sf_dir, "documents")
+def _planted_pii() -> "F.Column":
+    """text + deterministic planted PII (email iff doc_id%3=0, IP iff %4=0,
+    phone iff %5=0) — the fixture corpus is PII-free, so the suite plants
+    its own to prove detection AND redaction."""
     did = F.col("doc_id")
-    planted = F.concat(
+    return F.concat(
         F.col("text"),
         F.when(did % 3 == 0,
                F.concat(F.lit(" mail user"), did.cast("string"),
@@ -186,7 +184,13 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lpad((did % 10000).cast("string"), 4, "0")))
          .otherwise(F.lit("")),
     )
-    salted = docs.select("doc_id", planted.alias("text"))
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction battery over the planted-PII corpus — counts and the
+    scrubbed fingerprint prove detection AND redaction on both engines."""
+    docs = read_table(spark, sf_dir, "documents")
+    salted = docs.select("doc_id", _planted_pii().alias("text"))
     return salted.select(
         "doc_id",
         pii_count("text", "email").alias("n_email"),
@@ -225,6 +229,27 @@ SELECT doc_id,
       '{_PII_SQL_RE["phone"]}', '<PHONE>', 'g')) AS scrubbed_fp
 FROM planted
 """
+
+
+def q_text_profile_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL per-document text features in ONE projection pass — stats,
+    quality, repetition, PII — the shape a 100 TB corpus scan wants (the
+    oracle restates it as a 4-way join of the constituent queries; the
+    Spark plan is a single scan with zero joins and zero shuffles)."""
+    from ..functions.cleaning import (pii_count, repetition_cols, scrub_pii)
+
+    docs = read_table(spark, sf_dir, "documents")
+    rep = repetition_cols("text")
+    planted = _planted_pii()
+    return quality_score(with_text_stats(docs)).select(
+        "doc_id", "n_tokens_ws", "n_tokens_bpe", "lang_pred", "fingerprint",
+        "q_chars", "q_tokens", "q_mean_tok_len", "q_punct_ratio",
+        "q_stopword_ratio", "quality",
+        *[c.alias(name) for name, c in rep.items()],
+        pii_count(planted, "email").alias("n_email"),
+        pii_count(planted, "ipv4").alias("n_ipv4"),
+        pii_count(planted, "phone").alias("n_phone"),
+        F.md5(scrub_pii(planted)).alias("scrubbed_fp"))
 
 
 # ---------------------------------------------------------------------------

@@ -1200,7 +1200,7 @@ WHERE day_start + INTERVAL 1 DAY
 
 
 from .analytics_suite import ANALYTICS_SUITE  # noqa: E402
-from .pipeline_suite import PIPELINE_SUITE  # noqa: E402
+from .pipeline_suite import PIPELINE_SUITE, q_text_profile_onepass  # noqa: E402
 from .combined import joined, merged  # noqa: E402
 
 # ---------------------------------------------------------------------------
@@ -1413,16 +1413,21 @@ SUITE: dict[str, tuple] = {
          " topic AS c3, '' AS c4")),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
-    # -- LLM-pipeline text analysis: stats ⋈ quality ⋈ repetition ⋈ PII
-    "text_quality": joined(
-        "doc_id", PIPELINE_SUITE["text_stats"],
-        (PIPELINE_SUITE["quality_scores"],
-         ["q_chars", "q_tokens", "q_mean_tok_len", "q_punct_ratio",
-          "q_stopword_ratio", "quality"]),
-        (PIPELINE_SUITE["repetition"],
-         ["dup_token_frac", "dup_bigram_frac", "top_bigram_frac"]),
-        (PIPELINE_SUITE["pii_scrub"],
-         ["n_email", "n_ipv4", "n_phone", "scrubbed_fp"])),
+    # -- LLM-pipeline text analysis: stats + quality + repetition + PII.
+    # Spark side is ONE projection pass (zero joins/shuffles — the 100 TB
+    # shape); the oracle restates it as the 4-way join of the constituent
+    # queries, which must agree cell-for-cell.
+    "text_quality": (
+        q_text_profile_onepass,
+        joined(
+            "doc_id", PIPELINE_SUITE["text_stats"],
+            (PIPELINE_SUITE["quality_scores"],
+             ["q_chars", "q_tokens", "q_mean_tok_len", "q_punct_ratio",
+              "q_stopword_ratio", "quality"]),
+            (PIPELINE_SUITE["repetition"],
+             ["dup_token_frac", "dup_bigram_frac", "top_bigram_frac"]),
+            (PIPELINE_SUITE["pii_scrub"],
+             ["n_email", "n_ipv4", "n_phone", "scrubbed_fp"]))[1]),
     "dedup_exact": PIPELINE_SUITE["dedup_exact"],
     "dedup_jaccard": PIPELINE_SUITE["dedup_jaccard"],
     "dedup_minhash_lsh": PIPELINE_SUITE["dedup_minhash_lsh"],
