@@ -59,6 +59,42 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
 
 # ---------------------------------------------------------------------------
+# int8 scalar quantization — the memory-bound scale path: a 100 TB float32
+# corpus quantizes 4× smaller (plus the scale scalar), scans and compares
+# in int8, then re-ranks survivors against the full-precision vectors.
+
+
+def quantize_int8(vec: Column) -> tuple[Column, Column]:
+    """Symmetric per-vector int8 quantization: scale = max|x|/127,
+    q_i = floor(x_i/scale + 0.5) (half-up — floor(+0.5) is portable; SQL
+    round() half-even vs half-up differs across engines). Returns
+    (scale, q) column pair."""
+    m = F.array_max(F.transform(vec, lambda x: F.abs(x)))
+    scale = F.when(m == 0.0, F.lit(1.0)).otherwise(m / 127.0)
+    q = F.transform(vec, lambda x: F.floor(x / scale + 0.5).cast("long"))
+    return scale, q
+
+
+def quantization_error(df: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Per-vector reconstruction error of int8 quantization:
+    (id, dims, scale, max_abs_err, mse). Pure per-row array folds —
+    scan-speed, no shuffle; the numbers tell you whether int8 recall will
+    hold before you re-encode the corpus."""
+    v = _dvec(vec_col)
+    scale, q = quantize_int8(v)
+    err = F.zip_with(q, v, lambda qq, x: qq * scale - x)
+    return df.select(
+        F.col(id_col),
+        F.size(v).alias("dims"),
+        scale.alias("scale"),
+        F.array_max(F.transform(err, lambda e: F.abs(e)))
+        .alias("max_abs_err"),
+        (F.aggregate(F.transform(err, lambda e: e * e), F.lit(0.0),
+                     lambda a, x: a + x) / F.size(v)).alias("mse"))
+
+
+# ---------------------------------------------------------------------------
 # hyperplane LSH
 
 def _plane_component(plane: int, dim: int) -> Column:

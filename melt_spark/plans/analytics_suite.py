@@ -718,6 +718,38 @@ FROM embeddings
 """
 
 
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar-quantization error profile per vector (the 4×-smaller
+    scan path for 100 TB embedding corpora; see functions/similarity.py)."""
+    from ..functions.similarity import quantization_error
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return quantization_error(emb)
+
+
+SQL_QUANTIZE_INT8 = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+s AS (
+  SELECT vec_id, e,
+    CASE WHEN list_max(list_transform(e, x -> abs(x))) = 0 THEN 1.0
+         ELSE list_max(list_transform(e, x -> abs(x))) / 127.0 END AS scale
+  FROM v
+),
+q AS (
+  SELECT vec_id, e, scale,
+    list_transform(e, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv
+  FROM s
+)
+SELECT vec_id, len(e) AS dims, scale,
+  list_max(list_transform(range(1, len(e) + 1),
+    i -> abs(qv[i] * scale - e[i]))) AS max_abs_err,
+  list_reduce(list_prepend(0.0, list_transform(range(1, len(e) + 1),
+    i -> (qv[i] * scale - e[i]) * (qv[i] * scale - e[i]))),
+    (a, b) -> a + b) / len(e) AS mse
+FROM q
+"""
+
+
 def q_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed distinct counts: daily active users."""
     ev = read_table(spark, sf_dir, "events")
@@ -1303,6 +1335,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "unpivot_part_metrics": (q_unpivot_part_metrics,
                              SQL_UNPIVOT_PART_METRICS),
     "embedding_stats": (q_embedding_stats, SQL_EMBEDDING_STATS),
+    "quantize_int8": (q_quantize_int8, SQL_QUANTIZE_INT8),
     "daily_active_users": (q_daily_active_users, SQL_DAILY_ACTIVE_USERS),
     "monthly_revenue": (q_monthly_revenue, SQL_MONTHLY_REVENUE),
     "tpch_q2": (q_tpch_q2, SQL_TPCH_Q2),

@@ -1780,6 +1780,16 @@ SUITE: dict[str, tuple] = {
          " CAST(fl AS VARCHAR) || ',' || CAST(ce AS VARCHAR) || ',' ||"
          " CAST(md AS VARCHAR) AS ints, ab AS v1, sq AS v2,"
          " CAST(sg AS DOUBLE) AS v3"),
+        (ANALYTICS_SUITE["quantize_int8"],
+         lambda df: df.select(F.lit("quant").alias("kind"),
+                              F.col("vec_id").cast("string").alias("key"),
+                              F.col("dims").cast("string").alias("ints"),
+                              F.col("scale").alias("v1"),
+                              F.col("max_abs_err").alias("v2"),
+                              F.col("mse").alias("v3")),
+         "SELECT 'quant' AS kind, CAST(vec_id AS VARCHAR) AS key,"
+         " CAST(dims AS VARCHAR) AS ints, scale AS v1, max_abs_err AS v2,"
+         " mse AS v3"),
         (ANALYTICS_SUITE["embedding_stats"],
          lambda df: df.select(F.lit("embedding").alias("kind"),
                               F.col("vec_id").cast("string").alias("key"),

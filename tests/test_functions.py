@@ -150,3 +150,21 @@ def test_multimodal_decode_and_frames(spark):
     frames = sample_frames(docs).collect()
     assert len(frames) == expect["n_frames"]
     assert {r["frame_idx"] for r in frames} == set(range(expect["n_frames"]))
+
+
+def test_quantize_int8_error_bounds(spark):
+    from melt_spark.functions.similarity import quantization_error
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    rows = {r.vec_id: r for r in quantization_error(df).collect()}
+    r1 = rows[1]
+    assert r1.dims == 4
+    assert abs(r1.scale - 1.0 / 127) < 1e-12
+    # symmetric int8: reconstruction error bounded by half a step
+    assert r1.max_abs_err <= r1.scale / 2 + 1e-12
+    assert r1.mse <= (r1.scale / 2) ** 2 + 1e-12
+    # all-zero vector: guard scale=1, zero error
+    assert rows[2].scale == 1.0
+    assert rows[2].max_abs_err == 0.0
