@@ -655,6 +655,40 @@ SELECT o_orderkey, o_orderstatus, rk, drk, rn FROM (
 """
 
 
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist — the distribution window
+    functions (ntile over a deterministic total order; percent_rank and
+    cume_dist over the tie-aware date order, where their semantics
+    differ)."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        "o_orderdate", "o_orderkey")
+    wd = Window.partitionBy("o_orderstatus").orderBy("o_orderdate")
+    return (orders.select(
+        "o_orderkey", "o_orderstatus",
+        F.ntile(4).over(w).alias("nt"),
+        F.percent_rank().over(wd).alias("pr"),
+        F.cume_dist().over(wd).alias("cd"),
+        F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 50))
+
+
+SQL_WINDOW_DISTRIBUTION = """
+SELECT o_orderkey, o_orderstatus, nt, pr, cd, rn FROM (
+  SELECT o_orderkey, o_orderstatus,
+         ntile(4) OVER (PARTITION BY o_orderstatus
+                        ORDER BY o_orderdate, o_orderkey) AS nt,
+         percent_rank() OVER (PARTITION BY o_orderstatus
+                              ORDER BY o_orderdate) AS pr,
+         cume_dist() OVER (PARTITION BY o_orderstatus
+                           ORDER BY o_orderdate) AS cd,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 50
+"""
+
+
 def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: user × event_type count matrix (fixed column set so the
     schema is static — dynamic pivot is an anti-pattern at scale)."""
@@ -1331,6 +1365,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),
     "tpch_q22": (q_tpch_q22, SQL_TPCH_Q22),
     "rank_semantics": (q_rank_semantics, SQL_RANK_SEMANTICS),
+    "window_distribution": (q_window_distribution, SQL_WINDOW_DISTRIBUTION),
     "pivot_event_counts": (q_pivot_event_counts, SQL_PIVOT_EVENT_COUNTS),
     "unpivot_part_metrics": (q_unpivot_part_metrics,
                              SQL_UNPIVOT_PART_METRICS),

@@ -1528,19 +1528,34 @@ SUITE: dict[str, tuple] = {
         (ANALYTICS_SUITE["topk_orders_per_customer"],
          lambda df: df.select(F.lit("topk").alias("kind"), "o_custkey",
                               "o_orderkey", F.lit("").alias("detail"),
-                              F.col("o_totalprice").alias("price"), "rk",
+                              F.col("o_totalprice").alias("price"),
+                              F.lit(-1.0).alias("price2"), "rk",
                               F.lit(-1).alias("drk"), F.lit(-1).alias("rn")),
          "SELECT 'topk' AS kind, o_custkey, o_orderkey, '' AS detail,"
-         " o_totalprice AS price, rk, -1 AS drk, -1 AS rn"),
+         " o_totalprice AS price, CAST(-1.0 AS DOUBLE) AS price2, rk,"
+         " -1 AS drk, -1 AS rn"),
         (ANALYTICS_SUITE["rank_semantics"],
          lambda df: df.select(F.lit("rank").alias("kind"),
                               F.lit(-1).cast("bigint").alias("o_custkey"),
                               "o_orderkey",
                               F.col("o_orderstatus").alias("detail"),
-                              F.lit(-1.0).alias("price"), "rk", "drk", "rn"),
+                              F.lit(-1.0).alias("price"),
+                              F.lit(-1.0).alias("price2"), "rk", "drk", "rn"),
          "SELECT 'rank' AS kind, CAST(-1 AS BIGINT) AS o_custkey, o_orderkey,"
-         " o_orderstatus AS detail, CAST(-1.0 AS DOUBLE) AS price, rk, drk,"
-         " rn"),
+         " o_orderstatus AS detail, CAST(-1.0 AS DOUBLE) AS price,"
+         " CAST(-1.0 AS DOUBLE) AS price2, rk, drk, rn"),
+        (ANALYTICS_SUITE["window_distribution"],
+         lambda df: df.select(F.lit("dist").alias("kind"),
+                              F.lit(-1).cast("bigint").alias("o_custkey"),
+                              "o_orderkey",
+                              F.col("o_orderstatus").alias("detail"),
+                              F.col("pr").alias("price"),
+                              F.col("cd").alias("price2"),
+                              F.col("nt").alias("rk"),
+                              F.lit(-1).alias("drk"), "rn"),
+         "SELECT 'dist' AS kind, CAST(-1 AS BIGINT) AS o_custkey,"
+         " o_orderkey, o_orderstatus AS detail, pr AS price, cd AS price2,"
+         " nt AS rk, -1 AS drk, rn"),
     ),
     "event_sessions": ANALYTICS_SUITE["event_sessions"],
     # -- windowed running sum + lag month-over-month delta
