@@ -54,10 +54,12 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """Distinct k-token shingles per document: (id, shingle) exploded.
     Construction is array-native (split → sequence → transform) — no UDF."""
     # the explode+hash downstream is CPU-bound: make sure it isn't pinned to
-    # a handful of input splits (a single parquet file = one task otherwise)
+    # a handful of input splits (a single parquet file = one task otherwise).
+    # inputFiles() is a cheap file-listing probe — touching df.rdd would
+    # force a full RDD conversion plan per call
     spark = df.sparkSession
     cores = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < cores:
+    if len(df.inputFiles()) < cores:
         df = df.repartition(cores, F.col(id_col))
     toks = F.split(F.col(text_col), " ")
     # guard: Spark's sequence(0, negative) would DESCEND — short docs get
