@@ -194,3 +194,22 @@ def assign_shards(df: DataFrame, n_shards: int,
     return (with_key.select("*", shard)
             .withColumn("shard_pos", F.row_number().over(w).cast("long"))
             .drop("sort_key"))
+
+
+def export_corpus(df: DataFrame, path: str, partition_col: str = "shard",
+                  sort_col: str = "doc_id",
+                  max_records_per_file: int | None = None) -> None:
+    """Write the cleaned corpus as training shards: Hive-partitioned by
+    `partition_col` (so downstream reads of one shard prune all others at
+    the directory level), rows sorted within each file (parquet row-group
+    min/max stats then skip within a file too), optionally capped at
+    `max_records_per_file` rows so the training loader gets uniform files.
+
+    One shuffle (repartition on the shard key) + a per-partition sort —
+    nothing global; this is the terminal op of the 100 TB pipeline."""
+    writer = (df.repartition(F.col(partition_col))
+              .sortWithinPartitions(partition_col, sort_col)
+              .write.mode("overwrite").partitionBy(partition_col))
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)

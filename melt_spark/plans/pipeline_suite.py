@@ -235,10 +235,17 @@ def q_text_profile_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALL per-document text features in ONE projection pass — stats,
     quality, repetition, PII — the shape a 100 TB corpus scan wants (the
     oracle restates it as a 4-way join of the constituent queries; the
-    Spark plan is a single scan with zero joins and zero shuffles)."""
+    Spark plan is a single scan with zero joins and zero shuffles at real
+    file counts). The per-doc work is CPU-heavy (the top-bigram count is
+    O(distinct²) per row), so when the fixture is a single parquet file —
+    one task — we buy parallelism with one repartition; a 100 TB corpus
+    has thousands of files and skips this."""
     from ..functions.cleaning import (pii_count, repetition_cols, scrub_pii)
 
     docs = read_table(spark, sf_dir, "documents")
+    cores = spark.sparkContext.defaultParallelism
+    if len(docs.inputFiles()) < cores:
+        docs = docs.repartition(cores, F.col("doc_id"))
     rep = repetition_cols("text")
     planted = _planted_pii()
     return quality_score(with_text_stats(docs)).select(

@@ -30,6 +30,12 @@ _DEFAULTS = {
     "spark.sql.files.maxPartitionBytes": "134217728",  # 128 MiB scan splits
     "spark.sql.autoBroadcastJoinThreshold": "67108864",  # 64 MiB: dims broadcast
     "spark.sql.parquet.filterPushdown": "true",
+    # runtime bloom-filter pushdown: selective joins prune the big side's
+    # scan at the row-group level — free win for diff/verify at 100 TB.
+    # (Do NOT also enable runtimeFilter.semiJoinReduction: in this Spark
+    # 4.1.2 build it sends the optimizer into a non-terminating loop on
+    # trivial plans — verified with range(10).count().)
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # Spark rejects parquet TIMESTAMP(NANOS) outright; read as long and let
     # sources.parquet.read_table convert to (truncated) microsecond
     # timestamps — the same truncation DuckDB applies.
