@@ -79,6 +79,24 @@ def offset_watermarks(changelog: DataFrame,
             .agg(F.max(offset_col).alias("max_offset")))
 
 
+def offset_gaps(changelog: DataFrame,
+                topic_col: str = "topic",
+                partition_col: str = "partition",
+                offset_col: str = "offset") -> DataFrame:
+    """Log-integrity check per (topic, partition): how many offsets in
+    [min, max] are MISSING from the read — nonzero means retention holes,
+    compaction, or a lossy read, and an incremental consumer relying on
+    dense offsets must resync. One map-side-combined aggregation."""
+    return (changelog
+            .groupBy(topic_col, partition_col)
+            .agg(F.count(F.lit(1)).alias("n_msgs"),
+                 F.min(offset_col).alias("min_offset"),
+                 F.max(offset_col).alias("max_offset"))
+            .select(topic_col, partition_col, "n_msgs", "max_offset",
+                    (F.col("max_offset") - F.col("min_offset") + 1
+                     - F.col("n_msgs")).alias("n_gaps")))
+
+
 def incremental_refresh(prior_state: DataFrame, new_records: DataFrame,
                         key_cols: Sequence[str] = ("topic", "key"),
                         order_col: str = "offset",

@@ -379,6 +379,28 @@ FROM log GROUP BY topic, part
 """
 
 
+def q_offset_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-integrity gaps after simulated retention (every 13th offset
+    dropped) — nonzero n_gaps tells an incremental consumer to resync."""
+    from ..operators.latest_state import offset_gaps
+    from ..sources.changelog import events_changelog
+
+    log = events_changelog(read_table(spark, sf_dir, "events")) \
+        .filter(F.col("offset") % 13 != 0)
+    return offset_gaps(log).select(
+        "topic", "partition", "n_msgs", "max_offset", "n_gaps")
+
+
+SQL_OFFSET_GAPS = f"""
+WITH {_CHANGELOG_CTE}
+SELECT topic, part AS partition, COUNT(*) AS n_msgs,
+       MAX(off) AS max_offset,
+       MAX(off) - MIN(off) + 1 - COUNT(*) AS n_gaps
+FROM log WHERE off % 13 <> 0
+GROUP BY topic, part
+"""
+
+
 # ---------------------------------------------------------------------------
 # J-queries: diff / deletes / sync
 
@@ -1271,6 +1293,14 @@ SUITE: dict[str, tuple] = {
                               F.lit(-1).cast("bigint").alias("c")),
          "SELECT 'topic' AS kind, topic AS entity, -1 AS partition, n AS a,"
          " CAST(-1 AS BIGINT) AS b, CAST(-1 AS BIGINT) AS c"),
+        ((q_offset_gaps, SQL_OFFSET_GAPS),
+         lambda df: df.select(F.lit("gaps").alias("kind"),
+                              F.col("topic").alias("entity"), "partition",
+                              F.col("n_msgs").alias("a"),
+                              F.col("max_offset").alias("b"),
+                              F.col("n_gaps").alias("c")),
+         "SELECT 'gaps' AS kind, topic AS entity, partition, n_msgs AS a,"
+         " max_offset AS b, n_gaps AS c"),
         ((q_offset_watermarks, SQL_OFFSET_WATERMARKS),
          lambda df: df.select(F.lit("watermark").alias("kind"),
                               F.col("topic").alias("entity"), "partition",

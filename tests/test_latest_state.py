@@ -62,3 +62,16 @@ def test_incremental_refresh(spark):
     out = {r["key"]: r["value"]
            for r in incremental_refresh(prior, delta).collect()}
     assert out == {"k1": "v5", "k3": "new"}
+
+
+def test_offset_gaps_detects_retention_holes(spark):
+    from melt_spark.operators.latest_state import offset_gaps
+
+    rows = [("t", 0, o) for o in [0, 1, 2, 4, 7]] + \
+           [("t", 1, o) for o in [5, 6, 7]]
+    log = spark.createDataFrame(
+        rows, "topic string, partition int, offset long")
+    got = {r.partition: (r.n_msgs, r.max_offset, r.n_gaps)
+           for r in offset_gaps(log).collect()}
+    assert got[0] == (5, 7, 3)   # missing 3, 5, 6
+    assert got[1] == (3, 7, 0)   # dense
