@@ -63,8 +63,13 @@ def scrub_pii(col: Column | str) -> Column:
 
 
 def _bigrams(toks: Column) -> Column:
+    # guard: Spark's sequence(1, 0) DESCENDS ([1, 0] → element_at index 0
+    # crash) — single-token/empty docs get an empty bigram set instead
+    idx = F.when(F.size(toks) >= 2,
+                 F.sequence(F.lit(1), F.size(toks) - 1)) \
+           .otherwise(F.array().cast("array<int>"))
     return F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
+        idx,
         lambda i: F.concat(F.element_at(toks, i), F.lit(" "),
                            F.element_at(toks, i + 1)))
 
@@ -116,8 +121,12 @@ def ngram_set(df: DataFrame, n: int = 3, text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:
     """(id, ngram) — distinct word n-grams per document."""
     toks = F.split(F.col(text_col), " ")
+    # same short-doc guard as _bigrams: sequence(1, <=0) would descend
+    idx = F.when(F.size(toks) >= n,
+                 F.sequence(F.lit(1), F.size(toks) - (n - 1))) \
+           .otherwise(F.array().cast("array<int>"))
     grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        idx,
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, i + j) for j in range(n)]))
     return (df.select(F.col(id_col),

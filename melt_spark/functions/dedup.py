@@ -56,10 +56,13 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     # the explode+hash downstream is CPU-bound: make sure it isn't pinned to
     # a handful of input splits (a single parquet file = one task otherwise).
     # inputFiles() is a cheap file-listing probe — touching df.rdd would
-    # force a full RDD conversion plan per call
+    # force a full RDD conversion plan per call. An EMPTY listing means
+    # non-file provenance (in-memory, post-shuffle): trust the existing
+    # partitioning rather than paying an unconditional shuffle.
     spark = df.sparkSession
     cores = spark.sparkContext.defaultParallelism
-    if len(df.inputFiles()) < cores:
+    files = df.inputFiles()
+    if files and len(files) < cores:
         df = df.repartition(cores, F.col(id_col))
     toks = F.split(F.col(text_col), " ")
     # guard: Spark's sequence(0, negative) would DESCEND — short docs get

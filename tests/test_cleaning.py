@@ -90,3 +90,23 @@ def test_hash_bucket_range(spark):
     vals = [r.b for r in df.select(hash_bucket("doc_id").alias("b")).collect()]
     assert all(0 <= v < 100 for v in vals)
     assert len(set(vals)) > 50  # spreads
+
+
+def test_repetition_short_docs_no_crash(spark):
+    df = _docs(spark, [(1, "single"), (2, ""), (3, "two tokens")])
+    rows = {r.doc_id: r for r in repetition_features(df).collect()}
+    assert rows[1].dup_bigram_frac == 0.0
+    assert rows[2].dup_token_frac == 0.0
+    assert rows[3].top_bigram_frac == 1.0
+
+
+def test_contamination_short_docs_no_crash(spark):
+    from melt_spark.functions.cleaning import ngram_set
+
+    df = _docs(spark, [(1, "a b"), (2, ""), (3, "x y z w")])
+    grams = ngram_set(df, n=3).collect()
+    # only doc 3 is long enough to emit 3-grams
+    assert {r.doc_id for r in grams} == {3}
+    bench = _docs(spark, [(9, "x y z")])
+    hits = contamination(df, bench, n=3, min_hits=1).collect()
+    assert [(r.doc_id, r.n_hits) for r in hits] == [(3, 1)]

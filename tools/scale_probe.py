@@ -50,8 +50,13 @@ def replicate(spark, sf_dir: str, out_dir: str, n: int) -> None:
              salted.alias("text"), "lang", "source", "n_chars")
      .write.mode("overwrite").parquet(f"{out}/documents.parquet"))
 
+    # ONE shift for both lineitem and orders keys: it must exceed BOTH
+    # max(l_orderkey) and max(o_orderkey), else replica ranges collide
+    # (an order with no lineitems makes max(o_orderkey) the larger one)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    max_ok = li.agg(F.max("l_orderkey")).head()[0] + 1
+    orders_max = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+                  .agg(F.max("o_orderkey")).head()[0])
+    max_ok = max(li.agg(F.max("l_orderkey")).head()[0], orders_max) + 1
     (li.crossJoin(reps)
      .select((F.col("l_orderkey") + F.col("rep") * max_ok).alias("l_orderkey"),
              *[c for c in li.columns if c != "l_orderkey"])
@@ -111,6 +116,10 @@ def main() -> None:
     state_path = docs / "SCALING.json"
     state = (json.loads(state_path.read_text())
              if state_path.exists() else {"n": n, "base": {}, "big": {}})
+    if state.get("n") != n:
+        # stale state from a different replication factor would render a
+        # SCALING.md with fabricated ratios — start over
+        state = {"n": n, "base": {}, "big": {}}
 
     from melt_spark.session import get_spark
 
