@@ -320,6 +320,87 @@ FROM events e LEFT JOIN LATERAL (
 """
 
 
+def q_purchase_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join (operators/range_join.py): every event that
+    falls inside a ±12 h attribution window around a same-user purchase.
+    Points and intervals both derive from events; the join runs as a plain
+    (user_id, bucket) equi-join — no nested loop at any scale."""
+    from ..operators.range_join import range_join
+
+    ev = read_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")  # UTC session tz pinned by tune_session
+    points = ev.select("event_id", "user_id", sec.alias("at_sec"))
+    windows = (ev.filter(F.col("event_type") == "purchase")
+               .select("user_id", F.col("event_id").alias("ref_id"),
+                       (sec - 43200).alias("lo"), (sec + 43200).alias("hi")))
+    out = range_join(points, windows, point_col="at_sec",
+                     start_col="lo", end_col="hi", on=["user_id"],
+                     bucket_width=86400)
+    return out.select(
+        "event_id", "user_id", "ref_id",
+        (F.col("at_sec") - F.col("lo")).cast("double").alias("offset_sec"))
+
+
+SQL_PURCHASE_WINDOWS = """
+SELECT e.event_id, e.user_id, w.ref_id,
+       CAST(floor(epoch(e.ts)) - w.lo AS DOUBLE) AS offset_sec
+FROM events e JOIN (
+  SELECT user_id, event_id AS ref_id,
+         floor(epoch(ts)) - 43200 AS lo, floor(epoch(ts)) + 43200 AS hi
+  FROM events WHERE event_type = 'purchase') w
+ON e.user_id = w.user_id
+   AND floor(epoch(e.ts)) >= w.lo AND floor(epoch(e.ts)) <= w.hi
+"""
+
+
+def q_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style cascade (operators/rollup.py): hourly event
+    aggregates per type, then DAILY re-aggregated from the hourly level —
+    the raw table is scanned once; the daily pass reads 24 rows/key/day.
+    Output unions both resolutions with a level tag."""
+    from ..operators.rollup import cascade_rollup
+
+    ev = read_table(spark, sf_dir, "events")
+    src = ev.select("ts", "event_type",
+                    F.col("value").cast("decimal(18,6)").alias("v"))
+    levels = cascade_rollup(
+        src, "ts", ["event_type"],
+        {"sum_value": ("v", "sum"), "n": ("v", "count"),
+         "max_value": ("v", "max")},
+        widths=[3600, 86400])
+    proj = lambda df, tag: df.select(
+        F.lit(tag).alias("level"),
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        "event_type",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "n",
+        F.col("max_value").cast("double").alias("max_value"))
+    return proj(levels[3600], "hour").unionByName(proj(levels[86400], "day"))
+
+
+SQL_TIME_BUCKET_ROLLUP = """
+WITH hourly AS (
+  SELECT CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS bucket_epoch,
+         event_type,
+         SUM(CAST(value AS DECIMAL(18,6))) AS sum_value,
+         COUNT(value) AS n,
+         MAX(CAST(value AS DECIMAL(18,6))) AS max_value
+  FROM events GROUP BY 1, 2)
+SELECT 'hour' AS level, bucket_epoch, event_type,
+       CAST(sum_value AS DOUBLE) AS sum_value, n,
+       CAST(max_value AS DOUBLE) AS max_value
+FROM hourly
+UNION ALL
+SELECT 'day' AS level,
+       CAST(floor(bucket_epoch / 86400) * 86400 AS BIGINT) AS bucket_epoch,
+       event_type,
+       CAST(SUM(sum_value) AS DOUBLE) AS sum_value,
+       CAST(SUM(n) AS BIGINT) AS n,
+       CAST(MAX(max_value) AS DOUBLE) AS max_value
+FROM hourly GROUP BY 2, 3
+"""
+
+
 def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4-style: EXISTS semi-join — orders placed in 1997 having at
     least one line shipped after the order date, counted by priority."""
@@ -1353,6 +1434,8 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
     "salted_event_counts": (q_salted_event_counts, SQL_SALTED_EVENT_COUNTS),
     "asof_last_purchase": (q_asof_last_purchase, SQL_ASOF_LAST_PURCHASE),
+    "purchase_windows": (q_purchase_windows, SQL_PURCHASE_WINDOWS),
+    "time_bucket_rollup": (q_time_bucket_rollup, SQL_TIME_BUCKET_ROLLUP),
     "tpch_q4": (q_tpch_q4, SQL_TPCH_Q4),
     "tpch_q7": (q_tpch_q7, SQL_TPCH_Q7),
     "tpch_q10": (q_tpch_q10, SQL_TPCH_Q10),

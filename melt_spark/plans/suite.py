@@ -1616,19 +1616,40 @@ SUITE: dict[str, tuple] = {
                               F.col("k").alias("id")),
          "SELECT 'union' AS kind, k AS id"),
     ),
+    # ROLLUP + GROUPING SETS + hypertable time-bucket cascade. The tbucket
+    # branch packs level|bucket_epoch and event_type into the two varchar
+    # key slots; max_v is a new all-branch double column (−1.0 sentinel on
+    # the branches without a max) so the cascade's min/max path is hashed.
     "rollup_grouping_sets": merged(
         (ANALYTICS_SUITE["rollup_revenue"],
          lambda df: df.select(F.lit("rollup").alias("kind"), "l_returnflag",
                               "l_linestatus", F.lit(-1).alias("g_rf"),
-                              F.lit(-1).alias("g_ls"), "sum_price", "n"),
+                              F.lit(-1).alias("g_ls"), "sum_price", "n",
+                              F.lit(-1.0).alias("max_v")),
          "SELECT 'rollup' AS kind, l_returnflag, l_linestatus, -1 AS g_rf,"
-         " -1 AS g_ls, sum_price, n"),
+         " -1 AS g_ls, sum_price, n, CAST(-1.0 AS DOUBLE) AS max_v"),
         (ANALYTICS_SUITE["grouping_sets"],
          lambda df: df.select(F.lit("gsets").alias("kind"), "l_returnflag",
                               "l_linestatus", "g_rf", "g_ls",
-                              F.lit(-1.0).alias("sum_price"), "n"),
+                              F.lit(-1.0).alias("sum_price"), "n",
+                              F.lit(-1.0).alias("max_v")),
          "SELECT 'gsets' AS kind, l_returnflag, l_linestatus, g_rf, g_ls,"
-         " CAST(-1.0 AS DOUBLE) AS sum_price, n"),
+         " CAST(-1.0 AS DOUBLE) AS sum_price, n,"
+         " CAST(-1.0 AS DOUBLE) AS max_v"),
+        (ANALYTICS_SUITE["time_bucket_rollup"],
+         lambda df: df.select(
+             F.lit("tbucket").alias("kind"),
+             F.concat_ws("|", "level",
+                         F.col("bucket_epoch").cast("string"))
+             .alias("l_returnflag"),
+             F.col("event_type").alias("l_linestatus"),
+             F.lit(-1).alias("g_rf"), F.lit(-1).alias("g_ls"),
+             F.col("sum_value").alias("sum_price"), "n",
+             F.col("max_value").alias("max_v")),
+         "SELECT 'tbucket' AS kind, level || '|' ||"
+         " CAST(bucket_epoch AS VARCHAR) AS l_returnflag,"
+         " event_type AS l_linestatus, -1 AS g_rf, -1 AS g_ls,"
+         " sum_value AS sum_price, n, max_value AS max_v"),
     ),
     # -- TPC-H shapes, grouped by output geometry (see docs/SUITE_MAP.md)
     "tpch_revenue_groups": merged(
@@ -1782,7 +1803,23 @@ SUITE: dict[str, tuple] = {
          " CAST(-1.0 AS DOUBLE) AS v"),
     ),
     "salted_event_counts": ANALYTICS_SUITE["salted_event_counts"],
-    "asof_last_purchase": ANALYTICS_SUITE["asof_last_purchase"],
+    # as-of + range join: the two temporal-join operators share one entry
+    # (harmonized: event_id, user_id, a reference event id, a double value)
+    "asof_last_purchase": merged(
+        (ANALYTICS_SUITE["asof_last_purchase"],
+         lambda df: df.select(F.lit("asof").alias("kind"), "event_id",
+                              "user_id",
+                              F.col("purchase_event_id").alias("ref_id"),
+                              F.col("purchase_value").alias("v")),
+         "SELECT 'asof' AS kind, event_id, user_id,"
+         " purchase_event_id AS ref_id, purchase_value AS v"),
+        (ANALYTICS_SUITE["purchase_windows"],
+         lambda df: df.select(F.lit("range").alias("kind"), "event_id",
+                              "user_id", "ref_id",
+                              F.col("offset_sec").alias("v")),
+         "SELECT 'range' AS kind, event_id, user_id, ref_id,"
+         " offset_sec AS v"),
+    ),
     "distinct_users": merged(
         (ANALYTICS_SUITE["distinct_counts"],
          lambda df: df.select(F.lit("by_type").alias("kind"),
