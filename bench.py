@@ -64,24 +64,35 @@ def main() -> None:
             pass
     s.q_load_counts(spark, sf_dir).collect()
 
+    # Per-query fault isolation: one failing headliner must not destroy the
+    # other 12 measurements (round-2 lesson — a single AnalysisException left
+    # the whole round without a bench artifact). Failures are recorded per
+    # query and the totals JSON is ALWAYS emitted.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in BENCH_QUERIES:
         best = None
-        for _ in range(2):  # min of 2: drops scheduler noise, stays honest
-            t0 = time.perf_counter()
-            _force(fn(spark, sf_dir))
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(2):  # min of 2: drops scheduler noise, stays honest
+                t0 = time.perf_counter()
+                _force(fn(spark, sf_dir))
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 — isolate, record, keep going
+            errors[name] = f"{type(exc).__name__}: {str(exc)[:500]}"
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

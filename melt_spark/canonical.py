@@ -35,9 +35,9 @@ from pyspark.sql import functions as F
 # tool — its wire format is second precision. Compaction identity in a mixed
 # migration (reference-written topic + this engine's producer) then breaks:
 # the "same" key serializes differently. Migrating a reference-written topic
-# requires ts_format=ISO_SECONDS END-TO-END — pass it to every
-# canonical_json()/message_df() call in the pipeline (it is one pipeline-level
-# setting: Source.messages → message_df(ts_format=...)), or re-key the topic.
+# requires ts_format=ISO_SECONDS END-TO-END — set Source(ts_format=
+# ISO_SECONDS) and every encode path of that source (load, diff, verify, CDC)
+# uses it, because they all route through Source.messages()/replay_changes().
 ISO_MILLIS = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
 ISO_SECONDS = "yyyy-MM-dd'T'HH:mm:ss'Z'"
 

@@ -42,6 +42,13 @@ class Source:
     )
     # CDC hook: custom change-tracking SQL (reference sql_server.clj:140)
     change_tracking_sql: Optional[str] = None
+    # Pipeline-level timestamp wire format for EVERY encode path of this
+    # source (key + value + CDC). None = engine default (ISO_MILLIS).
+    # Set canonical.ISO_SECONDS for byte-parity with topics produced by the
+    # reference tool (golden "2007-08-01T00:00:00Z", integration_test.clj:68)
+    # — one setting here covers load, diff, verify, and CDC because all of
+    # them route through Source.messages()/replay_changes().
+    ts_format: Optional[str] = None
 
     @property
     def full_name(self) -> str:

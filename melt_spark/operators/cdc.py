@@ -51,13 +51,14 @@ def changes_with_entity(changes: DataFrame, base: DataFrame,
 
 def replay_changes(changes: DataFrame, source: "Source",
                    from_version: int = 0,
-                   ts_format: str = ISO_MILLIS) -> DataFrame:
+                   ts_format: str | None = None) -> DataFrame:
     """Changes with version > from_version → message envelopes.
 
     Output: topic, key, value (NULL for deletes) + relocated tracking fields
     sys_change_operation / sys_change_version (the reference moves them out
     of the value and into the message, sql_server.clj:117-119).
     """
+    ts_format = ts_format or getattr(source, "ts_format", None) or ISO_MILLIS
     present = [c for c in TRACKING_COLS if c in changes.columns]
     if "sys_change_version" not in present:
         raise ValueError("changes DataFrame lacks sys_change_version")

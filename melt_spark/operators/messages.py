@@ -28,7 +28,7 @@ TOPIC, KEY, VALUE = "topic", "key", "value"
 
 
 def message_df(df: DataFrame, source: "Source",
-               ts_format: str = ISO_MILLIS,
+               ts_format: str | None = None,
                keep_columns: bool = False) -> DataFrame:
     """Project rows into message envelopes.
 
@@ -39,6 +39,8 @@ def message_df(df: DataFrame, source: "Source",
     original row columns ride along (needed by diff to resend ORIGINAL
     values after comparing in lossy space, melt.clj:415-416).
     """
+    # explicit arg > source-level pipeline setting > engine default
+    ts_format = ts_format or getattr(source, "ts_format", None) or ISO_MILLIS
     cols = [c.lower() for c in df.columns]
     df = df.toDF(*cols)  # reference lowercases all column names (melt.clj:63)
 

@@ -21,6 +21,8 @@ melt_spark.sources.changelog.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -850,6 +852,83 @@ WHERE n_nationkey % 7 <> 3
 """
 
 
+def q_stream_broker_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference §3.2 (full sync then continuous tail) as a STREAM end to
+    end: a staged 3-batch changelog (full load → updates → tombstones) is
+    consumed with readStream and produced into the mock broker through its
+    STREAMING sink (MeltBrokerStreamWriter — per-micro-batch commit with the
+    batch-id ledger, so a replayed batch appends nothing twice), then the
+    topic is read back bounded and compacted. The executed streaming analogue
+    of q_broker_roundtrip's batch produce path (T3 producer side +
+    S14/S15/T1)."""
+    import shutil
+    import tempfile
+    import time
+
+    from ..sources import mock_broker as mb
+
+    mb.register(spark)
+    work = tempfile.mkdtemp(prefix="melt_stream_sync_")
+    stage = os.path.join(work, "stage")
+    broker = os.path.join(work, "broker")
+    os.makedirs(stage)
+    os.makedirs(broker)
+    topic = "melt.main.nation_stream"
+    mb.create_topic(broker, topic, partitions=3)
+
+    nation = read_table(spark, sf_dir, "nation")
+    key = F.col("n_nationkey").cast("string")
+    batches = [
+        nation.select(F.lit(topic).alias("topic"), key.alias("key"),
+                      F.concat(F.lit('{"name":"'), F.col("n_name"),
+                               F.lit('"}')).alias("value")),
+        (nation.filter(F.col("n_nationkey") % 3 == 0)
+         .select(F.lit(topic).alias("topic"), key.alias("key"),
+                 F.concat(F.lit('{"name":"'), F.col("n_name"),
+                          F.lit('","s":2}')).alias("value"))),
+        (nation.filter(F.col("n_nationkey") % 4 == 1)
+         .select(F.lit(topic).alias("topic"), key.alias("key"),
+                 F.lit(None).cast("string").alias("value"))),
+    ]
+    # one JSON file per changelog batch, mtimes strictly increasing so the
+    # file stream source replays them oldest-first (per-key order preserved)
+    now = time.time() - 300
+    for i, b in enumerate(batches):
+        tmp = os.path.join(work, f"tmp{i}")
+        (b.coalesce(1).write.mode("overwrite")
+         .option("ignoreNullFields", "false").json(tmp))
+        part = next(f for f in os.listdir(tmp)
+                    if f.startswith("part-") and f.endswith(".json"))
+        dst = os.path.join(stage, f"batch-{i:03d}.json")
+        shutil.copyfile(os.path.join(tmp, part), dst)
+        os.utime(dst, (now + i * 30, now + i * 30))
+
+    stream = (spark.readStream
+              .schema("topic string, key string, value string")
+              .option("maxFilesPerTrigger", "1").json(stage))
+    q = (stream.writeStream.format("melt_broker")
+         .option("path", broker).option("partitions", 3)
+         .option("checkpointLocation", os.path.join(work, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    env = mb.read_topics(spark, broker, [topic])
+    state = latest_state(
+        env.select("topic", "key", "value", "partition", "offset"),
+        key_cols=("topic", "key"), order_col=("partition", "offset"))
+    return state.select("topic", "key", "value")
+
+
+SQL_STREAM_BROKER_SYNC = """
+SELECT 'melt.main.nation_stream' AS topic,
+       CAST(n_nationkey AS VARCHAR) AS key,
+       '{"name":"' || n_name || '"'
+         || CASE WHEN n_nationkey % 3 = 0 THEN ',"s":2}' ELSE '}' END AS value
+FROM nation
+WHERE n_nationkey % 4 <> 1
+"""
+
+
 def q_binary_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5: opaque binary payloads embedded as base64 text (the reference's
     Blob→JSON path, melt.clj:364-366). Spark's base64 is MIME-chunked
@@ -1440,6 +1519,15 @@ SUITE: dict[str, tuple] = {
              F.col("topic").alias("c3"),
              F.lit("").alias("c4")),
          "SELECT 'broker' AS kind, key AS c1, value AS c2,"
+         " topic AS c3, '' AS c4"),
+        ((q_stream_broker_sync, SQL_STREAM_BROKER_SYNC),
+         lambda df: df.select(
+             F.lit("stream_sink").alias("kind"),
+             F.col("key").alias("c1"),
+             F.col("value").alias("c2"),
+             F.col("topic").alias("c3"),
+             F.lit("").alias("c4")),
+         "SELECT 'stream_sink' AS kind, key AS c1, value AS c2,"
          " topic AS c3, '' AS c4")),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),

@@ -40,6 +40,12 @@ _DEFAULTS = {
     # sources.parquet.read_table convert to (truncated) microsecond
     # timestamps — the same truncation DuckDB applies.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Parquet timestamps with isAdjustedToUTC=false (e.g. pyarrow's default
+    # timestamp[us]) would otherwise surface as TIMESTAMP_NTZ, which breaks
+    # watermarks (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) and epoch casts.
+    # Session tz is pinned UTC, so reading them as session-TZ TIMESTAMP
+    # preserves both the instant and the canonical ISO rendering.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
 }

@@ -37,13 +37,31 @@ def _ns_timestamp_cols(path: str) -> list[str]:
             if str(f.type).startswith("timestamp[ns")]
 
 
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Resolution/zone-agnostic timestamp normalization: any TIMESTAMP_NTZ
+    column (parquet µs/ms with isAdjustedToUTC=false, read before the
+    inferTimestampNTZ conf applies) becomes session-TZ TIMESTAMP. The session
+    tz is pinned UTC (session.py), so the instant and the canonical ISO
+    rendering are both preserved. LTZ columns pass through untouched."""
+    for name, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(name, F.col(name).cast("timestamp"))
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # prefer the reader-level fix: un-adjusted parquet timestamps arrive as
+    # session-TZ TIMESTAMP directly (no per-column cast in the plan)
+    try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass  # unknown conf in some future build — the cast below still fixes it
     df = spark.read.parquet(path)
     for c in _ns_timestamp_cols(path):
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
-    return df
+    return normalize_timestamps(df)
 
 
 def load_tables(spark: SparkSession, sf_dir: str,

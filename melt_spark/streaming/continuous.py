@@ -28,9 +28,27 @@ from ..operators.latest_state import latest_state
 def stream_from_parquet(spark: SparkSession, path: str,
                         schema=None) -> DataFrame:
     """File-source stream over existing parquet (test stand-in for the Kafka
-    readStream; the projection/agg downstream is identical either way)."""
+    readStream; the projection/agg downstream is identical either way).
+
+    Timestamp normalization mirrors sources/parquet.read_table: parquet
+    µs/ms timestamps with isAdjustedToUTC=false must surface as session-TZ
+    TIMESTAMP, not TIMESTAMP_NTZ — watermarks reject NTZ event time
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). Session tz is pinned UTC so the
+    instant is unchanged."""
+    from pyspark.sql.types import StructField, StructType, TimestampNTZType, \
+        TimestampType
+    try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass
     if schema is None:
         schema = spark.read.parquet(path).schema
+    # defensive: a caller-provided (or stale-conf-inferred) schema may still
+    # carry NTZ fields — request LTZ from the reader instead
+    schema = StructType([
+        StructField(f.name, TimestampType(), f.nullable, f.metadata)
+        if isinstance(f.dataType, TimestampNTZType) else f
+        for f in schema.fields])
     reader = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", "1"))
     if path.endswith(".parquet") and "*" not in path:

@@ -44,6 +44,28 @@ def test_kmeans_centroids_deterministic_and_usable(spark, sf_dir):
     assert len(out) == 10  # 2 queries x top-5 through trained lists
 
 
+def test_ivf_recall_nprobe_sweep(spark, sf_dir):
+    """Recall@10 vs brute force at several nprobe settings, with fixed
+    floors (measured 0.32/0.50/0.74 at sf0.001) so a future IVF change can't
+    silently trade recall away. More probes can only ADD candidates, and any
+    candidate outranking a true top-10 hit is itself a true top-10 hit, so
+    recall is mathematically non-decreasing in nprobe — assert that too."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(emb, queries, k=10).collect()}
+    floors = {1: 0.25, 3: 0.45, 5: 0.65}
+    recalls = {}
+    for nprobe, floor in floors.items():
+        approx = {(r["query_id"], r["neighbor_id"])
+                  for r in ivf_topk(emb, queries, k=10, nprobe=nprobe,
+                                    every=50).collect()}
+        recalls[nprobe] = len(exact & approx) / len(exact)
+        assert recalls[nprobe] >= floor, \
+            f"nprobe={nprobe}: recall {recalls[nprobe]:.2f} < floor {floor}"
+    assert recalls[1] <= recalls[3] <= recalls[5]
+
+
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
