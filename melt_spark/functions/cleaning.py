@@ -81,9 +81,23 @@ def repetition_cols(text_col: str = "text") -> dict[str, Column]:
     bg = _bigrams(toks)
     n_tok = F.size(toks)
     n_bg = F.size(bg)
-    top_bg = F.array_max(F.transform(
-        F.array_distinct(bg),
-        lambda x: F.size(F.filter(bg, lambda y: y == x))))
+    # top-bigram count = longest equal-run in the SORTED bigram array:
+    # O(n log n) sort + O(n) fold per row (was O(distinct²) — the dominant
+    # CPU cost of the one-pass text profile on long documents). The ""
+    # run-start sentinel can't collide: every bigram contains a space.
+    top_bg = F.aggregate(
+        F.array_sort(bg),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+             .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)))
+             .alias("best")),
+        lambda acc: acc["best"])
     return {
         "dup_token_frac": (F.lit(1.0)
                            - F.size(F.array_distinct(toks)).cast("double")
