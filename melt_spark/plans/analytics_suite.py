@@ -1331,6 +1331,77 @@ WHERE s_suppkey IN (
 """
 
 
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers-who-kept-waiting) — the last uncovered TPC-H
+    shape. The fixture lineitem has no l_commitdate/l_receiptdate, so both
+    are DERIVED deterministically from existing columns with the SAME
+    formula on both engines (receipt = ship + transit days keyed on
+    (orderkey, linenumber); commit = ship + promise days keyed on
+    (partkey, suppkey)); the q21 semantics — multi-supplier 'F' orders
+    where exactly ONE supplier was late, counted per supplier — then run
+    genuinely. Aggregate restatement of the EXISTS / NOT EXISTS pair: per
+    order, n_supp > 1 AND n_late == 1 (Spark-first: two hash aggregates,
+    no correlated subquery)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    sup = read_table(spark, sf_dir, "supplier")
+    receipt = F.date_add(
+        F.col("l_shipdate").cast("date"),
+        ((F.col("l_orderkey") + F.col("l_linenumber")) % 10 + 1).cast("int"))
+    commit = F.date_add(
+        F.col("l_shipdate").cast("date"),
+        ((F.col("l_partkey") + F.col("l_suppkey")) % 12).cast("int"))
+    lx = li.select("l_orderkey", "l_suppkey", receipt.alias("receipt"),
+                   commit.alias("commit"))
+    per_order = lx.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("receipt") > F.col("commit"),
+                               F.col("l_suppkey"))).alias("n_late"))
+    late = (lx.filter(F.col("receipt") > F.col("commit"))
+            .select("l_orderkey", "l_suppkey").distinct())
+    f_orders = (orders.filter(F.col("o_orderstatus") == "F")
+                .select(F.col("o_orderkey").alias("l_orderkey")))
+    waiting = (late.join(per_order, "l_orderkey")
+               .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+               .join(f_orders, "l_orderkey"))
+    return (waiting.groupBy("l_suppkey")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_name", "numwait")
+            .orderBy(F.desc("numwait"), "s_name").limit(100))
+
+
+SQL_TPCH_Q21 = """
+WITH lx AS (
+  SELECT l_orderkey, l_suppkey,
+    CAST(l_shipdate AS DATE)
+      + CAST((l_orderkey + l_linenumber) % 10 + 1 AS INT) AS receipt,
+    CAST(l_shipdate AS DATE)
+      + CAST((l_partkey + l_suppkey) % 12 AS INT) AS commit
+  FROM lineitem
+),
+per_order AS (
+  SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN receipt > commit THEN l_suppkey END)
+           AS n_late
+  FROM lx GROUP BY l_orderkey
+),
+late AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lx
+         WHERE receipt > commit),
+waiting AS (
+  SELECT late.l_orderkey, late.l_suppkey
+  FROM late
+  JOIN per_order USING (l_orderkey)
+  JOIN orders ON o_orderkey = late.l_orderkey AND o_orderstatus = 'F'
+  WHERE n_supp > 1 AND n_late = 1
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM waiting JOIN supplier ON s_suppkey = l_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name LIMIT 100
+"""
+
+
 def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULL edge cases — the classic engine-parity traps: null-safe
     equality, coalesce/nullif, NULL propagation through arithmetic and
@@ -1466,6 +1537,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "tpch_q13": (q_tpch_q13, SQL_TPCH_Q13),
     "tpch_q16": (q_tpch_q16, SQL_TPCH_Q16),
     "tpch_q20": (q_tpch_q20, SQL_TPCH_Q20),
+    "tpch_q21": (q_tpch_q21, SQL_TPCH_Q21),
     "null_semantics": (q_null_semantics, SQL_NULL_SEMANTICS),
     "ship_latency_histogram": (
         lambda spark, sf_dir: (

@@ -1854,6 +1854,13 @@ SUITE: dict[str, tuple] = {
                               F.lit(-1.0).alias("total")),
          "SELECT 'q13' AS q, CAST(c_count AS VARCHAR) AS grp,"
          " custdist AS n, CAST(-1.0 AS DOUBLE) AS total"),
+        (ANALYTICS_SUITE["tpch_q21"],
+         lambda df: df.select(F.lit("q21").alias("q"),
+                              F.col("s_name").alias("grp"),
+                              F.col("numwait").alias("n"),
+                              F.lit(-1.0).alias("total")),
+         "SELECT 'q21' AS q, s_name AS grp, numwait AS n,"
+         " CAST(-1.0 AS DOUBLE) AS total"),
     ),
     "tpch_partsupp": merged(
         (ANALYTICS_SUITE["tpch_q2"],
