@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .text import fingerprint
 
@@ -44,6 +45,56 @@ def duplicate_groups(df: DataFrame, text_col: str = "text",
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.min(id_col).alias("min_doc"))
             .filter(F.col("n_docs") > 1))
+
+
+def span_dedup(df: DataFrame, k: int = 8, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Cross-document SPAN dedup (C4/RefinedWeb-style sub-document dedup,
+    at token-window granularity): split each document into non-overlapping
+    k-token spans, keep only the corpus-wide FIRST occurrence of each span
+    (lowest (doc_id, span_idx)), and reassemble every document from its
+    surviving spans. Doc-level dedup (exact_dedup) misses boilerplate
+    repeated INSIDE otherwise-distinct pages; this removes it.
+
+    Output: id, text_dedup (may be '' if every span was seen earlier),
+    n_spans, n_kept, n_removed.
+
+    Scale: span construction is per-row Catalyst (split → sequence →
+    slice); the only shuffle is the first-occurrence window, partitioned by
+    span text — groups are tiny (duplicate multiplicity), so the sort
+    inside each is O(dups). At 100 TB, shuffle span digests instead:
+    partition the window by xxhash64(span) and ship (hash, id, idx) — the
+    reassembly join then pulls span text back from the exploded side.
+    Reassembly is one groupBy(id) with an array_sort on (idx, span) —
+    collect_list order is nondeterministic, the sort restores it."""
+    toks = F.split(F.col(text_col), " ")
+    n_spans = F.ceil(F.size(toks) / F.lit(k)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "))
+    ex = df.select(F.col(id_col),
+                   F.posexplode(spans).alias("span_idx", "span"))
+    w = Window.partitionBy("span").orderBy(F.col(id_col), F.col("span_idx"))
+    kept = (ex.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1))
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_kept"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("span_idx", "span"))),
+                            lambda s: s["span"]),
+                        " ").alias("text_dedup")))
+    totals = df.select(F.col(id_col), n_spans.cast("long").alias("n_spans"))
+    return (totals.join(rebuilt, id_col, "left")
+            .select(id_col,
+                    F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+                    "n_spans",
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                     .alias("n_kept"),
+                    (F.col("n_spans")
+                     - F.coalesce("n_kept", F.lit(0))).cast("long")
+                    .alias("n_removed")))
 
 
 # ---------------------------------------------------------------------------

@@ -282,6 +282,52 @@ FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
 """
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document span dedup (functions/dedup.span_dedup): the corpus
+    with a planted id-shifted copy — every span of a copied doc is a
+    corpus-level duplicate, so copies reassemble empty while originals
+    survive intact (plus any natural cross-doc span repeats)."""
+    from ..functions.dedup import span_dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    copy = docs.withColumn("doc_id", F.col("doc_id") + F.lit(10000))
+    return span_dedup(docs.unionByName(copy), k=8)
+
+
+SQL_SPAN_DEDUP = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 10000, text FROM documents
+),
+toks AS (
+  SELECT doc_id, string_split(text, ' ') AS arr FROM corpus
+),
+spans AS (
+  SELECT doc_id, CAST(g.i AS INT) AS span_idx,
+         array_to_string(arr[(g.i * 8 + 1):(g.i * 8 + 8)], ' ') AS span
+  FROM toks,
+       unnest(generate_series(0,
+              CAST(ceil(len(arr) / 8.0) AS INT) - 1)) AS g(i)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY span
+                               ORDER BY doc_id, span_idx) AS rn
+  FROM spans
+),
+rebuilt AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(span, ' ' ORDER BY span_idx) AS text_dedup
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id)
+SELECT t.doc_id, coalesce(r.text_dedup, '') AS text_dedup,
+       CAST(t.n_spans AS BIGINT) AS n_spans,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(t.n_spans - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM totals t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+"""
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup pairs (inverted-index join), j >= 0.8,
     with the hot-shingle df cap ON (the scale default — an uncapped
@@ -999,6 +1045,7 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "repetition": (q_repetition, SQL_REPETITION),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),

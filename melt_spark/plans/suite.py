@@ -1546,7 +1546,27 @@ SUITE: dict[str, tuple] = {
              ["dup_token_frac", "dup_bigram_frac", "top_bigram_frac"]),
             (PIPELINE_SUITE["pii_scrub"],
              ["n_email", "n_ipv4", "n_phone", "scrubbed_fp"]))[1]),
-    "dedup_exact": PIPELINE_SUITE["dedup_exact"],
+    # -- exact doc-level dedup + NEW r3 sub-document span dedup (C4-style:
+    #    first corpus-wide occurrence of each k-token span survives, docs
+    #    reassembled from surviving spans)
+    "dedup_exact": merged(
+        (PIPELINE_SUITE["dedup_exact"],
+         lambda df: df.select(F.lit("exact").alias("kind"),
+                              F.col("fingerprint").alias("k1"),
+                              F.col("n_docs").alias("n1"),
+                              F.col("min_doc").alias("n2"),
+                              F.lit("").alias("s1")),
+         "SELECT 'exact' AS kind, fingerprint AS k1, n_docs AS n1,"
+         " min_doc AS n2, '' AS s1"),
+        (PIPELINE_SUITE["span_dedup"],
+         lambda df: df.select(F.lit("spans").alias("kind"),
+                              F.col("doc_id").cast("string").alias("k1"),
+                              F.col("n_spans").alias("n1"),
+                              F.col("n_removed").alias("n2"),
+                              F.col("text_dedup").alias("s1")),
+         "SELECT 'spans' AS kind, CAST(doc_id AS VARCHAR) AS k1,"
+         " n_spans AS n1, n_removed AS n2, text_dedup AS s1"),
+    ),
     "dedup_jaccard": PIPELINE_SUITE["dedup_jaccard"],
     "dedup_minhash_lsh": PIPELINE_SUITE["dedup_minhash_lsh"],
     "dedup_clusters": PIPELINE_SUITE["dedup_clusters"],

@@ -31,6 +31,25 @@ def test_exact_dedup_keeps_min_id(spark):
     assert ids == {1, 3, 4, 5}  # doc 2 is an exact dup of 1
 
 
+def test_span_dedup_first_occurrence_wins(spark):
+    from melt_spark.functions.dedup import span_dedup
+
+    rows = [
+        (1, "a b c d e f"),          # spans (k=3): "a b c", "d e f"
+        (2, "a b c x y z"),          # "a b c" dup of doc1 → only "x y z" kept
+        (3, "a b c d e f"),          # full dup → everything removed
+        (4, "p q"),                  # short doc: single 2-token span, unique
+    ]
+    out = {r["doc_id"]: r for r in
+           span_dedup(_docs(spark, rows), k=3).collect()}
+    assert (out[1]["text_dedup"], out[1]["n_spans"],
+            out[1]["n_removed"]) == ("a b c d e f", 2, 0)
+    assert (out[2]["text_dedup"], out[2]["n_removed"]) == ("x y z", 1)
+    assert (out[3]["text_dedup"], out[3]["n_kept"],
+            out[3]["n_removed"]) == ("", 0, 2)
+    assert (out[4]["text_dedup"], out[4]["n_spans"]) == ("p q", 1)
+
+
 def test_shingles_short_doc_empty(spark):
     df = _docs(spark, [(1, "one two")])
     assert shingles(df, k=3).count() == 0
