@@ -107,3 +107,34 @@ def test_sync_always_heals(src_state, top_state):
     assert healed == src_state
     # and the healed topic now diffs clean
     assert diff_matches(diff(src, msgs(healed)))
+
+
+# span dedup: the surviving spans across the whole output corpus are exactly
+# the DISTINCT spans of the input corpus, each appearing exactly once
+span_docs = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=9)
+      .map(" ".join),
+    min_size=1, max_size=6)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(span_docs)
+def test_span_dedup_output_spans_are_distinct_input_spans(texts):
+    from melt_spark.functions.dedup import span_dedup
+
+    spark = _get_spark()
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    out = span_dedup(df, k=2).collect()
+
+    def spans(t, k=2):
+        toks = t.split(" ")
+        return [" ".join(toks[i:i + k]) for i in range(0, len(toks), k)]
+
+    in_spans = [s for t in texts for s in spans(t)]
+    out_spans = [s for r in out if r["text_dedup"]
+                 for s in spans(r["text_dedup"])]
+    assert sorted(out_spans) == sorted(set(in_spans))
+    for r in out:
+        assert r["n_kept"] + r["n_removed"] == r["n_spans"]
