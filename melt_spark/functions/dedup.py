@@ -75,26 +75,21 @@ def span_dedup(df: DataFrame, k: int = 8, text_col: str = "text",
     ex = df.select(F.col(id_col),
                    F.posexplode(spans).alias("span_idx", "span"))
     w = Window.partitionBy("span").orderBy(F.col(id_col), F.col("span_idx"))
-    kept = (ex.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1))
-    rebuilt = (kept.groupBy(id_col)
-               .agg(F.count(F.lit(1)).alias("n_kept"),
-                    F.array_join(
-                        F.transform(
-                            F.array_sort(F.collect_list(
-                                F.struct("span_idx", "span"))),
-                            lambda s: s["span"]),
-                        " ").alias("text_dedup")))
-    totals = df.select(F.col(id_col), n_spans.cast("long").alias("n_spans"))
-    return (totals.join(rebuilt, id_col, "left")
-            .select(id_col,
-                    F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
-                    "n_spans",
-                    F.coalesce("n_kept", F.lit(0)).cast("long")
-                     .alias("n_kept"),
-                    (F.col("n_spans")
-                     - F.coalesce("n_kept", F.lit(0))).cast("long")
-                    .alias("n_removed")))
+    ranked = ex.withColumn("rn", F.row_number().over(w))
+    # ONE conditional aggregation over the ranked rows rebuilds the doc AND
+    # counts totals — no second corpus scan, no reassembly join (every doc
+    # keeps a group even when all its spans were dropped). collect_list
+    # skips the NULLs the `when` produces for dropped spans.
+    kept_struct = F.when(F.col("rn") == 1, F.struct("span_idx", "span"))
+    return (ranked.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_spans"),
+                 F.count(kept_struct).alias("n_kept"),
+                 F.array_join(
+                     F.transform(F.array_sort(F.collect_list(kept_struct)),
+                                 lambda s: s["span"]),
+                     " ").alias("text_dedup"))
+            .select(id_col, "text_dedup", "n_spans", "n_kept",
+                    (F.col("n_spans") - F.col("n_kept")).alias("n_removed")))
 
 
 # ---------------------------------------------------------------------------
