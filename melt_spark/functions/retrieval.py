@@ -1,0 +1,69 @@
+"""BM25 lexical retrieval — keyword top-k over the corpus, the lexical
+counterpart of the vector paths in similarity.py/ivf.py (a real retrieval
+stack serves both and fuses results).
+
+Okapi BM25 with the standard +1 idf smoothing:
+
+    idf(t)  = ln(1 + (N - df(t) + 0.5) / (df(t) + 0.5))
+    score   = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+Scale shape: the corpus is scanned ONCE for (doc, term-in-query) counts —
+the isin(query_terms) filter lands right after the explode, so only
+query-term postings survive (tiny next to the corpus). df/idf per term is a
+few rows (broadcast); doc lengths ride the same scan. At 100 TB with large
+postings lists, drop the tf broadcast hint and let AQE pick the join.
+
+Cross-engine float discipline (the repo's hash rules): the per-doc sum folds
+CONTRIBUTIONS SORTED BY TERM from a 0.0 seed (Spark aggregate ==
+DuckDB list_reduce), avgdl divides an exact integer sum, and every float
+expression is written with the same literal shape on both engines.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bm25_topk(docs: DataFrame, query_terms: Sequence[str], k: int = 15,
+              k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Top-k documents for a bag-of-terms query. Output: doc_id, score,
+    rank (deterministic tie-break: score desc, doc_id asc)."""
+    toks = F.split(F.col(text_col), " ")
+    lens = docs.select(F.col(id_col), F.size(toks).alias("dl"))
+    stats = lens.agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.avg("dl").alias("avgdl"))  # exact int sum / count
+
+    tf = (docs.select(F.col(id_col), F.explode(toks).alias("tok"))
+          .filter(F.col("tok").isin(*list(query_terms)))
+          .groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    denom = (F.col("tf")
+             + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    contrib = (idf * (F.col("tf") * (k1 + 1) / denom)).alias("c")
+
+    scored = (lens.join(F.broadcast(tf), id_col)
+              .join(F.broadcast(dfreq), "tok")
+              .crossJoin(F.broadcast(stats))
+              .select(F.col(id_col), F.col("tok"), contrib))
+    per_doc = scored.groupBy(id_col).agg(
+        F.aggregate(
+            F.transform(F.array_sort(F.collect_list(F.struct("tok", "c"))),
+                        lambda s: s["c"]),
+            F.lit(0.0), lambda acc, x: acc + x).alias("score"))
+    top = per_doc.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+    # rank over the k survivors only (the global sort already happened)
+    from pyspark.sql.window import Window
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    # ln is NOT IEEE-correctly-rounded (JVM Math.log vs libm differ by
+    # 1 ulp on some inputs — observed), so the raw double can't be
+    # hash-compared across engines; 9 decimals is ~7 orders above ulp
+    # noise and far below real score gaps
+    return top.withColumn("rank", F.row_number().over(w)) \
+              .select(id_col, F.round("score", 9).alias("score"), "rank")

@@ -553,6 +553,56 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+BM25_TERMS = ("spark", "join", "window")
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical top-15 for a fixed bag-of-terms query
+    (functions/retrieval.py) — the keyword-retrieval counterpart of the
+    vector ANN branch it shares this entry with."""
+    from ..functions.retrieval import bm25_topk
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, BM25_TERMS, k=15)
+
+
+SQL_BM25_TOPK = f"""
+WITH lens AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens),
+tf AS (
+  SELECT doc_id, u.tok, COUNT(*) AS tf
+  FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+  WHERE u.tok IN {BM25_TERMS!r}
+  GROUP BY doc_id, u.tok
+),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+contrib AS (
+  SELECT t.doc_id, t.tok,
+    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+      * (t.tf * (1.2 + 1) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)))
+      AS c
+  FROM tf t
+  JOIN dfreq d USING (tok)
+  JOIN lens l USING (doc_id), stats s
+),
+perdoc AS (
+  SELECT doc_id,
+    list_reduce(list_prepend(0.0, list(c ORDER BY tok)), (x, y) -> x + y)
+      AS score
+  FROM contrib GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM perdoc
+)
+SELECT doc_id, round(score, 9) AS score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 15
+"""
+
+
 SQL_ANN_TOPK = f"""
 WITH q AS (SELECT vec_id AS query_id, {_DVEC} AS qv
            FROM embeddings WHERE vec_id < 5),
@@ -1053,6 +1103,7 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "simhash_near_dup": (q_simhash_near_dup, SQL_SIMHASH_NEAR_DUP),
     "simhash64_near_dup": (q_simhash64_near_dup, SQL_SIMHASH64_NEAR_DUP),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_TOPK),
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "lsh_buckets": (q_lsh_buckets, SQL_LSH_BUCKETS),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),

@@ -1581,7 +1581,24 @@ SUITE: dict[str, tuple] = {
                               "hamming"),
          "SELECT 64 AS bits, doc_a, doc_b, hamming"),
     ),
-    "ann_cosine_topk": PIPELINE_SUITE["ann_cosine_topk"],
+    # -- brute-force vector top-k + NEW r3 BM25 lexical top-k (the two
+    #    halves of a retrieval stack share one entry)
+    "ann_cosine_topk": merged(
+        (PIPELINE_SUITE["ann_cosine_topk"],
+         lambda df: df.select(F.lit("ann").alias("kind"),
+                              F.col("query_id").alias("qid"),
+                              F.col("neighbor_id").alias("did"),
+                              "rank", F.col("cos").alias("v")),
+         "SELECT 'ann' AS kind, query_id AS qid, neighbor_id AS did,"
+         " rank, cos AS v"),
+        (PIPELINE_SUITE["bm25_topk"],
+         lambda df: df.select(F.lit("bm25").alias("kind"),
+                              F.lit(-1).cast("bigint").alias("qid"),
+                              F.col("doc_id").alias("did"),
+                              "rank", F.col("score").alias("v")),
+         "SELECT 'bm25' AS kind, CAST(-1 AS BIGINT) AS qid, doc_id AS did,"
+         " rank, score AS v"),
+    ),
     # -- hyperplane-LSH buckets + bucket-local near-dup pairs
     "embedding_lsh": merged(
         (PIPELINE_SUITE["lsh_buckets"],

@@ -31,6 +31,26 @@ def test_exact_dedup_keeps_min_id(spark):
     assert ids == {1, 3, 4, 5}  # doc 2 is an exact dup of 1
 
 
+def test_bm25_ranks_term_rich_docs_first(spark):
+    from melt_spark.functions.retrieval import bm25_topk
+
+    rows = [
+        (1, "spark join window spark join"),   # all 3 terms, high tf
+        (2, "spark filter map reduce sort"),   # 1 term
+        (3, "other words entirely different"),  # 0 terms → not a candidate
+        (4, "join window other other other"),   # 2 terms
+    ]
+    out = bm25_topk(_docs(spark, rows), ("spark", "join", "window"),
+                    k=10).collect()
+    ranked = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked[0] == 1            # most matching terms wins
+    assert 3 not in ranked           # no query term -> no candidate row
+    assert len(ranked) == 3
+    scores = [r["score"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+
+
 def test_span_dedup_first_occurrence_wins(spark):
     from melt_spark.functions.dedup import span_dedup
 
