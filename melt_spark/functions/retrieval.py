@@ -32,15 +32,27 @@ def bm25_topk(docs: DataFrame, query_terms: Sequence[str], k: int = 15,
               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Top-k documents for a bag-of-terms query. Output: doc_id, score,
     rank (deterministic tie-break: score desc, doc_id asc)."""
-    toks = F.split(F.col(text_col), " ")
-    lens = docs.select(F.col(id_col), F.size(toks).alias("dl"))
-    stats = lens.agg(F.count(F.lit(1)).alias("n_docs"),
-                     F.avg("dl").alias("avgdl"))  # exact int sum / count
+    from pyspark.sql.window import Window
 
-    tf = (docs.select(F.col(id_col), F.explode(toks).alias("tok"))
+    toks = F.split(F.col(text_col), " ")
+    # scan 1 (column-pruned to text): corpus-wide doc count + avg length.
+    # Needs docs with NO query terms too, so it can't come from the
+    # postings side.
+    stats = (docs.select(F.size(toks).alias("dl"))
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.avg("dl").alias("avgdl")))  # exact int sum / count
+
+    # scan 2: ONE pass builds postings WITH the doc length folded in (dl is
+    # functionally dependent on the id, so adding it to the grouping is
+    # free). The isin() filter sits directly on the explode — only
+    # query-term tokens survive the scan.
+    tf = (docs.select(F.col(id_col), F.size(toks).alias("dl"),
+                      F.explode(toks).alias("tok"))
           .filter(F.col("tok").isin(*list(query_terms)))
-          .groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf")))
-    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+          .groupBy(id_col, "dl", "tok").agg(F.count(F.lit(1)).alias("tf")))
+    # df per term as a window over the (tiny, post-filter) postings — a
+    # groupBy would re-run the whole corpus scan lineage instead
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("tok"))
 
     idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5))
@@ -48,8 +60,7 @@ def bm25_topk(docs: DataFrame, query_terms: Sequence[str], k: int = 15,
              + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
     contrib = (idf * (F.col("tf") * (k1 + 1) / denom)).alias("c")
 
-    scored = (lens.join(F.broadcast(tf), id_col)
-              .join(F.broadcast(dfreq), "tok")
+    scored = (tf.withColumn("df", dfreq)
               .crossJoin(F.broadcast(stats))
               .select(F.col(id_col), F.col("tok"), contrib))
     per_doc = scored.groupBy(id_col).agg(
