@@ -83,7 +83,10 @@ def replicate(spark, sf_dir: str, out_dir: str, n: int) -> None:
 
 
 PROBES = ["text_quality", "dedup_minhash_lsh", "clean_corpus",
-          "tpch_q1", "latest_state"]
+          "tpch_q1", "latest_state",
+          # r3 additions: sub-document span dedup + BM25 retrieval ride
+          # their merged entries (dedup_exact, ann_cosine_topk)
+          "dedup_exact", "ann_cosine_topk"]
 
 
 def time_queries(spark, sf_dir: str, names, runs: int = 1) -> dict[str, float]:
