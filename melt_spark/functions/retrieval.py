@@ -78,3 +78,30 @@ def bm25_topk(docs: DataFrame, query_terms: Sequence[str], k: int = 15,
     # noise and far below real score gaps
     return top.withColumn("rank", F.row_number().over(w)) \
               .select(id_col, F.round("score", 9).alias("score"), "rank")
+
+
+def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame,
+             id_a: str, id_b: str, k: int = 10, c: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked lists (the standard hybrid-
+    retrieval combiner — vector ANN + BM25 each vote by rank, score scales
+    cancel out):
+
+        fused(d) = 1/(c + rank_a(d)) + 1/(c + rank_b(d))
+
+    with an absent list contributing 0. Both inputs must carry a `rank`
+    column. Rank-only arithmetic: division is IEEE-correctly-rounded and
+    the two-addend sum has a fixed order, so the double is hash-exact
+    cross-engine (unlike ln — see bm25_topk). Inputs are top-k lists
+    (tiny); everything here is driver-free but trivially small."""
+    a = ranked_a.select(F.col(id_a).alias("item"),
+                        F.col("rank").alias("rank_a"))
+    b = ranked_b.select(F.col(id_b).alias("item"),
+                        F.col("rank").alias("rank_b"))
+    fused = (F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("rank_a")), F.lit(0.0))
+             + F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("rank_b")),
+                          F.lit(0.0)))
+    j = a.join(b, "item", "full_outer").select("item", fused.alias("fused"))
+    top = j.orderBy(F.desc("fused"), F.asc("item")).limit(k)
+    from pyspark.sql.window import Window
+    w = Window.orderBy(F.desc("fused"), F.asc("item"))
+    return top.withColumn("rank", F.row_number().over(w))

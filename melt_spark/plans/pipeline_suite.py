@@ -602,6 +602,54 @@ SELECT doc_id, round(score, 9) AS score, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 15
 """
 
+# shared CTE body for the BM25 ranking (reused by the RRF fusion oracle)
+_BM25_CTES = SQL_BM25_TOPK.split("WITH", 1)[1].rsplit("SELECT", 1)[0].rstrip()
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: RRF fusion of the vector ANN top-10 for query
+    vec_id=0 with the BM25 lexical top-15 (embeddings.vec_id and
+    documents.doc_id are the fixture's 1:1 correspondence). Rank-only
+    arithmetic — hash-exact without rounding."""
+    from ..functions.retrieval import bm25_topk, rrf_fuse
+    from ..functions.similarity import cosine_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    docs = read_table(spark, sf_dir, "documents")
+    ann = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=10)
+    bm25 = bm25_topk(docs, BM25_TERMS, k=15)
+    return rrf_fuse(ann, bm25, "neighbor_id", "doc_id", k=10)
+
+
+SQL_RRF_FUSION = f"""
+WITH q AS (SELECT vec_id AS query_id, {_DVEC} AS qv
+           FROM embeddings WHERE vec_id = 0),
+cv_t AS (SELECT vec_id AS neighbor_id, {_DVEC} AS cv FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id,
+         {_dot_sql('qv', 'cv')}
+           / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')}))
+           AS cos
+  FROM q, cv_t WHERE query_id <> neighbor_id
+),
+ar AS (
+  SELECT neighbor_id,
+         row_number() OVER (ORDER BY cos DESC, neighbor_id) AS rank_a
+  FROM s QUALIFY rank_a <= 10
+),
+{_BM25_CTES},
+br AS (SELECT doc_id, rank AS rank_b FROM ranked WHERE rank <= 15),
+fused AS (
+  SELECT coalesce(ar.neighbor_id, br.doc_id) AS item,
+         coalesce(1.0 / (60 + ar.rank_a), 0.0)
+           + coalesce(1.0 / (60 + br.rank_b), 0.0) AS fused
+  FROM ar FULL OUTER JOIN br ON ar.neighbor_id = br.doc_id
+)
+SELECT item, fused,
+       CAST(row_number() OVER (ORDER BY fused DESC, item) AS INT) AS rank
+FROM fused QUALIFY rank <= 10
+"""
+
 
 SQL_ANN_TOPK = f"""
 WITH q AS (SELECT vec_id AS query_id, {_DVEC} AS qv
@@ -1104,6 +1152,7 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "simhash64_near_dup": (q_simhash64_near_dup, SQL_SIMHASH64_NEAR_DUP),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_TOPK),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "rrf_fusion": (q_rrf_fusion, SQL_RRF_FUSION),
     "lsh_buckets": (q_lsh_buckets, SQL_LSH_BUCKETS),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),

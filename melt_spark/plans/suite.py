@@ -1598,6 +1598,13 @@ SUITE: dict[str, tuple] = {
                               "rank", F.col("score").alias("v")),
          "SELECT 'bm25' AS kind, CAST(-1 AS BIGINT) AS qid, doc_id AS did,"
          " rank, score AS v"),
+        (PIPELINE_SUITE["rrf_fusion"],
+         lambda df: df.select(F.lit("rrf").alias("kind"),
+                              F.lit(0).cast("bigint").alias("qid"),
+                              F.col("item").alias("did"),
+                              "rank", F.col("fused").alias("v")),
+         "SELECT 'rrf' AS kind, CAST(0 AS BIGINT) AS qid, item AS did,"
+         " rank, fused AS v"),
     ),
     # -- hyperplane-LSH buckets + bucket-local near-dup pairs
     "embedding_lsh": merged(

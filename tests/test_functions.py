@@ -51,6 +51,21 @@ def test_bm25_ranks_term_rich_docs_first(spark):
     assert all(s > 0 for s in scores)
 
 
+def test_rrf_fusion_combines_both_lists(spark):
+    from melt_spark.functions.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)],
+                              "nid long, rank int")
+    b = spark.createDataFrame([(20, 1), (40, 2)], "did long, rank int")
+    out = {r["item"]: (r["fused"], r["rank"])
+           for r in rrf_fuse(a, b, "nid", "did", k=10).collect()}
+    # item 20 appears in both lists -> highest fused score
+    assert out[20] == (1 / 62 + 1 / 61, 1)
+    assert out[10] == (1 / 61, 2)       # rank-1 single-list beats rank-2
+    assert out[40] == (1 / 62, 3)
+    assert out[30] == (1 / 63, 4)
+
+
 def test_span_dedup_first_occurrence_wins(spark):
     from melt_spark.functions.dedup import span_dedup
 
