@@ -72,3 +72,36 @@ def test_sample_db_edn(spark, sf_dir, tmp_path):
     assert doc["table"] == "region"
     assert doc["count"] == 5
     assert len(doc["sample"]) == 3
+
+
+# ---------------------------------------------------------------------------
+# EDN source specs -> Source descriptors (config-file parity)
+
+def test_source_spec_namespaced_keywords():
+    from melt_spark.formats.source_spec import sources_from_edn
+
+    text = '''[{:jdbc.melt/name "Address" :jdbc.melt/schema "SalesLT"
+                :jdbc.melt/keys #{:addressid} :jdbc.melt/topic "melt.alt"}
+               {:name "Customer" :keys #{:custid :region}
+                :sql "Select * From c Where id In (?)" :sql-params [9]}]'''
+    a, c = sources_from_edn(text)
+    assert (a.name, a.schema, a.keys, a.default_topic) == \
+        ("Address", "SalesLT", ("addressid",), "melt.alt")
+    assert (c.name, c.keys) == ("Customer", ("custid", "region"))
+    assert c.sql.startswith("Select") and c.sql_params == ("9",)
+
+
+def test_source_spec_round_trip_and_xform_rejection():
+    import pytest as _pytest
+
+    from melt_spark.formats.source_spec import (sources_from_edn,
+                                                sources_to_edn)
+    from melt_spark.model import Source
+
+    src = Source(name="Orders", schema="sales", keys=("orderid",),
+                 columns=("orderid", "total"), ts_format="yyyy")
+    [back] = sources_from_edn(sources_to_edn([src]))
+    assert back == src
+
+    with _pytest.raises(ValueError, match="xform"):
+        sources_from_edn('{:name "t" :xform :some-fn}')
