@@ -1,0 +1,155 @@
+"""Command-line entry points — the reference's lifecycle workflows
+(SURVEY.md §3) invocable as a tool: `python -m melt_spark <cmd> ...`.
+
+Source configs are EDN files (reference-map compatible,
+formats/source_spec.py). Data comes from --parquet-dir (the fixture/test
+path: each source's table is <dir>/<name>.parquet) or --jdbc-url (the
+production path). The sink is the file outbox (operators/outbox.py — the
+broker-less durable record with the Kafka sink's contract) or a mock-broker
+root via --broker.
+
+Commands:
+  load          full load: scan → messages → outbox/broker (+ counts)
+  compact       latest-state view of an outbox (tombstones applied)
+  sample        top-N sample files per source table (reference sample-db)
+  spec-check    validate an EDN spec; print resolved topics/keys
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _spark() -> SparkSession:
+    from .session import get_spark
+    return get_spark("melt-spark-cli")
+
+
+def _read_fn(spark: SparkSession, args):
+    if args.parquet_dir:
+        from .sources.parquet import read_table
+
+        return lambda src: read_table(spark, args.parquet_dir,
+                                      src.name.lower())
+    if args.jdbc_url:
+        from .sources.jdbc import read_source
+
+        return lambda src: read_source(spark, args.jdbc_url, src)
+    raise SystemExit("need --parquet-dir or --jdbc-url")
+
+
+def _load_sources(path: str):
+    from .formats.source_spec import sources_from_edn
+
+    with open(path) as fh:
+        return sources_from_edn(fh.read())
+
+
+def cmd_load(args) -> int:
+    from .operators.load import load_sources
+    from .operators.outbox import write_outbox
+
+    spark = _spark()
+    sources = _load_sources(args.sources)
+    if args.broker:
+        from .sources import mock_broker as mb
+
+        mb.register(spark)
+
+        def send(msgs: DataFrame) -> None:
+            mb.write_messages(msgs, args.broker)
+    else:
+        def send(msgs: DataFrame) -> None:
+            write_outbox(msgs, args.outbox, batch_id=args.batch_id)
+
+    counts = load_sources(sources, _read_fn(spark, args), send)
+    print(json.dumps({"sent": counts}))
+    return 0
+
+
+def cmd_compact(args) -> int:
+    from .operators.outbox import latest_outbox_state
+
+    spark = _spark()
+    state = latest_outbox_state(spark, args.outbox)
+    if args.out:
+        state.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"rows": spark.read.parquet(args.out).count(),
+                          "out": args.out}))
+    else:
+        rows = state.orderBy("topic", "key").collect()
+        for r in rows:
+            print(json.dumps({"topic": r["topic"], "key": r["key"],
+                              "value": r["value"]}))
+    return 0
+
+
+def cmd_sample(args) -> int:
+    from .operators.sample import sample_db
+
+    spark = _spark()
+    sources = _load_sources(args.sources)
+    read = _read_fn(spark, args)
+    sample_db({s.name: read(s) for s in sources}, args.out, n=args.n)
+    print(json.dumps({"sampled": [s.name for s in sources],
+                      "out": args.out}))
+    return 0
+
+
+def cmd_spec_check(args) -> int:
+    sources = _load_sources(args.sources)
+    for s in sources:
+        print(json.dumps({
+            "source": s.full_name, "topic": s.default_topic,
+            "keys": list(s.keys), "keyed": s.keyed,
+            "custom_sql": bool(s.sql), "ts_format": s.ts_format}))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="melt_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--sources", required=True,
+                        help="EDN source-spec file")
+        sp.add_argument("--parquet-dir", help="table dir (test path)")
+        sp.add_argument("--jdbc-url", help="JDBC url (production path)")
+
+    lp = sub.add_parser("load", help="full load into outbox/broker")
+    common(lp)
+    lp.add_argument("--outbox", help="outbox parquet root")
+    lp.add_argument("--broker", help="mock-broker root (instead of outbox)")
+    lp.add_argument("--batch-id", type=int, default=0)
+    lp.set_defaults(fn=cmd_load)
+
+    cp = sub.add_parser("compact", help="latest-state view of an outbox")
+    cp.add_argument("--outbox", required=True)
+    cp.add_argument("--out", help="write parquet here instead of printing")
+    cp.set_defaults(fn=cmd_compact)
+
+    smp = sub.add_parser("sample", help="top-N sample files per table")
+    common(smp)
+    smp.add_argument("--out", required=True)
+    smp.add_argument("-n", type=int, default=10)
+    smp.set_defaults(fn=cmd_sample)
+
+    sc = sub.add_parser("spec-check", help="validate an EDN source spec")
+    sc.add_argument("--sources", required=True)
+    sc.set_defaults(fn=cmd_spec_check)
+
+    return p
+
+
+def main(argv=None) -> int:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,51 @@
+"""CLI (python -m melt_spark): EDN spec → load → outbox → compact, in
+process (main() reuses the session via getOrCreate)."""
+
+import json
+
+from melt_spark.cli import main
+
+SPEC = """[{:jdbc.melt/name "nation" :jdbc.melt/schema "main"
+            :jdbc.melt/keys #{:n_nationkey}}
+           {:name "region" :keys #{:r_regionkey} :topic "melt.alt.region"}]
+"""
+
+
+def test_cli_load_compact_spec_check(spark, sf_dir, tmp_path, capsys):
+    spec = tmp_path / "sources.edn"
+    spec.write_text(SPEC)
+    outbox = str(tmp_path / "outbox")
+
+    assert main(["spec-check", "--sources", str(spec)]) == 0
+    lines = [json.loads(ln) for ln
+             in capsys.readouterr().out.strip().splitlines()]
+    assert lines[0]["topic"] == "melt.main.nation"
+    assert lines[1]["topic"] == "melt.alt.region"
+    assert lines[0]["keys"] == ["n_nationkey"]
+
+    assert main(["load", "--sources", str(spec), "--parquet-dir", sf_dir,
+                 "--outbox", outbox]) == 0
+    sent = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    n_nation = spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    n_region = spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    assert sent["sent"] == {"melt.main.nation": n_nation,
+                            "melt.alt.region": n_region}
+
+    assert main(["compact", "--outbox", outbox]) == 0
+    rows = [json.loads(ln) for ln
+            in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == n_nation + n_region
+    assert all(r["value"] is not None for r in rows)  # no tombstones sent
+    nation_keys = {r["key"] for r in rows
+                   if r["topic"] == "melt.main.nation"}
+    assert len(nation_keys) == n_nation  # canonical key per PK
+
+
+def test_cli_sample(spark, sf_dir, tmp_path, capsys):
+    spec = tmp_path / "s.edn"
+    spec.write_text('{:name "region" :keys #{:r_regionkey}}')
+    out = str(tmp_path / "samples")
+    assert main(["sample", "--sources", str(spec), "--parquet-dir", sf_dir,
+                 "--out", out, "-n", "3"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["sampled"] == ["region"]
