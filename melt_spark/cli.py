@@ -88,6 +88,39 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_sync(args) -> int:
+    """Reference §3.2/§3.3: diff every source against the outbox's
+    compacted state; report counts, optionally append the repair batch
+    (upserts + tombstones) back to the outbox. --check-only is verify
+    semantics: exit 1 when out of sync, repair nothing."""
+    from pyspark.sql import functions as F
+
+    from .operators.diff import SIDE, diff
+    from .operators.outbox import latest_outbox_state, write_outbox
+    from .operators.sync import sync_plan
+
+    spark = _spark()
+    sources = _load_sources(args.sources)
+    read = _read_fn(spark, args)
+    state = latest_outbox_state(spark, args.outbox)
+
+    report, total = {}, 0
+    for src in sources:
+        msgs = src.messages(read(src))
+        d = diff(msgs, state.filter(F.col("topic") == src.default_topic))
+        sides = {r[SIDE]: r["n"] for r in
+                 d.groupBy(SIDE).agg(F.count(F.lit(1)).alias("n")).collect()}
+        n = sum(sides.values())
+        total += n
+        report[src.default_topic] = {"out_of_sync": n, **sides}
+        if n and not args.check_only:
+            write_outbox(sync_plan(d), args.outbox,
+                         batch_id=args.batch_id)
+    print(json.dumps({"topics": report, "total_out_of_sync": total,
+                      "repaired": not args.check_only and total > 0}))
+    return 1 if (args.check_only and total) else 0
+
+
 def cmd_sample(args) -> int:
     from .operators.sample import sample_db
 
@@ -131,6 +164,14 @@ def build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--outbox", required=True)
     cp.add_argument("--out", help="write parquet here instead of printing")
     cp.set_defaults(fn=cmd_compact)
+
+    sy = sub.add_parser("sync", help="diff sources vs outbox state; repair")
+    common(sy)
+    sy.add_argument("--outbox", required=True)
+    sy.add_argument("--check-only", action="store_true",
+                    help="verify semantics: report + exit 1, no repair")
+    sy.add_argument("--batch-id", type=int, default=1)
+    sy.set_defaults(fn=cmd_sync)
 
     smp = sub.add_parser("sample", help="top-N sample files per table")
     common(smp)

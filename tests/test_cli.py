@@ -49,3 +49,39 @@ def test_cli_sample(spark, sf_dir, tmp_path, capsys):
                  "--out", out, "-n", "3"]) == 0
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["sampled"] == ["region"]
+
+
+def test_cli_sync_repairs_drift(spark, sf_dir, tmp_path, capsys):
+    from melt_spark.operators.outbox import write_outbox
+
+    spec = tmp_path / "s.edn"
+    spec.write_text('{:name "region" :keys #{:r_regionkey}}')
+    outbox = str(tmp_path / "outbox")
+
+    assert main(["load", "--sources", str(spec), "--parquet-dir", sf_dir,
+                 "--outbox", outbox]) == 0
+    capsys.readouterr()
+
+    # drift: overwrite one key with a bogus value, add one stray key
+    drift = spark.createDataFrame(
+        [("melt.main.region", '{"r_regionkey":0}', '{"bogus":true}'),
+         ("melt.main.region", '{"r_regionkey":999}', '{"stray":1}')],
+        "topic string, key string, value string")
+    write_outbox(drift, outbox, batch_id=1)
+
+    # verify: out of sync -> exit 1, nothing repaired
+    assert main(["sync", "--sources", str(spec), "--parquet-dir", sf_dir,
+                 "--outbox", outbox, "--check-only"]) == 1
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["total_out_of_sync"] == 2 and not rep["repaired"]
+    sides = rep["topics"]["melt.main.region"]
+    assert sides["table_only"] == 1 and sides["topic_only"] == 1
+
+    # repair, then verify clean
+    assert main(["sync", "--sources", str(spec), "--parquet-dir", sf_dir,
+                 "--outbox", outbox, "--batch-id", "2"]) == 0
+    capsys.readouterr()
+    assert main(["sync", "--sources", str(spec), "--parquet-dir", sf_dir,
+                 "--outbox", outbox, "--check-only"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["total_out_of_sync"] == 0
