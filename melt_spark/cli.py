@@ -121,6 +121,45 @@ def cmd_sync(args) -> int:
     return 1 if (args.check_only and total) else 0
 
 
+def cmd_tail(args) -> int:
+    """Reference T3 (background consume → continuously-maintained state)
+    as a tool: stream the broker topics through a foreachBatch latest-state
+    merge into a versioned-parquet keyed state. --once drains what is
+    currently available and exits (availableNow); without it the query
+    runs until interrupted. Restarting resumes from the checkpoint."""
+    from pyspark.sql import functions as F
+
+    from .sources import mock_broker as mb
+    from .streaming.foreach_merge import KeyedStateSink
+
+    spark = _spark()
+    mb.register(spark)
+    sink = KeyedStateSink(spark, args.state,
+                          key_cols=("topic", "key"), order_col="offset")
+    stream = mb.tail_topics(spark, args.broker, args.topics.split(","))
+    # compound (partition, offset) order packed into one long: a key lives
+    # on ONE partition, so this is a total per-key order
+    writer = (stream.select("topic", "key", "value", "offset", "partition")
+              .writeStream.foreachBatch(
+                  lambda df, bid: sink.merge_batch(
+                      df.withColumn(
+                          "offset",
+                          F.col("partition").cast("long") * F.lit(1 << 40)
+                          + F.col("offset"))
+                      .drop("partition"), bid))
+              .option("checkpointLocation", args.checkpoint))
+    if args.once:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(600)
+    else:
+        q = writer.start()
+        q.awaitTermination()
+    state = sink.compacted_view()
+    n = state.count() if state is not None else 0
+    print(json.dumps({"state_rows": n, "state": args.state}))
+    return 0
+
+
 def cmd_sample(args) -> int:
     from .operators.sample import sample_db
 
@@ -172,6 +211,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="verify semantics: report + exit 1, no repair")
     sy.add_argument("--batch-id", type=int, default=1)
     sy.set_defaults(fn=cmd_sync)
+
+    tl = sub.add_parser("tail", help="continuous broker tail -> keyed state")
+    tl.add_argument("--broker", required=True)
+    tl.add_argument("--topics", required=True, help="comma-separated")
+    tl.add_argument("--state", required=True, help="keyed-state parquet root")
+    tl.add_argument("--checkpoint", required=True)
+    tl.add_argument("--once", action="store_true",
+                    help="drain available input and exit (availableNow)")
+    tl.set_defaults(fn=cmd_tail)
 
     smp = sub.add_parser("sample", help="top-N sample files per table")
     common(smp)

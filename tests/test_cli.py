@@ -85,3 +85,32 @@ def test_cli_sync_repairs_drift(spark, sf_dir, tmp_path, capsys):
                  "--outbox", outbox, "--check-only"]) == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["total_out_of_sync"] == 0
+
+
+def test_cli_tail_once_compacts_broker(spark, sf_dir, tmp_path, capsys):
+    """load --broker, then tail --once: end-to-end produce -> continuous
+    consume -> keyed state, all through the CLI."""
+    from melt_spark.sources import mock_broker as mb
+
+    spec = tmp_path / "s.edn"
+    spec.write_text('{:name "region" :keys #{:r_regionkey}}')
+    broker = str(tmp_path / "broker")
+    mb.register(spark)
+    mb.create_topic(broker, "melt.main.region", partitions=2)
+
+    assert main(["load", "--sources", str(spec), "--parquet-dir", sf_dir,
+                 "--broker", broker]) == 0
+    capsys.readouterr()
+
+    assert main(["tail", "--broker", broker, "--topics", "melt.main.region",
+                 "--state", str(tmp_path / "state"),
+                 "--checkpoint", str(tmp_path / "ckpt"), "--once"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    n_region = spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    assert res["state_rows"] == n_region
+    from melt_spark.streaming.foreach_merge import KeyedStateSink
+    state = KeyedStateSink(spark, str(tmp_path / "state"),
+                           key_cols=("topic", "key"),
+                           order_col="offset").compacted_view()
+    assert state.filter("value IS NULL").count() == 0
+    assert state.count() == n_region
