@@ -81,10 +81,20 @@ def cmd_compact(args) -> int:
         print(json.dumps({"rows": spark.read.parquet(args.out).count(),
                           "out": args.out}))
     else:
-        rows = state.orderBy("topic", "key").collect()
-        for r in rows:
+        # toLocalIterator keeps the sort but streams one partition at a
+        # time to the driver — a 10⁹-key state never materializes whole.
+        # --limit bounds the dump (default 10k rows) so a forgotten --out
+        # on a huge state can't flood the terminal either.
+        emitted, limit = 0, (args.limit if args.limit else None)
+        for r in state.orderBy("topic", "key").toLocalIterator():
+            if limit is not None and emitted >= limit:
+                print(json.dumps({"truncated_at": args.limit,
+                                  "hint": "use --out for the full state"}),
+                      file=sys.stderr)
+                break
             print(json.dumps({"topic": r["topic"], "key": r["key"],
                               "value": r["value"]}))
+            emitted += 1
     return 0
 
 
@@ -99,10 +109,23 @@ def cmd_sync(args) -> int:
     from .operators.outbox import latest_outbox_state, write_outbox
     from .operators.sync import sync_plan
 
+    from .operators.outbox import read_outbox
+
     spark = _spark()
     sources = _load_sources(args.sources)
     read = _read_fn(spark, args)
     state = latest_outbox_state(spark, args.outbox)
+
+    # Repair batches must get a batch_id ABOVE everything already in the
+    # outbox: latest-state breaks ties by (batch_id, seq), and seq values
+    # (monotonically_increasing_id) from separate write jobs overlap — a
+    # repair reusing an existing batch_id could nondeterministically lose
+    # to the stale row it is meant to replace. Default: max(batch_id)+1.
+    batch_id = args.batch_id
+    if batch_id is None:
+        top = read_outbox(spark, args.outbox) \
+            .agg(F.max("batch_id").alias("m")).collect()[0]["m"]
+        batch_id = (top if top is not None else 0) + 1
 
     report, total = {}, 0
     for src in sources:
@@ -114,8 +137,7 @@ def cmd_sync(args) -> int:
         total += n
         report[src.default_topic] = {"out_of_sync": n, **sides}
         if n and not args.check_only:
-            write_outbox(sync_plan(d), args.outbox,
-                         batch_id=args.batch_id)
+            write_outbox(sync_plan(d), args.outbox, batch_id=batch_id)
     print(json.dumps({"topics": report, "total_out_of_sync": total,
                       "repaired": not args.check_only and total > 0}))
     return 1 if (args.check_only and total) else 0
@@ -202,6 +224,8 @@ def build_parser() -> argparse.ArgumentParser:
     cp = sub.add_parser("compact", help="latest-state view of an outbox")
     cp.add_argument("--outbox", required=True)
     cp.add_argument("--out", help="write parquet here instead of printing")
+    cp.add_argument("--limit", type=int, default=10000,
+                    help="max rows to print without --out (0 = unlimited)")
     cp.set_defaults(fn=cmd_compact)
 
     sy = sub.add_parser("sync", help="diff sources vs outbox state; repair")
@@ -209,7 +233,9 @@ def build_parser() -> argparse.ArgumentParser:
     sy.add_argument("--outbox", required=True)
     sy.add_argument("--check-only", action="store_true",
                     help="verify semantics: report + exit 1, no repair")
-    sy.add_argument("--batch-id", type=int, default=1)
+    sy.add_argument("--batch-id", type=int, default=None,
+                    help="repair batch id (default: outbox max+1, so "
+                         "repeated repairs always win the tiebreak)")
     sy.set_defaults(fn=cmd_sync)
 
     tl = sub.add_parser("tail", help="continuous broker tail -> keyed state")

@@ -120,8 +120,10 @@ def repetition_features(df: DataFrame, text_col: str = "text",
     - top_bigram_frac: occurrences of the most frequent bigram / |bigrams|
 
     Pure per-row array folds — no explode, no shuffle; a 100 TB corpus
-    scans once. The top-bigram count is O(distinct²) per document, bounded
-    by document length, not corpus size."""
+    scans once. The top-bigram count sorts the bigram array and folds the
+    sorted run lengths (longest run of equal neighbors = max count):
+    O(n log n) per document, bounded by document length, not corpus
+    size."""
     cols = repetition_cols(text_col)
     return df.select(F.col(id_col),
                      *[c.alias(name) for name, c in cols.items()])

@@ -34,6 +34,9 @@ def bm25_topk(docs: DataFrame, query_terms: Sequence[str], k: int = 15,
     rank (deterministic tie-break: score desc, doc_id asc)."""
     from pyspark.sql.window import Window
 
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+
     toks = F.split(F.col(text_col), " ")
     # scan 1 (column-pruned to text): corpus-wide doc count + avg length.
     # Needs docs with NO query terms too, so it can't come from the

@@ -17,6 +17,7 @@ unpack step as a table function.
 from __future__ import annotations
 
 import json
+import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -50,11 +51,20 @@ class ExplodeEnvelope:
 def explode_envelope(messages: DataFrame,
                      value_col: str = "value") -> DataFrame:
     """Apply the envelope UDTF laterally to each message row, keeping the
-    message key alongside the exploded fields."""
+    message key alongside the exploded fields.
+
+    The temp view gets a per-call unique name (concurrent/nested calls in
+    one session must not clobber each other), and the value column is
+    backtick-quoted so names needing quoting survive the SQL round-trip."""
     spark = messages.sparkSession
     spark.udtf.register("explode_envelope_udtf", ExplodeEnvelope)
-    view = "__envelope_msgs"
+    view = f"__envelope_msgs_{uuid.uuid4().hex}"
     messages.createOrReplaceTempView(view)
-    return spark.sql(
+    col = "`" + value_col.replace("`", "``") + "`"
+    out = spark.sql(
         f"SELECT m.key, t.field, t.value AS field_value, t.malformed "
-        f"FROM {view} m, LATERAL explode_envelope_udtf(m.{value_col}) t")
+        f"FROM {view} m, LATERAL explode_envelope_udtf(m.{col}) t")
+    # the view only seeds the lateral-join plan; drop the name eagerly so
+    # repeated calls don't accumulate catalog entries
+    spark.catalog.dropTempView(view)
+    return out

@@ -87,6 +87,66 @@ def test_cli_sync_repairs_drift(spark, sf_dir, tmp_path, capsys):
     assert rep["total_out_of_sync"] == 0
 
 
+def test_cli_sync_default_batch_id_always_wins(spark, sf_dir, tmp_path,
+                                               capsys):
+    """Without --batch-id the repair batch derives max(batch_id)+1 from the
+    outbox, so repeated repair runs always beat the stale rows they target
+    (a fixed default id would tie with earlier repairs and let overlapping
+    monotonically_increasing_id seq values pick a nondeterministic
+    winner)."""
+    from melt_spark.operators.outbox import read_outbox, write_outbox
+
+    spec = tmp_path / "s.edn"
+    spec.write_text('{:name "region" :keys #{:r_regionkey}}')
+    outbox = str(tmp_path / "outbox")
+
+    assert main(["load", "--sources", str(spec), "--parquet-dir", sf_dir,
+                 "--outbox", outbox]) == 0
+    capsys.readouterr()
+
+    # two successive drift+repair cycles, neither passing --batch-id
+    for round_no, bogus in enumerate(('{"bogus":1}', '{"bogus":2}')):
+        stale_id = round_no * 2 + 1  # above the previous repair's id
+        drift = spark.createDataFrame(
+            [("melt.main.region", '{"r_regionkey":0}', bogus)],
+            "topic string, key string, value string")
+        write_outbox(drift, outbox, batch_id=stale_id)
+        assert main(["sync", "--sources", str(spec), "--parquet-dir",
+                     sf_dir, "--outbox", outbox]) == 0
+        capsys.readouterr()
+        assert main(["sync", "--sources", str(spec), "--parquet-dir",
+                     sf_dir, "--outbox", outbox, "--check-only"]) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["total_out_of_sync"] == 0
+        top = read_outbox(spark, outbox).agg({"batch_id": "max"}).collect()
+        assert top[0][0] == stale_id + 1  # repair landed ABOVE the drift
+
+
+def test_cli_compact_limit_truncates(spark, sf_dir, tmp_path, capsys):
+    """compact without --out streams via toLocalIterator and --limit bounds
+    the dump instead of collecting the whole state on the driver."""
+    spec = tmp_path / "s.edn"
+    spec.write_text('{:name "nation" :keys #{:n_nationkey}}')
+    outbox = str(tmp_path / "outbox")
+    assert main(["load", "--sources", str(spec), "--parquet-dir", sf_dir,
+                 "--outbox", outbox]) == 0
+    capsys.readouterr()
+
+    assert main(["compact", "--outbox", outbox, "--limit", "5"]) == 0
+    cap = capsys.readouterr()
+    rows = [json.loads(ln) for ln in cap.out.strip().splitlines()]
+    assert len(rows) == 5
+    assert "truncated_at" in cap.err
+    # keys stream in sorted order even when truncated
+    assert [r["key"] for r in rows] == sorted(r["key"] for r in rows)
+
+    # --limit 0 = unlimited
+    n_nation = spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    assert main(["compact", "--outbox", outbox, "--limit", "0"]) == 0
+    cap = capsys.readouterr()
+    assert len(cap.out.strip().splitlines()) == n_nation
+
+
 def test_cli_tail_once_compacts_broker(spark, sf_dir, tmp_path, capsys):
     """load --broker, then tail --once: end-to-end produce -> continuous
     consume -> keyed state, all through the CLI."""

@@ -51,6 +51,14 @@ def test_bm25_ranks_term_rich_docs_first(spark):
     assert all(s > 0 for s in scores)
 
 
+def test_bm25_rejects_empty_query(spark):
+    from melt_spark.functions.retrieval import bm25_topk
+
+    import pytest
+    with pytest.raises(ValueError, match="query_terms"):
+        bm25_topk(_docs(spark), ())
+
+
 def test_rrf_fusion_combines_both_lists(spark):
     from melt_spark.functions.retrieval import rrf_fuse
 
