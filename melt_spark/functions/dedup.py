@@ -48,7 +48,7 @@ def duplicate_groups(df: DataFrame, text_col: str = "text",
 
 
 def span_dedup(df: DataFrame, k: int = 8, text_col: str = "text",
-               id_col: str = "doc_id") -> DataFrame:
+               id_col: str = "doc_id", via: str = "digest") -> DataFrame:
     """Cross-document SPAN dedup (C4/RefinedWeb-style sub-document dedup,
     at token-window granularity): split each document into non-overlapping
     k-token spans, keep only the corpus-wide FIRST occurrence of each span
@@ -59,37 +59,78 @@ def span_dedup(df: DataFrame, k: int = 8, text_col: str = "text",
     Output: id, text_dedup (may be '' if every span was seen earlier),
     n_spans, n_kept, n_removed.
 
-    Scale: span construction is per-row Catalyst (split → sequence →
-    slice); the only shuffle is the first-occurrence window, partitioned by
-    span text — groups are tiny (duplicate multiplicity), so the sort
-    inside each is O(dups). At 100 TB, shuffle span digests instead:
-    partition the window by xxhash64(span) and ship (hash, id, idx) — the
-    reassembly join then pulls span text back from the exploded side.
-    Reassembly is one groupBy(id) with an array_sort on (idx, span) —
-    collect_list order is nondeterministic, the sort restores it."""
+    via='digest' (the 100 TB path, default): the first-occurrence window
+    partitions on the 16-byte md5 DIGEST of each span and ships only
+    (digest, id, idx) ≈ 28 bytes/span — span text never enters a shuffle.
+    Only the LOSERS (duplicate occurrences) survive the window; their idx
+    sets group to one small array per affected doc (empty for dup-free
+    docs, i.e. most of a real corpus), and reassembly re-derives spans
+    per-row from the original text and drops the loser idxs — the corpus
+    text itself moves at most once (the final join by id; AQE broadcasts
+    the loser side when small). Cost: the text is tokenized twice (two
+    scans) — scans are cheap next to shuffling corpus bytes. md5's 128
+    bits make a silent collision-drop negligible even at 10^12 distinct
+    spans (birthday ≈ 10^-15); xxhash64 would NOT be safe there.
+
+    via='text' partitions the window on raw span text and reassembles with
+    one conditional aggregation (no join, no second scan) — fewer moving
+    parts, ~2× corpus bytes through the shuffle. Good at probe scale; the
+    property suite holds the two paths equal on every corpus."""
     toks = F.split(F.col(text_col), " ")
     n_spans = F.ceil(F.size(toks) / F.lit(k)).cast("int")
-    spans = F.transform(
-        F.sequence(F.lit(0), n_spans - 1),
-        lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "))
-    ex = df.select(F.col(id_col),
-                   F.posexplode(spans).alias("span_idx", "span"))
-    w = Window.partitionBy("span").orderBy(F.col(id_col), F.col("span_idx"))
-    ranked = ex.withColumn("rn", F.row_number().over(w))
-    # ONE conditional aggregation over the ranked rows rebuilds the doc AND
-    # counts totals — no second corpus scan, no reassembly join (every doc
-    # keeps a group even when all its spans were dropped). collect_list
-    # skips the NULLs the `when` produces for dropped spans.
-    kept_struct = F.when(F.col("rn") == 1, F.struct("span_idx", "span"))
-    return (ranked.groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("n_spans"),
-                 F.count(kept_struct).alias("n_kept"),
-                 F.array_join(
-                     F.transform(F.array_sort(F.collect_list(kept_struct)),
-                                 lambda s: s["span"]),
-                     " ").alias("text_dedup"))
-            .select(id_col, "text_dedup", "n_spans", "n_kept",
-                    (F.col("n_spans") - F.col("n_kept")).alias("n_removed")))
+    span_at = lambda i: F.array_join(F.slice(toks, i * k + 1, k), " ")  # noqa: E731
+    spans = F.transform(F.sequence(F.lit(0), n_spans - 1), span_at)
+
+    if via == "text":
+        ex = df.select(F.col(id_col),
+                       F.posexplode(spans).alias("span_idx", "span"))
+        w = Window.partitionBy("span").orderBy(F.col(id_col),
+                                               F.col("span_idx"))
+        ranked = ex.withColumn("rn", F.row_number().over(w))
+        # ONE conditional aggregation over the ranked rows rebuilds the doc
+        # AND counts totals — no second corpus scan, no reassembly join
+        # (every doc keeps a group even when all its spans were dropped).
+        # collect_list skips the NULLs the `when` produces for dropped
+        # spans.
+        kept_struct = F.when(F.col("rn") == 1, F.struct("span_idx", "span"))
+        return (ranked.groupBy(id_col)
+                .agg(F.count(F.lit(1)).alias("n_spans"),
+                     F.count(kept_struct).alias("n_kept"),
+                     F.array_join(
+                         F.transform(
+                             F.array_sort(F.collect_list(kept_struct)),
+                             lambda s: s["span"]),
+                         " ").alias("text_dedup"))
+                .select(id_col, "text_dedup", "n_spans", "n_kept",
+                        (F.col("n_spans") - F.col("n_kept"))
+                        .alias("n_removed")))
+
+    if via != "digest":
+        raise ValueError(f"via must be 'digest' or 'text', got {via!r}")
+
+    # pass 1 — losers only: (digest, id, idx) through the window shuffle,
+    # rn > 1 rows collapse to one idx-array per doc that HAS duplicates
+    hashed = df.select(
+        F.col(id_col), F.posexplode(spans).alias("span_idx", "span")) \
+        .select(id_col, "span_idx", F.unhex(F.md5("span")).alias("h"))
+    w = Window.partitionBy("h").orderBy(F.col(id_col), F.col("span_idx"))
+    losers = (hashed.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") > 1)
+              .groupBy(id_col)
+              .agg(F.collect_set("span_idx").alias("__dropped")))
+
+    # pass 2 — reassembly from the ORIGINAL rows: re-derive spans per-row,
+    # keep every idx not in the (usually empty) dropped set
+    dropped = F.coalesce(F.col("__dropped"), F.array().cast("array<int>"))
+    kept_idx = F.filter(F.sequence(F.lit(0), n_spans - 1),
+                        lambda i: ~F.array_contains(dropped, i))
+    return (df.join(losers, id_col, "left")
+            .select(F.col(id_col),
+                    F.array_join(F.transform(kept_idx, span_at), " ")
+                    .alias("text_dedup"),
+                    n_spans.alias("n_spans"),
+                    F.size(kept_idx).alias("n_kept"),
+                    (n_spans - F.size(kept_idx)).alias("n_removed")))
 
 
 # ---------------------------------------------------------------------------

@@ -138,3 +138,25 @@ def test_span_dedup_output_spans_are_distinct_input_spans(texts):
     assert sorted(out_spans) == sorted(set(in_spans))
     for r in out:
         assert r["n_kept"] + r["n_removed"] == r["n_spans"]
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(span_docs)
+def test_span_dedup_digest_and_text_paths_agree(texts):
+    """The digest-shuffle scale path (window on md5(span), losers-only
+    reassembly) must produce row-identical output to the raw-text window
+    path on any corpus — same survivors, same reassembled text, same
+    counts."""
+    from melt_spark.functions.dedup import span_dedup
+
+    spark = _get_spark()
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    by_digest = {r["doc_id"]: (r["text_dedup"], r["n_spans"], r["n_kept"],
+                               r["n_removed"])
+                 for r in span_dedup(df, k=2, via="digest").collect()}
+    by_text = {r["doc_id"]: (r["text_dedup"], r["n_spans"], r["n_kept"],
+                             r["n_removed"])
+               for r in span_dedup(df, k=2, via="text").collect()}
+    assert by_digest == by_text

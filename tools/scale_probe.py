@@ -86,22 +86,73 @@ PROBES = ["text_quality", "dedup_minhash_lsh", "clean_corpus",
           "tpch_q1", "latest_state",
           # r3 additions: sub-document span dedup + BM25 retrieval ride
           # their merged entries (dedup_exact, ann_cosine_topk)
-          "dedup_exact", "ann_cosine_topk"]
+          "dedup_exact", "ann_cosine_topk",
+          # r4: the two span_dedup shuffle strategies head-to-head — the
+          # digest path must show the shuffle-BYTES win its docstring claims
+          "span_dedup_digest", "span_dedup_text"]
 
 
-def time_queries(spark, sf_dir: str, names, runs: int = 1) -> dict[str, float]:
+def _span_query(via: str):
+    """Standalone span_dedup probe (both shuffle strategies) on the same
+    planted-copy corpus the suite's dedup_exact entry uses."""
+    def q(spark, sf_dir):
+        from melt_spark.functions.dedup import span_dedup
+        from melt_spark.sources.parquet import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        copy = docs.withColumn("doc_id", F.col("doc_id") + F.lit(1 << 40))
+        return span_dedup(docs.unionByName(copy), k=8, via=via)
+    return q
+
+
+_EXTRA_QUERIES = {"span_dedup_digest": _span_query("digest"),
+                  "span_dedup_text": _span_query("text")}
+
+
+def _shuffle_state(spark):
+    """(max stage id seen, per-stage shuffle write bytes) from the UI REST
+    API — the public, version-stable way at these metrics. Returns (None,
+    {}) when the UI is off (probe sessions enable it)."""
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    if not base:
+        return None, {}
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+                f"{base}/api/v1/applications/{app}/stages?status=complete",
+                timeout=10) as r:
+            stages = json.load(r)
+    except Exception:
+        return None, {}
+    return (max((s["stageId"] for s in stages), default=-1),
+            {s["stageId"]: s.get("shuffleWriteBytes", 0) for s in stages})
+
+
+def time_queries(spark, sf_dir: str, names, runs: int = 1):
+    """{name: (best sec, shuffle write MB)} — shuffle bytes summed over the
+    stages of the FIRST (cold) run only, identified by stage id (stage
+    eviction of older queries can't skew a forward-only id window)."""
     from melt_spark.plans.suite import spark_queries
 
-    qs = spark_queries()
+    qs = dict(spark_queries())
+    qs.update(_EXTRA_QUERIES)
     out = {}
     for name in names:
-        best = None
-        for _ in range(runs):
+        best, shuffle_mb = None, None
+        for i in range(runs):
+            last_id, _ = _shuffle_state(spark)
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
-        out[name] = round(best, 2)
+            if i == 0 and last_id is not None:
+                _, per_stage = _shuffle_state(spark)
+                shuffle_mb = round(sum(
+                    b for sid, b in per_stage.items() if sid > last_id)
+                    / 1e6, 1)
+        out[name] = (round(best, 2), shuffle_mb)
         spark.catalog.clearCache()
     return out
 
@@ -117,30 +168,35 @@ def main() -> None:
     big_dir = f"/tmp/scale_probe_{n}x"
     docs = Path(__file__).resolve().parent.parent / "docs"
     state_path = docs / "SCALING.json"
+    empty = {"n": n, "base": {}, "big": {},
+             "shuffle_base": {}, "shuffle_big": {}}
     state = (json.loads(state_path.read_text())
-             if state_path.exists() else {"n": n, "base": {}, "big": {}})
-    if state.get("n") != n:
-        # stale state from a different replication factor would render a
-        # SCALING.md with fabricated ratios — start over
-        state = {"n": n, "base": {}, "big": {}}
+             if state_path.exists() else dict(empty))
+    if state.get("n") != n or "shuffle_base" not in state:
+        # stale state (different replication factor, or pre-shuffle-metric
+        # format) would render a SCALING.md with fabricated rows — start over
+        state = dict(empty)
 
     from melt_spark.session import get_spark
 
-    spark = get_spark("scale-probe")
+    # UI on: the probe reads per-stage shuffle write bytes from the REST API
+    spark = get_spark("scale-probe", extra_conf={"spark.ui.enabled": "true"})
     if not Path(big_dir, "documents.parquet").exists():
         replicate(spark, sf_dir, big_dir, n)
 
     for name in only:
-        if name not in state["base"]:
-            state["base"].update(
-                time_queries(spark, sf_dir, [name], runs=2))
-            state_path.write_text(json.dumps(state, indent=1))
-        if name not in state["big"]:
-            state["big"].update(
-                time_queries(spark, big_dir, [name], runs=1))
-            state_path.write_text(json.dumps(state, indent=1))
+        for scale_key, shuffle_key, data_dir, runs in (
+                ("base", "shuffle_base", sf_dir, 2),
+                ("big", "shuffle_big", big_dir, 1)):
+            if name not in state[scale_key]:
+                res = time_queries(spark, data_dir, [name], runs=runs)
+                sec, mb = res[name]
+                state[scale_key][name] = sec
+                state[shuffle_key][name] = mb
+                state_path.write_text(json.dumps(state, indent=1))
 
     base, big = state["base"], state["big"]
+    sh_base, sh_big = state["shuffle_base"], state["shuffle_big"]
     done = [k for k in PROBES if k in base and k in big]
     ratios = {k: round(big[k] / base[k], 2) if base[k] > 0 else None
               for k in done}
@@ -151,16 +207,20 @@ def main() -> None:
         "salted shingles — see replicate()), same local[*] box: fixed",
         f"cores, so ideal linear scaling shows ratio ≈ {n} once overheads",
         f"amortize; sub-{n} = overhead-dominated; super-linear = quadratic",
-        "candidate blowup or a collapsed partition.",
+        "candidate blowup or a collapsed partition. Shuffle = total shuffle",
+        "WRITE bytes across the query's stages (UI REST API), cold run.",
         "",
-        f"| query | 1× sec | {n}× sec | ratio |",
-        "|---|---|---|---|",
+        f"| query | 1× sec | {n}× sec | ratio | 1× shuffle MB "
+        f"| {n}× shuffle MB |",
+        "|---|---|---|---|---|---|",
     ]
     for k in done:
-        lines.append(f"| {k} | {base[k]} | {big[k]} | {ratios[k]} |")
+        lines.append(f"| {k} | {base[k]} | {big[k]} | {ratios[k]} "
+                     f"| {sh_base.get(k)} | {sh_big.get(k)} |")
     lines.append("")
     (docs / "SCALING.md").write_text("\n".join(lines))
-    print(json.dumps({"n": n, "base": base, "big": big, "ratios": ratios}))
+    print(json.dumps({"n": n, "base": base, "big": big, "ratios": ratios,
+                      "shuffle_base": sh_base, "shuffle_big": sh_big}))
 
 
 if __name__ == "__main__":
