@@ -19,6 +19,16 @@ Requires the RocksDB state store provider (transformWithState's backing
 store). Scale: state is partitioned by the grouping key across executors;
 each micro-batch shuffles only its delta — same shuffle shape as the
 aggregation, plus O(changed keys) emission instead of O(all keys).
+
+SANDBOX NOTE (loud on purpose): transformWithState's Python<->JVM state
+server speaks protobuf; environments without google.protobuf (this one)
+cannot EXECUTE latest_state_transform — its two execution tests skip with
+that reason. latest_state_apply below is the SAME processor core (literally
+the same merge function, merge_events) on applyInPandasWithState, which has
+no protobuf dependency and executes green here: TTL via processing-time
+timeouts, emit-on-change, and tombstone-keeps-high-water all run for real.
+Pick latest_state_transform on protobuf-equipped clusters (finer-grained
+state, RocksDB-native TTL), latest_state_apply everywhere else.
 """
 
 from __future__ import annotations
@@ -50,6 +60,30 @@ OUT_SCHEMA = StructType([
 ])
 
 
+def merge_events(best_order: int, best_payload, orders, payloads):
+    """The latest-state merge core, shared verbatim by the
+    transformWithState processor and the applyInPandasWithState fallback:
+    fold a micro-batch's (order, payload) pairs into the running winner.
+
+    Returns (changed, best_order, best_payload). A tombstone (null payload)
+    wins like any record (>= order, matching the batch operator's
+    last-write-wins on equal order) — but the caller must KEEP
+    (best_order, None) in state rather than clearing it: dropping the
+    high-water order would let a LOWER-offset straggler arriving in a later
+    micro-batch resurrect the key with stale data. TTL still bounds the
+    tombstone marker's lifetime."""
+    import pandas as pd
+
+    changed = False
+    for off, val in zip(orders, payloads):
+        off = int(off)
+        if off >= best_order:
+            best_order = off
+            best_payload = None if (val is None or pd.isna(val)) else str(val)
+            changed = True
+    return changed, best_order, best_payload
+
+
 def _make_processor(ttl_ms: int | None):
     """Build the StatefulProcessor class lazily (import-safe on builds
     without the API; the symbols exist in pyspark >= 4.0)."""
@@ -59,8 +93,10 @@ def _make_processor(ttl_ms: int | None):
 
     class LatestStateProcessor(StatefulProcessor):
         """Per (topic, key): keep the record with the highest order value;
-        NULL payload (tombstone) clears the state. Emits one row per key
-        per micro-batch in which the key changed — update-mode output."""
+        NULL payload (tombstone) keeps a (order, NULL) high-water marker in
+        state (see merge_events — clearing would allow stale-offset
+        resurrection; TTL reclaims the marker). Emits one row per key per
+        micro-batch in which the key changed — update-mode output."""
 
         def init(self, handle: StatefulProcessorHandle) -> None:
             # ttlDurationMs=None -> state lives forever (this build's
@@ -75,23 +111,17 @@ def _make_processor(ttl_ms: int | None):
                 best_order, best_payload = self._latest.get()
             changed = False
             for batch in rows:
-                for off, val in zip(batch["__order"], batch["__payload"]):
-                    off = int(off)
-                    if off >= best_order:
-                        best_order = off
-                        best_payload = None if pd.isna(val) else str(val)
-                        changed = True
+                c, best_order, best_payload = merge_events(
+                    best_order, best_payload,
+                    batch["__order"], batch["__payload"])
+                changed = changed or c
             if not changed:
                 return
-            deleted = best_payload is None
-            if deleted:
-                self._latest.clear()  # tombstone frees the key's state NOW
-            else:
-                self._latest.update((best_order, best_payload))
+            self._latest.update((best_order, best_payload))
             yield pd.DataFrame({
                 "topic": [key[0]], "key": [key[1]],
                 "last_offset": [best_order], "value": [best_payload],
-                "deleted": [deleted]})
+                "deleted": [best_payload is None]})
 
         def close(self) -> None:
             pass
@@ -120,3 +150,54 @@ def latest_state_transform(changelog_stream: DataFrame,
                 # TTL is evaluated against processing time; without TTL no
                 # clock is needed at all
                 timeMode="ProcessingTime" if ttl_ms is not None else "None"))
+
+
+_APPLY_STATE_SCHEMA = "order_key long, payload string"
+
+
+def latest_state_apply(changelog_stream: DataFrame,
+                       key_cols: tuple[str, str] = ("topic", "key"),
+                       order_col: str = "offset",
+                       payload_col: str = "value",
+                       ttl_ms: int | None = None) -> DataFrame:
+    """latest_state_transform's semantics on applyInPandasWithState — the
+    protobuf-free execution path (module docstring). Same input contract,
+    same OUT_SCHEMA, same merge core (merge_events), same tombstone
+    high-water rule. TTL = a processing-time timeout re-armed on every
+    update; an expired key's state is removed when the timeout fires."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs: Iterator["pd.DataFrame"],
+           state: "GroupState") -> Iterator["pd.DataFrame"]:
+        if state.hasTimedOut:
+            state.remove()  # TTL expiry — no input rows accompany this call
+            return
+        best_order, best_payload = -1, None
+        if state.exists:
+            best_order, best_payload = state.get
+        changed = False
+        for pdf in pdfs:
+            c, best_order, best_payload = merge_events(
+                best_order, best_payload, pdf["__order"], pdf["__payload"])
+            changed = changed or c
+        if not changed:
+            return  # emit-on-change: untouched keys produce no output
+        state.update((best_order, best_payload))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame({
+            "topic": [key[0]], "key": [key[1]],
+            "last_offset": [best_order], "value": [best_payload],
+            "deleted": [best_payload is None]})
+
+    prepared = changelog_stream.select(
+        F.col(key_cols[0]).cast("string").alias("topic"),
+        F.col(key_cols[1]).cast("string").alias("key"),
+        F.col(order_col).cast("long").alias("__order"),
+        F.col(payload_col).cast("string").alias("__payload"))
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if ttl_ms is not None
+               else GroupStateTimeout.NoTimeout)
+    return (prepared.groupBy("topic", "key")
+            .applyInPandasWithState(fn, OUT_SCHEMA, _APPLY_STATE_SCHEMA,
+                                    "update", timeout))
