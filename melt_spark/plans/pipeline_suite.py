@@ -651,6 +651,46 @@ FROM fused QUALIFY rank <= 10
 """
 
 
+def q_rrf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval quality: recall@10 of the RRF-fused list against
+    the exact brute-force cosine top-10 for the fusion's query vector —
+    ivf_recall's mirror for the BM25+RRF stack, so hybrid retrieval has a
+    quality number (how much vector ground truth the fused list retains
+    after mixing in lexical evidence), not just a hash match."""
+    from ..functions.similarity import cosine_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=10) \
+        .select("neighbor_id")
+    fused = q_rrf_fusion(spark, sf_dir).select(F.col("item").alias("f_item"))
+    hits = exact.join(fused, exact.neighbor_id == fused.f_item, "left")
+    return hits.agg(F.count("f_item").alias("hits"),
+                    (F.count("f_item").cast("double") / 10.0).alias("recall"))
+
+
+SQL_RRF_RECALL = f"""
+WITH fused_q AS ({SQL_RRF_FUSION}),
+q AS (SELECT vec_id AS query_id, {_DVEC} AS qv
+      FROM embeddings WHERE vec_id = 0),
+cv_t AS (SELECT vec_id AS neighbor_id, {_DVEC} AS cv FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id,
+         {_dot_sql('qv', 'cv')}
+           / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')}))
+           AS cos
+  FROM q, cv_t WHERE query_id <> neighbor_id
+),
+ar AS (
+  SELECT neighbor_id,
+         row_number() OVER (ORDER BY cos DESC, neighbor_id) AS rank_a
+  FROM s QUALIFY rank_a <= 10
+)
+SELECT COUNT(f.item) AS hits,
+       CAST(COUNT(f.item) AS DOUBLE) / 10.0 AS recall
+FROM ar e LEFT JOIN fused_q f ON f.item = e.neighbor_id
+"""
+
+
 SQL_ANN_TOPK = f"""
 WITH q AS (SELECT vec_id AS query_id, {_DVEC} AS qv
            FROM embeddings WHERE vec_id < 5),
@@ -1153,6 +1193,7 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_TOPK),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "rrf_fusion": (q_rrf_fusion, SQL_RRF_FUSION),
+    "rrf_recall": (q_rrf_recall, SQL_RRF_RECALL),
     "lsh_buckets": (q_lsh_buckets, SQL_LSH_BUCKETS),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),

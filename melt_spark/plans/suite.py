@@ -1605,6 +1605,16 @@ SUITE: dict[str, tuple] = {
                               "rank", F.col("fused").alias("v")),
          "SELECT 'rrf' AS kind, CAST(0 AS BIGINT) AS qid, item AS did,"
          " rank, fused AS v"),
+        # r4: fusion QUALITY — recall@10 of the fused list vs the exact
+        # cosine ground truth (ivf_recall's mirror for hybrid retrieval)
+        (PIPELINE_SUITE["rrf_recall"],
+         lambda df: df.select(F.lit("rrf_recall").alias("kind"),
+                              F.lit(0).cast("bigint").alias("qid"),
+                              F.col("hits").alias("did"),
+                              F.lit(-1).alias("rank"),
+                              F.col("recall").alias("v")),
+         "SELECT 'rrf_recall' AS kind, CAST(0 AS BIGINT) AS qid,"
+         " hits AS did, -1 AS rank, recall AS v"),
     ),
     # -- hyperplane-LSH buckets + bucket-local near-dup pairs
     "embedding_lsh": merged(

@@ -51,6 +51,19 @@ def test_bm25_ranks_term_rich_docs_first(spark):
     assert all(s > 0 for s in scores)
 
 
+def test_rrf_recall_floor(spark, sf_dir):
+    """Hybrid-retrieval quality gate: the RRF-fused top-10 must retain a
+    minimum fraction of the exact cosine ground truth — ANN or BM25 changes
+    can't silently destroy fusion quality. (Fusing 10 vector + 15 lexical
+    candidates into a top-10 legitimately trades some vector recall for
+    lexical evidence, so the floor is below 1.0 by design.)"""
+    from melt_spark.plans.pipeline_suite import q_rrf_recall
+
+    row = q_rrf_recall(spark, sf_dir).collect()[0]
+    assert row["recall"] == row["hits"] / 10.0
+    assert 0.2 <= row["recall"] <= 1.0
+
+
 def test_bm25_rejects_empty_query(spark):
     from melt_spark.functions.retrieval import bm25_topk
 
