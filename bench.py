@@ -42,6 +42,27 @@ BENCH_QUERIES = [
 ]
 
 
+def _q_udtf_envelope(spark, sf_dir):
+    """Envelope messages pushed through the Python UDTF surface — the one
+    deliberately row-at-a-time path, benched so its cost stays visible."""
+    from melt_spark.functions.udtf_ops import explode_envelope
+
+    return explode_envelope(s.q_message_envelope(spark, sf_dir))
+
+
+# Operators added in round 3, benched separately so regressions in the new
+# code are visible round-over-round. The headline `value` stays the
+# BENCH_QUERIES total (comparable with every earlier round's artifact);
+# these report under queries/runs and the total_with_r3_ops key.
+BENCH_QUERIES_R3 = [
+    ("span_dedup", p.q_span_dedup),                # digest-shuffle window
+    ("bm25_topk", p.q_bm25_topk),                  # postings + idf folds
+    ("rrf_fusion", p.q_rrf_fusion),                # rank fusion (tiny)
+    ("udtf_envelope", _q_udtf_envelope),           # row-at-a-time UDTF
+    ("stream_broker_sync", s.q_stream_broker_sync),  # streaming sink loop
+]
+
+
 def _force(df) -> int:
     """Execute the full plan without materializing on the driver."""
     df.write.format("noop").mode("overwrite").save()
@@ -57,7 +78,7 @@ def main() -> None:
     # whole-stage-codegen compilation and JVM JIT are paid before timing —
     # the generated code is plan-shaped, so it's reused at the real SF
     warm_dir = "/root/testdata/sf0.001"
-    for _name, fn in BENCH_QUERIES:
+    for _name, fn in BENCH_QUERIES + BENCH_QUERIES_R3:
         try:
             _force(fn(spark, warm_dir))
         except Exception:
@@ -65,29 +86,39 @@ def main() -> None:
     s.q_load_counts(spark, sf_dir).collect()
 
     # Per-query fault isolation: one failing headliner must not destroy the
-    # other 12 measurements (round-2 lesson — a single AnalysisException left
+    # other measurements (round-2 lesson — a single AnalysisException left
     # the whole round without a bench artifact). Failures are recorded per
     # query and the totals JSON is ALWAYS emitted.
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
-    for name, fn in BENCH_QUERIES:
-        best = None
+    for name, fn in BENCH_QUERIES + BENCH_QUERIES_R3:
         try:
-            for _ in range(2):  # min of 2: drops scheduler noise, stays honest
+            # min of 2 is the headline (drops scheduler noise, stays
+            # honest); BOTH raw runs are recorded so run-to-run variance —
+            # including cold-cache behavior min-of-2 would hide — is
+            # visible in the artifact
+            rs = []
+            for _ in range(2):
                 t0 = time.perf_counter()
                 _force(fn(spark, sf_dir))
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            timings[name] = round(best, 3)
+                rs.append(round(time.perf_counter() - t0, 3))
+            runs[name] = rs
+            timings[name] = min(rs)
         except Exception as exc:  # noqa: BLE001 — isolate, record, keep going
             errors[name] = f"{type(exc).__name__}: {str(exc)[:500]}"
 
-    total = round(sum(timings.values()), 3)
+    core = {k for k, _ in BENCH_QUERIES}
+    total = round(sum(v for k, v in timings.items() if k in core), 3)
     out = {
         "metric": "headline_queries_total",
+        # `value` = the original 13-headliner total, directly comparable
+        # with every earlier round's artifact
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "runs": runs,
+        "total_with_r3_ops": round(sum(timings.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
