@@ -1,0 +1,99 @@
+"""KMV (k-minimum-values) distinct-count sketch — a mergeable,
+cross-engine-deterministic alternative to HyperLogLog.
+
+Background (public): Bar-Yossef et al., "Counting distinct elements in a
+data stream" (RANDOM 2002); the KMV/bottom-k estimator analysis is
+Beyer et al., "On synopses for distinct-value estimation under multiset
+operations" (SIGMOD 2007). If the k smallest of n distinct uniform hash
+values is U_(k) (normalized to (0,1]), then E[n] ~ (k-1)/U_(k), with
+relative error ~ 1/sqrt(k-2).
+
+Why not approx_count_distinct: Spark's HLL++ and DuckDB's approx sketches
+use different hash functions and bucket layouts, so their estimates can
+never hash-match across engines. KMV built on md5 is bit-deterministic
+everywhere: hash = first 12 hex chars of md5 (48 bits — integer-exact in a
+double, collision odds ~n²/2^49 negligible at suite scale), estimator =
+one IEEE divide of exact integers, floor()ed — so even the ESTIMATE is
+oracle-checkable, not just the exact control.
+
+Spark-first shape, graded for 100 TB:
+    hashed = distinct (key, 8-byte hash) pairs     -- shuffle #1, compact
+    mins   = row_number window per key, rn <= k    -- shuffle #2 on key
+    sketch = groupBy(key): count + max             -- folds into #2's agg
+Both shuffles move (key, int64) pairs, never payload bytes. The window
+never materializes per-key arrays (a collect_set variant would hold ALL
+distinct hashes per key in executor memory — unbounded; this stays
+row-streaming). Skewed keys cost one window sort of their distinct-hash
+count, not their row count.
+
+Mergeability (the property that makes sketches shard-friendly): the k-min
+set of a union = k smallest of the union of k-min sets — kmv_merge()
+unions the per-shard mins and re-ranks; property-tested equal to sketching
+the union directly (tests/test_sketches.py).
+
+The reference engine has no approximate-distinct surface; this extends the
+analytics family (SURVEY §2.4 counts) the way BM25/MinHash extend dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DEFAULT_K = 16
+_TWO48 = float(2 ** 48)  # exact in double
+
+
+def kmv_hash(col: Column | str) -> Column:
+    """48-bit portable hash: fold of the first 12 hex chars of md5.
+    Identical integer in Spark (conv base16) and DuckDB (instr fold — see
+    pipeline_suite._hex_int_sql)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 12), 16, 10) \
+        .cast("bigint")
+
+
+def kmv_mins(df: DataFrame, key_cols: list[str], value_col: str,
+             k: int = DEFAULT_K) -> DataFrame:
+    """Per-key k smallest distinct hash values: (keys..., h, rn). This IS
+    the sketch state — k rows of 8 bytes per key, mergeable via
+    kmv_merge."""
+    hashed = (df.select(*key_cols, kmv_hash(value_col).alias("h"))
+              .distinct())
+    w = Window.partitionBy(*key_cols).orderBy("h")
+    return (hashed.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k))
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, key_cols: list[str],
+              k: int = DEFAULT_K) -> DataFrame:
+    """Union two sketches' min-sets and keep the k smallest per key —
+    the sketch of the union of the underlying multisets."""
+    keys = [F.col(c) for c in key_cols]
+    merged = (a.select(*keys, "h").unionByName(b.select(*keys, "h"))
+              .distinct())
+    w = Window.partitionBy(*key_cols).orderBy("h")
+    return (merged.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k))
+
+
+def kmv_sketch(df: DataFrame, key_cols: list[str], value_col: str,
+               k: int = DEFAULT_K) -> DataFrame:
+    """Collapse the min-set to (keys..., n_mins, kth): all the estimator
+    needs. n_mins < k means the sketch saw every distinct value."""
+    return (kmv_mins(df, key_cols, value_col, k)
+            .groupBy(*key_cols)
+            .agg(F.count("h").alias("n_mins"), F.max("h").alias("kth")))
+
+
+def kmv_estimate(sketch: DataFrame, k: int = DEFAULT_K) -> DataFrame:
+    """Distinct-count estimate as an exact BIGINT: exact n_mins when the
+    sketch is unsaturated, else floor((k-1) * 2^48 / kth). The divide is
+    one IEEE op on integer-exact doubles ((k-1)*2^48 < 2^53 for k <= 32)
+    — deterministic across engines, hence floor() is too."""
+    est = F.floor(F.lit(float(k - 1)) * F.lit(_TWO48) / F.col("kth"))
+    return sketch.withColumn(
+        "kmv_est",
+        F.when(F.col("n_mins") < k, F.col("n_mins")).otherwise(est)
+        .cast("bigint"))

@@ -619,6 +619,61 @@ FROM events GROUP BY event_type
 """
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketch (functions/sketches.py) beside the exact
+    control: per event_type, exact COUNT(DISTINCT user_id), the k=16
+    sketch's estimate, and its kth-min hash (the sketch state). The
+    estimate is floor()ed integer-exact math, so it oracle-checks —
+    unlike engine-specific HLL."""
+    from ..functions.sketches import kmv_estimate, kmv_sketch
+
+    ev = read_table(spark, sf_dir, "events")
+    sk = kmv_estimate(kmv_sketch(ev, ["event_type"], "user_id", k=16))
+    exact = (ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("exact_distinct")))
+    return (exact.join(sk, "event_type")
+            .select("event_type", "exact_distinct", "kmv_est",
+                    F.col("kth").alias("kth_hash")))
+
+
+# 12-hex-char md5 fold (48-bit) — DuckDB restatement of Spark
+# conv(substr(md5(x),1,12),16,10); same fold as pipeline_suite._hex_int_sql
+# at doubled width.
+def _hex12_sql(expr: str) -> str:
+    return ("list_reduce(list_transform(string_split_regex("
+            f"substr(md5({expr}), 1, 12), ''), "
+            "c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)), "
+            "(a,b) -> a*16+b)")
+
+
+SQL_KMV_DISTINCT = f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         {_hex12_sql("CAST(user_id AS VARCHAR)")} AS h
+  FROM events
+),
+r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hashed
+),
+sk AS (
+  SELECT event_type, COUNT(*) AS n_mins, MAX(h) AS kth
+  FROM r WHERE rn <= 16 GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, e.exact_distinct,
+       CAST(CASE WHEN sk.n_mins < 16 THEN sk.n_mins
+                 ELSE floor(15.0 * 281474976710656.0 / sk.kth)
+            END AS BIGINT) AS kmv_est,
+       sk.kth AS kth_hash
+FROM exact e JOIN sk USING (event_type)
+"""
+
+
 def q_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (linear interpolation —
     bit-identical to DuckDB's quantile_cont on the same doubles)."""
@@ -1514,6 +1569,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "tpch_q14": (q_tpch_q14, SQL_TPCH_Q14),
     "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "distinct_counts": (q_distinct_counts, SQL_DISTINCT_COUNTS),
+    "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
     "order_value_percentiles": (q_order_value_percentiles,
                                 SQL_ORDER_PERCENTILES),
     "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),

@@ -851,6 +851,98 @@ GROUP BY e.query_id
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (functions/semantic.py): cluster by
+    nearest deterministic centroid, drop vectors dominated by a
+    within-threshold same-cluster neighbor. One corpus shuffle (cluster
+    id); pairwise cost bounded by cluster size, never corpus x corpus."""
+    from ..functions.semantic import semantic_dedup
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.3, every=50)
+
+
+# shared IVF assignment CTE chain (mirrors functions/ivf.py ivf_assign and
+# SQL_IVF_TOPK's prefix): every-50th vector is a centroid, argmax by
+# (sim DESC, list_id) via row_number
+_ASSIGN_CTES = f"""
+cents AS (
+  SELECT CAST(vec_id / 50 AS BIGINT) AS list_id,
+         {{dvec}} AS centroid
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+corpus AS (SELECT vec_id, {{dvec}} AS v FROM embeddings),
+assign_s AS (
+  SELECT c.vec_id, ct.list_id, c.v, ct.centroid,
+         {{cos_vc}} AS sim
+  FROM corpus c, cents ct
+),
+assign_r AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY sim DESC, list_id) AS rn
+  FROM assign_s
+),
+member AS (SELECT vec_id, list_id, v, sim AS csim
+           FROM assign_r WHERE rn = 1)
+"""
+
+
+def _member_ctes() -> str:
+    return _ASSIGN_CTES.format(dvec=_DVEC, cos_vc=_cos_sql("c.v", "ct.centroid"))
+
+
+_PAIR_COS = _cos_sql("a.v", "b.v")
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH {_member_ctes()},
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM member a JOIN member b ON a.list_id = b.list_id
+   AND (b.csim < a.csim OR (b.csim = a.csim AND b.vec_id < a.vec_id))
+  WHERE {_PAIR_COS} >= 0.3
+)
+SELECT m.vec_id, m.list_id, m.csim,
+       CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS is_dup
+FROM member m LEFT JOIN dropped d USING (vec_id)
+"""
+SQL_SEMANTIC_SUMMARY = f"""
+WITH {_member_ctes()},
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM member a JOIN member b ON a.list_id = b.list_id
+   AND (b.csim < a.csim OR (b.csim = a.csim AND b.vec_id < a.vec_id))
+  WHERE {_PAIR_COS} >= 0.3
+),
+verdicts AS (
+  SELECT m.vec_id, m.list_id, m.csim,
+         CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS is_dup
+  FROM member m LEFT JOIN dropped d USING (vec_id)
+),
+ex AS (
+  SELECT list_id, vec_id AS exemplar_id
+  FROM (SELECT list_id, vec_id,
+               row_number() OVER (PARTITION BY list_id
+                                  ORDER BY csim, vec_id) AS rn
+        FROM verdicts WHERE is_dup = 0)
+  WHERE rn = 1
+)
+SELECT c.list_id, c.n_members, c.n_dropped, ex.exemplar_id
+FROM (SELECT list_id, COUNT(*) AS n_members,
+             CAST(SUM(is_dup) AS BIGINT) AS n_dropped
+      FROM verdicts GROUP BY list_id) c
+JOIN ex USING (list_id)
+"""
+
+
+def q_semantic_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster retention: member/drop counts + kept exemplar (lowest
+    centroid similarity — SemDeDup's exemplar rule)."""
+    from ..functions.semantic import semantic_dedup, semantic_dedup_summary
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_summary(semantic_dedup(emb, threshold=0.3, every=50))
+
+
 # ---------------------------------------------------------------------------
 # multimodal (binary columns + Arrow-batched Python decode)
 
@@ -1199,6 +1291,8 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "ivf_recall": (q_ivf_recall,
                    SQL_IVF_RECALL.format(ann=SQL_ANN_TOPK, ivf=SQL_IVF_TOPK)),
+    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
+    "semantic_summary": (q_semantic_summary, SQL_SEMANTIC_SUMMARY),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),

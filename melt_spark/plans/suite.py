@@ -1646,6 +1646,26 @@ SUITE: dict[str, tuple] = {
                               F.col("recall").alias("v")),
          "SELECT 'recall' AS kind, query_id, hits AS ref, -1 AS rank,"
          " recall AS v"),
+        # r4: SemDeDup-style semantic dedup shares the cluster machinery —
+        # per-vector verdict (rank column carries the is_dup flag) and
+        # per-cluster retention summary (functions/semantic.py)
+        (PIPELINE_SUITE["semantic_dedup"],
+         lambda df: df.select(F.lit("semdedup").alias("kind"),
+                              F.col("vec_id").alias("query_id"),
+                              F.col("list_id").alias("ref"),
+                              F.col("is_dup").cast("int").alias("rank"),
+                              F.col("csim").alias("v")),
+         "SELECT 'semdedup' AS kind, vec_id AS query_id, list_id AS ref,"
+         " CAST(is_dup AS INTEGER) AS rank, csim AS v"),
+        (PIPELINE_SUITE["semantic_summary"],
+         lambda df: df.select(F.lit("semsum").alias("kind"),
+                              F.col("list_id").alias("query_id"),
+                              F.col("exemplar_id").alias("ref"),
+                              F.col("n_dropped").cast("int").alias("rank"),
+                              F.col("n_members").cast("double").alias("v")),
+         "SELECT 'semsum' AS kind, list_id AS query_id, exemplar_id AS ref,"
+         " CAST(n_dropped AS INTEGER) AS rank,"
+         " CAST(n_members AS DOUBLE) AS v"),
     ),
     # -- multimodal decode ⋈ features ⋈ resize per doc (Arrow mapInPandas)
     "multimodal_pipeline": joined(
@@ -1985,6 +2005,17 @@ SUITE: dict[str, tuple] = {
                               F.col("n_events").alias("n")),
          "SELECT 'daily' AS kind, day AS key, dau AS a,"
          " CAST(-1 AS BIGINT) AS b, n_events AS n"),
+        # r4: KMV distinct sketch beside the exact control — the estimate
+        # itself is integer-exact, so it participates in the hash
+        # (functions/sketches.py; HLL can't cross-engine-match)
+        (ANALYTICS_SUITE["kmv_distinct"],
+         lambda df: df.select(F.lit("kmv").alias("kind"),
+                              F.col("event_type").alias("key"),
+                              F.col("exact_distinct").alias("a"),
+                              F.col("kmv_est").alias("b"),
+                              F.col("kth_hash").alias("n")),
+         "SELECT 'kmv' AS kind, event_type AS key, exact_distinct AS a,"
+         " kmv_est AS b, kth_hash AS n"),
     ),
     # -- percentiles + deterministic math + embedding norms (all-double row)
     "numeric_profiles": merged(
