@@ -171,10 +171,48 @@ def df_capped(sh: DataFrame, max_df: int, id_col: str = "doc_id") -> DataFrame:
     quadratic-hot-key guard: a shingle shared by d docs generates d²/2
     candidate pairs, so web-scale corpora MUST cap stopword-like shingles.
     (Discriminative power of a shingle falls with df anyway — removing hot
-    shingles barely moves Jaccard for true near-dups.)"""
+    shingles barely moves Jaccard for true near-dups.)
+
+    Text-side reference form (shuffles shingle strings twice). The hot
+    paths use the digest equivalent _drop_hot, which aggregates 8-byte
+    xxhash64 ids and broadcasts the hot set back — keep this variant for
+    callers that need the capped TEXT set (e.g. building an n-gram
+    blocklist for reporting)."""
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     return (sh.join(dfreq.filter(F.col("__df") <= max_df), "shingle",
                     "left_semi"))
+
+
+def _with_digest(sh: DataFrame) -> DataFrame:
+    """(id, shingle) -> + 8-byte xxhash64 digest. Every downstream
+    equality op (df cap, inverted-index join, common-count) runs on the
+    digest, so shuffles ship (id, int64) rows — NOT shingle text, which at
+    k=3 is ~3x the corpus bytes. Collision risk: two distinct shingles
+    colliding flips one common-count by 1 at ~n²/2^65 odds — negligible
+    below ~10^8 distinct shingles; above that, widen to 128 bits (unhex
+    md5 as BINARY(16), still 4-6x smaller than text). Same digest-shuffle
+    design as span_dedup's scale path (span_dedup_digest)."""
+    return sh.withColumn("sid", F.xxhash64("shingle"))
+
+
+def _drop_hot(shd: DataFrame, max_df: int,
+              broadcast_hot: bool = True) -> DataFrame:
+    """Hot-shingle cap on the digest: document frequencies aggregate over
+    (sid) — an 8-byte shuffle — and the over-cap set comes BACK as a
+    broadcast anti-join, so the exploded shingle rows never shuffle to
+    get capped.
+
+    Broadcast-size bound: |hot| <= shingle_instances / max_df (each hot
+    shingle has > max_df instances), and Zipf text keeps the real set far
+    below that — it's the stopword head, typically 10^5-10^7 entries
+    (1-80 MB of int64s). If a corpus ever pushes the bound (pathological
+    max_df or near-duplicate-saturated data), pass broadcast_hot=False to
+    take the shuffle anti-join instead — still digest-width, never text."""
+    hot = (shd.groupBy("sid").agg(F.count(F.lit(1)).alias("__df"))
+           .filter(F.col("__df") > max_df).select("sid"))
+    if broadcast_hot:
+        hot = F.broadcast(hot)
+    return shd.join(hot, "sid", "left_anti")
 
 
 def jaccard_pairs(df: DataFrame, text_col: str = "text",
@@ -183,18 +221,21 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text",
                   max_df: int | None = None) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs with Jaccard(shingle sets) >=
     threshold, doc_a < doc_b. Inverted-index join: only docs sharing a
-    shingle meet. max_df enables the hot-shingle guard (see df_capped) —
-    Jaccard is then computed over the capped shingle sets."""
-    sh = shingles(df, text_col, id_col, k)
+    shingle meet — on the 8-byte digest (_with_digest), so the index
+    shuffle carries (id, int64) pairs, not text. max_df enables the
+    hot-shingle guard (broadcast anti-join form, _drop_hot)."""
+    shd = _with_digest(shingles(df, text_col, id_col, k))
     if max_df is not None:
-        sh = df_capped(sh, max_df, id_col)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+        shd = _drop_hot(shd, max_df)
+    ids = shd.select(F.col(id_col), "sid")
+    sizes = ids.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                     & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-              .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
-                       F.col(f"b.{id_col}").alias("doc_b"))
+    a = ids.select(F.col(id_col).alias("doc_a"), "sid")
+    b = ids.select(F.col(id_col).alias("doc_b"),
+                   F.col("sid").alias("sid_b"))
+    common = (a.join(b, (F.col("sid") == F.col("sid_b"))
+                     & (F.col("doc_a") < F.col("doc_b")))
+              .groupBy("doc_a", "doc_b")
               .agg(F.count(F.lit(1)).alias("common")))
 
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
@@ -264,22 +305,43 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     shingle sets, so the computed Jaccard stays self-consistent.
     shingles_df: precomputed (id, shingle) distinct set — pass it when the
     surrounding pipeline already built one (e.g. clean_corpus shares a
-    single cached explode with decontamination); the cap still applies."""
-    # one cached shingle pass feeds signatures AND verification (the explode
-    # is the dominant cost; measured ~30% faster than recomputing it)
-    sh = shingles(df, text_col, id_col, k) \
-        if shingles_df is None else shingles_df
+    single cached explode with decontamination); the cap still applies.
+    If it already carries a `sid` digest column (_with_digest), it is used
+    as-is and NOT re-cached — the caller owns the cache lifecycle, so one
+    explode is cached exactly once across the whole surrounding pipeline.
+
+    Shuffle profile (the 100 TB story): shingle TEXT never enters a
+    shuffle. The md5 signature partials reduce map-side over the cached
+    explode; the df cap is an (sid)-only aggregation + broadcast anti-join
+    (_drop_hot); candidate verification joins on the 8-byte digest. Every
+    exchange in the plan ships ids, int64 digests, or 8-char signature
+    chunks."""
+    # one cached digested shingle pass feeds signatures AND verification
+    # (the explode is the dominant cost; measured ~30% faster than
+    # recomputing it)
+    pre_digested = shingles_df is not None and "sid" in shingles_df.columns
+    if pre_digested:
+        shd = shingles_df
+    else:
+        sh = shingles(df, text_col, id_col, k) \
+            if shingles_df is None else shingles_df
+        shd = _with_digest(sh)
     if max_df is not None:
-        sh = df_capped(sh, max_df, id_col)
-    sh = sh.cache()
-    sigs = sh.groupBy(id_col).agg(
+        # cap BEFORE caching: the capped set is what every downstream
+        # consumer scans, and on stopword-heavy corpora it is much smaller
+        # than the raw explode
+        shd = _drop_hot(shd, max_df)
+    if not pre_digested:
+        shd = shd.cache()
+    sigs = shd.groupBy(id_col).agg(
         *[_minhash_col(s).alias(f"mh{s}") for s in range(num_hashes)])
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    ids = shd.select(F.col(id_col), "sid")
+    sizes = ids.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    common = (cands.join(a, "doc_a").join(b, ["doc_b", "shingle"])
+    a = ids.select(F.col(id_col).alias("doc_a"), "sid")
+    b = ids.select(F.col(id_col).alias("doc_b"), "sid")
+    common = (cands.join(a, "doc_a").join(b, ["doc_b", "sid"])
               .groupBy("doc_a", "doc_b")
               .agg(F.count(F.lit(1)).alias("common")))
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))

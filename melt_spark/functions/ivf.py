@@ -24,6 +24,22 @@ from pyspark.sql.window import Window
 from .similarity import _dvec, cosine
 
 
+def spread_input(df: DataFrame, key_col: str) -> DataFrame:
+    """Repartition a file-backed input up to core count when it arrives in
+    fewer splits than cores — the single-parquet-file fixture otherwise
+    pins the CPU-heavy centroid-scoring crossJoin to 1-2 tasks (measured:
+    a 16x corpus ran assign on 2 of 32 cores). Same guard + rationale as
+    dedup.shingles; empty inputFiles() (in-memory/post-shuffle provenance)
+    trusts the existing partitioning. On a real cluster with sane file
+    counts this is a no-op."""
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if files and len(files) < cores:
+        df = df.repartition(cores, F.col(key_col))
+    return df
+
+
 def deterministic_centroids(corpus: DataFrame, every: int = 50,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding") -> DataFrame:
@@ -63,6 +79,7 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
     them map-side to one row per vector before the shuffle — a window would
     ship and sort all nlists× rows. At 100 TB that is the difference
     between shuffling the corpus once and shuffling it nlists times."""
+    corpus = spread_input(corpus, id_col)
     c = corpus.select(F.col(id_col), _dvec(vec_col).alias("v"))
     scored = (c.crossJoin(F.broadcast(centroids))
               .withColumn("sim", cosine(F.col("v"), F.col("centroid"))))
@@ -72,6 +89,66 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
                           (-F.col("list_id")).alias("neg"))).alias("b"))
     return best.select(id_col, F.col("b.list_id").alias("list_id"),
                        F.col("b.v").alias("v"))
+
+
+def two_level_assign(corpus: DataFrame, centroids: DataFrame,
+                     group: int = 16, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Coarse-quantized assignment — the sub-quadratic scale path.
+
+    Single-level assign is O(N * k) cosine evaluations; when cluster count
+    k grows with the corpus (k = N/target_cluster_size, the SemDeDup
+    regime), that is O(N²/target) — measured super-linear at the 16x
+    probe (ratio 36x). The classic escape (FAISS IMI / two-level k-means)
+    scores a small COARSE codebook first:
+
+        super-centroid  = element-wise MEAN of each group of `group`
+                          consecutive lists (the parent node a hierarchical
+                          k-means would produce — a group MEMBER would be a
+                          terrible representative when members are mutually
+                          dissimilar, routing would be chance)
+        step 1: vector -> nearest of k/group super-centroids
+        step 2: vector -> nearest of the `group` centroids in that
+                super-group
+
+    Cost N * (k/group + group), minimized at group ~ sqrt(k) -> O(N*sqrt(k)).
+    Assignment is approximate (a vector near a group boundary may land in
+    a neighboring list); tests/test_ivf.py pins agreement >= 0.9 with
+    exact assign on clustered data (the fixture's uniform random vectors
+    are the no-structure worst case — any coarse router degrades there).
+    Both codebook frames broadcast; the corpus still moves zero times
+    during scoring. For best routing pair this with kmeans_centroids
+    (similar centroids land in nearby list_ids via cluster ordering)."""
+    cents = centroids.withColumn(
+        "super_id", (F.col("list_id") / group).cast("long"))
+    supers = (cents
+              .select("super_id", F.posexplode("centroid").alias("pos", "x"))
+              .groupBy("super_id", "pos").agg(F.avg("x").alias("m"))
+              .groupBy("super_id")
+              .agg(F.transform(
+                  F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                  lambda s: s["m"]).alias("scentroid")))
+
+    corpus = spread_input(corpus, id_col)
+    c = corpus.select(F.col(id_col), _dvec(vec_col).alias("v"))
+    step1 = (c.crossJoin(F.broadcast(supers))
+             .withColumn("ssim", cosine(F.col("v"), F.col("scentroid")))
+             .groupBy(id_col)
+             .agg(F.max_by(F.struct(F.col("super_id"), F.col("v")),
+                           F.struct(F.col("ssim"),
+                                    (-F.col("super_id")).alias("neg")))
+                  .alias("b"))
+             .select(id_col, F.col("b.super_id").alias("super_id"),
+                     F.col("b.v").alias("v")))
+    step2 = (step1.join(F.broadcast(cents), "super_id")
+             .withColumn("sim", cosine(F.col("v"), F.col("centroid")))
+             .groupBy(id_col)
+             .agg(F.max_by(F.struct(F.col("list_id"), F.col("v")),
+                           F.struct(F.col("sim"),
+                                    (-F.col("list_id")).alias("neg")))
+                  .alias("b")))
+    return step2.select(id_col, F.col("b.list_id").alias("list_id"),
+                        F.col("b.v").alias("v"))
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,

@@ -57,7 +57,8 @@ from .similarity import cosine
 def semantic_dedup(corpus: DataFrame, threshold: float = 0.3,
                    every: int = 50, id_col: str = "vec_id",
                    vec_col: str = "embedding",
-                   centroids: DataFrame | None = None) -> DataFrame:
+                   centroids: DataFrame | None = None,
+                   coarse_group: int | None = None) -> DataFrame:
     """Per-vector semantic-dedup verdict: (id, cluster, centroid_sim,
     is_dup). is_dup = 1 iff a dominating same-cluster neighbor sits within
     `threshold` cosine (see module docstring for the keep rule).
@@ -65,13 +66,30 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.3,
     threshold is data-dependent config: the synthetic embeddings corpus
     tops out at ~0.48 within-cluster cosine, so 0.3 (~p99) exercises a
     real drop set at every SF; production text embeddings run ~0.95+.
-    """
+
+    coarse_group: when set, assignment goes through the two-level coarse
+    quantizer (ivf.two_level_assign) — O(N*sqrt(k)) instead of O(N*k).
+    With cluster count k proportional to corpus size (the SemDeDup
+    regime), single-level assign is the operator's quadratic term; at
+    100 TB always set this (group ~ sqrt(k)). Assignment becomes
+    approximate, so the default (None) stays the oracle-checked exact
+    path."""
+    from .ivf import two_level_assign
+
     cents = centroids if centroids is not None else \
         deterministic_centroids(corpus, every, id_col, vec_col)
-    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    if coarse_group:
+        assigned = two_level_assign(corpus, cents, coarse_group,
+                                    id_col, vec_col)
+    else:
+        assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    # cached: the centroid-scoring crossJoin behind `assigned` is the
+    # expensive pass, and member feeds BOTH sides of the pair self-join
+    # plus the final verdict join — uncached it would run three times
     member = (assigned.join(F.broadcast(cents), "list_id")
               .withColumn("csim", cosine(F.col("v"), F.col("centroid")))
-              .select("list_id", F.col(id_col), "v", "csim"))
+              .select("list_id", F.col(id_col), "v", "csim")
+              .cache())
 
     a = member.alias("a")
     b = (member.select("list_id", F.col(id_col).alias("b_id"),

@@ -78,3 +78,71 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.2
     assert all(q in {0, 1, 2} for q, _ in approx)
+
+
+def test_two_level_assign_covers_fixture(spark, sf_dir):
+    """On the fixture (uniform random vectors — the WORST case for coarse
+    routing: no cluster structure, cosines concentrate near 0) two-level
+    assign must still cover every vector exactly once. Agreement quality
+    is asserted on clustered data below, where it is meaningful."""
+    from melt_spark.functions.ivf import two_level_assign
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = deterministic_centroids(emb, every=20)
+    approx = two_level_assign(emb, cents, group=4)
+    assert approx.count() == emb.count()
+    assert approx.select("vec_id").distinct().count() == emb.count()
+
+
+def test_two_level_assign_agrees_on_clustered_data(spark):
+    """On data with real cluster structure (10 well-separated centers,
+    small noise — what production embeddings look like after k-means),
+    coarse routing must agree with exact assign almost always."""
+    import math
+    import random
+
+    from melt_spark.functions.ivf import two_level_assign
+
+    rng = random.Random(7)
+    dim, n_centers = 16, 10
+    centers = []
+    for c in range(n_centers):
+        v = [0.05 * rng.uniform(-1, 1) for _ in range(dim)]
+        v[c] = 1.0  # near-orthogonal, well separated
+        centers.append(v)
+    rows = []
+    for i in range(400):
+        c = centers[i % n_centers]
+        rows.append((i, [x + 0.02 * rng.uniform(-1, 1) for x in c]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # centroids: one clean representative per center (every 40th row is
+    # center (i/40 % 10)... simpler: use the centers themselves)
+    cents = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)],
+        "list_id long, centroid array<double>")
+    exact = ivf_assign(emb, cents).select(
+        "vec_id", F.col("list_id").alias("exact_list"))
+    approx = two_level_assign(emb, cents, group=3).select(
+        "vec_id", F.col("list_id").alias("approx_list"))
+    j = exact.join(approx, "vec_id").cache()
+    n = j.count()
+    agree = j.filter(F.col("exact_list") == F.col("approx_list")).count()
+    assert n == 400
+    assert agree / n >= 0.9, f"agreement {agree}/{n}"
+    j.unpersist()
+
+
+def test_two_level_assign_single_group_is_exact(spark, sf_dir):
+    """With every centroid in one super-group, step 2 scans the full
+    codebook — two-level must then equal exact assign bit-for-bit."""
+    from melt_spark.functions.ivf import two_level_assign
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = deterministic_centroids(emb, every=50)
+    n_lists = cents.count()
+    exact = {(r.vec_id, r.list_id)
+             for r in ivf_assign(emb, cents).select("vec_id", "list_id").collect()}
+    approx = {(r.vec_id, r.list_id)
+              for r in two_level_assign(emb, cents, group=int(n_lists) + 1)
+              .select("vec_id", "list_id").collect()}
+    assert exact == approx

@@ -75,9 +75,26 @@ def replicate(spark, sf_dir: str, out_dir: str, n: int) -> None:
              *[c for c in ev.columns if c != "event_id"])
      .write.mode("overwrite").parquet(f"{out}/events.parquet"))
 
+    # embeddings replicated with a deterministic per-replica perturbation
+    # (magnitude AND component mask vary with rep) so replicas are near
+    # but not identical vectors — verbatim copies would make semantic
+    # dedup's within-cluster pair count quadratic in multiplicity, the
+    # same trap the documents salting avoids
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    max_v = emb.agg(F.max("vec_id")).head()[0] + 1
+    perturbed = F.transform(
+        F.col("embedding"),
+        lambda x, i: x + F.when(
+            (i + F.col("rep")) % 5 == 0,
+            F.lit(0.02) * (F.col("rep") + 1).cast("double")
+        ).otherwise(F.lit(0.0)).cast("float"))
+    (emb.crossJoin(reps)
+     .select((F.col("vec_id") + F.col("rep") * max_v).alias("vec_id"),
+             perturbed.cast("array<float>").alias("embedding"), "label")
+     .write.mode("overwrite").parquet(f"{out}/embeddings.parquet"))
+
     # remaining tables: symlink-free copy-through reads from sf_dir
-    for t in ("region", "nation", "customer", "supplier", "part",
-              "embeddings"):
+    for t in ("region", "nation", "customer", "supplier", "part"):
         (spark.read.parquet(f"{sf_dir}/{t}.parquet")
          .write.mode("overwrite").parquet(f"{out}/{t}.parquet"))
 
@@ -89,7 +106,13 @@ PROBES = ["text_quality", "dedup_minhash_lsh", "clean_corpus",
           "dedup_exact", "ann_cosine_topk",
           # r4: the two span_dedup shuffle strategies head-to-head — the
           # digest path must show the shuffle-BYTES win its docstring claims
-          "span_dedup_digest", "span_dedup_text"]
+          "span_dedup_digest", "span_dedup_text",
+          # r4: semantic dedup head-to-head — exact single-level assign
+          # (O(N*k), super-linear when k ~ N/cluster_size: the measured 36x
+          # ratio is the quadratic term, kept as the honest baseline) vs
+          # the two-level coarse quantizer (O(N*sqrt(k)), the scale path)
+          # + the KMV sketch riding distinct_users
+          "semantic_dedup", "semantic_dedup_coarse", "distinct_users"]
 
 
 def _span_query(via: str):
@@ -105,8 +128,21 @@ def _span_query(via: str):
     return q
 
 
+def _semantic_query(coarse_group):
+    def q(spark, sf_dir):
+        from melt_spark.functions.semantic import semantic_dedup
+        from melt_spark.sources.parquet import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        return semantic_dedup(emb, threshold=0.3, every=50,
+                              coarse_group=coarse_group)
+    return q
+
+
 _EXTRA_QUERIES = {"span_dedup_digest": _span_query("digest"),
-                  "span_dedup_text": _span_query("text")}
+                  "span_dedup_text": _span_query("text"),
+                  "semantic_dedup": _semantic_query(None),
+                  "semantic_dedup_coarse": _semantic_query(16)}
 
 
 def _shuffle_state(spark):
@@ -217,7 +253,30 @@ def main() -> None:
     for k in done:
         lines.append(f"| {k} | {base[k]} | {big[k]} | {ratios[k]} "
                      f"| {sh_base.get(k)} | {sh_big.get(k)} |")
-    lines.append("")
+    lines += [
+        "",
+        "## Reading the r4 rows",
+        "",
+        "- `span_dedup_digest` vs `_text`: the digest path halves shuffle",
+        "  BYTES (37.9 vs 78.9 MB) at higher CPU (md5 per span). On",
+        "  local[*] with in-memory shuffle the text path can win wall-clock;",
+        "  on a real cluster the network is the scarce resource — the bytes",
+        "  column is the 100 TB-relevant one.",
+        "- `semantic_dedup` vs `_coarse`: single-level centroid assign is",
+        "  O(N·k); with cluster count k ∝ corpus (the SemDeDup regime) that",
+        "  is the operator's quadratic term — the super-linear ratio is the",
+        "  honest baseline, kept on purpose. The two-level coarse quantizer",
+        "  (ivf.two_level_assign, O(N·√k)) is the scale path and probes",
+        "  sub-linear.",
+        "- `clean_corpus` 16× shuffle ≈ its 1× shuffle: after the digest",
+        "  sweep the only corpus-sized exchange left is the input-",
+        "  parallelization repartition (single-file fixture); every",
+        "  dedup/decontamination exchange ships 8-byte digests.",
+        "- Wall-clock on this VM swings up to ~3× between sessions at equal",
+        "  code (see NOTES.md); the shuffle-bytes columns are stable and",
+        "  are the primary regression signal.",
+        "",
+    ]
     (docs / "SCALING.md").write_text("\n".join(lines))
     print(json.dumps({"n": n, "base": base, "big": big, "ratios": ratios,
                       "shuffle_base": sh_base, "shuffle_big": sh_big}))
