@@ -62,6 +62,14 @@ BENCH_QUERIES_R3 = [
     ("stream_broker_sync", s.q_stream_broker_sync),  # streaming sink loop
 ]
 
+# Round-4 operators, same contract as the r3 group: in queries/runs and the
+# extended total only; the headline `value` remains the original 13.
+BENCH_QUERIES_R4 = [
+    ("semantic_dedup", p.q_semantic_dedup),        # cluster-local pairwise
+    ("kmv_distinct", a.q_kmv_distinct),            # k-min-values sketch
+    ("stream_enriched", s.q_stream_enriched_counts),  # stream-static bcast
+]
+
 
 def _force(df) -> int:
     """Execute the full plan without materializing on the driver."""
@@ -78,7 +86,7 @@ def main() -> None:
     # whole-stage-codegen compilation and JVM JIT are paid before timing —
     # the generated code is plan-shaped, so it's reused at the real SF
     warm_dir = "/root/testdata/sf0.001"
-    for _name, fn in BENCH_QUERIES + BENCH_QUERIES_R3:
+    for _name, fn in BENCH_QUERIES + BENCH_QUERIES_R3 + BENCH_QUERIES_R4:
         try:
             _force(fn(spark, warm_dir))
         except Exception:
@@ -92,7 +100,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
-    for name, fn in BENCH_QUERIES + BENCH_QUERIES_R3:
+    for name, fn in BENCH_QUERIES + BENCH_QUERIES_R3 + BENCH_QUERIES_R4:
         try:
             # min of 2 is the headline (drops scheduler noise, stays
             # honest); BOTH raw runs are recorded so run-to-run variance —
@@ -118,7 +126,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "runs": runs,
-        "total_with_r3_ops": round(sum(timings.values()), 3),
+        "total_with_new_ops": round(sum(timings.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

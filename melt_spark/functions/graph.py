@@ -1,0 +1,75 @@
+"""Iterative graph algorithms as unrolled DataFrame plans — PageRank in
+integer fixed-point arithmetic, so a fixed iteration count is bit-exactly
+reproducible in ANY engine (the oracle unrolls the same iterations as SQL
+CTEs).
+
+Why integer: PageRank's per-iteration sum over in-neighbors is a
+floating-point reduction whose result depends on ADDITION ORDER — a
+groupBy over a shuffled graph cannot promise one, so float scores can
+never hash-match across engines (or even across two Spark runs with
+different partitioning). Fixed-point kills the problem: scores are BIGINTs
+(SCALE = 1e9 "rank units"), contributions use floor division, damping is
+(85 * s) div 100 — every op exact and associative, so ANY summation order
+gives the same total. Headroom: sum(scores) stays ~N * SCALE; with
+N * SCALE * 85 < 2^63 this never overflows (N up to ~10^11 nodes).
+
+Spark-first shape (the Pregel pattern in DataFrame clothes):
+    contrib  = edges ⋈ scores ⋈ outdeg     -- shuffle on src
+    inflow   = contrib.groupBy(dst).sum    -- map-side combined, shuffle on dst
+    scores'  = nodes ⟕ inflow              -- shuffle on node id
+Iterations unroll into one Catalyst plan (no driver-side collect between
+steps). At 100 TB: pre-partition edges by src and persist — every
+iteration reuses that partitioning for the scores join; at higher
+iteration counts, localCheckpoint each k-th scores to cap plan depth
+(same pattern as dedup.connected_components).
+
+Convergence note: 3 unrolled iterations is ranking-quality, not
+fixed-point; production runs iterate to a delta threshold with the
+checkpoint pattern. The operator contract (and the oracle) pins the
+iteration count so results are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10 ** 9        # fixed-point rank units per unit of rank mass
+DAMP_NUM, DAMP_DEN = 85, 100
+
+
+def symmetrize(pairs: DataFrame, a: str, b: str) -> DataFrame:
+    """Undirected pair list -> directed edge list with both directions:
+    (src, dst), distinct."""
+    fwd = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    rev = pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    return fwd.unionByName(rev).distinct()
+
+
+def pagerank_int(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """(node, score) after `iters` damped power iterations in fixed-point.
+    edges: directed (src, dst), distinct; every node must appear as a src
+    (symmetrize() guarantees it — dangling-node mass is out of scope for
+    the symmetric graphs this suite builds)."""
+    edges = edges.select("src", "dst")
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    scores = nodes.withColumn("score", F.lit(SCALE).cast("bigint"))
+    base = SCALE * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
+
+    for _ in range(iters):
+        contrib = (edges
+                   .join(scores.withColumnRenamed("node", "src"), "src")
+                   .join(outdeg, "src")
+                   .select("dst",
+                           F.expr("score div outdeg").alias("c")))
+        inflow = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        scores = (nodes
+                  .join(inflow.withColumnRenamed("dst", "node"),
+                        "node", "left")
+                  .select("node",
+                          (F.lit(base)
+                           + F.expr(f"({DAMP_NUM} * coalesce(s, 0))"
+                                    f" div {DAMP_DEN}"))
+                          .cast("bigint").alias("score")))
+    return scores

@@ -674,6 +674,56 @@ FROM exact e JOIN sk USING (event_type)
 """
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (functions/graph.py) over the customer <->
+    supplier bipartite graph (edge = "customer ordered from supplier",
+    symmetrized). 3 unrolled damped iterations in BIGINT arithmetic —
+    the iterative-algorithm family made oracle-checkable: every op is
+    floor-division/integer-sum, so the unrolled SQL CTE chain reproduces
+    scores bit-for-bit regardless of summation order."""
+    from ..functions.graph import pagerank_int, symmetrize
+
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    pairs = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+             .select(F.col("o_custkey").alias("cust"),
+                     (F.lit(1_000_000) + F.col("l_suppkey")).alias("supp"))
+             .distinct())
+    return pagerank_int(symmetrize(pairs, "cust", "supp"), iters=3)
+
+
+def _pagerank_sql(iters: int = 3) -> str:
+    scale, base = 10 ** 9, 10 ** 9 * 15 // 100
+    ctes = [f"""
+pairs AS (
+  SELECT DISTINCT o_custkey AS cust, 1000000 + l_suppkey AS supp
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+edges AS (SELECT cust AS src, supp AS dst FROM pairs
+          UNION SELECT supp, cust FROM pairs),
+outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+n AS (SELECT DISTINCT src AS node FROM edges),
+s0 AS (SELECT node, CAST({scale} AS BIGINT) AS score FROM n)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""
+i{i} AS (
+  SELECT e.dst AS node, SUM(s.score // d.outdeg) AS s
+  FROM edges e JOIN s{i - 1} s ON s.node = e.src
+  JOIN outdeg d ON d.src = e.src
+  GROUP BY e.dst
+),
+s{i} AS (
+  SELECT n.node,
+         CAST({base} + (85 * COALESCE(i{i}.s, 0)) // 100 AS BIGINT) AS score
+  FROM n LEFT JOIN i{i} USING (node)
+)""")
+    return ("WITH " + ",".join(ctes)
+            + f"\nSELECT node, score FROM s{iters}")
+
+
+SQL_PAGERANK = _pagerank_sql(3)
+
+
 def q_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (linear interpolation —
     bit-identical to DuckDB's quantile_cont on the same doubles)."""
@@ -1570,6 +1620,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "distinct_counts": (q_distinct_counts, SQL_DISTINCT_COUNTS),
     "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
+    "pagerank": (q_pagerank, SQL_PAGERANK),
     "order_value_percentiles": (q_order_value_percentiles,
                                 SQL_ORDER_PERCENTILES),
     "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),

@@ -851,6 +851,26 @@ GROUP BY e.query_id
 """
 
 
+def q_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters over the exploded token stream (functions/
+    heavy.py): per-partition Misra-Gries candidates (mapInPandas, zero
+    shuffle) + broadcast-semi-join exact recount — the long tail never
+    enters a shuffle, yet the output is exact, so it oracle-checks
+    against plain GROUP BY ... HAVING."""
+    from ..functions.heavy import heavy_hitters
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    return heavy_hitters(toks, "tok", phi=0.01)
+
+
+SQL_HEAVY_TOKENS = """
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+SELECT tok AS item, COUNT(*) AS n FROM toks GROUP BY tok
+HAVING COUNT(*) > 0.01 * (SELECT COUNT(*) FROM toks)
+"""
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (functions/semantic.py): cluster by
     nearest deterministic centroid, drop vectors dominated by a
@@ -1138,21 +1158,24 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
       5. training-shard assignment (shard, shard_pos) for export.
 
     Output: (doc_id, shard, shard_pos) — the export manifest."""
-    from ..functions.dedup import shingles
+    from ..functions.dedup import _with_digest, shingles
 
     docs = read_table(spark, sf_dir, "documents")
     train = docs.filter(F.col("doc_id") % BENCH_MOD != 0)
     bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0)
     scored = quality_score(train).select("doc_id", "source", "quality")
     good = scored.filter(F.col("quality") >= 0.6).select("doc_id", "source")
-    # ONE cached shingle explode feeds dedup signatures, dedup verification
-    # AND decontamination — the explode is the pipeline's dominant cost
-    sh_all = shingles(docs).cache()
+    # ONE cached digested shingle explode feeds dedup signatures, dedup
+    # verification AND decontamination — the explode is the pipeline's
+    # dominant cost, and it is cached exactly once (minhash_dedup_pairs
+    # detects the sid column and reuses this cache; contamination joins on
+    # the 8-byte digest, so its benchmark broadcast ships digests too)
+    sh_all = _with_digest(shingles(docs)).cache()
     dup_losers = (minhash_dedup_pairs(docs, num_hashes=8, bands=4,
                                       threshold=0.8, max_df=MAX_SHINGLE_DF,
                                       shingles_df=sh_all)
                   .select(F.col("doc_b").alias("doc_id")).distinct())
-    grams = sh_all.withColumnRenamed("shingle", "ngram")
+    grams = sh_all.select("doc_id", F.col("sid").alias("ngram"))
     contaminated = contamination(
         train, bench, n=3, min_hits=CONTAM_MIN_HITS,
         doc_grams=grams.filter(F.col("doc_id") % BENCH_MOD != 0),
@@ -1293,6 +1316,7 @@ PIPELINE_SUITE: dict[str, tuple] = {
                    SQL_IVF_RECALL.format(ann=SQL_ANN_TOPK, ivf=SQL_IVF_TOPK)),
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "semantic_summary": (q_semantic_summary, SQL_SEMANTIC_SUMMARY),
+    "heavy_tokens": (q_heavy_tokens, SQL_HEAVY_TOKENS),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),

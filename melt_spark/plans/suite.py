@@ -1261,6 +1261,36 @@ GROUP BY win_start, event_type
 """
 
 
+def q_stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment — the most common streaming pattern: each
+    micro-batch of the events stream joins the static customer dimension
+    map-side (broadcast hint; the dimension never shuffles and Spark
+    re-plans it per batch), then a complete-mode global aggregation counts
+    events per (market segment, event type). Complete mode is correct
+    here: the aggregate state is tiny (segments x types), unlike the
+    windowed entries where append+watermark bounds state."""
+    from ..streaming.continuous import run_to_memory, stream_from_parquet
+
+    stream = stream_from_parquet(spark, f"{sf_dir}/events.parquet")
+    cust = (read_table(spark, sf_dir, "customer")
+            .select(F.col("c_custkey").alias("user_id"), "c_mktsegment"))
+    out = (stream.join(F.broadcast(cust), "user_id")
+           .groupBy("c_mktsegment", "event_type")
+           .agg(F.count(F.lit(1)).alias("n")))
+    query, name = run_to_memory(out, mode="complete")
+    try:
+        return spark.table(name).cache().localCheckpoint(eager=True)
+    finally:
+        query.stop()
+
+
+SQL_STREAM_ENRICHED_COUNTS = """
+SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY c.c_mktsegment, e.event_type
+"""
+
+
 def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup: dropDuplicatesWithinWatermark on the key columns —
     state-bounded exactly-once-per-key emission (the streaming analogue of
@@ -1569,7 +1599,22 @@ SUITE: dict[str, tuple] = {
     ),
     "dedup_jaccard": PIPELINE_SUITE["dedup_jaccard"],
     "dedup_minhash_lsh": PIPELINE_SUITE["dedup_minhash_lsh"],
-    "dedup_clusters": PIPELINE_SUITE["dedup_clusters"],
+    # -- the two iterative graph algorithms share one entry: connected
+    #    components (label propagation) + r4's fixed-point PageRank
+    #    (functions/graph.py — integer arithmetic so the unrolled oracle
+    #    CTEs match bit-for-bit)
+    "dedup_clusters": merged(
+        (PIPELINE_SUITE["dedup_clusters"],
+         lambda df: df.select(F.lit("cc").alias("kind"),
+                              F.col("doc_id").alias("id"),
+                              F.col("cluster_id").alias("val")),
+         "SELECT 'cc' AS kind, doc_id AS id, cluster_id AS val"),
+        (ANALYTICS_SUITE["pagerank"],
+         lambda df: df.select(F.lit("pagerank").alias("kind"),
+                              F.col("node").alias("id"),
+                              F.col("score").alias("val")),
+         "SELECT 'pagerank' AS kind, node AS id, score AS val"),
+    ),
     "simhash": PIPELINE_SUITE["simhash"],
     "simhash_near_dup": merged(
         (PIPELINE_SUITE["simhash_near_dup"],
@@ -1971,7 +2016,19 @@ SUITE: dict[str, tuple] = {
          "SELECT 'q20' AS q, s_name AS key, s_suppkey AS n,"
          " CAST(-1.0 AS DOUBLE) AS v"),
     ),
-    "salted_event_counts": ANALYTICS_SUITE["salted_event_counts"],
+    # -- the skew/heavy-key family shares one entry: salted two-phase
+    #    aggregation + r4's exact heavy hitters (per-partition Misra-Gries
+    #    candidates, broadcast recount — functions/heavy.py)
+    "salted_event_counts": merged(
+        (ANALYTICS_SUITE["salted_event_counts"],
+         lambda df: df.select(F.lit("salted").alias("kind"),
+                              F.col("event_type").alias("key"), "n"),
+         "SELECT 'salted' AS kind, event_type AS key, n"),
+        (PIPELINE_SUITE["heavy_tokens"],
+         lambda df: df.select(F.lit("heavy").alias("kind"),
+                              F.col("item").alias("key"), "n"),
+         "SELECT 'heavy' AS kind, item AS key, n"),
+    ),
     # as-of + range join: the two temporal-join operators share one entry
     # (harmonized: event_id, user_id, a reference event id, a double value)
     "asof_last_purchase": merged(
@@ -2133,6 +2190,13 @@ SUITE: dict[str, tuple] = {
                               F.col("win_start").alias("win"), "event_type",
                               "n"),
          "SELECT 'sliding' AS kind, win_start AS win, event_type, n"),
+        # r4: stream-static broadcast enrichment + complete-mode global agg
+        # (the win column carries the joined dimension attribute)
+        ((q_stream_enriched_counts, SQL_STREAM_ENRICHED_COUNTS),
+         lambda df: df.select(F.lit("enriched").alias("kind"),
+                              F.col("c_mktsegment").alias("win"),
+                              "event_type", "n"),
+         "SELECT 'enriched' AS kind, c_mktsegment AS win, event_type, n"),
     ),
     "stream_sessions": merged(
         ((q_stream_session_counts, SQL_STREAM_SESSION_COUNTS),
