@@ -674,6 +674,49 @@ FROM exact e JOIN sk USING (event_type)
 """
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: the furthest stage of signup -> click -> purchase
+    each user reached IN ORDER within their FIRST 8 events (sequence =
+    event_id, the suite's tie-free event order; the early-window cut is
+    what a conversion funnel actually asks, and on this fixture it spreads
+    users across all four stages instead of saturating at 3). One grouped
+    array fold, fully JVM-side: events map to stage codes, and the fold
+    advances only on code == acc + 1 — the subsequence-matching trick that
+    makes the same fold restatable as DuckDB list_reduce. Scale note: the
+    per-user array is bounded by user activity; for whale users beyond
+    memory, the same semantics decompose into 3 chained min-aggregations
+    (t1 = first signup, t2 = first click after t1, ...) at one extra
+    shuffle each."""
+    ev = read_table(spark, sf_dir, "events")
+    code = (F.when(F.col("event_type") == "signup", 1)
+            .when(F.col("event_type") == "click", 2)
+            .when(F.col("event_type") == "purchase", 3)
+            .otherwise(0))
+    seq = F.slice(F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("event_id"),
+                                             code.alias("c")))),
+        lambda s: s["c"]), 1, 8)
+    stage = F.aggregate(
+        seq, F.lit(0),
+        lambda acc, x: F.when(x == acc + 1, acc + 1).otherwise(acc))
+    return (ev.groupBy("user_id")
+            .agg(stage.cast("int").alias("funnel_stage")))
+
+
+SQL_EVENT_FUNNEL = """
+SELECT user_id,
+       CAST(list_reduce(
+         list_prepend(0, (list(CASE event_type WHEN 'signup' THEN 1
+                                               WHEN 'click' THEN 2
+                                               WHEN 'purchase' THEN 3
+                                               ELSE 0 END
+                               ORDER BY event_id))[1:8]),
+         (acc, x) -> CASE WHEN x = acc + 1 THEN acc + 1 ELSE acc END
+       ) AS INTEGER) AS funnel_stage
+FROM events GROUP BY user_id
+"""
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point PageRank (functions/graph.py) over the customer <->
     supplier bipartite graph (edge = "customer ordered from supplier",
@@ -1621,6 +1664,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "distinct_counts": (q_distinct_counts, SQL_DISTINCT_COUNTS),
     "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
     "pagerank": (q_pagerank, SQL_PAGERANK),
+    "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
     "order_value_percentiles": (q_order_value_percentiles,
                                 SQL_ORDER_PERCENTILES),
     "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),

@@ -1794,7 +1794,22 @@ SUITE: dict[str, tuple] = {
          " o_orderkey, o_orderstatus AS detail, pr AS price, cd AS price2,"
          " nt AS rk, -1 AS drk, rn"),
     ),
-    "event_sessions": ANALYTICS_SUITE["event_sessions"],
+    # -- sessionization + r4 funnel analysis (ordered-subsequence array
+    #    fold, restated as DuckDB list_reduce) share the per-user entry
+    "event_sessions": merged(
+        (ANALYTICS_SUITE["event_sessions"],
+         lambda df: df.select(F.lit("sessions").alias("kind"), "user_id",
+                              F.col("n_sessions").cast("long").alias("a"),
+                              F.col("n_events").alias("b")),
+         "SELECT 'sessions' AS kind, user_id, CAST(n_sessions AS BIGINT)"
+         " AS a, n_events AS b"),
+        (ANALYTICS_SUITE["event_funnel"],
+         lambda df: df.select(F.lit("funnel").alias("kind"), "user_id",
+                              F.col("funnel_stage").cast("long").alias("a"),
+                              F.lit(-1).cast("bigint").alias("b")),
+         "SELECT 'funnel' AS kind, user_id, CAST(funnel_stage AS BIGINT)"
+         " AS a, CAST(-1 AS BIGINT) AS b"),
+    ),
     # -- windowed running sum + lag month-over-month delta
     "window_aggregates": merged(
         (ANALYTICS_SUITE["running_balance"],
