@@ -674,6 +674,34 @@ FROM exact e JOIN sk USING (event_type)
 """
 
 
+def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-values for orders over (customer, order-day) — the
+    clustering key a layout-rewrite job (Delta OPTIMIZE ZORDER-style,
+    functions/layout.py) sorts by so min/max pruning works on EITHER
+    dimension. Pure bit interleave -> bit-exact in the DuckDB oracle;
+    the file-level pruning effect itself is proven in
+    tests/test_layout.py."""
+    from ..functions.layout import zvalue
+
+    orders = read_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"),
+                     F.lit("1992-01-01").cast("date"))
+    return orders.select(
+        "o_orderkey",
+        zvalue(F.col("o_custkey"), day, bits=16).alias("zval"))
+
+
+def _sql_zorder() -> str:
+    from ..functions.layout import zvalue_sql
+
+    day = "datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))"
+    return (f"SELECT o_orderkey, {zvalue_sql('(o_custkey)', f'({day})', 16)}"
+            " AS zval FROM orders")
+
+
+SQL_ZORDER_VALUES = _sql_zorder()
+
+
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel analysis: the furthest stage of signup -> click -> purchase
     each user reached IN ORDER within their FIRST 8 events (sequence =
@@ -1665,6 +1693,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
+    "zorder_values": (q_zorder_values, SQL_ZORDER_VALUES),
     "order_value_percentiles": (q_order_value_percentiles,
                                 SQL_ORDER_PERCENTILES),
     "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),

@@ -2134,6 +2134,19 @@ SUITE: dict[str, tuple] = {
          "SELECT 'embedding' AS kind, CAST(vec_id AS VARCHAR) AS key,"
          " CAST(dims AS VARCHAR) AS ints, norm AS v1, vmin AS v2,"
          " vmax AS v3"),
+        # r4: Morton z-values (functions/layout.py) — multi-dimensional
+        # clustering keys for scan pruning, bit-exact across engines
+        (ANALYTICS_SUITE["zorder_values"],
+         lambda df: df.select(F.lit("zorder").alias("kind"),
+                              F.col("o_orderkey").cast("string")
+                              .alias("key"),
+                              F.col("zval").cast("string").alias("ints"),
+                              F.lit(-1.0).alias("v1"),
+                              F.lit(-1.0).alias("v2"),
+                              F.lit(-1.0).alias("v3")),
+         "SELECT 'zorder' AS kind, CAST(o_orderkey AS VARCHAR) AS key,"
+         " CAST(zval AS VARCHAR) AS ints, -1.0 AS v1, -1.0 AS v2,"
+         " -1.0 AS v3"),
     ),
     # -- pivot (wide) re-checked in long form + unpivot/stack
     "pivot_unpivot": merged(

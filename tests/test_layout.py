@@ -1,0 +1,67 @@
+"""Z-order layout (functions/layout.py): bit-exact z-values and the
+pruning claim — after zorder_by, a selective filter on EITHER dimension
+touches a strict subset of output files."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from melt_spark.functions.layout import zorder_by, zvalue, zvalue_py
+
+
+def test_zvalue_matches_python_reference(spark):
+    rows = [(x, y) for x in (0, 1, 5, 100, 65535) for y in (0, 3, 64, 999)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {(r.x, r.y): r.z for r in
+           df.withColumn("z", zvalue("x", "y")).collect()}
+    for (x, y), z in got.items():
+        assert z == zvalue_py(x, y), (x, y)
+
+
+def test_zvalue_orders_locality(spark):
+    """Points close in both dims get close z-values; quadrants separate."""
+    assert zvalue_py(0, 0) < zvalue_py(1, 1) < zvalue_py(2, 2)
+    # high bit of y dominates its interleaved position
+    assert zvalue_py(0, 256) > zvalue_py(255, 0)
+
+
+def test_zvalue_rejects_bad_bits(spark):
+    with pytest.raises(ValueError):
+        zvalue("a", "b", bits=0)
+    with pytest.raises(ValueError):
+        zvalue("a", "b", bits=40)
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    """The point of the curve: files written in z-order cover rectangles,
+    so a selective filter on either x or y maps to a subset of files.
+    Plain x-sorted layout only achieves that for x."""
+    n = 1 << 12
+    df = (spark.range(n)
+          .select((F.col("id") % 64).alias("x"),
+                  (F.col("id") / 64).cast("long").alias("y"),
+                  F.col("id").alias("payload")))
+    out = str(tmp_path / "z")
+    zorder_by(df, "x", "y", bits=8, num_partitions=16) \
+        .write.mode("overwrite").parquet(out)
+
+    back = spark.read.parquet(out)
+    total = len(back.inputFiles())
+    assert total >= 8  # layout actually split the curve
+
+    def files_touched(cond):
+        return (back.filter(cond)
+                .select(F.input_file_name().alias("f"))
+                .distinct().count())
+
+    # selective predicates on EITHER dimension prune to a subset
+    assert files_touched(F.col("x") < 8) < total
+    assert files_touched(F.col("y") < 8) < total
+
+
+def test_zorder_preserves_rows(spark):
+    df = spark.range(1000).select(
+        (F.col("id") % 10).alias("x"), (F.col("id") % 7).alias("y"),
+        F.col("id").alias("v"))
+    z = zorder_by(df, "x", "y", bits=4, num_partitions=4)
+    assert z.count() == 1000
+    assert z.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
