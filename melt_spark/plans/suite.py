@@ -546,6 +546,73 @@ FROM changes WHERE sys_change_version > 5000
 """
 
 
+def q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 (operators/scd.py): the change stream's OTHER standard
+    projection — every historical version with its validity window,
+    deletes closing intervals as tombstone edges. Same events-as-changes
+    convention as q_cdc_replay."""
+    from ..operators.scd import scd2_intervals
+
+    events = read_table(spark, sf_dir, "events")
+    changes = events.select(
+        (F.col("user_id") + 1).alias("c_custkey"),
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U").alias("sys_change_operation"),
+        (F.col("event_id") + 1).alias("sys_change_version"))
+    return scd2_intervals(changes, "c_custkey")
+
+
+SQL_SCD2_DIMENSION = """
+WITH changes AS (
+  SELECT user_id + 1 AS c_custkey,
+         CASE WHEN event_type = 'signup' THEN 'I'
+              WHEN event_type = 'error' THEN 'D'
+              ELSE 'U' END AS sys_change_operation,
+         event_id + 1 AS sys_change_version
+  FROM events
+)
+SELECT c_custkey, sys_change_operation,
+       sys_change_version AS valid_from,
+       lead(sys_change_version) OVER (PARTITION BY c_custkey
+                                      ORDER BY sys_change_version)
+         AS valid_to,
+       CAST(CASE WHEN lead(sys_change_version)
+                        OVER (PARTITION BY c_custkey
+                              ORDER BY sys_change_version) IS NULL
+                  AND sys_change_operation <> 'D'
+                 THEN 1 ELSE 0 END AS INTEGER) AS is_current
+FROM changes
+QUALIFY sys_change_operation <> 'D'
+"""
+
+
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/incremental.py):
+    base(version <= 5000) merged with delta(5000 < version) by the monoid
+    ops. The oracle aggregates the FULL range directly — the hash match
+    is the merge-correctness proof."""
+    from ..operators.incremental import group_partials, merge_partials
+
+    events = read_table(spark, sf_dir, "events")
+    base = group_partials(events.filter(F.col("event_id") <= 5000),
+                          "user_id", "event_id", "value")
+    delta = group_partials(events.filter(F.col("event_id") > 5000),
+                           "user_id", "event_id", "value")
+    merged_df = merge_partials(base, delta, "user_id")
+    return merged_df.select(
+        "user_id", "n", "last_version",
+        (F.col("total") * 100).cast("bigint").alias("total_cents"))
+
+
+SQL_INCREMENTAL_AGG = """
+SELECT user_id, COUNT(*) AS n, MAX(event_id) AS last_version,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS total_cents
+FROM events GROUP BY user_id
+"""
+
+
 def q_cdc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: checkpoint stats — max version + sent count in one aggregate."""
     events = read_table(spark, sf_dir, "events")
@@ -1426,6 +1493,19 @@ SUITE: dict[str, tuple] = {
                               F.col("lag").alias("c")),
          "SELECT 'lag' AS kind, topic AS entity, partition, committed AS a,"
          " end_offset AS b, lag AS c"),
+        # r4: incremental aggregate maintenance — base ⊎ delta by monoid
+        # merge (operators/incremental.py); the oracle recomputes the full
+        # range, so the hash match proves the merge algebra
+        ((q_incremental_agg, SQL_INCREMENTAL_AGG),
+         lambda df: df.select(F.lit("incr").alias("kind"),
+                              F.col("user_id").cast("string")
+                              .alias("entity"),
+                              F.lit(-1).alias("partition"),
+                              F.col("n").alias("a"),
+                              F.col("last_version").alias("b"),
+                              F.col("total_cents").alias("c")),
+         "SELECT 'incr' AS kind, CAST(user_id AS VARCHAR) AS entity,"
+         " -1 AS partition, n AS a, last_version AS b, total_cents AS c"),
     ),
     # -- A1/A2 compaction + T5 incremental refresh of the same state
     "latest_state": merged(
@@ -1480,6 +1560,24 @@ SUITE: dict[str, tuple] = {
          " '' AS sys_change_operation,"
          " COALESCE(version, -1) AS sys_change_version,"
          " CAST(sent_count AS VARCHAR) AS value"),
+        # r4: SCD Type 2 — validity intervals from the same change stream
+        # (operators/scd.py); value packs (valid_to, is_current)
+        ((q_scd2_dimension, SQL_SCD2_DIMENSION),
+         lambda df: df.select(
+             F.lit("scd2").alias("kind"), F.lit("").alias("topic"),
+             F.col("c_custkey").cast("string").alias("key"),
+             "sys_change_operation",
+             F.col("valid_from").alias("sys_change_version"),
+             F.concat_ws("|",
+                         F.coalesce(F.col("valid_to").cast("string"),
+                                    F.lit("open")),
+                         F.col("is_current").cast("string"))
+             .alias("value")),
+         "SELECT 'scd2' AS kind, '' AS topic,"
+         " CAST(c_custkey AS VARCHAR) AS key, sys_change_operation,"
+         " valid_from AS sys_change_version,"
+         " COALESCE(CAST(valid_to AS VARCHAR), 'open') || '|' ||"
+         " CAST(is_current AS VARCHAR) AS value"),
     ),
     # -- catalog: S1-S3/P3/P4/A5/O3 discovery + E1 drift + P9/J4/E2 trackable
     "schema_catalog": merged(
