@@ -68,6 +68,8 @@ BENCH_QUERIES_R4 = [
     ("semantic_dedup", p.q_semantic_dedup),        # cluster-local pairwise
     ("kmv_distinct", a.q_kmv_distinct),            # k-min-values sketch
     ("stream_enriched", s.q_stream_enriched_counts),  # stream-static bcast
+    ("heavy_tokens", p.q_heavy_tokens),            # MG candidates + recount
+    ("pagerank", a.q_pagerank),                    # 3 unrolled iterations
 ]
 
 

@@ -1,0 +1,90 @@
+"""Product quantization (PQ) — the vector-compression half of IVF-PQ,
+the standard memory layout for billion-scale ANN (Jégou, Douze, Schmid:
+"Product quantization for nearest neighbor search", TPAMI 2011; the
+public FAISS architecture).
+
+A 64-dim float vector (256 B) compresses to M sub-codes (M bytes at
+ks <= 256): split dims into M contiguous subspaces, quantize each
+subvector to its nearest codebook entry. Search then scores candidates
+against lookup tables of code-to-query distances instead of raw floats —
+at 100 TB the corpus fits in RAM as codes when it never could as floats.
+
+Spark-first shape:
+    codebooks: M * ks subvectors — picked deterministically from the
+               corpus (every-Nth, like ivf.deterministic_centroids) so
+               the whole operator restates in the DuckDB oracle; swap in
+               per-subspace k-means for production recall.
+    assign:    corpus x broadcast(codebooks) -> per (vector, subspace)
+               argmin L2 via min_by — map-side combined, so the
+               crossJoin's M*ks rows per vector reduce to M BEFORE the
+               shuffle (same discipline as ivf.ivf_assign).
+    pack:      the M codes Horner-fold into ONE BIGINT
+               (acc*ks + code_m, m ascending) — integer-exact,
+               hash-comparable, and the natural storage form.
+
+Determinism: L2 distances are left-to-right double folds (bit-equal in
+DuckDB, see similarity.py header); argmin ties break on code index; the
+reconstruction error folds subspace distances in fixed subspace order —
+never an unordered SUM over doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import _dvec
+
+
+def _l2(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_codebooks(corpus: DataFrame, m_sub: int = 8, ks: int = 16,
+                 every: int = 31, sub_dim: int = 8,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """(m, code, subvec): entry `code` of subspace `m` is that subspace's
+    slice of the corpus vector with id == code * every — deterministic
+    and oracle-restatable."""
+    seeds = (corpus.filter((F.col(id_col) % every == 0)
+                           & (F.col(id_col) < ks * every))
+             .select((F.col(id_col) / every).cast("long").alias("code"),
+                     _dvec(vec_col).alias("v")))
+    subs = None
+    for m in range(m_sub):
+        part = seeds.select(
+            F.lit(m).cast("int").alias("m"), "code",
+            F.slice(F.col("v"), m * sub_dim + 1, sub_dim).alias("subvec"))
+        subs = part if subs is None else subs.unionByName(part)
+    return subs
+
+
+def pq_encode(corpus: DataFrame, codebooks: DataFrame, ks: int = 16,
+              sub_dim: int = 8, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(id, packed_code BIGINT, recon_err DOUBLE). packed_code is the
+    Horner fold of per-subspace argmin codes; recon_err the m-ordered
+    fold of the per-subspace squared errors."""
+    c = corpus.select(F.col(id_col), _dvec(vec_col).alias("v"))
+    sub_of_v = F.slice(F.col("v"), F.col("m") * sub_dim + 1, sub_dim)
+    scored = (c.crossJoin(F.broadcast(codebooks))
+              .withColumn("dist", _l2(sub_of_v, F.col("subvec"))))
+    best = (scored.groupBy(id_col, "m")
+            .agg(F.min_by(F.struct(F.col("code"), F.col("dist")),
+                          F.struct(F.col("dist"), F.col("code")))
+                 .alias("b"))
+            .select(id_col, "m", F.col("b.code").alias("code"),
+                    F.col("b.dist").alias("dist")))
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("m"), F.col("code"),
+                                F.col("dist"))))
+    packed = F.aggregate(
+        F.transform(ordered, lambda s: s["code"]),
+        F.lit(0).cast("bigint"), lambda acc, x: acc * ks + x)
+    err = F.aggregate(
+        F.transform(ordered, lambda s: s["dist"]),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (best.groupBy(id_col)
+            .agg(packed.alias("packed_code"), err.alias("recon_err")))

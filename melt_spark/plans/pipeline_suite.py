@@ -851,6 +851,57 @@ GROUP BY e.query_id
 """
 
 
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (functions/pq.py): 64-dim vectors compressed
+    to 8 sub-codes packed in one BIGINT + the reconstruction error — the
+    IVF-PQ storage layout, encoded with broadcast codebooks and map-side
+    argmin."""
+    from ..functions.pq import pq_codebooks, pq_encode
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return pq_encode(emb, pq_codebooks(emb))
+
+
+def _sql_pq() -> str:
+    sq = ("(c.v[cb.m*8+i] - cb.subvec[i])"
+          " * (c.v[cb.m*8+i] - cb.subvec[i])")
+    return f"""
+WITH seeds AS (
+  SELECT CAST(vec_id / 31 AS BIGINT) AS code, {_DVEC} AS v
+  FROM embeddings WHERE vec_id % 31 = 0 AND vec_id < 496
+),
+ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+cb AS (
+  SELECT ms.m, seeds.code,
+         list_transform(generate_series(1, 8),
+                        i -> seeds.v[ms.m * 8 + i]) AS subvec
+  FROM seeds, ms
+),
+corpus AS (SELECT vec_id, {_DVEC} AS v FROM embeddings),
+scored AS (
+  SELECT c.vec_id, cb.m, cb.code,
+         list_reduce(list_prepend(0.0,
+           list_transform(generate_series(1, 8), i -> {sq})),
+           (a, b) -> a + b) AS dist
+  FROM corpus c, cb
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                   ORDER BY dist, code) AS rn
+      FROM scored),
+best AS (SELECT vec_id, m, code, dist FROM r WHERE rn = 1)
+SELECT vec_id,
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list(CAST(code AS BIGINT) ORDER BY m)),
+              (a, b) -> a * 16 + b) AS packed_code,
+  list_reduce(list_prepend(0.0, list(dist ORDER BY m)),
+              (a, b) -> a + b) AS recon_err
+FROM best GROUP BY vec_id
+"""
+
+
+SQL_PQ_CODES = _sql_pq()
+
+
 def q_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters over the exploded token stream (functions/
     heavy.py): per-partition Misra-Gries candidates (mapInPandas, zero
@@ -1317,6 +1368,7 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "semantic_summary": (q_semantic_summary, SQL_SEMANTIC_SUMMARY),
     "heavy_tokens": (q_heavy_tokens, SQL_HEAVY_TOKENS),
+    "pq_codes": (q_pq_codes, SQL_PQ_CODES),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),

@@ -1809,6 +1809,16 @@ SUITE: dict[str, tuple] = {
          "SELECT 'semsum' AS kind, list_id AS query_id, exemplar_id AS ref,"
          " CAST(n_dropped AS INTEGER) AS rank,"
          " CAST(n_members AS DOUBLE) AS v"),
+        # r4: product quantization — packed sub-codes + reconstruction
+        # error (functions/pq.py; the IVF-PQ compression layout)
+        (PIPELINE_SUITE["pq_codes"],
+         lambda df: df.select(F.lit("pq").alias("kind"),
+                              F.col("vec_id").alias("query_id"),
+                              F.col("packed_code").alias("ref"),
+                              F.lit(-1).alias("rank"),
+                              F.col("recon_err").alias("v")),
+         "SELECT 'pq' AS kind, vec_id AS query_id, packed_code AS ref,"
+         " -1 AS rank, recon_err AS v"),
     ),
     # -- multimodal decode ⋈ features ⋈ resize per doc (Arrow mapInPandas)
     "multimodal_pipeline": joined(
