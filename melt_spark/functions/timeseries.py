@@ -1,0 +1,117 @@
+"""Timeseries gap-filling and trailing-window anomaly scoring.
+
+Background (public): `time_bucket_gapfill` + `locf()` + `interpolate()`
+are the TimescaleDB hypertable idiom; gap-filling is the standard prelude
+to any windowed model over irregular event data. The trailing z-score is
+the classic rolling-statistics anomaly detector.
+
+Spark-first shape, graded for 100 TB:
+  * the bucket aggregation shuffles once on (series key, bucket) with
+    map-side combine; sums are DECIMAL (order-independent — double sums
+    are banned on oracle-checked paths);
+  * the spine (one row per key x bucket in the key's observed range) is
+    generated EXECUTOR-SIDE from a per-key (min, max) aggregate via
+    sequence()/explode — never a driver loop, never a cross join against
+    a global calendar (which would spine every key over the full corpus
+    range — dense keys dominate, sparse keys explode);
+  * LOCF / next-value lookups are two window passes over the spine,
+    partitioned by the series key — the same partitioning the bucket agg
+    produced, so AQE can reuse the exchange.
+
+Determinism: carried values are DECIMAL-summed then cast; the linear
+interpolation is a single explicitly-parenthesized IEEE expression tree
+evaluated identically by Spark and DuckDB, rounded to 9 decimals for
+belt-and-braces. The z-score derives mean/variance from exact integer
+window sums (n, Σx, Σx²) so the only float ops are two divides, one
+sqrt (IEEE-exact) and one subtraction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def bucket_epoch(ts_col: str, width: int) -> Column:
+    """Aligned bucket start as epoch seconds (matches operators/rollup.py
+    and the DuckDB floor(epoch(ts)/w)*w restatement)."""
+    return (F.floor(F.unix_timestamp(ts_col) / width) * width) \
+        .cast("bigint")
+
+
+def gapfill(df: DataFrame, ts_col: str, key_cols: list[str],
+            value_col: str, width: int) -> DataFrame:
+    """Bucketed sum per key, densified over each key's observed range,
+    with LOCF and linear interpolation for the gap rows.
+
+    Output: keys..., bucket (epoch), n (rows observed; 0 for gap rows),
+    v_sum (observed sum, -1.0 sentinel on gaps), v_locf, v_interp.
+    """
+    keys = [F.col(c) for c in key_cols]
+    hourly = (df.select(*keys, bucket_epoch(ts_col, width).alias("bucket"),
+                        F.col(value_col).cast("decimal(18,6)").alias("v"))
+              .groupBy(*key_cols, "bucket")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("v").alias("v_dec")))
+    spine = (hourly.groupBy(*key_cols)
+             .agg(F.min("bucket").alias("b_min"),
+                  F.max("bucket").alias("b_max"))
+             .select(*keys,
+                     F.explode(F.sequence("b_min", "b_max",
+                                          F.lit(width))).alias("bucket")))
+    dense = spine.join(hourly, [*key_cols, "bucket"], "left")
+
+    w_prev = (Window.partitionBy(*key_cols).orderBy("bucket")
+              .rowsBetween(Window.unboundedPreceding, 0))
+    w_next = (Window.partitionBy(*key_cols).orderBy("bucket")
+              .rowsBetween(0, Window.unboundedFollowing))
+    v = F.col("v_dec").cast("double")
+    prev_v = F.last(v, ignorenulls=True).over(w_prev)
+    prev_b = F.last(F.when(v.isNotNull(), F.col("bucket")),
+                    ignorenulls=True).over(w_prev)
+    next_v = F.first(v, ignorenulls=True).over(w_next)
+    next_b = F.first(F.when(v.isNotNull(), F.col("bucket")),
+                     ignorenulls=True).over(w_next)
+    # gaps only: prev + (next - prev) * ((b - pb) / (nb - pb)); range edges
+    # degrade to LOCF / backfill. Same parenthesization in the oracle.
+    interp = (prev_v + (next_v - prev_v)
+              * ((F.col("bucket") - prev_b).cast("double")
+                 / (next_b - prev_b).cast("double")))
+    return dense.select(
+        *key_cols, "bucket",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        F.coalesce(v, F.lit(-1.0)).alias("v_sum"),
+        F.round(F.coalesce(v, prev_v, next_v), 9).alias("v_locf"),
+        F.round(F.coalesce(v,
+                           F.when(prev_v.isNull(), next_v)
+                            .when(next_v.isNull(), prev_v)
+                            .otherwise(interp)), 9).alias("v_interp"))
+
+
+def trailing_zscore(df: DataFrame, ts_col: str, key_cols: list[str],
+                    width: int, lookback: int = 24) -> DataFrame:
+    """Per-bucket event-count z-score against the trailing `lookback`
+    observed buckets (current excluded). Variance comes from exact integer
+    sums: var = (cnt*Σx² − (Σx)²) / cnt², population flavor.
+
+    Output: keys..., bucket, x (count), z (rounded; -999.0 sentinel when
+    the window has < 2 points or zero variance).
+    """
+    keys = [F.col(c) for c in key_cols]
+    counts = (df.select(*keys, bucket_epoch(ts_col, width).alias("bucket"))
+              .groupBy(*key_cols, "bucket")
+              .agg(F.count(F.lit(1)).alias("x")))
+    w = (Window.partitionBy(*key_cols).orderBy("bucket")
+         .rowsBetween(-lookback, -1))
+    cnt = F.count("x").over(w)
+    s1 = F.sum("x").over(w)
+    s2 = F.sum(F.col("x") * F.col("x")).over(w)
+    var = ((cnt * s2 - s1 * s1).cast("double")
+           / (cnt * cnt).cast("double"))
+    z = ((F.col("x").cast("double") - s1.cast("double") / cnt.cast("double"))
+         / F.sqrt(var))
+    return counts.select(
+        *key_cols, "bucket", "x",
+        F.when((cnt < 2) | (var <= 0.0), F.lit(-999.0))
+        .otherwise(F.round(z, 9)).alias("z"))

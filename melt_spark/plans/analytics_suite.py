@@ -1668,6 +1668,184 @@ FROM customer
 """
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (the event-analytics staple): users are
+    cohorted by the day of their FIRST event; each later active day counts
+    toward (cohort_day, day_offset). Two compact shuffles — (user, day)
+    distinct activity, then the cohort aggregation; the first-event table
+    is user-sized and broadcast-joins back at fixture scale. Rate is one
+    exact-integer divide."""
+    ev = read_table(spark, sf_dir, "events")
+    day = (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("bigint")
+    act = ev.select("user_id", day.alias("d")).distinct()
+    first = act.groupBy("user_id").agg(F.min("d").alias("d0"))
+    coh = first.groupBy("d0").agg(F.count(F.lit(1)).alias("cohort_n"))
+    return (act.join(first, "user_id").join(coh, "d0")
+            .groupBy(F.col("d0").alias("cohort_day"),
+                     ((F.col("d") - F.col("d0")) / 86400).cast("bigint")
+                     .alias("day_offset"), "cohort_n")
+            .agg(F.count(F.lit(1)).alias("n_active"))
+            .select("cohort_day", "day_offset", "cohort_n", "n_active",
+                    (F.col("n_active").cast("double")
+                     / F.col("cohort_n").cast("double")).alias("retention")))
+
+
+SQL_COHORT_RETENTION = """
+WITH act AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(floor(epoch(ts)) / 86400) * 86400 AS BIGINT) AS d
+  FROM events
+),
+first AS (SELECT user_id, MIN(d) AS d0 FROM act GROUP BY user_id),
+coh AS (SELECT d0, COUNT(*) AS cohort_n FROM first GROUP BY d0)
+SELECT f.d0 AS cohort_day,
+       CAST((a.d - f.d0) / 86400 AS BIGINT) AS day_offset,
+       c.cohort_n, COUNT(*) AS n_active,
+       CAST(COUNT(*) AS DOUBLE) / CAST(c.cohort_n AS DOUBLE) AS retention
+FROM act a JOIN first f USING (user_id) JOIN coh c USING (d0)
+GROUP BY 1, 2, 3
+"""
+
+
+def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable gap-fill (functions/timeseries.py): hourly value sums
+    per event type, densified over each type's observed range with LOCF
+    and linear interpolation — time_bucket_gapfill + locf()/interpolate()
+    re-expressed as sequence()/explode spine + two window passes."""
+    from ..functions.timeseries import gapfill
+
+    ev = read_table(spark, sf_dir, "events")
+    return gapfill(ev, "ts", ["event_type"], "value", 3600)
+
+
+SQL_GAPFILL_HOURLY = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS bucket,
+         COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS v_dec
+  FROM events GROUP BY 1, 2
+),
+spine AS (
+  SELECT event_type, unnest(generate_series(b_min, b_max, 3600)) AS bucket
+  FROM (SELECT event_type, MIN(bucket) AS b_min, MAX(bucket) AS b_max
+        FROM hourly GROUP BY event_type)
+),
+dense AS (
+  SELECT s.event_type, s.bucket, h.n, CAST(h.v_dec AS DOUBLE) AS v
+  FROM spine s LEFT JOIN hourly h USING (event_type, bucket)
+),
+w AS (
+  SELECT event_type, bucket, n, v,
+    last_value(v IGNORE NULLS) OVER tw AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+      OVER tw AS pb,
+    first_value(v IGNORE NULLS) OVER fw AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+      OVER fw AS nb
+  FROM dense
+  WINDOW tw AS (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         fw AS (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, bucket, CAST(coalesce(n, 0) AS BIGINT) AS n,
+  coalesce(v, -1.0) AS v_sum,
+  round(coalesce(v, pv, nv), 9) AS v_locf,
+  round(coalesce(v, CASE WHEN pv IS NULL THEN nv
+                         WHEN nv IS NULL THEN pv
+                         ELSE pv + (nv - pv)
+                              * (CAST(bucket - pb AS DOUBLE)
+                                 / CAST(nb - pb AS DOUBLE)) END), 9)
+    AS v_interp
+FROM w
+"""
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detector (functions/timeseries.py): hourly
+    event-count z-score per type against the prior 24 observed buckets.
+    Mean/variance come from exact integer window sums so the only float
+    ops are IEEE-deterministic."""
+    from ..functions.timeseries import trailing_zscore
+
+    ev = read_table(spark, sf_dir, "events")
+    return trailing_zscore(ev, "ts", ["event_type"], 3600, lookback=24)
+
+
+SQL_ANOMALY_ZSCORE = """
+WITH c AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS bucket,
+         COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, bucket, x,
+         COUNT(x) OVER tw AS cnt, SUM(x) OVER tw AS s1,
+         SUM(x * x) OVER tw AS s2
+  FROM c
+  WINDOW tw AS (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, bucket, x,
+  CASE WHEN cnt < 2 OR CAST(cnt * s2 - s1 * s1 AS DOUBLE)
+                       / CAST(cnt * cnt AS DOUBLE) <= 0.0 THEN -999.0
+       ELSE round((CAST(x AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE))
+                  / sqrt(CAST(cnt * s2 - s1 * s1 AS DOUBLE)
+                         / CAST(cnt * cnt AS DOUBLE)), 9) END AS z
+FROM w
+"""
+
+
+def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point estimates (functions/sketches.py) for every
+    user's event count, joined with the exact count so the classic
+    one-sided overestimate is visible data, not a claim. The sketch build
+    shuffles a fixed-size table regardless of stream cardinality; probes
+    broadcast-join the sketch."""
+    from ..functions.sketches import cms_build, cms_estimate
+
+    ev = read_table(spark, sf_dir, "events")
+    sketch = cms_build(ev, "user_id")
+    est = cms_estimate(sketch, ev, "user_id")
+    exact = ev.groupBy(F.col("user_id").cast("string").alias("item")) \
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    return (est.join(exact, "item")
+            .select(F.col("item").cast("bigint").alias("user_id"),
+                    "cms_est", "exact_n",
+                    (F.col("cms_est") - F.col("exact_n"))
+                    .alias("overcount")))
+
+
+def _sql_cms() -> str:
+    h = _hex12_sql("CAST(g.r AS VARCHAR) || ':' || item")
+    return f"""
+WITH items AS (SELECT CAST(user_id AS VARCHAR) AS item FROM events),
+cells AS (
+  SELECT g.r AS row, {h} % 256 AS cell
+  FROM items, unnest(generate_series(0, 3)) AS g(r)
+),
+sketch AS (SELECT row, cell, COUNT(*) AS total FROM cells GROUP BY 1, 2),
+probes AS (SELECT DISTINCT item FROM items),
+pcells AS (
+  SELECT item, g.r AS row, {h} % 256 AS cell
+  FROM probes, unnest(generate_series(0, 3)) AS g(r)
+),
+est AS (
+  SELECT item, MIN(total) AS cms_est
+  FROM pcells JOIN sketch USING (row, cell) GROUP BY item
+),
+exact AS (SELECT item, COUNT(*) AS exact_n FROM items GROUP BY item)
+SELECT CAST(item AS BIGINT) AS user_id, cms_est, exact_n,
+       cms_est - exact_n AS overcount
+FROM est JOIN exact USING (item)
+"""
+
+
+SQL_CMS_USER_COUNTS = _sql_cms()
+
+
 ANALYTICS_SUITE: dict[str, tuple] = {
     "topk_orders_per_customer": (q_topk_orders_per_customer, SQL_TOPK_ORDERS),
     "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
@@ -1691,6 +1869,10 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "distinct_counts": (q_distinct_counts, SQL_DISTINCT_COUNTS),
     "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
+    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
+    "gapfill_hourly": (q_gapfill_hourly, SQL_GAPFILL_HOURLY),
+    "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),
+    "cms_user_counts": (q_cms_user_counts, SQL_CMS_USER_COUNTS),
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
     "zorder_values": (q_zorder_values, SQL_ZORDER_VALUES),

@@ -1343,6 +1343,123 @@ FROM events GROUP BY user_id
 """
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (functions/lm.py): per-document mean
+    NLL + perplexity under an add-1-smoothed bigram model trained on the
+    corpus itself — the perplexity-filter stage of a cleaning pipeline
+    with the model fit kept inside the engine."""
+    from ..functions.lm import lm_score
+
+    docs = read_table(spark, sf_dir, "documents")
+    return lm_score(docs)
+
+
+SQL_LM_PERPLEXITY = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+bg AS (
+  SELECT doc_id, g.i AS idx, t[g.i] AS w1, t[g.i] || ' ' || t[g.i+1] AS bg
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+),
+c2 AS (SELECT bg, w1, COUNT(*) AS c2 FROM bg GROUP BY bg, w1),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+voc AS (SELECT COUNT(DISTINCT tok) AS v
+        FROM (SELECT unnest(t) AS tok FROM toks)),
+nll AS (
+  SELECT b.doc_id, b.idx,
+         ln(CAST(c1.c1 + voc.v AS DOUBLE) / CAST(c2.c2 + 1 AS DOUBLE))
+           AS nll
+  FROM bg b JOIN c2 USING (bg, w1) JOIN c1 USING (w1), voc
+),
+per AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         list_reduce(list_prepend(0.0, list(nll ORDER BY idx)),
+                     (a, b) -> a + b) AS s
+  FROM nll GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  coalesce(round(p.s / p.n_bigrams, 9), -1.0) AS avg_nll,
+  coalesce(round(exp(round(p.s / p.n_bigrams, 9)), 6), -1.0) AS ppl
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
+PHRASE = ("table", "scan", "merge")
+
+
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval (functions/retrieval.py phrase_match): docs
+    containing the fixed test phrase consecutively, with match count and
+    first position — the lexical-retrieval primitive BM25 bag-of-words
+    can't express."""
+    from ..functions.retrieval import phrase_match
+
+    docs = read_table(spark, sf_dir, "documents")
+    return phrase_match(docs, PHRASE)
+
+
+_PHRASE_COND = " AND ".join(
+    f"tk[i+{off}] = '{w}'" for off, w in enumerate(PHRASE))
+
+SQL_PHRASE_MATCH = f"""
+WITH t AS (SELECT doc_id, {_TOKS.replace('text', 'text')} AS tk
+           FROM documents),
+m AS (
+  SELECT doc_id,
+    list_filter(generate_series(1, greatest(len(tk) - {len(PHRASE) - 1}, 0)),
+                i -> {_PHRASE_COND}) AS starts
+  FROM t
+)
+SELECT doc_id, len(starts) AS n_matches,
+       coalesce(starts[1], -1) AS first_pos
+FROM m WHERE len(starts) > 0
+"""
+
+
+def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss 64->16 random projection with per-vector norm
+    distortion (functions/projection.py). The oracle embeds the SAME
+    md5-derived sign matrix as literals — computed by jl_matrix, so the
+    two engines share one source of truth."""
+    from ..functions.projection import jl_distortion
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return jl_distortion(emb, "embedding", in_dim=64, out_dim=16)
+
+
+def _sql_jl() -> str:
+    from ..functions.projection import jl_matrix
+
+    m = jl_matrix(16, 64)
+    signs = lambda j: "[" + ", ".join(f"{s:.1f}" for s in m[j]) + "]"
+    proj = ",\n    ".join(
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+        f"i -> e[i] * ({signs(j)})[i])), (a, b) -> a + b) * 0.25 AS p{j}"
+        for j in range(16))
+    psq = " + ".join(f"p{j} * p{j}" for j in range(16))
+    return f"""
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings),
+p AS (
+  SELECT vec_id, label, e,
+    {proj}
+  FROM v
+)
+SELECT vec_id, label,
+  round(sqrt(list_reduce(list_prepend(0.0, list_transform(e, x -> x * x)),
+                         (a, b) -> a + b)), 9) AS norm_orig,
+  round(sqrt({psq}), 9) AS norm_proj,
+  round(sqrt({psq})
+        / sqrt(list_reduce(list_prepend(0.0, list_transform(e, x -> x * x)),
+                           (a, b) -> a + b)), 9) AS distortion,
+  round(p0, 9) AS proj_0, round(p1, 9) AS proj_1
+FROM p
+"""
+
+
+SQL_JL_PROJECTION = _sql_jl()
+
+
 PIPELINE_SUITE: dict[str, tuple] = {
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
@@ -1368,6 +1485,9 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "semantic_summary": (q_semantic_summary, SQL_SEMANTIC_SUMMARY),
     "heavy_tokens": (q_heavy_tokens, SQL_HEAVY_TOKENS),
+    "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
+    "phrase_match": (q_phrase_match, SQL_PHRASE_MATCH),
+    "jl_projection": (q_jl_projection, SQL_JL_PROJECTION),
     "pq_codes": (q_pq_codes, SQL_PQ_CODES),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),

@@ -1659,12 +1659,14 @@ SUITE: dict[str, tuple] = {
          " topic AS c3, '' AS c4")),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
-    # -- LLM-pipeline text analysis: stats + quality + repetition + PII.
-    # Spark side is ONE projection pass (zero joins/shuffles — the 100 TB
-    # shape); the oracle restates it as the 4-way join of the constituent
-    # queries, which must agree cell-for-cell.
+    # -- LLM-pipeline text analysis: stats + quality + repetition + PII,
+    # plus the r4b LM-perplexity quality filter. The projection features
+    # stay ONE scan pass (zero shuffles); the perplexity branch joins its
+    # corpus-model scores on doc_id (1:1 — every doc gets a row). The
+    # oracle restates it as the 5-way join of the constituent queries.
     "text_quality": (
-        q_text_profile_onepass,
+        lambda spark, sf_dir: q_text_profile_onepass(spark, sf_dir).join(
+            PIPELINE_SUITE["lm_perplexity"][0](spark, sf_dir), "doc_id"),
         joined(
             "doc_id", PIPELINE_SUITE["text_stats"],
             (PIPELINE_SUITE["quality_scores"],
@@ -1673,7 +1675,9 @@ SUITE: dict[str, tuple] = {
             (PIPELINE_SUITE["repetition"],
              ["dup_token_frac", "dup_bigram_frac", "top_bigram_frac"]),
             (PIPELINE_SUITE["pii_scrub"],
-             ["n_email", "n_ipv4", "n_phone", "scrubbed_fp"]))[1]),
+             ["n_email", "n_ipv4", "n_phone", "scrubbed_fp"]),
+            (PIPELINE_SUITE["lm_perplexity"],
+             ["n_bigrams", "avg_nll", "ppl"]))[1]),
     # -- exact doc-level dedup + NEW r3 sub-document span dedup (C4-style:
     #    first corpus-wide occurrence of each k-token span survives, docs
     #    reassembled from surviving spans)
@@ -1758,6 +1762,17 @@ SUITE: dict[str, tuple] = {
                               F.col("recall").alias("v")),
          "SELECT 'rrf_recall' AS kind, CAST(0 AS BIGINT) AS qid,"
          " hits AS did, -1 AS rank, recall AS v"),
+        # r4b: exact-phrase retrieval — pure-projection positional match
+        # (functions/retrieval.py phrase_match); rank carries first_pos
+        (PIPELINE_SUITE["phrase_match"],
+         lambda df: df.select(F.lit("phrase").alias("kind"),
+                              F.lit(-1).cast("bigint").alias("qid"),
+                              F.col("doc_id").alias("did"),
+                              F.col("first_pos").alias("rank"),
+                              F.col("n_matches").cast("double").alias("v")),
+         "SELECT 'phrase' AS kind, CAST(-1 AS BIGINT) AS qid,"
+         " doc_id AS did, first_pos AS rank,"
+         " CAST(n_matches AS DOUBLE) AS v"),
     ),
     # -- hyperplane-LSH buckets + bucket-local near-dup pairs
     "embedding_lsh": merged(
@@ -1934,6 +1949,18 @@ SUITE: dict[str, tuple] = {
                               F.col("mom_delta").alias("v2")),
          "SELECT 'monthly' AS kind, month AS key, revenue AS v1,"
          " mom_delta AS v2"),
+        # r4b: trailing-window anomaly z-score (functions/timeseries.py)
+        # — integer-window-sum mean/variance, IEEE-deterministic
+        (ANALYTICS_SUITE["anomaly_zscore"],
+         lambda df: df.select(
+             F.lit("zscore").alias("kind"),
+             F.concat_ws("|", "event_type",
+                         F.col("bucket").cast("string")).alias("key"),
+             F.col("x").cast("double").alias("v1"),
+             F.col("z").alias("v2")),
+         "SELECT 'zscore' AS kind, event_type || '|' ||"
+         " CAST(bucket AS VARCHAR) AS key, CAST(x AS DOUBLE) AS v1,"
+         " z AS v2"),
     ),
     # -- set ops: anti-join (NOT EXISTS) + UNION entity sets
     "set_operations": merged(
@@ -1980,6 +2007,20 @@ SUITE: dict[str, tuple] = {
          " CAST(bucket_epoch AS VARCHAR) AS l_returnflag,"
          " event_type AS l_linestatus, -1 AS g_rf, -1 AS g_ls,"
          " sum_value AS sum_price, n, max_value AS max_v"),
+        # r4b: hypertable gap-fill (functions/timeseries.py) — densified
+        # hourly series; LOCF rides sum_price, linear interp rides max_v,
+        # the observed-row count rides n (0 marks the filled gaps)
+        (ANALYTICS_SUITE["gapfill_hourly"],
+         lambda df: df.select(
+             F.lit("gapfill").alias("kind"),
+             F.col("bucket").cast("string").alias("l_returnflag"),
+             F.col("event_type").alias("l_linestatus"),
+             F.lit(-1).alias("g_rf"), F.lit(-1).alias("g_ls"),
+             F.col("v_locf").alias("sum_price"), "n",
+             F.col("v_interp").alias("max_v")),
+         "SELECT 'gapfill' AS kind, CAST(bucket AS VARCHAR)"
+         " AS l_returnflag, event_type AS l_linestatus, -1 AS g_rf,"
+         " -1 AS g_ls, v_locf AS sum_price, n, v_interp AS max_v"),
     ),
     # -- TPC-H shapes, grouped by output geometry (see docs/SUITE_MAP.md)
     "tpch_revenue_groups": merged(
@@ -2151,6 +2192,19 @@ SUITE: dict[str, tuple] = {
          lambda df: df.select(F.lit("heavy").alias("kind"),
                               F.col("item").alias("key"), "n"),
          "SELECT 'heavy' AS kind, item AS key, n"),
+        # r4b: count-min sketch estimates beside the exact recount
+        # (functions/sketches.py cms_*): est/exact packed into the key,
+        # the one-sided overestimate rides the count column
+        (ANALYTICS_SUITE["cms_user_counts"],
+         lambda df: df.select(
+             F.lit("cms").alias("kind"),
+             F.concat_ws(":", F.col("user_id").cast("string"),
+                         F.col("cms_est").cast("string"),
+                         F.col("exact_n").cast("string")).alias("key"),
+             F.col("overcount").alias("n")),
+         "SELECT 'cms' AS kind, CAST(user_id AS VARCHAR) || ':' ||"
+         " CAST(cms_est AS VARCHAR) || ':' || CAST(exact_n AS VARCHAR)"
+         " AS key, overcount AS n"),
     ),
     # as-of + range join: the two temporal-join operators share one entry
     # (harmonized: event_id, user_id, a reference event id, a double value)
@@ -2196,6 +2250,20 @@ SUITE: dict[str, tuple] = {
                               F.col("kth_hash").alias("n")),
          "SELECT 'kmv' AS kind, event_type AS key, exact_distinct AS a,"
          " kmv_est AS b, kth_hash AS n"),
+        # r4b: cohort retention matrix (first-event-day cohorts × daily
+        # activity offsets); the rate is the exact quotient a/b and is
+        # re-asserted in pytest — the hashed ints carry all information
+        (ANALYTICS_SUITE["cohort_retention"],
+         lambda df: df.select(
+             F.lit("cohort").alias("kind"),
+             F.concat_ws(":", F.col("cohort_day").cast("string"),
+                         F.col("day_offset").cast("string")).alias("key"),
+             F.col("n_active").alias("a"),
+             F.col("cohort_n").alias("b"),
+             F.col("day_offset").alias("n")),
+         "SELECT 'cohort' AS kind, CAST(cohort_day AS VARCHAR) || ':' ||"
+         " CAST(day_offset AS VARCHAR) AS key, n_active AS a,"
+         " cohort_n AS b, day_offset AS n"),
     ),
     # -- percentiles + deterministic math + embedding norms (all-double row)
     "numeric_profiles": merged(
@@ -2255,6 +2323,19 @@ SUITE: dict[str, tuple] = {
          "SELECT 'zorder' AS kind, CAST(o_orderkey AS VARCHAR) AS key,"
          " CAST(zval AS VARCHAR) AS ints, -1.0 AS v1, -1.0 AS v2,"
          " -1.0 AS v3"),
+        # r4b: Johnson-Lindenstrauss 64->16 projection with per-vector
+        # norm distortion (functions/projection.py) — the md5-derived
+        # sign matrix is shared source-of-truth between both engines
+        (PIPELINE_SUITE["jl_projection"],
+         lambda df: df.select(F.lit("jl").alias("kind"),
+                              F.col("vec_id").cast("string").alias("key"),
+                              F.col("label").cast("string").alias("ints"),
+                              F.col("distortion").alias("v1"),
+                              F.col("proj_0").alias("v2"),
+                              F.col("proj_1").alias("v3")),
+         "SELECT 'jl' AS kind, CAST(vec_id AS VARCHAR) AS key,"
+         " CAST(label AS VARCHAR) AS ints, distortion AS v1,"
+         " proj_0 AS v2, proj_1 AS v3"),
     ),
     # -- pivot (wide) re-checked in long form + unpivot/stack
     "pivot_unpivot": merged(

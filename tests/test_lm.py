@@ -1,0 +1,74 @@
+"""Bigram LM scoring (functions/lm.py) and exact-phrase retrieval
+(functions/retrieval.py phrase_match): semantic checks beyond the hash."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from melt_spark.functions.lm import lm_score
+from melt_spark.functions.retrieval import phrase_match
+from melt_spark.sources.parquet import read_table
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+
+
+def test_predictable_text_scores_lower_nll(spark):
+    """A document made of the corpus's dominant repeated bigram must be
+    less surprising (lower avg NLL / ppl) than one of rare transitions."""
+    texts = (["the cat sat on the mat"] * 8
+             + ["the cat sat on the mat " * 3]
+             + ["zebra quark welds oboe nymph"])
+    out = {r.doc_id: r for r in lm_score(_docs(spark, texts)).collect()}
+    predictable, surprising = out[8], out[9]
+    assert predictable.avg_nll < surprising.avg_nll
+    assert predictable.ppl < surprising.ppl
+
+
+def test_short_doc_sentinel(spark):
+    out = {r.doc_id: r for r in
+           lm_score(_docs(spark, ["solo", "two words"])).collect()}
+    assert out[0].n_bigrams == 0 and out[0].avg_nll == -1.0 \
+        and out[0].ppl == -1.0
+    assert out[1].n_bigrams == 1 and out[1].avg_nll > 0
+
+
+def test_every_fixture_doc_scored_once(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    out = lm_score(docs)
+    assert out.count() == docs.count()
+    assert out.select("doc_id").distinct().count() == docs.count()
+    # self-perplexity on a finite corpus is strictly positive
+    assert out.filter((F.col("n_bigrams") > 0)
+                      & (F.col("avg_nll") <= 0)).count() == 0
+
+
+def test_phrase_match_against_python_reference(spark, sf_dir):
+    """Spark result == a plain-Python scan of the same corpus."""
+    phrase = ("table", "scan")
+    docs = read_table(spark, sf_dir, "documents")
+    got = {r.doc_id: (r.n_matches, r.first_pos)
+           for r in phrase_match(docs, phrase).collect()}
+    want = {}
+    for r in docs.select("doc_id", "text").collect():
+        toks = r.text.split(" ")
+        starts = [i + 1 for i in range(len(toks) - len(phrase) + 1)
+                  if tuple(toks[i:i + len(phrase)]) == phrase]
+        if starts:
+            want[r.doc_id] = (len(starts), starts[0])
+    assert got == want and want  # non-trivial on the fixture
+
+
+def test_phrase_shorter_than_doc_guard(spark):
+    """Docs shorter than the phrase: no row, no sequence() descent."""
+    docs = _docs(spark, ["a", "a b", "a b c", "x a b c y"])
+    got = {r.doc_id: r.n_matches
+           for r in phrase_match(docs, ("a", "b", "c")).collect()}
+    assert got == {2: 1, 3: 1}
+
+
+def test_phrase_empty_raises(spark):
+    with pytest.raises(ValueError):
+        phrase_match(_docs(spark, ["x"]), ())

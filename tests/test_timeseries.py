@@ -1,0 +1,95 @@
+"""Gap-fill / trailing z-score (functions/timeseries.py) and the cohort
+retention query: structural invariants a hash match can't express."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from melt_spark.functions.timeseries import gapfill, trailing_zscore
+from melt_spark.sources.parquet import read_table
+
+
+def _toy_series(spark):
+    """One key, hourly buckets 0,1,2,5,6 (gap at 3,4), values 10,20,30,60,70."""
+    rows = [Row(k="a", ts=f"2024-01-01 0{h}:00:00", v=float(val))
+            for h, val in [(0, 10), (1, 20), (2, 30), (5, 60), (6, 70)]]
+    return spark.createDataFrame(rows).select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v")
+
+
+def test_gapfill_fills_gaps_with_locf_and_linear(spark):
+    out = {r.bucket: r for r in
+           gapfill(_toy_series(spark), "ts", ["k"], "v", 3600).collect()}
+    assert len(out) == 7  # hours 0..6 densified
+    base = min(out)
+    gap1, gap2 = out[base + 3 * 3600], out[base + 4 * 3600]
+    assert gap1.n == 0 and gap2.n == 0
+    assert gap1.v_sum == -1.0  # sentinel on gap rows
+    assert gap1.v_locf == 30.0 and gap2.v_locf == 30.0
+    # linear between (hr2, 30) and (hr5, 60): hr3 -> 40, hr4 -> 50
+    assert gap1.v_interp == 40.0 and gap2.v_interp == 50.0
+    # observed rows pass through unchanged
+    assert out[base].v_sum == 10.0 and out[base].v_locf == 10.0
+    assert out[base + 5 * 3600].v_interp == 60.0
+
+
+def test_gapfill_fixture_no_row_loss(spark, sf_dir):
+    """Densified output ⊇ observed buckets; per-key row count equals the
+    key's bucket span; observed sums survive."""
+    ev = read_table(spark, sf_dir, "events")
+    out = gapfill(ev, "ts", ["event_type"], "value", 3600)
+    spans = (out.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("rows"),
+                  ((F.max("bucket") - F.min("bucket")) / 3600 + 1)
+                  .cast("long").alias("span")))
+    assert spans.filter(F.col("rows") != F.col("span")).count() == 0
+    observed = out.filter(F.col("n") > 0)
+    assert observed.filter(F.col("v_locf") != F.col("v_sum")).count() == 0
+
+
+def test_zscore_flags_spike(spark):
+    """23 quiet hours (1 event) then one 50-event spike: the spike's z
+    must be large and positive; quiet rows near zero."""
+    rows = [Row(k="a", ts=f"2024-01-01 {h:02d}:00:00", i=j)
+            for h in range(23) for j in range(1)]
+    rows += [Row(k="a", ts="2024-01-01 23:00:00", i=j) for j in range(50)]
+    df = spark.createDataFrame(rows).select(
+        "k", F.col("ts").cast("timestamp").alias("ts"))
+    out = {r.bucket: r for r in
+           trailing_zscore(df, "ts", ["k"], 3600, lookback=24).collect()}
+    spike = out[max(out)]
+    assert spike.x == 50
+    # 22 trailing ones -> zero variance -> sentinel would hide the spike;
+    # variance comes from the window, all-equal counts => sentinel
+    assert spike.z == -999.0 or spike.z > 3
+    # make variance nonzero: vary the quiet baseline instead
+    rows2 = [Row(k="a", ts=f"2024-01-01 {h:02d}:00:00", i=j)
+             for h in range(23) for j in range(1 + h % 2)]
+    rows2 += [Row(k="a", ts="2024-01-01 23:00:00", i=j) for j in range(50)]
+    df2 = spark.createDataFrame(rows2).select(
+        "k", F.col("ts").cast("timestamp").alias("ts"))
+    out2 = {r.bucket: r for r in
+            trailing_zscore(df2, "ts", ["k"], 3600, lookback=24).collect()}
+    assert out2[max(out2)].z > 10
+
+
+def test_zscore_sentinel_on_short_history(spark):
+    df = spark.createDataFrame(
+        [Row(k="a", ts="2024-01-01 00:00:00")]).select(
+        "k", F.col("ts").cast("timestamp").alias("ts"))
+    [r] = trailing_zscore(df, "ts", ["k"], 3600).collect()
+    assert r.z == -999.0
+
+
+def test_cohort_retention_invariants(spark, sf_dir):
+    """Offset-0 retention is exactly 1.0 for every cohort (every user is
+    active on their own first day), rates stay in (0, 1], and the
+    per-cohort active count at offset 0 equals the cohort size."""
+    from melt_spark.plans.analytics_suite import q_cohort_retention
+
+    rows = q_cohort_retention(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.retention <= 1.0
+        assert r.n_active <= r.cohort_n
+        if r.day_offset == 0:
+            assert r.n_active == r.cohort_n and r.retention == 1.0
