@@ -72,6 +72,16 @@ BENCH_QUERIES_R4 = [
     ("pagerank", a.q_pagerank),                    # 3 unrolled iterations
 ]
 
+# Round-4b operators (same contract): the corpus-model LM scorer is the
+# heavy one (two bigram explodes + a model join); the rest are benched so
+# their cost is on record from birth.
+BENCH_QUERIES_R4B = [
+    ("lm_perplexity", p.q_lm_perplexity),          # bigram LM train+score
+    ("gapfill_hourly", a.q_gapfill_hourly),        # spine + 2 window passes
+    ("jl_projection", p.q_jl_projection),          # 16 codegen folds/row
+    ("cms_user_counts", a.q_cms_user_counts),      # fixed-size sketch build
+]
+
 
 def _force(df) -> int:
     """Execute the full plan without materializing on the driver."""
@@ -88,7 +98,8 @@ def main() -> None:
     # whole-stage-codegen compilation and JVM JIT are paid before timing —
     # the generated code is plan-shaped, so it's reused at the real SF
     warm_dir = "/root/testdata/sf0.001"
-    for _name, fn in BENCH_QUERIES + BENCH_QUERIES_R3 + BENCH_QUERIES_R4:
+    for _name, fn in (BENCH_QUERIES + BENCH_QUERIES_R3
+                      + BENCH_QUERIES_R4 + BENCH_QUERIES_R4B):
         try:
             _force(fn(spark, warm_dir))
         except Exception:
@@ -102,7 +113,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
-    for name, fn in BENCH_QUERIES + BENCH_QUERIES_R3 + BENCH_QUERIES_R4:
+    for name, fn in (BENCH_QUERIES + BENCH_QUERIES_R3
+                     + BENCH_QUERIES_R4 + BENCH_QUERIES_R4B):
         try:
             # min of 2 is the headline (drops scheduler noise, stays
             # honest); BOTH raw runs are recorded so run-to-run variance —

@@ -43,11 +43,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .text import tokens
+from .util import spread_input
 
 
 def _bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, idx, w1, bigram) — one row per adjacent token pair, idx is the
     1-based position of the pair's first token (the fold's sort key)."""
+    # the explode is CPU-bound — buy scan parallelism on few-file inputs
+    df = spread_input(df, id_col)
     toks = tokens(text_col)
     n = F.size(toks)
     pairs = F.when(
@@ -72,7 +75,9 @@ def bigram_model(docs: DataFrame, id_col: str = "doc_id",
     as a broadcast scalar column."""
     bg = _bigrams(docs, id_col, text_col)
     c2 = bg.groupBy("bg", "w1").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # context counts re-aggregate the vocabulary-sized c2 table — NOT a
+    # second corpus explode: c1(w1) = Σ_w2 c2(w1 w2) by construction
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
     vocab = (docs.select(F.explode(tokens(text_col)).alias("tok"))
              .agg(F.countDistinct("tok").alias("v")))
     return c2.join(c1, "w1").crossJoin(F.broadcast(vocab))

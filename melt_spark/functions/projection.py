@@ -26,6 +26,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .util import spread_input
+
 
 def jl_sign(j: int, i: int) -> int:
     """Deterministic +/-1: parity of the first hex nibble of md5('j:i').
@@ -50,9 +52,12 @@ def _fold_dot(vec: Column, signs: list[int]) -> Column:
 
 
 def jl_project(df: DataFrame, vec_col: str, in_dim: int,
-               out_dim: int = 16) -> DataFrame:
+               out_dim: int = 16, id_col: str | None = None) -> DataFrame:
     """Append proj_0..proj_{k-1}: (R @ vec) / sqrt(k). Pure projection —
-    zero shuffles, zero Python."""
+    zero shuffles, zero Python (modulo the few-file parallelism guard,
+    a no-op on real multi-file tables)."""
+    if id_col is not None:
+        df = spread_input(df, id_col)
     scale = 1.0 / float(out_dim) ** 0.5
     m = jl_matrix(out_dim, in_dim)
     cols = [(_fold_dot(F.col(vec_col), m[j]) * F.lit(scale))
@@ -61,11 +66,11 @@ def jl_project(df: DataFrame, vec_col: str, in_dim: int,
 
 
 def jl_distortion(df: DataFrame, vec_col: str, in_dim: int,
-                  out_dim: int = 16) -> DataFrame:
+                  out_dim: int = 16, id_col: str | None = None) -> DataFrame:
     """Per-vector norm distortion of the projection: ||Rv/sqrt(k)|| /
     ||v|| — the quantity JL bounds. Output: id columns + norm_orig,
     norm_proj, distortion (all rounded)."""
-    proj = jl_project(df, vec_col, in_dim, out_dim)
+    proj = jl_project(df, vec_col, in_dim, out_dim, id_col=id_col)
     sq = F.aggregate(
         F.sequence(F.lit(1), F.lit(in_dim)), F.lit(0.0),
         lambda acc, i: acc + F.element_at(F.col(vec_col), i).cast("double")

@@ -139,7 +139,9 @@ def cms_build(df: DataFrame, item_col: str,
     """(row, cell, total): the sketch as a <= depth*CMS_WIDTH-row table.
     The explode is map-side; the single shuffle carries pre-combined
     fixed-size partial sketches."""
-    rows = (df.select(F.col(item_col).alias("item"))
+    from .util import spread_input
+
+    rows = (spread_input(df.select(F.col(item_col).alias("item")), "item")
             .select("item", F.explode(
                 F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")))
     return (rows.select("row", cms_cell("item", F.col("row")).alias("cell"))

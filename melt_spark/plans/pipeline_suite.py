@@ -1424,7 +1424,8 @@ def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.projection import jl_distortion
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return jl_distortion(emb, "embedding", in_dim=64, out_dim=16)
+    return jl_distortion(emb, "embedding", in_dim=64, out_dim=16,
+                         id_col="vec_id")
 
 
 def _sql_jl() -> str:
