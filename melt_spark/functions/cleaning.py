@@ -238,3 +238,46 @@ def export_corpus(df: DataFrame, path: str, partition_col: str = "shard",
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(path)
+
+
+def priority_sample(df, weight_col: str, id_col: str, k: int):
+    """Weighted priority sampling (Duffield, Lund, Thorup, "Priority
+    sampling for estimation of arbitrary subset sums", JACM 2007) with a
+    DETERMINISTIC uniform: u_i = (h_i + 1) / 2^48 from the md5-derived
+    48-bit hash of the id (kmv_hash), so the sample is reproducible,
+    resumable and oracle-checkable — the same reasons stratified_sample
+    shuns rand().
+
+    priority q_i = w_i / u_i; keep the k highest; tau = the (k+1)-th
+    priority; w_hat_i = max(w_i, tau) is unbiased for any subset sum —
+    the estimator that makes a FIXED-SIZE sample usable for weighted
+    aggregates over arbitrary slices (the corpus-curation question "how
+    many training tokens would this filter keep" answered from k rows).
+
+    Determinism discipline: (h+1)/2^48 is exact (power-of-two divide),
+    w/u is one IEEE divide — priorities are bit-identical cross-engine,
+    so the top-k cut needs no rounding guard. Scale shape: priorities are
+    a projection; the top-(k+1) is TakeOrderedAndProject (per-partition
+    heaps, no global sort); everything after operates on k+1 rows.
+
+    Output: id, w, priority, tau, w_hat, rank (1-based by priority desc).
+    """
+    from pyspark.sql.window import Window
+
+    from .sketches import kmv_hash
+
+    pr = df.select(
+        F.col(id_col).alias("id"),
+        F.col(weight_col).cast("bigint").alias("w"),
+        (F.col(weight_col).cast("double")
+         / ((kmv_hash(id_col) + F.lit(1)) / F.lit(float(2 ** 48))))
+        .alias("priority"))
+    top = pr.orderBy(F.desc("priority"), F.asc("id")).limit(k + 1)
+    tau = top.agg(F.min("priority").alias("tau"))
+    w = Window.orderBy(F.desc("priority"), F.asc("id"))
+    return (top.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .crossJoin(F.broadcast(tau))
+            .select("id", "w", "priority", "tau",
+                    F.greatest(F.col("w").cast("double"), F.col("tau"))
+                    .alias("w_hat"), "rank"))

@@ -73,3 +73,57 @@ def pagerank_int(edges: DataFrame, iters: int = 3) -> DataFrame:
                                     f" div {DAMP_DEN}"))
                           .cast("bigint").alias("score")))
     return scores
+
+
+def butterfly_count(edges: DataFrame, left: str, right: str) -> DataFrame:
+    """Bipartite butterfly (4-cycle) census — ONE summary row with edge,
+    wedge and butterfly counts plus the bipartite clustering coefficient.
+
+    Background (public): Sanei-Mehri, Sariyuce, Tirthapura, "Butterfly
+    Counting in Bipartite Networks" (KDD 2018). The butterfly (two left
+    nodes sharing two right nodes) is the smallest bipartite cohesion
+    motif; its count drives bipartite clustering coefficients and dense-
+    subgraph peeling.
+
+    Exact count via wedge aggregation FROM THE CHEAPER SIDE: for each left
+    vertex, every pair of its right-neighbors is a wedge; butterflies =
+    sum over right-pairs of C(#common-left, 2). The side choice is the
+    KDD-18 cost lever — wedge volume is sum(deg^2) of the iterated side,
+    so iterate from the side with the smaller sum of squared degrees (the
+    caller picks `left`; for customer x supplier fixtures that is the
+    many-low-degree customer side, sum deg^2 ~ 1500*32^2, vs the
+    100*485^2 supplier side — 15x cheaper). The wedge pair-list shuffles
+    on (right, right) pairs, whose distinct count is <= C(|right|, 2) —
+    map-side combine collapses it long before the wire at 100 TB.
+
+    Determinism: pure integer arithmetic; the coefficient is one IEEE
+    divide of exact integers.
+    """
+    e = (edges.select(F.col(left).alias("l"), F.col(right).alias("r"))
+         .distinct())
+    e2 = e.select(F.col("l").alias("l2"), F.col("r").alias("r2"))
+    # wedges from the left side: (r1 < r2) co-neighbors of the same l
+    pairs = (e.join(e2, (F.col("l") == F.col("l2"))
+                    & (F.col("r") < F.col("r2")))
+             .groupBy("r", "r2")
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    # `/` promotes to DOUBLE (inexact past 2^53) — stay integral with the
+    # always-even n*(n-1) sum and one BIGINT floor-div at the end
+    stats = (pairs.agg(
+        F.coalesce(F.sum(F.col("n_common") * (F.col("n_common") - 1)),
+                   F.lit(0)).alias("pair2"),
+        F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("right_pairs"),
+        F.coalesce(F.sum("n_common"), F.lit(0)).alias("wedges"))
+        .select(F.expr("pair2 div 2").alias("butterflies"),
+                "right_pairs", "wedges"))
+    degs = e.groupBy("l").agg(F.count(F.lit(1)).alias("d"))
+    totals = degs.agg(F.sum("d").alias("n_edges"),
+                      F.count(F.lit(1)).alias("n_left"))
+    out = stats.crossJoin(F.broadcast(totals))
+    # bipartite clustering coefficient: 4*butterflies / wedges (caps at
+    # ~1 when every wedge closes); sentinel -1.0 on wedge-free graphs
+    coeff = F.when(F.col("wedges") > 0,
+                   (F.lit(4) * F.col("butterflies")).cast("double")
+                   / F.col("wedges").cast("double")).otherwise(F.lit(-1.0))
+    return out.select("n_edges", "n_left", "wedges", "right_pairs",
+                      "butterflies", coeff.alias("clustering_coeff"))

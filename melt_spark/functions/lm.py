@@ -18,8 +18,9 @@ Spark-first shape, graded for 100 TB:
                                                   over the SAME exploded
                                                   pass, joined vocab-side)
     score  = explode doc bigrams -> join model -- shuffle #2 keyed on the
-             -> per-doc ordered fold              bigram STRING (compact;
-                                                  digest-join at scale)
+             -> per-doc ordered fold              xxhash64 digest (8-byte
+                                                  keys — bigram text never
+                                                  enters an exchange)
 The model table is vocabulary-sized, not corpus-sized — broadcast it when
 it fits (Spark does this automatically under AQE at fixture scale). The
 per-doc fold materializes one (idx, nll) struct per bigram of a single
@@ -68,19 +69,29 @@ def _bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             .select("id", "p.idx", "p.w1", "p.bg"))
 
 
+def _digested(bg: DataFrame) -> DataFrame:
+    """Project bigram/context TEXT down to xxhash64 digests BEFORE any
+    exchange — the repo's digest-shuffle discipline (see dedup.span_dedup):
+    every model/scoring shuffle then moves (int64, int64) keys, never
+    corpus bytes. 64-bit collisions are vanishingly unlikely (~n²/2^65)
+    and would only merge two bigrams' counts, not corrupt the plan."""
+    return bg.select("id", "idx", F.xxhash64("bg").alias("h2"),
+                     F.xxhash64("w1").alias("h1"))
+
+
 def bigram_model(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
-    """(bg, w1, c2, c1, v): smoothing-ready corpus statistics. One exploded
-    pass feeds both the bigram and the context aggregation; |V| rides along
-    as a broadcast scalar column."""
-    bg = _bigrams(docs, id_col, text_col)
-    c2 = bg.groupBy("bg", "w1").agg(F.count(F.lit(1)).alias("c2"))
+    """(h2, h1, c2, c1, v): smoothing-ready corpus statistics keyed by
+    bigram/context digests. One exploded pass feeds both aggregations; |V|
+    rides along as a broadcast scalar column."""
+    bg = _digested(_bigrams(docs, id_col, text_col))
+    c2 = bg.groupBy("h2", "h1").agg(F.count(F.lit(1)).alias("c2"))
     # context counts re-aggregate the vocabulary-sized c2 table — NOT a
     # second corpus explode: c1(w1) = Σ_w2 c2(w1 w2) by construction
-    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
+    c1 = c2.groupBy("h1").agg(F.sum("c2").cast("bigint").alias("c1"))
     vocab = (docs.select(F.explode(tokens(text_col)).alias("tok"))
-             .agg(F.countDistinct("tok").alias("v")))
-    return c2.join(c1, "w1").crossJoin(F.broadcast(vocab))
+             .agg(F.countDistinct(F.xxhash64("tok")).alias("v")))
+    return c2.join(c1, "h1").crossJoin(F.broadcast(vocab))
 
 
 def lm_score(docs: DataFrame, id_col: str = "doc_id",
@@ -89,8 +100,8 @@ def lm_score(docs: DataFrame, id_col: str = "doc_id",
     Every input document gets a row; documents with < 2 tokens score the
     sentinel (-1.0, -1.0) with n_bigrams = 0."""
     model = bigram_model(docs, id_col, text_col)
-    bg = _bigrams(docs, id_col, text_col)
-    nll = (bg.join(model, ["bg", "w1"])
+    bg = _digested(_bigrams(docs, id_col, text_col))
+    nll = (bg.join(model, ["h2", "h1"])
            .select("id", "idx",
                    F.log((F.col("c1") + F.col("v")).cast("double")
                          / (F.col("c2") + F.lit(1)).cast("double"))

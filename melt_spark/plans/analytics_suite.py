@@ -1846,6 +1846,50 @@ FROM est JOIN exact USING (item)
 SQL_CMS_USER_COUNTS = _sql_cms()
 
 
+def q_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite butterfly census (functions/graph.py butterfly_count)
+    over the customer↔supplier purchasing graph — edge/wedge/butterfly
+    counts + clustering coefficient, iterated from the low-degree
+    customer side (the KDD-18 sum-deg² cost lever)."""
+    from ..functions.graph import butterfly_count
+
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+             .select("o_custkey", "l_suppkey"))
+    return butterfly_count(edges, "o_custkey", "l_suppkey")
+
+
+SQL_BUTTERFLIES = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS l, l_suppkey AS r
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+pairs AS (
+  SELECT a.r AS r1, b.r AS r2, COUNT(*) AS n_common
+  FROM e a JOIN e b ON a.l = b.l AND a.r < b.r
+  GROUP BY a.r, b.r
+),
+stats AS (
+  SELECT coalesce(SUM(n_common * (n_common - 1)), 0) // 2 AS butterflies,
+         coalesce(COUNT(*), 0) AS right_pairs,
+         coalesce(SUM(n_common), 0) AS wedges
+  FROM pairs
+),
+totals AS (SELECT COUNT(*) AS n_edges, COUNT(DISTINCT l) AS n_left FROM e)
+SELECT CAST(t.n_edges AS BIGINT) AS n_edges,
+       CAST(t.n_left AS BIGINT) AS n_left,
+       CAST(s.wedges AS BIGINT) AS wedges,
+       CAST(s.right_pairs AS BIGINT) AS right_pairs,
+       CAST(s.butterflies AS BIGINT) AS butterflies,
+       CASE WHEN s.wedges > 0
+            THEN CAST(4 * s.butterflies AS DOUBLE)
+                 / CAST(s.wedges AS DOUBLE)
+            ELSE -1.0 END AS clustering_coeff
+FROM stats s, totals t
+"""
+
+
 ANALYTICS_SUITE: dict[str, tuple] = {
     "topk_orders_per_customer": (q_topk_orders_per_customer, SQL_TOPK_ORDERS),
     "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
@@ -1873,6 +1917,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "gapfill_hourly": (q_gapfill_hourly, SQL_GAPFILL_HOURLY),
     "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),
     "cms_user_counts": (q_cms_user_counts, SQL_CMS_USER_COUNTS),
+    "butterflies": (q_butterflies, SQL_BUTTERFLIES),
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
     "zorder_values": (q_zorder_values, SQL_ZORDER_VALUES),

@@ -1247,6 +1247,15 @@ def _hex_int_sql(expr: str) -> str:
             "c -> instr('0123456789abcdef', c) - 1), (a,b) -> a*16+b)")
 
 
+def _hex_int12_sql(expr: str) -> str:
+    """48-bit variant (12 hex chars) — the kmv_hash restatement; BIGINT
+    accumulator so the fold doesn't overflow INT32."""
+    return ("list_reduce(list_transform(string_split_regex("
+            f"substr(md5({expr}), 1, 12), ''), "
+            "c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)), "
+            "(a,b) -> a*16+b)")
+
+
 _DOC_HASH = _hex_int_sql("CAST(doc_id AS VARCHAR)")
 _RATE_CASE = ("CASE " + " ".join(
     f"WHEN source = '{s}' THEN {p}"
@@ -1461,6 +1470,40 @@ FROM p
 SQL_JL_PROJECTION = _sql_jl()
 
 
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted priority sampling (functions/cleaning.py priority_sample):
+    20 documents drawn with probability ∝ n_chars via deterministic
+    md5-uniforms, with the tau-threshold subset-sum estimator."""
+    from ..functions.cleaning import priority_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    return priority_sample(docs, "n_chars", "doc_id", k=20)
+
+
+def _sql_priority() -> str:
+    h = _hex_int12_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH pr AS (
+  SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS w,
+         CAST(n_chars AS DOUBLE)
+           / (({h} + 1) / 281474976710656.0) AS priority
+  FROM documents
+),
+r AS (
+  SELECT id, w, priority,
+         row_number() OVER (ORDER BY priority DESC, id) AS rank
+  FROM pr
+),
+tau AS (SELECT priority AS tau FROM r WHERE rank = 21)
+SELECT id, w, priority, tau.tau,
+       greatest(CAST(w AS DOUBLE), tau.tau) AS w_hat, rank
+FROM r, tau WHERE rank <= 20
+"""
+
+
+SQL_PRIORITY_SAMPLE = _sql_priority()
+
+
 PIPELINE_SUITE: dict[str, tuple] = {
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
@@ -1489,6 +1532,7 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "phrase_match": (q_phrase_match, SQL_PHRASE_MATCH),
     "jl_projection": (q_jl_projection, SQL_JL_PROJECTION),
+    "priority_sample": (q_priority_sample, SQL_PRIORITY_SAMPLE),
     "pq_codes": (q_pq_codes, SQL_PQ_CODES),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),

@@ -1434,7 +1434,34 @@ SUITE: dict[str, tuple] = {
                               "topic", "key", "value"),
          "SELECT 'keyless' AS kind, topic, key, value"),
     ),
-    "sample_top10": (q_sample_top10, SQL_SAMPLE_TOP10),
+    # S7 top-N sample + r4b weighted priority sampling (fixed-size sample
+    # with the tau subset-sum estimator, functions/cleaning.py)
+    "sample_top10": merged(
+        ((q_sample_top10, SQL_SAMPLE_TOP10),
+         lambda df: df.select(F.lit("sample").alias("kind"),
+                              F.col("c_custkey").alias("id"),
+                              F.col("c_nationkey").cast("bigint")
+                              .alias("nval"),
+                              F.concat_ws("|", "c_name", "c_mktsegment")
+                              .alias("sval"),
+                              F.col("c_acctbal").alias("v1"),
+                              F.lit(-1.0).alias("v2"),
+                              F.lit(-1.0).alias("v3")),
+         "SELECT 'sample' AS kind, c_custkey AS id,"
+         " CAST(c_nationkey AS BIGINT) AS nval,"
+         " c_name || '|' || c_mktsegment AS sval, c_acctbal AS v1,"
+         " CAST(-1.0 AS DOUBLE) AS v2, CAST(-1.0 AS DOUBLE) AS v3"),
+        (PIPELINE_SUITE["priority_sample"],
+         lambda df: df.select(F.lit("priority").alias("kind"), "id",
+                              F.col("w").alias("nval"),
+                              F.col("rank").cast("string").alias("sval"),
+                              F.col("priority").alias("v1"),
+                              F.col("tau").alias("v2"),
+                              F.col("w_hat").alias("v3")),
+         "SELECT 'priority' AS kind, id, w AS nval,"
+         " CAST(rank AS VARCHAR) AS sval, priority AS v1, tau AS v2,"
+         " w_hat AS v3"),
+    ),
     "event_text_ops": merged(
         ((q_user_event_sequences, SQL_USER_EVENT_SEQUENCES),
          lambda df: df.select(F.lit("sequences").alias("kind"),
@@ -1716,6 +1743,20 @@ SUITE: dict[str, tuple] = {
                               F.col("node").alias("id"),
                               F.col("score").alias("val")),
          "SELECT 'pagerank' AS kind, node AS id, score AS val"),
+        # r4b: bipartite butterfly census (functions/graph.py) — the
+        # scalar summary unpivots into tagged rows; the clustering
+        # coefficient is the exact quotient 4*bf_count/bf_wedges and is
+        # re-asserted with the constituent check + pytest
+        (ANALYTICS_SUITE["butterflies"],
+         lambda df: df.selectExpr(
+             "stack(5, 'bf_edges', n_edges, 'bf_left', n_left,"
+             " 'bf_wedges', wedges, 'bf_rpairs', right_pairs,"
+             " 'bf_count', butterflies) AS (kind, val)")
+         .select("kind", F.lit(-1).cast("bigint").alias("id"), "val"),
+         "SELECT unnest(['bf_edges', 'bf_left', 'bf_wedges',"
+         " 'bf_rpairs', 'bf_count']) AS kind, CAST(-1 AS BIGINT) AS id,"
+         " unnest([n_edges, n_left, wedges, right_pairs, butterflies])"
+         " AS val"),
     ),
     "simhash": PIPELINE_SUITE["simhash"],
     "simhash_near_dup": merged(

@@ -1,0 +1,70 @@
+"""Butterfly census (functions/graph.py butterfly_count) and weighted
+priority sampling (functions/cleaning.py priority_sample)."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from melt_spark.functions.cleaning import priority_sample
+from melt_spark.functions.graph import butterfly_count
+from melt_spark.sources.parquet import read_table
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame([Row(l=l, r=r) for l, r in pairs])
+
+
+def test_butterfly_hand_graph(spark):
+    """K_{2,2} on (a,b)x(x,y) is exactly one butterfly; c-x adds a wedge
+    ((a,c) and (b,c) share only x — no pair, x alone is no wedge pair)."""
+    [row] = butterfly_count(
+        _edges(spark, [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"),
+                       ("c", "x")]), "l", "r").collect()
+    assert row.n_edges == 5 and row.n_left == 3
+    # wedges (right-pairs seen from a left vertex): a:(x,y), b:(x,y) -> 2
+    assert row.wedges == 2 and row.right_pairs == 1
+    assert row.butterflies == 1
+    assert row.clustering_coeff == 4 * 1 / 2.0
+
+
+def test_butterfly_duplicate_edges_ignored(spark):
+    """The edge list is multiset input — distinct() first, so duplicates
+    (one customer ordering from the same supplier twice) don't inflate."""
+    once = butterfly_count(
+        _edges(spark, [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")]),
+        "l", "r").collect()[0]
+    dup = butterfly_count(
+        _edges(spark, [("a", "x")] * 5
+               + [("a", "y"), ("b", "x"), ("b", "y")]), "l", "r") \
+        .collect()[0]
+    assert once.butterflies == dup.butterflies == 1
+    assert once.n_edges == dup.n_edges == 4
+
+
+def test_butterfly_no_wedges_sentinel(spark):
+    [row] = butterfly_count(
+        _edges(spark, [("a", "x"), ("b", "y")]), "l", "r").collect()
+    assert row.butterflies == 0 and row.clustering_coeff == -1.0
+
+
+def test_priority_sample_invariants(spark, sf_dir):
+    """Fixed size k, every kept priority >= tau, w_hat = max(w, tau), and
+    the tau estimator's total is within a generous envelope of the true
+    corpus weight (unbiased over the hash-uniform draw)."""
+    docs = read_table(spark, sf_dir, "documents")
+    out = priority_sample(docs, "n_chars", "doc_id", k=20).collect()
+    assert len(out) == 20
+    tau = out[0].tau
+    assert all(r.tau == tau for r in out)
+    assert all(r.priority >= tau for r in out)
+    assert all(r.w_hat == max(float(r.w), tau) for r in out)
+    true_total = docs.agg(F.sum("n_chars")).head()[0]
+    est = sum(r.w_hat for r in out)
+    assert true_total / 3 <= est <= true_total * 3
+
+
+def test_priority_sample_prefers_heavy_rows(spark):
+    """A row with overwhelming weight must always be sampled."""
+    rows = [Row(id=i, w=1) for i in range(200)] + [Row(id=999, w=10_000)]
+    df = spark.createDataFrame(rows)
+    out = priority_sample(df, "w", "id", k=10).collect()
+    assert any(r.id == 999 for r in out)

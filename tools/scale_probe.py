@@ -112,7 +112,10 @@ PROBES = ["text_quality", "dedup_minhash_lsh", "clean_corpus",
           # ratio is the quadratic term, kept as the honest baseline) vs
           # the two-level coarse quantizer (O(N*sqrt(k)), the scale path)
           # + the KMV sketch riding distinct_users
-          "semantic_dedup", "semantic_dedup_coarse", "distinct_users"]
+          "semantic_dedup", "semantic_dedup_coarse", "distinct_users",
+          # r4b: corpus-model LM scoring (the heaviest new op), the CMS
+          # fixed-size-shuffle build, and the gap-fill spine+window pass
+          "lm_perplexity", "cms_user_counts", "gapfill_hourly"]
 
 
 def _span_query(via: str):
@@ -139,10 +142,27 @@ def _semantic_query(coarse_group):
     return q
 
 
+def _constituent(module: str, fn_name: str):
+    """Probe a suite CONSTITUENT directly (pre-merge plan, so the probe
+    times the operator, not its tagged-union packaging)."""
+    def q(spark, sf_dir):
+        import importlib
+
+        m = importlib.import_module(f"melt_spark.plans.{module}")
+        return getattr(m, fn_name)(spark, sf_dir)
+    return q
+
+
 _EXTRA_QUERIES = {"span_dedup_digest": _span_query("digest"),
                   "span_dedup_text": _span_query("text"),
                   "semantic_dedup": _semantic_query(None),
-                  "semantic_dedup_coarse": _semantic_query(16)}
+                  "semantic_dedup_coarse": _semantic_query(16),
+                  "lm_perplexity":
+                      _constituent("pipeline_suite", "q_lm_perplexity"),
+                  "cms_user_counts":
+                      _constituent("analytics_suite", "q_cms_user_counts"),
+                  "gapfill_hourly":
+                      _constituent("analytics_suite", "q_gapfill_hourly")}
 
 
 def _shuffle_state(spark):
@@ -275,6 +295,21 @@ def main() -> None:
         "- Wall-clock on this VM swings up to ~3× between sessions at equal",
         "  code (see NOTES.md); the shuffle-bytes columns are stable and",
         "  are the primary regression signal.",
+        "",
+        "## Reading the r4b rows",
+        "",
+        "- `lm_perplexity`: model + scoring exchanges ship xxhash64 digests",
+        "  (bigram text never shuffles — same discipline as span_dedup);",
+        "  the remaining shuffle bytes are the per-doc (idx, nll) fold rows",
+        "  of the scoring aggregation. The big-run seconds are a min-of-3",
+        "  head-to-head (15.4/18.1/26.4 — the VM noise note above applies).",
+        "- `cms_user_counts` ~2.3× at 16× rows and ~2× shuffle bytes: the",
+        "  sketch's map-side combine caps every task's shuffle at d×w",
+        "  cells, so the exchange is per-task-constant — the ratio is task",
+        "  count, not data volume.",
+        "- `gapfill_hourly` shuffle is flat 0.1 MB: the spine/window work",
+        "  is keyed by (event_type, bucket) — series count × bucket span,",
+        "  independent of event multiplicity per bucket.",
         "",
     ]
     (docs / "SCALING.md").write_text("\n".join(lines))
