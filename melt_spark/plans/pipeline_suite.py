@@ -1504,6 +1504,85 @@ FROM r, tau WHERE rank <= 20
 SQL_PRIORITY_SAMPLE = _sql_priority()
 
 
+BPE_ROUNDS = 3
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (functions/bpe.py): 3 merge rounds over the
+    corpus vocabulary. Output unions the learned merge table with every
+    word's final segmentation."""
+    from ..functions.bpe import bpe_train
+
+    docs = read_table(spark, sf_dir, "documents")
+    merges, words = bpe_train(docs, rounds=BPE_ROUNDS)
+    m = merges.select(F.lit("bpe_merge").alias("kind"),
+                      F.col("round").cast("bigint").alias("doc_id"),
+                      F.col("n"),
+                      F.concat_ws("+", "s1", "s2").alias("fp"),
+                      F.lit(-1).cast("bigint").alias("m"))
+    w = words.select(F.lit("bpe_word").alias("kind"),
+                     F.lit(-1).cast("bigint").alias("doc_id"),
+                     F.col("freq").alias("n"),
+                     F.concat_ws(">", "word", "seg").alias("fp"),
+                     F.col("n_syms").cast("bigint").alias("m"))
+    return m.unionByName(w)
+
+
+def _sql_bpe(rounds: int = BPE_ROUNDS) -> str:
+    """Unrolled oracle: per round, a pair-count CTE + a LIMIT-1 argmax +
+    a recursive-CTE greedy merge (the consume-two-at-a-time scan the
+    Spark fold is equivalent to; see functions/bpe.py docstring).
+    WITH RECURSIVE prefixes the whole CTE list (DuckDB quirk, NOTES.md);
+    the recursion depth is the word length."""
+    parts = [f"""
+w0 AS (
+  SELECT word, freq, string_split_regex(word, '') AS syms
+  FROM (SELECT tok AS word, COUNT(*) AS freq
+        FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+        GROUP BY tok)
+)"""]
+    for r in range(1, rounds + 1):
+        p, b, s, wp, wc = (f"p{r}", f"b{r}", f"step{r}",
+                           f"w{r - 1}", f"w{r}")
+        parts.append(f"""
+{p} AS (
+  SELECT syms[g.i] AS s1, syms[g.i + 1] AS s2, SUM(freq) AS n
+  FROM {wp}, unnest(generate_series(1, len(syms) - 1)) AS g(i)
+  GROUP BY 1, 2
+),
+{b} AS (SELECT s1, s2, n FROM {p} ORDER BY n DESC, s1, s2 LIMIT 1),
+{s} AS (
+  SELECT word, freq, syms, 1 AS i, CAST([] AS VARCHAR[]) AS acc FROM {wp}
+  UNION ALL
+  SELECT s.word, s.freq, s.syms,
+    CASE WHEN s.i < len(s.syms) AND s.syms[s.i] = b.s1
+              AND s.syms[s.i + 1] = b.s2
+         THEN s.i + 2 ELSE s.i + 1 END,
+    CASE WHEN s.i < len(s.syms) AND s.syms[s.i] = b.s1
+              AND s.syms[s.i + 1] = b.s2
+         THEN list_append(s.acc, b.s1 || b.s2)
+         ELSE list_append(s.acc, s.syms[s.i]) END
+  FROM {s} s, {b} b WHERE s.i <= len(s.syms)
+),
+{wc} AS (SELECT word, freq, acc AS syms FROM {s}
+         WHERE i = len(syms) + 1)""")
+    merges = "\nUNION ALL\n".join(
+        f"SELECT 'bpe_merge' AS kind, CAST({r} AS BIGINT) AS doc_id,"
+        f" CAST(n AS BIGINT) AS n, s1 || '+' || s2 AS fp,"
+        f" CAST(-1 AS BIGINT) AS m FROM b{r}"
+        for r in range(1, rounds + 1))
+    return ("WITH RECURSIVE " + ",".join(parts) + "\n" + merges + f"""
+UNION ALL
+SELECT 'bpe_word' AS kind, CAST(-1 AS BIGINT) AS doc_id, freq AS n,
+       word || '>' || array_to_string(syms, '|') AS fp,
+       CAST(len(syms) AS BIGINT) AS m
+FROM w{rounds}
+""")
+
+
+SQL_BPE_TRAIN = _sql_bpe()
+
+
 PIPELINE_SUITE: dict[str, tuple] = {
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
@@ -1533,6 +1612,7 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "phrase_match": (q_phrase_match, SQL_PHRASE_MATCH),
     "jl_projection": (q_jl_projection, SQL_JL_PROJECTION),
     "priority_sample": (q_priority_sample, SQL_PRIORITY_SAMPLE),
+    "bpe_train": (q_bpe_train, SQL_BPE_TRAIN),
     "pq_codes": (q_pq_codes, SQL_PQ_CODES),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),

@@ -1898,6 +1898,11 @@ SUITE: dict[str, tuple] = {
                               F.col("n_tokens").alias("m")),
          "SELECT 'chunk' AS kind, doc_id, chunk_id AS n, chunk_fp AS fp,"
          " n_tokens AS m"),
+        # r4b: BPE tokenizer training (functions/bpe.py) — 3 unrolled
+        # merge rounds; the branch is already harmonized by q_bpe_train
+        (PIPELINE_SUITE["bpe_train"],
+         lambda df: df,
+         "SELECT kind, doc_id, n, fp, m"),
     ),
     "frame_sample": PIPELINE_SUITE["frame_sample"],
     "clean_corpus": PIPELINE_SUITE["clean_corpus"],
