@@ -80,6 +80,8 @@ BENCH_QUERIES_R4B = [
     ("gapfill_hourly", a.q_gapfill_hourly),        # spine + 2 window passes
     ("jl_projection", p.q_jl_projection),          # 16 codegen folds/row
     ("cms_user_counts", a.q_cms_user_counts),      # fixed-size sketch build
+    ("bpe_train", p.q_bpe_train),                  # 3 unrolled BPE rounds
+    ("butterflies", a.q_butterflies),              # bipartite wedge census
 ]
 
 

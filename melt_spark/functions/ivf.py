@@ -24,20 +24,9 @@ from pyspark.sql.window import Window
 from .similarity import _dvec, cosine
 
 
-def spread_input(df: DataFrame, key_col: str) -> DataFrame:
-    """Repartition a file-backed input up to core count when it arrives in
-    fewer splits than cores — the single-parquet-file fixture otherwise
-    pins the CPU-heavy centroid-scoring crossJoin to 1-2 tasks (measured:
-    a 16x corpus ran assign on 2 of 32 cores). Same guard + rationale as
-    dedup.shingles; empty inputFiles() (in-memory/post-shuffle provenance)
-    trusts the existing partitioning. On a real cluster with sane file
-    counts this is a no-op."""
-    spark = df.sparkSession
-    cores = spark.sparkContext.defaultParallelism
-    files = df.inputFiles()
-    if files and len(files) < cores:
-        df = df.repartition(cores, F.col(key_col))
-    return df
+# few-file parallelism guard now shared across the operator library;
+# re-exported here because ivf callers import it from this module
+from .util import spread_input  # noqa: E402,F401
 
 
 def deterministic_centroids(corpus: DataFrame, every: int = 50,

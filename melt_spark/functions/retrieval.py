@@ -151,3 +151,71 @@ def phrase_match(docs: DataFrame, phrase: Sequence[str],
                       F.coalesce(F.element_at(starts, 1), F.lit(-1))
                       .cast("int").alias("first_pos"))
     return out.filter(F.col("n_matches") > 0)
+
+
+def _varint_bytes(gap):
+    """Length-in-bytes of the LEB128 varint for `gap`: ceil(bits/7),
+    where bits comes from the BINARY STRING length — log2() is
+    transcendental and 1-ulp-hazardous at power-of-two boundaries, the
+    string length is exact integer arithmetic on both engines (Spark
+    conv(g,10,2) == DuckDB to_base(g,2))."""
+    bits = F.length(F.conv(gap.cast("bigint").cast("string"), 10, 2))
+    return ((bits + F.lit(6)) - ((bits + F.lit(6)) % 7)) / 7
+
+
+def postings_stats(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Positional inverted-index layout costing: per term, the size of a
+    delta+varint-encoded postings list (doc-id gaps + in-doc position
+    gaps) next to the uncompressed 8-byte-per-entry baseline — the
+    d-gap/LEB128 layout every IR engine stores (Manning/Raghavan/Schütze,
+    "Introduction to Information Retrieval", ch. 5).
+
+    Scale shape: one corpus explode, one (term, doc) aggregation whose
+    per-group state is a single document's position list (bounded by doc
+    length), then a per-term pass where DOC gaps come from a lag() window
+    — never a collect of a term's full posting list, so a stopword's
+    millions of docs stream through the window instead of materializing
+    in one task's memory. Output is vocabulary-sized.
+
+    Determinism: everything is integer arithmetic; the compression ratio
+    is one IEEE divide of exact integers.
+    """
+    from pyspark.sql.window import Window
+
+    df = docs
+    toks = F.split(F.col(text_col), " ")
+    exploded = (df.select(F.col(id_col).alias("doc"),
+                          F.posexplode(toks).alias("pos0", "term"))
+                .select("doc", "term", (F.col("pos0") + 1).alias("pos")))
+    # per (term, doc): tf and the varint cost of position deltas (first
+    # position absolute, then gaps) via an ordered fold
+    per_td = (exploded.groupBy("term", "doc")
+              .agg(F.count(F.lit(1)).alias("tf"),
+                   F.sort_array(F.collect_list("pos")).alias("ps")))
+    pos_bytes = F.aggregate(
+        F.col("ps"),
+        F.struct(F.lit(0).cast("bigint").alias("prev"),
+                 F.lit(0).cast("bigint").alias("b")),
+        lambda acc, p: F.struct(
+            p.cast("bigint").alias("prev"),
+            (acc["b"] + _varint_bytes(p - acc["prev"]).cast("bigint"))
+            .alias("b")),
+        lambda acc: acc["b"])
+    td = per_td.select("term", "doc", "tf", pos_bytes.alias("pos_bytes"))
+    # per term: doc-id gaps via lag() — no posting-list materialization
+    w = Window.partitionBy("term").orderBy("doc")
+    gap = F.col("doc") - F.coalesce(F.lag("doc").over(w), F.lit(0))
+    td2 = td.select("term", "tf", "pos_bytes",
+                    _varint_bytes(gap).cast("bigint").alias("doc_bytes"))
+    out = (td2.groupBy("term")
+           .agg(F.count(F.lit(1)).alias("df"),
+                F.sum("tf").alias("total_tf"),
+                F.sum("doc_bytes").alias("doc_gap_bytes"),
+                F.sum("pos_bytes").alias("pos_gap_bytes")))
+    raw = (F.col("df") + F.col("total_tf")) * 8
+    return out.select(
+        "term", "df", "total_tf", "doc_gap_bytes", "pos_gap_bytes",
+        (raw.cast("double")
+         / (F.col("doc_gap_bytes") + F.col("pos_gap_bytes")).cast("double"))
+        .alias("compression"))

@@ -1583,6 +1583,55 @@ FROM w{rounds}
 SQL_BPE_TRAIN = _sql_bpe()
 
 
+def q_postings_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index layout costing (functions/retrieval.py
+    postings_stats): per-term varint-encoded postings sizes (doc-id gaps +
+    position gaps) vs the raw 8-byte baseline."""
+    from ..functions.retrieval import postings_stats
+
+    docs = read_table(spark, sf_dir, "documents")
+    return postings_stats(docs)
+
+
+def _sql_postings() -> str:
+    vb = lambda g: f"(length(to_base({g}, 2)) + 6) // 7"
+    return f"""
+WITH ex AS (
+  SELECT doc_id AS doc, tk[g.i] AS term, g.i AS pos
+  FROM (SELECT doc_id, {_TOKS} AS tk FROM documents) t,
+       unnest(generate_series(1, len(tk))) AS g(i)
+),
+td AS (
+  SELECT term, doc, COUNT(*) AS tf, list(pos ORDER BY pos) AS ps
+  FROM ex GROUP BY term, doc
+),
+td2 AS (
+  SELECT term, tf,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(generate_series(1, len(ps)),
+        i -> {vb("ps[i] - CASE WHEN i = 1 THEN 0 ELSE ps[i-1] END")})),
+      (a, b) -> a + b) AS pos_bytes,
+    {vb("doc - coalesce(lag(doc) OVER "
+        "(PARTITION BY term ORDER BY doc), 0)")} AS doc_bytes
+  FROM td
+),
+agg AS (
+  SELECT term, COUNT(*) AS df, SUM(tf) AS total_tf,
+         SUM(doc_bytes) AS doc_gap_bytes, SUM(pos_bytes) AS pos_gap_bytes
+  FROM td2 GROUP BY term
+)
+SELECT term, CAST(df AS BIGINT) AS df, CAST(total_tf AS BIGINT) AS total_tf,
+  CAST(doc_gap_bytes AS BIGINT) AS doc_gap_bytes,
+  CAST(pos_gap_bytes AS BIGINT) AS pos_gap_bytes,
+  CAST((df + total_tf) * 8 AS DOUBLE)
+    / CAST(doc_gap_bytes + pos_gap_bytes AS DOUBLE) AS compression
+FROM agg
+"""
+
+
+SQL_POSTINGS_STATS = _sql_postings()
+
+
 PIPELINE_SUITE: dict[str, tuple] = {
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
@@ -1613,6 +1662,7 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "jl_projection": (q_jl_projection, SQL_JL_PROJECTION),
     "priority_sample": (q_priority_sample, SQL_PRIORITY_SAMPLE),
     "bpe_train": (q_bpe_train, SQL_BPE_TRAIN),
+    "postings_stats": (q_postings_stats, SQL_POSTINGS_STATS),
     "pq_codes": (q_pq_codes, SQL_PQ_CODES),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),

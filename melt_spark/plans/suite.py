@@ -1470,6 +1470,21 @@ SUITE: dict[str, tuple] = {
                               F.lit(-1).cast("bigint").alias("n")),
          "SELECT 'sequences' AS kind, CAST(user_id AS VARCHAR) AS key,"
          " first5 AS sval, CAST(-1 AS BIGINT) AS n"),
+        # r4b: positional postings layout costing — the ints carry the
+        # full result; the compression ratio is their exact quotient
+        (PIPELINE_SUITE["postings_stats"],
+         lambda df: df.select(
+             F.lit("postings").alias("kind"),
+             F.col("term").alias("key"),
+             F.concat_ws(":", F.col("df").cast("string"),
+                         F.col("doc_gap_bytes").cast("string"),
+                         F.col("pos_gap_bytes").cast("string"))
+             .alias("sval"),
+             F.col("total_tf").alias("n")),
+         "SELECT 'postings' AS kind, term AS key,"
+         " CAST(df AS VARCHAR) || ':' || CAST(doc_gap_bytes AS VARCHAR)"
+         " || ':' || CAST(pos_gap_bytes AS VARCHAR) AS sval,"
+         " total_tf AS n"),
         ((q_top_tokens, SQL_TOP_TOKENS),
          lambda df: df.select(F.lit("tokens").alias("kind"),
                               F.col("token").alias("key"),

@@ -47,3 +47,38 @@ def test_segmentation_reconstructs_word(spark, sf_dir):
         assert r.seg.replace("|", "") == r.word
         assert r.n_syms == r.seg.count("|") + 1
         assert r.n_syms <= len(r.word)
+
+
+def test_postings_stats_python_reference(spark):
+    """postings_stats == a plain-Python varint costing of the same corpus."""
+    from melt_spark.functions.retrieval import postings_stats
+
+    texts = {1: "a b a c", 2: "b a", 7: "a a a"}
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in texts.items()])
+    got = {r.term: (r.df, r.total_tf, r.doc_gap_bytes, r.pos_gap_bytes)
+           for r in postings_stats(docs).collect()}
+
+    def vb(g):
+        return (max(g.bit_length(), 1) + 6) // 7
+
+    want = {}
+    post = {}
+    for d, t in texts.items():
+        for i, tok in enumerate(t.split(" "), start=1):
+            post.setdefault(tok, {}).setdefault(d, []).append(i)
+    for term, by_doc in post.items():
+        df = len(by_doc)
+        tf = sum(len(v) for v in by_doc.values())
+        doc_b, prev = 0, 0
+        for d in sorted(by_doc):
+            doc_b += vb(d - prev)
+            prev = d
+        pos_b = 0
+        for d, ps in by_doc.items():
+            pr = 0
+            for p in ps:
+                pos_b += vb(p - pr)
+                pr = p
+        want[term] = (df, tf, doc_b, pos_b)
+    assert got == want
