@@ -1890,6 +1890,62 @@ FROM stats s, totals t
 """
 
 
+BASKET_MINSUP = 3
+
+
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket 2-itemset mining over order baskets: support and
+    lift for part pairs co-occurring in an order (the exact-counting core
+    of FP-growth/Apriori at the pair level — Agrawal & Srikant, VLDB
+    1994). Pair generation is per-basket (C(basket,2), baskets are small
+    — linear in orders); lift = support·N / (n1·n2) is one IEEE divide
+    of exact integers. The per-item counts broadcast-join back onto the
+    vocabulary-sized pair table."""
+    li = read_table(spark, sf_dir, "lineitem")
+    b = li.select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("p")).distinct()
+    b2 = b.select(F.col("o").alias("o2"), F.col("p").alias("p2"))
+    pairs = (b.join(b2, (F.col("o") == F.col("o2"))
+                    & (F.col("p") < F.col("p2")))
+             .groupBy("p", "p2")
+             .agg(F.count(F.lit(1)).alias("support"))
+             .filter(F.col("support") >= BASKET_MINSUP))
+    item = b.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
+    n = b.agg(F.countDistinct("o").alias("n_orders"))
+    out = (pairs
+           .join(F.broadcast(item.select(F.col("p").alias("pa"),
+                                         F.col("cnt").alias("n1"))),
+                 F.col("p") == F.col("pa"))
+           .join(F.broadcast(item.select(F.col("p").alias("pb"),
+                                         F.col("cnt").alias("n2"))),
+                 F.col("p2") == F.col("pb"))
+           .crossJoin(F.broadcast(n)))
+    lift = ((F.col("support") * F.col("n_orders")).cast("double")
+            / (F.col("n1") * F.col("n2")).cast("double"))
+    return out.select(F.col("p").alias("p1"), "p2", "support",
+                      "n1", "n2", lift.alias("lift"))
+
+
+SQL_BASKET_RULES = f"""
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+pairs AS (
+  SELECT a.p AS p1, c.p AS p2, COUNT(*) AS support
+  FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= {BASKET_MINSUP}
+),
+item AS (SELECT p, COUNT(*) AS cnt FROM b GROUP BY p),
+n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM b)
+SELECT pr.p1, pr.p2, pr.support, i1.cnt AS n1, i2.cnt AS n2,
+       CAST(pr.support * n.n_orders AS DOUBLE)
+         / CAST(i1.cnt * i2.cnt AS DOUBLE) AS lift
+FROM pairs pr
+JOIN item i1 ON pr.p1 = i1.p
+JOIN item i2 ON pr.p2 = i2.p, n
+"""
+
+
 ANALYTICS_SUITE: dict[str, tuple] = {
     "topk_orders_per_customer": (q_topk_orders_per_customer, SQL_TOPK_ORDERS),
     "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
@@ -1918,6 +1974,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),
     "cms_user_counts": (q_cms_user_counts, SQL_CMS_USER_COUNTS),
     "butterflies": (q_butterflies, SQL_BUTTERFLIES),
+    "basket_rules": (q_basket_rules, SQL_BASKET_RULES),
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
     "zorder_values": (q_zorder_values, SQL_ZORDER_VALUES),

@@ -2223,6 +2223,21 @@ SUITE: dict[str, tuple] = {
                               F.col("part_value").alias("v")),
          "SELECT 'q11' AS q, CAST(ps_partkey AS VARCHAR) AS key,"
          " CAST(-1 AS BIGINT) AS n, part_value AS v"),
+        # r4b: market-basket 2-itemset rules share the partsupp-family
+        # entry — the two item counts ride stringified in the key, lift
+        # is the exact-integer quotient in the double slot
+        (ANALYTICS_SUITE["basket_rules"],
+         lambda df: df.select(
+             F.lit("basket").alias("q"),
+             F.concat_ws(":", F.col("p1").cast("string"),
+                         F.col("p2").cast("string"),
+                         F.col("n1").cast("string"),
+                         F.col("n2").cast("string")).alias("key"),
+             F.col("support").alias("n"),
+             F.col("lift").alias("v")),
+         "SELECT 'basket' AS q, CAST(p1 AS VARCHAR) || ':' ||"
+         " CAST(p2 AS VARCHAR) || ':' || CAST(n1 AS VARCHAR) || ':' ||"
+         " CAST(n2 AS VARCHAR) AS key, support AS n, lift AS v"),
         (ANALYTICS_SUITE["tpch_q16"],
          lambda df: df.select(F.lit("q16").alias("q"),
                               F.concat_ws("|", "p_brand", "p_type",

@@ -68,3 +68,24 @@ def test_priority_sample_prefers_heavy_rows(spark):
     df = spark.createDataFrame(rows)
     out = priority_sample(df, "w", "id", k=10).collect()
     assert any(r.id == 999 for r in out)
+
+
+def test_basket_rules_reference(spark, tmp_path):
+    """The real operator on a hand basket set: support, item counts and
+    lift against manual computation. Duplicate lineitems for the same
+    (order, part) must not inflate support."""
+    from melt_spark.plans.analytics_suite import q_basket_rules
+
+    rows = [Row(l_orderkey=o, l_partkey=p)
+            for o, parts in {1: [10, 20], 2: [10, 20], 3: [10, 20, 20],
+                             4: [10, 30], 5: [20]}.items()
+            for p in parts]
+    spark.createDataFrame(rows).write.mode("overwrite") \
+        .parquet(str(tmp_path / "lineitem.parquet"))
+    out = q_basket_rules(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    [r] = out
+    # (10,20): support=3 (order 3's duplicate 20 collapses), n1=4, n2=4,
+    # N=5 baskets -> lift = 3*5/(4*4)
+    assert (r.p1, r.p2, r.support, r.n1, r.n2) == (10, 20, 3, 4, 4)
+    assert r.lift == 3 * 5 / 16

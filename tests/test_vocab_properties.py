@@ -129,3 +129,52 @@ def test_disjoint_vocabulary_docs_never_pair(tokens_a, tokens_b):
     b = " ".join(t + "~q" for t in tokens_b)
     pairs = jaccard_pairs(_docs([a, b]), k=3, threshold=0.0).collect()
     assert pairs == []
+
+
+def _bpe_reference(texts, rounds):
+    """Plain-Python BPE trainer with the same tie-break (count DESC,
+    s1 ASC, s2 ASC) and greedy left-to-right merge."""
+    from collections import Counter
+
+    freqs = Counter(tok for t in texts for tok in t.split(" "))
+    words = {w: list(w) for w in freqs}
+    merges = []
+    for _ in range(rounds):
+        pc = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += freqs[w]
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((best[0], best[1], pc[best]))
+        a, b = best
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges, {w: "|".join(s) for w, s in words.items()}
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(corpus)
+def test_bpe_matches_python_reference(texts):
+    """Spark BPE training == the classic Python trainer on arbitrary
+    corpora: same merges in the same order, same final segmentations —
+    the fold/consume equivalence argument, checked empirically."""
+    from melt_spark.functions.bpe import bpe_train
+
+    merges_df, words_df = bpe_train(_docs(texts), rounds=2)
+    got_merges = [(r.s1, r.s2, r.n)
+                  for r in merges_df.orderBy("round").collect()]
+    got_words = {r.word: r.seg for r in words_df.collect()}
+    want_merges, want_words = _bpe_reference(texts, rounds=2)
+    assert got_merges == want_merges
+    assert got_words == want_words
