@@ -521,3 +521,64 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
     return (cand.withColumn("hamming", hamming)
             .filter(F.col("hamming") <= max_hamming)
             .select("doc_a", "doc_b", "hamming"))
+
+
+def prefix_filtered_pairs(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", k: int = 3,
+                          threshold: float = 0.5,
+                          max_df: int | None = None) -> DataFrame:
+    """Jaccard near-dup pairs via PREFIX FILTERING (the PPJoin candidate
+    rule — Chaudhuri/Ganti/Kaushik ICDE 2006, Xiao et al. WWW 2008)
+    instead of the full inverted-index join.
+
+    Order every document's shingles by global rarity (ascending document
+    frequency, digest as tie-break); any pair with J >= t must share at
+    least ceil(t*|x|) shingles, so it must collide inside the first
+    |x| - ceil(t*|x|) + 1 shingles of this ordering — only PREFIXES enter
+    the index join. Rare-first ordering makes those prefix collisions
+    scarce: the candidate set shrinks by the frequency skew of the corpus
+    while provably losing nothing (the suite checks this operator against
+    the PLAIN Jaccard oracle — a hash match IS the completeness proof).
+
+    Verification computes exact Jaccard per candidate from the two docs'
+    digest ARRAYS (array_intersect — bounded by doc length), so the full
+    inverted index's quadratic common-shingle aggregation never runs.
+    The global ordering needs no global rank: (df, sid) structs are the
+    sort key directly, so there is no single-partition window anywhere.
+    """
+    shd = _with_digest(shingles(df, text_col, id_col, k))
+    if max_df is not None:
+        shd = _drop_hot(shd, max_df)
+    ids = shd.select(F.col(id_col).alias("doc"), "sid")
+    dfreq = ids.groupBy("sid").agg(F.count(F.lit(1)).alias("sdf"))
+    ranked = ids.join(dfreq, "sid")
+    per_doc = (ranked.groupBy("doc")
+               .agg(F.sort_array(F.collect_list(F.struct("sdf", "sid")))
+                    .alias("ss")))
+    n = F.size("ss")
+    p = n - F.ceil(F.lit(threshold) * n).cast("int") + 1
+    per_doc = per_doc.select(
+        "doc", F.transform("ss", lambda s: s["sid"]).alias("sids"),
+        F.slice(F.transform("ss", lambda s: s["sid"]), 1, p)
+        .alias("prefix"))
+    # the prefix index carries (doc, sid) ONLY — the digest arrays join
+    # back after candidate dedup, so prefix collisions never replicate a
+    # document's full shingle set through the exchange
+    pa = per_doc.select(F.col("doc").alias("doc_a"),
+                        F.explode("prefix").alias("sid"))
+    pb = per_doc.select(F.col("doc").alias("doc_b"),
+                        F.explode("prefix").alias("sid_b"))
+    cand = (pa.join(pb, (F.col("sid") == F.col("sid_b"))
+                    & (F.col("doc_a") < F.col("doc_b")))
+            .select("doc_a", "doc_b").distinct())
+    sets = per_doc.select("doc", "sids")
+    cand = (cand
+            .join(sets.select(F.col("doc").alias("doc_a"),
+                              F.col("sids").alias("sa")), "doc_a")
+            .join(sets.select(F.col("doc").alias("doc_b"),
+                              F.col("sids").alias("sb")), "doc_b"))
+    common = F.size(F.array_intersect("sa", "sb"))
+    jac = (common.cast("double")
+           / (F.size("sa") + F.size("sb") - common))
+    return (cand.select("doc_a", "doc_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))

@@ -352,6 +352,18 @@ WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
 """
 
 
+def q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same near-dup pair set as q_dedup_jaccard but through PPJoin-style
+    prefix filtering (functions/dedup.py prefix_filtered_pairs). The
+    oracle is the PLAIN inverted-index Jaccard SQL — the hash match is an
+    empirical completeness proof for the prefix candidate rule."""
+    from ..functions.dedup import prefix_filtered_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return prefix_filtered_pairs(docs, threshold=0.8,
+                                 max_df=MAX_SHINGLE_DF)
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8) + LSH(4 bands) candidates, verified at j >= 0.8 — the
     scale path: only same-bucket pairs are verified."""
@@ -1640,6 +1652,7 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
+    "prefix_jaccard": (q_prefix_jaccard, SQL_DEDUP_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "simhash": (q_simhash, SQL_SIMHASH),

@@ -1741,7 +1741,19 @@ SUITE: dict[str, tuple] = {
          "SELECT 'spans' AS kind, CAST(doc_id AS VARCHAR) AS k1,"
          " n_spans AS n1, n_removed AS n2, text_dedup AS s1"),
     ),
-    "dedup_jaccard": PIPELINE_SUITE["dedup_jaccard"],
+    # n-gram Jaccard near-dup: the inverted-index join and the r4b
+    # PPJoin-style prefix-filtered join must produce the SAME pair set —
+    # both branches check against the same plain-Jaccard oracle
+    "dedup_jaccard": merged(
+        (PIPELINE_SUITE["dedup_jaccard"],
+         lambda df: df.select(F.lit("inverted").alias("kind"),
+                              "doc_a", "doc_b", "jaccard"),
+         "SELECT 'inverted' AS kind, doc_a, doc_b, jaccard"),
+        (PIPELINE_SUITE["prefix_jaccard"],
+         lambda df: df.select(F.lit("prefix").alias("kind"),
+                              "doc_a", "doc_b", "jaccard"),
+         "SELECT 'prefix' AS kind, doc_a, doc_b, jaccard"),
+    ),
     "dedup_minhash_lsh": PIPELINE_SUITE["dedup_minhash_lsh"],
     # -- the two iterative graph algorithms share one entry: connected
     #    components (label propagation) + r4's fixed-point PageRank

@@ -178,3 +178,22 @@ def test_bpe_matches_python_reference(texts):
     want_merges, want_words = _bpe_reference(texts, rounds=2)
     assert got_merges == want_merges
     assert got_words == want_words
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(corpus, st.sampled_from([0.3, 0.5, 0.8]))
+def test_prefix_filter_complete_vs_inverted_index(texts, t):
+    """PPJoin prefix filtering must return EXACTLY the inverted-index
+    Jaccard pair set at any threshold — completeness (the prefix bound
+    loses no qualifying pair) and soundness (verification filters the
+    rest), on arbitrary corpora."""
+    from melt_spark.functions.dedup import (jaccard_pairs,
+                                            prefix_filtered_pairs)
+
+    docs = _docs(texts)
+    full = {(r.doc_a, r.doc_b): r.jaccard
+            for r in jaccard_pairs(docs, threshold=t).collect()}
+    pref = {(r.doc_a, r.doc_b): r.jaccard
+            for r in prefix_filtered_pairs(docs, threshold=t).collect()}
+    assert pref == full
