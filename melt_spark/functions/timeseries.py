@@ -115,3 +115,88 @@ def trailing_zscore(df: DataFrame, ts_col: str, key_cols: list[str],
         *key_cols, "bucket", "x",
         F.when((cnt < 2) | (var <= 0.0), F.lit(-999.0))
         .otherwise(F.round(z, 9)).alias("z"))
+
+
+def grouped_trend(df: DataFrame, ts_col: str, key_cols: list[str],
+                  width: int) -> DataFrame:
+    """Per-key OLS trend over bucketed event counts: slope, intercept and
+    r² of count-vs-time from the closed-form normal equations, computed
+    on EXACT BIGINT sums (n, Σx, Σy, Σxy, Σx², Σy² with x = bucket index,
+    y = count) so the only float ops are the final divides — the same
+    integer-moment discipline as trailing_zscore. Magnitude headroom:
+    x ~ epoch/width (< 2^20 for hourly buckets this century), so every
+    cross-moment stays far inside BIGINT.
+
+    Output: keys..., n_points, slope, intercept, r2 (rounded to 9;
+    sentinel -999.0 when n < 2 or the x-variance is zero).
+    """
+    keys = [F.col(c) for c in key_cols]
+    counts = (df.select(*keys,
+                        (F.floor(F.unix_timestamp(ts_col) / width))
+                        .cast("bigint").alias("x"))
+              .groupBy(*key_cols, "x")
+              .agg(F.count(F.lit(1)).alias("y")))
+    mom = (counts.groupBy(*key_cols)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                F.sum(F.col("y") * F.col("y")).alias("syy")))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num.cast("double") / den.cast("double")
+    intercept = ((F.col("sy").cast("double") - slope
+                  * F.col("sx").cast("double"))
+                 / F.col("n").cast("double"))
+    # r² = num² / (den·deny), factored as two divides so no BIGINT
+    # product overflows; deny == 0 (constant y) degenerates to sentinel
+    r2 = ((num.cast("double") / den.cast("double"))
+          * (num.cast("double") / deny.cast("double")))
+    bad = (F.col("n") < 2) | (den == 0)
+    return mom.select(
+        *key_cols, F.col("n").alias("n_points"),
+        F.when(bad, F.lit(-999.0)).otherwise(F.round(slope, 9))
+        .alias("slope"),
+        F.when(bad, F.lit(-999.0)).otherwise(F.round(intercept, 9))
+        .alias("intercept"),
+        F.when(bad | (deny == 0), F.lit(-999.0)).otherwise(F.round(r2, 9))
+        .alias("r2"))
+
+
+def time_weighted_avg_by_id(df: DataFrame, ts_col: str, id_col: str,
+                            key_cols: list[str],
+                            value_col: str) -> DataFrame:
+    """Per-key time-weighted average (the TimescaleDB `time_weight`
+    idiom, left-continuous/LOCF flavor): Σ vᵢ·(tᵢ₊₁ − tᵢ) / (tₙ − t₁).
+    Each value is weighted by how long it remained current, so irregular
+    sampling doesn't bias the mean toward chatty periods.
+
+    Determinism: rows order by (ts, id_col) — microsecond timestamps can
+    still tie, and a ts-only sort would assign the gap to an arbitrary
+    member of the tie cross-engine (id must come from DATA, never
+    monotonically_increasing_id, which is partition-order dependent).
+    Products accumulate as DECIMAL(38,6)·µs (exact, order-independent);
+    the single final divide is IEEE. Output: keys..., n_points, span_us,
+    twa (rounded to 9; sentinel -1.0 on single-point / zero-span keys).
+    """
+    keys = [F.col(c) for c in key_cols]
+    w = Window.partitionBy(*key_cols).orderBy("tus", "rid")
+    rows = df.select(*keys, F.unix_micros(F.col(ts_col)).alias("tus"),
+                     F.col(id_col).alias("rid"),
+                     F.col(value_col).cast("decimal(18,6)").alias("v"))
+    dt = (F.lead("tus").over(w) - F.col("tus"))
+    seg = rows.select(*key_cols, "tus", "v",
+                      dt.alias("dt"))
+    agg = (seg.groupBy(*key_cols)
+           .agg(F.count(F.lit(1)).alias("n_points"),
+                F.sum(F.when(F.col("dt").isNotNull(),
+                             (F.col("v") * F.col("dt"))
+                             .cast("decimal(38,6)")))
+                .alias("wsum"),
+                (F.max("tus") - F.min("tus")).alias("span_us")))
+    twa = F.col("wsum").cast("double") / F.col("span_us").cast("double")
+    return agg.select(
+        *key_cols, "n_points", "span_us",
+        F.when(F.col("span_us") > 0, F.round(twa, 9))
+        .otherwise(F.lit(-1.0)).alias("twa"))

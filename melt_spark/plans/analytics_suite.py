@@ -1946,6 +1946,87 @@ JOIN item i2 ON pr.p2 = i2.p, n
 """
 
 
+def q_event_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend of hourly event counts
+    (functions/timeseries.py grouped_trend): slope/intercept/r² from
+    exact BIGINT moments."""
+    from ..functions.timeseries import grouped_trend
+
+    ev = read_table(spark, sf_dir, "events")
+    return grouped_trend(ev, "ts", ["event_type"], 3600)
+
+
+SQL_EVENT_TREND = """
+WITH c AS (
+  SELECT event_type, CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS x,
+         COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM c GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_points,
+  CASE WHEN n < 2 OR n * sxx - sx * sx = 0 THEN -999.0
+       ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE), 9) END AS slope,
+  CASE WHEN n < 2 OR n * sxx - sx * sx = 0 THEN -999.0
+       ELSE round((CAST(sy AS DOUBLE)
+                   - (CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE))
+                     * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 9)
+       END AS intercept,
+  CASE WHEN n < 2 OR n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+       THEN -999.0
+       ELSE round((CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE))
+                  * (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * syy - sy * sy AS DOUBLE)), 9) END AS r2
+FROM m
+"""
+
+
+def q_event_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type time-weighted average of `value`
+    (functions/timeseries.py time_weighted_avg_by_id) — LOCF-weighted
+    mean over irregular samples, (ts, event_id)-ordered for a
+    deterministic tie-break."""
+    from ..functions.timeseries import time_weighted_avg_by_id
+
+    ev = read_table(spark, sf_dir, "events")
+    return time_weighted_avg_by_id(ev, "ts", "event_id", ["event_type"],
+                                   "value")
+
+
+SQL_EVENT_TWA = """
+WITH r AS (
+  SELECT event_type, epoch_us(ts) AS tus, event_id AS rid,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM events
+),
+s AS (
+  SELECT event_type, tus, v,
+         lead(tus) OVER (PARTITION BY event_type ORDER BY tus, rid) - tus
+           AS dt
+  FROM r
+),
+a AS (
+  SELECT event_type, COUNT(*) AS n_points,
+         SUM(CASE WHEN dt IS NOT NULL
+                  THEN CAST(v * dt AS DECIMAL(38,6)) END) AS wsum,
+         MAX(tus) - MIN(tus) AS span_us
+  FROM s GROUP BY event_type
+)
+SELECT event_type, CAST(n_points AS BIGINT) AS n_points,
+  CAST(span_us AS BIGINT) AS span_us,
+  CASE WHEN span_us > 0
+       THEN round(CAST(wsum AS DOUBLE) / CAST(span_us AS DOUBLE), 9)
+       ELSE -1.0 END AS twa
+FROM a
+"""
+
+
 ANALYTICS_SUITE: dict[str, tuple] = {
     "topk_orders_per_customer": (q_topk_orders_per_customer, SQL_TOPK_ORDERS),
     "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
@@ -1975,6 +2056,8 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "cms_user_counts": (q_cms_user_counts, SQL_CMS_USER_COUNTS),
     "butterflies": (q_butterflies, SQL_BUTTERFLIES),
     "basket_rules": (q_basket_rules, SQL_BASKET_RULES),
+    "event_trend": (q_event_trend, SQL_EVENT_TREND),
+    "event_twa": (q_event_twa, SQL_EVENT_TWA),
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
     "zorder_values": (q_zorder_values, SQL_ZORDER_VALUES),

@@ -2034,6 +2034,19 @@ SUITE: dict[str, tuple] = {
          "SELECT 'zscore' AS kind, event_type || '|' ||"
          " CAST(bucket AS VARCHAR) AS key, CAST(x AS DOUBLE) AS v1,"
          " z AS v2"),
+        # r4b: per-type OLS trend — the 4 outputs unpivot into two rows
+        # per type so they fit the (key, v1, v2) shape
+        (ANALYTICS_SUITE["event_trend"],
+         lambda df: df.selectExpr(
+             "event_type",
+             "stack(2, 'trend_fit', slope, intercept,"
+             " 'trend_r2', CAST(n_points AS DOUBLE), r2)"
+             " AS (kind, v1, v2)")
+         .select("kind", F.col("event_type").alias("key"), "v1", "v2"),
+         "SELECT unnest(['trend_fit', 'trend_r2']) AS kind,"
+         " event_type AS key,"
+         " unnest([slope, CAST(n_points AS DOUBLE)]) AS v1,"
+         " unnest([intercept, r2]) AS v2"),
     ),
     # -- set ops: anti-join (NOT EXISTS) + UNION entity sets
     "set_operations": merged(
@@ -2094,6 +2107,21 @@ SUITE: dict[str, tuple] = {
          "SELECT 'gapfill' AS kind, CAST(bucket AS VARCHAR)"
          " AS l_returnflag, event_type AS l_linestatus, -1 AS g_rf,"
          " -1 AS g_ls, v_locf AS sum_price, n, v_interp AS max_v"),
+        # r4b: time-weighted average — LOCF-weighted mean per type; the
+        # µs span is < 2^53, exact in the double slot
+        (ANALYTICS_SUITE["event_twa"],
+         lambda df: df.select(
+             F.lit("twa").alias("kind"),
+             F.lit("").alias("l_returnflag"),
+             F.col("event_type").alias("l_linestatus"),
+             F.lit(-1).alias("g_rf"), F.lit(-1).alias("g_ls"),
+             F.col("twa").alias("sum_price"),
+             F.col("n_points").alias("n"),
+             F.col("span_us").cast("double").alias("max_v")),
+         "SELECT 'twa' AS kind, '' AS l_returnflag,"
+         " event_type AS l_linestatus, -1 AS g_rf, -1 AS g_ls,"
+         " twa AS sum_price, n_points AS n,"
+         " CAST(span_us AS DOUBLE) AS max_v"),
     ),
     # -- TPC-H shapes, grouped by output geometry (see docs/SUITE_MAP.md)
     "tpch_revenue_groups": merged(

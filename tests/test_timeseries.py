@@ -93,3 +93,52 @@ def test_cohort_retention_invariants(spark, sf_dir):
         assert r.n_active <= r.cohort_n
         if r.day_offset == 0:
             assert r.n_active == r.cohort_n and r.retention == 1.0
+
+
+def test_grouped_trend_recovers_planted_slope(spark):
+    """Counts rising by exactly 2/hour fit slope 2, r² = 1."""
+    from melt_spark.functions.timeseries import grouped_trend
+
+    rows = [Row(k="a", ts=f"2024-01-01 {h:02d}:00:00")
+            for h in range(8) for _ in range(1 + 2 * h)]
+    df = spark.createDataFrame(rows).select(
+        "k", F.col("ts").cast("timestamp").alias("ts"))
+    [r] = grouped_trend(df, "ts", ["k"], 3600).collect()
+    assert r.n_points == 8
+    assert abs(r.slope - 2.0) < 1e-9
+    assert abs(r.r2 - 1.0) < 1e-9
+
+
+def test_grouped_trend_sentinels(spark):
+    from melt_spark.functions.timeseries import grouped_trend
+
+    df = spark.createDataFrame([Row(k="a", ts="2024-01-01 00:00:00")]) \
+        .select("k", F.col("ts").cast("timestamp").alias("ts"))
+    [r] = grouped_trend(df, "ts", ["k"], 3600).collect()
+    assert r.slope == -999.0 and r.r2 == -999.0
+
+
+def test_time_weighted_avg_hand_case(spark):
+    """v=10 held for 3s then v=40 for 1s: twa = (10*3 + 40*1)/4 = 17.5 —
+    the arithmetic mean (25) would be wrong. The final sample carries no
+    weight (left-continuous)."""
+    from melt_spark.functions.timeseries import time_weighted_avg_by_id
+
+    rows = [Row(k="a", i=1, ts="2024-01-01 00:00:00", v=10.0),
+            Row(k="a", i=2, ts="2024-01-01 00:00:03", v=40.0),
+            Row(k="a", i=3, ts="2024-01-01 00:00:04", v=99.0)]
+    df = spark.createDataFrame(rows).select(
+        "k", "i", F.col("ts").cast("timestamp").alias("ts"), "v")
+    [r] = time_weighted_avg_by_id(df, "ts", "i", ["k"], "v").collect()
+    assert r.n_points == 3 and r.span_us == 4_000_000
+    assert abs(r.twa - 17.5) < 1e-9
+
+
+def test_time_weighted_avg_single_point_sentinel(spark):
+    from melt_spark.functions.timeseries import time_weighted_avg_by_id
+
+    df = spark.createDataFrame(
+        [Row(k="a", i=1, ts="2024-01-01 00:00:00", v=10.0)]).select(
+        "k", "i", F.col("ts").cast("timestamp").alias("ts"), "v")
+    [r] = time_weighted_avg_by_id(df, "ts", "i", ["k"], "v").collect()
+    assert r.twa == -1.0
