@@ -582,3 +582,52 @@ def prefix_filtered_pairs(df: DataFrame, text_col: str = "text",
            / (F.size("sa") + F.size("sb") - common))
     return (cand.select("doc_a", "doc_b", jac.alias("jaccard"))
             .filter(F.col("jaccard") >= threshold))
+
+
+def incremental_exact_dedup(batch: DataFrame, store: DataFrame,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Exact dedup of a NEW batch against an existing fingerprint store —
+    the production shape: an ingestion pipeline never re-deduplicates the
+    accumulated corpus, it checks arrivals against a (fingerprint,
+    owner_id) table and appends the survivors.
+
+    Verdicts per batch document:
+      * 'store_dup' — fingerprint already owned by the store (dup_of =
+        the store's lowest owner id);
+      * 'batch_dup' — first seen in THIS batch by a lower batch id
+        (dup_of = that id);
+      * 'new'       — survives; (fingerprint, id) is the store delta to
+        append, making the operator idempotently resumable.
+
+    Scale shape: the batch is fingerprinted in one projection; the store
+    join is keyed on the 16-byte md5 — the store's TEXT is never read,
+    only its fingerprint column (at 100 TB the store is a compact
+    fingerprint table, bucketable by fingerprint so repeated ingestions
+    join exchange-free). Batch-internal ranking is a min aggregation per
+    fingerprint, not a window over the store.
+    """
+    from .text import fingerprint
+
+    b = batch.select(F.col(id_col).alias("id"),
+                     fingerprint(text_col).alias("fp"))
+    owners = (store.groupBy("fp")
+              .agg(F.min("owner_id").alias("store_owner")))
+    # no broadcast hint: the STORE is the big side in production (the
+    # batch is), so the planner/AQE must pick the build side — a forced
+    # owners broadcast would OOM on a corpus-scale store
+    joined = b.join(owners, "fp", "left")
+    firsts = (b.groupBy("fp").agg(F.min("id").alias("batch_first")))
+    out = (joined.join(firsts, "fp")
+           .select(
+               F.col("id").alias(id_col), "fp",
+               F.when(F.col("store_owner").isNotNull(),
+                      F.lit("store_dup"))
+               .when(F.col("id") > F.col("batch_first"),
+                     F.lit("batch_dup"))
+               .otherwise(F.lit("new")).alias("verdict"),
+               F.coalesce("store_owner",
+                          F.when(F.col("id") > F.col("batch_first"),
+                                 F.col("batch_first")),
+                          F.lit(-1)).cast("bigint").alias("dup_of")))
+    return out

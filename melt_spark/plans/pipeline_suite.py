@@ -364,6 +364,45 @@ def q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  max_df=MAX_SHINGLE_DF)
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup (functions/dedup.py
+    incremental_exact_dedup): docs with doc_id % 3 == 0 arrive as the new
+    batch, the rest are the already-ingested fingerprint store — the
+    ingestion-pipeline shape where the corpus is never re-deduplicated."""
+    from ..functions.dedup import incremental_exact_dedup
+    from ..functions.text import fingerprint
+
+    docs = read_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    store = old.select(fingerprint("text").alias("fp"),
+                       F.col("doc_id").alias("owner_id"))
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    return incremental_exact_dedup(batch, store)
+
+
+SQL_INCREMENTAL_DEDUP = """
+WITH fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+           AS fp
+  FROM documents
+),
+store AS (SELECT fp, MIN(doc_id) AS store_owner FROM fp
+          WHERE doc_id % 3 <> 0 GROUP BY fp),
+batch AS (SELECT doc_id AS id, fp FROM fp WHERE doc_id % 3 = 0),
+firsts AS (SELECT fp, MIN(id) AS batch_first FROM batch GROUP BY fp)
+SELECT b.id AS doc_id, b.fp,
+  CASE WHEN s.store_owner IS NOT NULL THEN 'store_dup'
+       WHEN b.id > f.batch_first THEN 'batch_dup'
+       ELSE 'new' END AS verdict,
+  CAST(coalesce(s.store_owner,
+                CASE WHEN b.id > f.batch_first THEN f.batch_first END,
+                -1) AS BIGINT) AS dup_of
+FROM batch b
+LEFT JOIN store s USING (fp)
+JOIN firsts f USING (fp)
+"""
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8) + LSH(4 bands) candidates, verified at j >= 0.8 — the
     scale path: only same-bucket pairs are verified."""
@@ -1653,6 +1692,7 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
     "prefix_jaccard": (q_prefix_jaccard, SQL_DEDUP_JACCARD),
+    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "simhash": (q_simhash, SQL_SIMHASH),

@@ -1740,6 +1740,16 @@ SUITE: dict[str, tuple] = {
                               F.col("text_dedup").alias("s1")),
          "SELECT 'spans' AS kind, CAST(doc_id AS VARCHAR) AS k1,"
          " n_spans AS n1, n_removed AS n2, text_dedup AS s1"),
+        # r4b: incremental dedup of a new batch against the fingerprint
+        # store (the ingestion shape — the corpus is never re-deduped)
+        (PIPELINE_SUITE["incremental_dedup"],
+         lambda df: df.select(F.lit("incr").alias("kind"),
+                              F.col("fp").alias("k1"),
+                              F.col("doc_id").alias("n1"),
+                              F.col("dup_of").alias("n2"),
+                              F.col("verdict").alias("s1")),
+         "SELECT 'incr' AS kind, fp AS k1, doc_id AS n1, dup_of AS n2,"
+         " verdict AS s1"),
     ),
     # n-gram Jaccard near-dup: the inverted-index join and the r4b
     # PPJoin-style prefix-filtered join must produce the SAME pair set —

@@ -110,3 +110,30 @@ def test_contamination_short_docs_no_crash(spark):
     bench = _docs(spark, [(9, "x y z")])
     hits = contamination(df, bench, n=3, min_hits=1).collect()
     assert [(r.doc_id, r.n_hits) for r in hits] == [(3, 1)]
+
+
+def test_incremental_dedup_idempotent_second_pass(spark, sf_dir):
+    """After appending the first pass's 'new' fingerprints to the store,
+    re-ingesting the same batch must mark EVERY doc store_dup — the
+    resumability contract of the ingestion pipeline."""
+    from pyspark.sql import functions as F
+
+    from melt_spark.functions.dedup import incremental_exact_dedup
+    from melt_spark.functions.text import fingerprint
+    from melt_spark.sources.parquet import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    store = (docs.filter(F.col("doc_id") % 3 != 0)
+             .select(fingerprint("text").alias("fp"),
+                     F.col("doc_id").alias("owner_id")))
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+
+    first = incremental_exact_dedup(batch, store)
+    verdicts = {r.verdict for r in first.collect()}
+    assert "new" in verdicts  # non-degenerate fixture
+    delta = (first.filter(F.col("verdict") == "new")
+             .select("fp", F.col("doc_id").alias("owner_id")))
+    second = incremental_exact_dedup(batch, store.unionByName(delta))
+    assert second.filter(F.col("verdict") != "store_dup").count() == 0
+    # every batch doc got exactly one verdict row in both passes
+    assert first.count() == second.count() == batch.count()
