@@ -204,6 +204,76 @@ def cmd_spec_check(args) -> int:
     return 0
 
 
+def _query_registry():
+    """Every runnable query by name: the ~100 fine-grained constituents
+    (ANALYTICS_SUITE / PIPELINE_SUITE) plus the 50 merged driver entries
+    (which win name collisions — they are the checked surface)."""
+    from .plans.analytics_suite import ANALYTICS_SUITE
+    from .plans.pipeline_suite import PIPELINE_SUITE
+    from .plans.suite import spark_queries
+
+    qs = {name: fn for name, (fn, _sql)
+          in {**ANALYTICS_SUITE, **PIPELINE_SUITE}.items()}
+    qs.update(dict(spark_queries()))
+    return qs
+
+
+def cmd_query(args) -> int:
+    """Run a named suite query and print rows as JSON lines (bounded by
+    --limit; use --count for just the row count). The analytics surface's
+    REPL entry point — any of the ~100 registered operators by name."""
+    qs = _query_registry()
+    if args.name not in qs:
+        close = sorted(n for n in qs if args.name.lower() in n)
+        raise SystemExit(f"unknown query {args.name!r}; "
+                         f"did you mean: {close[:8]}" if close else
+                         f"unknown query {args.name!r}")
+    spark = _spark()
+    df = qs[args.name](spark, args.sf_dir)
+    if args.count:
+        print(json.dumps({"query": args.name, "rows": df.count()}))
+        return 0
+    shown = 0
+    # toLocalIterator: stream partitions, never collect the full result
+    for row in df.limit(args.limit).toLocalIterator():
+        print(json.dumps(row.asDict(), default=str))
+        shown += 1
+    print(json.dumps({"query": args.name, "shown": shown,
+                      "limit": args.limit}), file=sys.stderr)
+    return 0
+
+
+def cmd_explain(args) -> int:
+    """Physical-plan audit of a named suite query: shuffle/broadcast
+    exchange counts, join strategies, filters pushed to the scans — the
+    tools/explain_audit.py summary as a CLI one-liner."""
+    import re
+
+    qs = _query_registry()
+    if args.name not in qs:
+        raise SystemExit(f"unknown query {args.name!r}")
+    spark = _spark()
+    df = qs[args.name](spark, args.sf_dir)
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    out = {
+        "query": args.name,
+        "shuffle_exchanges": len(
+            re.findall(r"^\(\d+\) Exchange\b", plan, re.M)),
+        "broadcast_joins": len(
+            re.findall(r"^\(\d+\) BroadcastHashJoin\b", plan, re.M)),
+        "sortmerge_joins": len(
+            re.findall(r"^\(\d+\) SortMergeJoin\b", plan, re.M)),
+        "pushed_filters": re.findall(r"PushedFilters: \[([^\]]*)\]", plan),
+    }
+    print(json.dumps(out))
+    if args.full:
+        print(plan)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="melt_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -256,6 +326,21 @@ def build_parser() -> argparse.ArgumentParser:
     sc = sub.add_parser("spec-check", help="validate an EDN source spec")
     sc.add_argument("--sources", required=True)
     sc.set_defaults(fn=cmd_spec_check)
+
+    qr = sub.add_parser("query", help="run a named suite query")
+    qr.add_argument("name")
+    qr.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    qr.add_argument("--limit", type=int, default=20)
+    qr.add_argument("--count", action="store_true",
+                    help="print only the row count")
+    qr.set_defaults(fn=cmd_query)
+
+    ex = sub.add_parser("explain", help="physical-plan audit of a query")
+    ex.add_argument("name")
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ex.add_argument("--full", action="store_true",
+                    help="also print the formatted plan")
+    ex.set_defaults(fn=cmd_explain)
 
     return p
 

@@ -174,3 +174,34 @@ def test_cli_tail_once_compacts_broker(spark, sf_dir, tmp_path, capsys):
                            order_col="offset").compacted_view()
     assert state.filter("value IS NULL").count() == 0
     assert state.count() == n_region
+
+
+def test_cli_query_and_explain(spark, sf_dir, capsys):
+    import pytest
+
+    # --count: row count only
+    assert main(["query", "latest_state", "--sf-dir", sf_dir,
+                 "--count"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["rows"] > 0
+
+    # row mode streams JSON lines, bounded by --limit
+    assert main(["query", "tpch_q1", "--sf-dir", sf_dir,
+                 "--limit", "2"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert 1 <= len(lines) <= 2
+    assert "l_returnflag" in json.loads(lines[0])
+
+    # constituent (non-merged) names resolve too
+    assert main(["query", "tpch_q5", "--sf-dir", sf_dir, "--count"]) == 0
+    assert json.loads(capsys.readouterr().out.strip())["rows"] > 0
+
+    # explain: audit JSON with pushdown evidence
+    assert main(["explain", "tpch_q5", "--sf-dir", sf_dir]) == 0
+    audit = json.loads(capsys.readouterr().out.strip())
+    assert audit["broadcast_joins"] >= 4
+    assert audit["shuffle_exchanges"] <= 2
+    assert any("r_name" in f for f in audit["pushed_filters"])
+
+    with pytest.raises(SystemExit):
+        main(["query", "no_such_query", "--sf-dir", sf_dir])
