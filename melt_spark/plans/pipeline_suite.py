@@ -1683,6 +1683,60 @@ FROM agg
 SQL_POSTINGS_STATS = _sql_postings()
 
 
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based dataset mixture weighting (the multi-source
+    sampling-ratio computation behind multilingual/multi-corpus training
+    mixes — Conneau & Lample's alpha-smoothed sampling, NeurIPS 2019):
+    w_s ∝ n_s^alpha with alpha = 0.5, which up-weights small sources
+    relative to proportional sampling. sqrt is IEEE-exact, and the
+    normalizer folds per-source sqrt terms in source order from 0.0
+    (sources are a human-scale list — the fold is driver-free but tiny),
+    so weights are hash-exact at round(9).
+
+    Output per source: n_docs, n_tokens, weight, expected_tokens (the
+    per-epoch token budget w_s * total, floored)."""
+    docs = read_table(spark, sf_dir, "documents")
+    s = (docs.groupBy("source")
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              F.sum(F.size(F.split("text", " "))).alias("n_tokens")))
+    tot = s.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(
+                F.struct("source",
+                         F.sqrt(F.col("n_tokens").cast("double"))
+                         .alias("r")))),
+            F.lit(0.0), lambda acc, x: acc + x["r"]).alias("z"),
+        F.sum("n_tokens").alias("t"))
+    w = F.sqrt(F.col("n_tokens").cast("double")) / F.col("z")
+    return (s.crossJoin(F.broadcast(tot))
+            .select("source", "n_docs", "n_tokens",
+                    F.round(w, 9).alias("weight"),
+                    F.floor(w * F.col("t").cast("double")).cast("bigint")
+                    .alias("expected_tokens")))
+
+
+SQL_MIXTURE_WEIGHTS = f"""
+WITH s AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM(len({_TOKS})) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT list_reduce(list_prepend(
+           0.0, list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY source)),
+           (a, b) -> a + b) AS z,
+         SUM(n_tokens) AS t
+  FROM s
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  round(sqrt(CAST(n_tokens AS DOUBLE)) / tot.z, 9) AS weight,
+  CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) / tot.z
+             * CAST(tot.t AS DOUBLE)) AS BIGINT) AS expected_tokens
+FROM s, tot
+"""
+
+
 PIPELINE_SUITE: dict[str, tuple] = {
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
@@ -1693,6 +1747,7 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
     "prefix_jaccard": (q_prefix_jaccard, SQL_DEDUP_JACCARD),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+    "mixture_weights": (q_mixture_weights, SQL_MIXTURE_WEIGHTS),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "simhash": (q_simhash, SQL_SIMHASH),

@@ -1942,7 +1942,28 @@ SUITE: dict[str, tuple] = {
          "SELECT kind, doc_id, n, fp, m"),
     ),
     "frame_sample": PIPELINE_SUITE["frame_sample"],
-    "clean_corpus": PIPELINE_SUITE["clean_corpus"],
+    # end-to-end cleaning pipeline + r4b temperature mixture weighting
+    # (the per-source sampling-ratio table a multi-corpus training mix
+    # consumes downstream of exactly this pipeline)
+    "clean_corpus": merged(
+        (PIPELINE_SUITE["clean_corpus"],
+         lambda df: df.select(F.lit("shards").alias("kind"),
+                              F.col("doc_id").cast("string").alias("key"),
+                              F.col("shard").cast("bigint").alias("n1"),
+                              F.col("shard_pos").cast("bigint").alias("n2"),
+                              F.lit(-1.0).alias("v")),
+         "SELECT 'shards' AS kind, CAST(doc_id AS VARCHAR) AS key,"
+         " CAST(shard AS BIGINT) AS n1, CAST(shard_pos AS BIGINT) AS n2,"
+         " CAST(-1.0 AS DOUBLE) AS v"),
+        (PIPELINE_SUITE["mixture_weights"],
+         lambda df: df.select(F.lit("mix").alias("kind"),
+                              F.col("source").alias("key"),
+                              F.col("n_tokens").alias("n1"),
+                              F.col("expected_tokens").alias("n2"),
+                              F.col("weight").alias("v")),
+         "SELECT 'mix' AS kind, source AS key, n_tokens AS n1,"
+         " expected_tokens AS n2, weight AS v"),
+    ),
     # -- applyInPandas pair: per-user features + greedy sequence packing
     "user_features_pandas": merged(
         (PIPELINE_SUITE["user_features_pandas"],

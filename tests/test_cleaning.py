@@ -137,3 +137,21 @@ def test_incremental_dedup_idempotent_second_pass(spark, sf_dir):
     assert second.filter(F.col("verdict") != "store_dup").count() == 0
     # every batch doc got exactly one verdict row in both passes
     assert first.count() == second.count() == batch.count()
+
+
+def test_mixture_weights_invariants(spark, sf_dir):
+    """Weights sum to 1; alpha=0.5 up-weights small sources vs
+    proportional sampling and down-weights large ones; expected tokens
+    sum to ~the corpus total."""
+    from melt_spark.plans.pipeline_suite import q_mixture_weights
+
+    rows = q_mixture_weights(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-6
+    total = sum(r.n_tokens for r in rows)
+    smallest = min(rows, key=lambda r: r.n_tokens)
+    largest = max(rows, key=lambda r: r.n_tokens)
+    assert smallest.weight > smallest.n_tokens / total
+    assert largest.weight < largest.n_tokens / total
+    est = sum(r.expected_tokens for r in rows)
+    assert abs(est - total) <= len(rows)  # floor() slack only
