@@ -2027,6 +2027,34 @@ FROM a
 """
 
 
+_STATS_TABLES = {
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"],
+}
+
+
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style catalog statistics (catalog/statistics.py): per
+    column of the dimension tables — row/null/exact-distinct counts in
+    one scan per table."""
+    from ..catalog.statistics import column_stats
+
+    out = None
+    for t, cols in _STATS_TABLES.items():
+        s = column_stats(read_table(spark, sf_dir, t), t, cols)
+        out = s if out is None else out.unionByName(s)
+    return out
+
+
+SQL_TABLE_STATS = "\nUNION ALL\n".join(
+    f"SELECT '{t}' AS table_name, '{c}' AS column,"
+    f" COUNT(*) AS n_rows, COUNT(*) - COUNT({c}) AS n_nulls,"
+    f" COUNT(DISTINCT {c}) AS n_distinct FROM {t}"
+    for t, cols in _STATS_TABLES.items() for c in cols)
+
+
 ANALYTICS_SUITE: dict[str, tuple] = {
     "topk_orders_per_customer": (q_topk_orders_per_customer, SQL_TOPK_ORDERS),
     "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
@@ -2058,6 +2086,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "basket_rules": (q_basket_rules, SQL_BASKET_RULES),
     "event_trend": (q_event_trend, SQL_EVENT_TREND),
     "event_twa": (q_event_twa, SQL_EVENT_TWA),
+    "table_stats": (q_table_stats, SQL_TABLE_STATS),
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
     "zorder_values": (q_zorder_values, SQL_ZORDER_VALUES),

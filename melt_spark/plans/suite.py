@@ -1642,6 +1642,21 @@ SUITE: dict[str, tuple] = {
                               F.lit("").alias("d2")),
          "SELECT 'trackable' AS kind, table_schem, table_name, '' AS d1,"
          " '' AS d2"),
+        # r4b: ANALYZE-style content statistics extend the catalog family
+        # (one scan per table; counts stringified — integers render
+        # identically on both engines)
+        (ANALYTICS_SUITE["table_stats"],
+         lambda df: df.select(
+             F.lit("stats").alias("kind"),
+             F.lit("main").alias("table_schem"), "table_name",
+             F.col("column").alias("d1"),
+             F.concat_ws(":", F.col("n_rows").cast("string"),
+                         F.col("n_nulls").cast("string"),
+                         F.col("n_distinct").cast("string")).alias("d2")),
+         "SELECT 'stats' AS kind, 'main' AS table_schem, table_name,"
+         " \"column\" AS d1, CAST(n_rows AS VARCHAR) || ':' ||"
+         " CAST(n_nulls AS VARCHAR) || ':' || CAST(n_distinct AS VARCHAR)"
+         " AS d2"),
     ),
     # -- F3 JSON decode, classic get_json_object + Spark 4 VARIANT path
     "json_variant_extract": merged(

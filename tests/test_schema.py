@@ -80,3 +80,18 @@ def test_schema_check_abort_flag(spark, fixture_dfs, tmp_path, monkeypatch):
     assert not schema_check(desc, path)   # drift + abort flag → False
     monkeypatch.setenv("ABORT_ON_SCHEMA_CHANGE", "FALSE")
     assert schema_check(desc, path)       # drift tolerated
+
+
+def test_column_stats_pk_and_fk_shapes(spark, sf_dir):
+    """Key columns have zero nulls and full distinctness; FK columns have
+    distinct counts bounded by the referenced dimension."""
+    from melt_spark.catalog.statistics import column_stats
+    from melt_spark.sources.parquet import read_table
+
+    nat = read_table(spark, sf_dir, "nation")
+    stats = {r.column: r for r in
+             column_stats(nat, "nation").collect()}
+    pk = stats["n_nationkey"]
+    assert pk.n_nulls == 0 and pk.n_distinct == pk.n_rows
+    region_n = read_table(spark, sf_dir, "region").count()
+    assert stats["n_regionkey"].n_distinct <= region_n
