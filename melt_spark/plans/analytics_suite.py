@@ -134,6 +134,39 @@ SELECT o_custkey AS k FROM orders
 """
 
 
+def q_nation_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: nation keys hosting BOTH a customer and a supplier."""
+    cust = read_table(spark, sf_dir, "customer")
+    sup = read_table(spark, sf_dir, "supplier")
+    return (cust.select(F.col("c_nationkey").alias("k"))
+            .intersect(sup.select(F.col("s_nationkey").alias("k"))))
+
+
+SQL_NATION_INTERSECT = """
+SELECT c_nationkey AS k FROM customer
+INTERSECT
+SELECT s_nationkey AS k FROM supplier
+"""
+
+
+def q_nation_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — the MULTISET difference (each nation key survives
+    customer-count minus supplier-count times), which plain EXCEPT/
+    anti-join can't express. Non-degenerate on every fixture SF because
+    customers outnumber suppliers per nation."""
+    cust = read_table(spark, sf_dir, "customer")
+    sup = read_table(spark, sf_dir, "supplier")
+    return (cust.select(F.col("c_nationkey").alias("k"))
+            .exceptAll(sup.select(F.col("s_nationkey").alias("k"))))
+
+
+SQL_NATION_EXCEPT = """
+SELECT c_nationkey AS k FROM customer
+EXCEPT ALL
+SELECT s_nationkey AS k FROM supplier
+"""
+
+
 # ---------------------------------------------------------------------------
 # rollup / grouping sets
 
@@ -153,6 +186,25 @@ SELECT l_returnflag, l_linestatus,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
   COUNT(*) AS n
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): ROLLUP's missing grouping —
+    the per-linestatus-across-all-flags slice."""
+    li = read_table(spark, sf_dir, "lineitem")
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.sum(d2("l_extendedprice")).cast("double")
+                 .alias("sum_price"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+SQL_CUBE_REVENUE = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+  COUNT(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
@@ -1641,6 +1693,45 @@ FROM (SELECT * FROM customer ORDER BY c_custkey LIMIT 200)
 """
 
 
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function parity battery over order dates: truncation,
+    month-end, calendar fields, interval arithmetic — rendered as ISO
+    strings / small ints so both engines hash identically. (dayofweek is
+    normalized to ISO 1=Monday..7=Sunday explicitly: Spark's native
+    dayofweek is 1=Sunday, DuckDB's is 0=Sunday — an off-by-one trap.)"""
+    orders = read_table(spark, sf_dir, "orders").limit(500)
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(d, "yyyy-MM-dd").alias("day"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.quarter(d).alias("qtr"),
+        F.weekofyear(d).alias("iso_week"),
+        # ISO weekday: Spark dayofweek is 1=Sun..7=Sat -> shift
+        (((F.dayofweek(d) + 5) % 7) + 1).alias("iso_dow"),
+        F.date_format(F.add_months(d, 2), "yyyy-MM-dd").alias("plus_2m"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd")
+        .alias("month_start"),
+        F.datediff(F.lit("1998-01-01").cast("date"), d).alias("days_to"))
+
+
+SQL_DATE_FUNCTIONS = """
+SELECT o_orderkey,
+  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+  quarter(CAST(o_orderdate AS DATE)) AS qtr,
+  weekofyear(CAST(o_orderdate AS DATE)) AS iso_week,
+  isodow(CAST(o_orderdate AS DATE)) AS iso_dow,
+  strftime(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH, '%Y-%m-%d')
+    AS plus_2m,
+  strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+    AS month_start,
+  datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01')
+    AS days_to
+FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 500)
+"""
+
+
 def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic math subset (floor/ceil/abs/sign/sqrt/mod — IEEE-exact
     everywhere; deliberately NOT exp/ln whose libm bits vary)."""
@@ -2087,6 +2178,10 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "event_trend": (q_event_trend, SQL_EVENT_TREND),
     "event_twa": (q_event_twa, SQL_EVENT_TWA),
     "table_stats": (q_table_stats, SQL_TABLE_STATS),
+    "nation_intersect": (q_nation_intersect, SQL_NATION_INTERSECT),
+    "nation_except": (q_nation_except, SQL_NATION_EXCEPT),
+    "cube_revenue": (q_cube_revenue, SQL_CUBE_REVENUE),
+    "date_functions": (q_date_functions, SQL_DATE_FUNCTIONS),
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
     "zorder_values": (q_zorder_values, SQL_ZORDER_VALUES),

@@ -2104,6 +2104,16 @@ SUITE: dict[str, tuple] = {
          lambda df: df.select(F.lit("union").alias("kind"),
                               F.col("k").alias("id")),
          "SELECT 'union' AS kind, k AS id"),
+        # r4b: the remaining ANSI set operators — INTERSECT and the
+        # multiset EXCEPT ALL (each key survives with multiplicity)
+        (ANALYTICS_SUITE["nation_intersect"],
+         lambda df: df.select(F.lit("intersect").alias("kind"),
+                              F.col("k").cast("bigint").alias("id")),
+         "SELECT 'intersect' AS kind, CAST(k AS BIGINT) AS id"),
+        (ANALYTICS_SUITE["nation_except"],
+         lambda df: df.select(F.lit("except_all").alias("kind"),
+                              F.col("k").cast("bigint").alias("id")),
+         "SELECT 'except_all' AS kind, CAST(k AS BIGINT) AS id"),
     ),
     # ROLLUP + GROUPING SETS + hypertable time-bucket cascade. The tbucket
     # branch packs level|bucket_epoch and event_type into the two varchar
@@ -2116,6 +2126,14 @@ SUITE: dict[str, tuple] = {
                               F.lit(-1).alias("g_ls"), "sum_price", "n",
                               F.lit(-1.0).alias("max_v")),
          "SELECT 'rollup' AS kind, l_returnflag, l_linestatus, -1 AS g_rf,"
+         " -1 AS g_ls, sum_price, n, CAST(-1.0 AS DOUBLE) AS max_v"),
+        # r4b: CUBE — ROLLUP's missing per-second-dimension slice
+        (ANALYTICS_SUITE["cube_revenue"],
+         lambda df: df.select(F.lit("cube").alias("kind"), "l_returnflag",
+                              "l_linestatus", F.lit(-1).alias("g_rf"),
+                              F.lit(-1).alias("g_ls"), "sum_price", "n",
+                              F.lit(-1.0).alias("max_v")),
+         "SELECT 'cube' AS kind, l_returnflag, l_linestatus, -1 AS g_rf,"
          " -1 AS g_ls, sum_price, n, CAST(-1.0 AS DOUBLE) AS max_v"),
         (ANALYTICS_SUITE["grouping_sets"],
          lambda df: df.select(F.lit("gsets").alias("kind"), "l_returnflag",
@@ -2529,6 +2547,22 @@ SUITE: dict[str, tuple] = {
                               F.lit("").alias("sval"),
                               F.col("name_id").alias("n")),
          "SELECT 'regex' AS kind, c_custkey, '' AS sval, name_id AS n"),
+        # r4b: date-function battery (ISO-normalized weekday; see the
+        # constituent docstring for the cross-engine off-by-one trap)
+        (ANALYTICS_SUITE["date_functions"],
+         lambda df: df.select(
+             F.lit("dates").alias("kind"),
+             F.col("o_orderkey").alias("c_custkey"),
+             F.concat_ws("|", "day", "month_end", "plus_2m", "month_start",
+                         F.col("qtr").cast("string"),
+                         F.col("iso_week").cast("string"),
+                         F.col("iso_dow").cast("string")).alias("sval"),
+             F.col("days_to").cast("bigint").alias("n")),
+         "SELECT 'dates' AS kind, o_orderkey AS c_custkey,"
+         " day || '|' || month_end || '|' || plus_2m || '|' ||"
+         " month_start || '|' || CAST(qtr AS VARCHAR) || '|' ||"
+         " CAST(iso_week AS VARCHAR) || '|' || CAST(iso_dow AS VARCHAR)"
+         " AS sval, CAST(days_to AS BIGINT) AS n"),
         (ANALYTICS_SUITE["string_functions"],
          lambda df: df.select(F.lit("functions").alias("kind"), "c_custkey",
                               F.concat_ws("|", "seg_up", "key_pad",
