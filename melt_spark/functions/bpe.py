@@ -81,10 +81,17 @@ def bpe_train(docs: DataFrame, rounds: int = 3,
     merge table in order; words = (word, freq, n_syms, seg) — the final
     segmentation of every vocabulary word, seg joined with '|'.
     """
+    spark = docs.sparkSession
     words = word_freqs(docs, text_col)
+    # degenerate-corpus guard: an EMPTY pair table (every word is a single
+    # symbol) would annihilate `words` through the crossJoin — a sentinel
+    # un-matchable pair (empty strings never equal a symbol) keeps the
+    # merge a no-op instead; sentinel rounds are filtered from the output
+    sentinel = spark.createDataFrame([("", "", -1)], "s1 string,"
+                                     " s2 string, n long")
     merges = None
     for r in range(1, rounds + 1):
-        best = (_pair_counts(words)
+        best = (_pair_counts(words).unionByName(sentinel)
                 .orderBy(F.desc("n"), F.asc("s1"), F.asc("s2")).limit(1)
                 .select(F.lit(r).alias("round"), "s1", "s2", "n"))
         merges = best if merges is None else merges.unionByName(best)
@@ -96,4 +103,4 @@ def bpe_train(docs: DataFrame, rounds: int = 3,
                                      F.col("_b")).alias("syms")))
     final = words.select("word", "freq", F.size("syms").alias("n_syms"),
                          F.array_join("syms", "|").alias("seg"))
-    return merges, final
+    return merges.filter(F.col("n") > 0), final

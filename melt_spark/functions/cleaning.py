@@ -261,6 +261,9 @@ def priority_sample(df, weight_col: str, id_col: str, k: int):
     heaps, no global sort); everything after operates on k+1 rows.
 
     Output: id, w, priority, tau, w_hat, rank (1-based by priority desc).
+    Requires more than k input rows (tau is the (k+1)-th priority); with
+    <= k rows the tau scalar is empty and the result degenerates to
+    empty — callers sampling tiny frames should lower k.
     """
     from pyspark.sql.window import Window
 

@@ -47,6 +47,12 @@ def gapfill(df: DataFrame, ts_col: str, key_cols: list[str],
 
     Output: keys..., bucket (epoch), n (rows observed; 0 for gap rows),
     v_sum (observed sum, -1.0 sentinel on gaps), v_locf, v_interp.
+
+    Width hazard: the spine is sequence(min, max, width) PER KEY — a key
+    spanning years at second-level width materializes a hundred-million-
+    element array in one executor row. Pick width so span/width stays in
+    the millions, or pre-split wide keys by coarse time range (the same
+    discipline TimescaleDB's chunk intervals impose).
     """
     keys = [F.col(c) for c in key_cols]
     hourly = (df.select(*keys, bucket_epoch(ts_col, width).alias("bucket"),
@@ -123,19 +129,26 @@ def grouped_trend(df: DataFrame, ts_col: str, key_cols: list[str],
     r² of count-vs-time from the closed-form normal equations, computed
     on EXACT BIGINT sums (n, Σx, Σy, Σxy, Σx², Σy² with x = bucket index,
     y = count) so the only float ops are the final divides — the same
-    integer-moment discipline as trailing_zscore. Magnitude headroom:
-    x ~ epoch/width (< 2^20 for hourly buckets this century), so every
-    cross-moment stays far inside BIGINT.
+    integer-moment discipline as trailing_zscore. x is REBASED per key
+    (x - min(x)) before the moments: raw epoch/width indices overflow the
+    Σx² BIGINT at second-level widths (x ~ 1.7e9 → x² ~ 3e18, one term
+    from the edge); rebased, x is bounded by the key's bucket SPAN, so
+    any width is safe. Slope and r² are shift-invariant; the intercept is
+    therefore the fitted count at the key's FIRST bucket.
 
     Output: keys..., n_points, slope, intercept, r2 (rounded to 9;
     sentinel -999.0 when n < 2 or the x-variance is zero).
     """
     keys = [F.col(c) for c in key_cols]
-    counts = (df.select(*keys,
-                        (F.floor(F.unix_timestamp(ts_col) / width))
-                        .cast("bigint").alias("x"))
-              .groupBy(*key_cols, "x")
-              .agg(F.count(F.lit(1)).alias("y")))
+    raw = (df.select(*keys,
+                     (F.floor(F.unix_timestamp(ts_col) / width))
+                     .cast("bigint").alias("x0"))
+           .groupBy(*key_cols, "x0")
+           .agg(F.count(F.lit(1)).alias("y")))
+    base = raw.groupBy(*key_cols).agg(F.min("x0").alias("xmin"))
+    counts = (raw.join(base, key_cols)
+              .select(*key_cols, (F.col("x0") - F.col("xmin")).alias("x"),
+                      "y"))
     mom = (counts.groupBy(*key_cols)
            .agg(F.count(F.lit(1)).alias("n"),
                 F.sum("x").alias("sx"), F.sum("y").alias("sy"),

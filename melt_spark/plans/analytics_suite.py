@@ -2048,10 +2048,14 @@ def q_event_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_EVENT_TREND = """
-WITH c AS (
-  SELECT event_type, CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS x,
+WITH raw AS (
+  SELECT event_type, CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS x0,
          COUNT(*) AS y
   FROM events GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, x0 - MIN(x0) OVER (PARTITION BY event_type) AS x, y
+  FROM raw
 ),
 m AS (
   SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,

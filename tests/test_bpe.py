@@ -82,3 +82,12 @@ def test_postings_stats_python_reference(spark):
                 pr = p
         want[term] = (df, tf, doc_b, pos_b)
     assert got == want
+
+
+def test_degenerate_corpus_no_pairs(spark):
+    """All words single-symbol: zero merges, words unchanged — the empty
+    pair table must NOT annihilate the vocabulary."""
+    merges, words = bpe_train(_docs(spark, ["a b c a", "b c"]), rounds=2)
+    assert merges.count() == 0
+    got = {r.word: r.seg for r in words.collect()}
+    assert got == {"a": "a", "b": "b", "c": "c"}
