@@ -2150,6 +2150,89 @@ SQL_TABLE_STATS = "\nUNION ALL\n".join(
     for t, cols in _STATS_TABLES.items() for c in cols)
 
 
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation battery (catalog/expectations.py): key
+    uniqueness, null gates, referential integrity across the star schema,
+    accepted values and numeric ranges — one violation-count row per
+    check."""
+    from ..catalog.expectations import (expect_accepted_values,
+                                        expect_not_null, expect_range,
+                                        expect_references, expect_unique,
+                                        run_battery)
+
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    nation = read_table(spark, sf_dir, "nation")
+    return run_battery([
+        ("customer_pk_unique", expect_unique(cust, ["c_custkey"])),
+        ("orders_pk_unique", expect_unique(orders, ["o_orderkey"])),
+        ("lineitem_pk_unique",
+         expect_unique(li, ["l_orderkey", "l_linenumber"])),
+        ("orders_custkey_not_null", expect_not_null(orders, "o_custkey")),
+        ("orders_ref_customer",
+         expect_references(orders, "o_custkey", cust, "c_custkey")),
+        ("lineitem_ref_orders",
+         expect_references(li, "l_orderkey", orders, "o_orderkey")),
+        ("customer_ref_nation",
+         expect_references(cust, "c_nationkey", nation, "n_nationkey")),
+        ("orderstatus_accepted",
+         expect_accepted_values(orders, "o_orderstatus", ["O", "F", "P"])),
+        ("totalprice_range",
+         expect_range(orders, "o_totalprice", 0.0, 10_000_000.0)),
+    ])
+
+
+SQL_EXPECTATIONS = """
+SELECT 'customer_pk_unique' AS "check",
+  CAST(coalesce(SUM(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT)
+    AS n_violations,
+  coalesce(SUM(CASE WHEN c > 1 THEN c - 1 END), 0) = 0 AS passed
+FROM (SELECT COUNT(*) AS c FROM customer GROUP BY c_custkey)
+UNION ALL
+SELECT 'orders_pk_unique',
+  CAST(coalesce(SUM(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT),
+  coalesce(SUM(CASE WHEN c > 1 THEN c - 1 END), 0) = 0
+FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+UNION ALL
+SELECT 'lineitem_pk_unique',
+  CAST(coalesce(SUM(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT),
+  coalesce(SUM(CASE WHEN c > 1 THEN c - 1 END), 0) = 0
+FROM (SELECT COUNT(*) AS c FROM lineitem
+      GROUP BY l_orderkey, l_linenumber)
+UNION ALL
+SELECT 'orders_custkey_not_null',
+  CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+  COUNT(*) - COUNT(o_custkey) = 0
+FROM orders
+UNION ALL
+SELECT 'orders_ref_customer', CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'lineitem_ref_orders', CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'customer_ref_nation', CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+UNION ALL
+SELECT 'orderstatus_accepted',
+  CAST(coalesce(SUM(CASE WHEN o_orderstatus IS NOT NULL
+       AND o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 END), 0) AS BIGINT),
+  coalesce(SUM(CASE WHEN o_orderstatus IS NOT NULL
+       AND o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 END), 0) = 0
+FROM orders
+UNION ALL
+SELECT 'totalprice_range',
+  CAST(coalesce(SUM(CASE WHEN o_totalprice IS NOT NULL
+       AND (o_totalprice < 0.0 OR o_totalprice > 10000000.0)
+       THEN 1 END), 0) AS BIGINT),
+  coalesce(SUM(CASE WHEN o_totalprice IS NOT NULL
+       AND (o_totalprice < 0.0 OR o_totalprice > 10000000.0)
+       THEN 1 END), 0) = 0
+FROM orders
+"""
+
+
 ANALYTICS_SUITE: dict[str, tuple] = {
     "topk_orders_per_customer": (q_topk_orders_per_customer, SQL_TOPK_ORDERS),
     "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
@@ -2186,6 +2269,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "nation_except": (q_nation_except, SQL_NATION_EXCEPT),
     "cube_revenue": (q_cube_revenue, SQL_CUBE_REVENUE),
     "date_functions": (q_date_functions, SQL_DATE_FUNCTIONS),
+    "expectations": (q_expectations, SQL_EXPECTATIONS),
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
     "zorder_values": (q_zorder_values, SQL_ZORDER_VALUES),

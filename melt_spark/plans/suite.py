@@ -1579,7 +1579,32 @@ SUITE: dict[str, tuple] = {
                               F.lit("").alias("detail")),
          "SELECT 'deleted' AS kind, topic, key, '' AS detail"),
     ),
-    "verify_retry": (q_verify_retry, SQL_VERIFY_RETRY),
+    # T4 verify loop + r4b data-quality expectation battery (the verify
+    # family extended from count parity to content gates)
+    "verify_retry": merged(
+        ((q_verify_retry, SQL_VERIFY_RETRY),
+         lambda df: df.select(F.lit("verify").alias("kind"), "scenario",
+                              F.col("matches").cast("bigint"),
+                              F.col("attempts").cast("bigint"),
+                              F.col("synced").cast("bigint"),
+                              F.col("sync_count").cast("bigint")),
+         "SELECT 'verify' AS kind, scenario, CAST(matches AS BIGINT)"
+         " AS matches, CAST(attempts AS BIGINT) AS attempts,"
+         " CAST(synced AS BIGINT) AS synced,"
+         " CAST(sync_count AS BIGINT) AS sync_count"),
+        (ANALYTICS_SUITE["expectations"],
+         lambda df: df.select(F.lit("expect").alias("kind"),
+                              F.col("check").alias("scenario"),
+                              F.col("passed").cast("bigint")
+                              .alias("matches"),
+                              F.lit(-1).cast("bigint").alias("attempts"),
+                              F.lit(-1).cast("bigint").alias("synced"),
+                              F.col("n_violations").alias("sync_count")),
+         "SELECT 'expect' AS kind, \"check\" AS scenario,"
+         " CAST(passed AS BIGINT) AS matches,"
+         " CAST(-1 AS BIGINT) AS attempts, CAST(-1 AS BIGINT) AS synced,"
+         " n_violations AS sync_count"),
+    ),
     # -- CDC replay (S11/S12/P5-P7/O1) + A4 checkpoint stats
     "cdc_replay": merged(
         ((q_cdc_replay, SQL_CDC_REPLAY),

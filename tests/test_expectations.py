@@ -1,0 +1,52 @@
+"""Data-quality expectations (catalog/expectations.py): the battery must
+DETECT planted violations, not just pass on the healthy fixture."""
+
+from pyspark.sql import Row
+
+from melt_spark.catalog.expectations import (expect_accepted_values,
+                                             expect_not_null, expect_range,
+                                             expect_references,
+                                             expect_unique, run_battery)
+
+
+def test_detects_planted_violations(spark):
+    child = spark.createDataFrame(
+        [Row(id=1, fk=10, status="O", v=5.0),
+         Row(id=1, fk=10, status="O", v=5.0),      # dup id (1 extra row)
+         Row(id=2, fk=99, status="X", v=-3.0),     # orphan fk, bad status,
+                                                   # out-of-range v
+         Row(id=3, fk=None, status=None, v=None)])  # nulls (status/v null
+                                                    # are NOT violations)
+    parent = spark.createDataFrame([Row(pid=10), Row(pid=11)])
+
+    report = {r.check: r for r in run_battery([
+        ("unique_id", expect_unique(child, ["id"])),
+        ("fk_not_null", expect_not_null(child, "fk")),
+        ("fk_refs", expect_references(child, "fk", parent, "pid")),
+        ("status_ok", expect_accepted_values(child, "status", ["O", "F"])),
+        ("v_range", expect_range(child, "v", 0.0, 10.0)),
+    ]).collect()}
+
+    assert report["unique_id"].n_violations == 1
+    assert report["fk_not_null"].n_violations == 1
+    # the null fk is the not-null check's finding (references excludes
+    # nulls explicitly); the orphan 99 is this one's
+    assert report["fk_refs"].n_violations == 1
+    assert report["status_ok"].n_violations == 1  # 'X'; NULL not counted
+    assert report["v_range"].n_violations == 1    # -3.0; NULL not counted
+    assert all(not r.passed for r in report.values())
+
+
+def test_fixture_battery_finds_the_real_defect(spark, sf_dir):
+    """Every integrity/range/value gate passes on the fixture — EXCEPT
+    lineitem's (l_orderkey, l_linenumber) uniqueness, which genuinely
+    does not hold in the synthetic data (line numbers collide within an
+    order). The battery reporting a real defect, hash-matched by the
+    oracle, is the feature."""
+    from melt_spark.plans.analytics_suite import q_expectations
+
+    rows = {r.check: r for r in q_expectations(spark, sf_dir).collect()}
+    assert len(rows) == 9
+    bad = rows.pop("lineitem_pk_unique")
+    assert not bad.passed and bad.n_violations > 0
+    assert all(r.passed and r.n_violations == 0 for r in rows.values())
