@@ -2233,6 +2233,103 @@ FROM orders
 """
 
 
+PSI_SPLIT = "1997-01-01"
+PSI_BIN = 50_000.0
+PSI_NBINS = 10
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index — the standard production drift monitor
+    (credit-scoring lineage; PSI < 0.1 stable, > 0.25 shifted): compare
+    the order-value distribution before vs after a split date over fixed
+    equal-width bins with +0.5 smoothing (so empty bins contribute
+    finitely). Per-bin rows plus a 'total' row carrying the index.
+
+    Determinism: counts are integers; p and q are single IEEE divides;
+    ln is NOT correctly rounded, so per-bin contributions round(9) and
+    the total folds them in bin order before its own round(9)."""
+    orders = read_table(spark, sf_dir, "orders")
+    split = F.lit(PSI_SPLIT).cast("timestamp")
+    bin_c = F.least(F.floor(F.col("o_totalprice") / PSI_BIN),
+                    F.lit(PSI_NBINS - 1)).cast("int")
+    counts = (orders
+              .select(bin_c.alias("bin"),
+                      (F.col("o_orderdate") < split).alias("is_a"))
+              .groupBy("bin")
+              .agg(F.sum(F.when(F.col("is_a"), 1).otherwise(0))
+                   .alias("n_a"),
+                   F.sum(F.when(~F.col("is_a"), 1).otherwise(0))
+                   .alias("n_b")))
+    # densify over the fixed bin range so empty bins smooth, not vanish
+    bins = spark.range(PSI_NBINS).select(F.col("id").cast("int")
+                                         .alias("bin"))
+    dense = (bins.join(counts, "bin", "left")
+             .select("bin",
+                     F.coalesce("n_a", F.lit(0)).cast("bigint")
+                     .alias("n_a"),
+                     F.coalesce("n_b", F.lit(0)).cast("bigint")
+                     .alias("n_b")))
+    tot = dense.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    half_b = float(PSI_NBINS) * 0.5
+    p = ((F.col("n_a").cast("double") + 0.5)
+         / (F.col("ta").cast("double") + half_b))
+    q = ((F.col("n_b").cast("double") + 0.5)
+         / (F.col("tb").cast("double") + half_b))
+    contrib = F.round((p - q) * F.log(p / q), 9)
+    per_bin = (dense.crossJoin(F.broadcast(tot))
+               .select("bin", "n_a", "n_b", contrib.alias("psi")))
+    total = (per_bin
+             .agg(F.round(F.aggregate(
+                 F.array_sort(F.collect_list(F.struct("bin", "psi"))),
+                 F.lit(0.0), lambda acc, s: acc + s["psi"]), 9)
+                 .alias("psi"),
+                 F.sum("n_a").alias("n_a"), F.sum("n_b").alias("n_b"))
+             .select(F.lit(-1).cast("int").alias("bin"), "n_a", "n_b",
+                     "psi"))
+    return per_bin.unionByName(total)
+
+
+SQL_PSI_DRIFT = f"""
+WITH counts AS (
+  SELECT CAST(least(floor(o_totalprice / {PSI_BIN}),
+                    {PSI_NBINS - 1}) AS INT) AS bin,
+         SUM(CASE WHEN o_orderdate < TIMESTAMP '{PSI_SPLIT} 00:00:00'
+                  THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN o_orderdate < TIMESTAMP '{PSI_SPLIT} 00:00:00'
+                  THEN 0 ELSE 1 END) AS n_b
+  FROM orders GROUP BY 1
+),
+dense AS (
+  SELECT b.bin, CAST(coalesce(c.n_a, 0) AS BIGINT) AS n_a,
+         CAST(coalesce(c.n_b, 0) AS BIGINT) AS n_b
+  FROM (SELECT CAST(unnest(generate_series(0, {PSI_NBINS - 1})) AS INT)
+          AS bin) b
+  LEFT JOIN counts c USING (bin)
+),
+tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM dense),
+per_bin AS (
+  SELECT bin, n_a, n_b,
+    round(((CAST(n_a AS DOUBLE) + 0.5)
+             / (CAST(tot.ta AS DOUBLE) + {PSI_NBINS * 0.5})
+           - (CAST(n_b AS DOUBLE) + 0.5)
+             / (CAST(tot.tb AS DOUBLE) + {PSI_NBINS * 0.5}))
+          * ln(((CAST(n_a AS DOUBLE) + 0.5)
+                / (CAST(tot.ta AS DOUBLE) + {PSI_NBINS * 0.5}))
+               / ((CAST(n_b AS DOUBLE) + 0.5)
+                  / (CAST(tot.tb AS DOUBLE) + {PSI_NBINS * 0.5}))), 9)
+      AS psi
+  FROM dense, tot
+)
+SELECT bin, n_a, n_b, psi FROM per_bin
+UNION ALL
+SELECT CAST(-1 AS INT), CAST(SUM(n_a) AS BIGINT),
+  CAST(SUM(n_b) AS BIGINT),
+  round(list_reduce(list_prepend(0.0, list(psi ORDER BY bin)),
+                    (a, b) -> a + b), 9)
+FROM per_bin
+"""
+
+
 ANALYTICS_SUITE: dict[str, tuple] = {
     "topk_orders_per_customer": (q_topk_orders_per_customer, SQL_TOPK_ORDERS),
     "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
@@ -2270,6 +2367,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "cube_revenue": (q_cube_revenue, SQL_CUBE_REVENUE),
     "date_functions": (q_date_functions, SQL_DATE_FUNCTIONS),
     "expectations": (q_expectations, SQL_EXPECTATIONS),
+    "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
     "zorder_values": (q_zorder_values, SQL_ZORDER_VALUES),

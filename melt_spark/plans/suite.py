@@ -2541,6 +2541,20 @@ SUITE: dict[str, tuple] = {
          "SELECT 'jl' AS kind, CAST(vec_id AS VARCHAR) AS key,"
          " CAST(label AS VARCHAR) AS ints, distortion AS v1,"
          " proj_0 AS v2, proj_1 AS v3"),
+        # r4b: PSI drift monitor — per-bin contributions + the 'bin -1'
+        # total row carrying the index itself
+        (ANALYTICS_SUITE["psi_drift"],
+         lambda df: df.select(
+             F.lit("psi").alias("kind"),
+             F.col("bin").cast("string").alias("key"),
+             F.concat_ws(":", F.col("n_a").cast("string"),
+                         F.col("n_b").cast("string")).alias("ints"),
+             F.col("psi").alias("v1"),
+             F.lit(-1.0).alias("v2"), F.lit(-1.0).alias("v3")),
+         "SELECT 'psi' AS kind, CAST(bin AS VARCHAR) AS key,"
+         " CAST(n_a AS VARCHAR) || ':' || CAST(n_b AS VARCHAR) AS ints,"
+         " psi AS v1, CAST(-1.0 AS DOUBLE) AS v2,"
+         " CAST(-1.0 AS DOUBLE) AS v3"),
     ),
     # -- pivot (wide) re-checked in long form + unpivot/stack
     "pivot_unpivot": merged(

@@ -50,3 +50,35 @@ def test_fixture_battery_finds_the_real_defect(spark, sf_dir):
     bad = rows.pop("lineitem_pk_unique")
     assert not bad.passed and bad.n_violations > 0
     assert all(r.passed and r.n_violations == 0 for r in rows.values())
+
+
+def test_psi_detects_planted_shift(spark, tmp_path):
+    """Identical periods give PSI ~ 0; a shifted second period crosses
+    the 0.25 'significant shift' threshold."""
+    import pyspark.sql.functions as F
+
+    from melt_spark.plans.analytics_suite import q_psi_drift
+
+    def write(vals_a, vals_b, d):
+        rows = ([("1996-06-01", v) for v in vals_a]
+                + [("1997-06-01", v) for v in vals_b])
+        (spark.createDataFrame(rows, "d string, o_totalprice double")
+         .select(F.col("d").cast("timestamp").alias("o_orderdate"),
+                 "o_totalprice",
+                 F.monotonically_increasing_id().alias("o_orderkey"),
+                 F.lit(1).alias("o_custkey"),
+                 F.lit("O").alias("o_orderstatus"),
+                 F.lit("x").alias("o_orderpriority"))
+         .write.mode("overwrite").parquet(f"{d}/orders.parquet"))
+
+    stable = [float(v) for v in range(1000, 400_000, 1000)]
+    write(stable, stable, tmp_path / "same")
+    [tot] = [r for r in q_psi_drift(spark, str(tmp_path / "same"))
+             .collect() if r.bin == -1]
+    assert abs(tot.psi) < 0.01
+
+    shifted = [v + 150_000.0 for v in stable]
+    write(stable, shifted, tmp_path / "shift")
+    [tot2] = [r for r in q_psi_drift(spark, str(tmp_path / "shift"))
+              .collect() if r.bin == -1]
+    assert tot2.psi > 0.25
