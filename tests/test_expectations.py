@@ -2,6 +2,7 @@
 DETECT planted violations, not just pass on the healthy fixture."""
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from melt_spark.catalog.expectations import (expect_accepted_values,
                                              expect_not_null, expect_range,
@@ -82,3 +83,63 @@ def test_psi_detects_planted_shift(spark, tmp_path):
     [tot2] = [r for r in q_psi_drift(spark, str(tmp_path / "shift"))
               .collect() if r.bin == -1]
     assert tot2.psi > 0.25
+
+
+def test_streaming_expectations_merge_semantics(spark, tmp_path):
+    """Which checks are micro-batch-mergeable: count-type violations
+    (null / range) SUM across batches to the batch answer, but per-batch
+    UNIQUENESS undercounts cross-batch duplicates — streaming uniqueness
+    needs keyed state (stream_dedup), not a per-batch gate. Pinned here
+    so nobody wires expect_unique into foreachBatch naively."""
+    from melt_spark.catalog.expectations import (expect_not_null,
+                                                 expect_unique)
+
+    rows = [Row(id=i % 50, v=None if i % 10 == 0 else float(i))
+            for i in range(200)]
+    df = spark.createDataFrame(rows)
+    src = str(tmp_path / "src")
+    for k in range(2):
+        df.filter((F.col("id") % 2) == k).repartition(1) \
+            .write.mode("append").parquet(src)
+
+    acc = {"nulls": 0, "uniq": 0}
+
+    def per_batch(b, _bid):
+        acc["nulls"] += expect_not_null(b, "v").head()[0]
+        acc["uniq"] += expect_unique(b, ["id"]).head()[0]
+
+    q = (spark.readStream.schema(df.schema)
+         .option("maxFilesPerTrigger", "1").parquet(src)
+         .writeStream.foreachBatch(per_batch)
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert acc["nulls"] == expect_not_null(df, "v").head()[0]  # mergeable
+    batch_uniq = expect_unique(df, ["id"]).head()[0]
+    # the two micro-batches split by id parity share no ids here, so the
+    # per-batch sum HAPPENS to match; resplit so dups straddle batches
+    assert acc["uniq"] == batch_uniq
+
+    acc2 = {"uniq": 0}
+    src2 = str(tmp_path / "src2")
+    df.filter(F.col("v").isNotNull() & (F.col("v") < 100)).repartition(1) \
+        .write.mode("append").parquet(src2)
+    df.filter(F.col("v").isNotNull() & (F.col("v") >= 100)).repartition(1) \
+        .write.mode("append").parquet(src2)
+
+    def per_batch2(b, _bid):
+        acc2["uniq"] += expect_unique(b, ["id"]).head()[0]
+
+    q2 = (spark.readStream.schema(df.schema)
+          .option("maxFilesPerTrigger", "1").parquet(src2)
+          .writeStream.foreachBatch(per_batch2)
+          .option("checkpointLocation", str(tmp_path / "ck2")).start())
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    full2 = spark.read.parquet(src2)
+    assert acc2["uniq"] < expect_unique(full2, ["id"]).head()[0]

@@ -49,3 +49,29 @@ def test_export_file_caps_and_order(spark, exported):
         ids = [r.doc_id for r in
                spark.read.parquet(str(f)).select("doc_id").collect()]
         assert ids == sorted(ids)
+
+
+def test_export_codec_tradeoff(spark, sf_dir, tmp_path):
+    """Storage-layout evidence: zstd shards are materially smaller than
+    snappy on text-heavy data, and both round-trip identically — the
+    compression knob a 100 TB export tunes first."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from melt_spark.sources.parquet import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    sizes = {}
+    for codec in ("snappy", "zstd"):
+        out = str(tmp_path / codec)
+        (docs.repartition(2)
+         .write.mode("overwrite").option("compression", codec)
+         .parquet(out))
+        sizes[codec] = sum(p.stat().st_size
+                           for p in Path(out).rglob("*.parquet"))
+        back = spark.read.parquet(out)
+        assert back.count() == docs.count()
+        assert back.agg(F.sum(F.length("text"))).head()[0] == \
+            docs.agg(F.sum(F.length("text"))).head()[0]
+    assert sizes["zstd"] < sizes["snappy"] * 0.95
