@@ -2330,6 +2330,53 @@ FROM per_bin
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey transition matrix (first-order Markov counts): for
+    each consecutive event pair within a user's (ts, event_id)-ordered
+    stream, count (from_type → to_type). The transition PROBABILITIES
+    are the exact quotients of these hashed counts — product analytics'
+    "what do users do next" primitive, and the model behind journey
+    simulation. One lag() window partitioned by user + one compact
+    aggregation; ties in ts break on event_id so the ordering is
+    deterministic cross-engine."""
+    ev = read_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id")
+    pairs = (ev.select("user_id", "event_type",
+                       F.lead("event_type").over(w).alias("next_type"))
+             .filter(F.col("next_type").isNotNull()))
+    counts = (pairs.groupBy(F.col("event_type").alias("from_type"),
+                            F.col("next_type").alias("to_type"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    out_tot = counts.groupBy("from_type").agg(F.sum("n").alias("n_out"))
+    return (counts.join(out_tot, "from_type")
+            .select("from_type", "to_type", "n", "n_out",
+                    (F.col("n").cast("double")
+                     / F.col("n_out").cast("double")).alias("p")))
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id)
+           AS next_type
+  FROM events
+),
+c AS (
+  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+),
+t AS (SELECT from_type, SUM(n) AS n_out FROM c GROUP BY from_type)
+SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+       CAST(t.n_out AS BIGINT) AS n_out,
+       CAST(c.n AS DOUBLE) / CAST(t.n_out AS DOUBLE) AS p
+FROM c JOIN t USING (from_type)
+"""
+
+
 ANALYTICS_SUITE: dict[str, tuple] = {
     "topk_orders_per_customer": (q_topk_orders_per_customer, SQL_TOPK_ORDERS),
     "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
@@ -2368,6 +2415,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "date_functions": (q_date_functions, SQL_DATE_FUNCTIONS),
     "expectations": (q_expectations, SQL_EXPECTATIONS),
     "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
+    "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
     "zorder_values": (q_zorder_values, SQL_ZORDER_VALUES),

@@ -2410,6 +2410,16 @@ SUITE: dict[str, tuple] = {
          "SELECT 'cms' AS kind, CAST(user_id AS VARCHAR) || ':' ||"
          " CAST(cms_est AS VARCHAR) || ':' || CAST(exact_n AS VARCHAR)"
          " AS key, overcount AS n"),
+        # r4b: first-order Markov transition counts over user journeys —
+        # probabilities are the exact quotients of the hashed ints
+        (ANALYTICS_SUITE["event_transitions"],
+         lambda df: df.select(
+             F.lit("markov").alias("kind"),
+             F.concat_ws(">", "from_type", "to_type",
+                         F.col("n_out").cast("string")).alias("key"),
+             F.col("n")),
+         "SELECT 'markov' AS kind, from_type || '>' || to_type || '>' ||"
+         " CAST(n_out AS VARCHAR) AS key, n"),
     ),
     # as-of + range join: the two temporal-join operators share one entry
     # (harmonized: event_id, user_id, a reference event id, a double value)
