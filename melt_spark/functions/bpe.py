@@ -73,13 +73,20 @@ def _merge_fold(syms: Column, a: Column, b: Column) -> Column:
         ).otherwise(F.concat(acc, F.array(s))))
 
 
-def bpe_train(docs: DataFrame, rounds: int = 3,
-              text_col: str = "text") -> tuple[DataFrame, DataFrame]:
+def bpe_train(docs: DataFrame, rounds: int = 3, text_col: str = "text",
+              checkpoint_every: int | None = None
+              ) -> tuple[DataFrame, DataFrame]:
     """Run `rounds` BPE merges over the corpus vocabulary.
 
     Returns (merges, words): merges = (round, s1, s2, n) — the learned
     merge table in order; words = (word, freq, n_syms, seg) — the final
     segmentation of every vocabulary word, seg joined with '|'.
+
+    checkpoint_every: localCheckpoint the words table every k rounds —
+    REQUIRED at production round counts (thousands), where the unrolled
+    lineage would otherwise grow one agg+argmax+fold layer per round and
+    drown the optimizer (the connected-components pattern). The words
+    table is vocabulary-sized, so each checkpoint is cheap.
     """
     spark = docs.sparkSession
     words = word_freqs(docs, text_col)
@@ -101,6 +108,8 @@ def bpe_train(docs: DataFrame, rounds: int = 3,
                  .select("word", "freq",
                          _merge_fold(F.col("syms"), F.col("_a"),
                                      F.col("_b")).alias("syms")))
+        if checkpoint_every and r % checkpoint_every == 0:
+            words = words.localCheckpoint(eager=True)
     final = words.select("word", "freq", F.size("syms").alias("n_syms"),
                          F.array_join("syms", "|").alias("seg"))
     return merges.filter(F.col("n") > 0), final

@@ -173,3 +173,59 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .filter(F.col("rank") <= k)
             .select("query_id", F.col(id_col).alias("neighbor_id"),
                     "rank", "cos"))
+
+
+# ---------------------------------------------------------------------------
+# index persistence — the build-once / probe-many lifecycle
+
+def write_index(corpus: DataFrame, path: str, every: int = 50,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                centroids: DataFrame | None = None) -> None:
+    """Materialize the IVF index: assignments partitioned BY LIST so a
+    probe touches only its lists' files (Hive partition pruning — the
+    storage analogue of the in-memory probe join), plus the centroid
+    table beside it. Build once, serve many: the corpus is scanned at
+    build time only; every later query reads nprobe/nlists of the data
+    from disk."""
+    cents = centroids if centroids is not None else \
+        deterministic_centroids(corpus, every, id_col, vec_col)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    (assigned.write.mode("overwrite").partitionBy("list_id")
+     .parquet(f"{path}/lists"))
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_topk_indexed(spark, path: str, queries: DataFrame, k: int = 10,
+                     nprobe: int = 3, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Top-k against a PERSISTED index: probe selection runs on the small
+    centroid table, and the list filter lands on the partition column, so
+    Spark's scan planner prunes unprobed list directories before reading
+    a byte (verified file-level in tests/test_ivf_persist.py)."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    lists = spark.read.parquet(f"{path}/lists")
+
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _dvec(vec_col).alias("qv"))
+    qc = (q.crossJoin(F.broadcast(cents))
+          .withColumn("csim", cosine(F.col("qv"), F.col("centroid"))))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("csim"),
+                                                F.asc("list_id"))
+    probes = (qc.withColumn("rn", F.row_number().over(wq))
+              .filter(F.col("rn") <= nprobe)
+              .select("query_id", "qv", "list_id"))
+    probe_ids = [r.list_id for r in
+                 probes.select("list_id").distinct().collect()]
+    # the isin on the PARTITION column is the pruning predicate; the
+    # driver-side collect is nprobe×queries ints — scalar metadata
+    cand = (F.broadcast(probes)
+            .join(lists.filter(F.col("list_id").isin(probe_ids)),
+                  "list_id")
+            .filter(F.col("query_id") != F.col(id_col)))
+    scored = cand.withColumn("cos", cosine(F.col("qv"), F.col("v")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col(id_col).alias("neighbor_id"),
+                    "rank", "cos"))

@@ -143,3 +143,53 @@ def test_streaming_expectations_merge_semantics(spark, tmp_path):
         q2.stop()
     full2 = spark.read.parquet(src2)
     assert acc2["uniq"] < expect_unique(full2, ["id"]).head()[0]
+
+
+def test_streaming_psi_bins_merge_to_batch_answer(spark, tmp_path):
+    """Drift monitoring in streaming: PSI's bin counts are plain integer
+    sums, so per-micro-batch counts merged in foreachBatch reproduce the
+    batch PSI exactly — the monitor runs incrementally against a static
+    baseline without reprocessing history."""
+    import math
+
+    vals = [float(v % 400_000) for v in range(0, 4_000_000, 7919)]
+    df = spark.createDataFrame([(v,) for v in vals], "o_totalprice double")
+    src = str(tmp_path / "src")
+    for k in range(3):
+        df.filter((F.col("o_totalprice").cast("long") % 3) == k) \
+            .repartition(1).write.mode("append").parquet(src)
+
+    bins: dict[int, int] = {}
+
+    def per_batch(b, _bid):
+        rows = (b.groupBy(F.least(F.floor(F.col("o_totalprice") / 50_000),
+                                  F.lit(9)).cast("int").alias("bin"))
+                .count().collect())
+        for r in rows:
+            bins[r.bin] = bins.get(r.bin, 0) + r["count"]
+
+    q = (spark.readStream.schema(df.schema)
+         .option("maxFilesPerTrigger", "1").parquet(src)
+         .writeStream.foreachBatch(per_batch)
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch = {r.bin: r["count"] for r in
+             spark.read.parquet(src)
+             .groupBy(F.least(F.floor(F.col("o_totalprice") / 50_000),
+                              F.lit(9)).cast("int").alias("bin"))
+             .count().collect()}
+    assert bins == batch
+
+    # PSI of the merged stream counts vs a uniform baseline is finite and
+    # deterministic — the arithmetic the monitor would run per trigger
+    n = sum(bins.values())
+    base = {b: n / 10 for b in range(10)}
+    psi = sum((((bins.get(b, 0) + .5) / (n + 5)) - ((base[b] + .5) / (n + 5)))
+              * math.log(((bins.get(b, 0) + .5) / (n + 5))
+                         / ((base[b] + .5) / (n + 5)))
+              for b in range(10))
+    assert psi >= 0 and math.isfinite(psi)
