@@ -812,7 +812,8 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("o_custkey").alias("cust"),
                      (F.lit(1_000_000) + F.col("l_suppkey")).alias("supp"))
              .distinct())
-    return pagerank_int(symmetrize(pairs, "cust", "supp"), iters=3)
+    return pagerank_int(symmetrize(pairs, "cust", "supp"), iters=3,
+                        checkpoint_edges=True)
 
 
 def _pagerank_sql(iters: int = 3) -> str:

@@ -1576,7 +1576,21 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("freq").alias("n"),
                      F.concat_ws(">", "word", "seg").alias("fp"),
                      F.col("n_syms").cast("bigint").alias("m"))
-    return m.unionByName(w)
+    # tokenizer APPLICATION: per-doc symbol counts under the trained
+    # merges — a vocabulary-sized broadcast join onto the corpus token
+    # stream, the compression metric a tokenizer eval reports
+    toks = docs.select("doc_id", F.explode(F.split("text", " "))
+                       .alias("word"))
+    seg_sizes = words.select("word", "n_syms")
+    per_doc = (toks.join(F.broadcast(seg_sizes), "word")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_words"),
+                    F.sum("n_syms").alias("n_bpe_syms")))
+    d = per_doc.select(F.lit("bpe_doc").alias("kind"), "doc_id",
+                       F.col("n_bpe_syms").cast("bigint").alias("n"),
+                       F.lit("").alias("fp"),
+                       F.col("n_words").cast("bigint").alias("m"))
+    return m.unionByName(w).unionByName(d)
 
 
 def _sql_bpe(rounds: int = BPE_ROUNDS) -> str:
@@ -1628,6 +1642,12 @@ SELECT 'bpe_word' AS kind, CAST(-1 AS BIGINT) AS doc_id, freq AS n,
        word || '>' || array_to_string(syms, '|') AS fp,
        CAST(len(syms) AS BIGINT) AS m
 FROM w{rounds}
+UNION ALL
+SELECT 'bpe_doc' AS kind, t.doc_id, CAST(SUM(len(w.syms)) AS BIGINT) AS n,
+       '' AS fp, CAST(COUNT(*) AS BIGINT) AS m
+FROM (SELECT doc_id, unnest({_TOKS}) AS word FROM documents) t
+JOIN w{rounds} w USING (word)
+GROUP BY t.doc_id
 """)
 
 
