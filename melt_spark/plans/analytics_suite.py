@@ -2378,6 +2378,58 @@ FROM c JOIN t USING (from_type)
 """
 
 
+def q_eventually_follows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern support (PrefixSpan's 2-sequence core, Pei et
+    al. ICDE 2001): for each ordered type pair (a, b), how many users did
+    a and LATER b — any gap, unlike the adjacent-only Markov transitions.
+    Implemented on per-user first/last occurrence timestamps (min_ts(a) <
+    max_ts(b) ⟺ "a eventually followed by b" for first-occurrence
+    semantics): one compact aggregation to (user, type, min, max), then a
+    per-user type×type comparison — 25 pairs per user, never an event-
+    level self-join. Support ratio is an exact integer quotient."""
+    ev = read_table(spark, sf_dir, "events")
+    per = (ev.groupBy("user_id", "event_type")
+           .agg(F.min(F.unix_micros("ts")).alias("first_us"),
+                F.max(F.unix_micros("ts")).alias("last_us")))
+    a = per.select("user_id", F.col("event_type").alias("a"),
+                   F.col("first_us").alias("a_first"))
+    b = per.select(F.col("user_id").alias("u2"),
+                   F.col("event_type").alias("b"),
+                   F.col("last_us").alias("b_last"))
+    pairs = (a.join(b, (F.col("user_id") == F.col("u2"))
+                    & (F.col("a") != F.col("b"))
+                    & (F.col("a_first") < F.col("b_last")))
+             .groupBy("a", "b").agg(F.countDistinct("user_id")
+                                    .alias("support")))
+    n_users = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    return (pairs.crossJoin(F.broadcast(n_users))
+            .select("a", "b", "support", "n_users",
+                    (F.col("support").cast("double")
+                     / F.col("n_users").cast("double")).alias("ratio")))
+
+
+SQL_EVENTUALLY_FOLLOWS = """
+WITH per AS (
+  SELECT user_id, event_type, MIN(epoch_us(ts)) AS first_us,
+         MAX(epoch_us(ts)) AS last_us
+  FROM events GROUP BY user_id, event_type
+),
+pairs AS (
+  SELECT x.event_type AS a, y.event_type AS b,
+         COUNT(DISTINCT x.user_id) AS support
+  FROM per x JOIN per y
+    ON x.user_id = y.user_id AND x.event_type <> y.event_type
+   AND x.first_us < y.last_us
+  GROUP BY 1, 2
+),
+n AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM events)
+SELECT a, b, CAST(support AS BIGINT) AS support,
+       CAST(n.n_users AS BIGINT) AS n_users,
+       CAST(support AS DOUBLE) / CAST(n.n_users AS DOUBLE) AS ratio
+FROM pairs, n
+"""
+
+
 ANALYTICS_SUITE: dict[str, tuple] = {
     "topk_orders_per_customer": (q_topk_orders_per_customer, SQL_TOPK_ORDERS),
     "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
@@ -2417,6 +2469,8 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "expectations": (q_expectations, SQL_EXPECTATIONS),
     "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
+    "eventually_follows": (q_eventually_follows,
+                           SQL_EVENTUALLY_FOLLOWS),
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
     "zorder_values": (q_zorder_values, SQL_ZORDER_VALUES),

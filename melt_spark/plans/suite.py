@@ -2420,6 +2420,16 @@ SUITE: dict[str, tuple] = {
              F.col("n")),
          "SELECT 'markov' AS kind, from_type || '>' || to_type || '>' ||"
          " CAST(n_out AS VARCHAR) AS key, n"),
+        # r4b: eventually-follows (any-gap) sequence support — the
+        # PrefixSpan 2-sequence core beside the adjacent-only Markov view
+        (ANALYTICS_SUITE["eventually_follows"],
+         lambda df: df.select(
+             F.lit("seq").alias("kind"),
+             F.concat_ws("~>", "a", "b",
+                         F.col("n_users").cast("string")).alias("key"),
+             F.col("support").alias("n")),
+         "SELECT 'seq' AS kind, a || '~>' || b || '~>' ||"
+         " CAST(n_users AS VARCHAR) AS key, support AS n"),
     ),
     # as-of + range join: the two temporal-join operators share one entry
     # (harmonized: event_id, user_id, a reference event id, a double value)
