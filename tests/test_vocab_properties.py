@@ -197,3 +197,60 @@ def test_prefix_filter_complete_vs_inverted_index(texts, t):
     pref = {(r.doc_a, r.doc_b): r.jaccard
             for r in prefix_filtered_pairs(docs, threshold=t).collect()}
     assert pref == full
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.tuples(st.integers(0, 40), st.floats(1.0, 100.0)),
+                min_size=2, max_size=25, unique_by=lambda t: t[0]))
+def test_gapfill_interp_bounded_by_neighbors(points):
+    """Gap-fill property on arbitrary hourly series: every gap row's
+    linear interpolation lies between (inclusive) its bracketing observed
+    values, and LOCF always equals the previous observed value."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F2
+
+    from melt_spark.functions.timeseries import gapfill
+
+    spark = _get_spark()
+    rows = [Row(k="s", ts=f"2024-01-{1 + h // 24:02d} {h % 24:02d}:00:00",
+                v=float(round(v, 3)))
+            for h, v in points]
+    df = spark.createDataFrame(rows).select(
+        "k", F2.col("ts").cast("timestamp").alias("ts"), "v")
+    out = sorted(gapfill(df, "ts", ["k"], "v", 3600).collect(),
+                 key=lambda r: r.bucket)
+    observed = {r.bucket: r.v_sum for r in out if r.n > 0}
+    assert len(observed) == len(points)
+    prev = None
+    for r in out:
+        if r.n > 0:
+            prev = r.v_sum
+            assert r.v_locf == r.v_interp == r.v_sum
+        else:
+            assert r.v_locf == prev
+            nxts = [o.v_sum for o in out if o.n > 0 and o.bucket > r.bucket]
+            lo, hi = sorted((prev, nxts[0]))
+            assert lo - 1e-9 <= r.v_interp <= hi + 1e-9
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.integers(1, 1000), min_size=25, max_size=60))
+def test_priority_sample_deterministic_and_sized(weights):
+    """Priority sampling on arbitrary weight vectors: exactly k rows,
+    all kept priorities >= tau, and resampling is bit-identical (the
+    deterministic-uniform contract)."""
+    from pyspark.sql import Row
+
+    from melt_spark.functions.cleaning import priority_sample
+
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [Row(id=i, w=w) for i, w in enumerate(weights)])
+    a = priority_sample(df, "w", "id", k=10).collect()
+    b = priority_sample(df, "w", "id", k=10).collect()
+    assert len(a) == 10
+    tau = a[0].tau
+    assert all(r.priority >= tau for r in a)
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
