@@ -261,9 +261,11 @@ def priority_sample(df, weight_col: str, id_col: str, k: int):
     heaps, no global sort); everything after operates on k+1 rows.
 
     Output: id, w, priority, tau, w_hat, rank (1-based by priority desc).
-    Requires more than k input rows (tau is the (k+1)-th priority); with
-    <= k rows the tau scalar is empty and the result degenerates to
-    empty — callers sampling tiny frames should lower k.
+    tau is the (k+1)-th priority; with <= k input rows there IS no
+    (k+1)-th priority and the DLT estimator's threshold is 0 — every row
+    is in the sample and w_hat degenerates to the exact weight w
+    (unbiased). The per-row count check is over the k+1-row `top` frame,
+    so it costs nothing at scale.
     """
     from pyspark.sql.window import Window
 
@@ -276,7 +278,9 @@ def priority_sample(df, weight_col: str, id_col: str, k: int):
          / ((kmv_hash(id_col) + F.lit(1)) / F.lit(float(2 ** 48))))
         .alias("priority"))
     top = pr.orderBy(F.desc("priority"), F.asc("id")).limit(k + 1)
-    tau = top.agg(F.min("priority").alias("tau"))
+    tau = top.agg(
+        F.coalesce(F.when(F.count(F.lit(1)) >= k + 1, F.min("priority")),
+                   F.lit(0.0)).alias("tau"))
     w = Window.orderBy(F.desc("priority"), F.asc("id"))
     return (top.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)

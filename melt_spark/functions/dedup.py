@@ -556,7 +556,12 @@ def prefix_filtered_pairs(df: DataFrame, text_col: str = "text",
                .agg(F.sort_array(F.collect_list(F.struct("sdf", "sid")))
                     .alias("ss")))
     n = F.size("ss")
-    p = n - F.ceil(F.lit(threshold) * n).cast("int") + 1
+    # ceil over IEEE doubles: when t*n is mathematically an integer the
+    # float product can land a hair ABOVE it (fl(0.07)*100 =
+    # 7.000000000000001 -> ceil 8), which would shorten the prefix below
+    # the provable bound and silently drop qualifying pairs. Subtract an
+    # epsilon far smaller than any representable t*n gap before ceiling.
+    p = n - F.ceil(F.lit(threshold) * n - F.lit(1e-9)).cast("int") + 1
     per_doc = per_doc.select(
         "doc", F.transform("ss", lambda s: s["sid"]).alias("sids"),
         F.slice(F.transform("ss", lambda s: s["sid"]), 1, p)

@@ -85,7 +85,8 @@ def pagerank_int(edges: DataFrame, iters: int = 3,
     return scores
 
 
-def butterfly_count(edges: DataFrame, left: str, right: str) -> DataFrame:
+def butterfly_count(edges: DataFrame, left: str, right: str,
+                    bucket_size: int = 1024) -> DataFrame:
     """Bipartite butterfly (4-cycle) census — ONE summary row with edge,
     wedge and butterfly counts plus the bipartite clustering coefficient.
 
@@ -106,15 +107,48 @@ def butterfly_count(edges: DataFrame, left: str, right: str) -> DataFrame:
     on (right, right) pairs, whose distinct count is <= C(|right|, 2) —
     map-side combine collapses it long before the wire at 100 TB.
 
-    Determinism: pure integer arithmetic; the coefficient is one IEEE
-    divide of exact integers.
+    HUB-SKEW GUARD (the side choice bounds total volume, not per-task
+    volume): a plain self-join on l puts ONE hub vertex's C(d, 2) wedge
+    pairs inside the single task that owns key l — at 100 TB a 10^5-degree
+    hub is 5x10^9 pairs in one task. So the wedge join is SALTED: each
+    left vertex's neighbor list is split into nb = ceil(d / bucket_size)
+    deterministic buckets (pmod(xxhash64(r), nb)); the A side replicates
+    each edge to keys (l, b, j) for j in b..nb-1 and the B side to
+    (l, i, b) for i in 0..b, so every bucket-pair (i <= j) is an
+    INDEPENDENT join key and no task sees more than ~bucket_size^2 pairs
+    per key. Each unordered neighbor pair lands under exactly one key
+    (cross-bucket pairs once under (min_b, max_b); same-bucket pairs
+    deduplicated by r < r2) — the count is provably identical to the
+    unsalted join, and for the non-hub bulk (d <= bucket_size) nb = 1 so
+    there is NO replication. Replication for a hub is nb/2 per side
+    (= d / 2*bucket_size), vanishing next to its C(d, 2) output.
+
+    Determinism: pure integer arithmetic; bucketing cannot change counts;
+    the coefficient is one IEEE divide of exact integers.
     """
     e = (edges.select(F.col(left).alias("l"), F.col(right).alias("r"))
          .distinct())
-    e2 = e.select(F.col("l").alias("l2"), F.col("r").alias("r2"))
-    # wedges from the left side: (r1 < r2) co-neighbors of the same l
-    pairs = (e.join(e2, (F.col("l") == F.col("l2"))
-                    & (F.col("r") < F.col("r2")))
+    deg = e.groupBy("l").agg(F.count(F.lit(1)).alias("d"))
+    eb = (e.join(deg, "l")
+          .withColumn("nb", F.expr(f"(d + {bucket_size - 1})"
+                                   f" div {bucket_size}"))
+          .withColumn("b", F.pmod(F.xxhash64("r"), F.col("nb"))))
+    a_side = eb.select(
+        "l", "r", F.col("b").alias("i"),
+        F.explode(F.sequence(F.col("b"), F.col("nb") - 1)).alias("j"))
+    b_side = eb.select(
+        F.col("l").alias("l2"), F.col("r").alias("r2"),
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("b")))
+        .alias("i2"), F.col("b").alias("j2"))
+    joined = a_side.join(
+        b_side, (F.col("l") == F.col("l2")) & (F.col("i") == F.col("i2"))
+        & (F.col("j") == F.col("j2"))
+        # cross-bucket keys hold each unordered pair exactly once (the two
+        # neighbors' buckets differ); same-bucket keys need the r < r2 cut
+        & ((F.col("i") < F.col("j")) | (F.col("r") < F.col("r2"))))
+    pairs = (joined
+             .select(F.least("r", "r2").alias("r"),
+                     F.greatest("r", "r2").alias("r2"))
              .groupBy("r", "r2")
              .agg(F.count(F.lit(1)).alias("n_common")))
     # `/` promotes to DOUBLE (inexact past 2^53) — stay integral with the

@@ -158,13 +158,22 @@ def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
 def cms_estimate(sketch: DataFrame, probes: DataFrame,
                  item_col: str, depth: int = CMS_DEPTH) -> DataFrame:
     """Point-frequency estimate for each probe item: min over the sketch's
-    depth rows. The probe side explodes to depth rows and equi-joins the
-    BROADCAST sketch — the stream is never rescanned."""
+    depth rows. The probe side explodes to depth rows and LEFT-joins the
+    BROADCAST sketch — the stream is never rescanned.
+
+    The sketch table is SPARSE (only touched cells have rows), so a probe
+    cell with no row is a true zero count: the join must be a left join
+    with the missing total coalesced to 0, otherwise an unseen item either
+    loses its zero cells from the min (inflating the estimate) or — if all
+    depth cells are empty — vanishes from the output entirely, violating
+    the one-sided eps*N contract."""
     p = (probes.select(F.col(item_col).alias("item")).distinct()
          .select("item", F.explode(
              F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"))
          .select("item", "row",
                  cms_cell("item", F.col("row")).alias("cell")))
-    return (p.join(F.broadcast(sketch), ["row", "cell"])
+    return (p.join(F.broadcast(sketch), ["row", "cell"], "left")
+            .select("item", F.coalesce(F.col("total"), F.lit(0))
+                    .alias("total"))
             .groupBy("item")
             .agg(F.min("total").alias("cms_est")))

@@ -41,18 +41,24 @@ def bucket_epoch(ts_col: str, width: int) -> Column:
 
 
 def gapfill(df: DataFrame, ts_col: str, key_cols: list[str],
-            value_col: str, width: int) -> DataFrame:
+            value_col: str, width: int,
+            max_spine: int = 2_000_000) -> DataFrame:
     """Bucketed sum per key, densified over each key's observed range,
     with LOCF and linear interpolation for the gap rows.
 
     Output: keys..., bucket (epoch), n (rows observed; 0 for gap rows),
     v_sum (observed sum, -1.0 sentinel on gaps), v_locf, v_interp.
 
-    Width hazard: the spine is sequence(min, max, width) PER KEY — a key
-    spanning years at second-level width materializes a hundred-million-
-    element array in one executor row. Pick width so span/width stays in
-    the millions, or pre-split wide keys by coarse time range (the same
-    discipline TimescaleDB's chunk intervals impose).
+    Width hazard — ENFORCED: the spine is sequence(min, max, width) PER
+    KEY, so a key spanning years at second-level width would materialize
+    a hundred-million-element array in one executor row. The per-key
+    spine length (span/width + 1) is computed in the same (min, max)
+    aggregate, and any key exceeding `max_spine` raises loudly at
+    execution time (raise_error names the offending length) instead of
+    silently OOMing an executor. The default bound (2M buckets = a 16 MB
+    bigint array) is the same order TimescaleDB's chunk intervals impose;
+    callers hitting it should widen the bucket or pre-split wide keys by
+    coarse time range.
     """
     keys = [F.col(c) for c in key_cols]
     hourly = (df.select(*keys, bucket_epoch(ts_col, width).alias("bucket"),
@@ -60,11 +66,19 @@ def gapfill(df: DataFrame, ts_col: str, key_cols: list[str],
               .groupBy(*key_cols, "bucket")
               .agg(F.count(F.lit(1)).alias("n"),
                    F.sum("v").alias("v_dec")))
+    spine_len = F.expr(f"(b_max - b_min) div {width} + 1")
+    b_max_ok = F.when(spine_len <= max_spine, F.col("b_max")).otherwise(
+        F.raise_error(F.concat(
+            F.lit("gapfill: per-key spine length "),
+            spine_len.cast("string"),
+            F.lit(f" exceeds max_spine={max_spine} at width={width}s — "
+                  "widen the bucket or pre-split the key by coarse "
+                  "time range"))))
     spine = (hourly.groupBy(*key_cols)
              .agg(F.min("bucket").alias("b_min"),
                   F.max("bucket").alias("b_max"))
              .select(*keys,
-                     F.explode(F.sequence("b_min", "b_max",
+                     F.explode(F.sequence("b_min", b_max_ok,
                                           F.lit(width))).alias("bucket")))
     dense = spine.join(hourly, [*key_cols, "bucket"], "left")
 

@@ -1670,7 +1670,12 @@ FROM (
 def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String-function parity incl. levenshtein (identical DP algorithm in
     both engines), padding, slicing, case mapping."""
-    cust = read_table(spark, sf_dir, "customer").limit(200)
+    # orderBy BEFORE limit: the oracle takes ORDER BY c_custkey LIMIT 200,
+    # and an unordered .limit() only happens to agree on a single-file
+    # fixture scanned as one split — any repartitioned fixture would
+    # compare different row subsets. The limit is tiny; the sort is cheap.
+    cust = (read_table(spark, sf_dir, "customer")
+            .orderBy("c_custkey").limit(200))
     return cust.select(
         "c_custkey",
         F.upper(F.col("c_mktsegment")).alias("seg_up"),
@@ -1700,7 +1705,10 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings / small ints so both engines hash identically. (dayofweek is
     normalized to ISO 1=Monday..7=Sunday explicitly: Spark's native
     dayofweek is 1=Sunday, DuckDB's is 0=Sunday — an off-by-one trap.)"""
-    orders = read_table(spark, sf_dir, "orders").limit(500)
+    # ordered limit for the same reason as q_string_functions: the oracle
+    # uses ORDER BY o_orderkey LIMIT 500.
+    orders = (read_table(spark, sf_dir, "orders")
+              .orderBy("o_orderkey").limit(500))
     d = F.col("o_orderdate").cast("date")
     return orders.select(
         "o_orderkey",

@@ -1545,7 +1545,8 @@ r AS (
          row_number() OVER (ORDER BY priority DESC, id) AS rank
   FROM pr
 ),
-tau AS (SELECT priority AS tau FROM r WHERE rank = 21)
+tau AS (SELECT coalesce((SELECT priority FROM r WHERE rank = 21), 0.0)
+               AS tau)
 SELECT id, w, priority, tau.tau,
        greatest(CAST(w AS DOUBLE), tau.tau) AS w_hat, rank
 FROM r, tau WHERE rank <= 20

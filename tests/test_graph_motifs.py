@@ -46,6 +46,56 @@ def test_butterfly_no_wedges_sentinel(spark):
     assert row.butterflies == 0 and row.clustering_coeff == -1.0
 
 
+def test_butterfly_hub_salting_preserves_exact_counts(spark):
+    """Planted hub: salting (small bucket_size forces many buckets for
+    the hub) must give bit-identical counts to the effectively-unsalted
+    default — every unordered neighbor pair lands under exactly one
+    bucket-pair key, cross- and same-bucket alike."""
+    hub = [("h", f"r{i:03d}") for i in range(120)]
+    overlap = [("g", f"r{i:03d}") for i in range(40)]          # shares 40
+    extra = [("k", "r000"), ("k", "zz")]                       # wedge only
+    edges = _edges(spark, hub + overlap + extra)
+    salted = butterfly_count(edges, "l", "r", bucket_size=8).collect()[0]
+    plain = butterfly_count(edges, "l", "r").collect()[0]      # nb == 1
+    assert tuple(salted) == tuple(plain)
+    # hand values: butterflies = C(40,2) right-pairs with n_common=2
+    assert salted.butterflies == 40 * 39 // 2
+    assert salted.wedges == (120 * 119 + 40 * 39 + 2 * 1) // 2
+    assert salted.n_edges == 162 and salted.n_left == 3
+
+
+def test_butterfly_salting_caps_per_key_fanout(spark):
+    """The skew property itself: with bucket_size=8 no single join key
+    (l, i, j) may own more than ~bucket_size^2 candidate pairs — the
+    hub's C(d,2) wedges must spread over many independent keys. Reproduce
+    the operator's salted keying and measure the max per-key pair count."""
+    d, bs = 120, 8
+    e = _edges(spark, [("h", f"r{i:03d}") for i in range(d)]).distinct()
+    deg = e.groupBy("l").agg(F.count(F.lit(1)).alias("d"))
+    eb = (e.join(deg, "l")
+          .withColumn("nb", F.expr(f"(d + {bs - 1}) div {bs}"))
+          .withColumn("b", F.pmod(F.xxhash64("r"), F.col("nb"))))
+    a = eb.select("l", "r", F.col("b").alias("i"),
+                  F.explode(F.sequence(F.col("b"), F.col("nb") - 1))
+                  .alias("j"))
+    b = eb.select(F.col("l").alias("l2"), F.col("r").alias("r2"),
+                  F.explode(F.sequence(F.lit(0).cast("bigint"),
+                                       F.col("b"))).alias("i2"),
+                  F.col("b").alias("j2"))
+    per_key = (a.join(b, (F.col("l") == F.col("l2"))
+                      & (F.col("i") == F.col("i2"))
+                      & (F.col("j") == F.col("j2"))
+                      & ((F.col("i") < F.col("j"))
+                         | (F.col("r") < F.col("r2"))))
+               .groupBy("l", "i", "j").agg(F.count(F.lit(1)).alias("n")))
+    rows = per_key.collect()
+    total = sum(r.n for r in rows)
+    assert total == d * (d - 1) // 2            # nothing lost, nothing dup
+    assert len(rows) >= 50                      # spread over many keys
+    # md5-uniform buckets: no key should exceed a small multiple of bs^2
+    assert max(r.n for r in rows) <= 4 * bs * bs
+
+
 def test_priority_sample_invariants(spark, sf_dir):
     """Fixed size k, every kept priority >= tau, w_hat = max(w, tau), and
     the tau estimator's total is within a generous envelope of the true
@@ -60,6 +110,23 @@ def test_priority_sample_invariants(spark, sf_dir):
     true_total = docs.agg(F.sum("n_chars")).head()[0]
     est = sum(r.w_hat for r in out)
     assert true_total / 3 <= est <= true_total * 3
+
+
+def test_priority_sample_small_frame_unbiased(spark):
+    """With <= k input rows there is no (k+1)-th priority: tau must be 0
+    and w_hat must degenerate to the exact weight w (the unbiased DLT
+    estimator for an exhaustive sample), not the smallest sampled
+    priority (which would bias every w_hat upward)."""
+    rows = [Row(id=i, w=10 * (i + 1)) for i in range(5)]
+    out = priority_sample(spark.createDataFrame(rows), "w", "id",
+                          k=10).collect()
+    assert len(out) == 5
+    assert all(r.tau == 0.0 for r in out)
+    assert all(r.w_hat == float(r.w) for r in out)
+    # exactly k rows present -> still no (k+1)-th priority
+    out_eq = priority_sample(spark.createDataFrame(
+        [Row(id=i, w=7) for i in range(10)]), "w", "id", k=10).collect()
+    assert len(out_eq) == 10 and all(r.tau == 0.0 for r in out_eq)
 
 
 def test_priority_sample_prefers_heavy_rows(spark):

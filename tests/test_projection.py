@@ -47,6 +47,29 @@ def test_cms_never_underestimates(spark, sf_dir):
     assert j.filter(F.col("cms_est") < F.col("ex")).count() == 0
 
 
+def test_cms_unseen_probes_survive_and_floor_at_zero(spark):
+    """The sketch table is sparse; probes for items the stream never saw
+    must still appear in the output (left join, missing cells = 0), with
+    the estimate floored at 0 — never NULL, never dropped, and (with a
+    near-empty sketch) exactly 0 for items whose cells are all empty."""
+    from pyspark.sql import Row
+
+    stream = spark.createDataFrame([Row(item=f"seen_{i % 3}")
+                                    for i in range(30)])
+    sketch = cms_build(stream, "item")
+    probes = spark.createDataFrame(
+        [Row(item=f"seen_{i}") for i in range(3)]
+        + [Row(item=f"unseen_{i}") for i in range(40)])
+    est = {r.item: r.cms_est for r in
+           cms_estimate(sketch, probes, "item").collect()}
+    assert len(est) == 43          # nothing vanishes
+    assert all(v is not None and v >= 0 for v in est.values())
+    assert all(est[f"seen_{i}"] == 10 for i in range(3))
+    # 3 distinct items fill <= 12 of 1024 cells: at least one unseen
+    # probe must miss every filled cell in some hash row -> estimate 0
+    assert any(est[f"unseen_{i}"] == 0 for i in range(40))
+
+
 def test_cms_merge_equals_sketch_of_concat(spark, sf_dir):
     ev = read_table(spark, sf_dir, "events")
     a = ev.filter(F.col("event_id") % 2 == 0)

@@ -142,3 +142,34 @@ def test_time_weighted_avg_single_point_sentinel(spark):
         "k", "i", F.col("ts").cast("timestamp").alias("ts"), "v")
     [r] = time_weighted_avg_by_id(df, "ts", "i", ["k"], "v").collect()
     assert r.twa == -1.0
+
+
+def test_gapfill_spine_guard_raises_on_pathological_key(spark):
+    """A key spanning ~4 months at 1-second width (10M buckets) must fail
+    LOUDLY with the max_spine message, not materialize the array."""
+    import pytest
+
+    from melt_spark.functions.timeseries import gapfill
+
+    rows = [Row(k="wide", ts="2024-01-01 00:00:00", v=1.0),
+            Row(k="wide", ts="2024-05-01 00:00:00", v=2.0)]
+    df = spark.createDataFrame(rows).select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v")
+    with pytest.raises(Exception, match="max_spine"):
+        gapfill(df, "ts", ["k"], "v", width=1).collect()
+    # same data at hourly width is fine (2905 buckets)
+    out = gapfill(df, "ts", ["k"], "v", width=3600).collect()
+    assert len(out) == 2905
+
+
+def test_gapfill_spine_guard_is_per_key(spark):
+    """Only the offending key trips the guard; a tight max_spine passes
+    when every key's span fits."""
+    from melt_spark.functions.timeseries import gapfill
+
+    rows = [Row(k="a", ts="2024-01-01 00:00:00", v=1.0),
+            Row(k="a", ts="2024-01-01 05:00:00", v=2.0)]
+    df = spark.createDataFrame(rows).select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v")
+    out = gapfill(df, "ts", ["k"], "v", width=3600, max_spine=6).collect()
+    assert len(out) == 6
