@@ -312,6 +312,38 @@ def main() -> None:
         "  independent of event multiplicity per bucket.",
         "",
     ]
+    ab_path = docs / "AB_CLEAN_CORPUS.json"
+    if ab_path.exists():
+        ab = json.loads(ab_path.read_text())
+        lines += [
+            "## clean_corpus r3-vs-r4 plan head-to-head "
+            "(tools/ab_clean_corpus.py)",
+            "",
+            "Same session, same constituents (pipeline_suite.q_clean_corpus",
+            "only — no mixture_weights on either side), runs alternating",
+            "B/A/B/A so box drift cancels. r3 = text-keyed shingle plan",
+            "(commit 013a223); r4 = digest-keyed cached-explode plan.",
+            "",
+            "| scale | plan | best s | all runs s | shuffle MB (per run) |",
+            "|---|---|---|---|---|",
+        ]
+        for scale, rec in sorted(ab.items()):
+            for tag, label in (("r3", "r3 text"), ("r4", "r4 digest")):
+                o = rec[tag]
+                lines.append(
+                    f"| {scale} | {label} | {o['best_sec']} "
+                    f"| {o['times_sec']} | {o['shuffle_mb']} |")
+        lines += [
+            "",
+            "Verdict: the digest plan's shuffle is SCALE-FLAT (17.3 MB at",
+            "sf0.1 → 15.8 MB at 16×) while the text plan's grows 18.5×",
+            "(4.9 → 90.9 MB); wall-clock crosses over between 1× and 16×",
+            "(digest 1.18× slower at sf0.1, 1.7× FASTER at 16×). The",
+            "digest plan is kept: its toy-scale cost is the fixed overhead",
+            "of per-shingle hashing, and the bytes/wall curves both bend",
+            "its way exactly where a 100 TB run lives.",
+            "",
+        ]
     (docs / "SCALING.md").write_text("\n".join(lines))
     print(json.dumps({"n": n, "base": base, "big": big, "ratios": ratios,
                       "shuffle_base": sh_base, "shuffle_big": sh_big}))
