@@ -84,6 +84,25 @@ BENCH_QUERIES_R4B = [
     ("butterflies", a.q_butterflies),              # bipartite wedge census
 ]
 
+# Per-constituent timing inside the heaviest merged entries (r4 verdict
+# item 8): when a merged entry's time shifts round-over-round, this block
+# shows WHICH branch moved — exactly the diagnosis the r4 clean_corpus
+# regression lacked. Names resolve through the shared registry
+# (plans/registry.py), so a renamed constituent fails loudly here too.
+CONSTITUENT_GROUPS: dict[str, list[str]] = {
+    "clean_corpus": ["clean_corpus", "mixture_weights"],
+    "text_quality": ["text_stats", "quality_scores", "repetition",
+                     "pii_scrub", "lm_perplexity"],
+    "ann_cosine_topk": ["ann_cosine_topk", "bm25_topk", "rrf_fusion",
+                        "rrf_recall", "phrase_match"],
+    "ivf_search": ["ivf_topk", "ivf_recall", "semantic_dedup",
+                   "semantic_summary", "pq_codes"],
+    "dedup_clusters": ["dedup_clusters", "pagerank", "butterflies"],
+    "rollup_grouping_sets": ["rollup_revenue", "cube_revenue",
+                             "grouping_sets", "time_bucket_rollup",
+                             "gapfill_hourly", "event_twa"],
+}
+
 
 def _force(df) -> int:
     """Execute the full plan without materializing on the driver."""
@@ -132,6 +151,25 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — isolate, record, keep going
             errors[name] = f"{type(exc).__name__}: {str(exc)[:500]}"
 
+    # one timed pass per constituent of the heavy merged entries (the
+    # branch-attribution block; single run — these are diagnostic, the
+    # regression gate stays the min-of-2 headliners above)
+    from melt_spark.plans.registry import constituents as _constituents
+    reg = _constituents()
+    constituent_times: dict[str, dict[str, float]] = {}
+    for entry, names in CONSTITUENT_GROUPS.items():
+        group: dict[str, float] = {}
+        for cname in names:
+            try:
+                fn = reg[cname][0]
+                t0 = time.perf_counter()
+                _force(fn(spark, sf_dir))
+                group[cname] = round(time.perf_counter() - t0, 3)
+            except Exception as exc:  # noqa: BLE001
+                errors[f"{entry}:{cname}"] = \
+                    f"{type(exc).__name__}: {str(exc)[:200]}"
+        constituent_times[entry] = group
+
     core = {k for k, _ in BENCH_QUERIES}
     total = round(sum(v for k, v in timings.items() if k in core), 3)
     out = {
@@ -143,6 +181,7 @@ def main() -> None:
         "queries": timings,
         "runs": runs,
         "total_with_new_ops": round(sum(timings.values()), 3),
+        "constituents": constituent_times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

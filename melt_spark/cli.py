@@ -205,17 +205,12 @@ def cmd_spec_check(args) -> int:
 
 
 def _query_registry():
-    """Every runnable query by name: the ~100 fine-grained constituents
-    (ANALYTICS_SUITE / PIPELINE_SUITE) plus the 50 merged driver entries
-    (which win name collisions — they are the checked surface)."""
-    from .plans.analytics_suite import ANALYTICS_SUITE
-    from .plans.pipeline_suite import PIPELINE_SUITE
-    from .plans.suite import spark_queries
+    """Every runnable query by name — from the shared registry module
+    (plans/registry.py), the same source of truth tools/check_one.py and
+    the SUITE_MAP audit test use."""
+    from .plans.registry import all_named
 
-    qs = {name: fn for name, (fn, _sql)
-          in {**ANALYTICS_SUITE, **PIPELINE_SUITE}.items()}
-    qs.update(dict(spark_queries()))
-    return qs
+    return all_named()
 
 
 def cmd_query(args) -> int:

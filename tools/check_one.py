@@ -24,11 +24,10 @@ def main():
         sf_dir = args[i + 1]
         args = args[:i] + args[i + 2:]
 
-    from melt_spark.plans.analytics_suite import ANALYTICS_SUITE
-    from melt_spark.plans.pipeline_suite import PIPELINE_SUITE
+    from melt_spark.plans.registry import constituents
     from melt_spark.session import get_spark
 
-    registry = {**ANALYTICS_SUITE, **PIPELINE_SUITE}
+    registry = constituents()
     spark = get_spark("oracle-check-one")
     con = duckdb.connect()
     for t in TABLES:
