@@ -312,6 +312,38 @@ def main() -> None:
         "  independent of event multiplicity per bucket.",
         "",
     ]
+    bpe_path = docs / "BPE_ROUNDS.json"
+    if bpe_path.exists():
+        bp = json.loads(bpe_path.read_text())
+        lines += [
+            f"## BPE merge-round cost at {bp['rounds']} rounds "
+            "(tools/bpe_probe.py)",
+            "",
+            "Per-round wall time with eager per-round checkpointing (the",
+            "production pattern at thousand-round vocabularies). Claim:",
+            "after the first shuffle builds the word-frequency table,",
+            "round cost is bound by the VOCABULARY, not the corpus.",
+            "",
+            "| corpus | vocab words | setup s | mean s/round "
+            "| rounds 1-4 mean | rounds 29-32 mean |",
+            "|---|---|---|---|---|---|",
+        ]
+        for key, label in (("base", "sf0.1 (1×)"), ("big16x", "16×")):
+            if key in bp:
+                o = bp[key]
+                lines.append(
+                    f"| {label} | {o['vocab_words']} | {o['setup_sec']} "
+                    f"| {o['round_mean_sec']} | {o['rounds_1_4_mean']} "
+                    f"| {o['rounds_29_32_mean']} |")
+        lines += [
+            "",
+            "Reading: per-round cost at 16× corpus ≈ per-round cost at",
+            "1× (the word table grows only with vocabulary), and the",
+            "29-32 vs 1-4 means show no lineage growth across rounds —",
+            "checkpointing keeps round cost CONSTANT, so production",
+            "round counts scale linearly in rounds, not corpus.",
+            "",
+        ]
     ab_path = docs / "AB_CLEAN_CORPUS.json"
     if ab_path.exists():
         ab = json.loads(ab_path.read_text())
