@@ -312,6 +312,43 @@ def main() -> None:
         "  independent of event multiplicity per bucket.",
         "",
     ]
+    hub_path = docs / "BUTTERFLY_HUB.json"
+    if hub_path.exists():
+        hb = json.loads(hub_path.read_text())
+        lines += [
+            "## Butterfly planted-hub skew probe "
+            "(tools/butterfly_hub_probe.py)",
+            "",
+            f"One hub left-vertex of degree {hb['hub_degree']} planted in",
+            f"{hb['n_background']} background vertices "
+            f"({hb['n_edges']} edges). 'Unsalted' = bucket_size > hub",
+            "degree (the r4 single-bucket plan).",
+            "",
+            "| variant | best s | butterflies | max pairs/join key "
+            "| mean pairs/key | keys |",
+            "|---|---|---|---|---|---|",
+        ]
+        for tag in ("unsalted", "salted_1024"):
+            o = hb["results"][tag]
+            lines.append(
+                f"| {tag} | {o['sec']} | {o['butterflies']} "
+                f"| {o['max_pairs_per_key']:,} "
+                f"| {o['mean_pairs_per_key']:,} | {o['join_keys']} |")
+        un = hb["results"]["unsalted"]
+        sa = hb["results"]["salted_1024"]
+        ratio = round(un["max_pairs_per_key"] / sa["max_pairs_per_key"], 1)
+        lines += [
+            "",
+            f"Reading: identical counts; the hub's C(d,2) wedges drop from",
+            f"ONE join key to ~{ratio}× smaller per-key maxima (bounded by",
+            "~bucket_size² as buckets fill). The salted variant pays a",
+            "~1.4× wall tax on local[32] (replication + wider keys) — the",
+            "balance column is the 100 TB-relevant one: a 10^5-degree hub",
+            "unsalted is 5×10^9 pairs materializing through a single",
+            "task's aggregation state, which no executor survives, while",
+            "salted caps every task at ~bucket_size² pairs.",
+            "",
+        ]
     bpe_path = docs / "BPE_ROUNDS.json"
     if bpe_path.exists():
         bp = json.loads(bpe_path.read_text())
