@@ -130,6 +130,79 @@ def repetition_features(df: DataFrame, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# longest-repeated-n-gram ladder + token entropy (round-5 additions to the
+# repetition family)
+
+# doubling-style ladder: repeats are MONOTONE (a repeated 8-gram implies
+# repeated 6/4/3/2-grams), so the max ladder rung with a repeat is a sound
+# floor of the true longest repeated n-gram — the practical, bounded-cost
+# stand-in for a per-document suffix automaton (the roadmap's
+# longest-repeated-substring item), at O(|ladder| · doc length) per row
+NGRAM_REPEAT_LADDER = (1, 2, 3, 4, 6, 8)
+
+
+def _ngrams_n(toks: Column, n: int) -> Column:
+    """Space-joined n-grams of a token array; the sequence(1, 0)-descends
+    guard from _bigrams applies to every rung."""
+    if n == 1:
+        return toks
+    idx = F.when(F.size(toks) >= n,
+                 F.sequence(F.lit(1), F.size(toks) - (n - 1))) \
+           .otherwise(F.array().cast("array<int>"))
+    return F.transform(idx,
+                       lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+
+def repeat_entropy_cols(text_col: str = "text") -> dict[str, Column]:
+    """max_rep_ngram: largest NGRAM_REPEAT_LADDER rung at which some
+    n-gram occurs twice in the document (0 = all tokens distinct) — the
+    boilerplate/templating signal the plain dup fractions blur out.
+
+    token_entropy: unigram Shannon entropy of the token distribution in
+    nats, H = ln N − (Σ_c c·ln c)/N — low entropy flags keyword-stuffed
+    or repetitive spam (CCNet/Gopher-adjacent quality signal).
+
+    Scale shape: pure per-row array expressions — no explode, no shuffle;
+    entropy uses the same sorted run-length fold as top_bigram_frac
+    (O(L log L) per doc). ln discipline: each run's c·ln c contribution
+    is rounded to 9 decimals and folded in sorted-token order (the BM25
+    pattern), so both engines sum identical terms in identical order."""
+    toks = F.split(F.col(text_col), " ")
+    n_tok = F.size(toks)
+
+    def has_repeat(n: int) -> Column:
+        ng = _ngrams_n(toks, n)
+        return F.size(ng) > F.size(F.array_distinct(ng))
+
+    max_rep = F.greatest(*[
+        F.when(has_repeat(n), F.lit(n)).otherwise(F.lit(0))
+        for n in NGRAM_REPEAT_LADDER])
+
+    def c_ln_c(run: Column) -> Column:
+        return F.when(run > 1,
+                      F.round(run.cast("double")
+                              * F.log(run.cast("double")), 9)) \
+                .otherwise(F.lit(0.0))
+
+    ent_sum = F.aggregate(
+        F.array_sort(toks),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0.0).alias("s")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+             .alias("run"),
+            (acc["s"] + F.when(x == acc["prev"], F.lit(0.0))
+             .otherwise(c_ln_c(acc["run"]))).alias("s")),
+        lambda acc: acc["s"] + c_ln_c(acc["run"]))
+    entropy = F.when(n_tok <= 1, F.lit(0.0)).otherwise(
+        F.round(F.log(n_tok.cast("double"))
+                - ent_sum / n_tok.cast("double"), 9))
+    return {"max_rep_ngram": max_rep.cast("int"),
+            "token_entropy": entropy}
+
+
+# ---------------------------------------------------------------------------
 # benchmark decontamination
 
 

@@ -171,3 +171,72 @@ def butterfly_count(edges: DataFrame, left: str, right: str,
                    / F.col("wedges").cast("double")).otherwise(F.lit(-1.0))
     return out.select("n_edges", "n_left", "wedges", "right_pairs",
                       "butterflies", coeff.alias("clustering_coeff"))
+
+
+def triangle_count(pairs: DataFrame, a: str, b: str) -> DataFrame:
+    """Exact triangle census of an undirected graph — ONE summary row
+    with node/edge/wedge/triangle counts plus global transitivity.
+
+    Background (public): degree-ordered node-iterator counting — Schank &
+    Wagner, "Finding, counting and listing all triangles in large graphs"
+    (WEA 2005); the MapReduce formulation and the skew analysis are Suri
+    & Vassilvitskii, "Counting triangles and the curse of the last
+    reducer" (WWW 2011). Orient every edge from the endpoint of lower
+    (degree, id) rank to the higher; each triangle then has EXACTLY ONE
+    source node with two outgoing oriented edges, so triangles = oriented
+    wedges whose far pair is itself an oriented edge.
+
+    Why this is the 100 TB shape: under degree ordering a node's
+    out-degree is O(sqrt(m)) regardless of its raw degree (a hub's edges
+    orient INTO it once neighbors outrank it) — the same hub that needs
+    explicit salting in the bipartite butterfly census is defused here by
+    the orientation itself, which is the published point of the
+    vertex-ordering family. Wedge volume is sum(outdeg^2) <= m^1.5, and
+    the closing step is an equi-join of compact (v, w) pairs.
+
+    Determinism: pure integer arithmetic; transitivity = one IEEE divide
+    of exact integers (3T / #wedges), sentinel -1.0 on wedge-free graphs.
+    """
+    und = (pairs.select(F.least(F.col(a), F.col(b)).alias("u"),
+                        F.greatest(F.col(a), F.col(b)).alias("v"))
+           .filter(F.col("u") != F.col("v")).distinct())
+    both = und.unionByName(und.select(F.col("v").alias("u"),
+                                      F.col("u").alias("v")))
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    # oriented: src = lower (deg, id) endpoint
+    du = deg.select(F.col("u").alias("_u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("u").alias("_v"), F.col("d").alias("dv"))
+    ranked = (und.join(du, und["u"] == du["_u"])
+              .join(dv, und["v"] == dv["_v"]))
+    fwd = (F.col("du") < F.col("dv")) | \
+          ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    oriented = ranked.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"))
+    o2 = oriented.select(F.col("src").alias("src2"),
+                         F.col("dst").alias("dst2"))
+    owedges = (oriented.join(o2, (F.col("src") == F.col("src2"))
+                             & (F.col("dst") < F.col("dst2")))
+               .select(F.col("dst").alias("x"), F.col("dst2").alias("y")))
+    # close the wedge: (x, y) must be an oriented edge IN EITHER DIRECTION
+    # (x and y's relative rank is unrelated to their shared source's)
+    closing = oriented.select(
+        F.least("src", "dst").alias("cx"), F.greatest("src", "dst")
+        .alias("cy"))
+    tri = (owedges.select(F.least("x", "y").alias("cx"),
+                          F.greatest("x", "y").alias("cy"))
+           .join(closing, ["cx", "cy"])
+           .agg(F.count(F.lit(1)).alias("triangles")))
+    wed = deg.agg(
+        F.sum(F.expr("d * (d - 1)")).alias("w2"),
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("d").alias("deg_sum"))
+    out = tri.crossJoin(F.broadcast(wed)).select(
+        "n_nodes", F.expr("deg_sum div 2").alias("n_edges"),
+        F.expr("w2 div 2").alias("wedges"), "triangles")
+    transitivity = F.when(
+        F.col("wedges") > 0,
+        (F.lit(3) * F.col("triangles")).cast("double")
+        / F.col("wedges").cast("double")).otherwise(F.lit(-1.0))
+    return out.select("n_nodes", "n_edges", "wedges", "triangles",
+                      transitivity.alias("transitivity"))

@@ -88,3 +88,59 @@ def pq_encode(corpus: DataFrame, codebooks: DataFrame, ks: int = 16,
         F.lit(0.0), lambda acc, x: acc + x)
     return (best.groupBy(id_col)
             .agg(packed.alias("packed_code"), err.alias("recon_err")))
+
+
+def pq_adc_topk(codes: DataFrame, queries: DataFrame,
+                codebooks: DataFrame, k: int = 10, m_sub: int = 8,
+                ks: int = 16, sub_dim: int = 8, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Asymmetric distance computation (ADC) top-k — the SEARCH half of
+    IVF-PQ (Jégou et al. TPAMI 2011, §IV): each query builds a lookup
+    table of L2 distances from its M subvectors to every codebook entry
+    (M*ks doubles per query — broadcast-sized), and every candidate is
+    scored by summing M table lookups of its packed codes. The corpus
+    side touches ONLY integer codes — the float vectors never load,
+    which is the entire point of PQ at 100 TB: the exchange carries
+    (id, m:int, code:int) triples and the broadcast LUT.
+
+    Determinism: the LUT distances are the module's left-to-right L2
+    folds; each candidate's ADC distance folds its M lookups in subspace
+    order; ranking ties break on candidate id. Exact arithmetic
+    end-to-end (no sqrt, no ln) — hash-comparable unrounded.
+
+    Output: (query_id, cand_id, rank, adc_dist).
+    """
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _dvec(vec_col).alias("qv"))
+    sub_of_q = F.slice(F.col("qv"), F.col("m") * sub_dim + 1, sub_dim)
+    lut = (q.crossJoin(F.broadcast(codebooks))
+           .select("query_id", "m", "code",
+                   _l2(sub_of_q, F.col("subvec")).alias("d")))
+    # ONE explode over the code table, codes unpacked with shift/mask
+    # arithmetic on the m column — a per-subspace union would make
+    # Catalyst re-derive the (crossJoin + groupBy) `codes` subplan once
+    # per subspace (Catalyst reuses exchanges, not arbitrary subplans;
+    # the pagerank checkpoint lesson). Requires ks to be a power of two,
+    # which the packed-BIGINT layout wants anyway.
+    bits = ks.bit_length() - 1
+    if (1 << bits) != ks:
+        raise ValueError(f"ks={ks} must be a power of two for packed "
+                         "shift/mask decoding")
+    dec = (codes.select(
+        F.col(id_col).alias("cand_id"), "packed_code",
+        F.explode(F.sequence(F.lit(0), F.lit(m_sub - 1))).alias("m"))
+        .select("cand_id", "m",
+                F.expr(f"shiftright(packed_code, {bits} * "
+                       f"({m_sub - 1} - m)) & {ks - 1}").cast("long")
+                .alias("code")))
+    scored = (dec.join(F.broadcast(lut), ["m", "code"])
+              .groupBy("query_id", "cand_id")
+              .agg(F.aggregate(
+                  F.array_sort(F.collect_list(F.struct("m", "d"))),
+                  F.lit(0.0), lambda acc, s: acc + s["d"])
+                  .alias("adc_dist")))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "cand_id", "rank", "adc_dist"))

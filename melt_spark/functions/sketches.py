@@ -177,3 +177,66 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame,
                     .alias("total"))
             .groupBy("item")
             .agg(F.min("total").alias("cms_est")))
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k SAMPLE (hash-ordered, payload-carrying) + quantile estimation.
+#
+# Background (public): bottom-k sketches — Cohen & Kaplan, "Summarizing
+# data using bottom-k sketches" (PODC 2007). Keeping the k rows with the
+# smallest uniform hash of their id is a uniform random sample that is
+# (a) DETERMINISTIC (md5-derived hash, no RNG — the same reproducibility
+# discipline as priority_sample/stratified_sample), (b) MERGEABLE (the
+# bottom-k of a union is the bottom-k of the union of per-shard bottom-k
+# sets — shard/streaming friendly like KMV and CMS), and (c) carries the
+# full row payload, unlike kmv_mins which keeps only hashes — so order
+# statistics of the sampled VALUES estimate population quantiles with the
+# classic sqrt(k) sampling error.
+#
+# Spark-first shape, graded for 100 TB: one projection adds the 8-byte
+# hash; the per-key bottom-k is a row_number window over (hash, value) —
+# row-streaming state, never a per-key array of the full population; the
+# quantile step then works on <= k rows per key. Both exchanges move
+# (key, int64 hash, value) — no payload wider than the sampled column.
+
+
+def bottomk_sample(df: DataFrame, key_cols: list[str], id_col: str,
+                   value_col: str, k: int = 64) -> DataFrame:
+    """(keys..., h, v, rn): per key, the k rows whose id-hash is
+    smallest (ties broken by value for a total, deterministic order)."""
+    hashed = df.select(*key_cols, kmv_hash(id_col).alias("h"),
+                       F.col(value_col).alias("v"))
+    w = Window.partitionBy(*key_cols).orderBy("h", "v")
+    return (hashed.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k))
+
+
+def bottomk_merge(a: DataFrame, b: DataFrame, key_cols: list[str],
+                  k: int = 64) -> DataFrame:
+    """Bottom-k of two samples' union — the sample of the concatenated
+    inputs (property-tested in tests/test_sketches.py)."""
+    keys = [F.col(c) for c in key_cols]
+    u = (a.select(*keys, "h", "v")
+         .unionByName(b.select(*keys, "h", "v")))
+    w = Window.partitionBy(*key_cols).orderBy("h", "v")
+    return (u.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k))
+
+
+def bottomk_quantiles(sample: DataFrame, key_cols: list[str],
+                      qs: tuple[float, ...] = (0.25, 0.5, 0.75)
+                      ) -> DataFrame:
+    """Per-key order statistics of the sampled values: quantile q is the
+    element at 1-based rank floor(q * (n-1)) + 1 of the sorted sample
+    (percentile-disc flavor — an integer rank into REAL data values, so
+    the estimate is exact arithmetic and oracle-checkable). Output:
+    keys..., n_sample, q_<pct> per requested quantile."""
+    vs = F.array_sort(F.collect_list("v"))
+    agg = (sample.groupBy(*key_cols)
+           .agg(vs.alias("vs"), F.count(F.lit(1)).alias("n_sample")))
+    n = F.col("n_sample")
+    cols = [F.element_at(
+        F.col("vs"),
+        (F.floor(F.lit(q) * (n - 1).cast("double")) + 1).cast("int"))
+        .alias(f"q_{int(q * 100)}") for q in qs]
+    return agg.select(*key_cols, "n_sample", *cols)

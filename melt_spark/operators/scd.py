@@ -43,3 +43,35 @@ def scd2_intervals(changes: DataFrame, key_col: str,
            .filter(F.col(op_col) != F.lit("D")))
     return out.select(key_col, op_col, "valid_from", "valid_to",
                       "is_current")
+
+
+def pit_join(facts: DataFrame, dim: DataFrame, key_col: str,
+             at_col: str, valid_from: str = "valid_from",
+             valid_to: str = "valid_to") -> DataFrame:
+    """Point-in-time join — the feature-store correctness join (public
+    lineage: Kimball SCD2 lookup; 'point-in-time correct join' in the
+    Feast/Hopsworks feature-store literature): each fact row is joined to
+    the dimension version whose [valid_from, valid_to) interval contains
+    the fact's version/timestamp, and NEVER to a later version — the
+    label-leakage guard a training-set builder needs.
+
+    Spark-first shape, graded for 100 TB: an equi-join on the key carries
+    the interval predicate as a join residual, so the join shuffles on
+    the KEY hash exactly like any other keyed join (both sides compact).
+    Per-key cost is |facts_k| x |versions_k|; SCD dimension version
+    counts are small and bounded by churn, which is what makes this the
+    right plan versus a global as-of sort-merge. An open interval
+    (valid_to NULL) matches everything from valid_from on.
+
+    Output: fact columns + (valid_from, valid_to, is_current) of the
+    matched version; facts before the first version drop out (inner) —
+    the standard PIT contract.
+    """
+    d = dim.select(F.col(key_col).alias("_k"),
+                   F.col(valid_from).alias("valid_from"),
+                   F.col(valid_to).alias("valid_to"),
+                   F.col("is_current"))
+    cond = ((facts[at_col] >= d["valid_from"])
+            & (d["valid_to"].isNull() | (facts[at_col] < d["valid_to"])))
+    return (facts.join(d, (facts[key_col] == d["_k"]) & cond)
+            .drop("_k"))

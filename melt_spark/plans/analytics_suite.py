@@ -726,6 +726,108 @@ FROM exact e JOIN sk USING (event_type)
 """
 
 
+def q_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k sample quantiles (functions/sketches.py bottomk_*):
+    per order status, quartiles of o_totalprice estimated from the
+    deterministic 64-row hash-bottom sample, beside the sample size.
+    The estimate is an integer rank into real data values — exact
+    arithmetic, so even the APPROXIMATION oracle-checks (the KMV
+    argument applied to quantiles)."""
+    from ..functions.sketches import bottomk_quantiles, bottomk_sample
+
+    orders = read_table(spark, sf_dir, "orders")
+    sample = bottomk_sample(orders, ["o_orderstatus"], "o_orderkey",
+                            "o_totalprice", k=64)
+    return (bottomk_quantiles(sample, ["o_orderstatus"])
+            .select("o_orderstatus", "n_sample", "q_25", "q_50", "q_75"))
+
+
+SQL_BOTTOMK_QUANTILES = f"""
+WITH h AS (
+  SELECT o_orderstatus, {_hex12_sql("CAST(o_orderkey AS VARCHAR)")} AS h,
+         o_totalprice AS v
+  FROM orders
+),
+r AS (
+  SELECT o_orderstatus, v,
+         row_number() OVER (PARTITION BY o_orderstatus ORDER BY h, v)
+           AS rn
+  FROM h
+),
+s AS (
+  SELECT o_orderstatus, list_sort(list(v)) AS vs,
+         CAST(COUNT(*) AS BIGINT) AS n_sample
+  FROM r WHERE rn <= 64 GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, n_sample,
+  vs[CAST(floor(0.25 * (n_sample - 1)) AS INT) + 1] AS q_25,
+  vs[CAST(floor(0.5 * (n_sample - 1)) AS INT) + 1] AS q_50,
+  vs[CAST(floor(0.75 * (n_sample - 1)) AS INT) + 1] AS q_75
+FROM s
+"""
+
+
+def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (operators/scd.py pit_join): every event-fact
+    looks up the SCD2 dimension version valid AT ITS OWN change version —
+    the feature-store label-leakage guard. Dimension and facts derive
+    from the same events-as-changes convention as the scd2 branch of
+    cdc_replay; output aggregates fact counts per matched dimension
+    version, so every interval assignment participates in the hash."""
+    from ..operators.scd import pit_join, scd2_intervals
+
+    events = read_table(spark, sf_dir, "events")
+    changes = events.select(
+        (F.col("user_id") + 1).alias("c_custkey"),
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U").alias("sys_change_operation"),
+        (F.col("event_id") + 1).alias("sys_change_version"))
+    dim = scd2_intervals(changes, "c_custkey")
+    facts = events.select((F.col("user_id") + 1).alias("c_custkey"),
+                          (F.col("event_id") + 1).alias("at_v"))
+    j = pit_join(facts, dim, "c_custkey", "at_v")
+    return (j.groupBy("c_custkey", "valid_from", "is_current")
+            .agg(F.count(F.lit(1)).alias("n_facts"),
+                 F.max("at_v").alias("last_at")))
+
+
+SQL_PIT_JOIN = """
+WITH changes AS (
+  SELECT user_id + 1 AS c_custkey,
+         CASE WHEN event_type = 'signup' THEN 'I'
+              WHEN event_type = 'error' THEN 'D'
+              ELSE 'U' END AS sys_change_operation,
+         event_id + 1 AS sys_change_version
+  FROM events
+),
+dim AS (
+  SELECT c_custkey,
+         sys_change_version AS valid_from,
+         lead(sys_change_version) OVER (PARTITION BY c_custkey
+                                        ORDER BY sys_change_version)
+           AS valid_to,
+         CAST(CASE WHEN lead(sys_change_version)
+                          OVER (PARTITION BY c_custkey
+                                ORDER BY sys_change_version) IS NULL
+                    AND sys_change_operation <> 'D'
+                   THEN 1 ELSE 0 END AS INTEGER) AS is_current
+  FROM changes
+  QUALIFY sys_change_operation <> 'D'
+),
+facts AS (
+  SELECT user_id + 1 AS c_custkey, event_id + 1 AS at_v FROM events
+)
+SELECT f.c_custkey, d.valid_from, d.is_current,
+       COUNT(*) AS n_facts, MAX(f.at_v) AS last_at
+FROM facts f
+JOIN dim d ON f.c_custkey = d.c_custkey
+          AND f.at_v >= d.valid_from
+          AND (d.valid_to IS NULL OR f.at_v < d.valid_to)
+GROUP BY 1, 2, 3
+"""
+
+
 def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton z-values for orders over (customer, order-day) — the
     clustering key a layout-rewrite job (Delta OPTIMIZE ZORDER-style,
@@ -1170,6 +1272,72 @@ def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ps_availqty"),
         (((F.col("p_partkey") * 13 + F.col("i") * 17) % 99900 + 100)
          .cast("double") / 100.0).alias("ps_supplycost")))
+
+
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-ordered exact triangle census (functions/graph.py
+    triangle_count) over the supplier co-supply graph: suppliers adjacent
+    when they stock a common part (partsupp self-join). The unipartite
+    complement of the butterfly census — and the published case where
+    vertex ordering defuses hub skew without explicit salting."""
+    from ..functions.graph import triangle_count
+
+    ps = _partsupp(spark, sf_dir).select("ps_partkey", "ps_suppkey")
+    ps2 = ps.select(F.col("ps_partkey").alias("pk2"),
+                    F.col("ps_suppkey").alias("sk2"))
+    pairs = (ps.join(ps2, (F.col("ps_partkey") == F.col("pk2"))
+                     & (F.col("ps_suppkey") < F.col("sk2")))
+             .select(F.col("ps_suppkey").alias("sa"),
+                     F.col("sk2").alias("sb")).distinct())
+    return triangle_count(pairs, "sa", "sb")
+
+
+SQL_TRIANGLES = f"""
+WITH {_PARTSUPP_SQL.strip().rstrip()},
+und AS (
+  SELECT DISTINCT least(a.ps_suppkey, b.ps_suppkey) AS u,
+         greatest(a.ps_suppkey, b.ps_suppkey) AS v
+  FROM partsupp a JOIN partsupp b
+    ON a.ps_partkey = b.ps_partkey AND a.ps_suppkey < b.ps_suppkey
+),
+deg AS (
+  SELECT u, COUNT(*) AS d FROM (
+    SELECT u FROM und UNION ALL SELECT v FROM und
+  ) t GROUP BY u
+),
+oriented AS (
+  SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND und.u < und.v)
+              THEN und.u ELSE und.v END AS src,
+         CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND und.u < und.v)
+              THEN und.v ELSE und.u END AS dst
+  FROM und
+  JOIN deg du ON du.u = und.u
+  JOIN deg dv ON dv.u = und.v
+),
+owedges AS (
+  SELECT least(o1.dst, o2.dst) AS cx, greatest(o1.dst, o2.dst) AS cy
+  FROM oriented o1 JOIN oriented o2
+    ON o1.src = o2.src AND o1.dst < o2.dst
+),
+closing AS (
+  SELECT least(src, dst) AS cx, greatest(src, dst) AS cy FROM oriented
+),
+tri AS (
+  SELECT COUNT(*) AS triangles FROM owedges JOIN closing USING (cx, cy)
+),
+wed AS (
+  SELECT SUM(d * (d - 1)) AS w2, COUNT(*) AS n_nodes, SUM(d) AS deg_sum
+  FROM deg
+)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(deg_sum // 2 AS BIGINT) AS n_edges,
+       CAST(w2 // 2 AS BIGINT) AS wedges,
+       CAST(triangles AS BIGINT) AS triangles,
+       CASE WHEN w2 > 0 THEN CAST(3 * triangles AS DOUBLE)
+                             / CAST(w2 // 2 AS DOUBLE)
+            ELSE -1.0 END AS transitivity
+FROM tri, wed
+"""
 
 
 def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2461,6 +2629,9 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "distinct_counts": (q_distinct_counts, SQL_DISTINCT_COUNTS),
     "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
+    "bottomk_quantiles": (q_bottomk_quantiles, SQL_BOTTOMK_QUANTILES),
+    "pit_join": (q_pit_join, SQL_PIT_JOIN),
+    "triangles": (q_triangles, SQL_TRIANGLES),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "gapfill_hourly": (q_gapfill_hourly, SQL_GAPFILL_HOURLY),
     "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),

@@ -164,6 +164,58 @@ FROM b
 """
 
 
+def q_rep_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 repetition-family additions (functions/cleaning.py
+    repeat_entropy_cols): ladder-resolved longest repeated n-gram and
+    unigram token entropy per document — pure per-row array expressions,
+    zero shuffle."""
+    from ..functions.cleaning import repeat_entropy_cols
+
+    docs = read_table(spark, sf_dir, "documents")
+    cols = repeat_entropy_cols("text")
+    return docs.select("doc_id",
+                       *[c.alias(n) for n, c in cols.items()])
+
+
+def _rep_ngrams_sql() -> str:
+    from ..functions.cleaning import NGRAM_REPEAT_LADDER
+
+    def ng(n: int) -> str:
+        if n == 1:
+            return "toks"
+        return (f"list_transform(range(1, len(toks) - {n - 2}), "
+                f"i -> array_to_string(list_slice(toks, i, i + {n - 1}),"
+                f" ' '))")
+
+    rungs = ", ".join(
+        f"CASE WHEN len({ng(n)}) > len(list_distinct({ng(n)}))"
+        f" THEN {n} ELSE 0 END" for n in NGRAM_REPEAT_LADDER)
+    # entropy: per-distinct-token c·ln c terms rounded(9), folded in
+    # sorted-token order — the identical term sequence to Spark's sorted
+    # run-length fold
+    term = ("round(len(list_filter(toks, y -> y = x)) * "
+            "CASE WHEN len(list_filter(toks, y -> y = x)) > 1 "
+            "THEN ln(len(list_filter(toks, y -> y = x))) ELSE 0.0 END, 9)")
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+e AS (
+  SELECT doc_id, toks, len(toks) AS n,
+    list_reduce(list_prepend(0.0,
+      list_transform(list_sort(list_distinct(toks)), x -> {term})),
+      (a, b) -> a + b) AS s
+  FROM t
+)
+SELECT doc_id,
+  CAST(greatest({rungs}) AS INT) AS max_rep_ngram,
+  CASE WHEN n <= 1 THEN 0.0
+       ELSE round(ln(n) - s / n, 9) END AS token_entropy
+FROM e
+"""
+
+
+SQL_REP_NGRAMS = _rep_ngrams_sql()
+
+
 def _planted_pii() -> "F.Column":
     """text + deterministic planted PII (email iff doc_id%3=0, IP iff %4=0,
     phone iff %5=0) — the fixture corpus is PII-free, so the suite plants
@@ -240,19 +292,22 @@ def q_text_profile_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(distinct²) per row), so when the fixture is a single parquet file —
     one task — we buy parallelism with one repartition; a 100 TB corpus
     has thousands of files and skips this."""
-    from ..functions.cleaning import (pii_count, repetition_cols, scrub_pii)
+    from ..functions.cleaning import (pii_count, repeat_entropy_cols,
+                                      repetition_cols, scrub_pii)
 
     docs = read_table(spark, sf_dir, "documents")
     cores = spark.sparkContext.defaultParallelism
     if len(docs.inputFiles()) < cores:
         docs = docs.repartition(cores, F.col("doc_id"))
     rep = repetition_cols("text")
+    rep5 = repeat_entropy_cols("text")
     planted = _planted_pii()
     return quality_score(with_text_stats(docs)).select(
         "doc_id", "n_tokens_ws", "n_tokens_bpe", "lang_pred", "fingerprint",
         "q_chars", "q_tokens", "q_mean_tok_len", "q_punct_ratio",
         "q_stopword_ratio", "quality",
         *[c.alias(name) for name, c in rep.items()],
+        *[c.alias(name) for name, c in rep5.items()],
         pii_count(planted, "email").alias("n_email"),
         pii_count(planted, "ipv4").alias("n_ipv4"),
         pii_count(planted, "phone").alias("n_phone"),
@@ -953,6 +1008,89 @@ FROM best GROUP BY vec_id
 SQL_PQ_CODES = _sql_pq()
 
 
+def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ's SEARCH half (functions/pq.py pq_adc_topk): asymmetric
+    distance computation — query-side L2 lookup tables against the
+    codebooks, candidates scored by M integer-code table lookups. The
+    corpus side never touches a float vector."""
+    from ..functions.pq import pq_adc_topk, pq_codebooks, pq_encode
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(emb)
+    codes = pq_encode(emb, cb)
+    return pq_adc_topk(codes, emb.filter(F.col("vec_id") < 5), cb, k=10)
+
+
+def _sql_pq_adc() -> str:
+    sq = ("(c.v[cb.m*8+i] - cb.subvec[i])"
+          " * (c.v[cb.m*8+i] - cb.subvec[i])")
+    sq_q = ("(q.qv[cb.m*8+i] - cb.subvec[i])"
+            " * (q.qv[cb.m*8+i] - cb.subvec[i])")
+    return f"""
+WITH seeds AS (
+  SELECT CAST(vec_id / 31 AS BIGINT) AS code, {_DVEC} AS v
+  FROM embeddings WHERE vec_id % 31 = 0 AND vec_id < 496
+),
+ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+cb AS (
+  SELECT ms.m, seeds.code,
+         list_transform(generate_series(1, 8),
+                        i -> seeds.v[ms.m * 8 + i]) AS subvec
+  FROM seeds, ms
+),
+corpus AS (SELECT vec_id, {_DVEC} AS v FROM embeddings),
+scored0 AS (
+  SELECT c.vec_id, cb.m, cb.code,
+         list_reduce(list_prepend(0.0,
+           list_transform(generate_series(1, 8), i -> {sq})),
+           (a, b) -> a + b) AS dist
+  FROM corpus c, cb
+),
+r0 AS (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                    ORDER BY dist, code) AS rn
+       FROM scored0),
+codes AS (
+  SELECT vec_id,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+                             list(CAST(code AS BIGINT) ORDER BY m)),
+                (a, b) -> a * 16 + b) AS packed_code
+  FROM r0 WHERE rn = 1 GROUP BY vec_id
+),
+q AS (SELECT vec_id AS query_id, {_DVEC} AS qv FROM embeddings
+      WHERE vec_id < 5),
+lut AS (
+  SELECT q.query_id, cb.m, cb.code,
+         list_reduce(list_prepend(0.0,
+           list_transform(generate_series(1, 8), i -> {sq_q})),
+           (a, b) -> a + b) AS d
+  FROM q, cb
+),
+dec AS (
+  SELECT c.vec_id AS cand_id, ms.m,
+         (c.packed_code >> ((7 - ms.m) * 4)) & 15 AS code
+  FROM codes c, ms
+),
+adc AS (
+  SELECT l.query_id, d.cand_id,
+         list_reduce(list_prepend(0.0, list(l.d ORDER BY l.m)),
+                     (a, b) -> a + b) AS adc_dist
+  FROM dec d JOIN lut l ON l.m = d.m AND l.code = d.code
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT query_id, cand_id, adc_dist,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_dist, cand_id) AS INT)
+           AS rank
+  FROM adc
+)
+SELECT query_id, cand_id, rank, adc_dist FROM rk WHERE rank <= 10
+"""
+
+
+SQL_PQ_ADC = _sql_pq_adc()
+
+
 def q_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters over the exploded token stream (functions/
     heavy.py): per-partition Misra-Gries candidates (mapInPandas, zero
@@ -1288,6 +1426,81 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = stratified_sample(kept, SAMPLE_RATES)
     return (assign_shards(sampled, N_SHARDS)
             .select("doc_id", "shard", "shard_pos"))
+
+
+def q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance selection (functions/importance.py,
+    arXiv:2302.03169): hashed-bigram bag log-likelihood ratio of each
+    raw document under the target (doc_id % 10 == 0 slice) vs raw
+    models, top-100 by summed log-importance. The B=256-bucket model
+    broadcasts; bigram text never shuffles."""
+    from ..functions.importance import (bucket_log_ratios,
+                                       hashed_bigram_counts,
+                                       importance_topk)
+
+    docs = read_table(spark, sf_dir, "documents")
+    counts = hashed_bigram_counts(docs)
+    is_target = F.col("id") % 10 == 0
+    ratios = bucket_log_ratios(counts.filter(is_target),
+                               counts.filter(~is_target))
+    return (importance_topk(counts.filter(~is_target), ratios, k=100)
+            .select(F.col("id").alias("doc_id"), "n_grams", "logw",
+                    "rank"))
+
+
+def _dsir_sql() -> str:
+    from ..functions.importance import N_BUCKETS
+
+    h = ("list_reduce(list_transform(string_split_regex("
+         "substr(md5(bigram), 1, 12), ''), "
+         "c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)), "
+         "(a,b) -> a*16+b)")
+    half = N_BUCKETS * 0.5
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+bg AS (
+  SELECT doc_id, unnest({_BG}) AS bigram FROM t WHERE len(toks) >= 2
+),
+counts AS (
+  SELECT doc_id AS id, CAST({h} % {N_BUCKETS} AS INT) AS bucket,
+         COUNT(*) AS c
+  FROM bg GROUP BY 1, 2
+),
+bins AS (SELECT CAST(unnest(generate_series(0, {N_BUCKETS - 1})) AS INT)
+           AS bucket),
+dense AS (
+  SELECT b.bucket,
+    CAST(coalesce((SELECT SUM(c) FROM counts WHERE id % 10 = 0
+                   AND bucket = b.bucket), 0) AS DOUBLE) AS ct,
+    CAST(coalesce((SELECT SUM(c) FROM counts WHERE id % 10 <> 0
+                   AND bucket = b.bucket), 0) AS DOUBLE) AS cr
+  FROM bins b
+),
+tot AS (SELECT SUM(ct) AS T, SUM(cr) AS R FROM dense),
+ratios AS (
+  SELECT bucket,
+    round(ln((ct + 0.5) / (tot.T + {half}))
+          - ln((cr + 0.5) / (tot.R + {half})), 9) AS lr
+  FROM dense, tot
+),
+scored AS (
+  SELECT c.id, CAST(SUM(c.c) AS BIGINT) AS n_grams,
+    round(list_reduce(list_prepend(0.0,
+      list(c.c * r.lr ORDER BY c.bucket)), (a, b) -> a + b), 9) AS logw
+  FROM counts c JOIN ratios r USING (bucket)
+  WHERE c.id % 10 <> 0
+  GROUP BY c.id
+),
+ranked AS (
+  SELECT id, n_grams, logw,
+         row_number() OVER (ORDER BY logw DESC, id) AS rank
+  FROM scored
+)
+SELECT id AS doc_id, n_grams, logw, rank FROM ranked WHERE rank <= 100
+"""
+
+
+SQL_DSIR_TOPK = _dsir_sql()
 
 
 def _hex_int_sql(expr: str) -> str:
@@ -1762,6 +1975,8 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
     "repetition": (q_repetition, SQL_REPETITION),
+    "rep_ngrams": (q_rep_ngrams, SQL_REP_NGRAMS),
+    "dsir_topk": (q_dsir_topk, SQL_DSIR_TOPK),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
@@ -1793,6 +2008,7 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "bpe_train": (q_bpe_train, SQL_BPE_TRAIN),
     "postings_stats": (q_postings_stats, SQL_POSTINGS_STATS),
     "pq_codes": (q_pq_codes, SQL_PQ_CODES),
+    "pq_adc": (q_pq_adc, SQL_PQ_ADC),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),

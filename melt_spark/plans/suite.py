@@ -1645,6 +1645,23 @@ SUITE: dict[str, tuple] = {
          " valid_from AS sys_change_version,"
          " COALESCE(CAST(valid_to AS VARCHAR), 'open') || '|' ||"
          " CAST(is_current AS VARCHAR) AS value"),
+        # r5: point-in-time join — facts matched to the dimension version
+        # valid at their own change version (operators/scd.py pit_join);
+        # value packs (is_current, n_facts, last_at)
+        (ANALYTICS_SUITE["pit_join"],
+         lambda df: df.select(
+             F.lit("pit").alias("kind"), F.lit("").alias("topic"),
+             F.col("c_custkey").cast("string").alias("key"),
+             F.lit("").alias("sys_change_operation"),
+             F.col("valid_from").alias("sys_change_version"),
+             F.concat_ws("|", F.col("is_current").cast("string"),
+                         F.col("n_facts").cast("string"),
+                         F.col("last_at").cast("string")).alias("value")),
+         "SELECT 'pit' AS kind, '' AS topic,"
+         " CAST(c_custkey AS VARCHAR) AS key, '' AS sys_change_operation,"
+         " valid_from AS sys_change_version,"
+         " CAST(is_current AS VARCHAR) || '|' || CAST(n_facts AS VARCHAR)"
+         " || '|' || CAST(last_at AS VARCHAR) AS value"),
     ),
     # -- catalog: S1-S3/P3/P4/A5/O3 discovery + E1 drift + P9/J4/E2 trackable
     "schema_catalog": merged(
@@ -1756,6 +1773,8 @@ SUITE: dict[str, tuple] = {
               "q_stopword_ratio", "quality"]),
             (PIPELINE_SUITE["repetition"],
              ["dup_token_frac", "dup_bigram_frac", "top_bigram_frac"]),
+            (PIPELINE_SUITE["rep_ngrams"],
+             ["max_rep_ngram", "token_entropy"]),
             (PIPELINE_SUITE["pii_scrub"],
              ["n_email", "n_ipv4", "n_phone", "scrubbed_fp"]),
             (PIPELINE_SUITE["lm_perplexity"],
@@ -1834,6 +1853,19 @@ SUITE: dict[str, tuple] = {
          " 'bf_rpairs', 'bf_count']) AS kind, CAST(-1 AS BIGINT) AS id,"
          " unnest([n_edges, n_left, wedges, right_pairs, butterflies])"
          " AS val"),
+        # r5: degree-ordered exact triangle census over the supplier
+        # co-supply graph (functions/graph.py triangle_count) — the
+        # unipartite complement of the butterfly census; transitivity is
+        # re-asserted in the constituent check (exact-integer quotient)
+        (ANALYTICS_SUITE["triangles"],
+         lambda df: df.selectExpr(
+             "stack(4, 'tri_nodes', n_nodes, 'tri_edges', n_edges,"
+             " 'tri_wedges', wedges, 'tri_count', triangles)"
+             " AS (kind, val)")
+         .select("kind", F.lit(-2).cast("bigint").alias("id"), "val"),
+         "SELECT unnest(['tri_nodes', 'tri_edges', 'tri_wedges',"
+         " 'tri_count']) AS kind, CAST(-2 AS BIGINT) AS id,"
+         " unnest([n_nodes, n_edges, wedges, triangles]) AS val"),
     ),
     "simhash": PIPELINE_SUITE["simhash"],
     "simhash_near_dup": merged(
@@ -1952,6 +1984,15 @@ SUITE: dict[str, tuple] = {
                               F.col("recon_err").alias("v")),
          "SELECT 'pq' AS kind, vec_id AS query_id, packed_code AS ref,"
          " -1 AS rank, recon_err AS v"),
+        # r5: the IVF-PQ SEARCH half — asymmetric distance computation
+        # over the packed codes (functions/pq.py pq_adc_topk); corpus
+        # side is integer codes only, LUT broadcast
+        (PIPELINE_SUITE["pq_adc"],
+         lambda df: df.select(F.lit("adc").alias("kind"), "query_id",
+                              F.col("cand_id").alias("ref"), "rank",
+                              F.col("adc_dist").alias("v")),
+         "SELECT 'adc' AS kind, query_id, cand_id AS ref, rank,"
+         " adc_dist AS v"),
     ),
     # -- multimodal decode ⋈ features ⋈ resize per doc (Arrow mapInPandas)
     "multimodal_pipeline": joined(
@@ -2003,6 +2044,17 @@ SUITE: dict[str, tuple] = {
                               F.col("weight").alias("v")),
          "SELECT 'mix' AS kind, source AS key, n_tokens AS n1,"
          " expected_tokens AS n2, weight AS v"),
+        # r5: DSIR-style importance selection (functions/importance.py,
+        # arXiv:2302.03169) — hashed-bigram log-likelihood-ratio top-100;
+        # the target-domain counterpart of the quality-gate selection
+        (PIPELINE_SUITE["dsir_topk"],
+         lambda df: df.select(F.lit("dsir").alias("kind"),
+                              F.col("doc_id").cast("string").alias("key"),
+                              F.col("n_grams").alias("n1"),
+                              F.col("rank").cast("bigint").alias("n2"),
+                              F.col("logw").alias("v")),
+         "SELECT 'dsir' AS kind, CAST(doc_id AS VARCHAR) AS key,"
+         " n_grams AS n1, CAST(rank AS BIGINT) AS n2, logw AS v"),
     ),
     # -- applyInPandas pair: per-user features + greedy sequence packing
     "user_features_pandas": merged(
@@ -2525,6 +2577,20 @@ SUITE: dict[str, tuple] = {
          "SELECT 'quant' AS kind, CAST(vec_id AS VARCHAR) AS key,"
          " CAST(dims AS VARCHAR) AS ints, scale AS v1, max_abs_err AS v2,"
          " mse AS v3"),
+        # r5: bottom-k sample quantiles (Cohen-Kaplan bottom-k sketch with
+        # payload; deterministic md5-hash sample, mergeable, exact-rank
+        # order statistics so the estimate itself oracle-checks)
+        (ANALYTICS_SUITE["bottomk_quantiles"],
+         lambda df: df.select(F.lit("bottomk").alias("kind"),
+                              F.col("o_orderstatus").alias("key"),
+                              F.col("n_sample").cast("string")
+                              .alias("ints"),
+                              F.col("q_25").alias("v1"),
+                              F.col("q_50").alias("v2"),
+                              F.col("q_75").alias("v3")),
+         "SELECT 'bottomk' AS kind, o_orderstatus AS key,"
+         " CAST(n_sample AS VARCHAR) AS ints, q_25 AS v1, q_50 AS v2,"
+         " q_75 AS v3"),
         (ANALYTICS_SUITE["embedding_stats"],
          lambda df: df.select(F.lit("embedding").alias("kind"),
                               F.col("vec_id").cast("string").alias("key"),

@@ -156,3 +156,44 @@ def test_basket_rules_reference(spark, tmp_path):
     # N=5 baskets -> lift = 3*5/(4*4)
     assert (r.p1, r.p2, r.support, r.n1, r.n2) == (10, 20, 3, 4, 4)
     assert r.lift == 3 * 5 / 16
+
+
+def test_triangle_hand_graph(spark):
+    """K4 minus one edge: nodes a,b,c,d; edges ab,ac,ad,bc,bd (cd absent)
+    -> exactly 2 triangles (abc, abd); wedges = sum C(d,2) = C(3,2)*2 +
+    C(2,2 choose)... degrees a=3,b=3,c=2,d=2 -> 3+3+1+1 = 8."""
+    from melt_spark.functions.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [Row(x="a", y="b"), Row(x="a", y="c"), Row(x="a", y="d"),
+         Row(x="b", y="c"), Row(x="b", y="d")])
+    [r] = triangle_count(edges, "x", "y").collect()
+    assert r.n_nodes == 4 and r.n_edges == 5
+    assert r.triangles == 2
+    assert r.wedges == 8
+    assert abs(r.transitivity - 6 / 8) < 1e-12
+
+
+def test_triangle_duplicate_and_self_edges_ignored(spark):
+    from melt_spark.functions.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [Row(x="a", y="b")] * 3
+        + [Row(x="b", y="a"), Row(x="a", y="a"),
+           Row(x="b", y="c"), Row(x="a", y="c")])
+    [r] = triangle_count(edges, "x", "y").collect()
+    assert r.n_edges == 3 and r.triangles == 1
+
+
+def test_triangle_free_graph_sentinel_and_zero(spark):
+    from melt_spark.functions.graph import triangle_count
+
+    # star = wedges but no triangles
+    [star] = triangle_count(spark.createDataFrame(
+        [Row(x="c", y=f"n{i}") for i in range(5)]), "x", "y").collect()
+    assert star.triangles == 0 and star.wedges == 10
+    assert star.transitivity == 0.0
+    # single edge: no wedges -> sentinel
+    [edge] = triangle_count(spark.createDataFrame(
+        [Row(x="a", y="b")]), "x", "y").collect()
+    assert edge.triangles == 0 and edge.transitivity == -1.0

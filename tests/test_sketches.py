@@ -70,3 +70,49 @@ def test_estimate_deterministic_vs_duckdb_fold(spark, sf_dir):
             "(a,b) -> a*16+b)").fetchone()[0]
         duck_h.add((u, h))
     assert spark_h == duck_h
+
+
+def test_bottomk_merge_equals_sample_of_union(spark, sf_dir):
+    """Bottom-k sample mergeability: bottom-k(A) ⊎ bottom-k(B) re-ranked
+    == bottom-k(A ∪ B) — the shard/streaming property, with payloads."""
+    from melt_spark.functions.sketches import bottomk_merge, bottomk_sample
+
+    ords = read_table(spark, sf_dir, "orders")
+    a = ords.filter(F.col("o_orderkey") % 2 == 0)
+    b = ords.filter(F.col("o_orderkey") % 2 == 1)
+    merged = bottomk_merge(
+        bottomk_sample(a, ["o_orderstatus"], "o_orderkey",
+                       "o_totalprice", k=32),
+        bottomk_sample(b, ["o_orderstatus"], "o_orderkey",
+                       "o_totalprice", k=32),
+        ["o_orderstatus"], k=32)
+    direct = bottomk_sample(ords, ["o_orderstatus"], "o_orderkey",
+                            "o_totalprice", k=32)
+    m = {(r.o_orderstatus, r.h, r.v) for r in merged.collect()}
+    d = {(r.o_orderstatus, r.h, r.v) for r in direct.collect()}
+    assert m == d and len(m) > 0
+
+
+def test_bottomk_quantiles_track_exact_quartiles(spark, sf_dir):
+    """k=256 sample quartiles of o_totalprice must land within a
+    generous relative envelope of the exact quartiles (sqrt(k) sampling
+    error ~6%; assert 25%) — catches inverted ranks or hash-scale bugs."""
+    from melt_spark.functions.sketches import (bottomk_quantiles,
+                                               bottomk_sample)
+
+    ords = read_table(spark, sf_dir, "orders")
+    sample = bottomk_sample(ords, ["o_orderstatus"], "o_orderkey",
+                            "o_totalprice", k=256)
+    est = {r.o_orderstatus: (r.q_25, r.q_50, r.q_75)
+           for r in bottomk_quantiles(sample, ["o_orderstatus"]).collect()}
+    exact = {r.o_orderstatus: (r.p25, r.p50, r.p75)
+             for r in ords.groupBy("o_orderstatus").agg(
+                 F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
+                 F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+                 F.expr("percentile(o_totalprice, 0.75)").alias("p75"))
+             .collect()}
+    assert set(est) == set(exact)
+    for k_, (e25, e50, e75) in est.items():
+        x25, x50, x75 = exact[k_]
+        for e, x in ((e25, x25), (e50, x50), (e75, x75)):
+            assert abs(e - x) <= 0.25 * x, (k_, e, x)
