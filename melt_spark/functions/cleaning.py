@@ -361,3 +361,41 @@ def priority_sample(df, weight_col: str, id_col: str, k: int):
             .select("id", "w", "priority", "tau",
                     F.greatest(F.col("w").cast("double"), F.col("tau"))
                     .alias("w_hat"), "rank"))
+
+
+def ngram_novelty(val: DataFrame, train: DataFrame, n: int = 3,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-validation-document n-gram NOVELTY against a training corpus:
+    how many of the doc's distinct n-grams the training set has never
+    seen. The memorization-risk complement of benchmark decontamination
+    (contamination() asks "did train leak INTO the benchmark"; novelty
+    asks "how much of this eval doc could have been memorized FROM
+    train") — the overlap metric the GPT-2/GPT-3 eval-contamination
+    analyses report (public: Radford et al. 2019 §4, Brown et al. 2020
+    appendix C).
+
+    Spark-first shape, graded for 100 TB: both sides' n-gram TEXT
+    collapses to xxhash64 digests in the projection that creates it —
+    the distinct-gram aggregation and the membership join shuffle 8-byte
+    ints only (the dedup digest discipline). Train grams deduplicate
+    with map-side combine before the join; output is one compact row
+    per val doc.
+
+    Output: (id, n_grams, n_seen, n_novel) — all exact integers, so the
+    metric hash-checks without any float discipline; novelty ratio =
+    n_novel / n_grams is derivable downstream.
+    """
+    vg = (ngram_set(val, n, text_col, id_col)
+          .select(F.col(id_col), F.xxhash64("ngram").alias("sid"))
+          .distinct())
+    tg = (ngram_set(train, n, text_col, id_col)
+          .select(F.xxhash64("ngram").alias("sid")).distinct()
+          .withColumn("seen", F.lit(1)))
+    return (vg.join(tg, "sid", "left")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.coalesce(F.sum("seen"), F.lit(0)).cast("bigint")
+                 .alias("n_seen"))
+            .select(id_col, "n_grams", "n_seen",
+                    (F.col("n_grams") - F.col("n_seen")).alias("n_novel")))

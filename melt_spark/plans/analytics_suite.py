@@ -828,6 +828,116 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bloom filter (functions/bloom.py): build over the
+    even-user-id half of the event stream, probe with every real user
+    PLUS a planted never-seen cohort (+100000 ids). Output = the filter's
+    words themselves (hash-checking the whole bit array) stacked with the
+    membership summary: probes / exact members / bloom positives / false
+    positives — the FPR evidence. All integers."""
+    from ..functions.bloom import bloom_build, bloom_might_contain
+
+    ev = read_table(spark, sf_dir, "events")
+    members = ev.filter(F.col("user_id") % 2 == 0).select("user_id")
+    bloom = bloom_build(members, "user_id")
+    real = ev.select("user_id").distinct()
+    probes = real.unionByName(
+        real.select((F.col("user_id") + 100000).alias("user_id")))
+    verdicts = bloom_might_contain(bloom, probes, "user_id")
+    exact = (members.distinct()
+             .select(F.col("user_id").alias("item"),
+                     F.lit(1).alias("is_member")))
+    j = (verdicts.join(exact, "item", "left")
+         .select("item", F.col("might_contain").cast("int").alias("mc"),
+                 F.coalesce("is_member", F.lit(0)).alias("m")))
+    summary = j.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum("m").alias("n_members"),
+        F.sum("mc").alias("n_bloom_pos"),
+        F.sum(F.when((F.col("mc") == 1) & (F.col("m") == 0), 1)
+              .otherwise(0)).alias("n_false_pos"),
+        F.sum(F.when((F.col("mc") == 0) & (F.col("m") == 1), 1)
+              .otherwise(0)).alias("n_false_neg"))
+    srows = summary.selectExpr(
+        "stack(5, 'n_probes', n_probes, 'n_members', n_members,"
+        " 'bloom_pos', n_bloom_pos, 'false_pos', n_false_pos,"
+        " 'false_neg', n_false_neg) AS (part, v)") \
+        .select("part", F.lit(-1).cast("bigint").alias("k"),
+                F.col("v").cast("bigint").alias("v"))
+    wrows = bloom.select(F.lit("word").alias("part"),
+                         F.col("word").cast("bigint").alias("k"),
+                         F.col("bits").alias("v"))
+    return wrows.unionByName(srows)
+
+
+def _bloom_sql() -> str:
+    from ..functions.bloom import BLOOM_BITS, BLOOM_DEPTH
+    h = _hex12_sql("CAST(r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")
+    return f"""
+WITH members AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id % 2 = 0
+),
+mpos AS (
+  SELECT ({h}) % {BLOOM_BITS} AS p
+  FROM members, (SELECT unnest(generate_series(0, {BLOOM_DEPTH - 1}))
+                 AS r)
+),
+words AS (
+  SELECT CAST(p // 32 AS INT) AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+  FROM mpos GROUP BY 1
+),
+real AS (SELECT DISTINCT user_id FROM events),
+probes AS (
+  SELECT user_id FROM real
+  UNION ALL SELECT user_id + 100000 FROM real
+),
+ppos AS (
+  SELECT user_id, ({h}) % {BLOOM_BITS} AS p
+  FROM probes, (SELECT unnest(generate_series(0, {BLOOM_DEPTH - 1}))
+                AS r)
+),
+hits AS (
+  SELECT pp.user_id,
+         CASE WHEN (coalesce(w.bits, 0)
+                    & (CAST(1 AS BIGINT) << CAST(pp.p % 32 AS INT))) <> 0
+              THEN 1 ELSE 0 END AS hit
+  FROM ppos pp LEFT JOIN words w ON w.word = CAST(pp.p // 32 AS INT)
+),
+verdicts AS (
+  SELECT user_id AS item,
+         CASE WHEN SUM(hit) = {BLOOM_DEPTH} THEN 1 ELSE 0 END AS mc
+  FROM hits GROUP BY user_id
+),
+joined AS (
+  SELECT v.item, v.mc,
+         CASE WHEN m.user_id IS NOT NULL THEN 1 ELSE 0 END AS m
+  FROM verdicts v LEFT JOIN members m ON m.user_id = v.item
+),
+summary AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+         CAST(SUM(m) AS BIGINT) AS n_members,
+         CAST(SUM(mc) AS BIGINT) AS n_bloom_pos,
+         CAST(SUM(CASE WHEN mc = 1 AND m = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_false_pos,
+         CAST(SUM(CASE WHEN mc = 0 AND m = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_false_neg
+  FROM joined
+)
+SELECT 'word' AS part, CAST(word AS BIGINT) AS k, bits AS v FROM words
+UNION ALL
+SELECT unnest(['n_probes', 'n_members', 'bloom_pos', 'false_pos',
+               'false_neg']) AS part,
+       CAST(-1 AS BIGINT) AS k,
+       unnest([n_probes, n_members, n_bloom_pos, n_false_pos,
+               n_false_neg]) AS v
+FROM summary
+"""
+
+
+SQL_BLOOM_FILTER = _bloom_sql()
+
+
 def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton z-values for orders over (customer, order-day) — the
     clustering key a layout-rewrite job (Delta OPTIMIZE ZORDER-style,
@@ -2632,6 +2742,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "bottomk_quantiles": (q_bottomk_quantiles, SQL_BOTTOMK_QUANTILES),
     "pit_join": (q_pit_join, SQL_PIT_JOIN),
     "triangles": (q_triangles, SQL_TRIANGLES),
+    "bloom_filter": (q_bloom_filter, SQL_BLOOM_FILTER),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "gapfill_hourly": (q_gapfill_hourly, SQL_GAPFILL_HOURLY),
     "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),

@@ -1428,6 +1428,41 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "shard", "shard_pos"))
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty (functions/cleaning.py ngram_novelty): per val doc
+    (doc_id % 7 == 0 slice), distinct 3-grams never seen in the train
+    slice — the eval-contamination overlap metric, digest-joined so gram
+    text never shuffles."""
+    from ..functions.cleaning import ngram_novelty
+
+    docs = read_table(spark, sf_dir, "documents")
+    val = docs.filter(F.col("doc_id") % 7 == 0)
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    return ngram_novelty(val, train, n=3)
+
+
+SQL_NGRAM_NOVELTY = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+           AS ngram
+  FROM t WHERE len(toks) >= 3
+),
+vg AS (SELECT DISTINCT doc_id, ngram FROM g WHERE doc_id % 7 = 0),
+tg AS (SELECT DISTINCT ngram FROM g WHERE doc_id % 7 <> 0)
+SELECT vg.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN tg.ngram IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_seen,
+       CAST(COUNT(*) - SUM(CASE WHEN tg.ngram IS NOT NULL
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+FROM vg LEFT JOIN tg USING (ngram)
+GROUP BY vg.doc_id
+"""
+
+
 def q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance selection (functions/importance.py,
     arXiv:2302.03169): hashed-bigram bag log-likelihood ratio of each
@@ -1977,6 +2012,7 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "repetition": (q_repetition, SQL_REPETITION),
     "rep_ngrams": (q_rep_ngrams, SQL_REP_NGRAMS),
     "dsir_topk": (q_dsir_topk, SQL_DSIR_TOPK),
+    "ngram_novelty": (q_ngram_novelty, SQL_NGRAM_NOVELTY),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),

@@ -1490,6 +1490,20 @@ SUITE: dict[str, tuple] = {
                               F.col("token").alias("key"),
                               F.lit("").alias("sval"), "n"),
          "SELECT 'tokens' AS kind, token AS key, '' AS sval, n"),
+        # r5: n-gram novelty — per val doc, distinct 3-grams the train
+        # slice never saw (functions/cleaning.py ngram_novelty); all
+        # exact integers, gram text digest-joined
+        (PIPELINE_SUITE["ngram_novelty"],
+         lambda df: df.select(F.lit("novelty").alias("kind"),
+                              F.col("doc_id").cast("string").alias("key"),
+                              F.concat_ws(":", F.col("n_grams")
+                                          .cast("string"),
+                                          F.col("n_seen").cast("string"))
+                              .alias("sval"),
+                              F.col("n_novel").alias("n")),
+         "SELECT 'novelty' AS kind, CAST(doc_id AS VARCHAR) AS key,"
+         " CAST(n_grams AS VARCHAR) || ':' || CAST(n_seen AS VARCHAR)"
+         " AS sval, n_novel AS n"),
     ),
     # -- counts / offsets / lag: A3, S10, A6/T9, T4 monitoring
     "load_offsets": merged(
@@ -2541,6 +2555,16 @@ SUITE: dict[str, tuple] = {
          "SELECT 'cohort' AS kind, CAST(cohort_day AS VARCHAR) || ':' ||"
          " CAST(day_offset AS VARCHAR) AS key, n_active AS a,"
          " cohort_n AS b, day_offset AS n"),
+        # r5: deterministic Bloom filter (functions/bloom.py) — the full
+        # bit-array words AND the membership/FPR summary hash-check
+        (ANALYTICS_SUITE["bloom_filter"],
+         lambda df: df.select(F.lit("bloom").alias("kind"),
+                              F.col("part").alias("key"),
+                              F.col("k").alias("a"),
+                              F.col("v").alias("b"),
+                              F.lit(-1).cast("bigint").alias("n")),
+         "SELECT 'bloom' AS kind, part AS key, k AS a, v AS b,"
+         " CAST(-1 AS BIGINT) AS n"),
     ),
     # -- percentiles + deterministic math + embedding norms (all-double row)
     "numeric_profiles": merged(

@@ -120,3 +120,68 @@ def test_pq_adc_ranks_match_reconstructed_distances(spark, sf_dir):
         sub_c = cbs[(m, code)]
         dist += sum((a - b) * (a - b) for a, b in zip(sub_q, sub_c))
     assert abs(dist - r0.adc_dist) < 1e-9
+
+
+def test_bloom_no_false_negatives_and_low_fpr(spark, sf_dir):
+    """Bloom contract: EVERY member answers might_contain (zero false
+    negatives — structural, not probabilistic), and the planted
+    never-seen cohort's false-positive rate respects a generous bound
+    over (1-e^(-dn/m))^d."""
+    from pyspark.sql import functions as F2
+
+    from melt_spark.functions.bloom import (BLOOM_BITS, BLOOM_DEPTH,
+                                            bloom_build,
+                                            bloom_might_contain)
+    from melt_spark.sources.parquet import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    members = ev.filter(F2.col("user_id") % 2 == 0) \
+        .select("user_id").distinct()
+    bloom = bloom_build(members, "user_id")
+    # members: all positive
+    got = bloom_might_contain(bloom, members, "user_id")
+    assert got.filter(~F2.col("might_contain")).count() == 0
+    # planted non-members
+    unseen = members.select((F2.col("user_id") + 500000).alias("user_id"))
+    n_unseen = unseen.count()
+    fp = (bloom_might_contain(bloom, unseen, "user_id")
+          .filter(F2.col("might_contain")).count())
+    import math
+    n = members.count()
+    theory = (1 - math.exp(-BLOOM_DEPTH * n / BLOOM_BITS)) ** BLOOM_DEPTH
+    assert fp / n_unseen <= max(4 * theory, 0.05), (fp, n_unseen, theory)
+
+
+def test_bloom_merge_equals_build_of_union(spark):
+    from pyspark.sql import Row
+
+    from melt_spark.functions.bloom import bloom_build, bloom_merge
+
+    a = spark.createDataFrame([Row(x=i) for i in range(50)])
+    b = spark.createDataFrame([Row(x=i) for i in range(40, 90)])
+    merged = {(r.word, r.bits)
+              for r in bloom_merge(bloom_build(a, "x"),
+                                   bloom_build(b, "x")).collect()}
+    direct = {(r.word, r.bits)
+              for r in bloom_build(a.unionByName(b), "x").collect()}
+    assert merged == direct and merged
+
+
+def test_ngram_novelty_hand_case(spark):
+    from pyspark.sql import Row
+
+    from melt_spark.functions.cleaning import ngram_novelty
+
+    train = spark.createDataFrame(
+        [Row(doc_id=1, text="the cat sat on the mat")])
+    val = spark.createDataFrame([
+        Row(doc_id=10, text="the cat sat on a rug"),   # shares 2 3-grams
+        Row(doc_id=11, text="completely novel words here"),
+        Row(doc_id=12, text="the cat sat"),            # fully seen
+    ])
+    out = {r.doc_id: (r.n_grams, r.n_seen, r.n_novel)
+           for r in ngram_novelty(val, train).collect()}
+    # doc 10 grams: "the cat sat","cat sat on","sat on a","on a rug"
+    assert out[10] == (4, 2, 2)
+    assert out[11] == (2, 0, 2)
+    assert out[12] == (1, 1, 0)
