@@ -399,3 +399,25 @@ def ngram_novelty(val: DataFrame, train: DataFrame, n: int = 3,
                  .alias("n_seen"))
             .select(id_col, "n_grams", "n_seen",
                     (F.col("n_grams") - F.col("n_seen")).alias("n_novel")))
+
+
+def split_corpus(df: DataFrame, val_pct: int = 5, test_pct: int = 5,
+                 id_col: str = "doc_id",
+                 salt: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment — the terminal partition
+    every training pipeline needs, with the same no-RNG discipline as
+    stratified_sample: the split is a pure function of the document id,
+    so re-runs, retries and incremental ingests route every doc to the
+    SAME split forever (a rand() split leaks val docs into train on the
+    next run — the classic eval-contamination bug this exists to
+    prevent). The salt namespaces the hash away from the sampling and
+    sharding buckets so the three decisions stay independent.
+
+    Adds a `split` column ('train' | 'val' | 'test'). Zero shuffle."""
+    b = hash_bucket(F.concat(F.lit(salt + ":"),
+                             F.col(id_col).cast("string")))
+    return df.withColumn(
+        "split",
+        F.when(b < test_pct, F.lit("test"))
+         .when(b < test_pct + val_pct, F.lit("val"))
+         .otherwise(F.lit("train")))

@@ -270,19 +270,27 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
-                        num_hashes: int = 8, bands: int = 4) -> DataFrame:
-    """Band the signature, bucket by (band, band-key), emit same-bucket
-    pairs (doc_a < doc_b, distinct). Probability a pair with Jaccard j
-    collides: 1-(1-j^r)^b with r = num_hashes/bands rows per band."""
+def band_rows(signatures: DataFrame, id_col: str = "doc_id",
+              num_hashes: int = 8, bands: int = 4) -> DataFrame:
+    """(id, band_key): one row per band of each signature — the LSH
+    bucket keys, shared by the self-join (lsh_candidate_pairs) and the
+    batch-vs-store incremental join (incremental_minhash_pairs)."""
     rows = num_hashes // bands
-    banded = signatures.select(
+    return signatures.select(
         F.col(id_col),
         F.explode(F.array(*[
             F.concat_ws("|", F.lit(str(band)),
                         *[F.col(f"mh{band * rows + r}") for r in range(rows)])
             .alias("bk") for band in range(bands)
         ])).alias("band_key"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
+                        num_hashes: int = 8, bands: int = 4) -> DataFrame:
+    """Band the signature, bucket by (band, band-key), emit same-bucket
+    pairs (doc_a < doc_b, distinct). Probability a pair with Jaccard j
+    collides: 1-(1-j^r)^b with r = num_hashes/bands rows per band."""
+    banded = band_rows(signatures, id_col, num_hashes, bands)
     a, b = banded.alias("a"), banded.alias("b")
     return (a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -636,3 +644,57 @@ def incremental_exact_dedup(batch: DataFrame, store: DataFrame,
                                  F.col("batch_first")),
                           F.lit(-1)).cast("bigint").alias("dup_of")))
     return out
+
+
+def incremental_minhash_pairs(batch: DataFrame, store_sigs: DataFrame,
+                              store_shingles: DataFrame,
+                              text_col: str = "text",
+                              id_col: str = "doc_id", k: int = 3,
+                              num_hashes: int = 8, bands: int = 4,
+                              threshold: float = 0.8,
+                              max_df: int | None = None) -> DataFrame:
+    """NEAR-dup complement of incremental_exact_dedup: band a NEW batch's
+    MinHash signatures against the accumulated store's PERSISTED
+    signatures and verify only cross candidates — the store is never
+    re-banded against itself, so ingesting a batch costs
+    O(|batch| + matching buckets), not O(|store|²).
+
+    Store contract (the production design this mirrors): the fingerprint
+    store persists BOTH the signature table (num_hashes 8-char chunks per
+    doc) and the shingle-digest table (8-byte xxhash64 sids, the same
+    rows incremental_exact_dedup's store keeps) — signatures drive the
+    band join, digests drive exact-Jaccard verification of candidates.
+    Neither table carries text.
+
+    Shuffle profile at 100 TB: batch shingle text dies at the map side
+    (_with_digest); the band join keys on short band strings whose
+    buckets the df-cap keeps small; verification joins 8-byte digests
+    constrained to candidates. AQE picks the build side for the
+    batch-vs-store joins (the batch is usually the small side).
+
+    Output: (batch_doc, store_doc, jaccard) at jaccard >= threshold.
+    """
+    bsh = _with_digest(shingles(batch, text_col, id_col, k))
+    if max_df is not None:
+        bsh = _drop_hot(bsh, max_df)
+    bsh = bsh.cache()
+    bsigs = bsh.groupBy(id_col).agg(
+        *[_minhash_col(s).alias(f"mh{s}") for s in range(num_hashes)])
+    bb = (band_rows(bsigs, id_col, num_hashes, bands)
+          .select(F.col(id_col).alias("batch_doc"), "band_key"))
+    sb = (band_rows(store_sigs, id_col, num_hashes, bands)
+          .select(F.col(id_col).alias("store_doc"), "band_key"))
+    cands = (bb.join(sb, "band_key")
+             .select("batch_doc", "store_doc").distinct())
+    a = bsh.select(F.col(id_col).alias("batch_doc"), "sid")
+    b = store_shingles.select(F.col(id_col).alias("store_doc"), "sid")
+    sz_a = a.groupBy("batch_doc").agg(F.count(F.lit(1)).alias("na"))
+    sz_b = b.groupBy("store_doc").agg(F.count(F.lit(1)).alias("nb"))
+    common = (cands.join(a, "batch_doc").join(b, ["store_doc", "sid"])
+              .groupBy("batch_doc", "store_doc")
+              .agg(F.count(F.lit(1)).alias("c")))
+    jac = (F.col("c").cast("double")
+           / (F.col("na") + F.col("nb") - F.col("c")))
+    return (common.join(sz_a, "batch_doc").join(sz_b, "store_doc")
+            .select("batch_doc", "store_doc", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))

@@ -471,6 +471,54 @@ _SIGS = ", ".join(
 _BANDS = ", ".join(
     f"'{b}' || '|' || mh{2*b} || '|' || mh{2*b+1}" for b in range(4))
 
+
+def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup (functions/dedup.py incremental_minhash_pairs):
+    a new batch (id-shifted copy of the corpus, so every doc has a
+    planted twin) banded against the store's persisted signatures only —
+    the store is never re-banded against itself. Store tables (sigs +
+    shingle digests) are derived here for the self-contained demo; in
+    production both persist with the fingerprint store."""
+    from ..functions.dedup import (_minhash_col, _with_digest,
+                                   incremental_minhash_pairs, shingles)
+
+    docs = read_table(spark, sf_dir, "documents")
+    store_sh = _with_digest(shingles(docs)).cache()
+    store_sigs = store_sh.groupBy("doc_id").agg(
+        *[_minhash_col(s).alias(f"mh{s}") for s in range(8)])
+    batch = docs.withColumn("doc_id", F.col("doc_id") + 20000)
+    return incremental_minhash_pairs(
+        batch, store_sigs, store_sh.select("doc_id", "sid"),
+        threshold=0.8)
+
+
+SQL_INCREMENTAL_MINHASH = f"""
+WITH {_SHINGLES_CTE},
+bsh AS (SELECT doc_id + 20000 AS doc_id, shingle FROM sh),
+ssigs AS (SELECT doc_id, {_SIGS} FROM sh GROUP BY doc_id),
+bsigs AS (SELECT doc_id, {_SIGS} FROM bsh GROUP BY doc_id),
+sbands AS (SELECT doc_id, unnest([{_BANDS}]) AS band_key FROM ssigs),
+bbands AS (SELECT doc_id, unnest([{_BANDS}]) AS band_key FROM bsigs),
+cands AS (
+  SELECT DISTINCT b.doc_id AS batch_doc, s.doc_id AS store_doc
+  FROM bbands b JOIN sbands s USING (band_key)
+),
+bsizes AS (SELECT doc_id, COUNT(*) AS n FROM bsh GROUP BY doc_id),
+common AS (
+  SELECT batch_doc, store_doc, COUNT(*) AS c
+  FROM cands
+  JOIN bsh a ON a.doc_id = batch_doc
+  JOIN sh s2 ON s2.doc_id = store_doc AND s2.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT batch_doc, store_doc,
+       CAST(c AS DOUBLE) / (ba.n + sa.n - c) AS jaccard
+FROM common
+JOIN bsizes ba ON ba.doc_id = batch_doc
+JOIN sizes sa ON sa.doc_id = store_doc
+WHERE CAST(c AS DOUBLE) / (ba.n + sa.n - c) >= 0.8
+"""
+
 SQL_DEDUP_MINHASH = f"""
 WITH {_SHINGLES_CTE},
 sigs AS (SELECT doc_id, {_SIGS} FROM sh GROUP BY doc_id),
@@ -1463,6 +1511,35 @@ GROUP BY vg.doc_id
 """
 
 
+def q_split_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (functions/cleaning.py
+    split_corpus): per (source, split) doc counts + char totals — the
+    assignment is a pure function of doc_id, so the oracle recomputing
+    it from scratch proves run-to-run stability."""
+    from ..functions.cleaning import split_corpus
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (split_corpus(docs)
+            .groupBy("source", "split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").cast("bigint").alias("sum_chars")))
+
+
+def _split_sql() -> str:
+    # deferred: _hex_int_sql is defined later in this module
+    h = _hex_int_sql("'split:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT source,
+  CASE WHEN {h} % 100 < 5 THEN 'test'
+       WHEN {h} % 100 < 10 THEN 'val'
+       ELSE 'train' END AS split,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 def q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance selection (functions/importance.py,
     arXiv:2302.03169): hashed-bigram bag log-likelihood ratio of each
@@ -2013,6 +2090,9 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "rep_ngrams": (q_rep_ngrams, SQL_REP_NGRAMS),
     "dsir_topk": (q_dsir_topk, SQL_DSIR_TOPK),
     "ngram_novelty": (q_ngram_novelty, SQL_NGRAM_NOVELTY),
+    "incremental_minhash": (q_incremental_minhash,
+                            SQL_INCREMENTAL_MINHASH),
+    "split_corpus": (q_split_corpus, _split_sql()),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),

@@ -1461,6 +1461,22 @@ SUITE: dict[str, tuple] = {
          "SELECT 'priority' AS kind, id, w AS nval,"
          " CAST(rank AS VARCHAR) AS sval, priority AS v1, tau AS v2,"
          " w_hat AS v3"),
+        # r5: deterministic train/val/test split — per (source, split)
+        # doc counts + char totals; assignment is a pure hash of doc_id
+        # (re-runs can never leak val into train)
+        (PIPELINE_SUITE["split_corpus"],
+         lambda df: df.select(F.lit("split").alias("kind"),
+                              F.lit(-1).cast("bigint").alias("id"),
+                              F.col("n_docs").alias("nval"),
+                              F.concat_ws(":", "source", "split")
+                              .alias("sval"),
+                              F.col("sum_chars").cast("double").alias("v1"),
+                              F.lit(-1.0).alias("v2"),
+                              F.lit(-1.0).alias("v3")),
+         "SELECT 'split' AS kind, CAST(-1 AS BIGINT) AS id,"
+         " n_docs AS nval, source || ':' || split AS sval,"
+         " CAST(sum_chars AS DOUBLE) AS v1, CAST(-1.0 AS DOUBLE) AS v2,"
+         " CAST(-1.0 AS DOUBLE) AS v3"),
     ),
     "event_text_ops": merged(
         ((q_user_event_sequences, SQL_USER_EVENT_SEQUENCES),
@@ -1837,7 +1853,22 @@ SUITE: dict[str, tuple] = {
                               "doc_a", "doc_b", "jaccard"),
          "SELECT 'prefix' AS kind, doc_a, doc_b, jaccard"),
     ),
-    "dedup_minhash_lsh": PIPELINE_SUITE["dedup_minhash_lsh"],
+    # self-join LSH + r5 incremental batch-vs-store near-dup (the store's
+    # persisted signatures are banded against the batch only — no
+    # store×store re-banding on ingest)
+    "dedup_minhash_lsh": merged(
+        (PIPELINE_SUITE["dedup_minhash_lsh"],
+         lambda df: df.select(F.lit("self").alias("kind"),
+                              "doc_a", "doc_b", "jaccard"),
+         "SELECT 'self' AS kind, doc_a, doc_b, jaccard"),
+        (PIPELINE_SUITE["incremental_minhash"],
+         lambda df: df.select(F.lit("incr").alias("kind"),
+                              F.col("batch_doc").alias("doc_a"),
+                              F.col("store_doc").alias("doc_b"),
+                              "jaccard"),
+         "SELECT 'incr' AS kind, batch_doc AS doc_a, store_doc AS doc_b,"
+         " jaccard"),
+    ),
     # -- the two iterative graph algorithms share one entry: connected
     #    components (label propagation) + r4's fixed-point PageRank
     #    (functions/graph.py — integer arithmetic so the unrolled oracle

@@ -185,3 +185,52 @@ def test_ngram_novelty_hand_case(spark):
     assert out[10] == (4, 2, 2)
     assert out[11] == (2, 0, 2)
     assert out[12] == (1, 1, 0)
+
+
+def test_split_corpus_stable_and_proportional(spark, sf_dir):
+    """Split assignment is a pure function of doc_id (two runs identical)
+    and val/test land within a generous envelope of their 5% targets;
+    every doc gets exactly one split."""
+    from melt_spark.functions.cleaning import split_corpus
+    from melt_spark.sources.parquet import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    a = {r.doc_id: r.split for r in
+         split_corpus(docs).select("doc_id", "split").collect()}
+    b = {r.doc_id: r.split for r in
+         split_corpus(docs).select("doc_id", "split").collect()}
+    assert a == b and len(a) == docs.count()
+    n = len(a)
+    from collections import Counter
+    c = Counter(a.values())
+    assert set(c) == {"train", "val", "test"}
+    assert 0.01 * n <= c["val"] <= 0.12 * n
+    assert 0.01 * n <= c["test"] <= 0.12 * n
+    assert c["train"] >= 0.8 * n
+
+
+def test_incremental_minhash_finds_planted_twins(spark, sf_dir):
+    """Every store doc's id-shifted twin in the batch must be found at
+    jaccard 1.0, and no pair may fall below the threshold."""
+    from pyspark.sql import functions as F2
+
+    from melt_spark.functions.dedup import (_minhash_col, _with_digest,
+                                            incremental_minhash_pairs,
+                                            shingles)
+    from melt_spark.sources.parquet import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    store_sh = _with_digest(shingles(docs)).cache()
+    store_sigs = store_sh.groupBy("doc_id").agg(
+        *[_minhash_col(s).alias(f"mh{s}") for s in range(8)])
+    batch = docs.withColumn("doc_id", F2.col("doc_id") + 20000)
+    out = incremental_minhash_pairs(
+        batch, store_sigs, store_sh.select("doc_id", "sid"),
+        threshold=0.8).collect()
+    twins = {(r.batch_doc, r.store_doc) for r in out
+             if r.batch_doc == r.store_doc + 20000}
+    n_docs = docs.count()
+    assert len(twins) == n_docs            # every twin found (j = 1.0)
+    assert all(r.jaccard >= 0.8 for r in out)
+    assert all(abs(r.jaccard - 1.0) < 1e-12 for r in out
+               if (r.batch_doc, r.store_doc) in twins)
