@@ -115,7 +115,13 @@ PROBES = ["text_quality", "dedup_minhash_lsh", "clean_corpus",
           "semantic_dedup", "semantic_dedup_coarse", "distinct_users",
           # r4b: corpus-model LM scoring (the heaviest new op), the CMS
           # fixed-size-shuffle build, and the gap-fill spine+window pass
-          "lm_perplexity", "cms_user_counts", "gapfill_hourly"]
+          "lm_perplexity", "cms_user_counts", "gapfill_hourly",
+          # r5: incremental near-dup ingest (batch vs store), DSIR
+          # importance scoring, n-gram novelty, the Bloom build+probe
+          # (fixed-size shuffle like CMS), PQ ADC search, and the
+          # zero-shuffle repeat/entropy text pass
+          "incremental_minhash", "dsir_topk", "ngram_novelty",
+          "bloom_filter", "pq_adc", "rep_ngrams"]
 
 
 def _span_query(via: str):
@@ -162,7 +168,20 @@ _EXTRA_QUERIES = {"span_dedup_digest": _span_query("digest"),
                   "cms_user_counts":
                       _constituent("analytics_suite", "q_cms_user_counts"),
                   "gapfill_hourly":
-                      _constituent("analytics_suite", "q_gapfill_hourly")}
+                      _constituent("analytics_suite", "q_gapfill_hourly"),
+                  "incremental_minhash":
+                      _constituent("pipeline_suite",
+                                   "q_incremental_minhash"),
+                  "dsir_topk":
+                      _constituent("pipeline_suite", "q_dsir_topk"),
+                  "ngram_novelty":
+                      _constituent("pipeline_suite", "q_ngram_novelty"),
+                  "bloom_filter":
+                      _constituent("analytics_suite", "q_bloom_filter"),
+                  "pq_adc":
+                      _constituent("pipeline_suite", "q_pq_adc"),
+                  "rep_ngrams":
+                      _constituent("pipeline_suite", "q_rep_ngrams")}
 
 
 def _shuffle_state(spark):
