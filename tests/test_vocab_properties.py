@@ -257,3 +257,33 @@ def test_priority_sample_deterministic_and_sized(weights):
     tau = a[0].tau
     assert all(r.priority >= tau for r in a)
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(corpus)
+def test_incremental_minhash_equals_cross_restricted_self_join(texts):
+    """On arbitrary corpora: banding a batch against the store's persisted
+    signatures finds EXACTLY the cross pairs the full self-join LSH finds
+    over store ∪ batch — the incremental path loses nothing and invents
+    nothing (same signatures, same bands, same verification)."""
+    from pyspark.sql import functions as F2
+
+    from melt_spark.functions.dedup import (_minhash_col, _with_digest,
+                                            incremental_minhash_pairs,
+                                            minhash_dedup_pairs, shingles)
+
+    store = _docs(texts)
+    batch = store.withColumn("doc_id", F2.col("doc_id") + 10_000)
+    store_sh = _with_digest(shingles(store)).cache()
+    store_sigs = store_sh.groupBy("doc_id").agg(
+        *[_minhash_col(s).alias(f"mh{s}") for s in range(8)])
+    incr = {(r.store_doc, r.batch_doc): round(r.jaccard, 9)
+            for r in incremental_minhash_pairs(
+                batch, store_sigs, store_sh.select("doc_id", "sid"),
+                threshold=0.5).collect()}
+    full = minhash_dedup_pairs(store.unionByName(batch),
+                               threshold=0.5).collect()
+    cross = {(r.doc_a, r.doc_b): round(r.jaccard, 9)
+             for r in full if r.doc_a < 10_000 <= r.doc_b}
+    assert incr == cross
