@@ -240,3 +240,57 @@ def bottomk_quantiles(sample: DataFrame, key_cols: list[str],
         (F.floor(F.lit(q) * (n - 1).cast("double")) + 1).cast("int"))
         .alias(f"q_{int(q * 100)}") for q in qs]
     return agg.select(*key_cols, "n_sample", *cols)
+
+
+# ---------------------------------------------------------------------------
+# KMV set-operation estimates (Beyer, Haas, Reinwald, Sismanis, Gemulla,
+# "On synopses for distinct-value estimation under multiset operations",
+# SIGMOD 2007): the k-min sketch supports UNION (merge) and — via the
+# Jaccard trick — INTERSECTION size estimation: within the union's k-min
+# set, the fraction of hashes present in BOTH sides' sketches estimates
+# J(A, B); |A ∩ B| ≈ J * |A ∪ B|. This is the sketch-based join-size
+# estimator a planner consults before picking a strategy.
+
+
+def global_kmv_mins(df: DataFrame, value_col: str,
+                    k: int = DEFAULT_K) -> DataFrame:
+    """(h): the k smallest distinct hashes of a whole column — via
+    orderBy().limit(k) = TakeOrderedAndProject (per-partition heaps, no
+    single-partition window), so the global sketch is as shuffle-cheap
+    as the per-key one."""
+    return (df.select(kmv_hash(value_col).alias("h")).distinct()
+            .orderBy("h").limit(k))
+
+
+def kmv_intersect_estimate(a: DataFrame, b: DataFrame, value_col: str,
+                           k: int = DEFAULT_K) -> DataFrame:
+    """One row: j_num (union-k-mins seen in BOTH sketches), n_union_mins,
+    union_est, inter_est = (j_num * union_est) div k. Every output is an
+    exact integer (the KMV argument: floor()ed integer math), so the
+    ESTIMATE oracle-checks bit-for-bit."""
+    am = global_kmv_mins(a, value_col, k)
+    bm = global_kmv_mins(b, value_col, k)
+    union_mins = (am.unionByName(bm).distinct()
+                  .orderBy("h").limit(k))
+    in_a = am.withColumnRenamed("h", "ha")
+    in_b = bm.withColumnRenamed("h", "hb")
+    tagged = (union_mins
+              .join(in_a, union_mins["h"] == in_a["ha"], "left")
+              .join(in_b, union_mins["h"] == in_b["hb"], "left")
+              .select("h", (F.col("ha").isNotNull()
+                            & F.col("hb").isNotNull()).cast("int")
+                      .alias("both")))
+    agg = tagged.agg(F.count(F.lit(1)).alias("n_union_mins"),
+                     F.sum("both").alias("j_num"),
+                     F.max("h").alias("kth"))
+    union_est = F.when(
+        F.col("n_union_mins") < k, F.col("n_union_mins")).otherwise(
+        F.floor(F.lit(float(k - 1)) * F.lit(_TWO48) / F.col("kth"))) \
+        .cast("bigint")
+    return (agg.select(
+        F.col("j_num").cast("bigint").alias("j_num"),
+        F.col("n_union_mins").cast("bigint").alias("n_union_mins"),
+        union_est.alias("union_est"))
+        .select("j_num", "n_union_mins", "union_est",
+                F.expr(f"(j_num * union_est) div {k}").cast("bigint")
+                .alias("inter_est")))

@@ -938,6 +938,76 @@ FROM summary
 SQL_BLOOM_FILTER = _bloom_sql()
 
 
+def q_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based join-size estimation (functions/sketches.py
+    kmv_intersect_estimate, Beyer et al. SIGMOD 2007): |click users ∩
+    purchase users| estimated from two k=16 KMV sketches, beside the
+    exact controls. Every number is floor()ed integer math, so the
+    ESTIMATE itself hash-checks."""
+    from ..functions.sketches import kmv_intersect_estimate
+
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    buys = ev.filter(F.col("event_type") == "purchase")
+    est = kmv_intersect_estimate(clicks, buys, "user_id", k=16)
+    cu = clicks.select("user_id").distinct()
+    bu = buys.select("user_id").distinct()
+    exact = (cu.join(bu, "user_id")
+             .agg(F.count(F.lit(1)).alias("exact_inter"))
+             .crossJoin(cu.unionByName(bu).distinct()
+                        .agg(F.count(F.lit(1)).alias("exact_union"))))
+    return est.crossJoin(F.broadcast(exact))
+
+
+SQL_KMV_INTERSECT = f"""
+WITH ah AS (
+  SELECT DISTINCT {_hex12_sql("CAST(user_id AS VARCHAR)")} AS h
+  FROM events WHERE event_type = 'click'
+),
+bh AS (
+  SELECT DISTINCT {_hex12_sql("CAST(user_id AS VARCHAR)")} AS h
+  FROM events WHERE event_type = 'purchase'
+),
+am AS (SELECT h FROM ah ORDER BY h LIMIT 16),
+bm AS (SELECT h FROM bh ORDER BY h LIMIT 16),
+um AS (SELECT DISTINCT h FROM (SELECT h FROM am UNION ALL
+                               SELECT h FROM bm) t
+       ORDER BY h LIMIT 16),
+tagged AS (
+  SELECT um.h,
+    CASE WHEN am.h IS NOT NULL AND bm.h IS NOT NULL THEN 1 ELSE 0 END
+      AS in_both
+  FROM um LEFT JOIN am ON am.h = um.h LEFT JOIN bm ON bm.h = um.h
+),
+agg AS (
+  SELECT CAST(SUM(in_both) AS BIGINT) AS j_num,
+         CAST(COUNT(*) AS BIGINT) AS n_union_mins,
+         MAX(h) AS kth
+  FROM tagged
+),
+est AS (
+  SELECT j_num, n_union_mins,
+    CAST(CASE WHEN n_union_mins < 16 THEN n_union_mins
+              ELSE floor(15.0 * 281474976710656.0 / kth) END AS BIGINT)
+      AS union_est
+  FROM agg
+),
+cu AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+bu AS (SELECT DISTINCT user_id FROM events
+       WHERE event_type = 'purchase'),
+exact AS (
+  SELECT (SELECT COUNT(*) FROM cu JOIN bu USING (user_id)) AS exact_inter,
+         (SELECT COUNT(*) FROM (SELECT user_id FROM cu UNION
+                                SELECT user_id FROM bu) t) AS exact_union
+)
+SELECT j_num, n_union_mins, union_est,
+       CAST((j_num * union_est) // 16 AS BIGINT) AS inter_est,
+       CAST(exact_inter AS BIGINT) AS exact_inter,
+       CAST(exact_union AS BIGINT) AS exact_union
+FROM est, exact
+"""
+
+
 def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton z-values for orders over (customer, order-day) — the
     clustering key a layout-rewrite job (Delta OPTIMIZE ZORDER-style,
@@ -2743,6 +2813,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "pit_join": (q_pit_join, SQL_PIT_JOIN),
     "triangles": (q_triangles, SQL_TRIANGLES),
     "bloom_filter": (q_bloom_filter, SQL_BLOOM_FILTER),
+    "kmv_intersect": (q_kmv_intersect, SQL_KMV_INTERSECT),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "gapfill_hourly": (q_gapfill_hourly, SQL_GAPFILL_HOURLY),
     "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),

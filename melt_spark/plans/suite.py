@@ -2596,6 +2596,19 @@ SUITE: dict[str, tuple] = {
                               F.lit(-1).cast("bigint").alias("n")),
          "SELECT 'bloom' AS kind, part AS key, k AS a, v AS b,"
          " CAST(-1 AS BIGINT) AS n"),
+        # r5: KMV intersection estimate (sketch-based join sizing) beside
+        # the exact controls — floor()ed integer math end to end
+        (ANALYTICS_SUITE["kmv_intersect"],
+         lambda df: df.selectExpr(
+             "stack(2, 'inter', inter_est, exact_inter, j_num,"
+             " 'union', union_est, exact_union, n_union_mins)"
+             " AS (key, a, b, n)")
+         .select(F.lit("kmvint").alias("kind"), "key", "a", "b", "n"),
+         "SELECT 'kmvint' AS kind,"
+         " unnest(['inter', 'union']) AS key,"
+         " unnest([inter_est, union_est]) AS a,"
+         " unnest([exact_inter, exact_union]) AS b,"
+         " unnest([j_num, n_union_mins]) AS n"),
     ),
     # -- percentiles + deterministic math + embedding norms (all-double row)
     "numeric_profiles": merged(

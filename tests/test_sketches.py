@@ -116,3 +116,22 @@ def test_bottomk_quantiles_track_exact_quartiles(spark, sf_dir):
         x25, x50, x75 = exact[k_]
         for e, x in ((e25, x25), (e50, x50), (e75, x75)):
             assert abs(e - x) <= 0.25 * x, (k_, e, x)
+
+
+def test_kmv_intersect_estimates_track_exact(spark):
+    """Synthetic sets with known overlap: the KMV intersection estimate
+    must land within the sketch's error envelope, and fully-disjoint
+    sets must estimate ~0 (j_num small)."""
+    from pyspark.sql import Row
+
+    from melt_spark.functions.sketches import kmv_intersect_estimate
+
+    a = spark.createDataFrame([Row(x=i) for i in range(0, 600)])
+    b = spark.createDataFrame([Row(x=i) for i in range(300, 900)])
+    [r] = kmv_intersect_estimate(a, b, "x", k=64).collect()
+    # true: inter 300, union 900 -> J = 1/3; k=64 -> stderr ~12%
+    assert 100 <= r.inter_est <= 560, r
+    assert 600 <= r.union_est <= 1350, r
+    disj = spark.createDataFrame([Row(x=i) for i in range(5000, 5600)])
+    [d] = kmv_intersect_estimate(a, disj, "x", k=64).collect()
+    assert d.j_num <= 3 and d.inter_est <= 0.1 * d.union_est
