@@ -219,3 +219,49 @@ def postings_stats(docs: DataFrame, id_col: str = "doc_id",
         (raw.cast("double")
          / (F.col("doc_gap_bytes") + F.col("pos_gap_bytes")).cast("double"))
         .alias("compression"))
+
+
+# nDCG@k (Järvelin & Kekäläinen, "Cumulated gain-based evaluation of IR
+# techniques", TOIS 2002): graded-relevance ranking quality, the metric
+# that distinguishes "found the right docs" (recall) from "put the best
+# ones FIRST". Relevance grades here derive from the exact ground-truth
+# ranking (rel = k+1 - true_rank), so the metric needs no human labels.
+#
+# Determinism: log2 is not correctly rounded across engines, so each
+# position's rel/log2(rank+1) contribution rounds to 9 decimals and the
+# fold runs in rank order (the BM25/PSI discipline); the ideal DCG is a
+# Python-computed literal baked identically into both engines' plans.
+
+def _idcg(k: int) -> float:
+    import math
+
+    acc = 0.0
+    for i in range(1, k + 1):
+        acc += round((k + 1 - i) / math.log2(i + 1), 9)
+    return round(acc, 9)
+
+
+def ndcg_at_k(system: DataFrame, truth: DataFrame,
+              sys_item: str = "item", truth_item: str = "neighbor_id",
+              k: int = 10) -> DataFrame:
+    """One row (dcg, ndcg): `system` = (item, rank) ranking to score;
+    `truth` = (item, rank) exact top-k whose ranks grade relevance.
+    Items outside the truth list contribute 0."""
+    rel = truth.select(F.col(truth_item).alias("item"),
+                       (F.lit(k + 1) - F.col("rank")).cast("double")
+                       .alias("rel"))
+    s = (system.filter(F.col("rank") <= k)
+         .select(F.col(sys_item).alias("item"), "rank"))
+    j = (s.join(rel, "item", "left")
+         .select("rank", F.coalesce("rel", F.lit(0.0)).alias("rel")))
+    contrib = F.round(
+        F.col("rel") / F.log2(F.col("rank").cast("double") + F.lit(1.0)),
+        9)
+    dcg = F.round(F.aggregate(
+        F.array_sort(F.collect_list(F.struct("rank",
+                                             contrib.alias("c")))),
+        F.lit(0.0), lambda acc, x: acc + x["c"]), 9)
+    idcg = _idcg(k)
+    return (j.agg(dcg.alias("dcg"))
+            .select("dcg",
+                    F.round(F.col("dcg") / F.lit(idcg), 9).alias("ndcg")))

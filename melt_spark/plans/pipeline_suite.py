@@ -845,6 +845,60 @@ FROM ar e LEFT JOIN fused_q f ON f.item = e.neighbor_id
 """
 
 
+def q_rrf_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the RRF-fused hybrid list against exact-cosine graded
+    relevance (functions/retrieval.py ndcg_at_k) — recall@10 says how
+    much ground truth the fusion keeps; nDCG says whether it keeps the
+    BEST of it first."""
+    from ..functions.retrieval import ndcg_at_k
+    from ..functions.similarity import cosine_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=10)
+    fused = q_rrf_fusion(spark, sf_dir)
+    return ndcg_at_k(fused, exact, sys_item="item",
+                     truth_item="neighbor_id", k=10)
+
+
+def _ndcg_sql() -> str:
+    from ..functions.retrieval import _idcg
+
+    return f"""
+WITH fused_q AS ({SQL_RRF_FUSION}),
+q AS (SELECT vec_id AS query_id, {_DVEC} AS qv
+      FROM embeddings WHERE vec_id = 0),
+cv_t AS (SELECT vec_id AS neighbor_id, {_DVEC} AS cv FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id,
+         {_dot_sql('qv', 'cv')}
+           / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')}))
+           AS cos
+  FROM q, cv_t WHERE query_id <> neighbor_id
+),
+ar AS (
+  SELECT neighbor_id,
+         row_number() OVER (ORDER BY cos DESC, neighbor_id) AS rank_a
+  FROM s QUALIFY rank_a <= 10
+),
+graded AS (
+  SELECT f.rank,
+         coalesce(CAST(11 - ar.rank_a AS DOUBLE), 0.0) AS rel
+  FROM fused_q f LEFT JOIN ar ON ar.neighbor_id = f.item
+  WHERE f.rank <= 10
+),
+dcg AS (
+  SELECT round(list_reduce(list_prepend(0.0,
+    list(round(rel / log2(rank + 1.0), 9) ORDER BY rank)),
+    (a, b) -> a + b), 9) AS dcg
+  FROM graded
+)
+SELECT dcg, round(dcg / {_idcg(10)!r}, 9) AS ndcg FROM dcg
+"""
+
+
+SQL_RRF_NDCG = _ndcg_sql()
+
+
 SQL_ANN_TOPK = f"""
 WITH q AS (SELECT vec_id AS query_id, {_DVEC} AS qv
            FROM embeddings WHERE vec_id < 5),
@@ -2093,6 +2147,7 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "incremental_minhash": (q_incremental_minhash,
                             SQL_INCREMENTAL_MINHASH),
     "split_corpus": (q_split_corpus, _split_sql()),
+    "rrf_ndcg": (q_rrf_ndcg, SQL_RRF_NDCG),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),

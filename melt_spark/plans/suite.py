@@ -1957,6 +1957,17 @@ SUITE: dict[str, tuple] = {
                               F.col("recall").alias("v")),
          "SELECT 'rrf_recall' AS kind, CAST(0 AS BIGINT) AS qid,"
          " hits AS did, -1 AS rank, recall AS v"),
+        # r5: nDCG@10 of the fused list vs exact-cosine graded relevance
+        # — ordering quality beside rrf_recall's set quality
+        (PIPELINE_SUITE["rrf_ndcg"],
+         lambda df: df.selectExpr(
+             "stack(2, 'ndcg', ndcg, 'ndcg_dcg', dcg) AS (kind, v)")
+         .select("kind", F.lit(0).cast("bigint").alias("qid"),
+                 F.lit(-1).cast("bigint").alias("did"),
+                 F.lit(-1).alias("rank"), "v"),
+         "SELECT unnest(['ndcg', 'ndcg_dcg']) AS kind,"
+         " CAST(0 AS BIGINT) AS qid, CAST(-1 AS BIGINT) AS did,"
+         " -1 AS rank, unnest([ndcg, dcg]) AS v"),
         # r4b: exact-phrase retrieval — pure-projection positional match
         # (functions/retrieval.py phrase_match); rank carries first_pos
         (PIPELINE_SUITE["phrase_match"],

@@ -234,3 +234,26 @@ def test_incremental_minhash_finds_planted_twins(spark, sf_dir):
     assert all(r.jaccard >= 0.8 for r in out)
     assert all(abs(r.jaccard - 1.0) < 1e-12 for r in out
                if (r.batch_doc, r.store_doc) in twins)
+
+
+def test_ndcg_reference_values(spark):
+    """Perfect ranking = 1.0; a ranking with zero truth overlap = 0;
+    putting the best item last scores strictly below putting it first."""
+    from melt_spark.functions.retrieval import ndcg_at_k
+
+    truth = spark.createDataFrame(
+        [Row(neighbor_id=i, rank=i) for i in range(1, 11)])
+    perfect = spark.createDataFrame(
+        [Row(item=i, rank=i) for i in range(1, 11)])
+    [p] = ndcg_at_k(perfect, truth).collect()
+    assert abs(p.ndcg - 1.0) < 1e-9
+    none = spark.createDataFrame(
+        [Row(item=i + 100, rank=i) for i in range(1, 11)])
+    [z] = ndcg_at_k(none, truth).collect()
+    assert z.ndcg == 0.0
+    # best item (truth rank 1, rel 10) demoted to position 10
+    demoted = spark.createDataFrame(
+        [Row(item=(i + 1 if i < 10 else 1), rank=i)
+         for i in range(1, 11)])
+    [d] = ndcg_at_k(demoted, truth).collect()
+    assert 0.0 < d.ndcg < p.ndcg
