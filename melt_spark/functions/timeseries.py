@@ -227,3 +227,67 @@ def time_weighted_avg_by_id(df: DataFrame, ts_col: str, id_col: str,
         *key_cols, "n_points", "span_us",
         F.when(F.col("span_us") > 0, F.round(twa, 9))
         .otherwise(F.lit(-1.0)).alias("twa"))
+
+
+def cusum_monitor(df: DataFrame, ts_col: str, key_cols: list[str],
+                  width: int, slack_frac: float = 0.25,
+                  h_sigmas: float = 4.0) -> DataFrame:
+    """One-sided upper CUSUM changepoint monitor (Page, "Continuous
+    inspection schemes", Biometrika 1954) over per-key bucket counts:
+    S_t = max(0, S_{t-1} + (x_t - mu - slack)), alarm when S_t crosses
+    h = h_sigmas * sqrt(mu) (the Poisson-ish sigma of a count series).
+    CUSUM accumulates small persistent shifts that a per-point z-score
+    never flags — the standard drift complement to trailing_zscore.
+
+    mu and slack derive from the series itself (sum/count of exact
+    integer counts — one IEEE divide), so the monitor is self-calibrating
+    and fully deterministic: the fold visits buckets in time order with
+    identical arithmetic on both engines (the oracle restates the
+    recurrence as a recursive CTE), and outputs round to 9 decimals.
+
+    Scale shape: one shuffle to the per-key bucket counts; the fold runs
+    over each key's COLLECTED bucket array — bounded by the key's bucket
+    count (span/width), the same budget gapfill's spine guard enforces;
+    apply the same span discipline for second-resolution years.
+
+    Output per key: n_buckets, mu, s_final, s_max, n_alarms.
+    """
+    keys = [F.col(c) for c in key_cols]
+    counts = (df.select(*keys, bucket_epoch(ts_col, width).alias("bucket"))
+              .groupBy(*key_cols, "bucket")
+              .agg(F.count(F.lit(1)).alias("x")))
+    per_key = (counts.groupBy(*key_cols)
+               .agg(F.count(F.lit(1)).alias("n_buckets"),
+                    F.sum("x").alias("sx"),
+                    F.array_sort(F.collect_list(F.struct("bucket", "x")))
+                    .alias("series")))
+    mu = F.col("sx").cast("double") / F.col("n_buckets").cast("double")
+    slack = mu * F.lit(slack_frac)
+    h = F.lit(h_sigmas) * F.sqrt(mu)
+    fold = F.aggregate(
+        F.transform(F.col("series"), lambda s: s["x"].cast("double")),
+        F.struct(F.lit(0.0).alias("s"), F.lit(0.0).alias("smax"),
+                 F.lit(0).alias("alarms")),
+        lambda acc, x: F.struct(
+            F.greatest(F.lit(0.0),
+                       acc["s"] + (x - F.col("__mu") - F.col("__slack")))
+            .alias("s"),
+            F.greatest(acc["smax"],
+                       F.greatest(F.lit(0.0),
+                                  acc["s"] + (x - F.col("__mu")
+                                              - F.col("__slack"))))
+            .alias("smax"),
+            (acc["alarms"]
+             + F.when(F.greatest(F.lit(0.0),
+                                 acc["s"] + (x - F.col("__mu")
+                                             - F.col("__slack")))
+                      > F.col("__h"), 1).otherwise(0)).alias("alarms")))
+    return (per_key
+            .withColumn("__mu", mu).withColumn("__slack", slack)
+            .withColumn("__h", h)
+            .withColumn("__f", fold)
+            .select(*key_cols, "n_buckets",
+                    F.round(F.col("__mu"), 9).alias("mu"),
+                    F.round(F.col("__f.s"), 9).alias("s_final"),
+                    F.round(F.col("__f.smax"), 9).alias("s_max"),
+                    F.col("__f.alarms").alias("n_alarms")))

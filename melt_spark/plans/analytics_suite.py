@@ -938,6 +938,65 @@ FROM summary
 SQL_BLOOM_FILTER = _bloom_sql()
 
 
+def q_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint monitor (functions/timeseries.py cusum_monitor,
+    Page 1954) over hourly per-event-type counts — the persistent-shift
+    detector beside the per-point z-score. The oracle restates the
+    recurrence as a recursive CTE; identical IEEE fold order makes the
+    unrounded intermediate series bit-equal."""
+    from ..functions.timeseries import cusum_monitor
+
+    events = read_table(spark, sf_dir, "events")
+    return cusum_monitor(events, "ts", ["event_type"], 3600)
+
+
+_CUSUM_STEP = "(CAST(r.x AS DOUBLE) - p.mu - 0.25 * p.mu)"
+
+SQL_CUSUM_MONITOR = f"""
+WITH RECURSIVE counts AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS bucket,
+         COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS i
+  FROM counts
+),
+params AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mu
+  FROM counts GROUP BY 1
+),
+c AS (
+  SELECT r.event_type, r.i,
+         greatest(0.0, 0.0 + {_CUSUM_STEP}) AS s,
+         greatest(0.0, greatest(0.0, 0.0 + {_CUSUM_STEP})) AS smax,
+         CASE WHEN greatest(0.0, 0.0 + {_CUSUM_STEP}) > 4.0 * sqrt(p.mu)
+              THEN 1 ELSE 0 END AS alarms
+  FROM r JOIN params p USING (event_type) WHERE r.i = 1
+  UNION ALL
+  SELECT r.event_type, r.i,
+         greatest(0.0, c.s + {_CUSUM_STEP}),
+         greatest(c.smax, greatest(0.0, c.s + {_CUSUM_STEP})),
+         c.alarms + CASE WHEN greatest(0.0, c.s + {_CUSUM_STEP})
+                              > 4.0 * sqrt(p.mu)
+                         THEN 1 ELSE 0 END
+  FROM c
+  JOIN r ON r.event_type = c.event_type AND r.i = c.i + 1
+  JOIN params p ON p.event_type = r.event_type
+),
+last_i AS (SELECT event_type, MAX(i) AS mi FROM r GROUP BY 1)
+SELECT c.event_type, p.n_buckets, round(p.mu, 9) AS mu,
+       round(c.s, 9) AS s_final, round(c.smax, 9) AS s_max,
+       c.alarms AS n_alarms
+FROM c
+JOIN last_i m ON m.event_type = c.event_type AND c.i = m.mi
+JOIN params p ON p.event_type = c.event_type
+"""
+
+
 def q_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based join-size estimation (functions/sketches.py
     kmv_intersect_estimate, Beyer et al. SIGMOD 2007): |click users ∩
@@ -2814,6 +2873,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "triangles": (q_triangles, SQL_TRIANGLES),
     "bloom_filter": (q_bloom_filter, SQL_BLOOM_FILTER),
     "kmv_intersect": (q_kmv_intersect, SQL_KMV_INTERSECT),
+    "cusum_monitor": (q_cusum_monitor, SQL_CUSUM_MONITOR),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "gapfill_hourly": (q_gapfill_hourly, SQL_GAPFILL_HOURLY),
     "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),

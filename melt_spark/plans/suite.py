@@ -2226,6 +2226,19 @@ SUITE: dict[str, tuple] = {
          " event_type AS key,"
          " unnest([slope, CAST(n_points AS DOUBLE)]) AS v1,"
          " unnest([intercept, r2]) AS v2"),
+        # r5: CUSUM changepoint monitor (Page 1954) — the persistent-
+        # shift detector; recursive-CTE oracle matches the fold exactly
+        (ANALYTICS_SUITE["cusum_monitor"],
+         lambda df: df.selectExpr(
+             "event_type",
+             "stack(2, 'cusum_s', s_final, s_max,"
+             " 'cusum_n', CAST(n_buckets AS DOUBLE),"
+             " CAST(n_alarms AS DOUBLE)) AS (kind, v1, v2)")
+         .select("kind", F.col("event_type").alias("key"), "v1", "v2"),
+         "SELECT unnest(['cusum_s', 'cusum_n']) AS kind,"
+         " event_type AS key,"
+         " unnest([s_final, CAST(n_buckets AS DOUBLE)]) AS v1,"
+         " unnest([s_max, CAST(n_alarms AS DOUBLE)]) AS v2"),
     ),
     # -- set ops: anti-join (NOT EXISTS) + UNION entity sets
     "set_operations": merged(

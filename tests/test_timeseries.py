@@ -173,3 +173,37 @@ def test_gapfill_spine_guard_is_per_key(spark):
         "k", F.col("ts").cast("timestamp").alias("ts"), "v")
     out = gapfill(df, "ts", ["k"], "v", width=3600, max_spine=6).collect()
     assert len(out) == 6
+
+
+def test_cusum_flags_planted_level_shift(spark):
+    """48 buckets flat at 10/bucket with the LAST 12 stepped to 20 —
+    a minority-segment shift the series mean only partially absorbs
+    (mu = 12.5, slack = 3.125, post-shift excess = 4.375/bucket): the
+    monitor must alarm with a large s_max while the flat control stays
+    quiet. (A shift spanning HALF the series would raise mu enough to
+    swallow the excess — the self-calibrating monitor detects drifts,
+    not regime re-definitions.)"""
+    from melt_spark.functions.timeseries import cusum_monitor
+
+    rows = []
+    for h in range(48):
+        n = 10 if h < 36 else 20
+        for j in range(n):
+            rows.append(Row(k="shifted",
+                            ts=f"2024-01-{1 + h // 24:02d} "
+                               f"{h % 24:02d}:00:{j % 60:02d}.{j // 60}"))
+    for h in range(48):
+        for j in range(10):
+            rows.append(Row(k="flat",
+                            ts=f"2024-01-{1 + h // 24:02d} "
+                               f"{h % 24:02d}:00:{j % 60:02d}"))
+    df = spark.createDataFrame(rows).select(
+        "k", F.col("ts").cast("timestamp").alias("ts"))
+    out = {r.k: r for r in
+           cusum_monitor(df, "ts", ["k"], 3600).collect()}
+    assert out["flat"].n_alarms == 0
+    assert out["flat"].s_max < out["shifted"].s_max
+    # mu = 12.5, slack 3.125, post-shift excess 4.375/bucket over 12
+    # buckets -> S climbs to ~52.5 vs h = 4*sqrt(12.5) ~ 14.1
+    assert out["shifted"].n_alarms > 0
+    assert out["shifted"].s_max > 4.0 * (12.5 ** 0.5)
