@@ -84,6 +84,18 @@ BENCH_QUERIES_R4B = [
     ("butterflies", a.q_butterflies),              # bipartite wedge census
 ]
 
+# Round-5 operators (same contract as the r3/r4 groups): benched from
+# birth so round 6 has a per-query number of record.
+BENCH_QUERIES_R5 = [
+    ("dsir_topk", p.q_dsir_topk),              # hashed-ngram LLR scoring
+    ("incremental_minhash", p.q_incremental_minhash),  # batch-vs-store LSH
+    ("triangles", a.q_triangles),              # degree-ordered census
+    ("pq_adc", p.q_pq_adc),                    # code-space ANN search
+    ("bloom_filter", a.q_bloom_filter),        # bit_or build + probe
+    ("cusum_monitor", a.q_cusum_monitor),      # per-key ordered fold
+    ("ngram_novelty", p.q_ngram_novelty),      # digest membership join
+]
+
 # Per-constituent timing inside the heaviest merged entries (r4 verdict
 # item 8): when a merged entry's time shifts round-over-round, this block
 # shows WHICH branch moved — exactly the diagnosis the r4 clean_corpus
@@ -92,7 +104,8 @@ BENCH_QUERIES_R4B = [
 CONSTITUENT_GROUPS: dict[str, list[str]] = {
     "clean_corpus": ["clean_corpus", "mixture_weights"],
     "text_quality": ["text_stats", "quality_scores", "repetition",
-                     "pii_scrub", "lm_perplexity"],
+                     "rep_ngrams", "pii_scrub", "lm_perplexity"],
+    "dedup_minhash_lsh": ["dedup_minhash_lsh", "incremental_minhash"],
     "ann_cosine_topk": ["ann_cosine_topk", "bm25_topk", "rrf_fusion",
                         "rrf_recall", "phrase_match"],
     "ivf_search": ["ivf_topk", "ivf_recall", "semantic_dedup",
@@ -120,7 +133,8 @@ def main() -> None:
     # the generated code is plan-shaped, so it's reused at the real SF
     warm_dir = "/root/testdata/sf0.001"
     for _name, fn in (BENCH_QUERIES + BENCH_QUERIES_R3
-                      + BENCH_QUERIES_R4 + BENCH_QUERIES_R4B):
+                      + BENCH_QUERIES_R4 + BENCH_QUERIES_R4B
+                      + BENCH_QUERIES_R5):
         try:
             _force(fn(spark, warm_dir))
         except Exception:
@@ -135,7 +149,8 @@ def main() -> None:
     runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name, fn in (BENCH_QUERIES + BENCH_QUERIES_R3
-                     + BENCH_QUERIES_R4 + BENCH_QUERIES_R4B):
+                     + BENCH_QUERIES_R4 + BENCH_QUERIES_R4B
+                     + BENCH_QUERIES_R5):
         try:
             # min of 2 is the headline (drops scheduler noise, stays
             # honest); BOTH raw runs are recorded so run-to-run variance —

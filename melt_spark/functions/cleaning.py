@@ -421,3 +421,26 @@ def split_corpus(df: DataFrame, val_pct: int = 5, test_pct: int = 5,
         F.when(b < test_pct, F.lit("test"))
          .when(b < test_pct + val_pct, F.lit("val"))
          .otherwise(F.lit("train")))
+
+
+def export_sorted(df: DataFrame, path: str, sort_col: str = "doc_id",
+                  n_files: int = 8,
+                  max_records_per_file: int | None = None) -> None:
+    """GLOBALLY ordered export: repartitionByRange + sortWithinPartitions
+    gives total order across files WITHOUT a single-reducer global sort —
+    Spark samples the sort key to build range boundaries, every partition
+    sorts independently, and file i's max key < file i+1's min key. This
+    is the curriculum-ordered / key-clustered export variant next to
+    export_corpus's hash-sharded one: range layout makes key-range reads
+    (resume-from-doc-N, time-sliced replay) prune at file granularity.
+
+    Caveat the caller owns: range boundaries come from a SAMPLE, so file
+    SIZES are approximately even, not exactly — the standard trade
+    (tests/test_export.py asserts the ordering contract, not equal
+    sizes)."""
+    writer = (df.repartitionByRange(n_files, F.col(sort_col))
+              .sortWithinPartitions(sort_col)
+              .write.mode("overwrite"))
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)

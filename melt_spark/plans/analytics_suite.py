@@ -938,6 +938,48 @@ FROM summary
 SQL_BLOOM_FILTER = _bloom_sql()
 
 
+def q_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonality profile per event type: ISO-weekday counts
+    (the 7-bin seasonal fingerprint every capacity/anomaly model
+    baselines against) plus the peak weekday (max count, lowest-dow
+    tie-break). Integer counts end to end; the ISO-dow normalization is
+    the date-battery's Spark(1=Sun)/DuckDB(0=Sun) off-by-one guard."""
+    ev = read_table(spark, sf_dir, "events")
+    isodow = (((F.dayofweek("ts") + 5) % 7) + 1).cast("int")
+    counts = (ev.groupBy("event_type", isodow.alias("isodow"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    # lexicographic max of (n, -isodow, isodow): max count, ties to the
+    # EARLIEST weekday — deterministic argmax without a window
+    peak = (counts.groupBy("event_type")
+            .agg(F.max(F.struct(F.col("n"), (-F.col("isodow"))
+                                .alias("negd"), F.col("isodow")))
+                 .alias("m"))
+            .select("event_type", F.col("m.isodow").alias("isodow"),
+                    F.col("m.n").alias("n")))
+    return (counts.select(F.lit("dow").alias("part"), "event_type",
+                          "isodow", "n")
+            .unionByName(peak.select(F.lit("peak").alias("part"),
+                                     "event_type", "isodow", "n")))
+
+
+SQL_WEEKDAY_PROFILE = """
+WITH counts AS (
+  SELECT event_type, CAST(isodow(ts) AS INT) AS isodow,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+peak AS (
+  SELECT event_type, isodow, n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, isodow) AS rn
+  FROM counts
+)
+SELECT 'dow' AS part, event_type, isodow, n FROM counts
+UNION ALL
+SELECT 'peak' AS part, event_type, isodow, n FROM peak WHERE rn = 1
+"""
+
+
 def q_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM changepoint monitor (functions/timeseries.py cusum_monitor,
     Page 1954) over hourly per-event-type counts — the persistent-shift
@@ -2874,6 +2916,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "bloom_filter": (q_bloom_filter, SQL_BLOOM_FILTER),
     "kmv_intersect": (q_kmv_intersect, SQL_KMV_INTERSECT),
     "cusum_monitor": (q_cusum_monitor, SQL_CUSUM_MONITOR),
+    "weekday_profile": (q_weekday_profile, SQL_WEEKDAY_PROFILE),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "gapfill_hourly": (q_gapfill_hourly, SQL_GAPFILL_HOURLY),
     "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),

@@ -2551,6 +2551,15 @@ SUITE: dict[str, tuple] = {
              F.col("support").alias("n")),
          "SELECT 'seq' AS kind, a || '~>' || b || '~>' ||"
          " CAST(n_users AS VARCHAR) AS key, support AS n"),
+        # r5: weekday seasonality profile + deterministic peak weekday
+        (ANALYTICS_SUITE["weekday_profile"],
+         lambda df: df.select(
+             F.lit("weekday").alias("kind"),
+             F.concat_ws("|", "part", "event_type",
+                         F.col("isodow").cast("string")).alias("key"),
+             F.col("n")),
+         "SELECT 'weekday' AS kind, part || '|' || event_type || '|' ||"
+         " CAST(isodow AS VARCHAR) AS key, n"),
     ),
     # as-of + range join: the two temporal-join operators share one entry
     # (harmonized: event_id, user_id, a reference event id, a double value)

@@ -75,3 +75,34 @@ def test_export_codec_tradeoff(spark, sf_dir, tmp_path):
         assert back.agg(F.sum(F.length("text"))).head()[0] == \
             docs.agg(F.sum(F.length("text"))).head()[0]
     assert sizes["zstd"] < sizes["snappy"] * 0.95
+
+
+def test_export_sorted_is_globally_ordered_across_files(spark, sf_dir,
+                                                        tmp_path):
+    """Range-partitioned export: within every file rows are sorted, and
+    file key-ranges are DISJOINT in order — so a full scan in file order
+    is a global sort, and a key-range read prunes to O(1) files."""
+    from melt_spark.functions.cleaning import export_sorted
+    from melt_spark.sources.parquet import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "sorted")
+    export_sorted(docs, out, sort_col="doc_id", n_files=4)
+
+    import glob
+
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) >= 2
+    ranges = []
+    total = 0
+    for f in files:
+        ids = [r.doc_id for r in spark.read.parquet(f).collect()]
+        if not ids:
+            continue
+        assert ids == sorted(ids)              # intra-file order
+        ranges.append((min(ids), max(ids)))
+        total += len(ids)
+    ranges.sort()
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a < lo_b                     # disjoint, ordered ranges
+    assert total == docs.count()
