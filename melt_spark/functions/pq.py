@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import _dvec
+from .similarity import _dvec, cosine
 
 
 def _l2(a, b):
@@ -140,6 +140,81 @@ def pq_adc_topk(codes: DataFrame, queries: DataFrame,
                   F.lit(0.0), lambda acc, s: acc + s["d"])
                   .alias("adc_dist")))
     from pyspark.sql.window import Window
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "cand_id", "rank", "adc_dist"))
+
+
+def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                nprobe: int = 3, every: int = 50, m_sub: int = 8,
+                ks: int = 16, sub_dim: int = 8, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """The COMPOSED IVF-PQ search — the production FAISS IndexIVFPQ
+    recipe (Jégou et al. TPAMI 2011 §V): the coarse quantizer restricts
+    candidates to the query's nprobe nearest lists (the IVF half), and
+    asymmetric distance over PQ codes scores only those candidates (the
+    PQ half). Work per query ≈ (nprobe/nlists) of the corpus, touched as
+    INTEGER CODES — the float corpus exists only long enough to encode.
+
+    Plan shape at 100 TB: centroids + the per-query LUT broadcast; the
+    coded corpus shuffles once to its list assignment and is then
+    probe-joined by list_id (the persisted-index variant reads
+    list-partitioned code files and prunes at the directory level, see
+    ivf.write_index); ranking is a per-query window over ~nprobe list
+    volumes.
+
+    Output: (query_id, cand_id, rank, adc_dist) — rank ascending by
+    reconstructed distance, ties on cand_id.
+    """
+    from .ivf import deterministic_centroids, ivf_assign
+
+    cents = deterministic_centroids(corpus, every, id_col, vec_col)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col) \
+        .select(id_col, "list_id")
+    cb = pq_codebooks(corpus, m_sub, ks, every=31, sub_dim=sub_dim,
+                      id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(corpus, cb, ks, sub_dim, id_col, vec_col) \
+        .select(id_col, "packed_code")
+    coded = assigned.join(codes, id_col)
+
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _dvec(vec_col).alias("qv"))
+    from pyspark.sql.window import Window
+    qc = (q.crossJoin(F.broadcast(cents))
+          .withColumn("csim", cosine(F.col("qv"), F.col("centroid"))))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("csim"),
+                                                F.asc("list_id"))
+    probes = (qc.withColumn("rn", F.row_number().over(wq))
+              .filter(F.col("rn") <= nprobe)
+              .select("query_id", "qv", "list_id"))
+
+    sub_of_q = F.slice(F.col("qv"), F.col("m") * sub_dim + 1, sub_dim)
+    lut = (q.crossJoin(F.broadcast(cb))
+           .select("query_id", "m", "code",
+                   _l2(sub_of_q, F.col("subvec")).alias("d")))
+
+    bits = ks.bit_length() - 1
+    if (1 << bits) != ks:
+        raise ValueError(f"ks={ks} must be a power of two")
+    cand = (F.broadcast(probes.select("query_id", "list_id"))
+            .join(coded, "list_id")
+            .filter(F.col("query_id") != F.col(id_col))
+            .select("query_id", F.col(id_col).alias("cand_id"),
+                    "packed_code"))
+    dec = (cand.select(
+        "query_id", "cand_id", "packed_code",
+        F.explode(F.sequence(F.lit(0), F.lit(m_sub - 1))).alias("m"))
+        .select("query_id", "cand_id", "m",
+                F.expr(f"shiftright(packed_code, {bits} * "
+                       f"({m_sub - 1} - m)) & {ks - 1}").cast("long")
+                .alias("code")))
+    scored = (dec.join(F.broadcast(lut), ["query_id", "m", "code"])
+              .groupBy("query_id", "cand_id")
+              .agg(F.aggregate(
+                  F.array_sort(F.collect_list(F.struct("m", "d"))),
+                  F.lit(0.0), lambda acc, s: acc + s["d"])
+                  .alias("adc_dist")))
     w = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)

@@ -142,3 +142,32 @@ def lsh_cosine_pairs(corpus: DataFrame, threshold: float = 0.9,
                          F.col(f"b.{id_col}").alias("id_b"),
                          cosine(F.col("a.v"), F.col("b.v")).alias("cos"))
             .filter(F.col("cos") >= threshold))
+
+
+def alignment_filter(pairs: DataFrame, anchor: DataFrame,
+                     threshold: float, vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """CLIP-score-style pair filtering (public recipe: LAION-400M/5B —
+    Schuhmann et al., NeurIPS 2022 datasets track — keep an image-text
+    pair iff CLIP cosine(image, text) clears a threshold; the single
+    most load-bearing filter in open multimodal corpus construction).
+    Here the embedding column stands in for the CLIP image vector and
+    `anchor` (a 1-row DataFrame) for the encoded text/prompt side — the
+    Spark-side plumbing is the real thing, the encoder is the stubbed
+    seam (functions/multimodal.py's contract).
+
+    Shape: broadcast the 1-row anchor, one cosine projection per pair,
+    zero shuffles — the filter runs at scan speed over 100 TB. Cosine is
+    the module's ordered-fold dot + IEEE sqrt, so scores hash-check raw.
+
+    Output: id, align_cos, kept (int 1/0).
+    """
+    a = F.broadcast(anchor.select(_dvec(vec_col).alias("__av")))
+    scored = (pairs.select(F.col(id_col), _dvec(vec_col).alias("__v"))
+              .crossJoin(a)
+              .select(id_col,
+                      cosine(F.col("__v"), F.col("__av"))
+                      .alias("align_cos")))
+    return scored.select(
+        id_col, "align_cos",
+        (F.col("align_cos") >= threshold).cast("int").alias("kept"))

@@ -1193,6 +1193,120 @@ SELECT query_id, cand_id, rank, adc_dist FROM rk WHERE rank <= 10
 SQL_PQ_ADC = _sql_pq_adc()
 
 
+def q_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed FAISS-style IVFPQ search (functions/pq.py
+    ivf_pq_topk): coarse probe selection restricts candidates to 3
+    lists, ADC over packed codes scores them — floats touch only the
+    queries and codebooks."""
+    from ..functions.pq import ivf_pq_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(emb, emb.filter(F.col("vec_id") < 5),
+                       k=10, nprobe=3)
+
+
+def _sql_ivf_pq() -> str:
+    sq = ("(c.v[cb.m*8+i] - cb.subvec[i])"
+          " * (c.v[cb.m*8+i] - cb.subvec[i])")
+    sq_q = ("(q.qv[cb.m*8+i] - cb.subvec[i])"
+            " * (q.qv[cb.m*8+i] - cb.subvec[i])")
+    return f"""
+WITH cents AS (
+  SELECT CAST(vec_id / 50 AS BIGINT) AS list_id, {_DVEC} AS centroid
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+corpus AS (SELECT vec_id, {_DVEC} AS v FROM embeddings),
+assign_s AS (
+  SELECT c.vec_id, ct.list_id,
+         {_cos_sql('c.v', 'ct.centroid')} AS sim
+  FROM corpus c, cents ct
+),
+assign_r AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY sim DESC, list_id) AS rn
+  FROM assign_s
+),
+assigned AS (SELECT vec_id, list_id FROM assign_r WHERE rn = 1),
+seeds AS (
+  SELECT CAST(vec_id / 31 AS BIGINT) AS code, {_DVEC} AS v
+  FROM embeddings WHERE vec_id % 31 = 0 AND vec_id < 496
+),
+ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+cb AS (
+  SELECT ms.m, seeds.code,
+         list_transform(generate_series(1, 8),
+                        i -> seeds.v[ms.m * 8 + i]) AS subvec
+  FROM seeds, ms
+),
+enc_s AS (
+  SELECT c.vec_id, cb.m, cb.code,
+         list_reduce(list_prepend(0.0,
+           list_transform(generate_series(1, 8), i -> {sq})),
+           (a, b) -> a + b) AS dist
+  FROM corpus c, cb
+),
+enc_r AS (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                       ORDER BY dist, code) AS rn
+          FROM enc_s),
+codes AS (
+  SELECT vec_id,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+                             list(CAST(code AS BIGINT) ORDER BY m)),
+                (a, b) -> a * 16 + b) AS packed_code
+  FROM enc_r WHERE rn = 1 GROUP BY vec_id
+),
+q AS (SELECT vec_id AS query_id, {_DVEC} AS qv
+      FROM embeddings WHERE vec_id < 5),
+qc AS (
+  SELECT query_id, qv, list_id,
+         {_cos_sql('qv', 'centroid')} AS csim
+  FROM q, cents
+),
+qr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                    ORDER BY csim DESC, list_id) AS rn
+       FROM qc),
+probes AS (SELECT query_id, list_id FROM qr WHERE rn <= 3),
+lut AS (
+  SELECT q.query_id, cb.m, cb.code,
+         list_reduce(list_prepend(0.0,
+           list_transform(generate_series(1, 8), i -> {sq_q})),
+           (a, b) -> a + b) AS d
+  FROM q, cb
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS cand_id, c2.packed_code
+  FROM probes p
+  JOIN assigned a USING (list_id)
+  JOIN codes c2 ON c2.vec_id = a.vec_id
+  WHERE p.query_id <> a.vec_id
+),
+dec AS (
+  SELECT query_id, cand_id, ms.m,
+         (packed_code >> ((7 - ms.m) * 4)) & 15 AS code
+  FROM cand, ms
+),
+adc AS (
+  SELECT d.query_id, d.cand_id,
+         list_reduce(list_prepend(0.0, list(l.d ORDER BY l.m)),
+                     (a, b) -> a + b) AS adc_dist
+  FROM dec d JOIN lut l ON l.query_id = d.query_id AND l.m = d.m
+                       AND l.code = d.code
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT query_id, cand_id, adc_dist,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_dist, cand_id) AS INT)
+           AS rank
+  FROM adc
+)
+SELECT query_id, cand_id, rank, adc_dist FROM rk WHERE rank <= 10
+"""
+
+
+SQL_IVF_PQ = _sql_ivf_pq()
+
+
 def q_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters over the exploded token stream (functions/
     heavy.py): per-partition Misra-Gries candidates (mapInPandas, zero
@@ -1323,6 +1437,38 @@ SELECT doc_id,
   CAST(240 + strlen(text) % 240 AS INT) AS height,
   CAST(strlen(text) % 5 + 1 AS INT) AS n_frames
 FROM documents
+"""
+
+
+def q_alignment_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-score-style pair filtering (functions/similarity.py
+    alignment_filter): every embedding scored against the vec_id=0
+    anchor vector, kept iff cosine >= 0.1 — the LAION filter shape with
+    the fixture embeddings standing in for CLIP vectors (vec_id == the
+    multimodal documents' doc_id 1:1)."""
+    from ..functions.similarity import alignment_filter
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return (alignment_filter(emb, emb.filter(F.col("vec_id") == 0),
+                             threshold=0.1)
+            .select(F.col("vec_id").alias("doc_id"), "align_cos",
+                    "kept"))
+
+
+_ALIGN_COS = (f"{_dot_sql('e.v', 'anchor.av')}"
+              f" / (sqrt({_dot_sql('e.v', 'e.v')})"
+              f" * sqrt({_dot_sql('anchor.av', 'anchor.av')}))")
+
+SQL_ALIGNMENT_FILTER = f"""
+WITH anchor AS (SELECT {_DVEC} AS av FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id AS doc_id,
+         {_ALIGN_COS} AS align_cos
+  FROM (SELECT vec_id, {_DVEC} AS v FROM embeddings) e, anchor
+)
+SELECT doc_id, align_cos,
+       CAST(CASE WHEN align_cos >= 0.1 THEN 1 ELSE 0 END AS INT) AS kept
+FROM scored
 """
 
 
@@ -2148,6 +2294,7 @@ PIPELINE_SUITE: dict[str, tuple] = {
                             SQL_INCREMENTAL_MINHASH),
     "split_corpus": (q_split_corpus, _split_sql()),
     "rrf_ndcg": (q_rrf_ndcg, SQL_RRF_NDCG),
+    "alignment_filter": (q_alignment_filter, SQL_ALIGNMENT_FILTER),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
@@ -2180,6 +2327,7 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "postings_stats": (q_postings_stats, SQL_POSTINGS_STATS),
     "pq_codes": (q_pq_codes, SQL_PQ_CODES),
     "pq_adc": (q_pq_adc, SQL_PQ_ADC),
+    "ivf_pq": (q_ivf_pq, SQL_IVF_PQ),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),

@@ -2049,13 +2049,24 @@ SUITE: dict[str, tuple] = {
                               F.col("adc_dist").alias("v")),
          "SELECT 'adc' AS kind, query_id, cand_id AS ref, rank,"
          " adc_dist AS v"),
+        # r5: the COMPOSED IVFPQ search (coarse probes x ADC codes) —
+        # the production FAISS IndexIVFPQ recipe end to end
+        (PIPELINE_SUITE["ivf_pq"],
+         lambda df: df.select(F.lit("ivfpq").alias("kind"), "query_id",
+                              F.col("cand_id").alias("ref"), "rank",
+                              F.col("adc_dist").alias("v")),
+         "SELECT 'ivfpq' AS kind, query_id, cand_id AS ref, rank,"
+         " adc_dist AS v"),
     ),
     # -- multimodal decode ⋈ features ⋈ resize per doc (Arrow mapInPandas)
+    # r5: + CLIP-score-style alignment filter (similarity.py, the LAION
+    # pair-filtering shape — embeddings stand in for CLIP vectors)
     "multimodal_pipeline": joined(
         "doc_id", PIPELINE_SUITE["multimodal_decode"],
         (PIPELINE_SUITE["multimodal_features"],
          ["f_alpha", "f_digit", "f_space", "f_other"]),
-        (PIPELINE_SUITE["multimodal_resize"], ["out_w", "out_h"])),
+        (PIPELINE_SUITE["multimodal_resize"], ["out_w", "out_h"]),
+        (PIPELINE_SUITE["alignment_filter"], ["align_cos", "kept"])),
     # -- per-doc fingerprints: Karp-Rabin rolling hash + RAG chunk windows
     "rolling_fingerprint": merged(
         (PIPELINE_SUITE["rolling_fingerprint"],

@@ -257,3 +257,46 @@ def test_ndcg_reference_values(spark):
          for i in range(1, 11)])
     [d] = ndcg_at_k(demoted, truth).collect()
     assert 0.0 < d.ndcg < p.ndcg
+
+
+def test_ivf_pq_recall_floor_and_ordering(spark, sf_dir):
+    """Composed IVFPQ: recall@10 vs exact cosine must clear a floor (the
+    compression+probe trade costs recall, but not everything), ranks are
+    dense and distances ascend."""
+    from melt_spark.functions.pq import ivf_pq_topk
+    from melt_spark.functions.similarity import cosine_topk
+    from melt_spark.sources.parquet import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = ivf_pq_topk(emb, queries, k=10, nprobe=3).collect()
+    exact = cosine_topk(emb, queries, k=10).collect()
+    for qid in (0, 1, 2):
+        rows = sorted([r for r in got if r.query_id == qid],
+                      key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert all(rows[i].adc_dist <= rows[i + 1].adc_dist
+                   for i in range(len(rows) - 1))
+    hits = len({(r.query_id, r.cand_id) for r in got}
+               & {(r.query_id, r.neighbor_id) for r in exact})
+    # 30 truth pairs; uniform-random fixture vectors are the worst case
+    # for BOTH stages (no cluster structure: nprobe 3/10 alone caps
+    # recall ~30%, and 4-bit codes distort heavily on top) — this floor
+    # guards against total breakage (0-2 hits), not quality; the
+    # per-stage quality gates live in test_ivf.py (probe monotonicity)
+    # and the pq_adc reconstruction cross-check
+    assert hits >= 4, hits
+
+
+def test_alignment_filter_keeps_anchor_and_thresholds(spark, sf_dir):
+    from melt_spark.functions.similarity import alignment_filter
+    from melt_spark.sources.parquet import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = alignment_filter(emb, emb.filter(F.col("vec_id") == 0),
+                           threshold=0.1).collect()
+    by_id = {r.vec_id: r for r in out}
+    assert abs(by_id[0].align_cos - 1.0) < 1e-12   # the anchor itself
+    assert by_id[0].kept == 1
+    assert all((r.kept == 1) == (r.align_cos >= 0.1) for r in out)
+    assert 0 < sum(r.kept for r in out) < len(out)  # non-degenerate

@@ -287,3 +287,41 @@ def test_incremental_minhash_equals_cross_restricted_self_join(texts):
     cross = {(r.doc_a, r.doc_b): round(r.jaccard, 9)
              for r in full if r.doc_a < 10_000 <= r.doc_b}
     assert incr == cross
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.integers(0, 30), min_size=3, max_size=30))
+def test_cusum_matches_python_reference(xs):
+    """Spark's CUSUM fold == a plain-Python recurrence on arbitrary count
+    series (same mu/slack/threshold derivation, same IEEE order)."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F2
+
+    from melt_spark.functions.timeseries import cusum_monitor
+
+    spark = _get_spark()
+    rows = [Row(k="s",
+                ts=f"2024-01-{1 + i // 24:02d} {i % 24:02d}:00:00")
+            for i, x in enumerate(xs) for _ in range(x)]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows).select(
+        "k", F2.col("ts").cast("timestamp").alias("ts"))
+    [got] = cusum_monitor(df, "ts", ["k"], 3600).collect()
+
+    series = [x for x in xs if x > 0]   # empty buckets don't exist
+    mu = sum(series) / len(series)
+    slack, h = mu * 0.25, 4.0 * (mu ** 0.5)
+    s = smax = 0.0
+    alarms = 0
+    for x in series:
+        s = max(0.0, s + (float(x) - mu - slack))
+        smax = max(smax, s)
+        if s > h:
+            alarms += 1
+    assert got.n_buckets == len(series)
+    assert got.mu == round(mu, 9)
+    assert got.s_final == round(s, 9)
+    assert got.s_max == round(smax, 9)
+    assert got.n_alarms == alarms
