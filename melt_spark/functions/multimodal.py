@@ -134,3 +134,49 @@ def sample_frames(df: DataFrame, content_col: str = "content",
                 {id_col: ids, "frame_idx": idxs, "frame_bytes": sizes})
 
     return df.select(id_col, content_col).mapInPandas(run, FRAME_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = ("doc_id long, n_chars int, n_windows int, "
+                       "win_fp_first string, win_fp_last string")
+
+
+def audio_windows(df: DataFrame, window: int = 64, hop: int = 48,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Audio-style strided WINDOW segmentation over the opaque payload —
+    the frame/hop decomposition every audio featurizer (spectrogram,
+    VAD, wav2vec-style encoders) runs first. The payload here is the
+    fixture text standing in for PCM (the real soundfile decode is the
+    module's NotImplementedError seam); the Spark-side shape is the real
+    thing: Arrow-batched mapInPandas, one narrow stage, no shuffle,
+    windows = floor((len - window)/hop) + 1 per doc with per-window md5
+    fingerprints (dedup keys for repeated jingles/silence).
+
+    Output: id, n_chars, n_windows (0 when the payload is shorter than
+    one window), win_fp_first/win_fp_last (md5 of the first/last window;
+    '' when n_windows = 0). Character-addressed so the DuckDB oracle's
+    substr/md5 restatement matches on any unicode payload."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                n = len(t)
+                nw = 0 if n < window else (n - window) // hop + 1
+                if nw:
+                    first = hashlib.md5(
+                        t[:window].encode("utf-8")).hexdigest()
+                    s = (nw - 1) * hop
+                    last = hashlib.md5(
+                        t[s:s + window].encode("utf-8")).hexdigest()
+                else:
+                    first = last = ""
+                rows.append((int(i), n, nw, first, last))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_chars",
+                                              "n_windows",
+                                              "win_fp_first",
+                                              "win_fp_last"])
+
+    return df.select(id_col, text_col).mapInPandas(run,
+                                                   AUDIO_WINDOW_SCHEMA)

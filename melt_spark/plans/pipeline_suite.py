@@ -1472,6 +1472,31 @@ FROM scored
 """
 
 
+def q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided audio-frame segmentation (functions/multimodal.py
+    audio_windows): window=64 hop=48 over the payload, per-window md5
+    fingerprints — the frame/hop decomposition at the codec seam."""
+    from ..functions.multimodal import audio_windows
+
+    docs = read_table(spark, sf_dir, "documents")
+    return audio_windows(docs)
+
+
+SQL_AUDIO_WINDOWS = """
+SELECT doc_id,
+  CAST(length(text) AS INT) AS n_chars,
+  CAST(CASE WHEN length(text) < 64 THEN 0
+            ELSE (length(text) - 64) // 48 + 1 END AS INT) AS n_windows,
+  CASE WHEN length(text) < 64 THEN ''
+       ELSE md5(substr(text, 1, 64)) END AS win_fp_first,
+  CASE WHEN length(text) < 64 THEN ''
+       ELSE md5(substr(text,
+                       ((length(text) - 64) // 48) * 48 + 1, 64))
+  END AS win_fp_last
+FROM documents
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-class histogram features via mapInPandas (the encoder seam)."""
     from ..functions.multimodal import extract_features
@@ -2295,6 +2320,7 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "split_corpus": (q_split_corpus, _split_sql()),
     "rrf_ndcg": (q_rrf_ndcg, SQL_RRF_NDCG),
     "alignment_filter": (q_alignment_filter, SQL_ALIGNMENT_FILTER),
+    "audio_windows": (q_audio_windows, SQL_AUDIO_WINDOWS),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),

@@ -2066,7 +2066,9 @@ SUITE: dict[str, tuple] = {
         (PIPELINE_SUITE["multimodal_features"],
          ["f_alpha", "f_digit", "f_space", "f_other"]),
         (PIPELINE_SUITE["multimodal_resize"], ["out_w", "out_h"]),
-        (PIPELINE_SUITE["alignment_filter"], ["align_cos", "kept"])),
+        (PIPELINE_SUITE["alignment_filter"], ["align_cos", "kept"]),
+        (PIPELINE_SUITE["audio_windows"],
+         ["n_windows", "win_fp_first", "win_fp_last"])),
     # -- per-doc fingerprints: Karp-Rabin rolling hash + RAG chunk windows
     "rolling_fingerprint": merged(
         (PIPELINE_SUITE["rolling_fingerprint"],

@@ -300,3 +300,30 @@ def test_alignment_filter_keeps_anchor_and_thresholds(spark, sf_dir):
     assert by_id[0].kept == 1
     assert all((r.kept == 1) == (r.align_cos >= 0.1) for r in out)
     assert 0 < sum(r.kept for r in out) < len(out)  # non-degenerate
+
+
+def test_audio_windows_hand_case(spark):
+    """len 64 -> exactly 1 window; len 63 -> 0; len 160 -> 3 windows
+    (starts 0/48/96, last covering chars 96..159); unicode payloads are
+    character-addressed (no surrogate splitting)."""
+    import hashlib
+
+    from melt_spark.functions.multimodal import audio_windows
+
+    t64 = "a" * 64
+    t160 = "".join(chr(ord("a") + i % 26) for i in range(160))
+    uni = ("é" * 100)
+    rows = [Row(doc_id=1, text=t64), Row(doc_id=2, text="x" * 63),
+            Row(doc_id=3, text=t160), Row(doc_id=4, text=uni)]
+    out = {r.doc_id: r for r in
+           audio_windows(spark.createDataFrame(rows)).collect()}
+    assert (out[1].n_windows, out[2].n_windows, out[3].n_windows) \
+        == (1, 0, 3)
+    assert out[2].win_fp_first == ""
+    assert out[3].win_fp_first == hashlib.md5(
+        t160[:64].encode()).hexdigest()
+    assert out[3].win_fp_last == hashlib.md5(
+        t160[96:160].encode()).hexdigest()
+    assert out[4].n_chars == 100 and out[4].n_windows == 1
+    assert out[4].win_fp_first == hashlib.md5(
+        ("é" * 64).encode("utf-8")).hexdigest()
