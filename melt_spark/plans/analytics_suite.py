@@ -938,6 +938,75 @@ FROM summary
 SQL_BLOOM_FILTER = _bloom_sql()
 
 
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching (functions/fuzzy.py, Gravano et al. VLDB
+    2001): 200 customer names with one planted substitution each,
+    matched back to the originals at edit distance <= 2 via the q-gram
+    count prefilter + levenshtein verification."""
+    from ..functions.fuzzy import fuzzy_match
+
+    cust = (read_table(spark, sf_dir, "customer")
+            .orderBy("c_custkey").limit(200)
+            .select("c_custkey", "c_name"))
+    pos = (F.col("c_custkey") % 8 + 4).cast("int")
+    typos = cust.select(
+        (F.col("c_custkey") + 100000).alias("t_id"),
+        F.concat(F.expr("substr(c_name, 1, cast(c_custkey % 8 + 3"
+                        " as int))"),
+                 F.lit("~"),
+                 F.col("c_name").substr(pos + 1, F.lit(1000)))
+        .alias("t_name"))
+    return (fuzzy_match(typos, cust, "t_id", "t_name",
+                        "c_custkey", "c_name", q=3, max_dist=2)
+            .select("t_id", "c_custkey", "shared_grams", "lev"))
+
+
+SQL_FUZZY_MATCH = """
+WITH cust AS (
+  SELECT c_custkey, c_name FROM customer ORDER BY c_custkey LIMIT 200
+),
+typos AS (
+  SELECT c_custkey + 100000 AS t_id,
+         substr(c_name, 1, CAST(c_custkey % 8 + 3 AS INT)) || '~' ||
+         substr(c_name, CAST(c_custkey % 8 + 4 AS INT) + 1, 1000)
+           AS t_name
+  FROM cust
+),
+lg AS (
+  SELECT t_id, t_name,
+         unnest(list_distinct(list_transform(
+           range(1, length(t_name) - 1),
+           i -> substr(t_name, i, 3)))) AS g
+  FROM typos WHERE length(t_name) >= 3
+),
+rg AS (
+  SELECT c_custkey, c_name,
+         unnest(list_distinct(list_transform(
+           range(1, length(c_name) - 1),
+           i -> substr(c_name, i, 3)))) AS g
+  FROM cust WHERE length(c_name) >= 3
+),
+shared AS (
+  SELECT lg.t_id, lg.t_name, rg.c_custkey, rg.c_name,
+         COUNT(*) AS shared_grams
+  FROM lg JOIN rg USING (g)
+  GROUP BY 1, 2, 3, 4
+),
+nl AS (SELECT t_id, COUNT(*) AS n_l FROM lg GROUP BY 1),
+nr AS (SELECT c_custkey, COUNT(*) AS n_r FROM rg GROUP BY 1),
+cand AS (
+  SELECT s.* FROM shared s
+  JOIN nl ON nl.t_id = s.t_id
+  JOIN nr ON nr.c_custkey = s.c_custkey
+  WHERE s.shared_grams >= greatest(nl.n_l, nr.n_r) - 6
+)
+SELECT t_id, c_custkey, shared_grams,
+       CAST(levenshtein(t_name, c_name) AS INT) AS lev
+FROM cand
+WHERE levenshtein(t_name, c_name) <= 2
+"""
+
+
 def q_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekday seasonality profile per event type: ISO-weekday counts
     (the 7-bin seasonal fingerprint every capacity/anomaly model
@@ -2917,6 +2986,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "kmv_intersect": (q_kmv_intersect, SQL_KMV_INTERSECT),
     "cusum_monitor": (q_cusum_monitor, SQL_CUSUM_MONITOR),
     "weekday_profile": (q_weekday_profile, SQL_WEEKDAY_PROFILE),
+    "fuzzy_match": (q_fuzzy_match, SQL_FUZZY_MATCH),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "gapfill_hourly": (q_gapfill_hourly, SQL_GAPFILL_HOURLY),
     "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),

@@ -2814,6 +2814,18 @@ SUITE: dict[str, tuple] = {
          " '|' || name_mid || '|' || name_repl || '|' ||"
          " CAST(lev AS VARCHAR) || '|' || CAST(name_len AS VARCHAR) AS sval,"
          " CAST(-1 AS BIGINT) AS n"),
+        # r5: fuzzy entity matching — q-gram count prefilter + exact
+        # levenshtein verify (Gravano et al. VLDB 2001)
+        (ANALYTICS_SUITE["fuzzy_match"],
+         lambda df: df.select(
+             F.lit("fuzzy").alias("kind"),
+             F.col("t_id").alias("c_custkey"),
+             F.concat_ws(":", F.col("c_custkey").cast("string"),
+                         F.col("lev").cast("string")).alias("sval"),
+             F.col("shared_grams").alias("n")),
+         "SELECT 'fuzzy' AS kind, t_id AS c_custkey,"
+         " CAST(c_custkey AS VARCHAR) || ':' || CAST(lev AS VARCHAR)"
+         " AS sval, shared_grams AS n"),
     ),
     # -- Structured Streaming surface (S9/T3/T6): each branch runs a real
     #    stream to completion; results checked against batch-equivalent SQL

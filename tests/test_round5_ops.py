@@ -327,3 +327,40 @@ def test_audio_windows_hand_case(spark):
     assert out[4].n_chars == 100 and out[4].n_windows == 1
     assert out[4].win_fp_first == hashlib.md5(
         ("é" * 64).encode("utf-8")).hexdigest()
+
+
+def test_fuzzy_match_finds_every_planted_typo(spark, sf_dir):
+    """Every typo'd name must match its own source at lev == 1 (one
+    substitution), and no surviving pair may exceed the distance bound."""
+    from melt_spark.plans.analytics_suite import q_fuzzy_match
+
+    from melt_spark.sources.parquet import read_table
+
+    out = q_fuzzy_match(spark, sf_dir).collect()
+    own = {(r.t_id, r.c_custkey) for r in out
+           if r.t_id == r.c_custkey + 100000}
+    n_cust = min(200, read_table(spark, sf_dir, "customer").count())
+    assert len(own) == n_cust
+    assert all(r.lev == 1 for r in out
+               if r.t_id == r.c_custkey + 100000)
+    assert all(r.lev <= 2 for r in out)
+
+
+def test_fuzzy_match_prefilter_is_complete(spark):
+    """Hand pairs at distance exactly max_dist must survive the q-gram
+    count bound (the Gravano completeness guarantee), and far pairs must
+    be rejected by levenshtein even when they share grams."""
+    from melt_spark.functions.fuzzy import fuzzy_match
+
+    left = spark.createDataFrame(
+        [Row(lid=1, ls="abcdefghijklmnop"),
+         Row(lid=2, ls="abcdefgh__klmnop"),     # dist 2 from lid=1's str
+         Row(lid=3, ls="zzzzzzzzzzzzzzzz")])
+    right = spark.createDataFrame(
+        [Row(rid=10, rs="abcdefghijklmnop")])
+    got = {(r.lid, r.rid, r.lev) for r in
+           fuzzy_match(left, right, "lid", "ls", "rid", "rs",
+                       q=3, max_dist=2).collect()}
+    assert (1, 10, 0) in got
+    assert (2, 10, 2) in got
+    assert all(lid != 3 for lid, _r, _l in got)
