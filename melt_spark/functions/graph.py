@@ -240,3 +240,50 @@ def triangle_count(pairs: DataFrame, a: str, b: str) -> DataFrame:
         / F.col("wedges").cast("double")).otherwise(F.lit(-1.0))
     return out.select("n_nodes", "n_edges", "wedges", "triangles",
                       transitivity.alias("transitivity"))
+
+
+def kcore(pairs: DataFrame, a: str, b: str, k: int = 3,
+          rounds: int = 4) -> DataFrame:
+    """k-core decomposition by UNROLLED peeling — `rounds` synchronous
+    rounds of "drop every vertex with degree < k, recompute degrees"
+    (Matula & Beck, "Smallest-last ordering and clustering and graph
+    coloring algorithms", JACM 1983; the distributed synchronous-peeling
+    formulation is Montresor, De Pellegrini, Miorandi, "Distributed
+    k-core decomposition", IEEE TPDS 2013). The k-core is the standard
+    dense-region extractor — spam rings, bot clusters, well-connected
+    entity hubs.
+
+    Round count is PINNED (the pagerank contract): peeling converges in
+    at most |V| rounds but real graphs settle in a handful; a fixed
+    `rounds` makes the operator deterministic and lets the oracle unroll
+    the same rounds as CTEs. Callers needing certified convergence check
+    that round r and r-1 agree (n_alive stabilizes) and re-run deeper.
+
+    Spark-first shape: each round is one degree aggregation + two
+    semi-joins restricting the edge list — all keyed on vertex ids; the
+    edge list localCheckpoints per round so the unrolled lineage stays
+    flat (Catalyst reuses exchanges, not subplans). At 100 TB: degrees
+    are compact (vertex, int64) rows; no round materializes anything
+    bigger than the surviving edge list.
+
+    Output: (node, deg) for vertices still alive after `rounds` peels,
+    with their degree in the surviving subgraph.
+    """
+    und = (pairs.select(F.least(F.col(a), F.col(b)).alias("u"),
+                        F.greatest(F.col(a), F.col(b)).alias("v"))
+           .filter(F.col("u") != F.col("v")).distinct()
+           .localCheckpoint(eager=True))
+    edges = und
+    for _ in range(rounds):
+        deg = (edges.select(F.col("u").alias("n"))
+               .unionByName(edges.select(F.col("v").alias("n")))
+               .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+        alive = deg.filter(F.col("d") >= k).select("n")
+        edges = (edges
+                 .join(alive.withColumnRenamed("n", "u"), "u", "left_semi")
+                 .join(alive.withColumnRenamed("n", "v"), "v", "left_semi")
+                 .localCheckpoint(eager=True))
+    final_deg = (edges.select(F.col("u").alias("node"))
+                 .unionByName(edges.select(F.col("v").alias("node")))
+                 .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    return final_deg.filter(F.col("deg") >= k)

@@ -938,6 +938,56 @@ FROM summary
 SQL_BLOOM_FILTER = _bloom_sql()
 
 
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (functions/graph.py kcore, Matula-Beck /
+    Montresor-et-al synchronous peeling) over the customer↔supplier
+    bipartite graph at k=24, 4 unrolled rounds — the dense-region
+    extractor beside pagerank/triangles/butterflies."""
+    from ..functions.graph import kcore
+
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    pairs = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+             .select(F.col("o_custkey").alias("a"),
+                     (F.lit(1_000_000) + F.col("l_suppkey")).alias("b"))
+             .distinct())
+    return kcore(pairs, "a", "b", k=24, rounds=4)
+
+
+def _kcore_sql(k: int = 24, rounds: int = 4) -> str:
+    ctes = ["""e0 AS (
+  SELECT DISTINCT least(o_custkey, 1000000 + l_suppkey) AS u,
+         greatest(o_custkey, 1000000 + l_suppkey) AS v
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_custkey <> 1000000 + l_suppkey
+)"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""d{r} AS (
+  SELECT n, COUNT(*) AS d FROM (
+    SELECT u AS n FROM e{r - 1} UNION ALL SELECT v AS n FROM e{r - 1}
+  ) t GROUP BY n
+),
+a{r} AS (SELECT n FROM d{r} WHERE d >= {k}),
+e{r} AS (
+  SELECT e.u, e.v FROM e{r - 1} e
+  JOIN a{r} x ON x.n = e.u
+  JOIN a{r} y ON y.n = e.v
+)""")
+    return f"""
+WITH {','.join(ctes)},
+fd AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT u AS node FROM e{rounds}
+    UNION ALL SELECT v AS node FROM e{rounds}
+  ) t GROUP BY node
+)
+SELECT node, deg FROM fd WHERE deg >= {k}
+"""
+
+
+SQL_KCORE = _kcore_sql()
+
+
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy entity matching (functions/fuzzy.py, Gravano et al. VLDB
     2001): 200 customer names with one planted substitution each,
@@ -2987,6 +3037,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "cusum_monitor": (q_cusum_monitor, SQL_CUSUM_MONITOR),
     "weekday_profile": (q_weekday_profile, SQL_WEEKDAY_PROFILE),
     "fuzzy_match": (q_fuzzy_match, SQL_FUZZY_MATCH),
+    "kcore": (q_kcore, SQL_KCORE),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "gapfill_hourly": (q_gapfill_hourly, SQL_GAPFILL_HOURLY),
     "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),

@@ -1911,6 +1911,12 @@ SUITE: dict[str, tuple] = {
          "SELECT unnest(['tri_nodes', 'tri_edges', 'tri_wedges',"
          " 'tri_count']) AS kind, CAST(-2 AS BIGINT) AS id,"
          " unnest([n_nodes, n_edges, wedges, triangles]) AS val"),
+        # r5: k-core peeling (Matula-Beck) — dense-region membership
+        (ANALYTICS_SUITE["kcore"],
+         lambda df: df.select(F.lit("kcore").alias("kind"),
+                              F.col("node").alias("id"),
+                              F.col("deg").alias("val")),
+         "SELECT 'kcore' AS kind, node AS id, deg AS val"),
     ),
     "simhash": PIPELINE_SUITE["simhash"],
     "simhash_near_dup": merged(

@@ -197,3 +197,21 @@ def test_triangle_free_graph_sentinel_and_zero(spark):
     [edge] = triangle_count(spark.createDataFrame(
         [Row(x="a", y="b")]), "x", "y").collect()
     assert edge.triangles == 0 and edge.transitivity == -1.0
+
+
+def test_kcore_hand_graph(spark):
+    """K4 plus a pendant chain: the 4-clique is the 3-core; the chain
+    peels away over the rounds (cascading removal needs round 2)."""
+    from melt_spark.functions.graph import kcore
+
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+          ("c", "d")]
+    chain = [("d", "e"), ("e", "f"), ("f", "g")]
+    edges = spark.createDataFrame(
+        [Row(x=u, y=v) for u, v in k4 + chain])
+    out = {r.node: r.deg for r in
+           kcore(edges, "x", "y", k=3, rounds=3).collect()}
+    assert set(out) == {"a", "b", "c", "d"}
+    assert all(d == 3 for d in out.values())
+    # k=4: the clique itself dies (max degree in K4 is 3)
+    assert kcore(edges, "x", "y", k=4, rounds=3).count() == 0
