@@ -294,3 +294,51 @@ def kmv_intersect_estimate(a: DataFrame, b: DataFrame, value_col: str,
         .select("j_num", "n_union_mins", "union_est",
                 F.expr(f"(j_num * union_est) div {k}").cast("bigint")
                 .alias("inter_est")))
+
+
+def kmv_overlap_matrix(df: DataFrame, key_col: str, value_col: str,
+                       k: int = DEFAULT_K) -> DataFrame:
+    """PAIRWISE distinct-overlap estimates for every key pair, from
+    per-key sketches built in ONE corpus pass — the sketch-reuse pitch
+    (Beyer et al. SIGMOD 2007 again): an audience-overlap matrix over m
+    segments costs one scan + O(m² k) sketch arithmetic, never m²
+    rescans. Every estimate is floor()ed integer math (oracle-exact).
+
+    Output per (key_a < key_b): j_num, n_union_mins, union_est,
+    inter_est."""
+    mins = kmv_mins(df, [key_col], value_col, k) \
+        .select(F.col(key_col).alias("kk"), "h").localCheckpoint(True)
+    keys = mins.select(F.col("kk").alias("ka")).distinct()
+    kp = (keys.crossJoin(keys.select(F.col("ka").alias("kb")))
+          .filter(F.col("ka") < F.col("kb")))
+    pa = (kp.join(mins.withColumnRenamed("kk", "ka"), "ka")
+          .select("ka", "kb", "h"))
+    pb = (kp.join(mins.withColumnRenamed("kk", "kb"), "kb")
+          .select("ka", "kb", "h"))
+    u = pa.unionByName(pb).distinct()
+    w = Window.partitionBy("ka", "kb").orderBy("h")
+    um = (u.withColumn("rn", F.row_number().over(w))
+          .filter(F.col("rn") <= k))
+    ina = (mins.select(F.col("kk").alias("ka"), F.col("h").alias("h"),
+                       F.lit(1).alias("in_a")))
+    inb = (mins.select(F.col("kk").alias("kb"), F.col("h").alias("h"),
+                       F.lit(1).alias("in_b")))
+    tagged = (um.join(ina, ["ka", "h"], "left")
+              .join(inb, ["kb", "h"], "left"))
+    agg = (tagged.groupBy("ka", "kb")
+           .agg(F.count(F.lit(1)).alias("n_union_mins"),
+                F.sum(F.when((F.col("in_a") == 1) & (F.col("in_b") == 1),
+                             1).otherwise(0)).alias("j_num"),
+                F.max("h").alias("kth")))
+    union_est = F.when(
+        F.col("n_union_mins") < k, F.col("n_union_mins")).otherwise(
+        F.floor(F.lit(float(k - 1)) * F.lit(_TWO48) / F.col("kth"))) \
+        .cast("bigint")
+    return (agg.select("ka", "kb",
+                       F.col("j_num").cast("bigint").alias("j_num"),
+                       F.col("n_union_mins").cast("bigint")
+                       .alias("n_union_mins"),
+                       union_est.alias("union_est"))
+            .select("ka", "kb", "j_num", "n_union_mins", "union_est",
+                    F.expr(f"(j_num * union_est) div {k}").cast("bigint")
+                    .alias("inter_est")))

@@ -938,6 +938,92 @@ FROM summary
 SQL_BLOOM_FILTER = _bloom_sql()
 
 
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix (functions/sketches.py kmv_overlap_matrix):
+    pairwise distinct-user overlap estimates for every event-type pair
+    from per-type sketches built in ONE scan, beside the exact
+    intersections — the m²-pairs-one-scan sketch-reuse pitch."""
+    from ..functions.sketches import kmv_overlap_matrix
+
+    ev = read_table(spark, sf_dir, "events")
+    est = kmv_overlap_matrix(ev, "event_type", "user_id", k=16)
+    tu = ev.select("event_type", "user_id").distinct()
+    a = tu.select(F.col("event_type").alias("ka"),
+                  F.col("user_id").alias("u"))
+    b = tu.select(F.col("event_type").alias("kb"),
+                  F.col("user_id").alias("u"))
+    exact = (a.join(b, "u").filter(F.col("ka") < F.col("kb"))
+             .groupBy("ka", "kb")
+             .agg(F.count(F.lit(1)).alias("exact_inter")))
+    return (est.join(exact, ["ka", "kb"], "left")
+            .select("ka", "kb", "j_num", "n_union_mins", "union_est",
+                    "inter_est",
+                    F.coalesce("exact_inter", F.lit(0)).cast("bigint")
+                    .alias("exact_inter")))
+
+
+SQL_KMV_OVERLAP = f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type AS kk,
+         {_hex12_sql("CAST(user_id AS VARCHAR)")} AS h
+  FROM events
+),
+mins AS (
+  SELECT kk, h,
+         row_number() OVER (PARTITION BY kk ORDER BY h) AS rn
+  FROM hashed QUALIFY rn <= 16
+),
+keys AS (SELECT DISTINCT kk FROM mins),
+kp AS (
+  SELECT a.kk AS ka, b.kk AS kb FROM keys a, keys b WHERE a.kk < b.kk
+),
+u AS (
+  SELECT DISTINCT ka, kb, h FROM (
+    SELECT kp.ka, kp.kb, m.h FROM kp JOIN mins m ON m.kk = kp.ka
+    UNION ALL
+    SELECT kp.ka, kp.kb, m.h FROM kp JOIN mins m ON m.kk = kp.kb
+  ) t
+),
+um AS (
+  SELECT ka, kb, h,
+         row_number() OVER (PARTITION BY ka, kb ORDER BY h) AS rn
+  FROM u QUALIFY rn <= 16
+),
+tagged AS (
+  SELECT um.ka, um.kb, um.h,
+         CASE WHEN ma.h IS NOT NULL AND mb.h IS NOT NULL
+              THEN 1 ELSE 0 END AS in_both
+  FROM um
+  LEFT JOIN mins ma ON ma.kk = um.ka AND ma.h = um.h
+  LEFT JOIN mins mb ON mb.kk = um.kb AND mb.h = um.h
+),
+agg AS (
+  SELECT ka, kb, CAST(COUNT(*) AS BIGINT) AS n_union_mins,
+         CAST(SUM(in_both) AS BIGINT) AS j_num, MAX(h) AS kth
+  FROM tagged GROUP BY 1, 2
+),
+est AS (
+  SELECT ka, kb, j_num, n_union_mins,
+    CAST(CASE WHEN n_union_mins < 16 THEN n_union_mins
+              ELSE floor(15.0 * 281474976710656.0 / kth) END AS BIGINT)
+      AS union_est
+  FROM agg
+),
+tu AS (SELECT DISTINCT event_type, user_id FROM events),
+exact AS (
+  SELECT a.event_type AS ka, b.event_type AS kb,
+         CAST(COUNT(*) AS BIGINT) AS exact_inter
+  FROM tu a JOIN tu b ON a.user_id = b.user_id
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT e.ka, e.kb, e.j_num, e.n_union_mins, e.union_est,
+       CAST((e.j_num * e.union_est) // 16 AS BIGINT) AS inter_est,
+       CAST(coalesce(x.exact_inter, 0) AS BIGINT) AS exact_inter
+FROM est e LEFT JOIN exact x ON x.ka = e.ka AND x.kb = e.kb
+"""
+
+
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition (functions/graph.py kcore, Matula-Beck /
     Montresor-et-al synchronous peeling) over the customer↔supplier
@@ -3038,6 +3124,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "weekday_profile": (q_weekday_profile, SQL_WEEKDAY_PROFILE),
     "fuzzy_match": (q_fuzzy_match, SQL_FUZZY_MATCH),
     "kcore": (q_kcore, SQL_KCORE),
+    "kmv_overlap": (q_kmv_overlap, SQL_KMV_OVERLAP),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "gapfill_hourly": (q_gapfill_hourly, SQL_GAPFILL_HOURLY),
     "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),

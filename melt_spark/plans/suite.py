@@ -2661,6 +2661,17 @@ SUITE: dict[str, tuple] = {
          " unnest([inter_est, union_est]) AS a,"
          " unnest([exact_inter, exact_union]) AS b,"
          " unnest([j_num, n_union_mins]) AS n"),
+        # r5: the m²-pairs-one-scan audience-overlap matrix from reused
+        # per-type sketches, beside the exact intersections
+        (ANALYTICS_SUITE["kmv_overlap"],
+         lambda df: df.select(
+             F.lit("overlap").alias("kind"),
+             F.concat_ws("&", "ka", "kb").alias("key"),
+             F.col("inter_est").alias("a"),
+             F.col("exact_inter").alias("b"),
+             F.col("union_est").alias("n")),
+         "SELECT 'overlap' AS kind, ka || '&' || kb AS key,"
+         " inter_est AS a, exact_inter AS b, union_est AS n"),
     ),
     # -- percentiles + deterministic math + embedding norms (all-double row)
     "numeric_profiles": merged(

@@ -364,3 +364,32 @@ def test_fuzzy_match_prefilter_is_complete(spark):
     assert (1, 10, 0) in got
     assert (2, 10, 2) in got
     assert all(lid != 3 for lid, _r, _l in got)
+
+
+def test_bloom_pruned_membership_join_equals_exact(spark, sf_dir):
+    """Bloom as a join PRUNER: filtering the probe side through
+    might_contain before the exact join must lose nothing (zero false
+    negatives) while shrinking the exact join's input — the runtime-
+    filter composition the operator exists for."""
+    from pyspark.sql import functions as F2
+
+    from melt_spark.functions.bloom import bloom_build, bloom_might_contain
+    from melt_spark.sources.parquet import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    members = ev.filter(F2.col("user_id") % 3 == 0) \
+        .select("user_id").distinct()
+    probes = (ev.select("user_id").distinct()
+              .unionByName(ev.select((F2.col("user_id") + 777777)
+                                     .alias("user_id")).distinct()))
+    exact = {r.user_id for r in probes.join(members, "user_id").collect()}
+    bloom = bloom_build(members, "user_id")
+    pruned = (bloom_might_contain(bloom, probes, "user_id")
+              .filter(F2.col("might_contain"))
+              .select(F2.col("item").alias("user_id")))
+    n_probes = probes.distinct().count()
+    n_pruned = pruned.count()
+    via_bloom = {r.user_id for r in
+                 pruned.join(members, "user_id").collect()}
+    assert via_bloom == exact          # pruning loses nothing
+    assert n_pruned < n_probes         # and actually prunes
