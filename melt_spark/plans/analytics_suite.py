@@ -1041,7 +1041,12 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kcore_sql(k: int = 24, rounds: int = 4) -> str:
-    ctes = ["""e0 AS (
+    # every e{r} is referenced 3x by round r+1 (two degree scans + the
+    # restriction join); WITHOUT the MATERIALIZED hint DuckDB may inline
+    # each reference, re-deriving the orders⋈lineitem base 3^rounds
+    # times — at sf0.1 that spilled until the DISK filled. Materialize
+    # each round once (the Spark side's localCheckpoint analogue).
+    ctes = ["""e0 AS MATERIALIZED (
   SELECT DISTINCT least(o_custkey, 1000000 + l_suppkey) AS u,
          greatest(o_custkey, 1000000 + l_suppkey) AS v
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
@@ -1054,7 +1059,7 @@ def _kcore_sql(k: int = 24, rounds: int = 4) -> str:
   ) t GROUP BY n
 ),
 a{r} AS (SELECT n FROM d{r} WHERE d >= {k}),
-e{r} AS (
+e{r} AS MATERIALIZED (
   SELECT e.u, e.v FROM e{r - 1} e
   JOIN a{r} x ON x.n = e.u
   JOIN a{r} y ON y.n = e.v
