@@ -121,7 +121,13 @@ PROBES = ["text_quality", "dedup_minhash_lsh", "clean_corpus",
           # (fixed-size shuffle like CMS), PQ ADC search, and the
           # zero-shuffle repeat/entropy text pass
           "incremental_minhash", "dsir_topk", "ngram_novelty",
-          "bloom_filter", "pq_adc", "rep_ngrams"]
+          "bloom_filter", "pq_adc", "rep_ngrams",
+          # r5 wave 2: composed IVFPQ, k-core peeling (graph grows with
+          # orders x lineitem), the sketch-reuse overlap matrix, fuzzy
+          # entity matching (fixed 200-name workload — expected ~flat),
+          # CUSUM (per-key fold) and the alignment/audio scan passes
+          "ivf_pq", "kcore", "kmv_overlap", "fuzzy_match",
+          "cusum_monitor", "alignment_filter", "audio_windows"]
 
 
 def _span_query(via: str):
@@ -181,7 +187,19 @@ _EXTRA_QUERIES = {"span_dedup_digest": _span_query("digest"),
                   "pq_adc":
                       _constituent("pipeline_suite", "q_pq_adc"),
                   "rep_ngrams":
-                      _constituent("pipeline_suite", "q_rep_ngrams")}
+                      _constituent("pipeline_suite", "q_rep_ngrams"),
+                  "ivf_pq": _constituent("pipeline_suite", "q_ivf_pq"),
+                  "kcore": _constituent("analytics_suite", "q_kcore"),
+                  "kmv_overlap":
+                      _constituent("analytics_suite", "q_kmv_overlap"),
+                  "fuzzy_match":
+                      _constituent("analytics_suite", "q_fuzzy_match"),
+                  "cusum_monitor":
+                      _constituent("analytics_suite", "q_cusum_monitor"),
+                  "alignment_filter":
+                      _constituent("pipeline_suite", "q_alignment_filter"),
+                  "audio_windows":
+                      _constituent("pipeline_suite", "q_audio_windows")}
 
 
 def _shuffle_state(spark):
