@@ -1097,9 +1097,21 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.lit("~"),
                  F.col("c_name").substr(pos + 1, F.lit(1000)))
         .alias("t_name"))
-    return (fuzzy_match(typos, cust, "t_id", "t_name",
+    pairs = fuzzy_match(typos, cust, "t_id", "t_name",
                         "c_custkey", "c_name", q=3, max_dist=2)
-            .select("t_id", "c_custkey", "shared_grams", "lev"))
+    # reciprocal best match — the entity-RESOLUTION step on top of the
+    # candidate pairs: keep is_best=1 iff the pair is each side's rank-1
+    # by (lev asc, shared desc, id asc); deterministic total order
+    wt = Window.partitionBy("t_id").orderBy(
+        F.asc("lev"), F.desc("shared_grams"), F.asc("c_custkey"))
+    wc = Window.partitionBy("c_custkey").orderBy(
+        F.asc("lev"), F.desc("shared_grams"), F.asc("t_id"))
+    return (pairs
+            .withColumn("rt", F.row_number().over(wt))
+            .withColumn("rc", F.row_number().over(wc))
+            .select("t_id", "c_custkey", "shared_grams", "lev",
+                    ((F.col("rt") == 1) & (F.col("rc") == 1)).cast("int")
+                    .alias("is_best")))
 
 
 SQL_FUZZY_MATCH = """
@@ -1140,11 +1152,25 @@ cand AS (
   JOIN nl ON nl.t_id = s.t_id
   JOIN nr ON nr.c_custkey = s.c_custkey
   WHERE s.shared_grams >= greatest(nl.n_l, nr.n_r) - 6
+),
+verified AS (
+  SELECT t_id, c_custkey, shared_grams,
+         CAST(levenshtein(t_name, c_name) AS INT) AS lev
+  FROM cand
+  WHERE levenshtein(t_name, c_name) <= 2
+),
+ranked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY t_id
+                       ORDER BY lev, shared_grams DESC, c_custkey) AS rt,
+    row_number() OVER (PARTITION BY c_custkey
+                       ORDER BY lev, shared_grams DESC, t_id) AS rc
+  FROM verified
 )
-SELECT t_id, c_custkey, shared_grams,
-       CAST(levenshtein(t_name, c_name) AS INT) AS lev
-FROM cand
-WHERE levenshtein(t_name, c_name) <= 2
+SELECT t_id, c_custkey, shared_grams, lev,
+       CAST(CASE WHEN rt = 1 AND rc = 1 THEN 1 ELSE 0 END AS INT)
+         AS is_best
+FROM ranked
 """
 
 
@@ -2998,6 +3024,93 @@ FROM per_bin
 """
 
 
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic over the same binned
+    order-value periods as psi_drift: D = max |F_a(bin) - F_b(bin)| over
+    the cumulative bin fractions — the rank-based drift complement to
+    PSI's likelihood-ratio view (PSI weights tail log-ratios; KS sees
+    the largest CDF gap wherever it is). Counts are exact integers,
+    each CDF value is one divide, per-bin |gap| rounds to 9; the max is
+    order-independent.
+
+    Output: per-bin rows (bin, cum_a, cum_b, gap) + a bin=-1 row with
+    the D statistic."""
+    orders = read_table(spark, sf_dir, "orders")
+    split = F.lit(PSI_SPLIT).cast("timestamp")
+    bin_c = F.least(F.floor(F.col("o_totalprice") / PSI_BIN),
+                    F.lit(PSI_NBINS - 1)).cast("int")
+    counts = (orders
+              .select(bin_c.alias("bin"),
+                      (F.col("o_orderdate") < split).alias("is_a"))
+              .groupBy("bin")
+              .agg(F.sum(F.when(F.col("is_a"), 1).otherwise(0))
+                   .alias("n_a"),
+                   F.sum(F.when(~F.col("is_a"), 1).otherwise(0))
+                   .alias("n_b")))
+    bins = spark.range(PSI_NBINS).select(F.col("id").cast("int")
+                                         .alias("bin"))
+    dense = (bins.join(counts, "bin", "left")
+             .select("bin",
+                     F.coalesce("n_a", F.lit(0)).cast("bigint")
+                     .alias("n_a"),
+                     F.coalesce("n_b", F.lit(0)).cast("bigint")
+                     .alias("n_b")))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    tot = dense.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    cum = (dense.crossJoin(F.broadcast(tot))
+           .select("bin",
+                   (F.sum("n_a").over(w).cast("double")
+                    / F.col("ta").cast("double")).alias("cum_a"),
+                   (F.sum("n_b").over(w).cast("double")
+                    / F.col("tb").cast("double")).alias("cum_b")))
+    per_bin = cum.select(
+        "bin", F.round("cum_a", 9).alias("cum_a"),
+        F.round("cum_b", 9).alias("cum_b"),
+        F.round(F.abs(F.col("cum_a") - F.col("cum_b")), 9).alias("gap"))
+    total = (per_bin.agg(F.max("gap").alias("gap"))
+             .select(F.lit(-1).cast("int").alias("bin"),
+                     F.lit(-1.0).alias("cum_a"),
+                     F.lit(-1.0).alias("cum_b"), "gap"))
+    return per_bin.unionByName(total)
+
+
+SQL_KS_DRIFT = f"""
+WITH counts AS (
+  SELECT CAST(least(floor(o_totalprice / {PSI_BIN}),
+                    {PSI_NBINS - 1}) AS INT) AS bin,
+         SUM(CASE WHEN o_orderdate < TIMESTAMP '{PSI_SPLIT} 00:00:00'
+                  THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN o_orderdate < TIMESTAMP '{PSI_SPLIT} 00:00:00'
+                  THEN 0 ELSE 1 END) AS n_b
+  FROM orders GROUP BY 1
+),
+dense AS (
+  SELECT b.bin, CAST(coalesce(c.n_a, 0) AS BIGINT) AS n_a,
+         CAST(coalesce(c.n_b, 0) AS BIGINT) AS n_b
+  FROM (SELECT CAST(unnest(generate_series(0, {PSI_NBINS - 1})) AS INT)
+          AS bin) b
+  LEFT JOIN counts c USING (bin)
+),
+tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM dense),
+cum AS (
+  SELECT bin,
+    CAST(SUM(n_a) OVER (ORDER BY bin) AS DOUBLE)
+      / CAST(tot.ta AS DOUBLE) AS cum_a,
+    CAST(SUM(n_b) OVER (ORDER BY bin) AS DOUBLE)
+      / CAST(tot.tb AS DOUBLE) AS cum_b
+  FROM dense, tot
+),
+per_bin AS (
+  SELECT bin, round(cum_a, 9) AS cum_a, round(cum_b, 9) AS cum_b,
+         round(abs(cum_a - cum_b), 9) AS gap
+  FROM cum
+)
+SELECT bin, cum_a, cum_b, gap FROM per_bin
+UNION ALL
+SELECT CAST(-1 AS INT), -1.0, -1.0, MAX(gap) FROM per_bin
+"""
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-journey transition matrix (first-order Markov counts): for
     each consecutive event pair within a user's (ts, event_id)-ordered
@@ -3130,6 +3243,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "fuzzy_match": (q_fuzzy_match, SQL_FUZZY_MATCH),
     "kcore": (q_kcore, SQL_KCORE),
     "kmv_overlap": (q_kmv_overlap, SQL_KMV_OVERLAP),
+    "ks_drift": (q_ks_drift, SQL_KS_DRIFT),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "gapfill_hourly": (q_gapfill_hourly, SQL_GAPFILL_HOURLY),
     "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),

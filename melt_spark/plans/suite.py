@@ -2708,6 +2708,18 @@ SUITE: dict[str, tuple] = {
          "SELECT 'quant' AS kind, CAST(vec_id AS VARCHAR) AS key,"
          " CAST(dims AS VARCHAR) AS ints, scale AS v1, max_abs_err AS v2,"
          " mse AS v3"),
+        # r5: two-sample KS statistic over the psi_drift bins — the
+        # rank-based drift complement (largest CDF gap vs PSI's
+        # tail-weighted log-ratios)
+        (ANALYTICS_SUITE["ks_drift"],
+         lambda df: df.select(F.lit("ks").alias("kind"),
+                              F.col("bin").cast("string").alias("key"),
+                              F.lit("").alias("ints"),
+                              F.col("cum_a").alias("v1"),
+                              F.col("cum_b").alias("v2"),
+                              F.col("gap").alias("v3")),
+         "SELECT 'ks' AS kind, CAST(bin AS VARCHAR) AS key, '' AS ints,"
+         " cum_a AS v1, cum_b AS v2, gap AS v3"),
         # r5: bottom-k sample quantiles (Cohen-Kaplan bottom-k sketch with
         # payload; deterministic md5-hash sample, mergeable, exact-rank
         # order statistics so the estimate itself oracle-checks)
@@ -2838,11 +2850,13 @@ SUITE: dict[str, tuple] = {
              F.lit("fuzzy").alias("kind"),
              F.col("t_id").alias("c_custkey"),
              F.concat_ws(":", F.col("c_custkey").cast("string"),
-                         F.col("lev").cast("string")).alias("sval"),
+                         F.col("lev").cast("string"),
+                         F.col("is_best").cast("string")).alias("sval"),
              F.col("shared_grams").alias("n")),
          "SELECT 'fuzzy' AS kind, t_id AS c_custkey,"
          " CAST(c_custkey AS VARCHAR) || ':' || CAST(lev AS VARCHAR)"
-         " AS sval, shared_grams AS n"),
+         " || ':' || CAST(is_best AS VARCHAR) AS sval,"
+         " shared_grams AS n"),
     ),
     # -- Structured Streaming surface (S9/T3/T6): each branch runs a real
     #    stream to completion; results checked against batch-equivalent SQL

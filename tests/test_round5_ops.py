@@ -393,3 +393,21 @@ def test_bloom_pruned_membership_join_equals_exact(spark, sf_dir):
                  pruned.join(members, "user_id").collect()}
     assert via_bloom == exact          # pruning loses nothing
     assert n_pruned < n_probes         # and actually prunes
+
+
+def test_fuzzy_reciprocal_best_resolves_each_typo_uniquely(spark, sf_dir):
+    """Entity resolution on top of the candidates: every typo has exactly
+    one is_best=1 partner — its own source (lev 1 beats the lev-2
+    neighbors) — and best flags are mutually exclusive per entity."""
+    from collections import Counter
+
+    from melt_spark.plans.analytics_suite import q_fuzzy_match
+
+    out = q_fuzzy_match(spark, sf_dir).collect()
+    best = [(r.t_id, r.c_custkey) for r in out if r.is_best == 1]
+    ct = Counter(t for t, _ in best)
+    cc = Counter(c for _, c in best)
+    assert all(v == 1 for v in ct.values())
+    assert all(v == 1 for v in cc.values())
+    assert all(t == c + 100000 for t, c in best)   # resolves to source
+    assert len(best) >= 100
