@@ -444,3 +444,55 @@ def export_sorted(df: DataFrame, path: str, sort_col: str = "doc_id",
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(path)
+
+
+def contrastive_pairs(pairs: DataFrame, corpus: DataFrame,
+                      id_col: str = "doc_id",
+                      id_a: str = "doc_a",
+                      id_b: str = "doc_b") -> DataFrame:
+    """(anchor, positive, negative) training triplets for contrastive
+    embedding training (public recipe: SimCSE/E5-style pair mining —
+    positives from near-duplicate pairs, negatives sampled from the
+    rest of the corpus). Each near-dup pair contributes both directions;
+    the negative is a DETERMINISTIC hash-jump into the ranked corpus id
+    list (md5-derived rank, +1 rejump on colliding with the anchor or
+    positive) — reproducible and oracle-checkable, the same no-RNG
+    discipline as stratified_sample.
+
+    Scale note: ranking corpus ids uses one global row_number window
+    here (oracle-restatable); at 100 TB swap in a range-partitioned
+    zipWithIndex-style rank — the triplet logic is unchanged.
+    """
+    from pyspark.sql.window import Window
+
+    from .sketches import kmv_hash
+
+    ids = corpus.select(F.col(id_col).alias("cid")).distinct()
+    n = ids.count()
+    w = Window.orderBy("cid")
+    ranked = ids.withColumn("rn", F.row_number().over(w) - 1)
+    both = (pairs.select(F.col(id_a).alias("anchor"),
+                         F.col(id_b).alias("positive"))
+            .unionByName(pairs.select(F.col(id_b).alias("anchor"),
+                                      F.col(id_a).alias("positive"))))
+    cand = both.withColumn("r0", kmv_hash("anchor") % n)
+    # three consecutive-rank candidates: {anchor, positive} can collide
+    # with at most two of three DISTINCT ids, so the when-chain always
+    # lands on a valid negative (pigeonhole; requires n >= 3)
+    if n < 3:
+        raise ValueError("contrastive_pairs needs a corpus of >= 3 ids")
+    r1 = ranked.select(F.col("rn").alias("r0"), F.col("cid").alias("n0"))
+    r2 = ranked.select(((F.col("rn") + n - 1) % n).alias("r0"),
+                       F.col("cid").alias("n1"))
+    r3 = ranked.select(((F.col("rn") + n - 2) % n).alias("r0"),
+                       F.col("cid").alias("n2"))
+    j = cand.join(r1, "r0").join(r2, "r0").join(r3, "r0")
+
+    def ok(c):
+        return (F.col(c) != F.col("anchor")) \
+            & (F.col(c) != F.col("positive"))
+
+    neg = (F.when(ok("n0"), F.col("n0"))
+           .when(ok("n1"), F.col("n1"))
+           .otherwise(F.col("n2")))
+    return j.select("anchor", "positive", neg.alias("negative"))

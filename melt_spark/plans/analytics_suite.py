@@ -1402,6 +1402,81 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(stage.cast("int").alias("funnel_stage")))
 
 
+def q_timed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-CONSTRAINED funnel — signup -> click -> purchase where each
+    next stage lands within 7 days of the previous one. Implemented as
+    the chained min-aggregation decomposition q_event_funnel's docstring
+    names as its whale-user scale path (t1 = first signup, t2 = first
+    qualifying click after t1, ...): per-user scalars, one shuffle per
+    stage, no per-user array — so shipping this variant also PROVES the
+    decomposition works. Epoch-second arithmetic, exact integers."""
+    win = 7 * 86400
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.unix_timestamp("ts").cast("bigint").alias("es"))
+    t1 = (ev.filter(F.col("event_type") == "signup")
+          .groupBy("user_id").agg(F.min("es").alias("t1")))
+    t2 = (ev.filter(F.col("event_type") == "click")
+          .join(t1, "user_id")
+          .filter((F.col("es") > F.col("t1"))
+                  & (F.col("es") <= F.col("t1") + win))
+          .groupBy("user_id").agg(F.min("es").alias("t2")))
+    t3 = (ev.filter(F.col("event_type") == "purchase")
+          .join(t2, "user_id")
+          .filter((F.col("es") > F.col("t2"))
+                  & (F.col("es") <= F.col("t2") + win))
+          .groupBy("user_id").agg(F.min("es").alias("t3")))
+    users = ev.select("user_id").distinct()
+    out = (users.join(t1, "user_id", "left")
+           .join(t2, "user_id", "left").join(t3, "user_id", "left"))
+    stage = (F.when(F.col("t3").isNotNull(), 3)
+             .when(F.col("t2").isNotNull(), 2)
+             .when(F.col("t1").isNotNull(), 1).otherwise(0))
+    neg = F.lit(-1).cast("bigint")
+    return out.select(
+        "user_id", stage.cast("int").alias("stage_timed"),
+        F.coalesce("t1", neg).alias("t1"),
+        F.coalesce("t2", neg).alias("t2"),
+        F.coalesce("t3", neg).alias("t3"))
+
+
+SQL_TIMED_FUNNEL = """
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+t1 AS (SELECT user_id, MIN(es) AS t1 FROM ev
+       WHERE event_type = 'signup' GROUP BY user_id),
+t2 AS (
+  SELECT e.user_id, MIN(e.es) AS t2
+  FROM ev e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.es > t1.t1
+    AND e.es <= t1.t1 + 604800
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, MIN(e.es) AS t3
+  FROM ev e JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.es > t2.t2
+    AND e.es <= t2.t2 + 604800
+  GROUP BY e.user_id
+),
+users AS (SELECT DISTINCT user_id FROM ev)
+SELECT u.user_id,
+  CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3
+            WHEN t2.t2 IS NOT NULL THEN 2
+            WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END AS INT)
+    AS stage_timed,
+  coalesce(t1.t1, -1) AS t1, coalesce(t2.t2, -1) AS t2,
+  coalesce(t3.t3, -1) AS t3
+FROM users u
+LEFT JOIN t1 ON t1.user_id = u.user_id
+LEFT JOIN t2 ON t2.user_id = u.user_id
+LEFT JOIN t3 ON t3.user_id = u.user_id
+"""
+
+
 SQL_EVENT_FUNNEL = """
 SELECT user_id,
        CAST(list_reduce(
@@ -3244,6 +3319,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "kcore": (q_kcore, SQL_KCORE),
     "kmv_overlap": (q_kmv_overlap, SQL_KMV_OVERLAP),
     "ks_drift": (q_ks_drift, SQL_KS_DRIFT),
+    "timed_funnel": (q_timed_funnel, SQL_TIMED_FUNNEL),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "gapfill_hourly": (q_gapfill_hourly, SQL_GAPFILL_HOURLY),
     "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),

@@ -472,6 +472,63 @@ _BANDS = ", ".join(
     f"'{b}' || '|' || mh{2*b} || '|' || mh{2*b+1}" for b in range(4))
 
 
+def q_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training triplets (functions/cleaning.py
+    contrastive_pairs): anchors/positives from the inverted-index
+    near-dup pairs, negatives via deterministic hash-jump into the
+    ranked corpus — SimCSE/E5-style pair mining, no RNG."""
+    from ..functions.cleaning import contrastive_pairs
+    from ..functions.dedup import jaccard_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.5)
+    return contrastive_pairs(pairs, docs)
+
+
+def _contrastive_sql() -> str:
+    # inline 48-bit md5 fold (defined before _hex_int12_sql's module
+    # position — same expression, the dsir pattern)
+    h = ("list_reduce(list_transform(string_split_regex("
+         "substr(md5(CAST(anchor AS VARCHAR)), 1, 12), ''), "
+         "c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)), "
+         "(a,b) -> a*16+b)")
+    return f"""
+WITH pairs AS ({SQL_DEDUP_JACCARD}),
+ids AS (SELECT DISTINCT doc_id AS cid FROM documents),
+cnt AS (SELECT COUNT(*) AS n FROM ids),
+ranked AS (
+  SELECT cid, row_number() OVER (ORDER BY cid) - 1 AS rn FROM ids
+),
+dirs AS (
+  SELECT doc_a AS anchor, doc_b AS positive FROM pairs
+  UNION ALL
+  SELECT doc_b AS anchor, doc_a AS positive FROM pairs
+),
+cand AS (
+  SELECT anchor, positive,
+         ({h}) % (SELECT n FROM cnt) AS r0
+  FROM dirs
+),
+j AS (
+  SELECT c.anchor, c.positive, a.cid AS n0, b.cid AS n1, d.cid AS n2
+  FROM cand c
+  JOIN ranked a ON a.rn = c.r0
+  JOIN ranked b
+    ON (b.rn + (SELECT n FROM cnt) - 1) % (SELECT n FROM cnt) = c.r0
+  JOIN ranked d
+    ON (d.rn + (SELECT n FROM cnt) - 2) % (SELECT n FROM cnt) = c.r0
+)
+SELECT anchor, positive,
+  CASE WHEN n0 <> anchor AND n0 <> positive THEN n0
+       WHEN n1 <> anchor AND n1 <> positive THEN n1
+       ELSE n2 END AS negative
+FROM j
+"""
+
+
+SQL_CONTRASTIVE = _contrastive_sql()
+
+
 def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental NEAR-dup (functions/dedup.py incremental_minhash_pairs):
     a new batch (id-shifted copy of the corpus, so every doc has a
@@ -2317,6 +2374,7 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "ngram_novelty": (q_ngram_novelty, SQL_NGRAM_NOVELTY),
     "incremental_minhash": (q_incremental_minhash,
                             SQL_INCREMENTAL_MINHASH),
+    "contrastive": (q_contrastive, SQL_CONTRASTIVE),
     "split_corpus": (q_split_corpus, _split_sql()),
     "rrf_ndcg": (q_rrf_ndcg, SQL_RRF_NDCG),
     "alignment_filter": (q_alignment_filter, SQL_ALIGNMENT_FILTER),

@@ -1852,6 +1852,16 @@ SUITE: dict[str, tuple] = {
          lambda df: df.select(F.lit("prefix").alias("kind"),
                               "doc_a", "doc_b", "jaccard"),
          "SELECT 'prefix' AS kind, doc_a, doc_b, jaccard"),
+        # r5: contrastive training triplets mined from the same pairs —
+        # the negative id rides the double slot (exact below 2^53)
+        (PIPELINE_SUITE["contrastive"],
+         lambda df: df.select(F.lit("triplet").alias("kind"),
+                              F.col("anchor").alias("doc_a"),
+                              F.col("positive").alias("doc_b"),
+                              F.col("negative").cast("double")
+                              .alias("jaccard")),
+         "SELECT 'triplet' AS kind, anchor AS doc_a, positive AS doc_b,"
+         " CAST(negative AS DOUBLE) AS jaccard"),
     ),
     # self-join LSH + r5 incremental batch-vs-store near-dup (the store's
     # persisted signatures are banded against the batch only — no
@@ -2203,6 +2213,18 @@ SUITE: dict[str, tuple] = {
                               F.lit(-1).cast("bigint").alias("b")),
          "SELECT 'funnel' AS kind, user_id, CAST(funnel_stage AS BIGINT)"
          " AS a, CAST(-1 AS BIGINT) AS b"),
+        # r5: 7-day time-constrained funnel via the chained-min
+        # decomposition (the whale-user scale path, shipped and checked);
+        # b packs the stage timestamps
+        (ANALYTICS_SUITE["timed_funnel"],
+         lambda df: df.select(
+             F.lit("timed").alias("kind"), "user_id",
+             F.col("stage_timed").cast("long").alias("a"),
+             (F.col("t1") + F.col("t2") * 7 + F.col("t3") * 13)
+             .alias("b")),
+         "SELECT 'timed' AS kind, user_id,"
+         " CAST(stage_timed AS BIGINT) AS a,"
+         " t1 + t2 * 7 + t3 * 13 AS b"),
     ),
     # -- windowed running sum + lag month-over-month delta
     "window_aggregates": merged(

@@ -411,3 +411,24 @@ def test_fuzzy_reciprocal_best_resolves_each_typo_uniquely(spark, sf_dir):
     assert all(v == 1 for v in cc.values())
     assert all(t == c + 100000 for t, c in best)   # resolves to source
     assert len(best) >= 100
+
+
+def test_contrastive_triplets_are_valid(spark, sf_dir):
+    """Every triplet: negative differs from anchor AND positive, both
+    directions of every pair appear, negatives are real corpus ids, and
+    a re-run is bit-identical (no RNG)."""
+    from melt_spark.functions.cleaning import contrastive_pairs
+    from melt_spark.functions.dedup import jaccard_pairs
+    from melt_spark.sources.parquet import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.5)
+    t1 = contrastive_pairs(pairs, docs).collect()
+    t2 = contrastive_pairs(pairs, docs).collect()
+    assert sorted(map(tuple, t1)) == sorted(map(tuple, t2))
+    ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    n_pairs = pairs.count()
+    assert len(t1) == 2 * n_pairs
+    for r in t1:
+        assert r.negative not in (r.anchor, r.positive)
+        assert r.negative in ids
