@@ -221,6 +221,56 @@ def postings_stats(docs: DataFrame, id_col: str = "doc_id",
         .alias("compression"))
 
 
+def tfidf_topk_terms(docs: DataFrame, k: int = 3,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-document top-k keyword extraction by TF-IDF — the classic
+    salience ranking (Salton & Buckley 1988; Manning/Raghavan/Schütze
+    ch. 6) that labels every document with its most distinctive terms,
+    the metadata a corpus browser / topic sampler keys on.
+
+    score(t, d) = tf(t, d) · ln(N / df(t))
+
+    Integer-exact cross-engine: ln is not correctly rounded (see
+    bm25_topk), so the idf is scaled to an INTEGER once —
+    idf_e9 = round(ln(N/df) · 1e9) — and every downstream comparison
+    (score = tf · idf_e9, the per-doc ranking) is exact BIGINT
+    arithmetic. 1 ulp of ln noise is ~1e-7 after the 1e9 scale, far
+    below the 0.5 rounding margin except on measure-zero boundaries.
+
+    Scale shape (100 TB): one corpus explode feeds the (doc, term, tf)
+    aggregation — shuffle #1, map-side combined; df(t) re-aggregates
+    that TABLE (vocabulary × avg-df sized, never a second corpus scan)
+    — shuffle #2, vocab-sized; the idf join is broadcast (vocabulary
+    fits executor memory by Heaps' law); the per-doc top-k window is
+    shuffle #3 keyed on doc id, its state bounded by per-doc distinct
+    terms. No step is corpus-quadratic and no raw text rides a shuffle
+    wider than the (doc, term) pairs themselves.
+    """
+    from pyspark.sql.window import Window
+
+    from .util import spread_input
+
+    docs = spread_input(docs, id_col)
+    toks = F.split(F.col(text_col), " ")
+    tf = (docs.select(F.col(id_col), F.explode(toks).alias("term"))
+          .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+
+    idf_e9 = F.round(F.log(F.col("n_docs").cast("double")
+                           / F.col("df").cast("double"))
+                     * F.lit(1e9)).cast("bigint")
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .crossJoin(F.broadcast(n_docs))
+              .select(F.col(id_col), "term", "tf",
+                      (F.col("tf") * idf_e9).alias("score_e9")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("score_e9"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(id_col, "term", "tf", "score_e9", "rank"))
+
+
 # nDCG@k (Järvelin & Kekäläinen, "Cumulated gain-based evaluation of IR
 # techniques", TOIS 2002): graded-relevance ranking quality, the metric
 # that distinguishes "found the right docs" (recall) from "put the best

@@ -106,6 +106,75 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalized)
 
 
+def pmi_collocations(docs: DataFrame, min_count: int = 5, k: int = 20,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information (Church &
+    Hanks, "Word association norms, mutual information, and lexicography",
+    Computational Linguistics 1990) — the standard corpus-statistics lens
+    for multiword expressions ("new york", "neural network") that phrase-
+    aware tokenizers, query segmenters and stop-phrase lists consume.
+
+        pmi(a, b) = ln( p(a,b) / (p(a)·p(b)) )
+                  = ln( (c_ab·N) / (T·c_a) · (N / c_b) )
+
+    with c_ab the adjacent-bigram count, T the total bigram count, c_a/c_b
+    unigram counts and N the total token count. The ln argument is a fixed
+    chain of IEEE divides/multiplies of exact integers (written with the
+    SAME structure in the oracle, and never forming N² which would
+    overflow BIGINT at 100 TB scale); the result is scaled to an integer
+    pmi_e9 = round(ln(·)·1e9) once, so ranking and hashing are exact
+    BIGINT arithmetic (the repo's ln-ulp discipline, made integer).
+
+    Scale shape (100 TB): this is word-count — the bigram and unigram
+    aggregations are map-side combined, so each shuffle moves one row per
+    DISTINCT type per partition (vocabulary-sized, Heaps-bounded), never
+    per token; the unigram table broadcasts into the bigram table twice;
+    the two totals are broadcast scalars. min_count prunes the hapax tail
+    before the ranking sort, which runs over the (tiny) surviving type
+    table only.
+    """
+    from .util import spread_input
+
+    docs = spread_input(docs, id_col)
+    toks = tokens(text_col)
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.transform(F.sequence(F.lit(1), n - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("a"),
+                        F.element_at(toks, i + 1).alias("b")))
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+
+    c2 = (docs.select(F.explode(pairs).alias("p"))
+          .select("p.a", "p.b")
+          .groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab")))
+    uni = (docs.select(F.explode(toks).alias("tok"))
+           .groupBy("tok").agg(F.count(F.lit(1)).alias("c")))
+    totals = (uni.agg(F.sum("c").cast("bigint").alias("n_tokens"))
+              .crossJoin(c2.agg(F.sum("c_ab").cast("bigint")
+                                .alias("n_bigrams"))))
+
+    arg = ((F.col("c_ab").cast("double") * F.col("n_tokens").cast("double"))
+           / (F.col("n_bigrams").cast("double") * F.col("c_a").cast("double"))
+           * (F.col("n_tokens").cast("double") / F.col("c_b").cast("double")))
+    scored = (c2.filter(F.col("c_ab") >= min_count)
+              .join(F.broadcast(uni.select(F.col("tok").alias("a"),
+                                           F.col("c").alias("c_a"))), "a")
+              .join(F.broadcast(uni.select(F.col("tok").alias("b"),
+                                           F.col("c").alias("c_b"))), "b")
+              .crossJoin(F.broadcast(totals))
+              .select(F.concat_ws(" ", "a", "b").alias("bigram"), "c_ab",
+                      F.round(F.log(arg) * F.lit(1e9)).cast("bigint")
+                      .alias("pmi_e9")))
+    from pyspark.sql.window import Window
+
+    top = scored.orderBy(F.desc("pmi_e9"), F.asc("bigram")).limit(k)
+    w = Window.orderBy(F.desc("pmi_e9"), F.asc("bigram"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass convenience projection: counts, language, fingerprint."""
     c = F.col(text_col)

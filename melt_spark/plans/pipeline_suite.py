@@ -2365,7 +2365,90 @@ FROM s, tot
 """
 
 
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 keywords by TF-IDF (functions/retrieval.py
+    tfidf_topk_terms): idf scaled to an integer once (idf_e9), so every
+    downstream score/rank/hash is exact BIGINT arithmetic."""
+    from ..functions.retrieval import tfidf_topk_terms
+
+    docs = read_table(spark, sf_dir, "documents")
+    return tfidf_topk_terms(docs, k=3)
+
+
+SQL_TFIDF_KEYWORDS = f"""
+WITH tf AS (
+  SELECT doc_id, u.tok AS term, COUNT(*) AS tf
+  FROM documents, unnest({_TOKS}) AS u(tok)
+  GROUP BY doc_id, u.tok
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf,
+         t.tf * CAST(round(ln(CAST(nd.n_docs AS DOUBLE)
+                              / CAST(d.df AS DOUBLE)) * 1e9) AS BIGINT)
+           AS score_e9
+  FROM tf t JOIN dfreq d USING (term), nd
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score_e9,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score_e9 DESC, term) AS INT) AS rank
+FROM scored QUALIFY rank <= 3
+"""
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by PMI (functions/text.py
+    pmi_collocations, Church & Hanks 1990): one ln per surviving bigram
+    TYPE, scaled to integer pmi_e9 so ranking and hashing are exact."""
+    from ..functions.text import pmi_collocations
+
+    docs = read_table(spark, sf_dir, "documents")
+    return pmi_collocations(docs, min_count=5, k=20)
+
+
+SQL_PMI_COLLOCATIONS = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+bi AS (
+  SELECT u.p[1] AS a, u.p[2] AS b, COUNT(*) AS c_ab
+  FROM t, unnest(list_transform(range(1, len(toks)),
+                                i -> [toks[i], toks[i+1]])) AS u(p)
+  WHERE len(toks) >= 2
+  GROUP BY 1, 2
+),
+uni AS (
+  SELECT u.tok, COUNT(*) AS c
+  FROM t, unnest(toks) AS u(tok) GROUP BY 1
+),
+tot AS (
+  SELECT (SELECT SUM(c) FROM uni) AS n_tokens,
+         (SELECT SUM(c_ab) FROM bi) AS n_bigrams
+),
+scored AS (
+  SELECT bi.a || ' ' || bi.b AS bigram, bi.c_ab,
+         CAST(round(ln(
+             (CAST(bi.c_ab AS DOUBLE) * CAST(tot.n_tokens AS DOUBLE))
+             / (CAST(tot.n_bigrams AS DOUBLE) * CAST(ua.c AS DOUBLE))
+             * (CAST(tot.n_tokens AS DOUBLE) / CAST(ub.c AS DOUBLE))
+           ) * 1e9) AS BIGINT) AS pmi_e9
+  FROM bi
+  JOIN uni ua ON ua.tok = bi.a
+  JOIN uni ub ON ub.tok = bi.b, tot
+  WHERE bi.c_ab >= 5
+),
+ranked AS (
+  SELECT bigram, CAST(c_ab AS BIGINT) AS c_ab, pmi_e9,
+         CAST(row_number() OVER (ORDER BY pmi_e9 DESC, bigram) AS INT)
+           AS rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 20
+"""
+
+
 PIPELINE_SUITE: dict[str, tuple] = {
+    "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
+    "pmi_collocations": (q_pmi_collocations, SQL_PMI_COLLOCATIONS),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
     "repetition": (q_repetition, SQL_REPETITION),

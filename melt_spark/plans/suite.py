@@ -1520,6 +1520,34 @@ SUITE: dict[str, tuple] = {
          "SELECT 'novelty' AS kind, CAST(doc_id AS VARCHAR) AS key,"
          " CAST(n_grams AS VARCHAR) || ':' || CAST(n_seen AS VARCHAR)"
          " AS sval, n_novel AS n"),
+        # r5: per-doc top-3 TF-IDF keywords — idf scaled to BIGINT
+        # (idf_e9) so score/rank/hash are integer-exact
+        # (functions/retrieval.py tfidf_topk_terms)
+        (PIPELINE_SUITE["tfidf_keywords"],
+         lambda df: df.select(F.lit("tfidf").alias("kind"),
+                              F.col("term").alias("key"),
+                              F.concat_ws(":", F.col("doc_id")
+                                          .cast("string"),
+                                          F.col("tf").cast("string"),
+                                          F.col("rank").cast("string"))
+                              .alias("sval"),
+                              F.col("score_e9").alias("n")),
+         "SELECT 'tfidf' AS kind, term AS key,"
+         " CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR)"
+         " || ':' || CAST(rank AS VARCHAR) AS sval, score_e9 AS n"),
+        # r5: top-20 PMI bigram collocations (functions/text.py
+        # pmi_collocations, Church & Hanks 1990) — one ln per surviving
+        # bigram type, integer-scaled
+        (PIPELINE_SUITE["pmi_collocations"],
+         lambda df: df.select(F.lit("pmi").alias("kind"),
+                              F.col("bigram").alias("key"),
+                              F.concat_ws(":", F.col("c_ab").cast("string"),
+                                          F.col("rank").cast("string"))
+                              .alias("sval"),
+                              F.col("pmi_e9").alias("n")),
+         "SELECT 'pmi' AS kind, bigram AS key,"
+         " CAST(c_ab AS VARCHAR) || ':' || CAST(rank AS VARCHAR) AS sval,"
+         " pmi_e9 AS n"),
     ),
     # -- counts / offsets / lag: A3, S10, A6/T9, T4 monitoring
     "load_offsets": merged(

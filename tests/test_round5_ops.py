@@ -432,3 +432,41 @@ def test_contrastive_triplets_are_valid(spark, sf_dir):
     for r in t1:
         assert r.negative not in (r.anchor, r.positive)
         assert r.negative in ids
+
+
+def test_tfidf_topk_hand_case(spark):
+    """idf dominates tf: the corpus-unique term outranks the frequent
+    common one, and the integer-scaled score matches round(ln*1e9)."""
+    from melt_spark.functions.retrieval import tfidf_topk_terms
+
+    rows = [
+        Row(doc_id=1, text="apple banana apple"),
+        Row(doc_id=2, text="banana cherry"),
+        Row(doc_id=3, text="banana banana date"),
+        Row(doc_id=4, text="cherry date"),
+    ]
+    out = tfidf_topk_terms(spark.createDataFrame(rows), k=1).collect()
+    top = {r.doc_id: r for r in out}
+    assert top[1].term == "apple"
+    # df(apple)=1 of N=4 -> idf_e9 = round(ln 4 * 1e9), tf = 2
+    assert top[1].score_e9 == 2 * round(math.log(4) * 1e9)
+    # d3: date (df=2) beats banana (tf=2 but df=3)
+    assert top[3].term == "date"
+    assert top[3].score_e9 == round(math.log(2) * 1e9)
+
+
+def test_pmi_planted_collocation(spark):
+    """A bigram whose words appear ONLY together gets the top PMI slot;
+    the integer score matches the closed-form ln within 1 (ulp slack)."""
+    from melt_spark.functions.text import pmi_collocations
+
+    rows = [Row(doc_id=i, text="san francisco the cat the dog the cat")
+            for i in range(5)]
+    out = pmi_collocations(spark.createDataFrame(rows),
+                           min_count=5, k=3).collect()
+    byrank = {r.rank: r for r in out}
+    assert byrank[1].bigram == "san francisco"
+    assert byrank[1].c_ab == 5
+    # c_ab=5, N=40 tokens, T=35 bigrams, c_a=c_b=5
+    want = math.log((5 * 40) / (35 * 5) * (40 / 5)) * 1e9
+    assert abs(byrank[1].pmi_e9 - round(want)) <= 1
