@@ -221,6 +221,88 @@ def postings_stats(docs: DataFrame, id_col: str = "doc_id",
         .alias("compression"))
 
 
+def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
+               n_cand: int = 20, lam: float = 0.7, mu: float = 0.3,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR 1998) — the standard re-ranker that trades raw
+    relevance against redundancy so the result list isn't k near-copies
+    of the same document (the RAG-context / search-results diversifier):
+
+        pick_r = argmax_{d ∉ S} [ lam·sim(q,d) − mu·max_{s ∈ S} sim(d,s) ]
+
+    `lam`/`mu` are INDEPENDENT weights (not lam/1−lam): 1−0.7 is
+    0.30000000000000004 in IEEE, so deriving mu would bake a different
+    literal into the two engines' plans.
+
+    Scale shape (100 TB): the expensive part is the candidate generation
+    (delegate to any ANN path in this package at real scale; here exact
+    cosine_topk) — everything after runs on |Q|·n_cand rows: the pairwise
+    sim table is n_cand² PER QUERY (bounded, never corpus²), and the k
+    greedy rounds are statically unrolled joins over those tiny tables,
+    localCheckpointed so Catalyst doesn't re-derive the corpus scan once
+    per round (the pagerank lesson, functions/graph.py).
+
+    Determinism: relevance and pairwise sims are the ordered-fold cosine
+    (hash-exact raw); each round's score is two exact-rounded IEEE ops;
+    ties break on candidate id. Output: query_id, neighbor_id, pick
+    (1-based selection order), score.
+    """
+    from pyspark.sql.window import Window
+
+    from .similarity import _dvec, cosine, cosine_topk
+
+    cand = (cosine_topk(corpus, queries, k=n_cand, id_col=id_col,
+                        vec_col=vec_col)
+            .select("query_id", F.col("neighbor_id").alias("id"),
+                    F.col("cos").alias("rel")))
+    vecs = corpus.select(F.col(id_col).alias("id"),
+                        _dvec(vec_col).alias("v"))
+    cv = cand.join(vecs, "id").select("query_id", "id", "v")
+    a = cv.select("query_id", F.col("id").alias("a"),
+                  F.col("v").alias("va"))
+    b = cv.select("query_id", F.col("id").alias("b"),
+                  F.col("v").alias("vb"))
+    rel = cand.localCheckpoint(eager=False)
+    pw = (a.join(b, "query_id").filter(F.col("a") != F.col("b"))
+          .select("query_id", "a", "b",
+                  cosine(F.col("va"), F.col("vb")).alias("s"))
+          .localCheckpoint(eager=False))
+
+    w = Window.partitionBy("query_id")
+    sel1 = (rel.withColumn(
+        "rn", F.row_number().over(w.orderBy(F.desc("rel"), F.asc("id"))))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "id", F.lit(1).alias("pick"),
+                (F.lit(lam) * F.col("rel")).alias("score")))
+    picks = [sel1]
+    cum = sel1.select("query_id", "id")
+    for r in range(2, k + 1):
+        mx = (pw.join(cum.select("query_id", F.col("id").alias("b")),
+                      ["query_id", "b"])
+              .groupBy("query_id", F.col("a").alias("id"))
+              .agg(F.max("s").alias("mx")))
+        scored = (rel.join(mx, ["query_id", "id"])
+                  .join(cum, ["query_id", "id"], "left_anti")
+                  .select("query_id", "id",
+                          (F.lit(lam) * F.col("rel")
+                           - F.lit(mu) * F.col("mx")).alias("score")))
+        sel_r = (scored.withColumn(
+            "rn", F.row_number().over(
+                w.orderBy(F.desc("score"), F.asc("id"))))
+            .filter(F.col("rn") == 1)
+            .select("query_id", "id", F.lit(r).alias("pick"), "score"))
+        picks.append(sel_r)
+        cum = cum.unionByName(sel_r.select("query_id", "id"))
+
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select("query_id", F.col("id").alias("neighbor_id"),
+                      "pick", "score")
+
+
 def tfidf_topk_terms(docs: DataFrame, k: int = 3,
                      id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:

@@ -95,6 +95,82 @@ def quantization_error(df: DataFrame, id_col: str = "vec_id",
 
 
 # ---------------------------------------------------------------------------
+# binary (sign) quantization — the most aggressive memory-bound scale path:
+# 1 bit per dimension (a 64-dim float32 vector becomes 8 bytes, 32× smaller),
+# with Hamming distance as the cheap first-pass ranker and exact cosine
+# re-ranking on the survivors. Public pedigree: Charikar's sign-random-
+# projection LSH (STOC 2002) for sign-bit ≈ angle, and the "binary
+# quantization + rescore" recipe every modern vector store ships.
+
+
+def binary_signature(vec: Column) -> tuple[Column, Column]:
+    """Sign bits of a 64-dim vector packed into TWO 32-bit words
+    (dims 1-32 → w0 bit i = dim i+1 > 0; dims 33-64 → w1). Two words
+    instead of one BIGINT because bit 63 wraps negative in both Java and
+    DuckDB (NOTES.md bit-packing rule); bits 0..31 in a BIGINT column are
+    portable everywhere. Unrolled literal shifts — shiftleft with a
+    column count is not (see bloom.py)."""
+    def word(lo: int) -> Column:
+        s = F.lit(0).cast("long")
+        for i in range(32):
+            s = s + F.when(F.element_at(vec, lo + i) > 0,
+                           F.lit(1 << i).cast("long")) \
+                     .otherwise(F.lit(0).cast("long"))
+        return s
+
+    return word(1), word(33)
+
+
+def binary_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                n_cand: int = 30, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Binary-quantized top-k: rank the corpus by Hamming distance between
+    sign signatures, keep `n_cand` candidates per query, re-rank those by
+    exact cosine. Output: query_id, neighbor_id, hamming, cos, rank.
+
+    Scale shape (100 TB): the first pass streams the corpus reading ONLY
+    the 16-byte signature pair (32× less IO than float vectors — the
+    entire point of binary quantization; persist the signature projection
+    as its own table/column and the scan drops from 100 TB to ~3 TB).
+    Query signatures broadcast; the per-query top-n_cand window shuffles
+    (query_id, neighbor_id, hamming) triples — candidates only, never
+    vectors. The re-rank joins the tiny candidate set (broadcast) back to
+    the float vectors, so full-precision math touches |Q|·n_cand rows.
+
+    Determinism: Hamming is exact integer arithmetic (bit_count of XOR);
+    cosine is the module's ordered-fold dot + IEEE sqrt (hash-exact raw);
+    ties break on neighbor id."""
+    w0, w1 = binary_signature(_dvec(vec_col))
+    sig = corpus.select(F.col(id_col), w0.alias("w0"), w1.alias("w1"))
+    qsig = (queries.select(F.col(id_col).alias("query_id"),
+                           w0.alias("qw0"), w1.alias("qw1")))
+    ham = (F.bit_count(F.col("qw0").bitwiseXOR(F.col("w0")))
+           + F.bit_count(F.col("qw1").bitwiseXOR(F.col("w1"))))
+    cand = (F.broadcast(qsig).crossJoin(sig)
+            .filter(F.col("query_id") != F.col(id_col))
+            .select("query_id", F.col(id_col).alias("neighbor_id"),
+                    ham.alias("hamming")))
+    wh = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id"))
+    cand = (cand.withColumn("hrank", F.row_number().over(wh))
+            .filter(F.col("hrank") <= n_cand).drop("hrank"))
+
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        _dvec(vec_col).alias("qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       _dvec(vec_col).alias("cv"))
+    rer = (cv.join(F.broadcast(cand), "neighbor_id")
+           .join(F.broadcast(qv), "query_id")
+           .select("query_id", "neighbor_id", "hamming",
+                   cosine(F.col("qv"), F.col("cv")).alias("cos")))
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id"))
+    return (rer.withColumn("rank", F.row_number().over(wc))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "hamming", "cos", "rank"))
+
+
+# ---------------------------------------------------------------------------
 # hyperplane LSH
 
 def _plane_component(plane: int, dim: int) -> Column:

@@ -2397,6 +2397,132 @@ FROM scored QUALIFY rank <= 3
 """
 
 
+def q_bq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN (functions/similarity.py binary_topk):
+    sign-bit signatures (two 32-bit words), Hamming-ranked top-30
+    candidates for queries vec_id < 5, exact-cosine re-rank to top-10."""
+    from ..functions.similarity import binary_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return binary_topk(emb, emb.filter(F.col("vec_id") < 5),
+                       k=10, n_cand=30)
+
+
+def _bq_word_sql(lo: int) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN v[{lo + i}] > 0 THEN CAST({1 << i} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END)" for i in range(32))
+    return f"({terms})"
+
+
+SQL_BQ_RERANK = f"""
+WITH v_t AS (SELECT vec_id, {_DVEC} AS v FROM embeddings),
+sig AS (
+  SELECT vec_id, {_bq_word_sql(1)} AS w0, {_bq_word_sql(33)} AS w1
+  FROM v_t
+),
+q AS (SELECT vec_id AS query_id, w0 AS qw0, w1 AS qw1
+      FROM sig WHERE vec_id < 5),
+cand AS (
+  SELECT query_id, s.vec_id AS neighbor_id,
+         bit_count(xor(qw0, s.w0)) + bit_count(xor(qw1, s.w1)) AS hamming
+  FROM q, sig s WHERE s.vec_id <> query_id
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY hamming, s.vec_id) <= 30
+),
+rer AS (
+  SELECT c.query_id, c.neighbor_id, c.hamming,
+         {_dot_sql('qt.v', 'ct.v')}
+           / (sqrt({_dot_sql('qt.v', 'qt.v')})
+              * sqrt({_dot_sql('ct.v', 'ct.v')})) AS cos
+  FROM cand c
+  JOIN v_t qt ON qt.vec_id = c.query_id
+  JOIN v_t ct ON ct.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, hamming, cos,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS INT)
+         AS rank
+FROM rer QUALIFY rank <= 10
+"""
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified top-5 (functions/retrieval.py mmr_rerank) over the
+    exact cosine top-20 candidates for queries vec_id < 5; lam=0.7,
+    mu=0.3 as independent literals (1-0.7 is not 0.3 in IEEE)."""
+    from ..functions.retrieval import mmr_rerank
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return mmr_rerank(emb, emb.filter(F.col("vec_id") < 5),
+                      k=5, n_cand=20)
+
+
+def _mmr_sql(k: int = 5, n_cand: int = 20) -> str:
+    """Unrolled greedy MMR oracle: one MATERIALIZED CTE pair per round
+    (the kcore exponential-inlining lesson — round r references round
+    r-1 twice, so inlining would re-derive the base 2^k times)."""
+    cos = (f"{_dot_sql('qt.v', 'ct.v')}"
+           f" / (sqrt({_dot_sql('qt.v', 'qt.v')})"
+           f" * sqrt({_dot_sql('ct.v', 'ct.v')}))")
+    parts = [f"""
+WITH v_t AS (SELECT vec_id, {_DVEC} AS v FROM embeddings),
+rel AS MATERIALIZED (
+  SELECT qt.vec_id AS query_id, ct.vec_id AS id, {cos} AS rel
+  FROM v_t qt, v_t ct
+  WHERE qt.vec_id < 5 AND ct.vec_id <> qt.vec_id
+  QUALIFY row_number() OVER (PARTITION BY qt.vec_id
+                             ORDER BY rel DESC, ct.vec_id) <= {n_cand}
+),
+cva AS (SELECT r.query_id, r.id, v_t.v FROM rel r
+        JOIN v_t ON v_t.vec_id = r.id),
+pw AS MATERIALIZED (
+  SELECT qt.query_id, qt.id AS a, ct.id AS b,
+         {_dot_sql('qt.v', 'ct.v')}
+           / (sqrt({_dot_sql('qt.v', 'qt.v')})
+              * sqrt({_dot_sql('ct.v', 'ct.v')})) AS s
+  FROM cva qt JOIN cva ct
+    ON ct.query_id = qt.query_id AND ct.id <> qt.id
+),
+sel1 AS MATERIALIZED (
+  SELECT query_id, id, 1 AS pick, 0.7 * rel AS score
+  FROM rel
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY rel DESC, id) = 1
+),
+cum1 AS MATERIALIZED (SELECT query_id, id FROM sel1)"""]
+    for r in range(2, k + 1):
+        parts.append(f""",
+mx{r} AS (
+  SELECT p.query_id, p.a AS id, max(p.s) AS mx
+  FROM pw p JOIN cum{r - 1} s
+    ON s.query_id = p.query_id AND s.id = p.b
+  GROUP BY 1, 2
+),
+sel{r} AS MATERIALIZED (
+  SELECT c.query_id, c.id, {r} AS pick,
+         0.7 * c.rel - 0.3 * m.mx AS score
+  FROM rel c
+  JOIN mx{r} m ON m.query_id = c.query_id AND m.id = c.id
+  LEFT JOIN cum{r - 1} t ON t.query_id = c.query_id AND t.id = c.id
+  WHERE t.id IS NULL
+  QUALIFY row_number() OVER (PARTITION BY c.query_id
+                             ORDER BY score DESC, c.id) = 1
+),
+cum{r} AS MATERIALIZED (
+  SELECT query_id, id FROM cum{r - 1}
+  UNION ALL SELECT query_id, id FROM sel{r}
+)""")
+    union = "\nUNION ALL ".join(
+        f"SELECT query_id, id AS neighbor_id, pick, score FROM sel{r}"
+        for r in range(1, k + 1))
+    parts.append("\n" + union)
+    return "".join(parts)
+
+
+SQL_MMR_RERANK = _mmr_sql()
+
+
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 bigram collocations by PMI (functions/text.py
     pmi_collocations, Church & Hanks 1990): one ln per surviving bigram
@@ -2449,6 +2575,8 @@ SELECT * FROM ranked WHERE rank <= 20
 PIPELINE_SUITE: dict[str, tuple] = {
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "pmi_collocations": (q_pmi_collocations, SQL_PMI_COLLOCATIONS),
+    "bq_rerank": (q_bq_rerank, SQL_BQ_RERANK),
+    "mmr_rerank": (q_mmr_rerank, SQL_MMR_RERANK),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
     "repetition": (q_repetition, SQL_REPETITION),

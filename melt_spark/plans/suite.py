@@ -2012,6 +2012,17 @@ SUITE: dict[str, tuple] = {
          "SELECT unnest(['ndcg', 'ndcg_dcg']) AS kind,"
          " CAST(0 AS BIGINT) AS qid, CAST(-1 AS BIGINT) AS did,"
          " -1 AS rank, unnest([ndcg, dcg]) AS v"),
+        # r5: MMR diversified top-5 — greedy relevance-vs-redundancy
+        # re-rank over the exact top-20 (functions/retrieval.py
+        # mmr_rerank); rank carries the selection order
+        (PIPELINE_SUITE["mmr_rerank"],
+         lambda df: df.select(F.lit("mmr").alias("kind"),
+                              F.col("query_id").alias("qid"),
+                              F.col("neighbor_id").alias("did"),
+                              F.col("pick").alias("rank"),
+                              F.col("score").alias("v")),
+         "SELECT 'mmr' AS kind, query_id AS qid, neighbor_id AS did,"
+         " pick AS rank, score AS v"),
         # r4b: exact-phrase retrieval — pure-projection positional match
         # (functions/retrieval.py phrase_match); rank carries first_pos
         (PIPELINE_SUITE["phrase_match"],
@@ -2038,6 +2049,21 @@ SUITE: dict[str, tuple] = {
                               F.lit("").alias("bucket"), "id_a", "id_b",
                               F.col("cos").alias("v")),
          "SELECT 'pair' AS kind, '' AS bucket, id_a, id_b, cos AS v"),
+        # r5: binary sign quantization — Hamming-ranked candidates,
+        # exact-cosine re-rank (functions/similarity.py binary_topk);
+        # the signature scan reads 16 bytes/vector, 32x less than floats
+        (PIPELINE_SUITE["bq_rerank"],
+         lambda df: df.select(F.lit("bq").alias("kind"),
+                              F.concat_ws(":", F.col("hamming")
+                                          .cast("string"),
+                                          F.col("rank").cast("string"))
+                              .alias("bucket"),
+                              F.col("query_id").alias("id_a"),
+                              F.col("neighbor_id").alias("id_b"),
+                              F.col("cos").alias("v")),
+         "SELECT 'bq' AS kind, CAST(hamming AS VARCHAR) || ':' ||"
+         " CAST(rank AS VARCHAR) AS bucket, query_id AS id_a,"
+         " neighbor_id AS id_b, cos AS v"),
     ),
     # -- IVF ANN: probe top-k + recall@10 vs the brute-force oracle
     "ivf_search": merged(

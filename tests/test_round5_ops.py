@@ -470,3 +470,52 @@ def test_pmi_planted_collocation(spark):
     # c_ab=5, N=40 tokens, T=35 bigrams, c_a=c_b=5
     want = math.log((5 * 40) / (35 * 5) * (40 / 5)) * 1e9
     assert abs(byrank[1].pmi_e9 - round(want)) <= 1
+
+
+def _vec64(*pairs):
+    """64-dim vector with (index, value) pairs set, zeros elsewhere."""
+    v = [0.0] * 64
+    for i, x in pairs:
+        v[i] = float(x)
+    return v
+
+
+def test_binary_signature_packing_and_topk(spark):
+    from melt_spark.functions.similarity import binary_topk
+
+    # dims 1 and 33 positive -> bit 0 of each word; negatives never set
+    rows = [
+        Row(vec_id=0, embedding=_vec64((0, 1.0), (32, 2.0), (1, -1.0))),
+        Row(vec_id=1, embedding=_vec64((0, 1.0), (32, 2.0))),   # same signs
+        Row(vec_id=2, embedding=_vec64((5, 1.0), (40, 3.0))),   # disjoint
+    ]
+    df = spark.createDataFrame(rows)
+    out = binary_topk(df, df.filter(F.col("vec_id") == 0), k=2, n_cand=3)
+    got = {r.rank: r for r in out.collect()}
+    # vec 1 shares both sign bits with the query -> hamming 0, top rank
+    assert got[1].neighbor_id == 1 and got[1].hamming == 0
+    # vec 2: query sets bits {0,32-word-bit}, v2 sets {5, 40} -> 4 bits
+    assert got[2].neighbor_id == 2 and got[2].hamming == 4
+
+
+def test_mmr_prefers_diversity_over_redundancy(spark):
+    """After picking the best doc (rel 0.9), its exact duplicate scores
+    0.7*0.9 - 0.3*1 = 0.33 and must lose to a less-relevant doc pointing
+    away from pick 1 (rel 0.6, sim-to-pick 0.191: score ~0.363)."""
+    from melt_spark.functions.retrieval import mmr_rerank
+
+    q = _vec64((0, 1.0))
+    d1 = _vec64((0, 0.9), (1, 0.4358898943540674))   # unit, rel 0.9
+    rows = [
+        Row(vec_id=100, embedding=q),                  # the query
+        Row(vec_id=1, embedding=d1),
+        Row(vec_id=2, embedding=[2 * x for x in d1]),  # duplicate dir
+        Row(vec_id=3, embedding=_vec64((0, 0.6), (1, -0.8))),
+    ]
+    df = spark.createDataFrame(rows)
+    out = mmr_rerank(df.filter(F.col("vec_id") != 100),
+                     df.filter(F.col("vec_id") == 100), k=3, n_cand=3)
+    picks = {r.pick: r.neighbor_id for r in out.collect()}
+    assert picks[1] == 1            # highest rel, lowest id tie-break
+    assert picks[2] == 3            # diversity beats the duplicate
+    assert picks[3] == 2
