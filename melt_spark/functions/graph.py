@@ -85,6 +85,47 @@ def pagerank_int(edges: DataFrame, iters: int = 3,
     return scores
 
 
+def salted_neighbor_pairs(e: DataFrame,
+                          bucket_size: int = 1024) -> DataFrame:
+    """(l, r) edges → one row per unordered pair of a center vertex l's
+    neighbors: columns (l, r, r2) with r < r2 — the wedge generator
+    shared by the butterfly census and Adamic-Adar link prediction,
+    carrying the HUB-SKEW GUARD those operators need at 100 TB.
+
+    A plain self-join on l puts ONE hub vertex's C(d, 2) pairs inside the
+    single task that owns key l. So the join is SALTED: each center's
+    neighbor list splits into nb = ceil(d / bucket_size) deterministic
+    buckets (pmod(xxhash64(r), nb)); the A side replicates each edge to
+    keys (l, b, j) for j in b..nb-1 and the B side to (l, i, b) for
+    i in 0..b, so every bucket-pair (i <= j) is an INDEPENDENT join key
+    and no task sees more than ~bucket_size² pairs per key. Each
+    unordered pair lands under exactly one key (cross-bucket pairs once
+    under (min_b, max_b); same-bucket pairs deduplicated by r < r2) —
+    output is provably identical to the unsalted join, and for the
+    non-hub bulk (d <= bucket_size) nb = 1 so there is NO replication.
+    Planted-hub probe: tools/butterfly_hub_probe.py."""
+    deg = e.groupBy("l").agg(F.count(F.lit(1)).alias("d"))
+    eb = (e.join(deg, "l")
+          .withColumn("nb", F.expr(f"(d + {bucket_size - 1})"
+                                   f" div {bucket_size}"))
+          .withColumn("b", F.pmod(F.xxhash64("r"), F.col("nb"))))
+    a_side = eb.select(
+        "l", "r", F.col("b").alias("i"),
+        F.explode(F.sequence(F.col("b"), F.col("nb") - 1)).alias("j"))
+    b_side = eb.select(
+        F.col("l").alias("l2"), F.col("r").alias("r2"),
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("b")))
+        .alias("i2"), F.col("b").alias("j2"))
+    joined = a_side.join(
+        b_side, (F.col("l") == F.col("l2")) & (F.col("i") == F.col("i2"))
+        & (F.col("j") == F.col("j2"))
+        # cross-bucket keys hold each unordered pair exactly once (the two
+        # neighbors' buckets differ); same-bucket keys need the r < r2 cut
+        & ((F.col("i") < F.col("j")) | (F.col("r") < F.col("r2"))))
+    return joined.select("l", F.least("r", "r2").alias("r"),
+                         F.greatest("r", "r2").alias("r2"))
+
+
 def butterfly_count(edges: DataFrame, left: str, right: str,
                     bucket_size: int = 1024) -> DataFrame:
     """Bipartite butterfly (4-cycle) census — ONE summary row with edge,
@@ -128,27 +169,7 @@ def butterfly_count(edges: DataFrame, left: str, right: str,
     """
     e = (edges.select(F.col(left).alias("l"), F.col(right).alias("r"))
          .distinct())
-    deg = e.groupBy("l").agg(F.count(F.lit(1)).alias("d"))
-    eb = (e.join(deg, "l")
-          .withColumn("nb", F.expr(f"(d + {bucket_size - 1})"
-                                   f" div {bucket_size}"))
-          .withColumn("b", F.pmod(F.xxhash64("r"), F.col("nb"))))
-    a_side = eb.select(
-        "l", "r", F.col("b").alias("i"),
-        F.explode(F.sequence(F.col("b"), F.col("nb") - 1)).alias("j"))
-    b_side = eb.select(
-        F.col("l").alias("l2"), F.col("r").alias("r2"),
-        F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("b")))
-        .alias("i2"), F.col("b").alias("j2"))
-    joined = a_side.join(
-        b_side, (F.col("l") == F.col("l2")) & (F.col("i") == F.col("i2"))
-        & (F.col("j") == F.col("j2"))
-        # cross-bucket keys hold each unordered pair exactly once (the two
-        # neighbors' buckets differ); same-bucket keys need the r < r2 cut
-        & ((F.col("i") < F.col("j")) | (F.col("r") < F.col("r2"))))
-    pairs = (joined
-             .select(F.least("r", "r2").alias("r"),
-                     F.greatest("r", "r2").alias("r2"))
+    pairs = (salted_neighbor_pairs(e, bucket_size)
              .groupBy("r", "r2")
              .agg(F.count(F.lit(1)).alias("n_common")))
     # `/` promotes to DOUBLE (inexact past 2^53) — stay integral with the
@@ -287,3 +308,91 @@ def kcore(pairs: DataFrame, a: str, b: str, k: int = 3,
                  .unionByName(edges.select(F.col("v").alias("node")))
                  .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
     return final_deg.filter(F.col("deg") >= k)
+
+
+def adamic_adar(edges: DataFrame, left: str, right: str, k: int = 50,
+                bucket_size: int = 1024) -> DataFrame:
+    """Link prediction over a bipartite graph: top-k pairs of `left`
+    vertices scored by Adamic-Adar — the sum over common `right`
+    neighbors w of 1/ln(deg(w)), which discounts promiscuous hubs
+    (Adamic & Adar, "Friends and neighbors on the Web", Social Networks
+    2003; the link-prediction benchmark standard since Liben-Nowell &
+    Kleinberg, CIKM 2003).
+
+    Integer-exact cross-engine: ln is not correctly rounded, so each
+    neighbor's weight is scaled to an integer ONCE —
+    w_e9 = round(1e9 / ln(deg)) — and the pair score aa_e9 = Σ w_e9 is
+    an order-independent BIGINT sum (the pagerank fixed-point argument:
+    no float reduction ever crosses a shuffle). deg >= 2 for any common
+    neighbor, so ln never sees 1.
+
+    Scale shape (100 TB): wedge volume is Σ_w C(deg(w), 2) — generation
+    goes through salted_neighbor_pairs, so a hub's pairs spread over
+    independent bucket-pair keys instead of one task (the butterfly
+    census guard). The per-center weight join adds one compact
+    (center, int64) table; the pair aggregation is map-side combined on
+    (u, v) keys bounded by the candidate-pair count, never the corpus.
+    """
+    from pyspark.sql.window import Window
+
+    # center the wedge on the RIGHT vertex: pairs of left vertices share w
+    e = (edges.select(F.col(right).alias("l"), F.col(left).alias("r"))
+         .distinct())
+    deg = e.groupBy("l").agg(F.count(F.lit(1)).alias("d"))
+    weights = (deg.filter(F.col("d") >= 2)
+               .select("l", F.round(F.lit(1e9)
+                                    / F.log(F.col("d").cast("double")))
+                       .cast("bigint").alias("w_e9")))
+    prs = (salted_neighbor_pairs(e, bucket_size)
+           .join(weights, "l")
+           .groupBy(F.col("r").alias("u"), F.col("r2").alias("v"))
+           .agg(F.count(F.lit(1)).alias("n_common"),
+                F.sum("w_e9").cast("bigint").alias("aa_e9")))
+    top = prs.orderBy(F.desc("aa_e9"), F.asc("u"), F.asc("v")).limit(k)
+    w = Window.orderBy(F.desc("aa_e9"), F.asc("u"), F.asc("v"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def kmv_reach(pairs: DataFrame, a: str, b: str, radius: int = 2,
+              k: int = 16) -> DataFrame:
+    """Neighborhood-function estimation: per vertex, the approximate
+    size of its radius-r ball |{u : dist(v,u) <= r}| via mergeable
+    KMV sketch propagation — HyperBall with KMV in place of HLL
+    (Boldi & Vigna, "In-core computation of geometric centralities
+    with HyperBall", ICDMW 2013; Palmer/Gibbons/Faloutsos ANF, KDD
+    2002), because KMV's estimate is bit-deterministic across engines
+    (functions/sketches.py rationale) where HLL implementations are not.
+
+    Per round, every vertex's sketch is the k-min merge of its own and
+    its neighbors' previous sketches; after r rounds the sketch covers
+    exactly the radius-r ball (union-merge of truncated k-min sets is
+    exact sketch algebra, property-tested in tests/test_sketches.py).
+
+    Scale shape (100 TB): per-round state is <= k 8-byte hashes per
+    vertex; the propagate join ships <= k rows per directed edge —
+    O(k·|E|) per round, the published HyperBall bound — and every
+    shuffle key is a vertex id. Rounds localCheckpoint so the unrolled
+    lineage stays flat (the kcore pattern). Output: (node, n_mins, kth,
+    reach) with reach exact below k and the Bar-Yossef floor-estimator
+    above it.
+    """
+    from pyspark.sql.window import Window
+
+    from .sketches import kmv_estimate, kmv_hash
+
+    und = symmetrize(pairs, a, b).localCheckpoint(eager=True)
+    nodes = und.select(F.col("src").alias("node")).distinct()
+    mins = nodes.select("node", kmv_hash(F.col("node")).alias("h"))
+    w = Window.partitionBy("node").orderBy("h")
+    for _ in range(radius):
+        prop = (und.join(mins.withColumnRenamed("node", "src"), "src")
+                .select(F.col("dst").alias("node"), "h"))
+        u = mins.unionByName(prop).distinct()
+        mins = (u.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= k).select("node", "h")
+                .localCheckpoint(eager=True))
+    sk = mins.groupBy("node").agg(F.count("h").alias("n_mins"),
+                                  F.max("h").alias("kth"))
+    return (kmv_estimate(sk, k=k)
+            .select("node", "n_mins", "kth",
+                    F.col("kmv_est").alias("reach")))

@@ -1079,6 +1079,110 @@ SELECT node, deg FROM fd WHERE deg >= {k}
 SQL_KCORE = _kcore_sql()
 
 
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (functions/graph.py adamic_adar):
+    top-50 supplier pairs scored through shared customers, neighbor
+    weights integer-scaled (round(1e9/ln deg)) so the pair score is an
+    order-independent BIGINT sum; wedge generation rides the salted
+    hub-skew guard shared with the butterfly census."""
+    from ..functions.graph import adamic_adar
+
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+             .select(F.col("l_suppkey").alias("supp"),
+                     F.col("o_custkey").alias("cust")))
+    return adamic_adar(edges, "supp", "cust", k=50)
+
+
+SQL_ADAMIC_ADAR = """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS w, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+deg AS (SELECT w, COUNT(*) AS d FROM e GROUP BY w),
+wt AS (
+  SELECT w, CAST(round(1e9 / ln(CAST(d AS DOUBLE))) AS BIGINT) AS w_e9
+  FROM deg WHERE d >= 2
+),
+prs AS (
+  SELECT a.s AS u, b.s AS v, a.w
+  FROM e a JOIN e b ON a.w = b.w AND a.s < b.s
+),
+agg AS (
+  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS n_common,
+         CAST(SUM(w_e9) AS BIGINT) AS aa_e9
+  FROM prs JOIN wt USING (w)
+  GROUP BY u, v
+)
+SELECT u, v, n_common, aa_e9,
+       CAST(row_number() OVER (ORDER BY aa_e9 DESC, u, v) AS INT) AS rank
+FROM agg QUALIFY rank <= 50
+"""
+
+
+def q_kmv_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop neighborhood-size estimation (functions/graph.py kmv_reach,
+    HyperBall-with-KMV) over the customer↔supplier bipartite graph;
+    output restricted to supplier nodes (node > 1e6)."""
+    from ..functions.graph import kmv_reach
+
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    pairs = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+             .select(F.col("o_custkey").alias("a"),
+                     (F.lit(1_000_000) + F.col("l_suppkey")).alias("b"))
+             .distinct())
+    return (kmv_reach(pairs, "a", "b", radius=2, k=16)
+            .filter(F.col("node") > 1_000_000))
+
+
+def _kmv_reach_sql(radius: int = 2, k: int = 16) -> str:
+    # m{r} is referenced twice by round r+1 (carry + propagate) —
+    # MATERIALIZED per the kcore exponential-inlining lesson
+    h = _hex12_sql("CAST(src AS VARCHAR)")
+    ctes = [f"""e0 AS MATERIALIZED (
+  SELECT o_custkey AS src, 1000000 + l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  UNION
+  SELECT 1000000 + l_suppkey AS src, o_custkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+m0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, {h} AS h FROM e0
+)"""]
+    for r in range(1, radius + 1):
+        ctes.append(f"""p{r} AS (
+  SELECT e.dst AS node, m.h FROM e0 e JOIN m{r - 1} m ON m.node = e.src
+),
+u{r} AS (
+  SELECT DISTINCT node, h FROM (
+    SELECT node, h FROM m{r - 1} UNION ALL SELECT node, h FROM p{r}
+  ) t
+),
+m{r} AS MATERIALIZED (
+  SELECT node, h FROM (
+    SELECT node, h, row_number() OVER (PARTITION BY node ORDER BY h)
+      AS rn FROM u{r}
+  ) t WHERE rn <= {k}
+)""")
+    return f"""
+WITH {','.join(ctes)},
+sk AS (
+  SELECT node, COUNT(*) AS n_mins, MAX(h) AS kth
+  FROM m{radius} GROUP BY node
+)
+SELECT node, CAST(n_mins AS BIGINT) AS n_mins, kth,
+       CAST(CASE WHEN n_mins < {k} THEN n_mins
+                 ELSE floor({float(k - 1)!r} * 281474976710656.0 / kth)
+            END AS BIGINT) AS reach
+FROM sk WHERE node > 1000000
+"""
+
+
+SQL_KMV_REACH = _kmv_reach_sql()
+
+
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy entity matching (functions/fuzzy.py, Gravano et al. VLDB
     2001): 200 customer names with one planted substitution each,
@@ -3317,6 +3421,8 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "weekday_profile": (q_weekday_profile, SQL_WEEKDAY_PROFILE),
     "fuzzy_match": (q_fuzzy_match, SQL_FUZZY_MATCH),
     "kcore": (q_kcore, SQL_KCORE),
+    "adamic_adar": (q_adamic_adar, SQL_ADAMIC_ADAR),
+    "kmv_reach": (q_kmv_reach, SQL_KMV_REACH),
     "kmv_overlap": (q_kmv_overlap, SQL_KMV_OVERLAP),
     "ks_drift": (q_ks_drift, SQL_KS_DRIFT),
     "timed_funnel": (q_timed_funnel, SQL_TIMED_FUNNEL),

@@ -1955,6 +1955,23 @@ SUITE: dict[str, tuple] = {
                               F.col("node").alias("id"),
                               F.col("deg").alias("val")),
          "SELECT 'kcore' AS kind, node AS id, deg AS val"),
+        # r5: Adamic-Adar link prediction — supplier pairs through shared
+        # customers, integer-scaled neighbor weights (functions/graph.py
+        # adamic_adar); id packs the pair as u*1e6+v (suppkeys < 1e6)
+        (ANALYTICS_SUITE["adamic_adar"],
+         lambda df: df.selectExpr(
+             "stack(2, 'aa', aa_e9, 'aa_n', n_common) AS (kind, val)",
+             "u * 1000000 + v AS id").select("kind", "id", "val"),
+         "SELECT unnest(['aa', 'aa_n']) AS kind, u * 1000000 + v AS id,"
+         " unnest([aa_e9, n_common]) AS val"),
+        # r5: HyperBall-with-KMV 2-hop reach estimation per supplier node
+        # (functions/graph.py kmv_reach); kth is the sketch state
+        (ANALYTICS_SUITE["kmv_reach"],
+         lambda df: df.selectExpr(
+             "stack(2, 'reach', reach, 'reach_kth', kth) AS (kind, val)",
+             "node AS id").select("kind", "id", "val"),
+         "SELECT unnest(['reach', 'reach_kth']) AS kind, node AS id,"
+         " unnest([reach, kth]) AS val"),
     ),
     "simhash": PIPELINE_SUITE["simhash"],
     "simhash_near_dup": merged(

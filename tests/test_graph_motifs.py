@@ -215,3 +215,73 @@ def test_kcore_hand_graph(spark):
     assert all(d == 3 for d in out.values())
     # k=4: the clique itself dies (max degree in K4 is 3)
     assert kcore(edges, "x", "y", k=4, rounds=3).count() == 0
+
+
+def test_adamic_adar_hand_case(spark):
+    """Suppliers {1,2,3} x customers {10 (deg 3), 11 (deg 2)}: pair
+    (1,2) shares both customers -> w(10)+w(11); the others share only
+    customer 10."""
+    import math
+
+    from pyspark.sql import Row
+
+    from melt_spark.functions.graph import adamic_adar
+
+    edges = spark.createDataFrame(
+        [Row(supp=s, cust=10) for s in (1, 2, 3)]
+        + [Row(supp=s, cust=11) for s in (1, 2)])
+    out = {(r.u, r.v): r for r in
+           adamic_adar(edges, "supp", "cust", k=10).collect()}
+    w10 = round(1e9 / math.log(3))
+    w11 = round(1e9 / math.log(2))
+    assert out[(1, 2)].aa_e9 == w10 + w11
+    assert out[(1, 2)].n_common == 2
+    assert out[(1, 2)].rank == 1
+    assert out[(1, 3)].aa_e9 == w10 and out[(2, 3)].aa_e9 == w10
+
+
+def test_adamic_adar_salting_invariant(spark):
+    """bucket_size=2 (forces multi-bucket salting on every center) must
+    produce bit-identical pairs to the unsalted regime."""
+    from pyspark.sql import Row
+
+    from melt_spark.functions.graph import adamic_adar
+
+    edges = spark.createDataFrame(
+        [Row(supp=s, cust=c) for c in range(5) for s in range(c + 2)])
+    a = sorted(map(tuple, adamic_adar(edges, "supp", "cust",
+                                      k=100, bucket_size=2).collect()))
+    b = sorted(map(tuple, adamic_adar(edges, "supp", "cust",
+                                      k=100, bucket_size=1024).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_kmv_reach_path_graph(spark):
+    """Path a-b-c-d-e: ball(c,2) = all 5, ball(a,2) = {a,b,c} — exact
+    counts below the sketch size k."""
+    from pyspark.sql import Row
+
+    from melt_spark.functions.graph import kmv_reach
+
+    pairs = spark.createDataFrame(
+        [Row(a=1, b=2), Row(a=2, b=3), Row(a=3, b=4), Row(a=4, b=5)])
+    got = {r.node: r.reach for r in
+           kmv_reach(pairs, "a", "b", radius=2, k=16).collect()}
+    assert got == {1: 3, 2: 4, 3: 5, 4: 4, 5: 3}
+
+
+def test_kmv_reach_saturated_estimates(spark):
+    """A star with 40 leaves saturates the k=16 sketch at the hub: the
+    estimate must be within the ~1/sqrt(k-2) relative bound of 41."""
+    from pyspark.sql import Row
+
+    from melt_spark.functions.graph import kmv_reach
+
+    pairs = spark.createDataFrame([Row(a=0, b=i) for i in range(1, 41)])
+    got = {r.node: r for r in
+           kmv_reach(pairs, "a", "b", radius=1, k=16).collect()}
+    hub = got[0]
+    assert hub.n_mins == 16
+    assert abs(hub.reach - 41) / 41 < 0.8
+    # every leaf sees {self, hub} -> exact 2... via radius 1
+    assert got[5].reach == 2
