@@ -496,3 +496,61 @@ def contrastive_pairs(pairs: DataFrame, corpus: DataFrame,
            .when(ok("n1"), F.col("n1"))
            .otherwise(F.col("n2")))
     return j.select("anchor", "positive", neg.alias("negative"))
+
+
+def greedy_coverage(df: DataFrame, k: int = 3, n: int = 3,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Greedy maximum-coverage document selection — pick k documents
+    that together cover as many distinct n-grams as possible, the
+    submodular-maximization recipe behind coverage-driven training-data
+    subset selection (facility-location/coverage objectives; the greedy
+    carries the classic (1 - 1/e) guarantee of Nemhauser, Wolsey &
+    Fisher, Math. Prog. 1978).
+
+    Each of the k unrolled rounds scores every remaining document by how
+    many of its distinct n-grams are NOT yet covered, picks the argmax
+    (gain desc, id asc), and adds its grams to the covered set. A doc
+    picked once contributes no uncovered grams later, so it can never be
+    re-picked.
+
+    Spark-first shape, graded for 100 TB: gram TEXT collapses to
+    xxhash64 digests in the projection that creates it (the dedup
+    digest discipline) and the (id, gram) table localCheckpoints ONCE —
+    each round is then one anti-join against the covered-digest set
+    (broadcastable: it holds at most k documents' grams) plus one
+    map-side-combined count per doc. k rounds = k passes over the
+    digest table, never over the corpus text.
+
+    Output: (pick, id, gain, covered_total) — gains are disjoint by
+    construction, so the running sum IS the covered-universe size.
+    """
+    from pyspark.sql.window import Window
+
+    grams = (ngram_set(df, n, text_col, id_col)
+             .select(F.col(id_col).alias("id"),
+                     F.xxhash64("ngram").alias("g"))
+             .distinct().localCheckpoint(eager=True))
+    covered = None
+    picks = []
+    for r in range(1, k + 1):
+        avail = (grams if covered is None
+                 else grams.join(F.broadcast(covered), "g", "left_anti"))
+        gains = avail.groupBy("id").agg(F.count(F.lit(1)).alias("gain"))
+        pick = (gains.orderBy(F.desc("gain"), F.asc("id")).limit(1)
+                .select(F.lit(r).alias("pick"), "id", "gain")
+                .localCheckpoint(eager=True))
+        picks.append(pick)
+        newly = (grams.join(pick.select("id"), "id", "left_semi")
+                 .select("g"))
+        covered = (newly if covered is None
+                   else covered.unionByName(newly).distinct())
+        covered = covered.localCheckpoint(eager=True)
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    w = Window.orderBy("pick").rowsBetween(Window.unboundedPreceding,
+                                           Window.currentRow)
+    return out.select("pick", F.col("id").alias(id_col), "gain",
+                      F.sum("gain").over(w).cast("bigint")
+                      .alias("covered_total"))

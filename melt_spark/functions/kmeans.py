@@ -1,0 +1,112 @@
+"""Distributed Lloyd k-means in integer fixed-point arithmetic — the
+training half of the IVF/PQ vector stack (functions/ivf.py consumes
+centroids; this is where they come from).
+
+Background (public): Lloyd's algorithm (IEEE Trans. IT 1982). The Spark
+shape is the canonical MLlib one: centroids broadcast to executors each
+iteration (O(k·d) scalars through the driver — the documented exception
+class, like ivf.py's centroid collect), assignment is a pure projection,
+and the update is ONE map-side-combined aggregation of per-dimension
+sums — k·d rows per task regardless of corpus size. At 100 TB that is
+one corpus scan per iteration with a fixed-size shuffle, the textbook
+scalable k-means loop (use k-means|| seeding — Bahmani et al., VLDB
+2012 — instead of first-k seeding when clusters must be quality-seeded).
+
+Why integer fixed-point (the pagerank argument, functions/graph.py):
+float centroid means depend on summation order, which no shuffled
+aggregation can pin, so float centroids can never hash-match across
+engines or even across runs. Components quantize ONCE to
+q = floor((x + OFFSET) · 1e6 + 0.5) — OFFSET shifts the domain
+non-negative so the BIGINT mean (sum div n) is the same floor division
+in Spark, DuckDB and Python — and every distance, assignment and update
+after that is exact integer arithmetic: bit-identical results for a
+pinned iteration count. Distance magnitudes: |q| <= 32e6 per component,
+diff² <= 4e12 on unit-ish data, ×64 dims ~2.6e14 per vector — BIGINT
+sums hold to ~3e4 vectors per cluster per unit scale; far below 2^63.
+
+Empty-cluster rule (pinned so the oracle can mirror it): a cluster that
+loses all members keeps its previous centroid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+OFFSET = 16.0        # shifts embedding components non-negative
+QSCALE = 1_000_000.0
+
+
+def quantize_q(vec: Column) -> Column:
+    """array<double> -> array<bigint> fixed-point components; floor(+0.5)
+    is the portable half-up (similarity.quantize_int8 note)."""
+    return F.transform(
+        vec,
+        lambda x: F.floor((x + F.lit(OFFSET)) * F.lit(QSCALE) + F.lit(0.5))
+        .cast("long"))
+
+
+def _dist_to(comps: list[int]) -> Column:
+    carr = F.array(*[F.lit(int(c)).cast("long") for c in comps])
+    return F.aggregate(
+        F.zip_with(F.col("q"), carr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _assign(q: DataFrame, cents: dict[int, list[int]]) -> DataFrame:
+    """(id, q, cid, dist): nearest centroid, ties to the lower cid —
+    array_min over (dist, cid) structs evaluates each distance once and
+    compares lexicographically."""
+    arr = F.array(*[
+        F.struct(_dist_to(cents[cid]).alias("d"),
+                 F.lit(cid).cast("int").alias("cid"))
+        for cid in sorted(cents)])
+    m = F.array_min(arr)
+    return q.select("id", "q", m["cid"].alias("cid"), m["d"].alias("dist"))
+
+
+def kmeans_train(df: DataFrame, n_clusters: int = 8, iters: int = 2,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """`iters` Lloyd iterations from first-k seeds; output one row per
+    cluster: (cid, n_assigned, sse, c1, c2) — final membership count,
+    integer sum of squared distances, and the first two centroid
+    components (the full centroid is O(k·d) driver state; two components
+    pin it in the hash without widening the row)."""
+    from .similarity import _dvec
+
+    spark = df.sparkSession
+    q = (df.select(F.col(id_col).alias("id"),
+                   quantize_q(_dvec(vec_col)).alias("q"))
+         .localCheckpoint(eager=True))
+    cents = {int(r["id"]): [int(x) for x in r["q"]]
+             for r in q.filter(F.col("id") < n_clusters).collect()}
+
+    for _ in range(iters):
+        a = _assign(q, cents)
+        sums = (a.select("cid", F.posexplode("q").alias("i", "val"))
+                .groupBy("cid", "i")
+                .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect())
+        upd: dict[int, dict[int, int]] = {}
+        for r in sums:
+            upd.setdefault(int(r["cid"]), {})[int(r["i"])] = \
+                int(r["s"]) // int(r["n"])  # non-negative: floor == trunc
+        cents = {cid: ([upd[cid][i] for i in range(len(comps))]
+                       if cid in upd else comps)
+                 for cid, comps in cents.items()}
+
+    a = _assign(q, cents)
+    stats = (a.groupBy("cid")
+             .agg(F.count(F.lit(1)).alias("n_assigned"),
+                  F.sum("dist").alias("sse")))
+    cinfo = spark.createDataFrame(
+        [(cid, cents[cid][0], cents[cid][1]) for cid in sorted(cents)],
+        schema="cid int, c1 long, c2 long")
+    return (cinfo.join(stats, "cid", "left")
+            .select("cid",
+                    F.coalesce("n_assigned", F.lit(0)).cast("bigint")
+                    .alias("n_assigned"),
+                    F.coalesce("sse", F.lit(0)).cast("bigint")
+                    .alias("sse"),
+                    "c1", "c2"))

@@ -2572,7 +2572,134 @@ SELECT * FROM ranked WHERE rank <= 20
 """
 
 
+def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-fixed-point Lloyd k-means (functions/kmeans.py), 8
+    clusters seeded from vec_id < 8, 2 pinned iterations — per-cluster
+    membership count, integer SSE and the first two centroid
+    components."""
+    from ..functions.kmeans import kmeans_train
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return kmeans_train(emb, n_clusters=8, iters=2)
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2, dims: int = 64) -> str:
+    """Unrolled Lloyd oracle: per iteration one assignment CTE (argmin
+    by (dist, cid)) and one centroid-update CTE; MATERIALIZED per the
+    kcore inlining lesson. Empty clusters keep their previous centroid
+    (LEFT JOIN + COALESCE per dimension)."""
+    d = (f"list_reduce(list_transform(generate_series(1, {dims}),"
+         " i -> (t.q[i] - c.c[i]) * (t.q[i] - c.c[i])), (x, y) -> x + y)")
+    parts = [f"""
+WITH q_t AS MATERIALIZED (
+  SELECT vec_id AS id,
+         list_transform({_DVEC},
+                        x -> CAST(floor((x + 16.0) * 1000000.0 + 0.5)
+                                  AS BIGINT)) AS q
+  FROM embeddings
+),
+cc0 AS MATERIALIZED (
+  SELECT CAST(id AS INT) AS cid, q AS c FROM q_t WHERE id < {k}
+)"""]
+    for r in range(1, iters + 2):      # iters updates + 1 final assign
+        parts.append(f""",
+a{r} AS MATERIALIZED (
+  SELECT id, q, cid, dist FROM (
+    SELECT t.id, t.q, c.cid, {d} AS dist
+    FROM q_t t, cc{r - 1} c
+  ) s
+  QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist, cid) = 1
+)""")
+        if r <= iters:
+            parts.append(f""",
+s{r} AS (
+  SELECT cid, g.i AS i, SUM(q[g.i]) AS s, COUNT(*) AS n
+  FROM a{r}, generate_series(1, {dims}) g(i) GROUP BY cid, g.i
+),
+cc{r} AS MATERIALIZED (
+  SELECT p.cid,
+         -- SUM of BIGINT is HUGEINT in DuckDB (degrades to float64 on
+         -- the driver's pandas path) — pin every component to BIGINT
+         list(CAST(CASE WHEN s.n IS NULL THEN p.c[g.i]
+                        ELSE s.s // s.n END AS BIGINT)
+              ORDER BY g.i) AS c
+  FROM cc{r - 1} p
+  CROSS JOIN generate_series(1, {dims}) g(i)
+  LEFT JOIN s{r} s ON s.cid = p.cid AND s.i = g.i
+  GROUP BY p.cid
+)""")
+    parts.append(f""",
+st AS (
+  SELECT cid, COUNT(*) AS n_assigned, SUM(dist) AS sse
+  FROM a{iters + 1} GROUP BY cid
+)
+SELECT c.cid, CAST(COALESCE(st.n_assigned, 0) AS BIGINT) AS n_assigned,
+       CAST(COALESCE(st.sse, 0) AS BIGINT) AS sse,
+       CAST(c.c[1] AS BIGINT) AS c1, CAST(c.c[2] AS BIGINT) AS c2
+FROM cc{iters} c LEFT JOIN st USING (cid)""")
+    return "".join(parts)
+
+
+SQL_KMEANS_TRAIN = _kmeans_sql()
+
+
+def q_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy max-coverage selection (functions/cleaning.py
+    greedy_coverage): 3 rounds over distinct 3-grams — the coverage-
+    driven subset-selection complement of DSIR's importance weighting."""
+    from ..functions.cleaning import greedy_coverage
+
+    docs = read_table(spark, sf_dir, "documents")
+    return greedy_coverage(docs, k=3, n=3)
+
+
+def _coverage_sql(k: int = 3) -> str:
+    gram = ("list_transform(range(1, len(toks) - 1),"
+            " i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])")
+    parts = [f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS MATERIALIZED (
+  SELECT DISTINCT doc_id AS id, u.ng AS g
+  FROM t, unnest({gram}) AS u(ng)
+  WHERE len(toks) >= 3
+),
+gain1 AS (SELECT id, COUNT(*) AS gain FROM g GROUP BY id),
+p1 AS MATERIALIZED (
+  SELECT 1 AS pick, id, gain FROM gain1 ORDER BY gain DESC, id LIMIT 1
+),
+cov1 AS MATERIALIZED (
+  SELECT DISTINCT g.g FROM g JOIN p1 USING (id)
+)"""]
+    for r in range(2, k + 1):
+        parts.append(f""",
+avail{r} AS (
+  SELECT g.id, g.g FROM g LEFT JOIN cov{r - 1} c ON c.g = g.g
+  WHERE c.g IS NULL
+),
+gain{r} AS (SELECT id, COUNT(*) AS gain FROM avail{r} GROUP BY id),
+p{r} AS MATERIALIZED (
+  SELECT {r} AS pick, id, gain FROM gain{r} ORDER BY gain DESC, id
+  LIMIT 1
+),
+cov{r} AS MATERIALIZED (
+  SELECT g FROM cov{r - 1}
+  UNION SELECT g.g FROM g JOIN p{r} USING (id)
+)""")
+    union = "\n  UNION ALL ".join(
+        f"SELECT pick, id, gain FROM p{r}" for r in range(1, k + 1))
+    parts.append(f"""
+SELECT pick, id AS doc_id, CAST(gain AS BIGINT) AS gain,
+       CAST(SUM(gain) OVER (ORDER BY pick) AS BIGINT) AS covered_total
+FROM ({union}) u""")
+    return "".join(parts)
+
+
+SQL_GREEDY_COVERAGE = _coverage_sql()
+
+
 PIPELINE_SUITE: dict[str, tuple] = {
+    "kmeans_train": (q_kmeans_train, SQL_KMEANS_TRAIN),
+    "greedy_coverage": (q_greedy_coverage, SQL_GREEDY_COVERAGE),
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "pmi_collocations": (q_pmi_collocations, SQL_PMI_COLLOCATIONS),
     "bq_rerank": (q_bq_rerank, SQL_BQ_RERANK),

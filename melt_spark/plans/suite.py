@@ -2144,6 +2144,20 @@ SUITE: dict[str, tuple] = {
                               F.col("adc_dist").alias("v")),
          "SELECT 'ivfpq' AS kind, query_id, cand_id AS ref, rank,"
          " adc_dist AS v"),
+        # r5: integer-fixed-point Lloyd k-means — where the IVF centroids
+        # come from (functions/kmeans.py); per cluster, membership count,
+        # integer SSE and the first two centroid components
+        (PIPELINE_SUITE["kmeans_train"],
+         lambda df: df.selectExpr(
+             "stack(4, 'km_n', n_assigned, 'km_sse', sse,"
+             " 'km_c1', c1, 'km_c2', c2) AS (kind, ref)",
+             "CAST(cid AS BIGINT) AS query_id")
+         .select("kind", "query_id", "ref", F.lit(-1).alias("rank"),
+                 F.lit(-1.0).alias("v")),
+         "SELECT unnest(['km_n', 'km_sse', 'km_c1', 'km_c2']) AS kind,"
+         " CAST(cid AS BIGINT) AS query_id,"
+         " unnest([n_assigned, sse, c1, c2]) AS ref, -1 AS rank,"
+         " CAST(-1.0 AS DOUBLE) AS v"),
     ),
     # -- multimodal decode ⋈ features ⋈ resize per doc (Arrow mapInPandas)
     # r5: + CLIP-score-style alignment filter (similarity.py, the LAION
@@ -2211,6 +2225,20 @@ SUITE: dict[str, tuple] = {
                               F.col("logw").alias("v")),
          "SELECT 'dsir' AS kind, CAST(doc_id AS VARCHAR) AS key,"
          " n_grams AS n1, CAST(rank AS BIGINT) AS n2, logw AS v"),
+        # r5: greedy max-coverage selection (functions/cleaning.py
+        # greedy_coverage) — the submodular subset-selection complement
+        # of DSIR's importance weighting; key packs pick:doc_id
+        (PIPELINE_SUITE["greedy_coverage"],
+         lambda df: df.select(F.lit("cover").alias("kind"),
+                              F.concat_ws(":", F.col("pick").cast("string"),
+                                          F.col("doc_id").cast("string"))
+                              .alias("key"),
+                              F.col("gain").alias("n1"),
+                              F.col("covered_total").alias("n2"),
+                              F.lit(-1.0).alias("v")),
+         "SELECT 'cover' AS kind, CAST(pick AS VARCHAR) || ':' ||"
+         " CAST(doc_id AS VARCHAR) AS key, gain AS n1,"
+         " covered_total AS n2, CAST(-1.0 AS DOUBLE) AS v"),
     ),
     # -- applyInPandas pair: per-user features + greedy sequence packing
     "user_features_pandas": merged(

@@ -519,3 +519,62 @@ def test_mmr_prefers_diversity_over_redundancy(spark):
     assert picks[1] == 1            # highest rel, lowest id tie-break
     assert picks[2] == 3            # diversity beats the duplicate
     assert picks[3] == 2
+
+
+def test_kmeans_separates_planted_blobs(spark):
+    """Two tight 2-D blobs; seeds (vec_id < 2) land one in each. The
+    integer centroid means and SSEs are computable by hand from the
+    q = floor((x+16)*1e6 + 0.5) quantization."""
+    from melt_spark.functions.kmeans import kmeans_train
+
+    rows = [Row(vec_id=0, embedding=[0.0, 0.1]),
+            Row(vec_id=1, embedding=[10.0, 9.9]),
+            Row(vec_id=2, embedding=[0.1, -0.1]),
+            Row(vec_id=3, embedding=[-0.1, 0.0]),
+            Row(vec_id=4, embedding=[10.1, 10.0]),
+            Row(vec_id=5, embedding=[9.9, 10.1])]
+    out = {r.cid: r for r in kmeans_train(
+        spark.createDataFrame(rows), n_clusters=2, iters=2).collect()}
+    assert out[0].n_assigned == 3 and out[1].n_assigned == 3
+    # blob means: (0,0) -> 16e6 per component; (10,10) -> 26e6
+    assert (out[0].c1, out[0].c2) == (16_000_000, 16_000_000)
+    assert (out[1].c1, out[1].c2) == (26_000_000, 26_000_000)
+    # each blob: offsets {0, ±0.1} per axis -> sum of diff² = 4e10
+    assert out[0].sse == 40_000_000_000
+    assert out[1].sse == 40_000_000_000
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    """Duplicate seeds tie iteration-1 assignment to the lower cid, so
+    cluster 1 empties and keeps its seed centroid (the pinned rule) —
+    which lets it win the two origin points BACK in iteration 2 after
+    cluster 0's mean drifted toward the outlier. The final split only
+    happens if the keep-rule fired."""
+    from melt_spark.functions.kmeans import kmeans_train
+
+    rows = [Row(vec_id=0, embedding=[0.0, 0.0]),
+            Row(vec_id=1, embedding=[0.0, 0.0]),
+            Row(vec_id=2, embedding=[0.2, 0.0])]
+    out = {r.cid: r for r in kmeans_train(
+        spark.createDataFrame(rows), n_clusters=2, iters=2).collect()}
+    assert out[0].n_assigned == 1 and out[0].sse == 0
+    assert (out[0].c1, out[0].c2) == (16_200_000, 16_000_000)
+    assert out[1].n_assigned == 2 and out[1].sse == 0
+    assert (out[1].c1, out[1].c2) == (16_000_000, 16_000_000)
+
+
+def test_greedy_coverage_hand_case(spark):
+    """d1/d2 tie at 4 grams (id asc -> d1); d2's residual gain is 3
+    once 'a b c' is covered; d4 is a pure subset of d1 and never wins;
+    covered_total is the running (disjoint) sum."""
+    from melt_spark.functions.cleaning import greedy_coverage
+
+    rows = [Row(doc_id=1, text="a b c d e f"),
+            Row(doc_id=2, text="a b c x y z"),
+            Row(doc_id=3, text="q r s"),
+            Row(doc_id=4, text="b c d")]
+    got = [(r.pick, r.doc_id, r.gain, r.covered_total)
+           for r in greedy_coverage(spark.createDataFrame(rows),
+                                    k=3, n=3)
+           .orderBy("pick").collect()]
+    assert got == [(1, 1, 4, 4), (2, 2, 3, 7), (3, 3, 1, 8)]
