@@ -96,21 +96,42 @@ BENCH_QUERIES_R5 = [
     ("ngram_novelty", p.q_ngram_novelty),      # digest membership join
 ]
 
+# Round-5b operators (the second round-5 wave, same contract): the
+# iterative ones (kcore, kmeans) and the edit-distance join are the heavy
+# entries; the rerankers are tiny but benched so their cost is on record.
+BENCH_QUERIES_R5B = [
+    ("tfidf_keywords", p.q_tfidf_keywords),    # df join + per-doc top-k
+    ("pmi_collocations", p.q_pmi_collocations),  # bigram x unigram join
+    ("bq_rerank", p.q_bq_rerank),              # 1-bit Hamming + rerank
+    ("kcore", a.q_kcore),                      # unrolled peeling rounds
+    ("adamic_adar", a.q_adamic_adar),          # wedge join on digests
+    ("fuzzy_match", a.q_fuzzy_match),          # q-gram prefilter + edit
+    ("kmeans_train", p.q_kmeans_train),        # 2 Lloyd iterations
+    ("greedy_coverage", p.q_greedy_coverage),  # 3 coverage rounds
+    ("hits", a.q_hits),                        # 2 HITS iterations
+    ("containment", p.q_containment),          # overlap-coefficient pairs
+    ("nb_classify", p.q_nb_classify),          # NB train + score + argmax
+]
+
 # Per-constituent timing inside the heaviest merged entries (r4 verdict
 # item 8): when a merged entry's time shifts round-over-round, this block
 # shows WHICH branch moved — exactly the diagnosis the r4 clean_corpus
 # regression lacked. Names resolve through the shared registry
 # (plans/registry.py), so a renamed constituent fails loudly here too.
 CONSTITUENT_GROUPS: dict[str, list[str]] = {
-    "clean_corpus": ["clean_corpus", "mixture_weights"],
+    "clean_corpus": ["clean_corpus", "mixture_weights", "dsir_topk",
+                     "greedy_coverage"],
     "text_quality": ["text_stats", "quality_scores", "repetition",
-                     "rep_ngrams", "pii_scrub", "lm_perplexity"],
+                     "rep_ngrams", "pii_scrub", "lm_perplexity",
+                     "nb_classify"],
     "dedup_minhash_lsh": ["dedup_minhash_lsh", "incremental_minhash"],
     "ann_cosine_topk": ["ann_cosine_topk", "bm25_topk", "rrf_fusion",
                         "rrf_recall", "phrase_match"],
     "ivf_search": ["ivf_topk", "ivf_recall", "semantic_dedup",
-                   "semantic_summary", "pq_codes"],
-    "dedup_clusters": ["dedup_clusters", "pagerank", "butterflies"],
+                   "semantic_summary", "pq_codes", "pq_adc", "ivf_pq",
+                   "kmeans_train"],
+    "dedup_clusters": ["dedup_clusters", "pagerank", "butterflies",
+                       "hits"],
     "rollup_grouping_sets": ["rollup_revenue", "cube_revenue",
                              "grouping_sets", "time_bucket_rollup",
                              "gapfill_hourly", "event_twa"],
@@ -134,7 +155,7 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     for _name, fn in (BENCH_QUERIES + BENCH_QUERIES_R3
                       + BENCH_QUERIES_R4 + BENCH_QUERIES_R4B
-                      + BENCH_QUERIES_R5):
+                      + BENCH_QUERIES_R5 + BENCH_QUERIES_R5B):
         try:
             _force(fn(spark, warm_dir))
         except Exception:
@@ -150,7 +171,7 @@ def main() -> None:
     errors: dict[str, str] = {}
     for name, fn in (BENCH_QUERIES + BENCH_QUERIES_R3
                      + BENCH_QUERIES_R4 + BENCH_QUERIES_R4B
-                     + BENCH_QUERIES_R5):
+                     + BENCH_QUERIES_R5 + BENCH_QUERIES_R5B):
         try:
             # min of 2 is the headline (drops scheduler noise, stays
             # honest); BOTH raw runs are recorded so run-to-run variance —

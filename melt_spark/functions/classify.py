@@ -1,0 +1,149 @@
+"""Multinomial Naive Bayes document classification — the engine-native
+stand-in for the fastText quality/domain classifier every large
+training-data pipeline runs (CCNet, LREC 2020; RefinedWeb, arXiv:
+2306.01116 — both gate documents with a linear text classifier; fastText
+itself is Joulin et al., arXiv:1607.01759; multinomial NB per McCallum &
+Nigam, AAAI-98 workshop).
+
+Model: p(t|s) = (c_st + 1) / (N_s + V) with Laplace smoothing, prior
+p(s) = docs_s / docs_total; score(d, s) = ln p(s) + Σ_t c_dt · ln p(t|s);
+predicted label = argmax_s. Training and scoring both run inside the
+engine, so the whole classifier is oracle-checkable.
+
+Determinism (the integer-nano-nat trick — pagerank's fixed-point argument
+applied to log-space): every ln() is taken of an IEEE divide of exact
+integers (identical input both engines), multiplied by 1e9, rounded and
+CAST to BIGINT **once, in the vocabulary-sized model table**. All
+downstream arithmetic — per-document sums, the prior, the argmax — is
+exact BIGINT addition/comparison: order-independent, so a shuffled
+groupBy sum is safe (no ordered fold needed, unlike lm.py whose terms
+stay float) and the argmax can never flip between engines. The only
+cross-engine hazard left is ln's 1-ulp non-determinism landing exactly on
+a .5e-9 rounding boundary — ~1e-7 odds per model entry, the same accepted
+class as lm.py/BM25. Ties after that break by label ascending (pinned).
+
+Spark-first shape, graded for 100 TB:
+    counts = explode tokens -> digest -> groupBy   -- shuffle #1:
+             (label, int64 hash, int)                 map-side combined
+    model  = counts x label-totals x |V|           -- vocabulary-sized,
+                                                      never corpus-sized
+    score  = doc-token counts ⋈ model on hash      -- shuffle #2 keyed on
+             -> groupBy (doc, label) SUM              the 8-byte digest;
+                                                      token text never
+                                                      enters an exchange
+    base   = docs x labels (broadcast)             -- |docs|·|labels| int
+                                                      rows; labels is the
+                                                      tiny side, always
+                                                      broadcast
+Sparse-model completion: a (doc-token, label) pair absent from the model
+contributes the smoothed miss mass ln(1/(N_s+V)). Rather than densify
+vocab x labels, model rows carry delta = lp - miss and the base term adds
+len_d · miss_s — algebraically identical, and the join stays inner on
+only the pairs that exist.
+
+The reference has no classifier surface; this extends the text-quality
+family (lang-id, Gopher ratios, LM perplexity) with the supervised
+gate those pipelines actually deploy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .text import tokens
+from .util import spread_input
+
+NANO = 10 ** 9
+
+
+def _nano(col: Column) -> Column:
+    """round(ln(x) * 1e9) as BIGINT — quantized once, exact forever."""
+    return F.round(F.log(col) * F.lit(float(NANO)), 0).cast("bigint")
+
+
+def _doc_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, h, c_dt): per-document token counts on xxhash64 digests."""
+    docs = spread_input(docs, id_col)
+    return (docs.select(F.col(id_col).alias("id"),
+                        F.explode(tokens(text_col)).alias("tok"))
+            .select("id", F.xxhash64("tok").alias("h"))
+            .groupBy("id", "h").agg(F.count(F.lit(1)).alias("c_dt")))
+
+
+def nb_model(docs: DataFrame, label_col: str = "source",
+             text_col: str = "text",
+             id_col: str = "doc_id") -> tuple[DataFrame, DataFrame]:
+    """Train on the labeled corpus. Returns (model, labels):
+    model  = (label, h, delta_nano)  — vocabulary-sized, sparse;
+    labels = (label, prior_nano, miss_nano) — one row per class, carrying
+             ln-prior and the per-token miss mass, both in nano-nats."""
+    tok = (docs.select(F.col(label_col).alias("label"),
+                       F.explode(tokens(text_col)).alias("tok"))
+           .select("label", F.xxhash64("tok").alias("h")))
+    c = tok.groupBy("label", "h").agg(F.count(F.lit(1)).alias("c"))
+    n_s = c.groupBy("label").agg(F.sum("c").cast("bigint").alias("n_s"))
+    v = c.agg(F.countDistinct("h").alias("v"))
+
+    denom = (F.col("n_s") + F.col("v")).cast("double")
+    model = (c.join(n_s, "label").crossJoin(F.broadcast(v))
+             .select("label", "h",
+                     (_nano((F.col("c") + F.lit(1)).cast("double") / denom)
+                      - _nano(F.lit(1.0) / denom)).alias("delta_nano")))
+
+    nd = (docs.groupBy(F.col(label_col).alias("label"))
+          .agg(F.count(F.lit(1)).alias("n_docs")))
+    total = nd.agg(F.sum("n_docs").cast("bigint").alias("total"))
+    labels = (nd.crossJoin(F.broadcast(total)).join(n_s, "label")
+              .crossJoin(F.broadcast(v))
+              .select("label",
+                      _nano(F.col("n_docs").cast("double")
+                            / F.col("total").cast("double"))
+                      .alias("prior_nano"),
+                      _nano(F.lit(1.0) / denom).alias("miss_nano")))
+    return model, labels
+
+
+def nb_classify(docs: DataFrame, model: DataFrame, labels: DataFrame,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(id, predicted, score_nano): argmax label per document — score
+    desc, label asc on ties. Every input document gets a row; an empty
+    document scores prior-only."""
+    dt = _doc_tokens(docs, id_col, text_col)
+    seen = (dt.join(model, "h")
+            .groupBy("id", "label")
+            .agg(F.sum(F.col("c_dt") * F.col("delta_nano")).alias("s")))
+    lens = (docs.select(F.col(id_col).alias("id"))
+            .join(dt.groupBy("id").agg(F.sum("c_dt").alias("len_d")),
+                  "id", "left")
+            .select("id", F.coalesce("len_d", F.lit(0)).alias("len_d")))
+    base = (lens.crossJoin(F.broadcast(labels))
+            .select("id", "label",
+                    (F.col("prior_nano")
+                     + F.col("len_d") * F.col("miss_nano")).alias("base")))
+    scores = (base.join(seen, ["id", "label"], "left")
+              .select("id", "label",
+                      (F.col("base") + F.coalesce("s", F.lit(0)))
+                      .cast("bigint").alias("score_nano")))
+    w = Window.partitionBy("id").orderBy(F.desc("score_nano"),
+                                         F.asc("label"))
+    return (scores.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", F.col("label").alias("predicted"), "score_nano"))
+
+
+def nb_confusion(docs: DataFrame, label_col: str = "source",
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Self-classification confusion matrix (actual, predicted, n) —
+    train on the corpus, score the corpus, the same in-engine loop as
+    lm.py's self-perplexity. |labels|² rows at most."""
+    model, labels = nb_model(docs, label_col, text_col, id_col)
+    pred = nb_classify(docs, model, labels, text_col, id_col)
+    actual = docs.select(F.col(id_col).alias("id"),
+                         F.col(label_col).alias("actual"))
+    return (actual.join(pred, "id")
+            .groupBy("actual", "predicted")
+            .agg(F.count(F.lit(1)).alias("n")))

@@ -248,6 +248,51 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text",
     return jac.select("doc_a", "doc_b", "jaccard")
 
 
+def containment_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 3,
+                      threshold: float = 0.8,
+                      max_df: int | None = None) -> DataFrame:
+    """(doc_a, doc_b, containment) for pairs whose shingle-set OVERLAP
+    coefficient |A∩B| / min(|A|, |B|) >= threshold, doc_a < doc_b — the
+    asymmetric near-dup detector Jaccard misses: a short document pasted
+    verbatim inside a long one has containment ~1 but Jaccard ~|A|/|B|,
+    arbitrarily small. Broder's containment measure ("On the resemblance
+    and containment of documents", SEQUENCES 1997) — the same candidate
+    machinery as jaccard_pairs, a different final ratio.
+
+    Scale shape is jaccard_pairs' exactly (reference: the r4 verdict's
+    digest-shuffle discipline): the inverted-index join runs on 8-byte
+    xxhash64 digests, shingle text never enters an exchange, and max_df
+    caps the stopword-head explosion. The ratio is one IEEE divide of
+    exact integers — bit-deterministic cross-engine, no rounding needed.
+
+    Containment-heavy corpora (quote-reuse, boilerplate headers) should
+    set max_df: a shingle shared by every page of a template produces
+    O(df²) candidate pairs regardless of which ratio is computed."""
+    shd = _with_digest(shingles(df, text_col, id_col, k))
+    if max_df is not None:
+        shd = _drop_hot(shd, max_df)
+    ids = shd.select(F.col(id_col), "sid")
+    sizes = ids.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = ids.select(F.col(id_col).alias("doc_a"), "sid")
+    b = ids.select(F.col(id_col).alias("doc_b"),
+                   F.col("sid").alias("sid_b"))
+    common = (a.join(b, (F.col("sid") == F.col("sid_b"))
+                     & (F.col("doc_a") < F.col("doc_b")))
+              .groupBy("doc_a", "doc_b")
+              .agg(F.count(F.lit(1)).alias("common")))
+
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    cont = (common.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("containment",
+                        F.col("common").cast("double")
+                        / F.least("n_a", "n_b"))
+            .filter(F.col("containment") >= threshold))
+    return cont.select("doc_a", "doc_b", "containment")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 

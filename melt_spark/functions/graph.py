@@ -396,3 +396,75 @@ def kmv_reach(pairs: DataFrame, a: str, b: str, radius: int = 2,
     return (kmv_estimate(sk, k=k)
             .select("node", "n_mins", "kth",
                     F.col("kmv_est").alias("reach")))
+
+
+def hits_int(edges: DataFrame, iters: int = 2,
+             scale: int = 10 ** 6,
+             checkpoint_edges: bool = False) -> DataFrame:
+    """(node, hub, authority) after `iters` HITS iterations in integer
+    fixed-point (Kleinberg, "Authoritative sources in a hyperlinked
+    environment", JACM 1999). edges: DIRECTED (src, dst), distinct —
+    unlike pagerank_int's symmetrized input, direction is the point:
+    hubs are good pointers (customers that buy broadly), authorities are
+    good targets (suppliers bought from by good hubs).
+
+    Normalization is the float-killer in HITS (the classic L2 norm is a
+    sqrt of a sum — order-safe, but the division isn't integer-exact), so
+    this uses max-normalization in fixed point: after each sum, scores
+    rescale to x * scale div max(x). Max and floor-div are exact and
+    order-independent, so a pinned iteration count is bit-reproducible in
+    any engine — the same argument as pagerank_int's (see module
+    docstring). The max is a 1-row aggregate broadcast back via
+    crossJoin (the documented scalar-broadcast exception, like ivf.py's
+    centroids).
+
+    Per iteration: two edge joins + two map-side-combined sums, both
+    shuffling (int64, int64) pairs. Overflow headroom: scores <= scale
+    (1e6) after each rescale, so a sum over d in-edges <= d * 1e6 —
+    BIGINT-safe to in-degrees of ~9e12; the rescale PRODUCT x * scale
+    runs in DECIMAL(38,0) (exact, matches DuckDB's HUGEINT `//`), so it
+    never wraps even at that bound. Nodes that never appear as dst
+    (resp. src) carry authority (resp. hub) 0.
+
+    Each pre-rescale score table localCheckpoints: it is read THREE ways
+    (the max aggregate, the rescale projection, the next half-iteration's
+    edge join) and Catalyst reuses exchanges, not arbitrary subplans —
+    without the checkpoint the unrolled plan re-derives the whole chain
+    per reference (measured 178 exchanges vs 14 at 2 iterations on the
+    suite's purchase graph). Same lineage-cap role as pagerank's
+    checkpoint_edges and dedup.connected_components' per-round cut.
+    """
+    if checkpoint_edges:
+        edges = edges.localCheckpoint(eager=True)
+    edges = edges.select("src", "dst")
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    hub = nodes.withColumn("h", F.lit(scale).cast("bigint"))
+
+    def _rescale(df: DataFrame, col: str) -> DataFrame:
+        df = df.localCheckpoint(eager=True)
+        m = df.agg(F.max(col).alias("__m"))
+        return (df.crossJoin(F.broadcast(m))
+                .select("node",
+                        F.expr(f"CAST(CAST({col} AS DECIMAL(38,0))"
+                               f" * {scale} div __m AS BIGINT)")
+                        .alias(col)))
+
+    auth = None
+    for _ in range(iters):
+        a_raw = (edges.join(hub.withColumnRenamed("node", "src"), "src")
+                 .groupBy("dst").agg(F.sum("h").alias("a")))
+        auth = _rescale(
+            nodes.join(a_raw.withColumnRenamed("dst", "node"),
+                       "node", "left")
+            .select("node", F.coalesce("a", F.lit(0)).alias("a")), "a")
+        h_raw = (edges.join(auth.withColumnRenamed("node", "dst"), "dst")
+                 .groupBy("src").agg(F.sum("a").alias("h")))
+        hub = _rescale(
+            nodes.join(h_raw.withColumnRenamed("src", "node"),
+                       "node", "left")
+            .select("node", F.coalesce("h", F.lit(0)).alias("h")), "h")
+    return (hub.join(auth, "node")
+            .select("node", F.col("h").alias("hub"),
+                    F.col("a").alias("authority")))

@@ -1646,6 +1646,69 @@ s{i} AS (
 SQL_PAGERANK = _pagerank_sql(3)
 
 
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point HITS (functions/graph.py hits_int) over the DIRECTED
+    customer -> supplier purchase graph — hubs are broad buyers,
+    authorities are widely-bought-from suppliers. 2 unrolled iterations
+    with max-normalization in BIGINT arithmetic: every op is an integer
+    sum / floor division, so the unrolled SQL CTE chain reproduces both
+    score vectors bit-for-bit."""
+    from ..functions.graph import hits_int
+
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+             .select(F.col("o_custkey").alias("src"),
+                     (F.lit(1_000_000) + F.col("l_suppkey")).alias("dst"))
+             .distinct())
+    return hits_int(edges, iters=2, checkpoint_edges=True)
+
+
+def _hits_sql(iters: int = 2) -> str:
+    """Unrolled HITS oracle. Every CTE that a later round references is
+    MATERIALIZED (the kcore exponential-inlining lesson); scalar MAX
+    subqueries read the materialized raw tables."""
+    scale = 10 ** 6
+    ctes = [f"""
+edges AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+n AS MATERIALIZED (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+),
+h0 AS (SELECT node, CAST({scale} AS BIGINT) AS h FROM n)"""]
+    for r in range(1, iters + 1):
+        ctes.append(f""",
+ar{r} AS MATERIALIZED (
+  SELECT e.dst AS node, SUM(s.h) AS a
+  FROM edges e JOIN h{r - 1} s ON s.node = e.src GROUP BY e.dst
+),
+a{r} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(COALESCE(r.a, 0) * {scale}
+              // (SELECT MAX(a) FROM ar{r}) AS BIGINT) AS a
+  FROM n LEFT JOIN ar{r} r USING (node)
+),
+hr{r} AS MATERIALIZED (
+  SELECT e.src AS node, SUM(s.a) AS h
+  FROM edges e JOIN a{r} s ON s.node = e.dst GROUP BY e.src
+),
+h{r} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(COALESCE(r.h, 0) * {scale}
+              // (SELECT MAX(h) FROM hr{r}) AS BIGINT) AS h
+  FROM n LEFT JOIN hr{r} r USING (node)
+)""")
+    ctes.append(f"""
+SELECT h.node, h.h AS hub, a.a AS authority
+FROM h{iters} h JOIN a{iters} a USING (node)""")
+    return "WITH " + "".join(ctes)
+
+
+SQL_HITS = _hits_sql(2)
+
+
 def q_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (linear interpolation —
     bit-identical to DuckDB's quantile_cont on the same doubles)."""
@@ -3445,6 +3508,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "eventually_follows": (q_eventually_follows,
                            SQL_EVENTUALLY_FOLLOWS),
     "pagerank": (q_pagerank, SQL_PAGERANK),
+    "hits": (q_hits, SQL_HITS),
     "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
     "zorder_values": (q_zorder_values, SQL_ZORDER_VALUES),
     "order_value_percentiles": (q_order_value_percentiles,

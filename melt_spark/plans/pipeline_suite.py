@@ -2697,9 +2697,114 @@ FROM ({union}) u""")
 SQL_GREEDY_COVERAGE = _coverage_sql()
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap-coefficient near-dup pairs (functions/dedup.py
+    containment_pairs): |A∩B| / min(|A|,|B|) >= 0.9 — the asymmetric
+    doc-inside-doc detector Jaccard misses; same capped inverted-index
+    candidate machinery as q_dedup_jaccard."""
+    from ..functions.dedup import containment_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, threshold=0.9, max_df=MAX_SHINGLE_DF)
+
+
+SQL_CONTAINMENT = f"""
+WITH {_CAPPED_SHINGLES_CTE},
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(c AS DOUBLE) / LEAST(sa.n, sb.n) AS containment
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(c AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.9
+"""
+
+
+def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial NB source classifier (functions/classify.py), trained
+    and scored on the corpus in one plan — per doc the argmax label and
+    its integer nano-nat score (the fastText-gate stand-in)."""
+    from ..functions.classify import nb_classify, nb_model
+
+    docs = read_table(spark, sf_dir, "documents")
+    model, labels = nb_model(docs)
+    pred = nb_classify(docs, model, labels)
+    actual = docs.select(F.col("doc_id").alias("id"),
+                         F.col("source").alias("actual"))
+    return (pred.join(actual, "id")
+            .select(F.col("id").alias("doc_id"), "actual", "predicted",
+                    "score_nano"))
+
+
+SQL_NB_CLASSIFY = f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, source, unnest({_TOKS}) AS tok FROM documents
+),
+c AS MATERIALIZED (
+  SELECT source AS label, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2
+),
+ns AS MATERIALIZED (
+  SELECT label, CAST(SUM(c) AS BIGINT) AS n_s FROM c GROUP BY label
+),
+v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM c),
+model AS MATERIALIZED (
+  SELECT label, tok,
+         CAST(round(ln(CAST(c + 1 AS DOUBLE) / CAST(n_s + v AS DOUBLE))
+                    * 1000000000.0) AS BIGINT)
+       - CAST(round(ln(1.0 / CAST(n_s + v AS DOUBLE))
+                    * 1000000000.0) AS BIGINT) AS delta
+  FROM c JOIN ns USING (label) CROSS JOIN v
+),
+nd AS (SELECT source AS label, COUNT(*) AS n_docs FROM documents
+       GROUP BY 1),
+lab AS MATERIALIZED (
+  SELECT label,
+         CAST(round(ln(CAST(n_docs AS DOUBLE)
+                       / (SELECT CAST(SUM(n_docs) AS DOUBLE) FROM nd))
+                    * 1000000000.0) AS BIGINT) AS prior_nano,
+         CAST(round(ln(1.0 / CAST(n_s + v AS DOUBLE))
+                    * 1000000000.0) AS BIGINT) AS miss_nano
+  FROM nd JOIN ns USING (label) CROSS JOIN v
+),
+dt AS MATERIALIZED (
+  SELECT doc_id, tok, COUNT(*) AS c_dt FROM tok GROUP BY 1, 2
+),
+lens AS (
+  SELECT d.doc_id, COALESCE(SUM(dt.c_dt), 0) AS len_d
+  FROM documents d LEFT JOIN dt ON dt.doc_id = d.doc_id
+  GROUP BY d.doc_id
+),
+seen AS MATERIALIZED (
+  SELECT dt.doc_id, m.label, SUM(dt.c_dt * m.delta) AS s
+  FROM dt JOIN model m USING (tok) GROUP BY 1, 2
+),
+scores AS (
+  SELECT l.doc_id, lab.label,
+         CAST(lab.prior_nano + l.len_d * lab.miss_nano
+              + COALESCE(seen.s, 0) AS BIGINT) AS score_nano
+  FROM lens l CROSS JOIN lab
+  LEFT JOIN seen ON seen.doc_id = l.doc_id AND seen.label = lab.label
+),
+pred AS (
+  SELECT doc_id, label AS predicted, score_nano
+  FROM scores
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+                             ORDER BY score_nano DESC, label) = 1
+)
+SELECT p.doc_id, d.source AS actual, p.predicted, p.score_nano
+FROM pred p JOIN documents d USING (doc_id)
+"""
+
+
 PIPELINE_SUITE: dict[str, tuple] = {
     "kmeans_train": (q_kmeans_train, SQL_KMEANS_TRAIN),
     "greedy_coverage": (q_greedy_coverage, SQL_GREEDY_COVERAGE),
+    "containment": (q_containment, SQL_CONTAINMENT),
+    "nb_classify": (q_nb_classify, SQL_NB_CLASSIFY),
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "pmi_collocations": (q_pmi_collocations, SQL_PMI_COLLOCATIONS),
     "bq_rerank": (q_bq_rerank, SQL_BQ_RERANK),

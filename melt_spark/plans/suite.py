@@ -1823,7 +1823,12 @@ SUITE: dict[str, tuple] = {
     # oracle restates it as the 5-way join of the constituent queries.
     "text_quality": (
         lambda spark, sf_dir: q_text_profile_onepass(spark, sf_dir).join(
-            PIPELINE_SUITE["lm_perplexity"][0](spark, sf_dir), "doc_id"),
+            PIPELINE_SUITE["lm_perplexity"][0](spark, sf_dir), "doc_id")
+        # r5: NB source-classifier prediction per doc (functions/
+        # classify.py — the fastText-gate stand-in; integer nano-nat
+        # scores so the argmax is exact cross-engine)
+        .join(PIPELINE_SUITE["nb_classify"][0](spark, sf_dir)
+              .select("doc_id", "predicted", "score_nano"), "doc_id"),
         joined(
             "doc_id", PIPELINE_SUITE["text_stats"],
             (PIPELINE_SUITE["quality_scores"],
@@ -1836,7 +1841,9 @@ SUITE: dict[str, tuple] = {
             (PIPELINE_SUITE["pii_scrub"],
              ["n_email", "n_ipv4", "n_phone", "scrubbed_fp"]),
             (PIPELINE_SUITE["lm_perplexity"],
-             ["n_bigrams", "avg_nll", "ppl"]))[1]),
+             ["n_bigrams", "avg_nll", "ppl"]),
+            (PIPELINE_SUITE["nb_classify"],
+             ["predicted", "score_nano"]))[1]),
     # -- exact doc-level dedup + NEW r3 sub-document span dedup (C4-style:
     #    first corpus-wide occurrence of each k-token span survives, docs
     #    reassembled from surviving spans)
@@ -1890,6 +1897,15 @@ SUITE: dict[str, tuple] = {
                               .alias("jaccard")),
          "SELECT 'triplet' AS kind, anchor AS doc_a, positive AS doc_b,"
          " CAST(negative AS DOUBLE) AS jaccard"),
+        # r5: overlap-coefficient containment pairs (functions/dedup.py
+        # containment_pairs) — the asymmetric doc-inside-doc detector;
+        # the ratio rides the jaccard slot
+        (PIPELINE_SUITE["containment"],
+         lambda df: df.select(F.lit("contain").alias("kind"),
+                              "doc_a", "doc_b",
+                              F.col("containment").alias("jaccard")),
+         "SELECT 'contain' AS kind, doc_a, doc_b,"
+         " containment AS jaccard"),
     ),
     # self-join LSH + r5 incremental batch-vs-store near-dup (the store's
     # persisted signatures are banded against the batch only — no
@@ -1972,6 +1988,16 @@ SUITE: dict[str, tuple] = {
              "node AS id").select("kind", "id", "val"),
          "SELECT unnest(['reach', 'reach_kth']) AS kind, node AS id,"
          " unnest([reach, kth]) AS val"),
+        # r5: fixed-point HITS over the directed purchase graph
+        # (functions/graph.py hits_int) — hub and authority vectors as
+        # tagged rows, bit-exact in BIGINT max-normalized arithmetic
+        (ANALYTICS_SUITE["hits"],
+         lambda df: df.selectExpr(
+             "stack(2, 'hits_hub', hub, 'hits_auth', authority)"
+             " AS (kind, val)", "node AS id")
+         .select("kind", "id", "val"),
+         "SELECT unnest(['hits_hub', 'hits_auth']) AS kind,"
+         " node AS id, unnest([hub, authority]) AS val"),
     ),
     "simhash": PIPELINE_SUITE["simhash"],
     "simhash_near_dup": merged(

@@ -578,3 +578,62 @@ def test_greedy_coverage_hand_case(spark):
                                     k=3, n=3)
            .orderBy("pick").collect()]
     assert got == [(1, 1, 4, 4), (2, 2, 3, 7), (3, 3, 1, 8)]
+
+
+def test_hits_hand_computed_scores(spark):
+    """4-edge directed graph; every normalization and floor division is
+    hand-checkable: after 2 iterations hub(1)=1e6 (points at both strong
+    authorities), hub(2)=625000, hub(3)=124999 (integer floor of
+    199999*1e6/1.6e6); authorities mirror in-link weight."""
+    from melt_spark.functions.graph import hits_int
+
+    edges = spark.createDataFrame(
+        [Row(src=1, dst=10), Row(src=1, dst=11),
+         Row(src=2, dst=10), Row(src=3, dst=12)])
+    out = {r.node: (r.hub, r.authority)
+           for r in hits_int(edges, iters=2).collect()}
+    assert out[1] == (1_000_000, 0)
+    assert out[2] == (625_000, 0)
+    assert out[3] == (124_999, 0)
+    assert out[10] == (0, 1_000_000)
+    assert out[11] == (0, 600_000)
+    assert out[12] == (0, 199_999)
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """doc 1's entire shingle set sits inside doc 2's: containment = 1.0
+    while Jaccard = 6/18 — the asymmetric case the overlap coefficient
+    exists for."""
+    from melt_spark.functions.dedup import containment_pairs, jaccard_pairs
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="a b c d e f g h"),
+        Row(doc_id=2, text="a b c d e f g h i j k l m n o p q r s t"),
+        Row(doc_id=3, text="z y x w v u")])
+    cont = containment_pairs(docs, k=3, threshold=0.9).collect()
+    assert [(r.doc_a, r.doc_b, r.containment) for r in cont] == [(1, 2, 1.0)]
+    assert jaccard_pairs(docs, k=3, threshold=0.9).count() == 0
+
+
+def test_nb_classifier_separates_and_breaks_ties_low_label(spark):
+    """Two cleanly separable vocabularies classify perfectly; a doc whose
+    tokens are unseen in training scores identically under both labels
+    (all-miss mass + equal priors) and the pinned tie-break picks the
+    ascending label."""
+    from melt_spark.functions.classify import nb_classify, nb_model
+
+    train = spark.createDataFrame(
+        [Row(doc_id=i, source="ham", text="meeting agenda notes budget")
+         for i in range(4)]
+        + [Row(doc_id=4 + i, source="spam", text="cheap pills win prize")
+           for i in range(4)])
+    model, labels = nb_model(train)
+    score = spark.createDataFrame(
+        [Row(doc_id=100, text="agenda budget meeting"),
+         Row(doc_id=101, text="win cheap prize pills win"),
+         Row(doc_id=102, text="totally novel tokens only")])
+    pred = {r.id: r.predicted
+            for r in nb_classify(score, model, labels).collect()}
+    assert pred[100] == "ham"
+    assert pred[101] == "spam"
+    assert pred[102] == "ham"      # exact integer tie -> label asc
