@@ -111,6 +111,8 @@ BENCH_QUERIES_R5B = [
     ("hits", a.q_hits),                        # 2 HITS iterations
     ("containment", p.q_containment),          # overlap-coefficient pairs
     ("nb_classify", p.q_nb_classify),          # NB train + score + argmax
+    ("ewma", a.q_ewma),                        # integer EWMA recurrence
+    ("kmeans_outliers", p.q_kmeans_outliers),  # top-N farthest vectors
 ]
 
 # Per-constituent timing inside the heaviest merged entries (r4 verdict
@@ -129,7 +131,7 @@ CONSTITUENT_GROUPS: dict[str, list[str]] = {
                         "rrf_recall", "phrase_match"],
     "ivf_search": ["ivf_topk", "ivf_recall", "semantic_dedup",
                    "semantic_summary", "pq_codes", "pq_adc", "ivf_pq",
-                   "kmeans_train"],
+                   "kmeans_train", "kmeans_outliers"],
     "dedup_clusters": ["dedup_clusters", "pagerank", "butterflies",
                        "hits"],
     "rollup_grouping_sets": ["rollup_revenue", "cube_revenue",

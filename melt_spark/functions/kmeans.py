@@ -65,17 +65,16 @@ def _assign(q: DataFrame, cents: dict[int, list[int]]) -> DataFrame:
     return q.select("id", "q", m["cid"].alias("cid"), m["d"].alias("dist"))
 
 
-def kmeans_train(df: DataFrame, n_clusters: int = 8, iters: int = 2,
-                 id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
-    """`iters` Lloyd iterations from first-k seeds; output one row per
-    cluster: (cid, n_assigned, sse, c1, c2) — final membership count,
-    integer sum of squared distances, and the first two centroid
-    components (the full centroid is O(k·d) driver state; two components
-    pin it in the hash without widening the row)."""
+def kmeans_fit(df: DataFrame, n_clusters: int = 8, iters: int = 2,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding"
+               ) -> tuple[DataFrame, dict[int, list[int]]]:
+    """`iters` Lloyd iterations from first-k seeds. Returns (q, cents):
+    the quantized (id, q) vector table (localCheckpointed — every caller
+    re-reads it) and the trained centroid dict — O(k·d) driver state,
+    the documented scalar-broadcast exception class."""
     from .similarity import _dvec
 
-    spark = df.sparkSession
     q = (df.select(F.col(id_col).alias("id"),
                    quantize_q(_dvec(vec_col)).alias("q"))
          .localCheckpoint(eager=True))
@@ -95,7 +94,19 @@ def kmeans_train(df: DataFrame, n_clusters: int = 8, iters: int = 2,
         cents = {cid: ([upd[cid][i] for i in range(len(comps))]
                        if cid in upd else comps)
                  for cid, comps in cents.items()}
+    return q, cents
 
+
+def kmeans_train(df: DataFrame, n_clusters: int = 8, iters: int = 2,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """`iters` Lloyd iterations from first-k seeds; output one row per
+    cluster: (cid, n_assigned, sse, c1, c2) — final membership count,
+    integer sum of squared distances, and the first two centroid
+    components (the full centroid is O(k·d) driver state; two components
+    pin it in the hash without widening the row)."""
+    spark = df.sparkSession
+    q, cents = kmeans_fit(df, n_clusters, iters, id_col, vec_col)
     a = _assign(q, cents)
     stats = (a.groupBy("cid")
              .agg(F.count(F.lit(1)).alias("n_assigned"),
@@ -110,3 +121,21 @@ def kmeans_train(df: DataFrame, n_clusters: int = 8, iters: int = 2,
                     F.coalesce("sse", F.lit(0)).cast("bigint")
                     .alias("sse"),
                     "c1", "c2"))
+
+
+def kmeans_outliers(df: DataFrame, n_clusters: int = 8, iters: int = 2,
+                    top_n: int = 20, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Top-N vectors FARTHEST from their assigned centroid — the
+    embedding-outlier gate of a training-data pipeline (prune encoder
+    glitches / out-of-domain samples before contrastive training; the
+    distance-to-centroid criterion is the classic k-means outlier score,
+    e.g. Chawla & Gionis, "k-means--", SDM 2013). Rides kmeans_fit, so
+    distances are exact integers and the (dist desc, id asc) top-N is
+    bit-deterministic — at scale the global limit is a TakeOrdered
+    (per-partition heaps + driver merge of top_n rows), never a full
+    sort. Output: (id_col, cid, dist)."""
+    q, cents = kmeans_fit(df, n_clusters, iters, id_col, vec_col)
+    a = _assign(q, cents)
+    return (a.orderBy(F.desc("dist"), F.asc("id")).limit(top_n)
+            .select(F.col("id").alias(id_col), "cid", "dist"))

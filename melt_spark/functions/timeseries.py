@@ -291,3 +291,49 @@ def cusum_monitor(df: DataFrame, ts_col: str, key_cols: list[str],
                     F.round(F.col("__f.s"), 9).alias("s_final"),
                     F.round(F.col("__f.smax"), 9).alias("s_max"),
                     F.col("__f.alarms").alias("n_alarms")))
+
+def ewma_int(df: DataFrame, ts_col: str, key_cols: list[str],
+             width: int) -> DataFrame:
+    """Integer EWMA smoothing of per-key bucket counts — Roberts' EWMA
+    control statistic ("Control chart tests based on geometric moving
+    averages", Technometrics 1959) pinned to alpha = 1/2, where the
+    recurrence collapses to pure integer arithmetic:
+
+        s_1 = x_1;  s_t = (s_{t-1} + x_t) >> 1
+
+    No float fold, no rounding discipline needed — every step is an
+    exact BIGINT add + shift (floor div 2 on the non-negative counts),
+    so the smoothed series is bit-identical on any engine and any
+    partitioning, the same argument as pagerank_int/hits_int. The
+    floor loses at most 1 count unit per step — noise for a smoothing
+    statistic.
+
+    Scale shape (identical to cusum_monitor): one map-side-combined
+    shuffle to per-key bucket counts, then the fold runs over each key's
+    collected bucket array, bounded by span/width — apply gapfill's span
+    discipline for second-resolution years.
+
+    Output per key: n_buckets, ewma_final, ewma_max (max of the smoothed
+    series — the EWMA chart's alarm statistic).
+    """
+    keys = [F.col(c) for c in key_cols]
+    counts = (df.select(*keys, bucket_epoch(ts_col, width).alias("bucket"))
+              .groupBy(*key_cols, "bucket")
+              .agg(F.count(F.lit(1)).alias("x")))
+    per_key = (counts.groupBy(*key_cols)
+               .agg(F.count(F.lit(1)).alias("n_buckets"),
+                    F.array_sort(F.collect_list(F.struct("bucket", "x")))
+                    .alias("series")))
+    xs = F.transform(F.col("series"), lambda s: s["x"].cast("long"))
+    head = F.element_at(xs, 1)
+    fold = F.aggregate(
+        F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
+        F.struct(head.alias("s"), head.alias("smax")),
+        lambda acc, x: F.struct(
+            F.shiftright(acc["s"] + x, 1).alias("s"),
+            F.greatest(acc["smax"],
+                       F.shiftright(acc["s"] + x, 1)).alias("smax")))
+    return (per_key.withColumn("__f", fold)
+            .select(*key_cols, "n_buckets",
+                    F.col("__f.s").alias("ewma_final"),
+                    F.col("__f.smax").alias("ewma_max")))

@@ -1379,6 +1379,46 @@ JOIN params p ON p.event_type = c.event_type
 """
 
 
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer EWMA smoothing (functions/timeseries.py ewma_int, Roberts
+    1959, alpha = 1/2) over hourly per-event-type counts — the smoothing
+    complement of the CUSUM/z-score monitors, and the one control chart
+    whose recurrence is PURE integer arithmetic: (s + x) >> 1 per step,
+    so final and max smoothed values hash-check with no rounding at
+    all."""
+    from ..functions.timeseries import ewma_int
+
+    events = read_table(spark, sf_dir, "events")
+    return ewma_int(events, "ts", ["event_type"], 3600)
+
+
+SQL_EWMA = """
+WITH RECURSIVE counts AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS bucket,
+         COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, CAST(x AS BIGINT) AS x,
+         row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS i
+  FROM counts
+),
+c AS (
+  SELECT event_type, i, x AS s, x AS smax FROM r WHERE i = 1
+  UNION ALL
+  SELECT r.event_type, r.i,
+         CAST((c.s + r.x) // 2 AS BIGINT),
+         greatest(c.smax, CAST((c.s + r.x) // 2 AS BIGINT))
+  FROM c JOIN r ON r.event_type = c.event_type AND r.i = c.i + 1
+),
+last_i AS (SELECT event_type, MAX(i) AS mi FROM r GROUP BY 1)
+SELECT c.event_type, CAST(m.mi AS BIGINT) AS n_buckets,
+       c.s AS ewma_final, c.smax AS ewma_max
+FROM c JOIN last_i m ON m.event_type = c.event_type AND c.i = m.mi
+"""
+
+
 def q_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based join-size estimation (functions/sketches.py
     kmv_intersect_estimate, Beyer et al. SIGMOD 2007): |click users ∩
@@ -3481,6 +3521,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "bloom_filter": (q_bloom_filter, SQL_BLOOM_FILTER),
     "kmv_intersect": (q_kmv_intersect, SQL_KMV_INTERSECT),
     "cusum_monitor": (q_cusum_monitor, SQL_CUSUM_MONITOR),
+    "ewma": (q_ewma, SQL_EWMA),
     "weekday_profile": (q_weekday_profile, SQL_WEEKDAY_PROFILE),
     "fuzzy_match": (q_fuzzy_match, SQL_FUZZY_MATCH),
     "kcore": (q_kcore, SQL_KCORE),

@@ -2583,7 +2583,8 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_train(emb, n_clusters=8, iters=2)
 
 
-def _kmeans_sql(k: int = 8, iters: int = 2, dims: int = 64) -> str:
+def _kmeans_sql(k: int = 8, iters: int = 2, dims: int = 64,
+                final: str | None = None) -> str:
     """Unrolled Lloyd oracle: per iteration one assignment CTE (argmin
     by (dist, cid)) and one centroid-update CTE; MATERIALIZED per the
     kcore inlining lesson. Empty clusters keep their previous centroid
@@ -2628,7 +2629,8 @@ cc{r} AS MATERIALIZED (
   LEFT JOIN s{r} s ON s.cid = p.cid AND s.i = g.i
   GROUP BY p.cid
 )""")
-    parts.append(f""",
+    if final is None:
+        final = f""",
 st AS (
   SELECT cid, COUNT(*) AS n_assigned, SUM(dist) AS sse
   FROM a{iters + 1} GROUP BY cid
@@ -2636,11 +2638,28 @@ st AS (
 SELECT c.cid, CAST(COALESCE(st.n_assigned, 0) AS BIGINT) AS n_assigned,
        CAST(COALESCE(st.sse, 0) AS BIGINT) AS sse,
        CAST(c.c[1] AS BIGINT) AS c1, CAST(c.c[2] AS BIGINT) AS c2
-FROM cc{iters} c LEFT JOIN st USING (cid)""")
+FROM cc{iters} c LEFT JOIN st USING (cid)"""
+    parts.append(final)
     return "".join(parts)
 
 
 SQL_KMEANS_TRAIN = _kmeans_sql()
+
+# same trained chain, different final: the top-20 farthest-from-centroid
+# vectors (functions/kmeans.py kmeans_outliers) — dist desc, id asc
+SQL_KMEANS_OUTLIERS = _kmeans_sql(final="""
+SELECT id AS vec_id, cid, CAST(dist AS BIGINT) AS dist
+FROM a3 ORDER BY dist DESC, id LIMIT 20""")
+
+
+def q_kmeans_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-outlier gate (functions/kmeans.py kmeans_outliers): the
+    20 vectors farthest from their trained centroid — exact integer
+    distances, TakeOrdered top-N."""
+    from ..functions.kmeans import kmeans_outliers
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return kmeans_outliers(emb, n_clusters=8, iters=2, top_n=20)
 
 
 def q_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2805,6 +2824,7 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "greedy_coverage": (q_greedy_coverage, SQL_GREEDY_COVERAGE),
     "containment": (q_containment, SQL_CONTAINMENT),
     "nb_classify": (q_nb_classify, SQL_NB_CLASSIFY),
+    "kmeans_outliers": (q_kmeans_outliers, SQL_KMEANS_OUTLIERS),
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "pmi_collocations": (q_pmi_collocations, SQL_PMI_COLLOCATIONS),
     "bq_rerank": (q_bq_rerank, SQL_BQ_RERANK),

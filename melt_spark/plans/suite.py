@@ -2184,6 +2184,18 @@ SUITE: dict[str, tuple] = {
          " CAST(cid AS BIGINT) AS query_id,"
          " unnest([n_assigned, sse, c1, c2]) AS ref, -1 AS rank,"
          " CAST(-1.0 AS DOUBLE) AS v"),
+        # r5: embedding-outlier gate — top-20 farthest from assigned
+        # centroid (functions/kmeans.py kmeans_outliers); the exact
+        # integer distance rides the BIGINT ref slot (dist > 2^53 would
+        # not survive the DOUBLE v column)
+        (PIPELINE_SUITE["kmeans_outliers"],
+         lambda df: df.select(F.lit("km_out").alias("kind"),
+                              F.col("vec_id").alias("query_id"),
+                              F.col("dist").alias("ref"),
+                              F.col("cid").cast("int").alias("rank"),
+                              F.lit(-1.0).alias("v")),
+         "SELECT 'km_out' AS kind, vec_id AS query_id, dist AS ref,"
+         " CAST(cid AS INT) AS rank, CAST(-1.0 AS DOUBLE) AS v"),
     ),
     # -- multimodal decode ⋈ features ⋈ resize per doc (Arrow mapInPandas)
     # r5: + CLIP-score-style alignment filter (similarity.py, the LAION
@@ -2405,6 +2417,19 @@ SUITE: dict[str, tuple] = {
          " event_type AS key,"
          " unnest([s_final, CAST(n_buckets AS DOUBLE)]) AS v1,"
          " unnest([s_max, CAST(n_alarms AS DOUBLE)]) AS v2"),
+        # r5: integer EWMA smoothing (Roberts 1959, alpha = 1/2 so the
+        # recurrence is exact BIGINT adds + shifts — no rounding at all)
+        (ANALYTICS_SUITE["ewma"],
+         lambda df: df.selectExpr(
+             "event_type",
+             "stack(1, 'ewma', CAST(ewma_final AS DOUBLE),"
+             " CAST(ewma_max AS DOUBLE) + CAST(n_buckets AS DOUBLE)"
+             " * 1000000.0) AS (kind, v1, v2)")
+         .select("kind", F.col("event_type").alias("key"), "v1", "v2"),
+         "SELECT 'ewma' AS kind, event_type AS key,"
+         " CAST(ewma_final AS DOUBLE) AS v1,"
+         " CAST(ewma_max AS DOUBLE) + CAST(n_buckets AS DOUBLE)"
+         " * 1000000.0 AS v2"),
     ),
     # -- set ops: anti-join (NOT EXISTS) + UNION entity sets
     "set_operations": merged(

@@ -637,3 +637,40 @@ def test_nb_classifier_separates_and_breaks_ties_low_label(spark):
     assert pred[100] == "ham"
     assert pred[101] == "spam"
     assert pred[102] == "ham"      # exact integer tie -> label asc
+
+
+def test_ewma_int_hand_recurrence(spark):
+    """Buckets 0h,1h,2h with counts 4,2,8: s = 4, (4+2)>>1 = 3,
+    (3+8)>>1 = 5 — final 5, max 5; a single-bucket key returns its own
+    count for both."""
+    import datetime as dt
+
+    from melt_spark.functions.timeseries import ewma_int
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [Row(ts=base + dt.timedelta(hours=h, minutes=m), k="a")
+            for h, n in [(0, 4), (1, 2), (2, 8)] for m in range(n)]
+    rows += [Row(ts=base, k="b")]
+    out = {r.k: r for r in ewma_int(
+        spark.createDataFrame(rows), "ts", ["k"], 3600).collect()}
+    assert (out["a"].n_buckets, out["a"].ewma_final,
+            out["a"].ewma_max) == (3, 5, 5)
+    assert (out["b"].n_buckets, out["b"].ewma_final,
+            out["b"].ewma_max) == (1, 1, 1)
+
+
+def test_kmeans_outliers_picks_farthest(spark):
+    """Planted outlier far from both blobs is the top distance; within
+    the blobs, ties resolve by id asc and the limit is respected."""
+    from melt_spark.functions.kmeans import kmeans_outliers
+
+    rows = [Row(vec_id=0, embedding=[0.0, 0.0]),
+            Row(vec_id=1, embedding=[10.0, 10.0]),
+            Row(vec_id=2, embedding=[0.1, 0.0]),
+            Row(vec_id=3, embedding=[10.1, 10.0]),
+            Row(vec_id=4, embedding=[5.0, 5.0])]   # the outlier
+    out = kmeans_outliers(spark.createDataFrame(rows), n_clusters=2,
+                          iters=2, top_n=2).collect()
+    assert out[0].vec_id == 4
+    assert out[0].dist > out[1].dist
+    assert len(out) == 2
