@@ -46,8 +46,7 @@ def quantize_q(vec: Column) -> Column:
         .cast("long"))
 
 
-def _dist_to(comps: list[int]) -> Column:
-    carr = F.array(*[F.lit(int(c)).cast("long") for c in comps])
+def _dist_to(carr: Column) -> Column:
     return F.aggregate(
         F.zip_with(F.col("q"), carr, lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"), lambda acc, x: acc + x)
@@ -56,13 +55,26 @@ def _dist_to(comps: list[int]) -> Column:
 def _assign(q: DataFrame, cents: dict[int, list[int]]) -> DataFrame:
     """(id, q, cid, dist): nearest centroid, ties to the lower cid —
     array_min over (dist, cid) structs evaluates each distance once and
-    compares lexicographically."""
-    arr = F.array(*[
-        F.struct(_dist_to(cents[cid]).alias("d"),
-                 F.lit(cid).cast("int").alias("cid"))
-        for cid in sorted(cents)])
-    m = F.array_min(arr)
-    return q.select("id", "q", m["cid"].alias("cid"), m["d"].alias("dist"))
+    compares lexicographically.
+
+    The centroids arrive as a BROADCAST 1-row array-of-structs (a
+    zero-shuffle crossJoin), NOT as literal arrays baked into the
+    expression: k·d literals regenerate different codegen source every
+    iteration (each compile ~2 s, dominating small inputs and adding a
+    constant tax at any scale), while the data-shaped expression
+    compiles once and hits the Janino cache for every subsequent
+    iteration and run. Same scalar-broadcast exception class as
+    ivf.py's centroid table; assignment stays a pure projection."""
+    spark = q.sparkSession
+    cdf = spark.createDataFrame(
+        [([(cid, [int(x) for x in cents[cid]]) for cid in sorted(cents)],)],
+        schema="cs array<struct<cid:int,c:array<bigint>>>")
+    m = F.array_min(F.transform(
+        F.col("cs"),
+        lambda s: F.struct(_dist_to(s["c"]).alias("d"),
+                           s["cid"].alias("cid"))))
+    return (q.crossJoin(F.broadcast(cdf))
+            .select("id", "q", m["cid"].alias("cid"), m["d"].alias("dist")))
 
 
 def kmeans_fit(df: DataFrame, n_clusters: int = 8, iters: int = 2,
