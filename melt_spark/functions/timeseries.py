@@ -293,7 +293,7 @@ def cusum_monitor(df: DataFrame, ts_col: str, key_cols: list[str],
                     F.col("__f.alarms").alias("n_alarms")))
 
 def ewma_int(df: DataFrame, ts_col: str, key_cols: list[str],
-             width: int) -> DataFrame:
+             width: int, state: DataFrame | None = None) -> DataFrame:
     """Integer EWMA smoothing of per-key bucket counts — Roberts' EWMA
     control statistic ("Control chart tests based on geometric moving
     averages", Technometrics 1959) pinned to alpha = 1/2, where the
@@ -315,6 +315,16 @@ def ewma_int(df: DataFrame, ts_col: str, key_cols: list[str],
 
     Output per key: n_buckets, ewma_final, ewma_max (max of the smoothed
     series — the EWMA chart's alarm statistic).
+
+    ``state`` (optional): a prior (key_cols…, ewma_final, ewma_max,
+    n_buckets) output covering earlier buckets — the incremental-
+    maintenance handoff (same contract as incremental_agg/streaming
+    PSI): keys present in the state seed their fold from the stored s
+    instead of the first new bucket, and n_buckets/ewma_max continue.
+    Because the recurrence is prefix-decomposable (s depends only on the
+    previous s), batch-over-everything == continue-from-state whenever
+    the batch boundary falls on a bucket boundary — property-tested in
+    tests/test_round5_ops.py.
     """
     keys = [F.col(c) for c in key_cols]
     counts = (df.select(*keys, bucket_epoch(ts_col, width).alias("bucket"))
@@ -324,16 +334,37 @@ def ewma_int(df: DataFrame, ts_col: str, key_cols: list[str],
                .agg(F.count(F.lit(1)).alias("n_buckets"),
                     F.array_sort(F.collect_list(F.struct("bucket", "x")))
                     .alias("series")))
+    if state is not None:
+        per_key = per_key.join(
+            state.select(*key_cols,
+                         F.col("ewma_final").alias("__s0"),
+                         F.col("ewma_max").alias("__m0"),
+                         F.col("n_buckets").alias("__n0")),
+            key_cols, "left")
+    else:
+        per_key = (per_key
+                   .withColumn("__s0", F.lit(None).cast("long"))
+                   .withColumn("__m0", F.lit(None).cast("long"))
+                   .withColumn("__n0", F.lit(None).cast("long")))
     xs = F.transform(F.col("series"), lambda s: s["x"].cast("long"))
     head = F.element_at(xs, 1)
+    seeded = F.col("__s0").isNotNull()
+    # no state: seed from the first bucket, fold the rest;
+    # state: seed from the stored s, fold EVERY new bucket
+    init_s = F.when(seeded, F.col("__s0")).otherwise(head)
+    init_m = F.when(seeded, F.col("__m0")).otherwise(head)
+    tail = F.when(seeded, xs).otherwise(
+        F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))))
     fold = F.aggregate(
-        F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
-        F.struct(head.alias("s"), head.alias("smax")),
+        tail,
+        F.struct(init_s.alias("s"), init_m.alias("smax")),
         lambda acc, x: F.struct(
             F.shiftright(acc["s"] + x, 1).alias("s"),
             F.greatest(acc["smax"],
                        F.shiftright(acc["s"] + x, 1)).alias("smax")))
     return (per_key.withColumn("__f", fold)
-            .select(*key_cols, "n_buckets",
+            .select(*key_cols,
+                    (F.col("n_buckets")
+                     + F.coalesce("__n0", F.lit(0))).alias("n_buckets"),
                     F.col("__f.s").alias("ewma_final"),
                     F.col("__f.smax").alias("ewma_max")))

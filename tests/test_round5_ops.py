@@ -674,3 +674,32 @@ def test_kmeans_outliers_picks_farthest(spark):
     assert out[0].vec_id == 4
     assert out[0].dist > out[1].dist
     assert len(out) == 2
+
+
+def test_ewma_incremental_continuation_equals_batch(spark):
+    """Split the series at a bucket boundary, run phase 1, feed its
+    output as state to phase 2 — identical (n_buckets, final, max) to
+    one batch over everything, because the recurrence is
+    prefix-decomposable. A key appearing ONLY in phase 2 seeds fresh."""
+    import datetime as dt
+
+    from melt_spark.functions.timeseries import ewma_int
+
+    base = dt.datetime(2024, 1, 1)
+    series = {"a": [4, 2, 8, 1, 9, 3], "b": [7, 7, 7, 7, 7, 7]}
+    rows = [Row(ts=base + dt.timedelta(hours=h, minutes=m), k=k)
+            for k, xs in series.items()
+            for h, n in enumerate(xs) for m in range(n)]
+    rows += [Row(ts=base + dt.timedelta(hours=4, minutes=m), k="late")
+             for m in range(5)]          # only in phase 2
+    df = spark.createDataFrame(rows)
+    cut = base + dt.timedelta(hours=3)
+
+    batch = {r.k: (r.n_buckets, r.ewma_final, r.ewma_max)
+             for r in ewma_int(df, "ts", ["k"], 3600).collect()}
+    s1 = ewma_int(df.filter(F.col("ts") < cut), "ts", ["k"], 3600)
+    two = {r.k: (r.n_buckets, r.ewma_final, r.ewma_max)
+           for r in ewma_int(df.filter(F.col("ts") >= cut), "ts", ["k"],
+                             3600, state=s1).collect()}
+    # phase-2 output only covers keys with new buckets; all had some
+    assert two == batch
