@@ -468,3 +468,64 @@ def hits_int(edges: DataFrame, iters: int = 2,
     return (hub.join(auth, "node")
             .select("node", F.col("h").alias("hub"),
                     F.col("a").alias("authority")))
+
+
+def ppr_int(edges: DataFrame, seeds: list[int], iters: int = 3,
+            checkpoint_edges: bool = False) -> DataFrame:
+    """(node, score) Personalized PageRank in the same BIGINT fixed-point
+    discipline as pagerank_int: restart mass returns to the SEED set
+    instead of uniformly (Page et al. 1999 §6 personalized vectors;
+    Jeh & Widom, "Scaling personalized web search", WWW 2003) — the
+    ranker behind graph-based recommendation and GraphRAG-style
+    neighborhood retrieval ("what is close to THESE nodes").
+
+    score' = restart + (85 · inflow) div 100, where restart =
+    (SCALE·15/100) div |seeds| at seed nodes and 0 elsewhere — every op
+    is an integer sum / floor division, so a pinned iteration count is
+    bit-reproducible and the unrolled CTE oracle matches exactly.
+    Initial mass: SCALE div |seeds| on each seed, 0 elsewhere (the
+    standard e_S start), so early iterations already rank locality.
+
+    Seeds ship as a BROADCAST one-column table (literal-free codegen —
+    the kmeans lesson), joined once per iteration to add restart mass.
+    Same shuffle shape as pagerank_int: the per-iteration cost is two
+    (int64, int64) exchanges regardless of seed count.
+    """
+    if checkpoint_edges:
+        edges = edges.localCheckpoint(eager=True)
+    edges = edges.select("src", "dst")
+    spark = edges.sparkSession
+    seed_df = spark.createDataFrame([(int(s),) for s in sorted(set(seeds))],
+                                    schema="node bigint")
+    restart = SCALE * (DAMP_DEN - DAMP_NUM) // DAMP_DEN // len(set(seeds))
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    base = (nodes.join(F.broadcast(seed_df.withColumn("__seed", F.lit(1))),
+                       "node", "left")
+            .select("node",
+                    F.when(F.col("__seed").isNotNull(), F.lit(restart))
+                    .otherwise(F.lit(0)).cast("bigint").alias("restart"))
+            .localCheckpoint(eager=True))
+    init = SCALE // len(set(seeds))
+    scores = base.select(
+        "node",
+        F.when(F.col("restart") > 0, F.lit(init)).otherwise(F.lit(0))
+        .cast("bigint").alias("score"))
+
+    for _ in range(iters):
+        contrib = (edges
+                   .join(scores.withColumnRenamed("node", "src"), "src")
+                   .join(outdeg, "src")
+                   .select("dst", F.expr("score div outdeg").alias("c")))
+        inflow = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        scores = (base
+                  .join(inflow.withColumnRenamed("dst", "node"),
+                        "node", "left")
+                  .select("node",
+                          (F.col("restart")
+                           + F.expr(f"({DAMP_NUM} * coalesce(s, 0))"
+                                    f" div {DAMP_DEN}"))
+                          .cast("bigint").alias("score")))
+    return scores

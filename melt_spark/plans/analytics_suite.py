@@ -1686,6 +1686,67 @@ s{i} AS (
 SQL_PAGERANK = _pagerank_sql(3)
 
 
+def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (functions/graph.py ppr_int) from seed
+    customers {1,2,3} over the symmetrized purchase graph — restart mass
+    returns to the seeds, so scores rank proximity to THAT neighborhood
+    (the GraphRAG / recommendation ranker), in the same unrolled BIGINT
+    arithmetic as the global pagerank beside it."""
+    from ..functions.graph import ppr_int, symmetrize
+
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    pairs = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+             .select(F.col("o_custkey").alias("cust"),
+                     (F.lit(1_000_000) + F.col("l_suppkey")).alias("supp"))
+             .distinct())
+    return ppr_int(symmetrize(pairs, "cust", "supp"), seeds=[1, 2, 3],
+                   iters=3, checkpoint_edges=True)
+
+
+def _ppr_sql(iters: int = 3, seeds: tuple = (1, 2, 3)) -> str:
+    scale = 10 ** 9
+    restart = scale * 15 // 100 // len(seeds)
+    init = scale // len(seeds)
+    seed_list = ", ".join(str(s) for s in seeds)
+    ctes = [f"""
+pairs AS (
+  SELECT DISTINCT o_custkey AS cust, 1000000 + l_suppkey AS supp
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+edges AS (SELECT cust AS src, supp AS dst FROM pairs
+          UNION SELECT supp, cust FROM pairs),
+outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+n AS (SELECT DISTINCT src AS node FROM edges),
+b AS MATERIALIZED (
+  SELECT node, CASE WHEN node IN ({seed_list})
+                    THEN CAST({restart} AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS restart
+  FROM n
+),
+s0 AS (SELECT node, CASE WHEN restart > 0 THEN CAST({init} AS BIGINT)
+                         ELSE CAST(0 AS BIGINT) END AS score FROM b)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f""",
+i{i} AS (
+  SELECT e.dst AS node, SUM(s.score // d.outdeg) AS s
+  FROM edges e JOIN s{i - 1} s ON s.node = e.src
+  JOIN outdeg d ON d.src = e.src
+  GROUP BY e.dst
+),
+s{i} AS (
+  SELECT b.node,
+         CAST(b.restart + (85 * COALESCE(i{i}.s, 0)) // 100 AS BIGINT)
+           AS score
+  FROM b LEFT JOIN i{i} USING (node)
+)""")
+    return ("WITH " + "".join(ctes)
+            + f"\nSELECT node, score FROM s{iters}")
+
+
+SQL_PPR = _ppr_sql(3)
+
+
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point HITS (functions/graph.py hits_int) over the DIRECTED
     customer -> supplier purchase graph — hubs are broad buyers,
@@ -3550,6 +3611,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
                            SQL_EVENTUALLY_FOLLOWS),
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "hits": (q_hits, SQL_HITS),
+    "ppr": (q_ppr, SQL_PPR),
     "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
     "zorder_values": (q_zorder_values, SQL_ZORDER_VALUES),
     "order_value_percentiles": (q_order_value_percentiles,

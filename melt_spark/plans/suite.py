@@ -1998,6 +1998,13 @@ SUITE: dict[str, tuple] = {
          .select("kind", "id", "val"),
          "SELECT unnest(['hits_hub', 'hits_auth']) AS kind,"
          " node AS id, unnest([hub, authority]) AS val"),
+        # r5: Personalized PageRank from seed customers {1,2,3} —
+        # restart-to-seed proximity ranking (functions/graph.py ppr_int)
+        (ANALYTICS_SUITE["ppr"],
+         lambda df: df.select(F.lit("ppr").alias("kind"),
+                              F.col("node").alias("id"),
+                              F.col("score").alias("val")),
+         "SELECT 'ppr' AS kind, node AS id, score AS val"),
     ),
     "simhash": PIPELINE_SUITE["simhash"],
     "simhash_near_dup": merged(

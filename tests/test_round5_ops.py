@@ -703,3 +703,81 @@ def test_ewma_incremental_continuation_equals_batch(spark):
                              3600, state=s1).collect()}
     # phase-2 output only covers keys with new buckets; all had some
     assert two == batch
+
+
+def test_ppr_concentrates_mass_near_seed(spark):
+    """Chain 1-2-3-4 (symmetrized), seed {1}: mass decays with distance
+    from the seed, and every score is reproducible integer arithmetic —
+    checked against a hand-rolled python fold of the same recurrence."""
+    from melt_spark.functions.graph import ppr_int, symmetrize
+
+    pairs = spark.createDataFrame(
+        [Row(a=1, b=2), Row(a=2, b=3), Row(a=3, b=4)])
+    out = {r.node: r.score
+           for r in ppr_int(symmetrize(pairs, "a", "b"), seeds=[1],
+                            iters=3).collect()}
+    edges = [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3)]
+    outdeg = {n: sum(1 for s, _ in edges if s == n) for n in (1, 2, 3, 4)}
+    restart = {1: 10**9 * 15 // 100}
+    s = {n: (10**9 if n == 1 else 0) for n in (1, 2, 3, 4)}
+    for _ in range(3):
+        inflow = {n: 0 for n in s}
+        for a, b in edges:
+            inflow[b] += s[a] // outdeg[a]
+        s = {n: restart.get(n, 0) + 85 * inflow[n] // 100 for n in s}
+    assert out == s
+    assert out[1] > out[3] and out[2] > out[4]
+
+
+def test_streaming_ewma_continuation_equals_batch(spark, tmp_path):
+    """Three TIME-ORDERED micro-batches; foreachBatch continues the EWMA
+    from the carried state — final state equals the batch EWMA over the
+    whole stream (state is per-key 3 ints: fixed memory by construction,
+    the CMS-test pattern)."""
+    import datetime as dt
+
+    from melt_spark.functions.timeseries import ewma_int
+
+    base = dt.datetime(2024, 1, 1)
+    series = {"a": [4, 2, 8, 1, 9, 3], "b": [7, 1, 7, 1, 7, 1]}
+    all_rows = [Row(ts=base + dt.timedelta(hours=h, minutes=m), k=k)
+                for k, xs in series.items()
+                for h, n in enumerate(xs) for m in range(n)]
+    df = spark.createDataFrame(all_rows)
+    src = str(tmp_path / "stream")
+    for phase in range(3):           # hours [0,2), [2,4), [4,6) in order
+        lo = base + dt.timedelta(hours=2 * phase)
+        hi = base + dt.timedelta(hours=2 * phase + 2)
+        df.filter((F.col("ts") >= lo) & (F.col("ts") < hi)) \
+            .repartition(1).write.mode("append").parquet(src)
+
+    state_rows: list = []
+
+    def step(batch_df, batch_id):
+        state = (spark.createDataFrame(
+            state_rows, schema="k string, n_buckets long,"
+            " ewma_final long, ewma_max long")
+            if state_rows else None)
+        out = ewma_int(batch_df, "ts", ["k"], 3600, state=state).collect()
+        merged = {r.k: r for r in out}
+        for r in state_rows:
+            if r[0] not in merged:      # key silent this batch: keep
+                merged[r[0]] = r
+        state_rows.clear()
+        state_rows.extend(
+            (r.k, r.n_buckets, r.ewma_final, r.ewma_max)
+            if not isinstance(r, tuple) else r for r in merged.values())
+
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = stream.writeStream.foreachBatch(step) \
+        .option("checkpointLocation", str(tmp_path / "ckpt")).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {k: (n, f, m) for k, n, f, m in state_rows}
+    want = {r.k: (r.n_buckets, r.ewma_final, r.ewma_max)
+            for r in ewma_int(df, "ts", ["k"], 3600).collect()}
+    assert got == want
