@@ -113,6 +113,7 @@ BENCH_QUERIES_R5B = [
     ("nb_classify", p.q_nb_classify),          # NB train + score + argmax
     ("ewma", a.q_ewma),                        # integer EWMA recurrence
     ("kmeans_outliers", p.q_kmeans_outliers),  # top-N farthest vectors
+    ("ppr", a.q_ppr),                          # 3 seeded PPR iterations
 ]
 
 # Per-constituent timing inside the heaviest merged entries (r4 verdict
@@ -133,7 +134,7 @@ CONSTITUENT_GROUPS: dict[str, list[str]] = {
                    "semantic_summary", "pq_codes", "pq_adc", "ivf_pq",
                    "kmeans_train", "kmeans_outliers"],
     "dedup_clusters": ["dedup_clusters", "pagerank", "butterflies",
-                       "hits"],
+                       "hits", "ppr"],
     "rollup_grouping_sets": ["rollup_revenue", "cube_revenue",
                              "grouping_sets", "time_bucket_rollup",
                              "gapfill_hourly", "event_twa"],
