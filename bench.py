@@ -114,6 +114,7 @@ BENCH_QUERIES_R5B = [
     ("ewma", a.q_ewma),                        # integer EWMA recurrence
     ("kmeans_outliers", p.q_kmeans_outliers),  # top-N farthest vectors
     ("ppr", a.q_ppr),                          # 3 seeded PPR iterations
+    ("winnow", p.q_winnow),                    # MOSS window-min selection
 ]
 
 # Per-constituent timing inside the heaviest merged entries (r4 verdict

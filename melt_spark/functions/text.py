@@ -185,3 +185,62 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(c).alias("lang_pred"),
         fingerprint(c).alias("fingerprint"),
     )
+
+_WINNOW_PACK = 1 << 48       # packed gram = pos * 2^48 + hash48
+
+
+def winnow_fingerprints(df: DataFrame, k: int = 4, w: int = 5,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Winnowing document fingerprints — Schleimer, Wilkerson & Aiken,
+    "Winnowing: local algorithms for document fingerprinting" (SIGMOD
+    2003), the MOSS algorithm: hash every k-gram, slide a window of w
+    consecutive hashes, keep each window's minimum (RIGHTMOST minimum on
+    ties, the paper's robust-winnowing rule), dedupe selections. The
+    guarantee: any match of length >= w + k - 1 tokens between two
+    documents shares at least one selected fingerprint, with density
+    ~2/(w+1) — the principled middle ground between full shingle sets
+    (k-gram Jaccard) and one hash per document.
+
+    Spark-first: the whole selection is per-document array arithmetic in
+    one projection — gram hashing, window minima, distinct — ZERO
+    shuffles, no UDF. Each gram packs as pos·2^48 + hash48 in ONE BIGINT
+    (hash48 is the md5 fold of sketches.kmv_hash; pos < 2^15 — guard
+    longer docs by chunking first): the window fold compares the low 48
+    bits with <= (later equal hash wins = rightmost min) and
+    array_distinct works on plain longs — struct distinct is not
+    portable. Documents shorter than k tokens yield no grams and are
+    absent from the output (the caller left-joins if presence matters).
+
+    Output: (id_col, pos, fp) — 1-based gram position and fingerprint of
+    each selected k-gram, one row per distinct selection.
+    """
+    from .util import spread_input
+
+    df = spread_input(df, id_col)
+    toks = tokens(text_col)
+    n = F.size(toks)
+    C = F.lit(_WINNOW_PACK).cast("long")
+    grams = F.when(n >= k, F.transform(
+        F.sequence(F.lit(1), n - k + 1),
+        lambda i: i.cast("long") * C
+        + F.conv(F.substring(F.md5(F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(k)])),
+            1, 12), 16, 10).cast("long"))
+    ).otherwise(F.array().cast("array<bigint>"))
+    m = F.size(grams)
+
+    def _win_min(arr):
+        return F.aggregate(
+            F.slice(arr, 2, F.size(arr) - 1), F.element_at(arr, 1),
+            lambda acc, g: F.when(g % C <= acc % C, g).otherwise(acc))
+
+    picks = F.when(m >= w, F.array_distinct(F.transform(
+        F.sequence(F.lit(1), m - w + 1),
+        lambda j: _win_min(F.slice(grams, j, w))
+    ))).otherwise(F.when(m > 0, F.array(_win_min(grams)))
+                  .otherwise(F.array().cast("array<bigint>")))
+    return (df.select(F.col(id_col), F.explode(picks).alias("pk"))
+            .select(id_col,
+                    F.expr(f"pk div {_WINNOW_PACK}").alias("pos"),
+                    (F.col("pk") % C).alias("fp")))

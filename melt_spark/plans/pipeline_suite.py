@@ -2652,6 +2652,52 @@ SELECT id AS vec_id, cid, CAST(dist AS BIGINT) AS dist
 FROM a3 ORDER BY dist DESC, id LIMIT 20""")
 
 
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (functions/text.py winnow_fingerprints,
+    the MOSS algorithm): k=4 grams, window w=5, rightmost-min rule —
+    every selected (pos, fp) row, zero shuffles."""
+    from ..functions.text import winnow_fingerprints
+
+    docs = read_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=4, w=5)
+
+
+
+def _winnow_sql(k: int = 4, w: int = 5) -> str:
+    pack = 1 << 48
+    gram = " || ' ' || ".join(f"toks[i+{j}]" if j else "toks[i]"
+                              for j in range(k))
+    hex12 = ("list_reduce(list_transform(string_split_regex("
+             f"substr(md5({gram}), 1, 12), ''), "
+             "c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),"
+             " (a,b) -> a*16+b)")
+    red = (f"(a, b) -> CASE WHEN b % {pack} <= a % {pack}"
+           " THEN b ELSE a END")
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(toks) - {k - 1}),
+           i -> CAST(i AS BIGINT) * {pack} + {hex12}) AS grams
+  FROM t WHERE len(toks) >= {k}
+),
+p AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(grams) >= {w} THEN
+      list_transform(generate_series(1, len(grams) - {w - 1}),
+        j -> list_reduce(grams[j:j+{w - 1}], {red}))
+    ELSE [list_reduce(grams, {red})]
+    END) AS picks
+  FROM g
+)
+SELECT doc_id, u.pk // {pack} AS pos, u.pk % {pack} AS fp
+FROM p, unnest(picks) AS u(pk)
+"""
+
+
+SQL_WINNOW = _winnow_sql()
+
+
 def q_kmeans_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-outlier gate (functions/kmeans.py kmeans_outliers): the
     20 vectors farthest from their trained centroid — exact integer
@@ -2825,6 +2871,7 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "containment": (q_containment, SQL_CONTAINMENT),
     "nb_classify": (q_nb_classify, SQL_NB_CLASSIFY),
     "kmeans_outliers": (q_kmeans_outliers, SQL_KMEANS_OUTLIERS),
+    "winnow": (q_winnow, SQL_WINNOW),
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "pmi_collocations": (q_pmi_collocations, SQL_PMI_COLLOCATIONS),
     "bq_rerank": (q_bq_rerank, SQL_BQ_RERANK),

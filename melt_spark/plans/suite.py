@@ -2236,6 +2236,15 @@ SUITE: dict[str, tuple] = {
         (PIPELINE_SUITE["bpe_train"],
          lambda df: df,
          "SELECT kind, doc_id, n, fp, m"),
+        # r5: winnowing fingerprints (MOSS, SIGMOD 2003) — pos rides n,
+        # the 48-bit fingerprint rides m
+        (PIPELINE_SUITE["winnow"],
+         lambda df: df.select(F.lit("winnow").alias("kind"), "doc_id",
+                              F.col("pos").alias("n"),
+                              F.lit("").alias("fp"),
+                              F.col("fp").alias("m")),
+         "SELECT 'winnow' AS kind, doc_id, pos AS n, '' AS fp,"
+         " fp AS m"),
     ),
     "frame_sample": PIPELINE_SUITE["frame_sample"],
     # end-to-end cleaning pipeline + r4b temperature mixture weighting

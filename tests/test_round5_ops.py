@@ -781,3 +781,39 @@ def test_streaming_ewma_continuation_equals_batch(spark, tmp_path):
     want = {r.k: (r.n_buckets, r.ewma_final, r.ewma_max)
             for r in ewma_int(df, "ts", ["k"], 3600).collect()}
     assert got == want
+
+
+def test_winnow_guarantee_and_density(spark):
+    """The winnowing guarantee: two documents sharing a run of
+    w + k - 1 = 8 tokens share at least one fingerprint, while documents
+    with no common 4-gram share none; selections are far sparser than
+    the full gram set (density ~2/(w+1))."""
+    from melt_spark.functions.text import winnow_fingerprints
+
+    shared = "q w e r t y u i"                     # 8 shared tokens
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="a1 b1 c1 " + shared + " d1 e1"),
+        Row(doc_id=2, text=shared + " x2 y2 z2 k2 m2 n2"),
+        Row(doc_id=3, text="p3 q3 r3 s3 t3 u3 v3 w3 x3 y3")])
+    fps = winnow_fingerprints(spark.createDataFrame(
+        [Row(doc_id=r.doc_id, text=r.text) for r in docs.collect()]),
+        k=4, w=5).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared 8-token run must share a fp"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    # density: doc 3 has 7 grams, 3 windows -> far fewer picks than grams
+    assert 1 <= len(by_doc[3]) <= 3
+
+def test_winnow_rightmost_min_tie_break(spark):
+    """'t5a t5b t5c t5d' repeated: grams 1 and 5 hash identically AND
+    that hash is the window minimum (verified by hand against md5), so
+    the rightmost-min rule must select pos 5, never pos 1 — a strict-<
+    fold would keep pos 1."""
+    from melt_spark.functions.text import winnow_fingerprints
+
+    out = winnow_fingerprints(spark.createDataFrame(
+        [Row(doc_id=1, text="t5a t5b t5c t5d t5a t5b t5c t5d")]),
+        k=4, w=5).collect()
+    assert [(r.pos, r.fp) for r in out] == [(5, 49975895507665)]
