@@ -115,6 +115,7 @@ BENCH_QUERIES_R5B = [
     ("kmeans_outliers", p.q_kmeans_outliers),  # top-N farthest vectors
     ("ppr", a.q_ppr),                          # 3 seeded PPR iterations
     ("winnow", p.q_winnow),                    # MOSS window-min selection
+    ("waterfill", p.q_waterfill),              # budget allocation (tiny)
 ]
 
 # Per-constituent timing inside the heaviest merged entries (r4 verdict
@@ -124,7 +125,7 @@ BENCH_QUERIES_R5B = [
 # (plans/registry.py), so a renamed constituent fails loudly here too.
 CONSTITUENT_GROUPS: dict[str, list[str]] = {
     "clean_corpus": ["clean_corpus", "mixture_weights", "dsir_topk",
-                     "greedy_coverage"],
+                     "greedy_coverage", "waterfill"],
     "text_quality": ["text_stats", "quality_scores", "repetition",
                      "rep_ngrams", "pii_scrub", "lm_perplexity",
                      "nb_classify"],

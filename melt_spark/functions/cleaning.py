@@ -554,3 +554,63 @@ def greedy_coverage(df: DataFrame, k: int = 3, n: int = 3,
     return out.select("pick", F.col("id").alias(id_col), "gain",
                       F.sum("gain").over(w).cast("bigint")
                       .alias("covered_total"))
+
+
+def budget_waterfill(df: DataFrame, budget: int, cap_epochs: int = 4,
+                     source_col: str = "source",
+                     weight_col: str = "n_tokens") -> DataFrame:
+    """Max-min-fair token allocation across sources under a total budget
+    — the waterfilling / progressive-filling algorithm (Bertsekas &
+    Gallager, *Data Networks*, 1987 §6.5.2), applied to the training-mix
+    question "how many tokens may each corpus contribute if no corpus
+    repeats more than cap_epochs and the run sees `budget` tokens":
+
+        alloc_s = min(cap_epochs · c_s, λ),  λ = max water level with
+                                             Σ alloc_s <= budget
+
+    Exact integer closed form, no iteration: sort sources by their cap
+    u_s = cap_epochs·c_s ascending; k = the largest rank whose cap fits
+    if every REMAINING source also took it (u_k·(n−k+1) <= budget −
+    prefix_{k−1}); sources ranked <= k are cap-bound (alloc = u), the
+    rest share λ = (budget − prefix_k) div (n−k). Every comparison and
+    division is BIGINT — bit-deterministic, oracle-exact.
+
+    Spark shape: one map-side-combined count per source, one window over
+    the SOURCE table (corpus-count-sized, tiny), two broadcast scalars.
+    The corpus itself is touched once.
+
+    Output: (source, n_tokens, cap_tokens, alloc_tokens) ordered by the
+    caller; Σ alloc_tokens <= budget with equality unless every source
+    is cap-bound.
+    """
+    from pyspark.sql.window import Window
+
+    srcs = (df.groupBy(source_col)
+            .agg(F.sum(weight_col).cast("bigint").alias("n_tokens"))
+            .withColumn("u", F.col("n_tokens") * F.lit(int(cap_epochs))))
+    w = Window.orderBy("u", source_col)
+    ranked = (srcs
+              .withColumn("rn", F.row_number().over(w))
+              .withColumn("prefix", F.sum("u").over(
+                  w.rowsBetween(Window.unboundedPreceding,
+                                Window.currentRow))))
+    n = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    ranked = ranked.crossJoin(F.broadcast(n))
+    B = F.lit(int(budget)).cast("long")
+    fits = (F.col("u") * (F.col("__n") - F.col("rn") + 1)
+            <= B - (F.col("prefix") - F.col("u")))
+    kdf = (ranked.filter(fits)
+           .agg(F.coalesce(F.max("rn"), F.lit(0)).alias("__k"),
+                F.coalesce(F.max(F.when(fits, F.col("prefix"))),
+                           F.lit(0)).cast("long").alias("__pk")))
+    out = (ranked.crossJoin(F.broadcast(kdf))
+           .withColumn("__lam", F.when(
+               F.col("__n") > F.col("__k"),
+               F.expr("(CAST(%d AS BIGINT) - __pk) div (__n - __k)"
+                      % int(budget))).otherwise(F.lit(0)))
+           .select(source_col, "n_tokens",
+                   F.col("u").alias("cap_tokens"),
+                   F.when(F.col("rn") <= F.col("__k"), F.col("u"))
+                   .otherwise(F.col("__lam")).cast("bigint")
+                   .alias("alloc_tokens")))
+    return out

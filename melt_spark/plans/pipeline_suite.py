@@ -2652,6 +2652,52 @@ SELECT id AS vec_id, cid, CAST(dist AS BIGINT) AS dist
 FROM a3 ORDER BY dist DESC, id LIMIT 20""")
 
 
+WATERFILL_BUDGET, WATERFILL_CAP = 50_000, 4
+
+
+def q_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min-fair token budget allocation across sources
+    (functions/cleaning.py budget_waterfill): 50k-token budget, 4-epoch
+    cap — the mixture-under-budget complement of the temperature
+    weights."""
+    from ..functions.cleaning import budget_waterfill
+    from ..functions.text import tokens
+
+    docs = (read_table(spark, sf_dir, "documents")
+            .select("source", F.size(tokens("text")).alias("n_toks")))
+    return budget_waterfill(docs, budget=WATERFILL_BUDGET,
+                            cap_epochs=WATERFILL_CAP,
+                            weight_col="n_toks")
+
+
+SQL_WATERFILL = f"""
+WITH srcs AS (
+  SELECT source, CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+r AS (
+  SELECT source, n_tokens,
+         n_tokens * {WATERFILL_CAP} AS u,
+         row_number() OVER (ORDER BY n_tokens * {WATERFILL_CAP}, source)
+           AS rn,
+         SUM(n_tokens * {WATERFILL_CAP}) OVER (
+           ORDER BY n_tokens * {WATERFILL_CAP}, source
+           ROWS UNBOUNDED PRECEDING) AS prefix,
+         COUNT(*) OVER () AS n
+  FROM srcs
+),
+k AS (
+  SELECT COALESCE(MAX(rn), 0) AS k, COALESCE(MAX(prefix), 0) AS pk
+  FROM r WHERE u * (n - rn + 1) <= {WATERFILL_BUDGET} - (prefix - u)
+)
+SELECT source, n_tokens, CAST(u AS BIGINT) AS cap_tokens,
+       CAST(CASE WHEN rn <= k.k THEN u
+            ELSE ({WATERFILL_BUDGET} - k.pk) // (n - k.k) END AS BIGINT)
+         AS alloc_tokens
+FROM r CROSS JOIN k
+"""
+
+
 def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (functions/text.py winnow_fingerprints,
     the MOSS algorithm): k=4 grams, window w=5, rightmost-min rule —
@@ -2872,6 +2918,7 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "nb_classify": (q_nb_classify, SQL_NB_CLASSIFY),
     "kmeans_outliers": (q_kmeans_outliers, SQL_KMEANS_OUTLIERS),
     "winnow": (q_winnow, SQL_WINNOW),
+    "waterfill": (q_waterfill, SQL_WATERFILL),
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "pmi_collocations": (q_pmi_collocations, SQL_PMI_COLLOCATIONS),
     "bq_rerank": (q_bq_rerank, SQL_BQ_RERANK),

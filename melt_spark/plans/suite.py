@@ -2268,6 +2268,17 @@ SUITE: dict[str, tuple] = {
                               F.col("weight").alias("v")),
          "SELECT 'mix' AS kind, source AS key, n_tokens AS n1,"
          " expected_tokens AS n2, weight AS v"),
+        # r5: max-min-fair budget waterfilling (functions/cleaning.py
+        # budget_waterfill) — per-source token allocation under a
+        # 50k-token budget with a 4-epoch cap; all-integer
+        (PIPELINE_SUITE["waterfill"],
+         lambda df: df.select(F.lit("alloc").alias("kind"),
+                              F.col("source").alias("key"),
+                              F.col("cap_tokens").alias("n1"),
+                              F.col("alloc_tokens").alias("n2"),
+                              F.lit(-1.0).alias("v")),
+         "SELECT 'alloc' AS kind, source AS key, cap_tokens AS n1,"
+         " alloc_tokens AS n2, CAST(-1.0 AS DOUBLE) AS v"),
         # r5: DSIR-style importance selection (functions/importance.py,
         # arXiv:2302.03169) — hashed-bigram log-likelihood-ratio top-100;
         # the target-domain counterpart of the quality-gate selection

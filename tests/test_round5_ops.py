@@ -817,3 +817,28 @@ def test_winnow_rightmost_min_tie_break(spark):
         [Row(doc_id=1, text="t5a t5b t5c t5d t5a t5b t5c t5d")]),
         k=4, w=5).collect()
     assert [(r.pos, r.fp) for r in out] == [(5, 49975895507665)]
+
+
+def test_waterfill_regimes_and_budget_exact(spark):
+    """Two cap-bound sources, two lambda-bound: allocations match the
+    hand-solved waterfill, the budget binds exactly, and no allocation
+    exceeds its cap. All-fit regime: caps sum under budget -> everyone
+    cap-bound."""
+    from melt_spark.functions.cleaning import budget_waterfill
+
+    rows = [Row(source="tiny", w=10), Row(source="small", w=100),
+            Row(source="big", w=10_000), Row(source="huge", w=50_000)]
+    out = {r.source: r for r in budget_waterfill(
+        spark.createDataFrame(rows), budget=10_000, cap_epochs=4,
+        weight_col="w").collect()}
+    assert out["tiny"].alloc_tokens == 40       # cap-bound
+    assert out["small"].alloc_tokens == 400     # cap-bound
+    assert out["big"].alloc_tokens == 4780      # lambda
+    assert out["huge"].alloc_tokens == 4780     # lambda
+    assert sum(r.alloc_tokens for r in out.values()) == 10_000
+    assert all(r.alloc_tokens <= r.cap_tokens for r in out.values())
+
+    allfit = budget_waterfill(
+        spark.createDataFrame(rows), budget=10**9, cap_epochs=4,
+        weight_col="w").collect()
+    assert all(r.alloc_tokens == r.cap_tokens for r in allfit)
