@@ -116,6 +116,7 @@ BENCH_QUERIES_R5B = [
     ("ppr", a.q_ppr),                          # 3 seeded PPR iterations
     ("winnow", p.q_winnow),                    # MOSS window-min selection
     ("waterfill", p.q_waterfill),              # budget allocation (tiny)
+    ("canonical_docs", p.q_canonical_docs),    # cluster + keep verdicts
 ]
 
 # Per-constituent timing inside the heaviest merged entries (r4 verdict
@@ -136,7 +137,7 @@ CONSTITUENT_GROUPS: dict[str, list[str]] = {
                    "semantic_summary", "pq_codes", "pq_adc", "ivf_pq",
                    "kmeans_train", "kmeans_outliers"],
     "dedup_clusters": ["dedup_clusters", "pagerank", "butterflies",
-                       "hits", "ppr"],
+                       "hits", "ppr", "canonical_docs"],
     "rollup_grouping_sets": ["rollup_revenue", "cube_revenue",
                              "grouping_sets", "time_bucket_rollup",
                              "gapfill_hourly", "event_twa"],

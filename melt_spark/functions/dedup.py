@@ -743,3 +743,41 @@ def incremental_minhash_pairs(batch: DataFrame, store_sigs: DataFrame,
     return (common.join(sz_a, "batch_doc").join(sz_b, "store_doc")
             .select("batch_doc", "store_doc", jac.alias("jaccard"))
             .filter(F.col("jaccard") >= threshold))
+
+
+def canonical_docs(docs: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id",
+                   length_col: str = "n_chars") -> DataFrame:
+    """Canonical-representative selection over near-dup clusters — the
+    keep/drop verdict a dedup pipeline actually ships: cluster the pair
+    graph (connected_components), give singleton documents their own
+    cluster, keep ONE representative per cluster by the pinned rule
+    (longest first — near-dup clusters usually contain truncations of
+    the fullest copy — then lowest id). This is C4/RefinedWeb's
+    "retain one member of each duplicate cluster" step as an operator.
+
+    Scale shape: components is the iterative label propagation (its own
+    contract); everything after is one left join (labels table is
+    cluster-members-sized, broadcastable — near-dup clusters are a
+    small fraction of a corpus) and one window partitioned by
+    cluster_id, whose partitions are cluster-sized, never corpus-sized.
+
+    Output: (id_col, cluster_id, keep) for EVERY input document,
+    keep ∈ {0, 1}, exactly one keep=1 per cluster.
+    """
+    from pyspark.sql.window import Window
+
+    labels = connected_components(pairs)
+    lab = (docs.select(F.col(id_col), F.col(length_col))
+           .join(labels.withColumnRenamed("doc_id", id_col), id_col,
+                 "left")
+           .select(id_col,
+                   F.coalesce("cluster_id", F.col(id_col))
+                   .alias("cluster_id"),
+                   F.col(length_col)))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(length_col), F.asc(id_col))
+    return (lab.withColumn(
+        "keep", F.when(F.row_number().over(w) == 1, F.lit(1))
+        .otherwise(F.lit(0)).cast("int"))
+        .select(id_col, "cluster_id", "keep"))

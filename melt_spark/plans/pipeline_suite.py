@@ -651,6 +651,46 @@ GROUP BY node
 """
 
 
+def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection (functions/dedup.py
+    canonical_docs) over the same MinHash-LSH cluster graph as
+    q_dedup_clusters — every document gets (cluster_id, keep), exactly
+    one keep=1 per cluster by the (longest, lowest-id) rule."""
+    from ..functions.dedup import canonical_docs
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, num_hashes=8, bands=4, threshold=0.8)
+    return canonical_docs(docs, pairs)
+
+
+def _canonical_sql() -> str:
+    """Reuses SQL_DEDUP_CLUSTERS' CTE chain: strip its WITH RECURSIVE
+    head, rename its final SELECT into a cc CTE, add the singleton
+    completion + keep window (WITH RECURSIVE must prefix the whole
+    list — the NOTES.md rule)."""
+    body = SQL_DEDUP_CLUSTERS.strip()
+    head = "WITH RECURSIVE "
+    assert body.startswith(head)
+    ctes, final = body[len(head):].rsplit("\nSELECT node AS doc_id", 1)
+    return f"""WITH RECURSIVE {ctes},
+cc AS (
+SELECT node AS doc_id{final}
+),
+lab AS (
+  SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+         d.n_chars
+  FROM documents d LEFT JOIN cc USING (doc_id)
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN row_number() OVER (PARTITION BY cluster_id
+                                    ORDER BY n_chars DESC, doc_id) = 1
+            THEN 1 ELSE 0 END AS keep
+FROM lab"""
+
+
+SQL_CANONICAL_DOCS = _canonical_sql()
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit md5-backed SimHash per document."""
     return simhash(read_table(spark, sf_dir, "documents"))
@@ -2945,6 +2985,7 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "mixture_weights": (q_mixture_weights, SQL_MIXTURE_WEIGHTS),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "canonical_docs": (q_canonical_docs, SQL_CANONICAL_DOCS),
     "simhash": (q_simhash, SQL_SIMHASH),
     "simhash_near_dup": (q_simhash_near_dup, SQL_SIMHASH_NEAR_DUP),
     "simhash64_near_dup": (q_simhash64_near_dup, SQL_SIMHASH64_NEAR_DUP),

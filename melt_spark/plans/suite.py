@@ -2005,6 +2005,15 @@ SUITE: dict[str, tuple] = {
                               F.col("node").alias("id"),
                               F.col("score").alias("val")),
          "SELECT 'ppr' AS kind, node AS id, score AS val"),
+        # r5: canonical-representative selection (functions/dedup.py
+        # canonical_docs) — val packs cluster_id*2 + keep
+        (PIPELINE_SUITE["canonical_docs"],
+         lambda df: df.select(F.lit("canon").alias("kind"),
+                              F.col("doc_id").alias("id"),
+                              (F.col("cluster_id") * 2 + F.col("keep"))
+                              .cast("bigint").alias("val")),
+         "SELECT 'canon' AS kind, doc_id AS id,"
+         " CAST(cluster_id * 2 + keep AS BIGINT) AS val"),
     ),
     "simhash": PIPELINE_SUITE["simhash"],
     "simhash_near_dup": merged(

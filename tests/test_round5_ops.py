@@ -842,3 +842,19 @@ def test_waterfill_regimes_and_budget_exact(spark):
         spark.createDataFrame(rows), budget=10**9, cap_epochs=4,
         weight_col="w").collect()
     assert all(r.alloc_tokens == r.cap_tokens for r in allfit)
+
+
+def test_canonical_docs_one_keep_per_cluster(spark):
+    """Pairs {1-2, 2-3} cluster as {1,2,3}; 4 is singleton. The longest
+    member (doc 2) is the keeper; the singleton keeps itself."""
+    from melt_spark.functions.dedup import canonical_docs
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, n_chars=50), Row(doc_id=2, n_chars=80),
+         Row(doc_id=3, n_chars=80), Row(doc_id=4, n_chars=10)])
+    pairs = spark.createDataFrame([Row(doc_a=1, doc_b=2),
+                                   Row(doc_a=2, doc_b=3)])
+    out = {r.doc_id: (r.cluster_id, r.keep)
+           for r in canonical_docs(docs, pairs).collect()}
+    assert out == {1: (1, 0), 2: (1, 1),    # 80-char tie -> lower id 2
+                   3: (1, 0), 4: (4, 1)}
