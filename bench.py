@@ -117,6 +117,7 @@ BENCH_QUERIES_R5B = [
     ("winnow", p.q_winnow),                    # MOSS window-min selection
     ("waterfill", p.q_waterfill),              # budget allocation (tiny)
     ("canonical_docs", p.q_canonical_docs),    # cluster + keep verdicts
+    ("skew_report", a.q_skew_report),          # pre-flight skew stats
 ]
 
 # Per-constituent timing inside the heaviest merged entries (r4 verdict

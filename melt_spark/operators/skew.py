@@ -18,6 +18,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def salt_column(entropy_col: str | Column, buckets: int = 32) -> Column:
@@ -57,3 +58,44 @@ def salted_broadcast_join(skewed: DataFrame, small: DataFrame,
     broadcast it — no shuffle touches the skewed side at all. (Explicit
     helper so call sites document WHY the hint is there.)"""
     return skewed.join(F.broadcast(small), on=list(on))
+
+
+def skew_report(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """ONE-row key-skew diagnostic for a prospective shuffle key — the
+    measurement that decides whether a join/agg needs salting (the
+    operators above) before the job runs at 100 TB:
+
+        (n_keys, total_rows, max_key_rows,
+         top1_share_e6, top10_share_e6, top100_share_e6)
+
+    top-k share = rows owned by the k heaviest keys, ppm of total —
+    integer floor division, bit-deterministic. A top1_share_e6 of
+    300000 (30%) means one task owns a third of the shuffle.
+
+    Deliberately NOT a Gini/Lorenz integral: that needs a global sort of
+    the full key-count table (single-partition window at high
+    cardinality — the exact hazard this report exists to predict). The
+    head-of-distribution shares need only a TakeOrdered(100) (per-
+    partition heaps + driver merge of 100 rows) plus one aggregate, so
+    the report itself is safe at any key cardinality.
+    """
+    keys = [F.col(c) for c in key_cols]
+    counts = (df.groupBy(*key_cols)
+              .agg(F.count(F.lit(1)).alias("c")))
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").cast("bigint").alias("total_rows"),
+        F.max("c").cast("bigint").alias("max_key_rows"))
+    top = (counts.orderBy(F.desc("c"), *keys).limit(100)
+           .withColumn("rn", F.row_number().over(
+               Window.orderBy(F.desc("c"), *keys))))
+    shares = top.agg(
+        *[F.sum(F.when(F.col("rn") <= k, F.col("c")))
+          .cast("bigint").alias(f"top{k}")
+          for k in (1, 10, 100)])
+
+    share = [F.expr(f"CAST(coalesce(top{k}, 0) * 1000000"
+                    f" div total_rows AS BIGINT) AS top{k}_share_e6")
+             for k in (1, 10, 100)]
+    return (totals.crossJoin(F.broadcast(shares))
+            .select("n_keys", "total_rows", "max_key_rows", *share))

@@ -1379,6 +1379,48 @@ JOIN params p ON p.event_type = c.event_type
 """
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic (operators/skew.py skew_report) for events
+    keyed by user_id — the pre-flight measurement that decides whether
+    the salting operators beside it are needed. Head-of-distribution
+    shares only (TakeOrdered), safe at any key cardinality."""
+    from ..operators.skew import skew_report
+
+    events = read_table(spark, sf_dir, "events")
+    return skew_report(events, ["user_id"])
+
+
+SQL_SKEW_REPORT = """
+WITH counts AS (
+  SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+),
+totals AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(c) AS BIGINT) AS total_rows,
+         CAST(MAX(c) AS BIGINT) AS max_key_rows
+  FROM counts
+),
+top AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, user_id) AS rn
+  FROM counts ORDER BY c DESC, user_id LIMIT 100
+),
+shares AS (
+  SELECT CAST(SUM(CASE WHEN rn <= 1 THEN c END) AS BIGINT) AS top1,
+         CAST(SUM(CASE WHEN rn <= 10 THEN c END) AS BIGINT) AS top10,
+         CAST(SUM(CASE WHEN rn <= 100 THEN c END) AS BIGINT) AS top100
+  FROM top
+)
+SELECT n_keys, total_rows, max_key_rows,
+       CAST(COALESCE(top1, 0) * 1000000 // total_rows AS BIGINT)
+         AS top1_share_e6,
+       CAST(COALESCE(top10, 0) * 1000000 // total_rows AS BIGINT)
+         AS top10_share_e6,
+       CAST(COALESCE(top100, 0) * 1000000 // total_rows AS BIGINT)
+         AS top100_share_e6
+FROM totals CROSS JOIN shares
+"""
+
+
 def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer EWMA smoothing (functions/timeseries.py ewma_int, Roberts
     1959, alpha = 1/2) over hourly per-event-type counts — the smoothing
@@ -3583,6 +3625,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "kmv_intersect": (q_kmv_intersect, SQL_KMV_INTERSECT),
     "cusum_monitor": (q_cusum_monitor, SQL_CUSUM_MONITOR),
     "ewma": (q_ewma, SQL_EWMA),
+    "skew_report": (q_skew_report, SQL_SKEW_REPORT),
     "weekday_profile": (q_weekday_profile, SQL_WEEKDAY_PROFILE),
     "fuzzy_match": (q_fuzzy_match, SQL_FUZZY_MATCH),
     "kcore": (q_kcore, SQL_KCORE),

@@ -2745,6 +2745,19 @@ SUITE: dict[str, tuple] = {
          lambda df: df.select(F.lit("heavy").alias("kind"),
                               F.col("item").alias("key"), "n"),
          "SELECT 'heavy' AS kind, item AS key, n"),
+        # r5: key-skew diagnostic (operators/skew.py skew_report) — the
+        # 6 stats unpivot into tagged rows
+        (ANALYTICS_SUITE["skew_report"],
+         lambda df: df.selectExpr(
+             "stack(6, 'sk_keys', n_keys, 'sk_rows', total_rows,"
+             " 'sk_max', max_key_rows, 'sk_top1', top1_share_e6,"
+             " 'sk_top10', top10_share_e6, 'sk_top100',"
+             " top100_share_e6) AS (kind, n)")
+         .select("kind", F.lit("user_id").alias("key"), "n"),
+         "SELECT unnest(['sk_keys', 'sk_rows', 'sk_max', 'sk_top1',"
+         " 'sk_top10', 'sk_top100']) AS kind, 'user_id' AS key,"
+         " unnest([n_keys, total_rows, max_key_rows, top1_share_e6,"
+         " top10_share_e6, top100_share_e6]) AS n"),
         # r4b: count-min sketch estimates beside the exact recount
         # (functions/sketches.py cms_*): est/exact packed into the key,
         # the one-sided overestimate rides the count column

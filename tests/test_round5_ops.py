@@ -858,3 +858,16 @@ def test_canonical_docs_one_keep_per_cluster(spark):
            for r in canonical_docs(docs, pairs).collect()}
     assert out == {1: (1, 0), 2: (1, 1),    # 80-char tie -> lower id 2
                    3: (1, 0), 4: (4, 1)}
+
+
+def test_skew_report_hand_shares(spark):
+    """70 rows on one key + 30 singletons: top1 = 700000 ppm,
+    top10 = 790000 ppm, top100 = everything."""
+    from melt_spark.operators.skew import skew_report
+
+    rows = ([Row(k="hot") for _ in range(70)]
+            + [Row(k=f"k{i:02d}") for i in range(30)])
+    r = skew_report(spark.createDataFrame(rows), ["k"]).collect()[0]
+    assert (r.n_keys, r.total_rows, r.max_key_rows) == (31, 100, 70)
+    assert (r.top1_share_e6, r.top10_share_e6,
+            r.top100_share_e6) == (700_000, 790_000, 1_000_000)
