@@ -135,7 +135,12 @@ PROBES = ["text_quality", "dedup_minhash_lsh", "clean_corpus",
           # coverage (k anti-join rounds over the digest table), integer
           # EWMA (per-key fold)
           "nb_classify", "hits", "containment", "kmeans_train",
-          "greedy_coverage", "ewma"]
+          "greedy_coverage", "ewma",
+          # r5 wave 4: winnowing (zero-shuffle array selection), PPR
+          # (seeded pagerank, saturating graph like hits), canonical
+          # selection (CC + keep window), skew diagnostic (TakeOrdered
+          # heads), budget waterfill (source-table-sized)
+          "winnow", "ppr", "canonical_docs", "skew_report", "waterfill"]
 
 
 def _span_query(via: str):
@@ -217,7 +222,15 @@ _EXTRA_QUERIES = {"span_dedup_digest": _span_query("digest"),
                       _constituent("pipeline_suite", "q_kmeans_train"),
                   "greedy_coverage":
                       _constituent("pipeline_suite", "q_greedy_coverage"),
-                  "ewma": _constituent("analytics_suite", "q_ewma")}
+                  "ewma": _constituent("analytics_suite", "q_ewma"),
+                  "winnow": _constituent("pipeline_suite", "q_winnow"),
+                  "ppr": _constituent("analytics_suite", "q_ppr"),
+                  "canonical_docs":
+                      _constituent("pipeline_suite", "q_canonical_docs"),
+                  "skew_report":
+                      _constituent("analytics_suite", "q_skew_report"),
+                  "waterfill":
+                      _constituent("pipeline_suite", "q_waterfill")}
 
 
 def _shuffle_state(spark):
