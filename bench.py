@@ -118,6 +118,7 @@ BENCH_QUERIES_R5B = [
     ("waterfill", p.q_waterfill),              # budget allocation (tiny)
     ("canonical_docs", p.q_canonical_docs),    # cluster + keep verdicts
     ("skew_report", a.q_skew_report),          # pre-flight skew stats
+    ("diversity", p.q_diversity),              # TTR/Zipf per source
 ]
 
 # Per-constituent timing inside the heaviest merged entries (r4 verdict
@@ -127,7 +128,7 @@ BENCH_QUERIES_R5B = [
 # (plans/registry.py), so a renamed constituent fails loudly here too.
 CONSTITUENT_GROUPS: dict[str, list[str]] = {
     "clean_corpus": ["clean_corpus", "mixture_weights", "dsir_topk",
-                     "greedy_coverage", "waterfill"],
+                     "greedy_coverage", "waterfill", "diversity"],
     "text_quality": ["text_stats", "quality_scores", "repetition",
                      "rep_ngrams", "pii_scrub", "lm_perplexity",
                      "nb_classify"],

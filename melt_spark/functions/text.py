@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Distinctive stopwords per language for the n-gram/stopword heuristic.
 # Deliberately small + ASCII so the same literal lists embed in oracle SQL.
@@ -254,3 +255,84 @@ def winnow_fingerprints(df: DataFrame, k: int = 4, w: int = 5,
             .select(id_col,
                     F.expr(f"pk div {_WINNOW_PACK}").alias("pos"),
                     (F.col("pk") % C).alias("fp")))
+
+
+def diversity_profile(df: DataFrame, top_r: int = 100,
+                      source_col: str = "source",
+                      text_col: str = "text") -> DataFrame:
+    """Per-source corpus diversity profile — the three standard lenses a
+    training-mix report runs over each corpus slice:
+
+    * type-token ratio (TTR): distinct tokens / total tokens — lexical
+      diversity (Templin 1957; the distinct-n family of Li et al.,
+      NAACL 2016 measures generated-text diversity the same way);
+    * distinct-3: distinct / total 3-grams — phrase-level diversity,
+      the Self-BLEU complement;
+    * Zipf slope: OLS slope of ln(freq) on ln(rank) over the top_r most
+      frequent tokens — natural text sits near −1 (Zipf 1949; Piantadosi
+      2014 review); template/boilerplate corpora flatten, spam steepens.
+
+    Ratios are exact-integer ppm (·1e6 floor-div). The slope follows the
+    repo's ln discipline (lm.py): ln of exact integer inputs, folded in
+    PINNED rank order from 0.0 seeds, slope rounded to 9 — identical
+    fold order on both engines. Shuffles carry (source, int64 digest,
+    count) rows only; the top-r ranking windows over the per-source
+    TYPE table (vocabulary-sized), never tokens.
+
+    Output: (source, n_tokens, ttr_e6, distinct3_e6, zipf_slope).
+    """
+    from .util import spread_input
+
+    df = spread_input(df, source_col)
+    toks = tokens(text_col)
+    src = F.col(source_col)
+
+    tok_counts = (df.select(src.alias("source"),
+                            F.explode(toks).alias("tok"))
+                  .groupBy("source", F.xxhash64("tok").alias("h"))
+                  .agg(F.count(F.lit(1)).alias("c")))
+    per_src = (tok_counts.groupBy("source")
+               .agg(F.sum("c").cast("bigint").alias("n_tokens"),
+                    F.count(F.lit(1)).alias("n_types")))
+
+    n = F.size(toks)
+    g3 = F.when(n >= 3, F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.xxhash64(F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2))))
+    ).otherwise(F.array().cast("array<bigint>"))
+    tri = (df.select(src.alias("source"), F.explode(g3).alias("h"))
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_tri"),
+                F.countDistinct("h").alias("d_tri")))
+
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("h"))
+    top = (tok_counts.withColumn("r", F.row_number().over(w))
+           .filter(F.col("r") <= top_r))
+    # ordered fold of the four OLS sums in rank order (pinned), 0.0 seeds
+    series = top.groupBy("source").agg(
+        F.count(F.lit(1)).alias("nr"),
+        F.array_sort(F.collect_list(F.struct("r", "c"))).alias("rc"))
+    lnr = lambda s: F.log(s["r"].cast("double"))       # noqa: E731
+    lnc = lambda s: F.log(s["c"].cast("double"))       # noqa: E731
+    folded = series.select(
+        "source", "nr",
+        F.aggregate(F.col("rc"), F.lit(0.0),
+                    lambda a, s: a + lnr(s)).alias("sx"),
+        F.aggregate(F.col("rc"), F.lit(0.0),
+                    lambda a, s: a + lnc(s)).alias("sy"),
+        F.aggregate(F.col("rc"), F.lit(0.0),
+                    lambda a, s: a + lnr(s) * lnc(s)).alias("sxy"),
+        F.aggregate(F.col("rc"), F.lit(0.0),
+                    lambda a, s: a + lnr(s) * lnr(s)).alias("sxx"))
+    slope = ((F.col("nr") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (F.col("nr") * F.col("sxx") - F.col("sx") * F.col("sx")))
+
+    ppm = lambda num, den: F.expr(       # noqa: E731
+        f"CAST({num} * 1000000 div {den} AS BIGINT)")
+    return (per_src.join(tri, "source").join(folded, "source")
+            .select("source", "n_tokens",
+                    ppm("n_types", "n_tokens").alias("ttr_e6"),
+                    ppm("d_tri", "n_tri").alias("distinct3_e6"),
+                    F.round(slope, 9).alias("zipf_slope")))

@@ -2738,6 +2738,75 @@ FROM r CROSS JOIN k
 """
 
 
+def q_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus diversity profile (functions/text.py
+    diversity_profile): TTR + distinct-3 ppm and the Zipf slope over the
+    top-100 token types."""
+    from ..functions.text import diversity_profile
+
+    docs = read_table(spark, sf_dir, "documents")
+    return diversity_profile(docs, top_r=100)
+
+
+def _diversity_sql(top_r: int = 100) -> str:
+    gram = ("list_transform(range(1, len(toks) - 1),"
+            " i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])")
+
+    def fold(term: str) -> str:
+        return ("list_reduce(list_prepend(0.0, list_transform(rc,"
+                f" s -> {term})), (a, b) -> a + b)")
+
+    lnr, lnc = "ln(CAST(s.r AS DOUBLE))", "ln(CAST(s.c AS DOUBLE))"
+    return f"""
+WITH tok AS MATERIALIZED (
+  SELECT source, unnest({_TOKS}) AS tok FROM documents
+),
+tc AS MATERIALIZED (
+  SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2
+),
+ps AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types
+  FROM tc GROUP BY source
+),
+tri AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tri,
+         CAST(COUNT(DISTINCT g) AS BIGINT) AS d_tri
+  FROM (SELECT source, unnest({gram}) AS g
+        FROM (SELECT source, {_TOKS} AS toks FROM documents)
+        WHERE len(toks) >= 3)
+  GROUP BY source
+),
+top AS (
+  SELECT source, c,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY c DESC, tok) AS r
+  FROM tc QUALIFY r <= {top_r}
+),
+f AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS nr,
+         list(struct_pack(r := r, c := c) ORDER BY r) AS rc
+  FROM top GROUP BY source
+),
+sl AS (
+  SELECT source, nr,
+         {fold(lnr)} AS sx, {fold(lnc)} AS sy,
+         {fold(f"{lnr} * {lnc}")} AS sxy,
+         {fold(f"{lnr} * {lnr}")} AS sxx
+  FROM f
+)
+SELECT ps.source, n_tokens,
+       CAST(n_types * 1000000 // n_tokens AS BIGINT) AS ttr_e6,
+       CAST(d_tri * 1000000 // n_tri AS BIGINT) AS distinct3_e6,
+       round((nr * sxy - sx * sy) / (nr * sxx - sx * sx), 9)
+         AS zipf_slope
+FROM ps JOIN tri USING (source) JOIN sl USING (source)
+"""
+
+
+SQL_DIVERSITY = _diversity_sql()
+
+
 def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (functions/text.py winnow_fingerprints,
     the MOSS algorithm): k=4 grams, window w=5, rightmost-min rule —
@@ -2959,6 +3028,7 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "kmeans_outliers": (q_kmeans_outliers, SQL_KMEANS_OUTLIERS),
     "winnow": (q_winnow, SQL_WINNOW),
     "waterfill": (q_waterfill, SQL_WATERFILL),
+    "diversity": (q_diversity, SQL_DIVERSITY),
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "pmi_collocations": (q_pmi_collocations, SQL_PMI_COLLOCATIONS),
     "bq_rerank": (q_bq_rerank, SQL_BQ_RERANK),

@@ -2288,6 +2288,17 @@ SUITE: dict[str, tuple] = {
                               F.lit(-1.0).alias("v")),
          "SELECT 'alloc' AS kind, source AS key, cap_tokens AS n1,"
          " alloc_tokens AS n2, CAST(-1.0 AS DOUBLE) AS v"),
+        # r5: per-source diversity profile (functions/text.py
+        # diversity_profile) — TTR/distinct-3 ppm ints, Zipf slope in
+        # the double slot
+        (PIPELINE_SUITE["diversity"],
+         lambda df: df.select(F.lit("div").alias("kind"),
+                              F.col("source").alias("key"),
+                              F.col("ttr_e6").alias("n1"),
+                              F.col("distinct3_e6").alias("n2"),
+                              F.col("zipf_slope").alias("v")),
+         "SELECT 'div' AS kind, source AS key, ttr_e6 AS n1,"
+         " distinct3_e6 AS n2, zipf_slope AS v"),
         # r5: DSIR-style importance selection (functions/importance.py,
         # arXiv:2302.03169) — hashed-bigram log-likelihood-ratio top-100;
         # the target-domain counterpart of the quality-gate selection

@@ -871,3 +871,25 @@ def test_skew_report_hand_shares(spark):
     assert (r.n_keys, r.total_rows, r.max_key_rows) == (31, 100, 70)
     assert (r.top1_share_e6, r.top10_share_e6,
             r.top100_share_e6) == (700_000, 790_000, 1_000_000)
+
+
+def test_diversity_profile_hand_ratios_and_slope_sign(spark):
+    """Repetitive source: 10 copies of one token -> TTR 100000 ppm and
+    a steep negative 'slope'... actually a single type has no slope
+    variance; use 2 types. Diverse source: all-distinct tokens -> TTR
+    1e6 and distinct-3 = 1e6."""
+    from melt_spark.functions.text import diversity_profile
+
+    rows = [Row(source="rep", text="x x x x x x x x x y"),
+            Row(source="div", text="a b c d e f g h i j")]
+    out = {r.source: r for r in diversity_profile(
+        spark.createDataFrame(rows), top_r=100).collect()}
+    assert out["rep"].ttr_e6 == 200_000          # 2 types / 10 tokens
+    assert out["div"].ttr_e6 == 1_000_000
+    assert out["div"].distinct3_e6 == 1_000_000  # 8 distinct 3-grams
+    assert out["rep"].distinct3_e6 < 1_000_000   # xxx repeats
+    # Zipf slope: rep source has freq (9,1) over ranks (1,2) ->
+    # slope = (ln1 - ln9)/(ln2 - ln1) = -ln9/ln2 ~ -3.1699
+    import math
+    want = round((math.log(1) - math.log(9)) / math.log(2), 4)
+    assert round(out["rep"].zipf_slope, 4) == want
