@@ -119,6 +119,8 @@ BENCH_QUERIES_R5B = [
     ("canonical_docs", p.q_canonical_docs),    # cluster + keep verdicts
     ("skew_report", a.q_skew_report),          # pre-flight skew stats
     ("diversity", p.q_diversity),              # TTR/Zipf per source
+    ("leakage", p.q_leakage),                  # cross-source near-dups
+    ("trimmed_mean", a.q_trimmed_mean),        # robust mean (cents)
 ]
 
 # Per-constituent timing inside the heaviest merged entries (r4 verdict
@@ -128,7 +130,7 @@ BENCH_QUERIES_R5B = [
 # (plans/registry.py), so a renamed constituent fails loudly here too.
 CONSTITUENT_GROUPS: dict[str, list[str]] = {
     "clean_corpus": ["clean_corpus", "mixture_weights", "dsir_topk",
-                     "greedy_coverage", "waterfill", "diversity"],
+                     "greedy_coverage", "waterfill", "diversity", "leakage"],
     "text_quality": ["text_stats", "quality_scores", "repetition",
                      "rep_ngrams", "pii_scrub", "lm_perplexity",
                      "nb_classify"],

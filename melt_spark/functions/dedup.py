@@ -781,3 +781,41 @@ def canonical_docs(docs: DataFrame, pairs: DataFrame,
         "keep", F.when(F.row_number().over(w) == 1, F.lit(1))
         .otherwise(F.lit(0)).cast("int"))
         .select(id_col, "cluster_id", "keep"))
+
+
+def cross_source_leakage(docs: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id",
+                         source_col: str = "source") -> DataFrame:
+    """Cross-corpus leakage matrix — near-dup pairs whose members come
+    from DIFFERENT sources, aggregated per source pair: the "which of my
+    corpora overlap (and how hard)" report run before mixing training
+    corpora or trusting a held-out slice (same concern as benchmark
+    decontamination, aimed at corpus×corpus instead of corpus×benchmark;
+    see Dodge et al., "Documenting Large Webtext Corpora", EMNLP 2021 on
+    C4's cross-source duplication).
+
+    Aggregates are order-safe only: pair COUNT and MAX similarity (a
+    float MEAN would sum IEEE doubles in shuffle order — not
+    hash-checkable; max is associative-exact). Source pair normalized
+    (sa <= sb lexicographically) so each unordered pair appears once.
+
+    Scale shape: the pair list is the near-dup detector's output
+    (already candidate-bounded); this adds two joins against the
+    (id, source) projection — broadcastable when the pair list is small,
+    hash joins on 8-byte ids otherwise — and one tiny aggregation.
+
+    Output: (source_a, source_b, n_pairs, max_sim).
+    """
+    sim_col = [c for c in pairs.columns
+               if c not in ("doc_a", "doc_b")][0]
+    ids = docs.select(F.col(id_col), F.col(source_col))
+    j = (pairs
+         .join(ids.select(F.col(id_col).alias("doc_a"),
+                          F.col(source_col).alias("sa")), "doc_a")
+         .join(ids.select(F.col(id_col).alias("doc_b"),
+                          F.col(source_col).alias("sb")), "doc_b")
+         .filter(F.col("sa") != F.col("sb")))
+    return (j.groupBy(F.least("sa", "sb").alias("source_a"),
+                      F.greatest("sa", "sb").alias("source_b"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.max(sim_col).alias("max_sim")))

@@ -368,3 +368,52 @@ def ewma_int(df: DataFrame, ts_col: str, key_cols: list[str],
                      + F.coalesce("__n0", F.lit(0))).alias("n_buckets"),
                     F.col("__f.s").alias("ewma_final"),
                     F.col("__f.smax").alias("ewma_max")))
+
+
+def trimmed_mean_cents(df: DataFrame, value_col: str,
+                       key_cols: list[str], trim_ppm: int = 100_000,
+                       order_col: str = "event_id") -> DataFrame:
+    """Exact trimmed mean per key — the classic robust location
+    estimator (drop the lowest and highest trim fraction, average the
+    rest; Tukey's robust statistics canon): the metric an event-value
+    dashboard wants when whales and glitches make the plain mean
+    useless and the median too coarse.
+
+    Determinism: values quantize ONCE to integer cents
+    (round(v·100) as BIGINT, the half-up both engines share); the trim
+    boundary is rank-based with a total order (cents, order_col), and
+    the kept rows' sum/mean are exact integer arithmetic — a float mean
+    would sum doubles in shuffle order. trim count = n·trim_ppm div 1e6
+    per side (floor), so tiny groups trim nothing rather than
+    everything.
+
+    Shape: one shuffle to rank within keys (window), one aggregation.
+    Per-key windows sort that key's rows — the usual per-key budget; at
+    extreme per-key cardinality swap the exact rank for the bottom-k
+    quantile sketch beside it (sketches.bottomk_quantiles).
+
+    Output: (keys…, n, n_kept, trimmed_sum_cents, trimmed_mean_cents).
+
+    Caveat for negative values: Spark's `div` truncates toward zero
+    while standard SQL `//` floors, so a NEGATIVE trimmed sum would
+    make trimmed_mean_cents differ by 1 between engines — shift the
+    domain non-negative first (the kmeans OFFSET trick) if a corpus
+    can go negative; the suite's event values are strictly positive.
+    """
+    cents = F.round(F.col(value_col) * F.lit(100.0), 0).cast("long")
+    w = Window.partitionBy(*key_cols).orderBy(F.col("__c"),
+                                              F.col(order_col))
+    ranked = (df.select(*[F.col(c) for c in key_cols],
+                        F.col(order_col), cents.alias("__c"))
+              .withColumn("__rn", F.row_number().over(w))
+              .withColumn("__n", F.count(F.lit(1)).over(
+                  Window.partitionBy(*key_cols))))
+    cut = F.expr(f"__n * {int(trim_ppm)} div 1000000")
+    kept = ranked.filter((F.col("__rn") > cut)
+                         & (F.col("__rn") <= F.col("__n") - cut))
+    return (kept.groupBy(*key_cols)
+            .agg(F.max("__n").alias("n"),
+                 F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("__c").cast("bigint").alias("trimmed_sum_cents"))
+            .withColumn("trimmed_mean_cents",
+                        F.expr("trimmed_sum_cents div n_kept")))

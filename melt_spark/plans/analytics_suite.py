@@ -1379,6 +1379,43 @@ JOIN params p ON p.event_type = c.event_type
 """
 
 
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10%-trimmed mean of event value per type
+    (functions/timeseries.py trimmed_mean_cents) — the robust location
+    estimate in integer cents."""
+    from ..functions.timeseries import trimmed_mean_cents
+
+    events = read_table(spark, sf_dir, "events")
+    return trimmed_mean_cents(events, "value", ["event_type"],
+                              trim_ppm=100_000)
+
+
+SQL_TRIMMED_MEAN = """
+WITH q AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100.0) AS BIGINT) AS c
+  FROM events
+),
+r AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY c, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM q
+),
+kept AS (
+  SELECT * FROM r
+  WHERE rn > n * 100000 // 1000000
+    AND rn <= n - n * 100000 // 1000000
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(c) AS BIGINT) AS trimmed_sum_cents,
+       CAST(SUM(c) // COUNT(*) AS BIGINT) AS trimmed_mean_cents
+FROM kept GROUP BY event_type
+"""
+
+
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic (operators/skew.py skew_report) for events
     keyed by user_id — the pre-flight measurement that decides whether
@@ -3626,6 +3663,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "cusum_monitor": (q_cusum_monitor, SQL_CUSUM_MONITOR),
     "ewma": (q_ewma, SQL_EWMA),
     "skew_report": (q_skew_report, SQL_SKEW_REPORT),
+    "trimmed_mean": (q_trimmed_mean, SQL_TRIMMED_MEAN),
     "weekday_profile": (q_weekday_profile, SQL_WEEKDAY_PROFILE),
     "fuzzy_match": (q_fuzzy_match, SQL_FUZZY_MATCH),
     "kcore": (q_kcore, SQL_KCORE),

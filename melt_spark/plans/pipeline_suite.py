@@ -2944,6 +2944,34 @@ WHERE CAST(c AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.9
 """
 
 
+def q_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-dup leakage matrix (functions/dedup.py
+    cross_source_leakage) over the capped-Jaccard pair list at 0.8 —
+    which corpus pairs bleed into each other."""
+    from ..functions.dedup import cross_source_leakage, jaccard_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.8, max_df=MAX_SHINGLE_DF)
+    return cross_source_leakage(docs, pairs)
+
+
+SQL_LEAKAGE = f"""
+WITH pairs AS ({SQL_DEDUP_JACCARD}),
+j AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b,
+         p.jaccard
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.doc_a
+  JOIN documents db ON db.doc_id = p.doc_b
+  WHERE da.source <> db.source
+)
+SELECT source_a, source_b, COUNT(*) AS n_pairs,
+       MAX(jaccard) AS max_sim
+FROM j GROUP BY 1, 2
+"""
+
+
 def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial NB source classifier (functions/classify.py), trained
     and scored on the corpus in one plan — per doc the argmax label and
@@ -3029,6 +3057,7 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "winnow": (q_winnow, SQL_WINNOW),
     "waterfill": (q_waterfill, SQL_WATERFILL),
     "diversity": (q_diversity, SQL_DIVERSITY),
+    "leakage": (q_leakage, SQL_LEAKAGE),
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "pmi_collocations": (q_pmi_collocations, SQL_PMI_COLLOCATIONS),
     "bq_rerank": (q_bq_rerank, SQL_BQ_RERANK),

@@ -2299,6 +2299,17 @@ SUITE: dict[str, tuple] = {
                               F.col("zipf_slope").alias("v")),
          "SELECT 'div' AS kind, source AS key, ttr_e6 AS n1,"
          " distinct3_e6 AS n2, zipf_slope AS v"),
+        # r5: cross-source near-dup leakage matrix (functions/dedup.py
+        # cross_source_leakage) — key packs the normalized source pair
+        (PIPELINE_SUITE["leakage"],
+         lambda df: df.select(F.lit("leak").alias("kind"),
+                              F.concat_ws(":", "source_a", "source_b")
+                              .alias("key"),
+                              F.col("n_pairs").alias("n1"),
+                              F.lit(-1).cast("bigint").alias("n2"),
+                              F.col("max_sim").alias("v")),
+         "SELECT 'leak' AS kind, source_a || ':' || source_b AS key,"
+         " n_pairs AS n1, CAST(-1 AS BIGINT) AS n2, max_sim AS v"),
         # r5: DSIR-style importance selection (functions/importance.py,
         # arXiv:2302.03169) — hashed-bigram log-likelihood-ratio top-100;
         # the target-domain counterpart of the quality-gate selection
@@ -2464,6 +2475,21 @@ SUITE: dict[str, tuple] = {
          " event_type AS key,"
          " unnest([s_final, CAST(n_buckets AS DOUBLE)]) AS v1,"
          " unnest([s_max, CAST(n_alarms AS DOUBLE)]) AS v2"),
+        # r5: exact 10%-trimmed mean in integer cents — robust location
+        # per event type (functions/timeseries.py trimmed_mean_cents)
+        (ANALYTICS_SUITE["trimmed_mean"],
+         lambda df: df.selectExpr(
+             "event_type",
+             "stack(2, 'trim_mean', CAST(trimmed_mean_cents AS DOUBLE),"
+             " CAST(n_kept AS DOUBLE), 'trim_sum',"
+             " CAST(trimmed_sum_cents AS DOUBLE), CAST(n AS DOUBLE))"
+             " AS (kind, v1, v2)")
+         .select("kind", F.col("event_type").alias("key"), "v1", "v2"),
+         "SELECT unnest(['trim_mean', 'trim_sum']) AS kind,"
+         " event_type AS key,"
+         " unnest([CAST(trimmed_mean_cents AS DOUBLE),"
+         " CAST(trimmed_sum_cents AS DOUBLE)]) AS v1,"
+         " unnest([CAST(n_kept AS DOUBLE), CAST(n AS DOUBLE)]) AS v2"),
         # r5: integer EWMA smoothing (Roberts 1959, alpha = 1/2 so the
         # recurrence is exact BIGINT adds + shifts — no rounding at all)
         (ANALYTICS_SUITE["ewma"],

@@ -893,3 +893,43 @@ def test_diversity_profile_hand_ratios_and_slope_sign(spark):
     import math
     want = round((math.log(1) - math.log(9)) / math.log(2), 4)
     assert round(out["rep"].zipf_slope, 4) == want
+
+
+def test_trimmed_mean_drops_outliers_exactly(spark):
+    """10 values with one huge outlier: 10% trim drops exactly the
+    bottom-1 and top-1 by (cents, event_id); the mean of the middle 8 is
+    exact integer cents."""
+    import datetime as dt
+
+    from melt_spark.functions.timeseries import trimmed_mean_cents
+
+    base = dt.datetime(2024, 1, 1)
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 1000.0]
+    rows = [Row(event_id=i, event_type="t", value=v,
+                ts=base + dt.timedelta(minutes=i))
+            for i, v in enumerate(vals)]
+    r = trimmed_mean_cents(spark.createDataFrame(rows), "value",
+                           ["event_type"]).collect()[0]
+    assert (r.n, r.n_kept) == (10, 8)
+    # middle 8: 2..9 -> sum 4400 cents, mean 550
+    assert r.trimmed_sum_cents == 4400
+    assert r.trimmed_mean_cents == 550
+
+
+def test_cross_source_leakage_counts_only_cross_pairs(spark):
+    """Pairs (1,2) same-source and (1,3),(2,4) cross-source: the matrix
+    keeps only cross pairs, normalizes order, and max_sim is exact."""
+    from melt_spark.functions.dedup import cross_source_leakage
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, source="a"), Row(doc_id=2, source="a"),
+         Row(doc_id=3, source="b"), Row(doc_id=4, source="c")])
+    pairs = spark.createDataFrame(
+        [Row(doc_a=1, doc_b=2, jaccard=0.95),
+         Row(doc_a=1, doc_b=3, jaccard=0.85),
+         Row(doc_a=2, doc_b=4, jaccard=0.9),
+         Row(doc_a=3, doc_b=4, jaccard=0.82)])
+    out = {(r.source_a, r.source_b): (r.n_pairs, r.max_sim)
+           for r in cross_source_leakage(docs, pairs).collect()}
+    assert out == {("a", "b"): (1, 0.85), ("a", "c"): (1, 0.9),
+                   ("b", "c"): (1, 0.82)}
