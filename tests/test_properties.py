@@ -160,3 +160,57 @@ def test_span_dedup_digest_and_text_paths_agree(texts):
                              r["n_removed"])
                for r in span_dedup(df, k=2, via="text").collect()}
     assert by_digest == by_text
+
+
+# -- winnowing guarantee (Schleimer-Wilkerson-Aiken SIGMOD 2003 thm):
+# any shared token run of length >= w + k - 1 forces a shared selected
+# fingerprint. Random docs + a planted shared run; also cross-checks the
+# whole selection against a plain-Python winnower.
+
+def _py_winnow(text: str, k: int = 4, w: int = 5):
+    import hashlib
+    toks = text.split(" ")
+    grams = [(i + 1,
+              int(hashlib.md5(" ".join(toks[i:i + k]).encode())
+                  .hexdigest()[:12], 16))
+             for i in range(len(toks) - k + 1)]
+    if not grams:
+        return set()
+    if len(grams) < w:
+        windows = [grams]
+    else:
+        windows = [grams[j:j + w] for j in range(len(grams) - w + 1)]
+    picks = set()
+    for win in windows:
+        best = win[0]
+        for g in win[1:]:
+            if g[1] <= best[1]:
+                best = g
+        picks.add(best)
+    return picks
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.integers(0, 6), min_size=0, max_size=18),
+       st.lists(st.integers(0, 6), min_size=0, max_size=18),
+       st.integers(0, 5))
+def test_winnow_matches_python_and_guarantee(pre, post, run_seed):
+    from pyspark.sql import Row
+
+    from melt_spark.functions.text import winnow_fingerprints
+
+    spark = _get_spark()
+    shared = [f"s{run_seed}x{i}" for i in range(8)]   # w + k - 1 tokens
+    t1 = " ".join([f"p{x}" for x in pre] + shared)
+    t2 = " ".join(shared + [f"q{x}" for x in post])
+    df = spark.createDataFrame([Row(doc_id=1, text=t1),
+                                Row(doc_id=2, text=t2)])
+    got = {}
+    for r in winnow_fingerprints(df, k=4, w=5).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    assert got.get(1, set()) == _py_winnow(t1)
+    assert got.get(2, set()) == _py_winnow(t2)
+    fp1 = {fp for _, fp in got.get(1, set())}
+    fp2 = {fp for _, fp in got.get(2, set())}
+    assert fp1 & fp2, "shared 8-token run must share a fingerprint"
