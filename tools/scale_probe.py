@@ -140,7 +140,8 @@ PROBES = ["text_quality", "dedup_minhash_lsh", "clean_corpus",
           # (seeded pagerank, saturating graph like hits), canonical
           # selection (CC + keep window), skew diagnostic (TakeOrdered
           # heads), budget waterfill (source-table-sized)
-          "winnow", "ppr", "canonical_docs", "skew_report", "waterfill"]
+          "winnow", "ppr", "canonical_docs", "skew_report", "waterfill",
+          "diversity", "leakage", "trimmed_mean"]
 
 
 def _span_query(via: str):
@@ -230,7 +231,13 @@ _EXTRA_QUERIES = {"span_dedup_digest": _span_query("digest"),
                   "skew_report":
                       _constituent("analytics_suite", "q_skew_report"),
                   "waterfill":
-                      _constituent("pipeline_suite", "q_waterfill")}
+                      _constituent("pipeline_suite", "q_waterfill"),
+                  "diversity":
+                      _constituent("pipeline_suite", "q_diversity"),
+                  "leakage":
+                      _constituent("pipeline_suite", "q_leakage"),
+                  "trimmed_mean":
+                      _constituent("analytics_suite", "q_trimmed_mean")}
 
 
 def _shuffle_state(spark):
