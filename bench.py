@@ -121,6 +121,7 @@ BENCH_QUERIES_R5B = [
     ("diversity", p.q_diversity),              # TTR/Zipf per source
     ("leakage", p.q_leakage),                  # cross-source near-dups
     ("trimmed_mean", a.q_trimmed_mean),        # robust mean (cents)
+    ("match_quality", a.q_match_quality),      # matcher P/R vs truth
 ]
 
 # Per-constituent timing inside the heaviest merged entries (r4 verdict

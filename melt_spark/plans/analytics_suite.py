@@ -1379,6 +1379,58 @@ JOIN params p ON p.event_type = c.event_type
 """
 
 
+def q_match_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-matcher evaluation against the planted ground truth — the
+    precision/recall row every record-linkage deployment reports
+    (Fellegi-Sunter evaluation practice; see also Christen,
+    *Data Matching*, 2012 ch. 7). The fuzzy fixture plants exactly one
+    true mate per typo (t_id = c_custkey + 100000), so over the
+    reciprocal-best matches:
+        tp = best pairs that hit their mate, fp = best pairs that
+        don't, fn = 200 - tp; precision/recall as exact ppm.
+    One row; all integers."""
+    pairs = q_fuzzy_match(spark, sf_dir)
+    best = pairs.filter(F.col("is_best") == 1)
+    # truth count = planted typos = the limited customer set's size (200
+    # at sf >= 0.01; smaller fixtures have fewer — never hardcode it)
+    n_truth = (read_table(spark, sf_dir, "customer")
+               .orderBy("c_custkey").limit(200)
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_truth")))
+    agg = best.agg(
+        F.sum(F.when(F.col("t_id") - 100000 == F.col("c_custkey"),
+                     1).otherwise(0)).cast("bigint").alias("tp"),
+        F.sum(F.when(F.col("t_id") - 100000 == F.col("c_custkey"),
+                     0).otherwise(1)).cast("bigint").alias("fp"))
+    return (agg.crossJoin(F.broadcast(n_truth))
+            .select(
+                "tp", "fp", (F.col("n_truth") - F.col("tp")).alias("fn"),
+                F.expr("CAST(tp * 1000000 div (tp + fp) AS BIGINT)")
+                .alias("precision_e6"),
+                F.expr("CAST(tp * 1000000 div n_truth AS BIGINT)")
+                .alias("recall_e6")))
+
+
+SQL_MATCH_QUALITY = f"""
+WITH pairs AS ({SQL_FUZZY_MATCH}),
+best AS (SELECT * FROM pairs WHERE is_best = 1),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN t_id - 100000 = c_custkey THEN 1 ELSE 0 END)
+              AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN t_id - 100000 = c_custkey THEN 0 ELSE 1 END)
+              AS BIGINT) AS fp
+  FROM best
+),
+nt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_truth
+  FROM (SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 200)
+)
+SELECT tp, fp, CAST(n_truth - tp AS BIGINT) AS fn,
+       CAST(tp * 1000000 // (tp + fp) AS BIGINT) AS precision_e6,
+       CAST(tp * 1000000 // n_truth AS BIGINT) AS recall_e6
+FROM agg CROSS JOIN nt
+"""
+
+
 def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 10%-trimmed mean of event value per type
     (functions/timeseries.py trimmed_mean_cents) — the robust location
@@ -3664,6 +3716,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "ewma": (q_ewma, SQL_EWMA),
     "skew_report": (q_skew_report, SQL_SKEW_REPORT),
     "trimmed_mean": (q_trimmed_mean, SQL_TRIMMED_MEAN),
+    "match_quality": (q_match_quality, SQL_MATCH_QUALITY),
     "weekday_profile": (q_weekday_profile, SQL_WEEKDAY_PROFILE),
     "fuzzy_match": (q_fuzzy_match, SQL_FUZZY_MATCH),
     "kcore": (q_kcore, SQL_KCORE),

@@ -3115,6 +3115,23 @@ SUITE: dict[str, tuple] = {
          " CAST(c_custkey AS VARCHAR) || ':' || CAST(lev AS VARCHAR)"
          " || ':' || CAST(is_best AS VARCHAR) AS sval,"
          " shared_grams AS n"),
+        # r5: matcher evaluation vs the planted truth — tp/fp/fn +
+        # precision/recall ppm packed into sval, one row
+        (ANALYTICS_SUITE["match_quality"],
+         lambda df: df.select(
+             F.lit("match_pr").alias("kind"),
+             F.lit(-1).cast("bigint").alias("c_custkey"),
+             F.concat_ws(":", F.col("tp").cast("string"),
+                         F.col("fp").cast("string"),
+                         F.col("fn").cast("string"),
+                         F.col("precision_e6").cast("string"),
+                         F.col("recall_e6").cast("string")).alias("sval"),
+             F.lit(-1).cast("bigint").alias("n")),
+         "SELECT 'match_pr' AS kind, CAST(-1 AS BIGINT) AS c_custkey,"
+         " CAST(tp AS VARCHAR) || ':' || CAST(fp AS VARCHAR) || ':' ||"
+         " CAST(fn AS VARCHAR) || ':' || CAST(precision_e6 AS VARCHAR)"
+         " || ':' || CAST(recall_e6 AS VARCHAR) AS sval,"
+         " CAST(-1 AS BIGINT) AS n"),
     ),
     # -- Structured Streaming surface (S9/T3/T6): each branch runs a real
     #    stream to completion; results checked against batch-equivalent SQL
