@@ -265,9 +265,15 @@ def global_kmv_mins(df: DataFrame, value_col: str,
 def kmv_intersect_estimate(a: DataFrame, b: DataFrame, value_col: str,
                            k: int = DEFAULT_K) -> DataFrame:
     """One row: j_num (union-k-mins seen in BOTH sketches), n_union_mins,
-    union_est, inter_est = (j_num * union_est) div k. Every output is an
-    exact integer (the KMV argument: floor()ed integer math), so the
-    ESTIMATE oracle-checks bit-for-bit."""
+    union_est, inter_est. Every output is an exact integer (the KMV
+    argument: floor()ed integer math), so the ESTIMATE oracle-checks
+    bit-for-bit.
+
+    Exact regime (r5 ADVICE fix): when n_union_mins < k the sketch holds
+    the ENTIRE union, so j_num IS the exact intersection size — the
+    estimator mirrors union_est's exact branch instead of scaling j_num
+    by union_est div k (which under-counted: two identical 5-element
+    sets at k=16 estimated 1, not 5)."""
     am = global_kmv_mins(a, value_col, k)
     bm = global_kmv_mins(b, value_col, k)
     union_mins = (am.unionByName(bm).distinct()
@@ -292,12 +298,14 @@ def kmv_intersect_estimate(a: DataFrame, b: DataFrame, value_col: str,
         F.col("n_union_mins").cast("bigint").alias("n_union_mins"),
         union_est.alias("union_est"))
         .select("j_num", "n_union_mins", "union_est",
-                F.expr(f"(j_num * union_est) div {k}").cast("bigint")
-                .alias("inter_est")))
+                F.when(F.col("n_union_mins") < k, F.col("j_num"))
+                .otherwise(F.expr(f"(j_num * union_est) div {k}"))
+                .cast("bigint").alias("inter_est")))
 
 
 def kmv_overlap_matrix(df: DataFrame, key_col: str, value_col: str,
-                       k: int = DEFAULT_K) -> DataFrame:
+                       k: int = DEFAULT_K,
+                       max_keys: int = 10_000) -> DataFrame:
     """PAIRWISE distinct-overlap estimates for every key pair, from
     per-key sketches built in ONE corpus pass — the sketch-reuse pitch
     (Beyer et al. SIGMOD 2007 again): an audience-overlap matrix over m
@@ -305,9 +313,25 @@ def kmv_overlap_matrix(df: DataFrame, key_col: str, value_col: str,
     rescans. Every estimate is floor()ed integer math (oracle-exact).
 
     Output per (key_a < key_b): j_num, n_union_mins, union_est,
-    inter_est."""
+    inter_est.
+
+    Key-count guard (r5 verdict item #7): the keys×keys pair generation
+    is by-design m² SKETCH pairs — safe for segment/event-type
+    cardinality, catastrophic for user-id keys (1M keys = 5·10¹¹
+    pairs). A pre-flight count raises above ``max_keys`` (default 10k
+    keys ≈ 50M sketch pairs, the upper end of sane) so a mis-keyed
+    caller fails loudly instead of hanging the cluster — the same
+    pre-flight discipline as skew_report and gapfill's max_spine."""
     mins = kmv_mins(df, [key_col], value_col, k) \
         .select(F.col(key_col).alias("kk"), "h").localCheckpoint(True)
+    n_keys = mins.select("kk").distinct().count()
+    if n_keys > max_keys:
+        raise ValueError(
+            f"kmv_overlap_matrix: {n_keys} distinct keys would generate "
+            f"~{n_keys * (n_keys - 1) // 2:,} sketch pairs "
+            f"(max_keys={max_keys}) — this matrix is meant for "
+            "segment-cardinality keys; pre-aggregate or raise max_keys "
+            "deliberately")
     keys = mins.select(F.col("kk").alias("ka")).distinct()
     kp = (keys.crossJoin(keys.select(F.col("ka").alias("kb")))
           .filter(F.col("ka") < F.col("kb")))
@@ -340,5 +364,9 @@ def kmv_overlap_matrix(df: DataFrame, key_col: str, value_col: str,
                        .alias("n_union_mins"),
                        union_est.alias("union_est"))
             .select("ka", "kb", "j_num", "n_union_mins", "union_est",
-                    F.expr(f"(j_num * union_est) div {k}").cast("bigint")
-                    .alias("inter_est")))
+                    # exact regime: union mins hold the full union, so
+                    # j_num is the exact intersection (same ADVICE fix
+                    # as kmv_intersect_estimate)
+                    F.when(F.col("n_union_mins") < k, F.col("j_num"))
+                    .otherwise(F.expr(f"(j_num * union_est) div {k}"))
+                    .cast("bigint").alias("inter_est")))

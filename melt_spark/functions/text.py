@@ -188,6 +188,7 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 _WINNOW_PACK = 1 << 48       # packed gram = pos * 2^48 + hash48
+_WINNOW_MAX_POS = (1 << 15) - 1   # pos budget: 2^15·2^48 stays positive
 
 
 def winnow_fingerprints(df: DataFrame, k: int = 4, w: int = 5,
@@ -222,6 +223,19 @@ def winnow_fingerprints(df: DataFrame, k: int = 4, w: int = 5,
     toks = tokens(text_col)
     n = F.size(toks)
     C = F.lit(_WINNOW_PACK).cast("long")
+    # pos < 2^15 packing bound — ENFORCED (r5 ADVICE): a document with
+    # more than 32767 grams would silently overflow pos·2^48 into the
+    # sign bit and corrupt positions/fingerprints; raise loudly at
+    # execution time instead (gapfill's max_spine pattern) so long docs
+    # are chunked by the caller, never silently mis-fingerprinted.
+    n_grams = n - k + 1
+    n = F.when(n_grams <= _WINNOW_MAX_POS, n).otherwise(
+        F.raise_error(F.concat(
+            F.lit("winnow_fingerprints: "),
+            n_grams.cast("string"),
+            F.lit(f" grams exceeds the pos-packing bound "
+                  f"{_WINNOW_MAX_POS} — chunk documents longer than "
+                  f"{_WINNOW_MAX_POS} tokens first"))))
     grams = F.when(n >= k, F.transform(
         F.sequence(F.lit(1), n - k + 1),
         lambda i: i.cast("long") * C

@@ -325,6 +325,12 @@ def ewma_int(df: DataFrame, ts_col: str, key_cols: list[str],
     previous s), batch-over-everything == continue-from-state whenever
     the batch boundary falls on a bucket boundary — property-tested in
     tests/test_round5_ops.py.
+
+    Quiet keys (r5 ADVICE fix): the state join is FULL-outer, so a key
+    present in the prior state but absent from the new batch passes
+    through unchanged (its accumulated n_buckets / ewma survive an
+    all-quiet batch) instead of silently disappearing from the output —
+    the property repeated feed-back depends on.
     """
     keys = [F.col(c) for c in key_cols]
     counts = (df.select(*keys, bucket_epoch(ts_col, width).alias("bucket"))
@@ -340,7 +346,16 @@ def ewma_int(df: DataFrame, ts_col: str, key_cols: list[str],
                          F.col("ewma_final").alias("__s0"),
                          F.col("ewma_max").alias("__m0"),
                          F.col("n_buckets").alias("__n0")),
-            key_cols, "left")
+            key_cols, "full")
+        # state-only keys have a null batch side: empty series + 0 new
+        # buckets makes the fold return the seeded state untouched
+        per_key = (per_key
+                   .withColumn("n_buckets",
+                               F.coalesce("n_buckets", F.lit(0)))
+                   .withColumn("series", F.coalesce(
+                       "series",
+                       F.array().cast(
+                           "array<struct<bucket:bigint,x:bigint>>"))))
     else:
         per_key = (per_key
                    .withColumn("__s0", F.lit(None).cast("long"))
@@ -394,13 +409,23 @@ def trimmed_mean_cents(df: DataFrame, value_col: str,
 
     Output: (keys…, n, n_kept, trimmed_sum_cents, trimmed_mean_cents).
 
-    Caveat for negative values: Spark's `div` truncates toward zero
-    while standard SQL `//` floors, so a NEGATIVE trimmed sum would
-    make trimmed_mean_cents differ by 1 between engines — shift the
-    domain non-negative first (the kmeans OFFSET trick) if a corpus
-    can go negative; the suite's event values are strictly positive.
+    Negative-domain guard — ENFORCED (r5 verdict item #4): Spark's
+    `div` truncates toward zero while standard SQL `//` floors, so a
+    NEGATIVE trimmed sum would make trimmed_mean_cents differ by 1
+    between engines. Rather than a docstring-only caveat (the class the
+    r4/r5 verdicts flagged), any negative cent value now raises loudly
+    at execution time — a caller on a signed corpus must shift the
+    domain non-negative first (the kmeans OFFSET trick), making the
+    engine divergence impossible instead of latent.
     """
-    cents = F.round(F.col(value_col) * F.lit(100.0), 0).cast("long")
+    raw_cents = F.round(F.col(value_col) * F.lit(100.0), 0).cast("long")
+    cents = F.when(raw_cents >= 0, raw_cents).otherwise(
+        F.raise_error(F.concat(
+            F.lit(f"trimmed_mean_cents: negative value in {value_col} ("),
+            raw_cents.cast("string"),
+            F.lit(" cents) — div/floor semantics diverge between engines"
+                  " on negative sums; offset the domain non-negative"
+                  " first"))))
     w = Window.partitionBy(*key_cols).orderBy(F.col("__c"),
                                               F.col(order_col))
     ranked = (df.select(*[F.col(c) for c in key_cols],

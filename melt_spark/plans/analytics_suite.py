@@ -1018,7 +1018,9 @@ exact AS (
   GROUP BY 1, 2
 )
 SELECT e.ka, e.kb, e.j_num, e.n_union_mins, e.union_est,
-       CAST((e.j_num * e.union_est) // 16 AS BIGINT) AS inter_est,
+       CAST(CASE WHEN e.n_union_mins < 16 THEN e.j_num
+                 ELSE (e.j_num * e.union_est) // 16 END AS BIGINT)
+         AS inter_est,
        CAST(coalesce(x.exact_inter, 0) AS BIGINT) AS exact_inter
 FROM est e LEFT JOIN exact x ON x.ka = e.ka AND x.kb = e.kb
 """
@@ -1229,39 +1231,36 @@ typos AS (
            AS t_name
   FROM cust
 ),
-lg AS (
+-- sentinel padding (Gravano et al.'s own formulation, the r5 ADVICE
+-- fix): q-1 begin/end markers so strings shorter than q still gram.
+-- The Spark side's prefix filter + short-string direct path generate a
+-- candidate SUPERSET of every pair passing the final predicates, so
+-- the oracle states the SEMANTICS directly: all pairs with
+-- levenshtein <= 2 and the distinct-gram count bound — quadratic is
+-- fine at oracle scale (200 x 200)
+lp AS (
   SELECT t_id, t_name,
-         unnest(list_distinct(list_transform(
-           range(1, length(t_name) - 1),
-           i -> substr(t_name, i, 3)))) AS g
-  FROM typos WHERE length(t_name) >= 3
+         list_distinct(list_transform(
+           range(1, length(p) - 1), i -> substr(p, i, 3))) AS gl
+  FROM (SELECT t_id, t_name,
+               repeat(chr(1), 2) || t_name || repeat(chr(2), 2) AS p
+        FROM typos) t
 ),
-rg AS (
+rp AS (
   SELECT c_custkey, c_name,
-         unnest(list_distinct(list_transform(
-           range(1, length(c_name) - 1),
-           i -> substr(c_name, i, 3)))) AS g
-  FROM cust WHERE length(c_name) >= 3
-),
-shared AS (
-  SELECT lg.t_id, lg.t_name, rg.c_custkey, rg.c_name,
-         COUNT(*) AS shared_grams
-  FROM lg JOIN rg USING (g)
-  GROUP BY 1, 2, 3, 4
-),
-nl AS (SELECT t_id, COUNT(*) AS n_l FROM lg GROUP BY 1),
-nr AS (SELECT c_custkey, COUNT(*) AS n_r FROM rg GROUP BY 1),
-cand AS (
-  SELECT s.* FROM shared s
-  JOIN nl ON nl.t_id = s.t_id
-  JOIN nr ON nr.c_custkey = s.c_custkey
-  WHERE s.shared_grams >= greatest(nl.n_l, nr.n_r) - 6
+         list_distinct(list_transform(
+           range(1, length(p) - 1), i -> substr(p, i, 3))) AS gr
+  FROM (SELECT c_custkey, c_name,
+               repeat(chr(1), 2) || c_name || repeat(chr(2), 2) AS p
+        FROM cust) t
 ),
 verified AS (
-  SELECT t_id, c_custkey, shared_grams,
+  SELECT t_id, c_custkey,
+         CAST(len(list_intersect(gl, gr)) AS BIGINT) AS shared_grams,
          CAST(levenshtein(t_name, c_name) AS INT) AS lev
-  FROM cand
+  FROM lp, rp
   WHERE levenshtein(t_name, c_name) <= 2
+    AND len(list_intersect(gl, gr)) >= greatest(len(gl), len(gr)) - 6
 ),
 ranked AS (
   SELECT *,
@@ -1613,7 +1612,9 @@ exact AS (
                                 SELECT user_id FROM bu) t) AS exact_union
 )
 SELECT j_num, n_union_mins, union_est,
-       CAST((j_num * union_est) // 16 AS BIGINT) AS inter_est,
+       CAST(CASE WHEN n_union_mins < 16 THEN j_num
+                 ELSE (j_num * union_est) // 16 END AS BIGINT)
+         AS inter_est,
        CAST(exact_inter AS BIGINT) AS exact_inter,
        CAST(exact_union AS BIGINT) AS exact_union
 FROM est, exact

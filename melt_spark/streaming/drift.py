@@ -39,9 +39,17 @@ def bin_counts(df: DataFrame, value_col: str, bin_width: float,
                n_bins: int) -> DataFrame:
     """(bin, n): fixed-width histogram counts with the final bin catching
     the right tail — the mergeable sufficient statistic of PSI. Same
-    binning expression as q_psi_drift."""
-    b = (F.least(F.floor(F.col(value_col) / bin_width),
-                 F.lit(n_bins - 1)).cast("int"))
+    binning expression as q_psi_drift.
+
+    Both tails clamp (r5 ADVICE fix): negative values floor into bin 0
+    just as the right tail folds into the last bin. Without the lower
+    clamp, bin < 0 rows Python-wrapped into the LAST bin in
+    merge_into's acc[r.bin] while counts_vector silently dropped them —
+    the streaming and batch vectors diverged exactly where this module
+    claims bit-identical equality."""
+    b = (F.greatest(F.lit(0),
+                    F.least(F.floor(F.col(value_col) / bin_width),
+                            F.lit(n_bins - 1))).cast("int"))
     return (df.select(b.alias("bin"))
             .groupBy("bin").agg(F.count(F.lit(1)).alias("n")))
 

@@ -1,0 +1,58 @@
+"""The bench artifact contract (round-5 verdict item #1).
+
+Round 5's bench line — 84 queries, raw runs, constituent blocks — grew
+past the driver's bounded stdout tail capture, and BENCH_r05.json came
+back `parsed: null`: a green round whose bench signal was lost. The
+contract now is ONE compact stdout line (headline + the 13 per-headliner
+seconds) with everything else in docs/BENCH_DETAIL.json. These tests pin
+the line's byte budget at its worst case and the registry binding of the
+extended groups, without starting Spark.
+"""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def test_compact_line_fits_budget_worst_case():
+    # worst case: every headliner present with a wide timing value, sf a
+    # long string, errors present
+    timings = {name: 12345.678 for name, _fn in bench.BENCH_QUERIES}
+    line = bench.compact_line(99999.999, "0.001", timings, n_errors=99)
+    n = len(line.encode())
+    assert n <= bench.MAX_STDOUT_BYTES, f"{n}B > {bench.MAX_STDOUT_BYTES}B"
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_total"
+    assert parsed["value"] == 99999.999
+    assert set(parsed["queries"]) == {n for n, _ in bench.BENCH_QUERIES}
+
+
+def test_compact_line_is_single_line_json():
+    timings = {name: 1.0 for name, _fn in bench.BENCH_QUERIES}
+    line = bench.compact_line(13.0, 0.1, timings, n_errors=0)
+    assert "\n" not in line
+    assert json.loads(line)["queries"]["tpch_q1"] == 1.0
+
+
+def test_extended_groups_resolve_via_registry():
+    # a renamed constituent must fail LOUDLY here, not silently drop out
+    # of the bench surface (round-5 verdict item #8)
+    ext = bench.extended_queries()
+    names = [n for n, _ in ext]
+    assert len(names) == len(set(names)), "duplicate bench names"
+    for _name, fn in ext:
+        assert callable(fn)
+    # the three non-registry wrappers stay on the surface
+    for extra in ("udtf_envelope", "stream_broker_sync", "stream_enriched"):
+        assert extra in names
+
+
+def test_constituent_groups_resolve_via_registry():
+    from melt_spark.plans.registry import constituents
+
+    reg = constituents()
+    for entry, names in bench.CONSTITUENT_GROUPS.items():
+        for n in names:
+            assert n in reg, f"{entry}: {n} not in registry"
