@@ -112,7 +112,14 @@ def nb_classify(docs: DataFrame, model: DataFrame, labels: DataFrame,
     desc, label asc on ties. Every input document gets a row; an empty
     document scores prior-only."""
     dt = _doc_tokens(docs, id_col, text_col)
-    seen = (dt.join(model, "h")
+    # model is the broadcast side BY CONSTRUCTION (|V| x |labels| rows —
+    # a text classifier model fits one machine by definition). Without
+    # the hint, Catalyst's post-explode size estimate undersells dt and
+    # builds the hash relation from the CORPUS side: the 64x probe
+    # showed the tiny model streamed through ONE task probing an 8M-row
+    # broadcast, 253 s single-threaded (docs/NB_FIXED_VOCAB.json — the
+    # real cause of the 78x super-linear row, not vocab growth).
+    seen = (dt.join(F.broadcast(model), "h")
             .groupBy("id", "label")
             .agg(F.sum(F.col("c_dt") * F.col("delta_nano")).alias("s")))
     lens = (docs.select(F.col(id_col).alias("id"))

@@ -208,7 +208,14 @@ def repeat_entropy_cols(text_col: str = "text") -> dict[str, Column]:
 
 def ngram_set(df: DataFrame, n: int = 3, text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:
-    """(id, ngram) — distinct word n-grams per document."""
+    """(id, ngram) — distinct word n-grams per document. spread_input
+    first: the explode + per-gram concat is the CPU-heavy stage, and on
+    a few-file input it would otherwise run at file parallelism (the
+    64x greedy_coverage probe spent 206 s in an 8-task explode stage on
+    a 32-core box — docs/AUDIT_CC_COVERAGE.json)."""
+    from .util import spread_input
+
+    df = spread_input(df, id_col)
     toks = F.split(F.col(text_col), " ")
     # same short-doc guard as _bigrams: sequence(1, <=0) would descend
     idx = F.when(F.size(toks) >= n,
@@ -520,7 +527,14 @@ def greedy_coverage(df: DataFrame, k: int = 3, n: int = 3,
     each round is then one anti-join against the covered-digest set
     (broadcastable: it holds at most k documents' grams) plus one
     map-side-combined count per doc. k rounds = k passes over the
-    digest table, never over the corpus text.
+    digest table, never over the corpus text. The covered set grows by
+    the pick's UNCOVERED grams (taken from the already-filtered avail
+    side), so rounds are disjoint and the set needs no distinct —
+    round-6 audit note: a residual-table variant (re-checkpoint the
+    shrinking gram table each round instead of re-filtering) was
+    measured WORSE at 64x (45.6x vs 39.7x — with k << corpus the
+    residual barely shrinks, so materializing it per round costs more
+    than the broadcast anti-join it saves; docs/AUDIT_CC_COVERAGE.json).
 
     Output: (pick, id, gain, covered_total) — gains are disjoint by
     construction, so the running sum IS the covered-universe size.
@@ -541,10 +555,14 @@ def greedy_coverage(df: DataFrame, k: int = 3, n: int = 3,
                 .select(F.lit(r).alias("pick"), "id", "gain")
                 .localCheckpoint(eager=True))
         picks.append(pick)
-        newly = (grams.join(pick.select("id"), "id", "left_semi")
+        if r == k:
+            break
+        # the pick's UNCOVERED grams (avail side, already filtered) —
+        # disjoint from `covered` by construction, union needs no distinct
+        newly = (avail.join(pick.select("id"), "id", "left_semi")
                  .select("g"))
         covered = (newly if covered is None
-                   else covered.unionByName(newly).distinct())
+                   else covered.unionByName(newly))
         covered = covered.localCheckpoint(eager=True)
     out = picks[0]
     for p in picks[1:]:

@@ -516,18 +516,22 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     for _ in range(max_iterations):
         neighbor_min = (edges.join(labels, edges.dst == labels.node)
                         .groupBy("src").agg(F.min("label").alias("nmin")))
-        new_labels = (labels.join(neighbor_min,
-                                  labels.node == neighbor_min.src, "left")
-                      .select(F.col("node"),
-                              F.least(F.col("label"),
-                                      F.coalesce("nmin", F.col("label")))
-                              .alias("label"))
-                      .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-                   .filter(F.col("n.label") != F.col("o.label"))
-                   .limit(1).count())
-        labels = new_labels
+        # convergence flag computed IN the propagation projection — the
+        # old old-vs-new labels join cost one extra shuffle join per
+        # round on top of the checkpoint; the flag rides the same rows
+        # and the changed-check becomes a scan of the materialized
+        # partitions (round-6 constant shave, the HITS-lesson audit)
+        stepped = (labels.join(neighbor_min,
+                               labels.node == neighbor_min.src, "left")
+                   .select(F.col("node"),
+                           F.least(F.col("label"),
+                                   F.coalesce("nmin", F.col("label")))
+                           .alias("label"),
+                           (F.coalesce("nmin", F.col("label"))
+                            < F.col("label")).alias("chg"))
+                   .localCheckpoint(eager=True))
+        changed = stepped.filter(F.col("chg")).limit(1).count()
+        labels = stepped.select("node", "label")
         if changed == 0:
             converged = True
             break
