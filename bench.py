@@ -84,7 +84,8 @@ BENCH_GROUPS_BY_NAME: dict[str, list[str]] = {
            "hits", "containment", "nb_classify", "ewma", "kmeans_outliers",
            "ppr", "winnow", "waterfill", "canonical_docs", "skew_report",
            "diversity", "leakage", "trimmed_mean", "match_quality"],
-    "r6": ["kmv_intersect", "kmv_overlap"],
+    "r6": ["kmv_intersect", "kmv_overlap", "kmv_difference",
+           "holt_trend", "ohlc_bars", "ab_test"],
 }
 
 EXTRA_QUERIES = [

@@ -370,3 +370,62 @@ def kmv_overlap_matrix(df: DataFrame, key_col: str, value_col: str,
                     F.when(F.col("n_union_mins") < k, F.col("j_num"))
                     .otherwise(F.expr(f"(j_num * union_est) div {k}"))
                     .cast("bigint").alias("inter_est")))
+
+
+def kmv_difference_estimate(a: DataFrame, b: DataFrame, value_col: str,
+                            k: int = DEFAULT_K) -> DataFrame:
+    """Theta-sketch-style set DIFFERENCE estimation (the a-not-b
+    operation of the Apache DataSketches theta family, same estimator
+    algebra as Beyer et al. SIGMOD 2007): within the union's k-min set,
+    the fraction of hashes present in A but NOT in B estimates
+    |A \\ B| / |A ∪ B|, so |A \\ B| ≈ d_ab/k · union_est. Completes the
+    KMV set algebra beside union (kmv merge) and intersection
+    (kmv_intersect_estimate) — the planner query for "how many NEW keys
+    does this batch add" / churn analysis, answered from two fixed-size
+    sketches instead of an anti-join over the full corpus.
+
+    One row: d_ab_num, d_ba_num (union-k-mins seen only in A / only in
+    B), n_union_mins, union_est, anotb_est, bnota_est — all floor()ed
+    integer math so the ESTIMATE itself oracle-checks bit-for-bit.
+
+    Exact regime (mirrors kmv_intersect_estimate's r5 ADVICE fix): when
+    n_union_mins < k the union k-min set IS the whole union, so the
+    directional counts are the exact difference sizes.
+    """
+    am = global_kmv_mins(a, value_col, k)
+    bm = global_kmv_mins(b, value_col, k)
+    union_mins = (am.unionByName(bm).distinct()
+                  .orderBy("h").limit(k))
+    in_a = am.withColumnRenamed("h", "ha")
+    in_b = bm.withColumnRenamed("h", "hb")
+    tagged = (union_mins
+              .join(in_a, union_mins["h"] == in_a["ha"], "left")
+              .join(in_b, union_mins["h"] == in_b["hb"], "left")
+              .select("h",
+                      (F.col("ha").isNotNull()
+                       & F.col("hb").isNull()).cast("int").alias("a_only"),
+                      (F.col("hb").isNotNull()
+                       & F.col("ha").isNull()).cast("int")
+                      .alias("b_only")))
+    agg = tagged.agg(F.count(F.lit(1)).alias("n_union_mins"),
+                     F.sum("a_only").alias("d_ab_num"),
+                     F.sum("b_only").alias("d_ba_num"),
+                     F.max("h").alias("kth"))
+    union_est = F.when(
+        F.col("n_union_mins") < k, F.col("n_union_mins")).otherwise(
+        F.floor(F.lit(float(k - 1)) * F.lit(_TWO48) / F.col("kth"))) \
+        .cast("bigint")
+    est = (agg.select(
+        F.col("d_ab_num").cast("bigint").alias("d_ab_num"),
+        F.col("d_ba_num").cast("bigint").alias("d_ba_num"),
+        F.col("n_union_mins").cast("bigint").alias("n_union_mins"),
+        union_est.alias("union_est")))
+    exact_branch = F.col("n_union_mins") < k
+    return est.select(
+        "d_ab_num", "d_ba_num", "n_union_mins", "union_est",
+        F.when(exact_branch, F.col("d_ab_num"))
+        .otherwise(F.expr(f"(d_ab_num * union_est) div {k}"))
+        .cast("bigint").alias("anotb_est"),
+        F.when(exact_branch, F.col("d_ba_num"))
+        .otherwise(F.expr(f"(d_ba_num * union_est) div {k}"))
+        .cast("bigint").alias("bnota_est"))

@@ -442,3 +442,61 @@ def trimmed_mean_cents(df: DataFrame, value_col: str,
                  F.sum("__c").cast("bigint").alias("trimmed_sum_cents"))
             .withColumn("trimmed_mean_cents",
                         F.expr("trimmed_sum_cents div n_kept")))
+
+
+def holt_int(df: DataFrame, ts_col: str, key_cols: list[str],
+             width: int) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing of per-key bucket
+    counts — Holt, "Forecasting seasonals and trends by exponentially
+    weighted moving averages" (1957; reprinted IJF 2004) — pinned to
+    alpha = beta = 1/2 where both recurrences collapse to exact halving:
+
+        l_1 = x_1, b_1 = 0
+        l_t = floor((x_t + l_{t-1} + b_{t-1}) / 2)
+        b_t = floor((l_t - l_{t-1} + b_{t-1}) / 2)
+
+    The trend b CAN go negative, so this deliberately does NOT use
+    integer `div` (Spark truncates toward zero, DuckDB floors — the
+    trimmed_mean trap): both engines compute floor(u / 2.0) on a
+    double, which is exact for |u| < 2^52 — far above any count this
+    touches. EWMA (level-only) beside it answers "where is the series";
+    Holt answers "where is it GOING": forecast_next = l + b is the
+    one-step-ahead forecast a capacity monitor alarms against.
+
+    Scale shape: identical to ewma_int/cusum — one map-side-combined
+    shuffle to per-key bucket counts, then a per-key array fold bounded
+    by span/width.
+
+    Output per key: n_buckets, level_final, trend_final, forecast_next.
+    """
+    keys = [F.col(c) for c in key_cols]
+    counts = (df.select(*keys, bucket_epoch(ts_col, width).alias("bucket"))
+              .groupBy(*key_cols, "bucket")
+              .agg(F.count(F.lit(1)).alias("x")))
+    per_key = (counts.groupBy(*key_cols)
+               .agg(F.count(F.lit(1)).alias("n_buckets"),
+                    F.array_sort(F.collect_list(F.struct("bucket", "x")))
+                    .alias("series")))
+    xs = F.transform(F.col("series"), lambda s: s["x"].cast("long"))
+    head = F.element_at(xs, 1)
+    tail = F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0)))
+
+    def _half(u):  # exact floor-halving on both engines (see docstring)
+        return F.floor(u / F.lit(2.0)).cast("long")
+
+    def step(acc, x):
+        lnew = _half(x + acc["l"] + acc["b"])
+        return F.struct(lnew.alias("l"),
+                        _half(lnew - acc["l"] + acc["b"]).alias("b"))
+
+    fold = F.aggregate(
+        tail,
+        F.struct(head.alias("l"), F.lit(0).cast("long").alias("b")),
+        step)
+    return (per_key.select(
+        *key_cols, F.col("n_buckets").cast("bigint").alias("n_buckets"),
+        fold["l"].alias("level_final"),
+        fold["b"].alias("trend_final"))
+        .withColumn("forecast_next",
+                    (F.col("level_final") + F.col("trend_final"))
+                    .cast("bigint")))

@@ -3685,6 +3685,269 @@ FROM pairs, n
 """
 
 
+# ---------------------------------------------------------------------------
+# round 6: KMV set difference, Holt trend forecast, OHLC bars, A/B z-test
+
+
+def q_kmv_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based set-DIFFERENCE estimation (functions/sketches.py
+    kmv_difference_estimate — the theta-sketch a-not-b operation):
+    |click users \\ signup users| and the reverse, each estimated from
+    two k=16 KMV sketches beside the exact anti-join controls. The churn
+    /new-keys planner query: answered from fixed-size sketches, never an
+    anti-join over the corpus."""
+    from ..functions.sketches import kmv_difference_estimate
+
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    signups = ev.filter(F.col("event_type") == "signup")
+    est = kmv_difference_estimate(clicks, signups, "user_id", k=16)
+    cu = clicks.select("user_id").distinct()
+    su = signups.select("user_id").distinct()
+    exact = (cu.join(su, "user_id", "left_anti")
+             .agg(F.count(F.lit(1)).alias("exact_anotb"))
+             .crossJoin(su.join(cu, "user_id", "left_anti")
+                        .agg(F.count(F.lit(1)).alias("exact_bnota"))))
+    return est.crossJoin(F.broadcast(exact))
+
+
+SQL_KMV_DIFFERENCE = f"""
+WITH ah AS (
+  SELECT DISTINCT {_hex12_sql("CAST(user_id AS VARCHAR)")} AS h
+  FROM events WHERE event_type = 'click'
+),
+bh AS (
+  SELECT DISTINCT {_hex12_sql("CAST(user_id AS VARCHAR)")} AS h
+  FROM events WHERE event_type = 'signup'
+),
+am AS (SELECT h FROM ah ORDER BY h LIMIT 16),
+bm AS (SELECT h FROM bh ORDER BY h LIMIT 16),
+um AS (SELECT DISTINCT h FROM (SELECT h FROM am UNION ALL
+                               SELECT h FROM bm) t
+       ORDER BY h LIMIT 16),
+tagged AS (
+  SELECT um.h,
+    CASE WHEN am.h IS NOT NULL AND bm.h IS NULL THEN 1 ELSE 0 END
+      AS a_only,
+    CASE WHEN bm.h IS NOT NULL AND am.h IS NULL THEN 1 ELSE 0 END
+      AS b_only
+  FROM um LEFT JOIN am ON am.h = um.h LEFT JOIN bm ON bm.h = um.h
+),
+agg AS (
+  SELECT CAST(SUM(a_only) AS BIGINT) AS d_ab_num,
+         CAST(SUM(b_only) AS BIGINT) AS d_ba_num,
+         CAST(COUNT(*) AS BIGINT) AS n_union_mins,
+         MAX(h) AS kth
+  FROM tagged
+),
+est AS (
+  SELECT d_ab_num, d_ba_num, n_union_mins,
+    CAST(CASE WHEN n_union_mins < 16 THEN n_union_mins
+              ELSE floor(15.0 * 281474976710656.0 / kth) END AS BIGINT)
+      AS union_est
+  FROM agg
+),
+cu AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+su AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'),
+exact AS (
+  SELECT (SELECT COUNT(*) FROM cu
+          WHERE user_id NOT IN (SELECT user_id FROM su)) AS exact_anotb,
+         (SELECT COUNT(*) FROM su
+          WHERE user_id NOT IN (SELECT user_id FROM cu)) AS exact_bnota
+)
+SELECT d_ab_num, d_ba_num, n_union_mins, union_est,
+       CAST(CASE WHEN n_union_mins < 16 THEN d_ab_num
+                 ELSE (d_ab_num * union_est) // 16 END AS BIGINT)
+         AS anotb_est,
+       CAST(CASE WHEN n_union_mins < 16 THEN d_ba_num
+                 ELSE (d_ba_num * union_est) // 16 END AS BIGINT)
+         AS bnota_est,
+       CAST(exact_anotb AS BIGINT) AS exact_anotb,
+       CAST(exact_bnota AS BIGINT) AS exact_bnota
+FROM est, exact
+"""
+
+
+def q_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (functions/timeseries.py
+    holt_int, alpha = beta = 1/2) over hourly per-event-type counts —
+    level AND trend, with the one-step-ahead forecast a capacity monitor
+    alarms against. Both recurrences are exact floor-halvings computed
+    as floor(u/2.0) on BOTH engines (the trend goes negative, so integer
+    div's truncate-vs-floor divergence is deliberately avoided)."""
+    from ..functions.timeseries import holt_int
+
+    events = read_table(spark, sf_dir, "events")
+    return holt_int(events, "ts", ["event_type"], 3600)
+
+
+SQL_HOLT_TREND = """
+WITH RECURSIVE counts AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS bucket,
+         COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, CAST(x AS BIGINT) AS x,
+         row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS i
+  FROM counts
+),
+c AS (
+  SELECT event_type, i, x AS l, CAST(0 AS BIGINT) AS b FROM r WHERE i = 1
+  UNION ALL
+  SELECT r.event_type, r.i,
+         CAST(floor((r.x + c.l + c.b) / 2.0) AS BIGINT),
+         CAST(floor((CAST(floor((r.x + c.l + c.b) / 2.0) AS BIGINT)
+                     - c.l + c.b) / 2.0) AS BIGINT)
+  FROM c JOIN r ON r.event_type = c.event_type AND r.i = c.i + 1
+),
+last_i AS (SELECT event_type, MAX(i) AS mi FROM r GROUP BY 1)
+SELECT c.event_type, CAST(m.mi AS BIGINT) AS n_buckets,
+       c.l AS level_final, c.b AS trend_final,
+       CAST(c.l + c.b AS BIGINT) AS forecast_next
+FROM c JOIN last_i m ON m.event_type = c.event_type AND c.i = m.mi
+"""
+
+
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars per (event_type, hour): open/close via
+    min_by/max_by over a zero-padded (epoch_us, event_id) string key —
+    the deterministic total order that makes first/last well-defined
+    under ties (DuckDB arg_min/arg_max accept VARCHAR ordering keys but
+    not ROWs, hence the lexicographic packing). The TimescaleDB
+    first()/last() time-bucket idiom; high/low/n ride along. One
+    map-side-combined shuffle — min_by/max_by are ordinary partial
+    aggregates, no window over the raw events."""
+    ev = read_table(spark, sf_dir, "events")
+    okey = F.concat_ws(
+        ":",
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"))
+    bucket = (F.floor(F.unix_timestamp("ts") / 3600) * 3600) \
+        .cast("bigint")
+    return (ev.groupBy("event_type", bucket.alias("bucket"))
+            .agg(F.min_by("value", okey).alias("open"),
+                 F.max("value").alias("high"),
+                 F.min("value").alias("low"),
+                 F.max_by("value", okey).alias("close"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+SQL_OHLC_BARS = """
+SELECT event_type,
+       CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS bucket,
+       arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                      || ':' ||
+                      lpad(CAST(event_id AS VARCHAR), 12, '0')) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                      || ':' ||
+                      lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test over a deterministic 50/50 experiment split
+    — the A/B-test readout every product-analytics engine ships. Cohort
+    = every user; conversion = "heavy buyer" (>= 14 purchase events, the
+    fixture's median purchase count, so both classes are populated at
+    every SF — the naive "did purchase" converts 100% of this synthetic
+    corpus and zeroes the pooled variance); variant = the 48-bit md5
+    fold of user_id mod 2 (the same portable hash as the KMV sketches,
+    so assignment is reproducible on any engine). Counts and rate_ppm
+    are exact integers; the pooled z-statistic is one sqrt + IEEE
+    divisions, rounded to micro units per the ln-fold discipline.
+
+    Scale shape: one map-side-combined per-user purchase count + one
+    distinct, joined on user_id, then a 2-row aggregate — nothing grows
+    with event volume except the combines."""
+    from ..functions.sketches import kmv_hash
+
+    ev = read_table(spark, sf_dir, "events")
+    pc = (ev.filter(F.col("event_type") == "purchase")
+          .groupBy("user_id").agg(F.count(F.lit(1)).alias("np")))
+    cohort = (ev.select("user_id").distinct()
+              .join(pc, "user_id", "left")
+              .select("user_id",
+                      (F.coalesce("np", F.lit(0)) >= 14).cast("int")
+                      .alias("conv"),
+                      (kmv_hash(F.col("user_id")) % 2).cast("int")
+                      .alias("variant")))
+    g = (cohort.groupBy("variant")
+         .agg(F.count(F.lit(1)).alias("n"), F.sum("conv").alias("c")))
+    one = g.agg(
+        F.sum(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.sum(F.when(F.col("variant") == 0, F.col("c"))).alias("c0"),
+        F.sum(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.sum(F.when(F.col("variant") == 1, F.col("c"))).alias("c1"))
+    p0 = F.col("c0") / F.col("n0")
+    p1 = F.col("c1") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
+    se = F.sqrt(pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1")))
+    z_micro = F.round((p0 - p1) / se * 1e6).cast("bigint")
+    wide = one.select("n0", "c0", "n1", "c1",
+                      z_micro.alias("z_micro"),
+                      (F.abs(z_micro) >= 1_960_000).cast("int")
+                      .alias("significant"))
+    return (wide.selectExpr(
+        "stack(2, 0, n0, c0, 1, n1, c1) AS (variant, n_exposed, n_conv)",
+        "z_micro", "significant")
+        .select(F.col("variant").cast("int"),
+                F.col("n_exposed").cast("bigint"),
+                F.col("n_conv").cast("bigint"),
+                F.expr("n_conv * 1000000 div n_exposed")
+                .alias("rate_ppm"),
+                "z_micro", "significant"))
+
+
+SQL_AB_TEST = f"""
+WITH au AS (SELECT DISTINCT user_id FROM events),
+pc AS (SELECT user_id, COUNT(*) AS np FROM events
+       WHERE event_type = 'purchase' GROUP BY 1),
+cohort AS (
+  SELECT au.user_id,
+         CASE WHEN COALESCE(pc.np, 0) >= 14 THEN 1 ELSE 0 END AS conv,
+         CAST({_hex12_sql("CAST(au.user_id AS VARCHAR)")} % 2 AS INT)
+           AS variant
+  FROM au LEFT JOIN pc ON pc.user_id = au.user_id
+),
+g AS (SELECT variant, COUNT(*) AS n, SUM(conv) AS c
+      FROM cohort GROUP BY 1),
+one AS (
+  SELECT SUM(CASE WHEN variant = 0 THEN n END) AS n0,
+         SUM(CASE WHEN variant = 0 THEN c END) AS c0,
+         SUM(CASE WHEN variant = 1 THEN n END) AS n1,
+         SUM(CASE WHEN variant = 1 THEN c END) AS c1
+  FROM g
+),
+wide AS (
+  SELECT n0, c0, n1, c1,
+    CAST(round((CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+         / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                * (1.0 / n0 + 1.0 / n1)) * 1e6) AS BIGINT) AS z_micro
+  FROM one
+)
+SELECT CAST(v.variant AS INT) AS variant,
+       CAST(CASE WHEN v.variant = 0 THEN n0 ELSE n1 END AS BIGINT)
+         AS n_exposed,
+       CAST(CASE WHEN v.variant = 0 THEN c0 ELSE c1 END AS BIGINT)
+         AS n_conv,
+       CAST((CASE WHEN v.variant = 0 THEN c0 ELSE c1 END) * 1000000
+            // (CASE WHEN v.variant = 0 THEN n0 ELSE n1 END) AS BIGINT)
+         AS rate_ppm,
+       z_micro,
+       CAST(CASE WHEN abs(z_micro) >= 1960000 THEN 1 ELSE 0 END AS INT)
+         AS significant
+FROM wide CROSS JOIN (VALUES (0), (1)) AS v(variant)
+"""
+
+
 ANALYTICS_SUITE: dict[str, tuple] = {
     "topk_orders_per_customer": (q_topk_orders_per_customer, SQL_TOPK_ORDERS),
     "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
@@ -3713,6 +3976,10 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "triangles": (q_triangles, SQL_TRIANGLES),
     "bloom_filter": (q_bloom_filter, SQL_BLOOM_FILTER),
     "kmv_intersect": (q_kmv_intersect, SQL_KMV_INTERSECT),
+    "kmv_difference": (q_kmv_difference, SQL_KMV_DIFFERENCE),
+    "holt_trend": (q_holt_trend, SQL_HOLT_TREND),
+    "ohlc_bars": (q_ohlc_bars, SQL_OHLC_BARS),
+    "ab_test": (q_ab_test, SQL_AB_TEST),
     "cusum_monitor": (q_cusum_monitor, SQL_CUSUM_MONITOR),
     "ewma": (q_ewma, SQL_EWMA),
     "skew_report": (q_skew_report, SQL_SKEW_REPORT),

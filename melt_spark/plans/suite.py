@@ -2503,6 +2503,24 @@ SUITE: dict[str, tuple] = {
          " CAST(ewma_final AS DOUBLE) AS v1,"
          " CAST(ewma_max AS DOUBLE) + CAST(n_buckets AS DOUBLE)"
          " * 1000000.0 AS v2"),
+        # r6: Holt double-exponential smoothing — level + trend + the
+        # one-step forecast (functions/timeseries.py holt_int); the
+        # trend can be negative, so both engines use exact floor(u/2.0)
+        # halving, never integer div
+        (ANALYTICS_SUITE["holt_trend"],
+         lambda df: df.selectExpr(
+             "event_type",
+             "stack(2, 'holt_lvl', CAST(level_final AS DOUBLE),"
+             " CAST(trend_final AS DOUBLE), 'holt_fc',"
+             " CAST(forecast_next AS DOUBLE),"
+             " CAST(n_buckets AS DOUBLE)) AS (kind, v1, v2)")
+         .select("kind", F.col("event_type").alias("key"), "v1", "v2"),
+         "SELECT unnest(['holt_lvl', 'holt_fc']) AS kind,"
+         " event_type AS key,"
+         " unnest([CAST(level_final AS DOUBLE),"
+         " CAST(forecast_next AS DOUBLE)]) AS v1,"
+         " unnest([CAST(trend_final AS DOUBLE),"
+         " CAST(n_buckets AS DOUBLE)]) AS v2"),
     ),
     # -- set ops: anti-join (NOT EXISTS) + UNION entity sets
     "set_operations": merged(
@@ -2596,6 +2614,28 @@ SUITE: dict[str, tuple] = {
          " event_type AS l_linestatus, -1 AS g_rf, -1 AS g_ls,"
          " twa AS sum_price, n_points AS n,"
          " CAST(span_us AS DOUBLE) AS max_v"),
+        # r6: OHLC candlestick bars (TimescaleDB first()/last() idiom) —
+        # open/close ride one row (oc|bucket), high/low the other
+        # (hl|bucket); the deterministic (epoch_us, event_id) total
+        # order makes first/last tie-free
+        (ANALYTICS_SUITE["ohlc_bars"],
+         lambda df: df.selectExpr(
+             "event_type", "bucket", "n",
+             "stack(2, 'oc', open, close, 'hl', high, low)"
+             " AS (half, va, vb)")
+         .select(F.lit("ohlc").alias("kind"),
+                 F.concat_ws("|", "half",
+                             F.col("bucket").cast("string"))
+                 .alias("l_returnflag"),
+                 F.col("event_type").alias("l_linestatus"),
+                 F.lit(-1).alias("g_rf"), F.lit(-1).alias("g_ls"),
+                 F.col("va").alias("sum_price"), "n",
+                 F.col("vb").alias("max_v")),
+         "SELECT 'ohlc' AS kind, unnest(['oc', 'hl']) || '|' ||"
+         " CAST(bucket AS VARCHAR) AS l_returnflag,"
+         " event_type AS l_linestatus, -1 AS g_rf, -1 AS g_ls,"
+         " unnest([open, high]) AS sum_price, n,"
+         " unnest([close, low]) AS max_v"),
     ),
     # -- TPC-H shapes, grouped by output geometry (see docs/SUITE_MAP.md)
     "tpch_revenue_groups": merged(
@@ -2837,6 +2877,23 @@ SUITE: dict[str, tuple] = {
              F.col("n")),
          "SELECT 'weekday' AS kind, part || '|' || event_type || '|' ||"
          " CAST(isodow AS VARCHAR) AS key, n"),
+        # r6: two-proportion z-test over the deterministic 50/50 hash
+        # split — the A/B readout; counts/rate are exact integers, the
+        # z-statistic rides the key (micro units, ln-fold discipline)
+        (ANALYTICS_SUITE["ab_test"],
+         lambda df: df.select(
+             F.lit("ab").alias("kind"),
+             F.concat_ws("|", F.col("variant").cast("string"),
+                         F.col("z_micro").cast("string"),
+                         F.col("significant").cast("string"),
+                         F.col("rate_ppm").cast("string")).alias("key"),
+             (F.col("n_exposed") * 1_000_000 + F.col("n_conv"))
+             .alias("n")),
+         "SELECT 'ab' AS kind, CAST(variant AS VARCHAR) || '|' ||"
+         " CAST(z_micro AS VARCHAR) || '|' ||"
+         " CAST(significant AS VARCHAR) || '|' ||"
+         " CAST(rate_ppm AS VARCHAR) AS key,"
+         " n_exposed * 1000000 + n_conv AS n"),
     ),
     # as-of + range join: the two temporal-join operators share one entry
     # (harmonized: event_id, user_id, a reference event id, a double value)
@@ -2930,6 +2987,20 @@ SUITE: dict[str, tuple] = {
              F.col("union_est").alias("n")),
          "SELECT 'overlap' AS kind, ka || '&' || kb AS key,"
          " inter_est AS a, exact_inter AS b, union_est AS n"),
+        # r6: theta-sketch-style a-not-b — directional set-difference
+        # estimates beside the exact anti-join controls; completes the
+        # KMV set algebra (union / intersect / difference)
+        (ANALYTICS_SUITE["kmv_difference"],
+         lambda df: df.selectExpr(
+             "stack(2, 'anotb', anotb_est, exact_anotb, d_ab_num,"
+             " 'bnota', bnota_est, exact_bnota, d_ba_num)"
+             " AS (key, a, b, n)")
+         .select(F.lit("kmvdiff").alias("kind"), "key", "a", "b", "n"),
+         "SELECT 'kmvdiff' AS kind,"
+         " unnest(['anotb', 'bnota']) AS key,"
+         " unnest([anotb_est, bnota_est]) AS a,"
+         " unnest([exact_anotb, exact_bnota]) AS b,"
+         " unnest([d_ab_num, d_ba_num]) AS n"),
     ),
     # -- percentiles + deterministic math + embedding norms (all-double row)
     "numeric_profiles": merged(

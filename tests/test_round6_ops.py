@@ -1,0 +1,145 @@
+"""Round-6 operator tests: KMV set difference, Holt trend, OHLC bars,
+A/B z-test. Each pins SEMANTICS (known-answer fixtures) beyond the
+oracle hash match the driver records.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# --- KMV a-not-b -----------------------------------------------------------
+
+def test_kmv_difference_exact_regime(spark):
+    """Small disjoint-ish sets: union fits in the sketch, so the
+    directional estimates are exact set-difference sizes."""
+    from melt_spark.functions.sketches import kmv_difference_estimate
+
+    a = spark.createDataFrame([(v,) for v in "abcdef"], ["v"])
+    b = spark.createDataFrame([(v,) for v in "defghi"], ["v"])
+    row = kmv_difference_estimate(a, b, "v", k=16).collect()[0]
+    assert row.n_union_mins == 9
+    assert row.d_ab_num == 3 and row.d_ba_num == 3
+    assert row.anotb_est == 3 and row.bnota_est == 3
+
+
+def test_kmv_difference_identical_sets(spark):
+    from melt_spark.functions.sketches import kmv_difference_estimate
+
+    a = spark.createDataFrame([(v,) for v in "abcde"], ["v"])
+    row = kmv_difference_estimate(a, a, "v", k=16).collect()[0]
+    assert row.anotb_est == 0 and row.bnota_est == 0
+
+
+def test_kmv_difference_estimate_regime_is_sane(spark):
+    """Above-k regime: 200 vs 150 overlapping ints — the estimate must
+    land within a loose factor of truth (k=16 sketches are coarse; the
+    point is the estimator algebra, which the oracle pins exactly)."""
+    from melt_spark.functions.sketches import kmv_difference_estimate
+
+    a = spark.createDataFrame([(i,) for i in range(200)], ["v"])
+    b = spark.createDataFrame([(i,) for i in range(100, 250)], ["v"])
+    row = kmv_difference_estimate(a, b, "v", k=16).collect()[0]
+    assert row.n_union_mins == 16
+    # truth: |A\B| = 100, |B\A| = 50, union = 250
+    assert 0 < row.anotb_est < 400
+    assert row.union_est > 100
+
+
+# --- Holt linear trend -----------------------------------------------------
+
+def _holt_ref(xs):
+    l, b = xs[0], 0
+    for x in xs[1:]:
+        ln = math.floor((x + l + b) / 2.0)
+        b = math.floor((ln - l + b) / 2.0)
+        l = ln
+    return l, b
+
+
+def test_holt_matches_plain_python_fold(spark):
+    from melt_spark.functions.timeseries import holt_int
+
+    rows = [("a", i * 3600) for i in range(8) for _ in range(i + 1)]
+    df = spark.createDataFrame(rows, ["k", "epoch"]).select(
+        "k", F.timestamp_seconds("epoch").alias("ts"))
+    out = holt_int(df, "ts", ["k"], 3600).collect()[0]
+    l, b = _holt_ref([i + 1 for i in range(8)])
+    assert out.level_final == l
+    assert out.trend_final == b
+    assert out.forecast_next == l + b
+
+
+def test_holt_negative_trend_floor_semantics(spark):
+    """A decaying series drives the trend negative — the recurrence must
+    FLOOR (not truncate toward zero), the div-vs-floor engine trap."""
+    from melt_spark.functions.timeseries import holt_int
+
+    counts = [64, 32, 16, 8, 4, 2, 1, 1]
+    rows = [("d", i * 3600) for i, c in enumerate(counts)
+            for _ in range(c)]
+    df = spark.createDataFrame(rows, ["k", "epoch"]).select(
+        "k", F.timestamp_seconds("epoch").alias("ts"))
+    out = holt_int(df, "ts", ["k"], 3600).collect()[0]
+    l, b = _holt_ref(counts)
+    assert b < 0, "fixture must exercise the negative-trend branch"
+    assert (out.level_final, out.trend_final) == (l, b)
+
+
+# --- OHLC bars -------------------------------------------------------------
+
+def test_ohlc_open_close_deterministic_under_ts_ties(spark):
+    """Two events in the same microsecond: event_id breaks the tie, so
+    open/close are well-defined."""
+    from melt_spark.plans.analytics_suite import q_ohlc_bars
+
+    bars = q_ohlc_bars(spark, SF_DIR)
+    r = bars.orderBy("event_type", "bucket").first()
+    assert r.low <= r.open <= r.high
+    assert r.low <= r.close <= r.high
+    assert r.n >= 1
+
+
+def test_ohlc_single_event_bar_collapses(spark):
+    from melt_spark.plans.analytics_suite import q_ohlc_bars
+
+    ones = q_ohlc_bars(spark, SF_DIR).filter(F.col("n") == 1)
+    bad = ones.filter((F.col("open") != F.col("close"))
+                      | (F.col("high") != F.col("low"))
+                      | (F.col("open") != F.col("high"))).count()
+    assert bad == 0
+
+
+# --- A/B z-test ------------------------------------------------------------
+
+def test_ab_test_counts_are_a_partition(spark):
+    """The two variants partition the cohort; rates are exact ppm."""
+    from melt_spark.plans.analytics_suite import q_ab_test
+    from melt_spark.sources.parquet import read_table
+
+    rows = {r.variant: r for r in q_ab_test(spark, SF_DIR).collect()}
+    assert set(rows) == {0, 1}
+    n_users = (read_table(spark, SF_DIR, "events")
+               .select("user_id").distinct().count())
+    assert rows[0].n_exposed + rows[1].n_exposed == n_users
+    for r in rows.values():
+        assert 0 <= r.n_conv <= r.n_exposed
+        assert r.rate_ppm == r.n_conv * 1_000_000 // r.n_exposed
+    assert rows[0].z_micro == rows[1].z_micro
+
+
+def test_ab_test_z_matches_closed_form(spark):
+    from melt_spark.plans.analytics_suite import q_ab_test
+
+    rows = {r.variant: r for r in q_ab_test(spark, SF_DIR).collect()}
+    n0, c0 = rows[0].n_exposed, rows[0].n_conv
+    n1, c1 = rows[1].n_exposed, rows[1].n_conv
+    pp = (c0 + c1) / (n0 + n1)
+    se = math.sqrt(pp * (1 - pp) * (1 / n0 + 1 / n1))
+    z = (c0 / n0 - c1 / n1) / se
+    assert rows[0].z_micro == round(z * 1e6)
+    assert rows[0].significant == int(abs(rows[0].z_micro) >= 1_960_000)
