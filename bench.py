@@ -85,7 +85,8 @@ BENCH_GROUPS_BY_NAME: dict[str, list[str]] = {
            "ppr", "winnow", "waterfill", "canonical_docs", "skew_report",
            "diversity", "leakage", "trimmed_mean", "match_quality"],
     "r6": ["kmv_intersect", "kmv_overlap", "kmv_difference",
-           "holt_trend", "ohlc_bars", "ab_test"],
+           "holt_trend", "ohlc_bars", "ab_test", "lpa_communities",
+           "random_walks"],
 }
 
 EXTRA_QUERIES = [

@@ -529,3 +529,108 @@ def ppr_int(edges: DataFrame, seeds: list[int], iters: int = 3,
                                     f" div {DAMP_DEN}"))
                           .cast("bigint").alias("score")))
     return scores
+
+
+def lpa_communities(pairs: DataFrame, a: str, b: str,
+                    rounds: int = 3) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert, Kumara, "Near linear time algorithm to detect community
+    structures in large-scale networks", Phys. Rev. E 2007), made
+    DETERMINISTIC: every node simultaneously adopts the most frequent
+    label among its neighbors, ties broken toward the SMALLEST label —
+    no randomized visit order, so the result is engine-independent and
+    the oracle can unroll the same rounds as CTEs (the pagerank/kcore
+    contract; round count pinned, convergence checked by the caller
+    comparing round r to r-1 if certification is needed).
+
+    Spark-first shape per round: one equi-join (edges ⋈ labels on the
+    source endpoint) + one (node, label) count aggregation + one argmax
+    aggregation — the argmax is max(struct(cnt, -label)), a plain
+    partial-aggregable max, NOT a window over the neighbor table. The
+    label table localCheckpoints per round so the unrolled lineage
+    stays flat (the HITS 178→4 exchange lesson). At 100 TB: each round
+    shuffles (node, label, cnt) triples bounded by the edge count, and
+    the label state is one (node, bigint) row per vertex.
+
+    Output: (node, community) after `rounds` synchronous updates.
+    """
+    und = (pairs.select(F.least(F.col(a), F.col(b)).alias("u"),
+                        F.greatest(F.col(a), F.col(b)).alias("v"))
+           .filter(F.col("u") != F.col("v")).distinct())
+    edges = (und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+             .unionByName(
+                 und.select(F.col("v").alias("src"),
+                            F.col("u").alias("dst")))
+             .localCheckpoint(eager=True))
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    for _ in range(rounds):
+        neigh = (edges.join(labels.withColumnRenamed("node", "src"),
+                            "src")
+                 .groupBy(F.col("dst").alias("node"), "label")
+                 .agg(F.count(F.lit(1)).alias("cnt")))
+        best = (neigh.groupBy("node")
+                .agg(F.max(F.struct(F.col("cnt"),
+                                    (-F.col("label")).alias("nl")))
+                     .alias("m"))
+                .select("node", (-F.col("m.nl")).alias("label")))
+        labels = best.localCheckpoint(eager=True)
+    return labels.select("node", F.col("label").alias("community"))
+
+
+def random_walks(pairs: DataFrame, a: str, b: str,
+                 steps: int = 3) -> DataFrame:
+    """Deterministic DeepWalk/node2vec-style walk generation (Perozzi,
+    Al-Rfou, Skiena, "DeepWalk: online learning of social
+    representations", KDD 2014): one walk per vertex, `steps` hops, the
+    next hop from node n at step t being the neighbor m minimizing the
+    portable 48-bit md5 fold of "n:t:m" — a hash-seeded uniform choice
+    that is reproducible on any engine (the corpus for training graph
+    embeddings, generated without any RNG state).
+
+    Spark-first shape per step: one equi-join (frontier ⋈ edges on the
+    current node) + one argmin aggregation (min over (hash, dst) — a
+    partial-aggregable min, no window). Walk count = |V| and each walk
+    holds ONE current node, so the join's left side never grows; the
+    hub-skew exposure is walks-resting-on-a-hub × hub degree, the same
+    class PPR/Adamic-Adar carry and bounded the same way (salt the hub
+    side if a probe shows it).
+
+    Output: (start, n1, .., n_steps) — one row per start vertex; dead
+    ends (no neighbor) terminate the walk and carry -1 thereafter
+    (cannot happen on a symmetrized edge list, but the contract is
+    total).
+    """
+    from .sketches import kmv_hash
+
+    und = (pairs.select(F.least(F.col(a), F.col(b)).alias("u"),
+                        F.greatest(F.col(a), F.col(b)).alias("v"))
+           .filter(F.col("u") != F.col("v")).distinct())
+    edges = (und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+             .unionByName(
+                 und.select(F.col("v").alias("src"),
+                            F.col("u").alias("dst")))
+             .localCheckpoint(eager=True))
+    walks = (edges.select(F.col("src").alias("start")).distinct()
+             .withColumn("cur", F.col("start")))
+    hops: list[str] = []
+    for t in range(1, steps + 1):
+        h = kmv_hash(F.concat_ws(":", F.col("src").cast("string"),
+                                 F.lit(str(t)),
+                                 F.col("dst").cast("string")))
+        step = (walks.join(edges, walks["cur"] == edges["src"], "left")
+                .groupBy("start")
+                .agg(F.min(F.struct(h.alias("h"),
+                                    F.col("dst").alias("d"))).alias("m")))
+        col = f"n{t}"
+        walks = (step.select(
+            "start", F.coalesce(F.col("m.d"), F.lit(-1)).alias(col))
+            .withColumn("cur", F.col(col))
+            .localCheckpoint(eager=True))
+        # accumulate the path columns (|V|-row equi-joins, flat lineage)
+        hops.append(col)
+        if t == 1:
+            path = walks.select("start", col)
+        else:
+            path = path.join(walks.select("start", col), "start")
+    return path.select("start", *hops)

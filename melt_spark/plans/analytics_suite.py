@@ -3686,6 +3686,101 @@ FROM pairs, n
 
 
 # ---------------------------------------------------------------------------
+# round 6: graph — label-propagation communities, deterministic walks
+
+_GRAPH_EDGES_SQL = """
+pairs AS MATERIALIZED (
+  SELECT DISTINCT least(o_custkey, 1000000 + l_suppkey) AS u,
+         greatest(o_custkey, 1000000 + l_suppkey) AS v
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE o_custkey <> 1000000 + l_suppkey
+),
+edges AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM pairs
+  UNION ALL SELECT v AS src, u AS dst FROM pairs
+)"""
+
+
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation (functions/graph.py
+    lpa_communities, Raghavan et al. 2007) over the customer↔supplier
+    bipartite graph, 3 unrolled rounds — the near-linear community
+    detector beside the exact CC clusters: every node adopts its
+    neighborhood's majority label, ties to the smallest label, so the
+    result is engine-independent and the oracle unrolls the same
+    rounds."""
+    from ..functions.graph import lpa_communities
+
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    pairs = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+             .select(F.col("o_custkey").alias("a"),
+                     (F.lit(1_000_000) + F.col("l_suppkey")).alias("b"))
+             .distinct())
+    return lpa_communities(pairs, "a", "b", rounds=3)
+
+
+def _lpa_sql(rounds: int = 3) -> str:
+    ctes = [_GRAPH_EDGES_SQL,
+            "l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)"]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""c{r} AS (
+  SELECT e.dst AS node, l.label, COUNT(*) AS cnt
+  FROM edges e JOIN l{r - 1} l ON l.node = e.src GROUP BY 1, 2
+),
+l{r} AS MATERIALIZED (
+  SELECT node, label FROM c{r}
+  QUALIFY row_number() OVER (PARTITION BY node
+                             ORDER BY cnt DESC, label) = 1
+)""")
+    return (f"WITH {','.join(ctes)}\n"
+            f"SELECT node, CAST(label AS BIGINT) AS community FROM "
+            f"l{rounds}")
+
+
+SQL_LPA_COMMUNITIES = _lpa_sql()
+
+
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DeepWalk-style walk corpus (functions/graph.py
+    random_walks, Perozzi et al. KDD 2014): one 3-hop walk per vertex of
+    the customer↔supplier graph, each hop the neighbor minimizing the
+    portable 48-bit md5 fold of "cur:step:next" — RNG-free, so the walk
+    corpus (the training data for graph embeddings) is reproducible on
+    any engine and oracle-checkable."""
+    from ..functions.graph import random_walks
+
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    pairs = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+             .select(F.col("o_custkey").alias("a"),
+                     (F.lit(1_000_000) + F.col("l_suppkey")).alias("b"))
+             .distinct())
+    return random_walks(pairs, "a", "b", steps=3)
+
+
+def _walks_sql(steps: int = 3) -> str:
+    ctes = [_GRAPH_EDGES_SQL,
+            "w0 AS (SELECT DISTINCT src AS start, src AS cur FROM edges)"]
+    for t in range(1, steps + 1):
+        h = _hex12_sql("CAST(e.src AS VARCHAR) || ':' || "
+                       f"'{t}' || ':' || CAST(e.dst AS VARCHAR)")
+        prev_cols = ", ".join(f"w.n{i}" for i in range(1, t))
+        sel = f"w.start{', ' + prev_cols if prev_cols else ''}"
+        ctes.append(f"""w{t} AS MATERIALIZED (
+  SELECT {sel}, e.dst AS n{t}, e.dst AS cur
+  FROM w{t - 1} w JOIN edges e ON e.src = w.cur
+  QUALIFY row_number() OVER (PARTITION BY w.start
+                             ORDER BY {h}, e.dst) = 1
+)""")
+    cols = ", ".join(f"n{t}" for t in range(1, steps + 1))
+    return f"WITH {','.join(ctes)}\nSELECT start, {cols} FROM w{steps}"
+
+
+SQL_RANDOM_WALKS = _walks_sql()
+
+
+# ---------------------------------------------------------------------------
 # round 6: KMV set difference, Holt trend forecast, OHLC bars, A/B z-test
 
 
@@ -3977,6 +4072,8 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "bloom_filter": (q_bloom_filter, SQL_BLOOM_FILTER),
     "kmv_intersect": (q_kmv_intersect, SQL_KMV_INTERSECT),
     "kmv_difference": (q_kmv_difference, SQL_KMV_DIFFERENCE),
+    "lpa_communities": (q_lpa_communities, SQL_LPA_COMMUNITIES),
+    "random_walks": (q_random_walks, SQL_RANDOM_WALKS),
     "holt_trend": (q_holt_trend, SQL_HOLT_TREND),
     "ohlc_bars": (q_ohlc_bars, SQL_OHLC_BARS),
     "ab_test": (q_ab_test, SQL_AB_TEST),

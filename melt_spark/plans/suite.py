@@ -2014,6 +2014,25 @@ SUITE: dict[str, tuple] = {
                               .cast("bigint").alias("val")),
          "SELECT 'canon' AS kind, doc_id AS id,"
          " CAST(cluster_id * 2 + keep AS BIGINT) AS val"),
+        # r6: deterministic synchronous label propagation — the
+        # near-linear community detector beside the exact CC clusters
+        (ANALYTICS_SUITE["lpa_communities"],
+         lambda df: df.select(F.lit("lpa").alias("kind"),
+                              F.col("node").alias("id"),
+                              F.col("community").alias("val")),
+         "SELECT 'lpa' AS kind, node AS id, community AS val"),
+        # r6: hash-deterministic DeepWalk corpus — val packs the 3-hop
+        # path (node ids < 2^21 on this graph: custkey < 2^21,
+        # 1e6+suppkey < 2^21)
+        (ANALYTICS_SUITE["random_walks"],
+         lambda df: df.select(
+             F.lit("walk").alias("kind"),
+             F.col("start").alias("id"),
+             ((F.col("n1") * F.lit(2097152) + F.col("n2"))
+              * F.lit(2097152) + F.col("n3")).cast("bigint")
+             .alias("val")),
+         "SELECT 'walk' AS kind, start AS id,"
+         " CAST((n1 * 2097152 + n2) * 2097152 + n3 AS BIGINT) AS val"),
     ),
     "simhash": PIPELINE_SUITE["simhash"],
     "simhash_near_dup": merged(

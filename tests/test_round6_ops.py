@@ -143,3 +143,62 @@ def test_ab_test_z_matches_closed_form(spark):
     z = (c0 / n0 - c1 / n1) / se
     assert rows[0].z_micro == round(z * 1e6)
     assert rows[0].significant == int(abs(rows[0].z_micro) >= 1_960_000)
+
+
+# --- LPA communities ---------------------------------------------------------
+
+def test_lpa_separates_planted_communities(spark):
+    """Two 4-cliques joined by one bridge edge: after 3 synchronous
+    rounds each clique shares one label and the two labels differ."""
+    from melt_spark.functions.graph import lpa_communities
+
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    bridge = [(3, 10)]
+    df = spark.createDataFrame(c1 + c2 + bridge, ["a", "b"])
+    out = {r.node: r.community
+           for r in lpa_communities(df, "a", "b", rounds=3).collect()}
+    lab1 = {out[n] for n in range(4)}
+    lab2 = {out[n] for n in range(10, 14)}
+    assert len(lab1) == 1 and len(lab2) == 1
+    assert lab1 != lab2
+
+
+def test_lpa_tie_breaks_to_smallest_label(spark):
+    """A path 0-1-2 after one round: node 1 sees labels {0, 2} with
+    equal counts — must adopt 0 (the smallest)."""
+    from melt_spark.functions.graph import lpa_communities
+
+    df = spark.createDataFrame([(0, 1), (1, 2)], ["a", "b"])
+    out = {r.node: r.community
+           for r in lpa_communities(df, "a", "b", rounds=1).collect()}
+    assert out[1] == 0
+
+
+# --- random walks ------------------------------------------------------------
+
+def test_random_walks_follow_real_edges(spark):
+    from melt_spark.functions.graph import random_walks
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+    df = spark.createDataFrame(edges, ["a", "b"])
+    adj = set()
+    for a, b in edges:
+        adj.add((a, b))
+        adj.add((b, a))
+    rows = random_walks(df, "a", "b", steps=3).collect()
+    assert len(rows) == 4  # one walk per vertex
+    for r in rows:
+        path = [r.start, r.n1, r.n2, r.n3]
+        for u, v in zip(path, path[1:]):
+            assert (u, v) in adj, f"walk used a non-edge {u}->{v}"
+
+
+def test_random_walks_are_deterministic(spark):
+    from melt_spark.functions.graph import random_walks
+
+    edges = [(i, j) for i in range(6) for j in range(6) if i < j]
+    df = spark.createDataFrame(edges, ["a", "b"])
+    r1 = sorted(map(tuple, random_walks(df, "a", "b", 3).collect()))
+    r2 = sorted(map(tuple, random_walks(df, "a", "b", 3).collect()))
+    assert r1 == r2
