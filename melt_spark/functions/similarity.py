@@ -247,3 +247,102 @@ def alignment_filter(pairs: DataFrame, anchor: DataFrame,
     return scored.select(
         id_col, "align_cos",
         (F.col("align_cos") >= threshold).cast("int").alias("kept"))
+
+
+# ---------------------------------------------------------------------------
+# graph-based ANN — the third ANN family beside LSH (hash) and IVF (tree/
+# cluster): a kNN proximity graph + greedy best-first search over it
+# (the NSW/HNSW/DiskANN lineage: Malkov & Yashunin, "Efficient and robust
+# approximate nearest neighbor search using Hierarchical Navigable Small
+# World graphs", TPAMI 2020). Deterministic, RNG-free variant: the graph
+# is cluster-local exact kNN (IVF lists as the candidate generator), the
+# search is a fixed number of unrolled expand-score-prune beam rounds, so
+# both halves oracle-restate.
+
+
+def knn_graph(corpus: DataFrame, m: int = 8, every: int = 50,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Approximate kNN graph: top-`m` neighbors per vector by exact
+    cosine WITHIN the vector's IVF list (deterministic centroids, the
+    ivf.py assignment). Cluster-local pair generation is the accepted
+    sub-quadratic build (the SemDeDup shape): cost sum(|list|²) ≈
+    N·every instead of N², and at 100 TB each list's pairs are one
+    partition-local nested loop after a single shuffle on list_id —
+    no corpus×corpus join exists anywhere. Boundary vectors miss
+    cross-list true neighbors; graph_ann_search's in_exact flag
+    measures exactly that loss against the brute-force oracle.
+
+    Output: (src, dst, rank, cos) — rank 1..m by (cos desc, dst asc).
+    """
+    from .ivf import deterministic_centroids, ivf_assign
+
+    cents = deterministic_centroids(corpus, every, id_col, vec_col)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    a = assigned.select(F.col(id_col).alias("src"), "list_id",
+                        F.col("v").alias("sv"))
+    b = assigned.select(F.col(id_col).alias("dst"), "list_id",
+                        F.col("v").alias("dv"))
+    pairs = (a.join(b, "list_id")
+             .filter(F.col("src") != F.col("dst"))
+             .withColumn("cos", cosine(F.col("sv"), F.col("dv"))))
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= m)
+            .select("src", "dst", "rank", "cos"))
+
+
+def graph_ann_search(corpus: DataFrame, queries: DataFrame,
+                     edges: DataFrame, k: int = 10, beam: int = 10,
+                     rounds: int = 2, seeds_every: int = 50,
+                     max_seeds: int = 4, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Greedy beam search over a kNN graph — the NSW search half:
+    start from fixed entry points (every `seeds_every`-th vector, at
+    most `max_seeds` — deterministic, the role HNSW's top layer plays),
+    then `rounds` unrolled iterations of expand-neighbors → exact-score
+    → keep-beam. Per round: one equi-join frontier⋈edges + one distinct
+    + one bounded scoring join (≤ beam·(m+1) candidates per query) —
+    the corpus is never scanned after the graph is built, which is the
+    entire point at 100 TB.
+
+    Output: (query_id, neighbor_id, rank, cos, in_exact) for rank ≤ k,
+    where in_exact marks membership in the brute-force top-k — recall
+    measured in-band, per hit.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _dvec(vec_col).alias("qv"))
+    cvecs = corpus.select(F.col(id_col).alias("cand"),
+                          _dvec(vec_col).alias("cv"))
+    seeds = (corpus
+             .filter((F.col(id_col) % seeds_every == 0)
+                     & (F.col(id_col) < seeds_every * max_seeds))
+             .select(F.col(id_col).alias("cand")))
+    frontier = (q.select("query_id")
+                .crossJoin(F.broadcast(seeds)))
+    scored = None
+    for _ in range(rounds):
+        expanded = (frontier
+                    .join(edges.select(F.col("src").alias("cand"),
+                                       "dst"), "cand")
+                    .select("query_id", F.col("dst").alias("cand"))
+                    .unionByName(frontier)
+                    .distinct())
+        scored = (expanded
+                  .join(cvecs, "cand").join(q, "query_id")
+                  .filter(F.col("cand") != F.col("query_id"))
+                  .withColumn("cos", cosine(F.col("qv"), F.col("cv"))))
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos"), F.asc("cand"))
+        scored = scored.withColumn("rn", F.row_number().over(w))
+        frontier = (scored.filter(F.col("rn") <= beam)
+                    .select("query_id", "cand"))
+    exact = cosine_topk(corpus, queries, k=k,
+                        id_col=id_col, vec_col=vec_col) \
+        .select("query_id", F.col("neighbor_id").alias("cand"),
+                F.lit(1).alias("in_exact"))
+    return (scored.filter(F.col("rn") <= k)
+            .join(exact, ["query_id", "cand"], "left")
+            .select("query_id", F.col("cand").alias("neighbor_id"),
+                    F.col("rn").cast("int").alias("rank"), "cos",
+                    F.coalesce("in_exact", F.lit(0)).alias("in_exact")))

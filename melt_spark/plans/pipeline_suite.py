@@ -1081,6 +1081,121 @@ def _cos_sql(a: str, b: str) -> str:
             f" * sqrt({_dot_sql(b, b)}))")
 
 
+# ---------------------------------------------------------------------------
+# round 6: graph-based ANN — kNN proximity graph + greedy beam search
+# (the NSW/HNSW/DiskANN family beside LSH and IVF)
+
+
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN graph (functions/similarity.py knn_graph): top-8
+    neighbors per vector by exact cosine within the vector's IVF list —
+    the cluster-local sub-quadratic graph build (N·every pairs, never
+    N²); the navigable structure graph_ann searches."""
+    from ..functions.similarity import knn_graph
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return knn_graph(emb, m=8, every=50)
+
+
+_KNN_BODY = f"""cents AS (
+  SELECT CAST(vec_id / 50 AS BIGINT) AS list_id,
+         {_DVEC} AS centroid
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+corpus AS (SELECT vec_id, {_DVEC} AS v FROM embeddings),
+assign_s AS (
+  SELECT c.vec_id, ct.list_id, c.v,
+         {_cos_sql('c.v', 'ct.centroid')} AS sim
+  FROM corpus c, cents ct
+),
+assigned AS MATERIALIZED (
+  SELECT vec_id, list_id, v FROM assign_s
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, list_id) = 1
+),
+knn_s AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         {_cos_sql('a.v', 'b.v')} AS cos
+  FROM assigned a JOIN assigned b USING (list_id)
+  WHERE a.vec_id <> b.vec_id
+),
+knn AS MATERIALIZED (
+  SELECT src, dst,
+         CAST(row_number() OVER (PARTITION BY src
+                                 ORDER BY cos DESC, dst) AS INT) AS rank,
+         cos
+  FROM knn_s
+  QUALIFY rank <= 8
+)"""
+
+SQL_KNN_GRAPH = f"WITH {_KNN_BODY}\nSELECT src, dst, rank, cos FROM knn"
+
+
+def q_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy beam search over the kNN graph (functions/similarity.py
+    graph_ann_search, the NSW search half): fixed entry points, 2
+    unrolled expand-score-prune rounds at beam 10, exact-cosine ranking
+    of ≤ beam·(m+1) candidates per query — the corpus is never scanned
+    after the graph build. in_exact flags brute-force-top-10 membership,
+    so recall is measured in-band."""
+    from ..functions.similarity import graph_ann_search, knn_graph
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    edges = knn_graph(emb, m=8, every=50)
+    return graph_ann_search(emb, emb.filter(F.col("vec_id") < 5), edges,
+                            k=10, beam=10, rounds=2)
+
+
+def _graph_ann_sql(rounds: int = 2, beam: int = 10, k: int = 10) -> str:
+    ctes = [_KNN_BODY, f"""q AS (
+  SELECT vec_id AS query_id, {_DVEC} AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+seeds AS (SELECT vec_id AS cand FROM embeddings
+          WHERE vec_id % 50 = 0 AND vec_id < 200),
+f0 AS (SELECT query_id, cand FROM q, seeds)"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""e{r} AS (
+  SELECT DISTINCT query_id, cand FROM (
+    SELECT query_id, cand FROM f{r - 1}
+    UNION ALL
+    SELECT f.query_id, kg.dst AS cand
+    FROM f{r - 1} f JOIN knn kg ON kg.src = f.cand
+  ) t
+),
+s{r} AS MATERIALIZED (
+  SELECT e.query_id, e.cand, {_cos_sql('q.qv', 'c.v')} AS cos,
+         row_number() OVER (PARTITION BY e.query_id
+             ORDER BY {_cos_sql('q.qv', 'c.v')} DESC, e.cand) AS rn
+  FROM e{r} e
+  JOIN corpus c ON c.vec_id = e.cand
+  JOIN q ON q.query_id = e.query_id
+  WHERE e.cand <> e.query_id
+),
+f{r} AS (SELECT query_id, cand FROM s{r} WHERE rn <= {beam})""")
+    ctes.append(f"""exact_s AS (
+  SELECT q.query_id, c.vec_id AS cand,
+         {_cos_sql('q.qv', 'c.v')} AS cos
+  FROM q, corpus c WHERE q.query_id <> c.vec_id
+),
+exact AS (
+  SELECT query_id, cand FROM exact_s
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos DESC, cand) <= {k}
+)""")
+    return (f"WITH {','.join(ctes)}\n"
+            f"SELECT s.query_id, s.cand AS neighbor_id,"
+            f" CAST(s.rn AS INT) AS rank, s.cos,\n"
+            f"       CAST(CASE WHEN e.cand IS NOT NULL THEN 1 ELSE 0 END"
+            f" AS INT) AS in_exact\n"
+            f"FROM s{rounds} s LEFT JOIN exact e"
+            f" ON e.query_id = s.query_id AND e.cand = s.cand\n"
+            f"WHERE s.rn <= {k}")
+
+
+SQL_GRAPH_ANN = _graph_ann_sql()
+
+
 SQL_IVF_TOPK = f"""
 WITH cents AS (
   SELECT CAST(vec_id / 50 AS BIGINT) AS list_id,
@@ -3093,6 +3208,8 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "rrf_fusion": (q_rrf_fusion, SQL_RRF_FUSION),
     "rrf_recall": (q_rrf_recall, SQL_RRF_RECALL),
     "lsh_buckets": (q_lsh_buckets, SQL_LSH_BUCKETS),
+    "knn_graph": (q_knn_graph, SQL_KNN_GRAPH),
+    "graph_ann": (q_graph_ann, SQL_GRAPH_ANN),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "ivf_recall": (q_ivf_recall,

@@ -2142,6 +2142,33 @@ SUITE: dict[str, tuple] = {
          "SELECT 'bq' AS kind, CAST(hamming AS VARCHAR) || ':' ||"
          " CAST(rank AS VARCHAR) AS bucket, query_id AS id_a,"
          " neighbor_id AS id_b, cos AS v"),
+        # r6: cluster-local kNN proximity graph — the navigable
+        # structure of the NSW/HNSW family (functions/similarity.py
+        # knn_graph); built from IVF lists, never corpus×corpus
+        (PIPELINE_SUITE["knn_graph"],
+         lambda df: df.select(F.lit("knn").alias("kind"),
+                              F.col("rank").cast("string")
+                              .alias("bucket"),
+                              F.col("src").alias("id_a"),
+                              F.col("dst").alias("id_b"),
+                              F.col("cos").alias("v")),
+         "SELECT 'knn' AS kind, CAST(rank AS VARCHAR) AS bucket,"
+         " src AS id_a, dst AS id_b, cos AS v"),
+        # r6: greedy beam search over that graph (the NSW search half)
+        # with in-band recall: in_exact marks brute-force-top-10 hits
+        (PIPELINE_SUITE["graph_ann"],
+         lambda df: df.select(F.lit("gann").alias("kind"),
+                              F.concat_ws(":", F.col("rank")
+                                          .cast("string"),
+                                          F.col("in_exact")
+                                          .cast("string"))
+                              .alias("bucket"),
+                              F.col("query_id").alias("id_a"),
+                              F.col("neighbor_id").alias("id_b"),
+                              F.col("cos").alias("v")),
+         "SELECT 'gann' AS kind, CAST(rank AS VARCHAR) || ':' ||"
+         " CAST(in_exact AS VARCHAR) AS bucket, query_id AS id_a,"
+         " neighbor_id AS id_b, cos AS v"),
     ),
     # -- IVF ANN: probe top-k + recall@10 vs the brute-force oracle
     "ivf_search": merged(

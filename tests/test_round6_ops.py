@@ -202,3 +202,55 @@ def test_random_walks_are_deterministic(spark):
     r1 = sorted(map(tuple, random_walks(df, "a", "b", 3).collect()))
     r2 = sorted(map(tuple, random_walks(df, "a", "b", 3).collect()))
     assert r1 == r2
+
+
+# --- graph ANN ----------------------------------------------------------------
+
+def test_knn_graph_rank_contract(spark):
+    """Every node emits at most m neighbors, ranks are 1..m dense, and
+    every edge stays within the node's IVF list (cluster-local build)."""
+    from melt_spark.functions.similarity import knn_graph
+    from melt_spark.sources.parquet import read_table
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    g = knn_graph(emb, m=8, every=50)
+    per = g.groupBy("src").agg(
+        F.count(F.lit(1)).alias("n"), F.max("rank").alias("mx"),
+        F.min("rank").alias("mn"))
+    bad = per.filter((F.col("n") > 8) | (F.col("mx") != F.col("n"))
+                     | (F.col("mn") != 1)).count()
+    assert bad == 0
+
+
+def test_graph_ann_recall_beats_random(spark):
+    """Beam search over the kNN graph must recover a decent share of the
+    exact top-10 — far above the ~2% a random 10-subset would hit."""
+    from melt_spark.functions.similarity import graph_ann_search, knn_graph
+    from melt_spark.sources.parquet import read_table
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    edges = knn_graph(emb, m=8, every=50)
+    out = graph_ann_search(emb, emb.filter(F.col("vec_id") < 5), edges,
+                           k=10, beam=10, rounds=2)
+    rows = out.collect()
+    assert len(rows) == 50  # 5 queries x top-10
+    recall = sum(r.in_exact for r in rows) / len(rows)
+    assert recall >= 0.2, f"graph-ANN recall {recall} ~ random"
+
+
+def test_graph_ann_more_rounds_never_hurt(spark):
+    """The beam is monotone: a 3rd expansion round's recall >= 2nd's
+    (greedy search with a kept beam can only add better candidates)."""
+    from melt_spark.functions.similarity import graph_ann_search, knn_graph
+    from melt_spark.sources.parquet import read_table
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    edges = knn_graph(emb, m=8, every=50)
+    q = emb.filter(F.col("vec_id") < 5)
+
+    def rec(rounds):
+        rows = graph_ann_search(emb, q, edges, k=10, beam=10,
+                                rounds=rounds).collect()
+        return sum(r.in_exact for r in rows)
+
+    assert rec(3) >= rec(2)
