@@ -86,7 +86,8 @@ BENCH_GROUPS_BY_NAME: dict[str, list[str]] = {
            "diversity", "leakage", "trimmed_mean", "match_quality"],
     "r6": ["kmv_intersect", "kmv_overlap", "kmv_difference",
            "holt_trend", "ohlc_bars", "ab_test", "lpa_communities",
-           "random_walks", "knn_graph", "graph_ann"],
+           "random_walks", "knn_graph", "graph_ann", "golden_records",
+           "lsh_planner", "nb_calibration"],
 }
 
 EXTRA_QUERIES = [

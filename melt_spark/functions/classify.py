@@ -105,12 +105,13 @@ def nb_model(docs: DataFrame, label_col: str = "source",
     return model, labels
 
 
-def nb_classify(docs: DataFrame, model: DataFrame, labels: DataFrame,
-                text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
-    """(id, predicted, score_nano): argmax label per document — score
-    desc, label asc on ties. Every input document gets a row; an empty
-    document scores prior-only."""
+def nb_scores(docs: DataFrame, model: DataFrame, labels: DataFrame,
+              text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """(id, label, score_nano): the FULL per-(document, label) score
+    table — what nb_classify argmaxes over, exposed for consumers that
+    need the whole posterior (calibration, margin-based abstention,
+    top-2 disagreement audits). Exact BIGINT nano-nats throughout."""
     dt = _doc_tokens(docs, id_col, text_col)
     # model is the broadcast side BY CONSTRUCTION (|V| x |labels| rows —
     # a text classifier model fits one machine by definition). Without
@@ -130,15 +131,90 @@ def nb_classify(docs: DataFrame, model: DataFrame, labels: DataFrame,
             .select("id", "label",
                     (F.col("prior_nano")
                      + F.col("len_d") * F.col("miss_nano")).alias("base")))
-    scores = (base.join(seen, ["id", "label"], "left")
-              .select("id", "label",
-                      (F.col("base") + F.coalesce("s", F.lit(0)))
-                      .cast("bigint").alias("score_nano")))
+    return (base.join(seen, ["id", "label"], "left")
+            .select("id", "label",
+                    (F.col("base") + F.coalesce("s", F.lit(0)))
+                    .cast("bigint").alias("score_nano")))
+
+
+def nb_classify(docs: DataFrame, model: DataFrame, labels: DataFrame,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(id, predicted, score_nano): argmax label per document — score
+    desc, label asc on ties. Every input document gets a row; an empty
+    document scores prior-only."""
+    scores = nb_scores(docs, model, labels, text_col, id_col)
     w = Window.partitionBy("id").orderBy(F.desc("score_nano"),
                                          F.asc("label"))
     return (scores.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("id", F.col("label").alias("predicted"), "score_nano"))
+
+
+def nb_calibration(docs: DataFrame, label_col: str = "source",
+                   text_col: str = "text", id_col: str = "doc_id",
+                   n_bins: int = 10) -> DataFrame:
+    """Reliability diagram + expected calibration error (ECE) for the
+    self-trained NB classifier (Guo, Pleiss, Sun, Weinberger, "On
+    calibration of modern neural networks", ICML 2017 — the standard
+    binned-confidence evaluation): per confidence decile, how often is
+    the argmax label actually right, and how far does stated confidence
+    drift from observed accuracy.
+
+    Confidence = softmax of the nano-nat scores: with the max score
+    subtracted, conf = 1 / Σ_j exp((s_j - s_max)/1e9). The exp terms sum
+    over a SORTED per-document label array (an ordered fold — labels
+    per doc is tiny), because a shuffled float sum is not associative;
+    the result is rounded ONCE to e6 integer units, after which binning,
+    per-bin sums, accuracy and ECE are exact integer arithmetic (the
+    BM25/psi ln-fold discipline applied to exp).
+
+    Output: one row per non-empty bin (bin, n, n_correct, conf_ppm,
+    acc_ppm) plus a bin = -1 summary row where conf_ppm carries the ECE
+    and acc_ppm the overall accuracy — all BIGINT, hash-exact.
+    """
+    model, labels = nb_model(docs, label_col, text_col, id_col)
+    scores = nb_scores(docs, model, labels, text_col, id_col)
+    g = (scores.groupBy("id")
+         .agg(F.max("score_nano").alias("mx"),
+              F.array_sort(F.collect_list(
+                  F.struct("label", "score_nano"))).alias("arr")))
+    z = F.aggregate(
+        F.col("arr"), F.lit(0.0),
+        lambda acc, x: acc + F.exp(
+            (x["score_nano"] - F.col("mx")).cast("double")
+            / F.lit(float(NANO))))
+    conf = g.select("id", F.round(F.lit(1e6) / z).cast("bigint")
+                    .alias("conf_e6"))
+    pred = nb_classify(docs, model, labels, text_col, id_col)
+    actual = docs.select(F.col(id_col).alias("id"),
+                         F.col(label_col).alias("actual"))
+    per_doc = (conf.join(pred, "id").join(actual, "id")
+               .select("conf_e6",
+                       (F.col("predicted") == F.col("actual"))
+                       .cast("long").alias("ok"),
+                       F.least(F.expr("conf_e6 div 100000"),
+                               F.lit(n_bins - 1)).cast("int")
+                       .alias("bin")))
+    bins = (per_doc.groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("ok").alias("n_correct"),
+                 F.sum("conf_e6").alias("conf_sum"))
+            .select("bin", F.col("n").cast("bigint").alias("n"),
+                    F.col("n_correct").cast("bigint").alias("n_correct"),
+                    F.expr("conf_sum div n").alias("conf_ppm"),
+                    F.expr("n_correct * 1000000 div n").alias("acc_ppm")))
+    summary = (bins.agg(
+        F.sum("n").alias("n"),
+        F.sum("n_correct").alias("n_correct"),
+        F.sum(F.abs(F.col("acc_ppm") - F.col("conf_ppm")) * F.col("n"))
+        .alias("gap"))
+        .select(F.lit(-1).alias("bin"),
+                F.col("n").cast("bigint").alias("n"),
+                F.col("n_correct").cast("bigint").alias("n_correct"),
+                F.expr("gap div n").alias("conf_ppm"),
+                F.expr("n_correct * 1000000 div n").alias("acc_ppm")))
+    return bins.unionByName(summary)
 
 
 def nb_confusion(docs: DataFrame, label_col: str = "source",

@@ -3686,6 +3686,100 @@ FROM pairs, n
 
 
 # ---------------------------------------------------------------------------
+# round 6: golden-record survivorship over the fuzzy-match clusters
+
+
+def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MDM golden-record survivorship — the step AFTER entity matching:
+    records (originals ∪ typo'd duplicates) are clustered by the
+    reciprocal-best fuzzy matches, and each cluster elects one surviving
+    master record by the longest-name-then-lowest-id rule (the same
+    deterministic survivorship canonical_docs applies to near-dup text).
+    Output per record: its cluster, the cluster size, the elected
+    survivor, and whether this record IS the survivor.
+
+    Scale shape: the match pairs are candidate-bounded (fuzzy_match's
+    prefix filter), the cluster map is one broadcast-size left join, and
+    survivorship is a partial-aggregable argmax — max of
+    (name_length, -id) — never a window over the record corpus."""
+    pairs = (q_fuzzy_match(spark, sf_dir)
+             .filter(F.col("is_best") == 1)
+             .select("t_id", "c_custkey"))
+    cust = (read_table(spark, sf_dir, "customer")
+            .orderBy("c_custkey").limit(200)
+            .select("c_custkey", "c_name"))
+    pos = (F.col("c_custkey") % 8 + 4).cast("int")
+    typos = cust.select(
+        (F.col("c_custkey") + 100000).alias("id"),
+        F.concat(F.expr("substr(c_name, 1, cast(c_custkey % 8 + 3"
+                        " as int))"),
+                 F.lit("~"),
+                 F.col("c_name").substr(pos + 1, F.lit(1000)))
+        .alias("name"))
+    recs = (cust.select(F.col("c_custkey").alias("id"),
+                        F.col("c_name").alias("name"))
+            .unionByName(typos))
+    cl = (recs.join(F.broadcast(pairs.select(F.col("t_id").alias("id"),
+                                             F.col("c_custkey")
+                                             .alias("cl"))),
+                    "id", "left")
+          .select("id", "name",
+                  F.coalesce("cl", F.col("id")).alias("cluster_id")))
+    surv = (cl.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.max(F.struct(F.length("name").alias("l"),
+                                (-F.col("id")).alias("ni"))).alias("m"))
+            .select("cluster_id", "n_members",
+                    (-F.col("m.ni")).alias("survivor_id")))
+    return (cl.join(surv, "cluster_id")
+            .select(F.col("id").alias("record_id"), "cluster_id",
+                    F.col("n_members").cast("bigint"),
+                    "survivor_id",
+                    (F.col("id") == F.col("survivor_id")).cast("int")
+                    .alias("keep")))
+
+
+def _golden_sql() -> str:
+    return f"""
+WITH fm AS MATERIALIZED (
+  SELECT t_id, c_custkey FROM (
+{SQL_FUZZY_MATCH}
+  ) WHERE is_best = 1
+),
+cust AS (
+  SELECT c_custkey, c_name FROM customer ORDER BY c_custkey LIMIT 200
+),
+recs AS (
+  SELECT c_custkey AS id, c_name AS name FROM cust
+  UNION ALL
+  SELECT c_custkey + 100000 AS id,
+         substr(c_name, 1, CAST(c_custkey % 8 + 3 AS INT)) || '~' ||
+         substr(c_name, CAST(c_custkey % 8 + 4 AS INT) + 1, 1000) AS name
+  FROM cust
+),
+cl AS (
+  SELECT r.id, r.name, COALESCE(fm.c_custkey, r.id) AS cluster_id
+  FROM recs r LEFT JOIN fm ON fm.t_id = r.id
+),
+surv AS (
+  SELECT cluster_id, id AS survivor_id FROM cl
+  QUALIFY row_number() OVER (PARTITION BY cluster_id
+                             ORDER BY length(name) DESC, id) = 1
+),
+cnt AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM cl GROUP BY 1)
+SELECT cl.id AS record_id, cl.cluster_id, cnt.n_members,
+       surv.survivor_id,
+       CAST(CASE WHEN cl.id = surv.survivor_id THEN 1 ELSE 0 END AS INT)
+         AS keep
+FROM cl JOIN surv USING (cluster_id) JOIN cnt USING (cluster_id)
+"""
+
+
+SQL_GOLDEN_RECORDS = _golden_sql()
+
+
+# ---------------------------------------------------------------------------
 # round 6: graph — label-propagation communities, deterministic walks
 
 _GRAPH_EDGES_SQL = """
@@ -4073,6 +4167,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "kmv_intersect": (q_kmv_intersect, SQL_KMV_INTERSECT),
     "kmv_difference": (q_kmv_difference, SQL_KMV_DIFFERENCE),
     "lpa_communities": (q_lpa_communities, SQL_LPA_COMMUNITIES),
+    "golden_records": (q_golden_records, SQL_GOLDEN_RECORDS),
     "random_walks": (q_random_walks, SQL_RANDOM_WALKS),
     "holt_trend": (q_holt_trend, SQL_HOLT_TREND),
     "ohlc_bars": (q_ohlc_bars, SQL_OHLC_BARS),

@@ -3103,8 +3103,10 @@ def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "score_nano"))
 
 
-SQL_NB_CLASSIFY = f"""
-WITH tok AS MATERIALIZED (
+# the shared NB score-table CTE chain: everything through the full
+# (doc, label) score matrix — consumed by both the argmax classifier
+# oracle (SQL_NB_CLASSIFY) and the calibration oracle (SQL_NB_CALIBRATION)
+_NB_SCORES_BODY = f"""tok AS MATERIALIZED (
   SELECT doc_id, source, unnest({_TOKS}) AS tok FROM documents
 ),
 c AS MATERIALIZED (
@@ -3157,9 +3159,112 @@ pred AS (
   FROM scores
   QUALIFY row_number() OVER (PARTITION BY doc_id
                              ORDER BY score_nano DESC, label) = 1
-)
+)"""
+
+SQL_NB_CLASSIFY = f"""
+WITH {_NB_SCORES_BODY}
 SELECT p.doc_id, d.source AS actual, p.predicted, p.score_nano
 FROM pred p JOIN documents d USING (doc_id)
+"""
+
+
+def q_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability bins + ECE for the self-trained NB classifier
+    (functions/classify.py nb_calibration, Guo et al. ICML 2017) — the
+    model-evaluation row a production quality gate publishes next to its
+    confusion matrix: per confidence decile, stated confidence vs
+    observed accuracy, plus the bin=-1 ECE/overall summary. Softmax exp
+    terms fold over a sorted per-doc label array; everything after the
+    single e6 rounding is exact integer arithmetic."""
+    from ..functions.classify import nb_calibration
+
+    docs = read_table(spark, sf_dir, "documents")
+    return nb_calibration(docs)
+
+
+SQL_NB_CALIBRATION = f"""
+WITH {_NB_SCORES_BODY},
+mx AS (SELECT doc_id, MAX(score_nano) AS mx FROM scores GROUP BY 1),
+zt AS (
+  SELECT s.doc_id,
+         list_reduce(list_prepend(0.0,
+           list(exp(CAST(s.score_nano - mx.mx AS DOUBLE) / 1000000000.0)
+                ORDER BY s.label)),
+           (a, b) -> a + b) AS z
+  FROM scores s JOIN mx ON mx.doc_id = s.doc_id
+  GROUP BY s.doc_id
+),
+confs AS (SELECT doc_id, CAST(round(1000000.0 / z) AS BIGINT) AS conf_e6
+          FROM zt),
+pd AS (
+  SELECT c.conf_e6,
+         CASE WHEN p.predicted = d.source THEN 1 ELSE 0 END AS ok,
+         least(c.conf_e6 // 100000, 9) AS bin
+  FROM confs c JOIN pred p USING (doc_id) JOIN documents d
+    USING (doc_id)
+),
+bins AS (
+  SELECT CAST(bin AS INT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(ok) AS BIGINT) AS n_correct,
+         CAST(SUM(conf_e6) // COUNT(*) AS BIGINT) AS conf_ppm,
+         CAST(SUM(ok) * 1000000 // COUNT(*) AS BIGINT) AS acc_ppm
+  FROM pd GROUP BY bin
+),
+summary AS (
+  SELECT CAST(-1 AS INT) AS bin, CAST(SUM(n) AS BIGINT) AS n,
+         CAST(SUM(n_correct) AS BIGINT) AS n_correct,
+         CAST(SUM(abs(acc_ppm - conf_ppm) * n) // SUM(n) AS BIGINT)
+           AS conf_ppm,
+         CAST(SUM(n_correct) * 1000000 // SUM(n) AS BIGINT) AS acc_ppm
+  FROM bins
+)
+SELECT * FROM bins UNION ALL SELECT * FROM summary
+"""
+
+
+def q_lsh_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH parameter planner — the S-curve table (Leskovec,
+    Rajaraman, Ullman, "Mining of Massive Datasets" ch. 3) every LSH
+    deployment consults before picking (bands, rows): for each divisor
+    split of 16 hashes and each Jaccard decile s, the candidate
+    probability 1-(1-s^r)^b, plus per-plan the threshold estimate
+    (1/b)^(1/r) as the s_e1 = -1 row. Pure closed-form math (pow rounded
+    to 9 decimals per the ln-fold discipline) — the planner justifying
+    the bands=4/rows=2 choice dedup_minhash_lsh runs with."""
+    b = spark.createDataFrame([(x,) for x in (1, 2, 4, 8, 16)],
+                              "bands int")
+    s = spark.createDataFrame([(x,) for x in range(1, 10)], "s_e1 int")
+    g = (b.crossJoin(s)
+         .withColumn("rows_per_band",
+                     F.expr("16 div bands").cast("int"))
+         .withColumn("sv", F.col("s_e1").cast("double") / 10.0))
+    curve = g.select(
+        "bands", "rows_per_band", "s_e1",
+        F.round(1.0 - F.pow(1.0 - F.pow(F.col("sv"),
+                                        F.col("rows_per_band")),
+                            F.col("bands")), 9).alias("p_collide"))
+    thresh = b.select(
+        "bands", F.expr("16 div bands").cast("int").alias("rows_per_band"),
+        F.lit(-1).cast("int").alias("s_e1"),
+        F.round(F.pow(1.0 / F.col("bands"),
+                      1.0 / F.expr("16 div bands")), 9)
+        .alias("p_collide"))
+    return curve.unionByName(thresh)
+
+
+SQL_LSH_PLANNER = """
+WITH b AS (SELECT unnest([1, 2, 4, 8, 16]) AS bands),
+s AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS s_e1)
+SELECT CAST(bands AS INT) AS bands,
+       CAST(16 // bands AS INT) AS rows_per_band,
+       CAST(s_e1 AS INT) AS s_e1,
+       round(1.0 - pow(1.0 - pow(CAST(s_e1 AS DOUBLE) / 10.0,
+                                 16 // bands), bands), 9) AS p_collide
+FROM b, s
+UNION ALL
+SELECT CAST(bands AS INT), CAST(16 // bands AS INT), CAST(-1 AS INT),
+       round(pow(1.0 / bands, 1.0 / (16 // bands)), 9)
+FROM b
 """
 
 
@@ -3168,6 +3273,8 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "greedy_coverage": (q_greedy_coverage, SQL_GREEDY_COVERAGE),
     "containment": (q_containment, SQL_CONTAINMENT),
     "nb_classify": (q_nb_classify, SQL_NB_CLASSIFY),
+    "nb_calibration": (q_nb_calibration, SQL_NB_CALIBRATION),
+    "lsh_planner": (q_lsh_planner, SQL_LSH_PLANNER),
     "kmeans_outliers": (q_kmeans_outliers, SQL_KMEANS_OUTLIERS),
     "winnow": (q_winnow, SQL_WINNOW),
     "waterfill": (q_waterfill, SQL_WATERFILL),

@@ -1922,6 +1922,19 @@ SUITE: dict[str, tuple] = {
                               "jaccard"),
          "SELECT 'incr' AS kind, batch_doc AS doc_a, store_doc AS doc_b,"
          " jaccard"),
+        # r6: the (bands, rows) S-curve planner that justifies this
+        # entry's LSH parameters — doc_a packs bands*100+rows, doc_b is
+        # the Jaccard decile (-1 = the per-plan threshold estimate row)
+        (PIPELINE_SUITE["lsh_planner"],
+         lambda df: df.select(
+             F.lit("plan").alias("kind"),
+             (F.col("bands") * 100 + F.col("rows_per_band"))
+             .cast("bigint").alias("doc_a"),
+             F.col("s_e1").cast("bigint").alias("doc_b"),
+             F.col("p_collide").alias("jaccard")),
+         "SELECT 'plan' AS kind,"
+         " CAST(bands * 100 + rows_per_band AS BIGINT) AS doc_a,"
+         " CAST(s_e1 AS BIGINT) AS doc_b, p_collide AS jaccard"),
     ),
     # -- the two iterative graph algorithms share one entry: connected
     #    components (label propagation) + r4's fixed-point PageRank
@@ -3159,6 +3172,22 @@ SUITE: dict[str, tuple] = {
          " CAST(n_a AS VARCHAR) || ':' || CAST(n_b AS VARCHAR) AS ints,"
          " psi AS v1, CAST(-1.0 AS DOUBLE) AS v2,"
          " CAST(-1.0 AS DOUBLE) AS v3"),
+        # r6: classifier reliability bins + ECE (Guo et al. ICML 2017)
+        # — stated confidence vs observed accuracy per decile; the
+        # bin=-1 row carries ECE (v1) and overall accuracy (v2)
+        (PIPELINE_SUITE["nb_calibration"],
+         lambda df: df.select(
+             F.lit("calib").alias("kind"),
+             F.col("bin").cast("string").alias("key"),
+             F.concat_ws(":", F.col("n").cast("string"),
+                         F.col("n_correct").cast("string")).alias("ints"),
+             F.col("conf_ppm").cast("double").alias("v1"),
+             F.col("acc_ppm").cast("double").alias("v2"),
+             F.lit(-1.0).alias("v3")),
+         "SELECT 'calib' AS kind, CAST(bin AS VARCHAR) AS key,"
+         " CAST(n AS VARCHAR) || ':' || CAST(n_correct AS VARCHAR)"
+         " AS ints, CAST(conf_ppm AS DOUBLE) AS v1,"
+         " CAST(acc_ppm AS DOUBLE) AS v2, CAST(-1.0 AS DOUBLE) AS v3"),
     ),
     # -- pivot (wide) re-checked in long form + unpivot/stack
     "pivot_unpivot": merged(
@@ -3249,6 +3278,20 @@ SUITE: dict[str, tuple] = {
          " CAST(fn AS VARCHAR) || ':' || CAST(precision_e6 AS VARCHAR)"
          " || ':' || CAST(recall_e6 AS VARCHAR) AS sval,"
          " CAST(-1 AS BIGINT) AS n"),
+        # r6: golden-record survivorship over the match clusters — the
+        # MDM step after matching: one elected master per cluster
+        (ANALYTICS_SUITE["golden_records"],
+         lambda df: df.select(
+             F.lit("golden").alias("kind"),
+             F.col("record_id").alias("c_custkey"),
+             F.concat_ws(":", F.col("cluster_id").cast("string"),
+                         F.col("survivor_id").cast("string"),
+                         F.col("keep").cast("string")).alias("sval"),
+             F.col("n_members").alias("n")),
+         "SELECT 'golden' AS kind, record_id AS c_custkey,"
+         " CAST(cluster_id AS VARCHAR) || ':' ||"
+         " CAST(survivor_id AS VARCHAR) || ':' ||"
+         " CAST(keep AS VARCHAR) AS sval, n_members AS n"),
     ),
     # -- Structured Streaming surface (S9/T3/T6): each branch runs a real
     #    stream to completion; results checked against batch-equivalent SQL

@@ -254,3 +254,74 @@ def test_graph_ann_more_rounds_never_hurt(spark):
         return sum(r.in_exact for r in rows)
 
     assert rec(3) >= rec(2)
+
+
+# --- golden records -------------------------------------------------------
+
+def test_golden_records_one_survivor_per_cluster(spark):
+    from melt_spark.plans.analytics_suite import q_golden_records
+
+    out = q_golden_records(spark, SF_DIR)
+    per = out.groupBy("cluster_id").agg(
+        F.sum("keep").alias("keeps"), F.count(F.lit(1)).alias("n"),
+        F.max("n_members").alias("m"))
+    assert per.filter(F.col("keeps") != 1).count() == 0
+    assert per.filter(F.col("n") != F.col("m")).count() == 0
+
+
+def test_golden_records_matched_typos_join_their_original(spark):
+    """A typo record that matched must land in its original's cluster
+    (cluster_id = the original custkey) and must NOT be the survivor of
+    a 2-member cluster when names tie in length (lowest id wins)."""
+    from melt_spark.plans.analytics_suite import q_golden_records
+
+    rows = q_golden_records(spark, SF_DIR).collect()
+    by_id = {r.record_id: r for r in rows}
+    matched_typos = [r for r in rows
+                     if r.record_id > 100000 and r.n_members == 2]
+    assert matched_typos, "fixture must produce matched clusters"
+    for t in matched_typos:
+        assert t.cluster_id == t.record_id - 100000
+        orig = by_id[t.cluster_id]
+        assert orig.cluster_id == t.cluster_id
+        assert t.survivor_id == orig.survivor_id
+
+
+# --- LSH planner ------------------------------------------------------------
+
+def test_lsh_planner_scurve_shape(spark):
+    """p is monotone in s for fixed (b, r); the threshold estimate sits
+    where the curve crosses ~0.5 territory."""
+    from melt_spark.plans.pipeline_suite import q_lsh_planner
+
+    rows = q_lsh_planner(spark, SF_DIR).collect()
+    import itertools
+    curve = sorted([r for r in rows if r.s_e1 > 0],
+                   key=lambda r: (r.bands, r.s_e1))
+    for b, grp in itertools.groupby(curve, key=lambda r: r.bands):
+        ps = [r.p_collide for r in grp]
+        assert all(x <= y + 1e-12 for x, y in zip(ps, ps[1:]))
+    t4 = [r for r in rows if r.bands == 4 and r.s_e1 == -1][0]
+    # (1/4)^(1/4) ~ 0.707
+    assert abs(t4.p_collide - 0.25 ** 0.25) < 1e-6
+
+
+# --- NB calibration -----------------------------------------------------------
+
+def test_nb_calibration_bins_partition_and_ece(spark):
+    from melt_spark.functions.classify import nb_calibration
+    from melt_spark.sources.parquet import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    rows = nb_calibration(docs).collect()
+    bins = [r for r in rows if r.bin >= 0]
+    summ = [r for r in rows if r.bin == -1][0]
+    assert sum(r.n for r in bins) == summ.n == docs.count()
+    assert sum(r.n_correct for r in bins) == summ.n_correct
+    for r in bins:
+        assert 0 <= r.acc_ppm <= 1_000_000
+        assert 0 <= r.conf_ppm <= 1_000_000
+        assert r.acc_ppm == r.n_correct * 1_000_000 // r.n
+    # ECE is the n-weighted mean |acc - conf|
+    gap = sum(abs(r.acc_ppm - r.conf_ppm) * r.n for r in bins) // summ.n
+    assert summ.conf_ppm == gap
