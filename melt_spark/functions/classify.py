@@ -174,7 +174,14 @@ def nb_calibration(docs: DataFrame, label_col: str = "source",
     and acc_ppm the overall accuracy — all BIGINT, hash-exact.
     """
     model, labels = nb_model(docs, label_col, text_col, id_col)
-    scores = nb_scores(docs, model, labels, text_col, id_col)
+    # materialize the score matrix ONCE: both consumers below (softmax
+    # confidence and the argmax prediction) reference it, and without
+    # the checkpoint Catalyst re-derives the whole train+score chain
+    # under each reference (the union-of-filters recompute trap — the
+    # plan audit showed 71 shuffles before, 1 chain + cheap re-reads
+    # after). |docs|·|labels| rows, bounded.
+    scores = nb_scores(docs, model, labels, text_col, id_col) \
+        .localCheckpoint(eager=True)
     g = (scores.groupBy("id")
          .agg(F.max("score_nano").alias("mx"),
               F.array_sort(F.collect_list(
@@ -186,7 +193,11 @@ def nb_calibration(docs: DataFrame, label_col: str = "source",
             / F.lit(float(NANO))))
     conf = g.select("id", F.round(F.lit(1e6) / z).cast("bigint")
                     .alias("conf_e6"))
-    pred = nb_classify(docs, model, labels, text_col, id_col)
+    wp = Window.partitionBy("id").orderBy(F.desc("score_nano"),
+                                          F.asc("label"))
+    pred = (scores.withColumn("rn", F.row_number().over(wp))
+            .filter(F.col("rn") == 1)
+            .select("id", F.col("label").alias("predicted")))
     actual = docs.select(F.col(id_col).alias("id"),
                          F.col(label_col).alias("actual"))
     per_doc = (conf.join(pred, "id").join(actual, "id")

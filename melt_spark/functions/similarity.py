@@ -314,6 +314,10 @@ def graph_ann_search(corpus: DataFrame, queries: DataFrame,
                        _dvec(vec_col).alias("qv"))
     cvecs = corpus.select(F.col(id_col).alias("cand"),
                           _dvec(vec_col).alias("cv"))
+    # the graph is referenced once per round: materialize it or Catalyst
+    # re-derives the whole kNN BUILD (the expensive half) under every
+    # reference — the union-of-filters recompute trap. N·m rows, cheap.
+    edges = edges.localCheckpoint(eager=True)
     seeds = (corpus
              .filter((F.col(id_col) % seeds_every == 0)
                      & (F.col(id_col) < seeds_every * max_seeds))

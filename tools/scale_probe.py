@@ -141,7 +141,14 @@ PROBES = ["text_quality", "dedup_minhash_lsh", "clean_corpus",
           # selection (CC + keep window), skew diagnostic (TakeOrdered
           # heads), budget waterfill (source-table-sized)
           "winnow", "ppr", "canonical_docs", "skew_report", "waterfill",
-          "diversity", "leakage", "trimmed_mean"]
+          "diversity", "leakage", "trimmed_mean",
+          # r6: LPA + deterministic walks (graph grows with orders x
+          # lineitem), the cluster-local kNN-graph build + beam search
+          # (embeddings replicated), NB calibration (adds the softmax
+          # fold to the nb chain), OHLC (pure map-side-combined agg),
+          # golden records (fixed 200-name workload - expected ~flat)
+          "lpa_communities", "random_walks", "knn_graph", "graph_ann",
+          "nb_calibration", "ohlc_bars", "golden_records"]
 
 
 def _span_query(via: str):
@@ -237,7 +244,21 @@ _EXTRA_QUERIES = {"span_dedup_digest": _span_query("digest"),
                   "leakage":
                       _constituent("pipeline_suite", "q_leakage"),
                   "trimmed_mean":
-                      _constituent("analytics_suite", "q_trimmed_mean")}
+                      _constituent("analytics_suite", "q_trimmed_mean"),
+                  "lpa_communities":
+                      _constituent("analytics_suite", "q_lpa_communities"),
+                  "random_walks":
+                      _constituent("analytics_suite", "q_random_walks"),
+                  "knn_graph":
+                      _constituent("pipeline_suite", "q_knn_graph"),
+                  "graph_ann":
+                      _constituent("pipeline_suite", "q_graph_ann"),
+                  "nb_calibration":
+                      _constituent("pipeline_suite", "q_nb_calibration"),
+                  "ohlc_bars":
+                      _constituent("analytics_suite", "q_ohlc_bars"),
+                  "golden_records":
+                      _constituent("analytics_suite", "q_golden_records")}
 
 
 def _shuffle_state(spark):
