@@ -500,3 +500,84 @@ def holt_int(df: DataFrame, ts_col: str, key_cols: list[str],
         .withColumn("forecast_next",
                     (F.col("level_final") + F.col("trend_final"))
                     .cast("bigint")))
+
+
+def theil_sen(df: DataFrame, ts_col: str, key_cols: list[str],
+              width: int, max_buckets: int = 5000) -> DataFrame:
+    """Theil-Sen robust trend estimation over per-key bucket counts —
+    the median of all pairwise slopes (Theil 1950; Sen, "Estimates of
+    the regression coefficient based on Kendall's tau", JASA 1968): the
+    29%-breakdown robust complement to event_trend's OLS slope, immune
+    to the outlier buckets that drag a least-squares fit.
+
+    Determinism: slope_e9 = floor((x_j - x_i)·1e9 / Δt) — the numerator
+    is exact in double (counts·1e9 « 2^52), IEEE division is correctly
+    rounded, so floor() is engine-identical even for NEGATIVE slopes
+    (integer div would truncate toward zero on Spark and floor on
+    DuckDB — the trimmed_mean trap, avoided the same way as holt_int).
+    The median is the LOWER median by (slope, i, j) total order — a
+    rank pick, no averaging. The intercept is the median of
+    x_i·1e9 − slope_med·t_rel_i, exact BIGINT arithmetic.
+
+    Scale shape: one map-side-combined shuffle to per-key bucket
+    counts, then the m(m−1)/2 pair slopes are generated INSIDE a
+    per-key sorted array (nested transform + flatten) — zero additional
+    shuffle, no self-join. Pairs are quadratic in the per-key bucket
+    count by definition of the estimator, so `max_buckets` raise_errors
+    past ~12.5M pairs per key (gapfill's max_spine discipline); beyond
+    that, use the Siegel repeated-median or a bucket-sampled variant.
+
+    Output per key: n_buckets, n_pairs, slope_e9 (median slope in
+    count-per-second nano units), intercept_nano.
+    """
+    keys = [F.col(c) for c in key_cols]
+    counts = (df.select(*keys, bucket_epoch(ts_col, width).alias("bucket"))
+              .groupBy(*key_cols, "bucket")
+              .agg(F.count(F.lit(1)).alias("x")))
+    per_key = (counts.groupBy(*key_cols)
+               .agg(F.array_sort(F.collect_list(F.struct("bucket", "x")))
+                    .alias("series")))
+    # the guard rides the series column itself (gapfill's b_max_ok
+    # pattern) — a standalone dropped column would be pruned by
+    # Catalyst and the raise_error would never evaluate
+    series_ok = F.when(
+        F.size("series") <= max_buckets, F.col("series")).otherwise(
+        F.raise_error(F.concat(
+            F.lit("theil_sen: "), F.size("series").cast("string"),
+            F.lit(f" buckets exceeds max_buckets={max_buckets} — "
+                  "pair count is quadratic; widen the bucket or sample"))))
+    per_key = per_key.withColumn("series", series_ok)
+    t0 = F.element_at("series", 1)["bucket"]
+    m = F.size("series")
+
+    def pair_slopes(series):
+        return F.flatten(F.transform(
+            F.sequence(F.lit(1), m - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, m),
+                lambda j: F.floor(
+                    (F.element_at(series, j)["x"]
+                     - F.element_at(series, i)["x"]).cast("double")
+                    * F.lit(1e9)
+                    / (F.element_at(series, j)["bucket"]
+                       - F.element_at(series, i)["bucket"])
+                    .cast("double")).cast("long"))))
+
+    slopes = F.array_sort(pair_slopes(F.col("series")))
+    n_pairs = F.size(slopes)
+    # single-bucket keys have no pairs: slope 0 keeps the contract total
+    med = F.when(n_pairs > 0,
+                 F.element_at(slopes, ((n_pairs + 1) / 2).cast("int"))) \
+        .otherwise(F.lit(0).cast("long"))
+    out = per_key.select(*key_cols,
+                         m.cast("bigint").alias("n_buckets"),
+                         n_pairs.cast("bigint").alias("n_pairs"),
+                         med.alias("slope_e9"),
+                         F.col("series"), t0.alias("t0"))
+    resid = F.array_sort(F.transform(
+        F.col("series"),
+        lambda s: (s["x"].cast("long") * F.lit(1_000_000_000)
+                   - F.col("slope_e9") * (s["bucket"] - F.col("t0")))))
+    icpt = F.element_at(resid, ((F.size(resid) + 1) / 2).cast("int"))
+    return out.select(*key_cols, "n_buckets", "n_pairs", "slope_e9",
+                      icpt.cast("bigint").alias("intercept_nano"))

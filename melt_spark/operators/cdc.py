@@ -94,3 +94,39 @@ def full_sync_then_tail_version(current_version_df: DataFrame) -> int:
     at-least-once with no gap. Input: a 1-row DataFrame with column
     `current_version` (e.g. a pushed-down scalar query)."""
     return current_version_df.collect()[0][0]
+
+
+def net_effect(changes: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Net-effect batching — collapse each key's change sequence within a
+    replay window to the ONE operation a downstream applier needs (the
+    compaction Debezium/Kafka-Connect consumers and Delta CDF's
+    net-changes mode perform before applying a micro-batch): I…D nets to
+    NONE (created and destroyed inside the window — nothing to apply),
+    …D nets to D, I… nets to I, anything else is a plain U. Applying the
+    net effect is idempotent where replaying the full sequence is not,
+    and shrinks the apply write-set from O(changes) to O(keys).
+
+    The first/last operations are min_by/max_by over the monotone
+    version — ordinary partial-aggregable aggregates, the same
+    order-from-a-column (never fold-order) discipline as change_stats;
+    one map-side-combined shuffle regardless of per-key change counts.
+
+    Output per key: first_version, last_version, n_changes, first_op,
+    last_op, net_op.
+    """
+    g = (changes.groupBy(*keys)
+         .agg(F.min("sys_change_version").alias("first_version"),
+              F.max("sys_change_version").alias("last_version"),
+              F.count(F.lit(1)).alias("n_changes"),
+              F.min_by("sys_change_operation", "sys_change_version")
+              .alias("first_op"),
+              F.max_by("sys_change_operation", "sys_change_version")
+              .alias("last_op")))
+    ins, dele = F.col("first_op") == "I", F.col("last_op") == DELETE_OP
+    net = (F.when(ins & dele, "NONE")
+           .when(dele, "D")
+           .when(ins, "I")
+           .otherwise("U"))
+    return g.select(*keys, "first_version", "last_version",
+                    F.col("n_changes").cast("bigint").alias("n_changes"),
+                    "first_op", "last_op", net.alias("net_op"))

@@ -3861,11 +3861,16 @@ def _walks_sql(steps: int = 3) -> str:
                        f"'{t}' || ':' || CAST(e.dst AS VARCHAR)")
         prev_cols = ", ".join(f"w.n{i}" for i in range(1, t))
         sel = f"w.start{', ' + prev_cols if prev_cols else ''}"
-        ctes.append(f"""w{t} AS MATERIALIZED (
-  SELECT {sel}, e.dst AS n{t}, e.dst AS cur
-  FROM w{t - 1} w JOIN edges e ON e.src = w.cur
-  QUALIFY row_number() OVER (PARTITION BY w.start
+        # per-NODE transition table (the hop hash is walk-independent),
+        # mirroring the Spark side's hub-concentration-immune shape
+        ctes.append(f"""tr{t} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM edges e
+  QUALIFY row_number() OVER (PARTITION BY e.src
                              ORDER BY {h}, e.dst) = 1
+),
+w{t} AS MATERIALIZED (
+  SELECT {sel}, tr.dst AS n{t}, tr.dst AS cur
+  FROM w{t - 1} w JOIN tr{t} tr ON tr.src = w.cur
 )""")
     cols = ", ".join(f"n{t}" for t in range(1, steps + 1))
     return f"WITH {','.join(ctes)}\nSELECT start, {cols} FROM w{steps}"
@@ -3996,6 +4001,71 @@ SELECT c.event_type, CAST(m.mi AS BIGINT) AS n_buckets,
        c.l AS level_final, c.b AS trend_final,
        CAST(c.l + c.b AS BIGINT) AS forecast_next
 FROM c JOIN last_i m ON m.event_type = c.event_type AND c.i = m.mi
+"""
+
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type (functions/timeseries.py
+    theil_sen): the median of all pairwise slopes over hourly counts —
+    the 29%-breakdown robust complement to event_trend's OLS fit. Pair
+    slopes are generated inside a per-key sorted array (zero extra
+    shuffle); floor(Δx·1e9/Δt) on an IEEE-exact quotient keeps negative
+    slopes engine-identical; the median is a deterministic lower-rank
+    pick."""
+    from ..functions.timeseries import theil_sen
+
+    events = read_table(spark, sf_dir, "events")
+    return theil_sen(events, "ts", ["event_type"], 3600)
+
+
+SQL_THEIL_SEN = """
+WITH counts AS MATERIALIZED (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, bucket, x,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY bucket) AS i
+  FROM counts
+),
+pairs AS MATERIALIZED (
+  SELECT a.event_type,
+         CAST(floor(CAST(b.x - a.x AS DOUBLE) * 1e9
+              / CAST(b.bucket - a.bucket AS DOUBLE)) AS BIGINT) AS slope,
+         a.i AS i, b.i AS j
+  FROM r a JOIN r b ON b.event_type = a.event_type AND b.i > a.i
+),
+np AS (SELECT event_type, COUNT(*) AS n_pairs FROM pairs GROUP BY 1),
+med AS (
+  SELECT p.event_type, p.slope AS slope_e9
+  FROM pairs p JOIN np USING (event_type)
+  QUALIFY row_number() OVER (PARTITION BY p.event_type
+                             ORDER BY p.slope, p.i, p.j)
+          = (np.n_pairs + 1) // 2
+),
+t0 AS (SELECT event_type, MIN(bucket) AS t0 FROM counts GROUP BY 1),
+res AS (
+  SELECT c.event_type,
+         c.x * 1000000000 - m.slope_e9 * (c.bucket - t.t0) AS v,
+         c.bucket
+  FROM counts c JOIN med m USING (event_type) JOIN t0 t USING (event_type)
+),
+nb AS (SELECT event_type, COUNT(*) AS n_buckets FROM counts GROUP BY 1),
+icpt AS (
+  SELECT r2.event_type, r2.v AS intercept_nano
+  FROM res r2 JOIN nb USING (event_type)
+  QUALIFY row_number() OVER (PARTITION BY r2.event_type
+                             ORDER BY r2.v, r2.bucket)
+          = (nb.n_buckets + 1) // 2
+)
+SELECT m.event_type, CAST(nb.n_buckets AS BIGINT) AS n_buckets,
+       CAST(np.n_pairs AS BIGINT) AS n_pairs, m.slope_e9,
+       CAST(i.intercept_nano AS BIGINT) AS intercept_nano
+FROM med m JOIN np USING (event_type) JOIN nb USING (event_type)
+JOIN icpt i USING (event_type)
 """
 
 
@@ -4170,6 +4240,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "golden_records": (q_golden_records, SQL_GOLDEN_RECORDS),
     "random_walks": (q_random_walks, SQL_RANDOM_WALKS),
     "holt_trend": (q_holt_trend, SQL_HOLT_TREND),
+    "theil_sen": (q_theil_sen, SQL_THEIL_SEN),
     "ohlc_bars": (q_ohlc_bars, SQL_OHLC_BARS),
     "ab_test": (q_ab_test, SQL_AB_TEST),
     "cusum_monitor": (q_cusum_monitor, SQL_CUSUM_MONITOR),

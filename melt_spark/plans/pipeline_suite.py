@@ -3231,9 +3231,16 @@ def q_lsh_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1/b)^(1/r) as the s_e1 = -1 row. Pure closed-form math (pow rounded
     to 9 decimals per the ln-fold discipline) — the planner justifying
     the bands=4/rows=2 choice dedup_minhash_lsh runs with."""
-    b = spark.createDataFrame([(x,) for x in (1, 2, 4, 8, 16)],
-                              "bands int")
-    s = spark.createDataFrame([(x,) for x in range(1, 10)], "s_e1 int")
+    # spark.range + explode, NOT createDataFrame: a Python-list frame
+    # evaluates through applySchemaToPythonRDD (Python worker spin-up on
+    # every action — measured ~10 s for these 50 rows); range+array
+    # literals stay entirely JVM-side (milliseconds)
+    b = (spark.range(1).select(F.explode(F.array(
+        *[F.lit(x) for x in (1, 2, 4, 8, 16)])).alias("b"))
+        .select(F.col("b").cast("int").alias("bands")))
+    s = (spark.range(1).select(F.explode(F.array(
+        *[F.lit(x) for x in range(1, 10)])).alias("s"))
+        .select(F.col("s").cast("int").alias("s_e1")))
     g = (b.crossJoin(s)
          .withColumn("rows_per_band",
                      F.expr("16 div bands").cast("int"))

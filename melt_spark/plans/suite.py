@@ -546,6 +546,49 @@ FROM changes WHERE sys_change_version > 5000
 """
 
 
+def q_cdc_net_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net-effect batching (operators/cdc.py net_effect): each key's
+    change sequence in the replay window collapses to the ONE idempotent
+    operation a downstream applier needs (I…D → NONE, …D → D, I… → I,
+    else U) — the Debezium-consumer / Delta-CDF net-changes compaction.
+    Same events-as-changes convention as q_cdc_replay, same > 5000
+    version window."""
+    from ..operators.cdc import net_effect
+
+    events = read_table(spark, sf_dir, "events")
+    cust = read_table(spark, sf_dir, "customer")
+    changes = (cdc_changes_from_events(events, cust)
+               .filter(F.col("sys_change_version") > 5000))
+    return net_effect(changes, ["c_custkey"])
+
+
+SQL_CDC_NET_EFFECT = """
+WITH changes AS (
+  SELECT e.user_id + 1 AS c_custkey,
+         CASE WHEN e.event_type = 'signup' THEN 'I'
+              WHEN e.event_type = 'error' THEN 'D'
+              ELSE 'U' END AS op,
+         e.event_id + 1 AS v
+  FROM events e
+  WHERE e.event_id + 1 > 5000
+),
+g AS (
+  SELECT c_custkey,
+         MIN(v) AS first_version, MAX(v) AS last_version,
+         CAST(COUNT(*) AS BIGINT) AS n_changes,
+         arg_min(op, v) AS first_op, arg_max(op, v) AS last_op
+  FROM changes GROUP BY c_custkey
+)
+SELECT c_custkey, first_version, last_version, n_changes,
+       first_op, last_op,
+       CASE WHEN first_op = 'I' AND last_op = 'D' THEN 'NONE'
+            WHEN last_op = 'D' THEN 'D'
+            WHEN first_op = 'I' THEN 'I'
+            ELSE 'U' END AS net_op
+FROM g
+"""
+
+
 def q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type 2 (operators/scd.py): the change stream's OTHER standard
     projection — every historical version with its validity window,
@@ -1720,6 +1763,25 @@ SUITE: dict[str, tuple] = {
          " valid_from AS sys_change_version,"
          " CAST(is_current AS VARCHAR) || '|' || CAST(n_facts AS VARCHAR)"
          " || '|' || CAST(last_at AS VARCHAR) AS value"),
+        # r6: net-effect batching — per key the ONE idempotent op an
+        # applier needs; value packs (first_op, last_op, n, first_v)
+        ((q_cdc_net_effect, SQL_CDC_NET_EFFECT),
+         lambda df: df.select(
+             F.lit("net").alias("kind"), F.lit("").alias("topic"),
+             F.col("c_custkey").cast("string").alias("key"),
+             F.col("net_op").alias("sys_change_operation"),
+             F.col("last_version").alias("sys_change_version"),
+             F.concat_ws("|", "first_op", "last_op",
+                         F.col("n_changes").cast("string"),
+                         F.col("first_version").cast("string"))
+             .alias("value")),
+         "SELECT 'net' AS kind, '' AS topic,"
+         " CAST(c_custkey AS VARCHAR) AS key,"
+         " net_op AS sys_change_operation,"
+         " last_version AS sys_change_version,"
+         " first_op || '|' || last_op || '|' ||"
+         " CAST(n_changes AS VARCHAR) || '|' ||"
+         " CAST(first_version AS VARCHAR) AS value"),
     ),
     # -- catalog: S1-S3/P3/P4/A5/O3 discovery + E1 drift + P9/J4/E2 trackable
     "schema_catalog": merged(
@@ -2579,6 +2641,23 @@ SUITE: dict[str, tuple] = {
          " unnest([CAST(level_final AS DOUBLE),"
          " CAST(forecast_next AS DOUBLE)]) AS v1,"
          " unnest([CAST(trend_final AS DOUBLE),"
+         " CAST(n_buckets AS DOUBLE)]) AS v2"),
+        # r6: Theil-Sen robust trend — median of pairwise slopes (29%
+        # breakdown point), the robust complement to trend_fit's OLS;
+        # intercept_nano < 2^52 so the double slot carries it exactly
+        (ANALYTICS_SUITE["theil_sen"],
+         lambda df: df.selectExpr(
+             "event_type",
+             "stack(2, 'theil_slope', CAST(slope_e9 AS DOUBLE),"
+             " CAST(n_pairs AS DOUBLE), 'theil_icpt',"
+             " CAST(intercept_nano AS DOUBLE),"
+             " CAST(n_buckets AS DOUBLE)) AS (kind, v1, v2)")
+         .select("kind", F.col("event_type").alias("key"), "v1", "v2"),
+         "SELECT unnest(['theil_slope', 'theil_icpt']) AS kind,"
+         " event_type AS key,"
+         " unnest([CAST(slope_e9 AS DOUBLE),"
+         " CAST(intercept_nano AS DOUBLE)]) AS v1,"
+         " unnest([CAST(n_pairs AS DOUBLE),"
          " CAST(n_buckets AS DOUBLE)]) AS v2"),
     ),
     # -- set ops: anti-join (NOT EXISTS) + UNION entity sets

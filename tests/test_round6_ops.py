@@ -325,3 +325,70 @@ def test_nb_calibration_bins_partition_and_ece(spark):
     # ECE is the n-weighted mean |acc - conf|
     gap = sum(abs(r.acc_ppm - r.conf_ppm) * r.n for r in bins) // summ.n
     assert summ.conf_ppm == gap
+
+
+# --- Theil-Sen ----------------------------------------------------------------
+
+def test_theil_sen_recovers_planted_slope(spark):
+    """Counts i+1 at hour i: every pairwise slope is exactly 1 count per
+    3600 s -> slope_e9 = floor(1e9/3600); intercept = first count."""
+    import math
+
+    from melt_spark.functions.timeseries import theil_sen
+
+    rows = [("k", i * 3600) for i in range(10) for _ in range(i + 1)]
+    df = spark.createDataFrame(rows, ["k", "epoch"]).select(
+        "k", F.timestamp_seconds("epoch").alias("ts"))
+    out = theil_sen(df, "ts", ["k"], 3600).collect()[0]
+    assert out.n_buckets == 10 and out.n_pairs == 45
+    assert out.slope_e9 == math.floor(1e9 / 3600)
+
+
+def test_theil_sen_resists_outlier_bucket(spark):
+    """One wild bucket (count 500 in a flat count-2 series) must not
+    move the median slope off ~0 — the whole point vs OLS."""
+    from melt_spark.functions.timeseries import theil_sen
+
+    counts = [2] * 9 + [500] + [2] * 10
+    rows = [("k", i * 3600) for i, c in enumerate(counts)
+            for _ in range(c)]
+    df = spark.createDataFrame(rows, ["k", "epoch"]).select(
+        "k", F.timestamp_seconds("epoch").alias("ts"))
+    out = theil_sen(df, "ts", ["k"], 3600).collect()[0]
+    assert out.slope_e9 == 0
+
+
+def test_theil_sen_max_buckets_guard(spark):
+    import pytest
+    from melt_spark.functions.timeseries import theil_sen
+
+    rows = [("k", i * 3600) for i in range(30)]
+    df = spark.createDataFrame(rows, ["k", "epoch"]).select(
+        "k", F.timestamp_seconds("epoch").alias("ts"))
+    with pytest.raises(Exception, match="max_buckets"):
+        theil_sen(df, "ts", ["k"], 3600, max_buckets=10).collect()
+
+
+# --- CDC net effect -----------------------------------------------------------
+
+def test_net_effect_classification(spark):
+    from melt_spark.operators.cdc import net_effect
+
+    rows = [
+        (1, "I", 10), (1, "U", 11), (1, "D", 12),   # I..D -> NONE
+        (2, "U", 20), (2, "D", 21),                 # ..D  -> D
+        (3, "I", 30), (3, "U", 31),                 # I..  -> I
+        (4, "U", 40), (4, "U", 41),                 # else -> U
+        (5, "D", 50), (5, "I", 51),                 # D then I -> U? no:
+        # first=D last=I: not I..D, last!=D, first!=I -> U... but
+        # semantically delete-then-reinsert nets to an upsert: U. Good.
+    ]
+    df = spark.createDataFrame(
+        rows, ["k", "sys_change_operation", "sys_change_version"])
+    out = {r.k: r for r in net_effect(df, ["k"]).collect()}
+    assert out[1].net_op == "NONE" and out[1].n_changes == 3
+    assert out[2].net_op == "D"
+    assert out[3].net_op == "I"
+    assert out[4].net_op == "U"
+    assert out[5].net_op == "U"
+    assert (out[1].first_version, out[1].last_version) == (10, 12)
