@@ -817,6 +817,97 @@ SELECT * FROM j WHERE status IS NOT NULL
 """
 
 
+# schema-evolution compat fixture: one planted transition per rule branch
+# (widened / added / added_required / dropped / narrowed / class change /
+# tightened+widened combo / pk flip) — catalog/compat.py classifies them
+_COMPAT_CACHED = [
+    ("customer", "c_custkey", "int", "NO", 1),
+    ("customer", "c_name", "varchar", "NO", 0),
+    ("customer", "c_acctbal", "float", "YES", 0),
+    ("customer", "c_comment", "varchar", "YES", 0),
+    ("orders", "o_orderkey", "int", "NO", 1),
+    ("orders", "o_total", "int", "YES", 0),
+    ("orders", "o_flag", "varchar", "YES", 0),
+]
+_COMPAT_LIVE = [
+    ("customer", "c_custkey", "bigint", "NO", 1),     # widened
+    ("customer", "c_name", "varchar", "NO", 0),       # unchanged: no row
+    ("customer", "c_acctbal", "double", "NO", 0),     # widened+tightened
+    ("customer", "c_phone", "varchar", "YES", 0),     # added (nullable)
+    ("orders", "o_orderkey", "int", "NO", 0),         # pk_changed
+    ("orders", "o_total", "smallint", "YES", 0),      # narrowed
+    ("orders", "o_flag", "int", "YES", 0),            # class change
+    ("orders", "o_priority", "varchar", "NO", 0),     # added_required
+]
+_COMPAT_COLS = ["table_name", "column", "dtype", "nullable", "is_pk"]
+
+
+def q_schema_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution compatibility verdicts (catalog/compat.py,
+    Avro-promotion rules): every column transition between two snapshot
+    descriptors classified compatible (added-nullable, widened,
+    loosened) or BREAKING (dropped, added-required, narrowed/class
+    change, tightened, pk flip) — the migration gate above
+    schema_drift's did-anything-change."""
+    from ..catalog.compat import schema_compat
+
+    cached = spark.createDataFrame(_COMPAT_CACHED, _COMPAT_COLS)
+    live = spark.createDataFrame(_COMPAT_LIVE, _COMPAT_COLS)
+    return schema_compat(cached, live)
+
+
+def _compat_rank_sql(col: str) -> str:
+    return (f"CASE {col} WHEN 'smallint' THEN 1 WHEN 'int' THEN 2"
+            " WHEN 'bigint' THEN 3 WHEN 'float' THEN 4"
+            " WHEN 'double' THEN 5 END")
+
+
+SQL_SCHEMA_COMPAT = f"""
+WITH cached(table_name, col, dtype, nullable, is_pk) AS (
+  VALUES {_drift_values(_COMPAT_CACHED)}),
+live(table_name, col, dtype, nullable, is_pk) AS (
+  VALUES {_drift_values(_COMPAT_LIVE)}),
+j AS (
+  SELECT COALESCE(c.table_name, l.table_name) AS table_name,
+         COALESCE(c.col, l.col) AS col,
+         c.dtype AS cd, l.dtype AS ld,
+         c.nullable AS cn, l.nullable AS ln2,
+         c.is_pk AS cp, l.is_pk AS lp,
+         {_compat_rank_sql('c.dtype')} AS rc,
+         {_compat_rank_sql('l.dtype')} AS rl
+  FROM cached c FULL OUTER JOIN live l
+    ON c.table_name = l.table_name AND c.col = l.col
+),
+s AS (
+  SELECT table_name, col,
+    concat_ws('+',
+      CASE WHEN cd IS NULL THEN
+             (CASE WHEN ln2 = 'YES' THEN 'added'
+                   ELSE 'added_required' END)
+           WHEN ld IS NULL THEN 'dropped' END,
+      CASE WHEN cd IS NOT NULL AND ld IS NOT NULL AND cd <> ld THEN
+             (CASE WHEN rc IS NOT NULL AND rl IS NOT NULL AND rl > rc
+                   THEN 'widened' ELSE 'type_changed' END) END,
+      CASE WHEN cd IS NOT NULL AND ld IS NOT NULL
+                AND cn = 'YES' AND ln2 = 'NO' THEN 'required_tightened'
+           WHEN cd IS NOT NULL AND ld IS NOT NULL
+                AND cn = 'NO' AND ln2 = 'YES' THEN 'nullable_loosened'
+      END,
+      CASE WHEN cd IS NOT NULL AND ld IS NOT NULL AND cp <> lp
+           THEN 'pk_changed' END) AS status
+  FROM j
+)
+SELECT table_name, col AS "column", status,
+       CAST(CASE WHEN status LIKE '%added_required%'
+                   OR status LIKE '%dropped%'
+                   OR status LIKE '%type_changed%'
+                   OR status LIKE '%required_tightened%'
+                   OR status LIKE '%pk_changed%'
+            THEN 1 ELSE 0 END AS INT) AS breaking
+FROM s WHERE status <> ''
+"""
+
+
 def q_consumer_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monitoring (T4/T9): per-(topic, partition) lag between a committed
     checkpoint (offsets <= 5000 consumed) and the topic end offsets."""
@@ -1818,6 +1909,18 @@ SUITE: dict[str, tuple] = {
          "SELECT 'stats' AS kind, 'main' AS table_schem, table_name,"
          " \"column\" AS d1, CAST(n_rows AS VARCHAR) || ':' ||"
          " CAST(n_nulls AS VARCHAR) || ':' || CAST(n_distinct AS VARCHAR)"
+         " AS d2"),
+        # r6: schema-evolution compatibility verdicts (catalog/compat.py
+        # — Avro promotion rules) above drift's did-anything-change
+        ((q_schema_compat, SQL_SCHEMA_COMPAT),
+         lambda df: df.select(
+             F.lit("compat").alias("kind"),
+             F.lit("main").alias("table_schem"), "table_name",
+             F.col("column").alias("d1"),
+             F.concat_ws(":", "status",
+                         F.col("breaking").cast("string")).alias("d2")),
+         "SELECT 'compat' AS kind, 'main' AS table_schem, table_name,"
+         " \"column\" AS d1, status || ':' || CAST(breaking AS VARCHAR)"
          " AS d2"),
     ),
     # -- F3 JSON decode, classic get_json_object + Spark 4 VARIANT path

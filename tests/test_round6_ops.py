@@ -392,3 +392,30 @@ def test_net_effect_classification(spark):
     assert out[4].net_op == "U"
     assert out[5].net_op == "U"
     assert (out[1].first_version, out[1].last_version) == (10, 12)
+
+
+# --- schema compat -------------------------------------------------------------
+
+def test_schema_compat_rule_table(spark):
+    """Every rule branch fires on the planted fixture with the expected
+    verdict (Avro promotion canon)."""
+    from melt_spark.plans.suite import q_schema_compat
+
+    rows = {(r.table_name, r.column): r
+            for r in q_schema_compat(spark, SF_DIR).collect()}
+    expect = {
+        ("customer", "c_custkey"): ("widened", 0),
+        ("customer", "c_acctbal"): ("widened+required_tightened", 1),
+        ("customer", "c_phone"): ("added", 0),
+        ("customer", "c_comment"): ("dropped", 1),
+        ("orders", "o_orderkey"): ("pk_changed", 1),
+        ("orders", "o_total"): ("type_changed", 1),
+        ("orders", "o_flag"): ("type_changed", 1),
+        ("orders", "o_priority"): ("added_required", 1),
+    }
+    assert set(rows) == set(expect)
+    for k, (status, breaking) in expect.items():
+        assert rows[k].status == status, (k, rows[k].status)
+        assert rows[k].breaking == breaking, k
+    # unchanged column emits no row
+    assert ("customer", "c_name") not in rows

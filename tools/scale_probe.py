@@ -148,7 +148,7 @@ PROBES = ["text_quality", "dedup_minhash_lsh", "clean_corpus",
           # fold to the nb chain), OHLC (pure map-side-combined agg),
           # golden records (fixed 200-name workload - expected ~flat)
           "lpa_communities", "random_walks", "knn_graph", "graph_ann",
-          "nb_calibration", "ohlc_bars", "golden_records"]
+          "nb_calibration", "ohlc_bars", "golden_records", "theil_sen"]
 
 
 def _span_query(via: str):
@@ -258,7 +258,9 @@ _EXTRA_QUERIES = {"span_dedup_digest": _span_query("digest"),
                   "ohlc_bars":
                       _constituent("analytics_suite", "q_ohlc_bars"),
                   "golden_records":
-                      _constituent("analytics_suite", "q_golden_records")}
+                      _constituent("analytics_suite", "q_golden_records"),
+                  "theil_sen":
+                      _constituent("analytics_suite", "q_theil_sen")}
 
 
 def _shuffle_state(spark):
