@@ -241,3 +241,66 @@ def nb_confusion(docs: DataFrame, label_col: str = "source",
     return (actual.join(pred, "id")
             .groupBy("actual", "predicted")
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+ABSTAIN_THRESHOLDS_NANO = (0, 100_000_000, 250_000_000, 500_000_000,
+                           1_000_000_000, 2_000_000_000)
+
+
+def nb_abstain(docs: DataFrame, label_col: str = "source",
+               text_col: str = "text", id_col: str = "doc_id",
+               thresholds: tuple[int, ...] = ABSTAIN_THRESHOLDS_NANO
+               ) -> DataFrame:
+    """Selective-classification curve — accuracy vs coverage when the
+    classifier ABSTAINS below a top1−top2 margin threshold (Chow, "On
+    optimum recognition error and reject tradeoff", IEEE IT 1970; the
+    reject-option every production quality gate runs: route low-margin
+    documents to a bigger model or a human instead of guessing).
+
+    The margin is a DIFFERENCE OF EXACT BIGINT nano-nat scores, so
+    unlike nb_calibration's softmax there is no transcendental anywhere:
+    coverage, accuracy and the curve are integer arithmetic end to end
+    and hash-check with no rounding discipline at all.
+
+    Output: one row per threshold (thr_nano, n_covered, n_correct,
+    coverage_ppm, acc_ppm) — acc_ppm is -1 for an empty covered set.
+
+    Scale shape: the nb_scores chain + one |docs|·|labels| window for
+    (top1, top2), then a broadcast threshold grid × one aggregate.
+    """
+    model, labels = nb_model(docs, label_col, text_col, id_col)
+    scores = nb_scores(docs, model, labels, text_col, id_col)
+    w = Window.partitionBy("id").orderBy(F.desc("score_nano"),
+                                         F.asc("label"))
+    ranked = scores.withColumn("rn", F.row_number().over(w)) \
+        .filter(F.col("rn") <= 2)
+    per_doc = (ranked.groupBy("id")
+               .agg(F.min_by("label", "rn").alias("predicted"),
+                    F.max("score_nano").alias("s1"),
+                    F.min("score_nano").alias("s2"))
+               .select("id", "predicted",
+                       (F.col("s1") - F.col("s2")).alias("margin")))
+    actual = docs.select(F.col(id_col).alias("id"),
+                         F.col(label_col).alias("actual"))
+    md = (per_doc.join(actual, "id")
+          .select("margin", (F.col("predicted") == F.col("actual"))
+                  .cast("long").alias("ok")))
+    spark = docs.sparkSession
+    thr = spark.range(1).select(F.explode(F.array(
+        *[F.lit(t) for t in thresholds])).alias("thr_nano"))
+    tot = md.agg(F.count(F.lit(1)).alias("n_total"))
+    g = (md.crossJoin(F.broadcast(thr))
+         .groupBy("thr_nano")
+         .agg(F.sum(F.when(F.col("margin") >= F.col("thr_nano"), 1)
+                    .otherwise(0)).alias("n_covered"),
+              F.sum(F.when(F.col("margin") >= F.col("thr_nano"),
+                           F.col("ok")).otherwise(0)).alias("n_correct"))
+         .crossJoin(F.broadcast(tot)))
+    return g.select(
+        F.col("thr_nano").cast("bigint"),
+        F.col("n_covered").cast("bigint"),
+        F.col("n_correct").cast("bigint"),
+        F.expr("n_covered * 1000000 div n_total").alias("coverage_ppm"),
+        F.when(F.col("n_covered") > 0,
+               F.expr("n_correct * 1000000 div n_covered"))
+        .otherwise(F.lit(-1)).cast("bigint").alias("acc_ppm"))

@@ -3222,6 +3222,60 @@ SELECT * FROM bins UNION ALL SELECT * FROM summary
 """
 
 
+def q_nb_abstain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective-classification curve (functions/classify.py nb_abstain,
+    Chow 1970): accuracy vs coverage when the classifier abstains below
+    a top1−top2 margin threshold — the reject-option a production
+    quality gate runs before trusting a label. Margins are differences
+    of exact BIGINT nano-nats: no transcendental anywhere, the whole
+    curve is integer arithmetic."""
+    from ..functions.classify import nb_abstain
+
+    docs = read_table(spark, sf_dir, "documents")
+    return nb_abstain(docs)
+
+
+SQL_NB_ABSTAIN = f"""
+WITH {_NB_SCORES_BODY},
+top2 AS (
+  SELECT doc_id, label, score_nano,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_nano DESC, label) AS rn
+  FROM scores
+  QUALIFY rn <= 2
+),
+pd AS (
+  SELECT doc_id, arg_min(label, rn) AS predicted,
+         MAX(score_nano) - MIN(score_nano) AS margin
+  FROM top2 GROUP BY doc_id
+),
+md AS (
+  SELECT p.margin,
+         CASE WHEN p.predicted = d.source THEN 1 ELSE 0 END AS ok
+  FROM pd p JOIN documents d USING (doc_id)
+),
+tot AS (SELECT COUNT(*) AS n_total FROM md),
+thr AS (SELECT unnest([0, 100000000, 250000000, 500000000,
+                       1000000000, 2000000000]) AS thr_nano)
+SELECT CAST(t.thr_nano AS BIGINT) AS thr_nano,
+       CAST(SUM(CASE WHEN m.margin >= t.thr_nano THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_covered,
+       CAST(SUM(CASE WHEN m.margin >= t.thr_nano THEN m.ok ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       CAST(SUM(CASE WHEN m.margin >= t.thr_nano THEN 1 ELSE 0 END)
+            * 1000000 // MAX(tot.n_total) AS BIGINT) AS coverage_ppm,
+       CAST(CASE WHEN SUM(CASE WHEN m.margin >= t.thr_nano THEN 1
+                              ELSE 0 END) > 0
+                 THEN SUM(CASE WHEN m.margin >= t.thr_nano THEN m.ok
+                              ELSE 0 END) * 1000000
+                      // SUM(CASE WHEN m.margin >= t.thr_nano THEN 1
+                                 ELSE 0 END)
+                 ELSE -1 END AS BIGINT) AS acc_ppm
+FROM md m CROSS JOIN thr t CROSS JOIN tot
+GROUP BY t.thr_nano
+"""
+
+
 def q_lsh_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH parameter planner — the S-curve table (Leskovec,
     Rajaraman, Ullman, "Mining of Massive Datasets" ch. 3) every LSH
@@ -3281,6 +3335,7 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "containment": (q_containment, SQL_CONTAINMENT),
     "nb_classify": (q_nb_classify, SQL_NB_CLASSIFY),
     "nb_calibration": (q_nb_calibration, SQL_NB_CALIBRATION),
+    "nb_abstain": (q_nb_abstain, SQL_NB_ABSTAIN),
     "lsh_planner": (q_lsh_planner, SQL_LSH_PLANNER),
     "kmeans_outliers": (q_kmeans_outliers, SQL_KMEANS_OUTLIERS),
     "winnow": (q_winnow, SQL_WINNOW),

@@ -3370,6 +3370,22 @@ SUITE: dict[str, tuple] = {
          " CAST(n AS VARCHAR) || ':' || CAST(n_correct AS VARCHAR)"
          " AS ints, CAST(conf_ppm AS DOUBLE) AS v1,"
          " CAST(acc_ppm AS DOUBLE) AS v2, CAST(-1.0 AS DOUBLE) AS v3"),
+        # r6: selective-classification curve (Chow 1970 reject option) —
+        # integer margins, no transcendental anywhere
+        (PIPELINE_SUITE["nb_abstain"],
+         lambda df: df.select(
+             F.lit("abstain").alias("kind"),
+             F.col("thr_nano").cast("string").alias("key"),
+             F.concat_ws(":", F.col("n_covered").cast("string"),
+                         F.col("n_correct").cast("string")).alias("ints"),
+             F.col("coverage_ppm").cast("double").alias("v1"),
+             F.col("acc_ppm").cast("double").alias("v2"),
+             F.lit(-1.0).alias("v3")),
+         "SELECT 'abstain' AS kind, CAST(thr_nano AS VARCHAR) AS key,"
+         " CAST(n_covered AS VARCHAR) || ':' ||"
+         " CAST(n_correct AS VARCHAR) AS ints,"
+         " CAST(coverage_ppm AS DOUBLE) AS v1,"
+         " CAST(acc_ppm AS DOUBLE) AS v2, CAST(-1.0 AS DOUBLE) AS v3"),
     ),
     # -- pivot (wide) re-checked in long form + unpivot/stack
     "pivot_unpivot": merged(

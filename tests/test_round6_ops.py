@@ -419,3 +419,24 @@ def test_schema_compat_rule_table(spark):
         assert rows[k].breaking == breaking, k
     # unchanged column emits no row
     assert ("customer", "c_name") not in rows
+
+
+# --- NB abstention -------------------------------------------------------------
+
+def test_nb_abstain_monotone_coverage_and_consistency(spark):
+    """Coverage is non-increasing in the threshold; thr=0 covers all
+    docs; accuracy on the covered set is internally consistent."""
+    from melt_spark.functions.classify import nb_abstain
+    from melt_spark.sources.parquet import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    rows = sorted(nb_abstain(docs).collect(), key=lambda r: r.thr_nano)
+    assert rows[0].thr_nano == 0
+    assert rows[0].n_covered == docs.count()
+    covs = [r.n_covered for r in rows]
+    assert all(a >= b for a, b in zip(covs, covs[1:]))
+    for r in rows:
+        if r.n_covered:
+            assert r.acc_ppm == r.n_correct * 1_000_000 // r.n_covered
+        else:
+            assert r.acc_ppm == -1
