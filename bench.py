@@ -87,7 +87,8 @@ BENCH_GROUPS_BY_NAME: dict[str, list[str]] = {
     "r6": ["kmv_intersect", "kmv_overlap", "kmv_difference",
            "holt_trend", "ohlc_bars", "ab_test", "lpa_communities",
            "random_walks", "knn_graph", "graph_ann", "golden_records",
-           "lsh_planner", "nb_calibration", "theil_sen", "nb_abstain"],
+           "lsh_planner", "nb_calibration", "theil_sen", "nb_abstain",
+           "incremental_knn"],
 }
 
 EXTRA_QUERIES = [

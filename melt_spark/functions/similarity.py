@@ -350,3 +350,82 @@ def graph_ann_search(corpus: DataFrame, queries: DataFrame,
             .select("query_id", F.col("cand").alias("neighbor_id"),
                     F.col("rn").cast("int").alias("rank"), "cos",
                     F.coalesce("in_exact", F.lit(0)).alias("in_exact")))
+
+
+def incremental_knn(store: DataFrame, batch: DataFrame, m: int = 8,
+                    every: int = 50, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """kNN-graph maintenance under batch ingest — the graph-ANN
+    counterpart of incremental_minhash/incremental_dedup: new vectors
+    arrive, and the navigable graph updates WITHOUT rebuilding
+    store×store (the freshness recipe of the HNSW/Vamana deployments:
+    insert into lists, link both directions, re-rank only the touched
+    adjacency lists).
+
+        batch side: each new vector gets its top-m among the vectors of
+            its IVF list (store + other batch arrivals) — the same
+            cluster-local rule as the full build;
+        store side: a store node's stored top-m merges with its NEW
+            batch-vector candidates (same list, both in one candidate
+            frame) and re-ranks; only nodes with at least one batch
+            candidate emit an updated list — untouched nodes keep their
+            stored adjacency by construction, which is the entire point.
+
+    Centroids are the STORE's (batch assignment cannot reshuffle
+    existing lists — the IVF-ingest convention); cost is
+    |batch|·(list sizes touched), never |store|². Output:
+    (src, dst, rank, cos, side) with side ∈ {'batch', 'store'}.
+    """
+    from .ivf import deterministic_centroids, ivf_assign
+
+    cents = deterministic_centroids(store, every, id_col, vec_col)
+    a_store = ivf_assign(store, cents, id_col, vec_col) \
+        .localCheckpoint(eager=True)
+    a_batch = ivf_assign(batch, cents, id_col, vec_col) \
+        .localCheckpoint(eager=True)
+
+    # the store's persisted adjacency (derived here the way
+    # incremental_minhash derives the store's signatures; a deployment
+    # reads it from the graph table)
+    s1 = a_store.select(F.col(id_col).alias("src"), "list_id",
+                        F.col("v").alias("sv"))
+    s2 = a_store.select(F.col(id_col).alias("dst"), "list_id",
+                        F.col("v").alias("dv"))
+    stored = (s1.join(s2, "list_id")
+              .filter(F.col("src") != F.col("dst"))
+              .withColumn("cos", cosine(F.col("sv"), F.col("dv"))))
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
+    stored_top = (stored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= m)
+                  .select("src", "dst", "cos")
+                  .localCheckpoint(eager=True))
+
+    b_src = a_batch.select(F.col(id_col).alias("src"), "list_id",
+                           F.col("v").alias("sv"))
+    pool = (a_store.unionByName(a_batch)
+            .select(F.col(id_col).alias("dst"), "list_id",
+                    F.col("v").alias("dv")))
+    batch_cand = (b_src.join(pool, "list_id")
+                  .filter(F.col("src") != F.col("dst"))
+                  .withColumn("cos", cosine(F.col("sv"), F.col("dv"))))
+    batch_top = (batch_cand.withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= m)
+                 .select("src", "dst", F.col("rank").cast("int"), "cos",
+                         F.lit("batch").alias("side")))
+
+    # store nodes ⊳ batch arrivals in their list (the only new edges a
+    # store node can gain); merge with the stored list, re-rank
+    sb = (a_store.select(F.col(id_col).alias("src"), "list_id",
+                         F.col("v").alias("sv"))
+          .join(a_batch.select(F.col(id_col).alias("dst"), "list_id",
+                               F.col("v").alias("dv")), "list_id")
+          .withColumn("cos", cosine(F.col("sv"), F.col("dv")))
+          .select("src", "dst", "cos"))
+    touched = sb.select("src").distinct()
+    merged_lists = (stored_top.join(touched, "src", "left_semi")
+                    .unionByName(sb))
+    store_top = (merged_lists.withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= m)
+                 .select("src", "dst", F.col("rank").cast("int"), "cos",
+                         F.lit("store").alias("side")))
+    return batch_top.unionByName(store_top)

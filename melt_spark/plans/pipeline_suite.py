@@ -1131,6 +1131,102 @@ knn AS MATERIALIZED (
 SQL_KNN_GRAPH = f"WITH {_KNN_BODY}\nSELECT src, dst, rank, cos FROM knn"
 
 
+def q_incremental_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-graph maintenance under batch ingest (functions/similarity.py
+    incremental_knn): ~14% of the corpus (vec_id % 7 == 0) arrives as a
+    new batch against the remaining store — batch vectors get their
+    cluster-local top-8, store nodes whose lists gained a batch vector
+    re-rank stored⊕new, and untouched store nodes are never recomputed.
+    The graph-ANN counterpart of incremental_minhash's
+    batch-vs-store-only discipline."""
+    from ..functions.similarity import incremental_knn
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    store = emb.filter(F.col("vec_id") % 7 != 0)
+    batch = emb.filter(F.col("vec_id") % 7 == 0)
+    return incremental_knn(store, batch, m=8, every=50)
+
+
+SQL_INCREMENTAL_KNN = f"""
+WITH cents AS (
+  SELECT CAST(vec_id / 50 AS BIGINT) AS list_id, {_DVEC} AS centroid
+  FROM embeddings WHERE vec_id % 7 <> 0 AND vec_id % 50 = 0
+),
+store AS (SELECT vec_id, {_DVEC} AS v FROM embeddings
+          WHERE vec_id % 7 <> 0),
+batch AS (SELECT vec_id, {_DVEC} AS v FROM embeddings
+          WHERE vec_id % 7 = 0),
+as_s AS (
+  SELECT c.vec_id, ct.list_id, c.v,
+         {_cos_sql('c.v', 'ct.centroid')} AS sim
+  FROM store c, cents ct
+),
+a_store AS MATERIALIZED (
+  SELECT vec_id, list_id, v FROM as_s
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, list_id) = 1
+),
+as_b AS (
+  SELECT c.vec_id, ct.list_id, c.v,
+         {_cos_sql('c.v', 'ct.centroid')} AS sim
+  FROM batch c, cents ct
+),
+a_batch AS MATERIALIZED (
+  SELECT vec_id, list_id, v FROM as_b
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, list_id) = 1
+),
+stored_s AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         {_cos_sql('a.v', 'b.v')} AS cos
+  FROM a_store a JOIN a_store b USING (list_id)
+  WHERE a.vec_id <> b.vec_id
+),
+stored_top AS MATERIALIZED (
+  SELECT src, dst, cos FROM stored_s
+  QUALIFY row_number() OVER (PARTITION BY src
+                             ORDER BY cos DESC, dst) <= 8
+),
+pool AS (SELECT vec_id, list_id, v FROM a_store
+         UNION ALL SELECT vec_id, list_id, v FROM a_batch),
+bc AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         {_cos_sql('a.v', 'b.v')} AS cos
+  FROM a_batch a JOIN pool b USING (list_id)
+  WHERE a.vec_id <> b.vec_id
+),
+batch_top AS (
+  SELECT src, dst,
+         CAST(row_number() OVER (PARTITION BY src
+                                 ORDER BY cos DESC, dst) AS INT) AS rank,
+         cos, 'batch' AS side
+  FROM bc
+  QUALIFY rank <= 8
+),
+sb AS MATERIALIZED (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         {_cos_sql('a.v', 'b.v')} AS cos
+  FROM a_store a JOIN a_batch b USING (list_id)
+  WHERE a.vec_id <> b.vec_id
+),
+touched AS (SELECT DISTINCT src FROM sb),
+merged AS (
+  SELECT s.src, s.dst, s.cos FROM stored_top s
+  JOIN touched t ON t.src = s.src
+  UNION ALL SELECT src, dst, cos FROM sb
+),
+store_top AS (
+  SELECT src, dst,
+         CAST(row_number() OVER (PARTITION BY src
+                                 ORDER BY cos DESC, dst) AS INT) AS rank,
+         cos, 'store' AS side
+  FROM merged
+  QUALIFY rank <= 8
+)
+SELECT * FROM batch_top UNION ALL SELECT * FROM store_top
+"""
+
+
 def q_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy beam search over the kNN graph (functions/similarity.py
     graph_ann_search, the NSW search half): fixed entry points, 2
@@ -3379,6 +3475,7 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "lsh_buckets": (q_lsh_buckets, SQL_LSH_BUCKETS),
     "knn_graph": (q_knn_graph, SQL_KNN_GRAPH),
     "graph_ann": (q_graph_ann, SQL_GRAPH_ANN),
+    "incremental_knn": (q_incremental_knn, SQL_INCREMENTAL_KNN),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "ivf_recall": (q_ivf_recall,

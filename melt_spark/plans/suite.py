@@ -2347,6 +2347,19 @@ SUITE: dict[str, tuple] = {
          "SELECT 'gann' AS kind, CAST(rank AS VARCHAR) || ':' ||"
          " CAST(in_exact AS VARCHAR) AS bucket, query_id AS id_a,"
          " neighbor_id AS id_b, cos AS v"),
+        # r6: kNN-graph maintenance under batch ingest — batch nodes
+        # link in, touched store lists re-rank, untouched lists are
+        # never recomputed (incremental_minhash's discipline)
+        (PIPELINE_SUITE["incremental_knn"],
+         lambda df: df.select(F.lit("iknn").alias("kind"),
+                              F.concat_ws(":", "side",
+                                          F.col("rank").cast("string"))
+                              .alias("bucket"),
+                              F.col("src").alias("id_a"),
+                              F.col("dst").alias("id_b"),
+                              F.col("cos").alias("v")),
+         "SELECT 'iknn' AS kind, side || ':' || CAST(rank AS VARCHAR)"
+         " AS bucket, src AS id_a, dst AS id_b, cos AS v"),
     ),
     # -- IVF ANN: probe top-k + recall@10 vs the brute-force oracle
     "ivf_search": merged(

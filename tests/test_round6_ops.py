@@ -440,3 +440,50 @@ def test_nb_abstain_monotone_coverage_and_consistency(spark):
             assert r.acc_ppm == r.n_correct * 1_000_000 // r.n_covered
         else:
             assert r.acc_ppm == -1
+
+
+# --- incremental kNN -----------------------------------------------------------
+
+def test_incremental_knn_untouched_store_nodes_keep_lists(spark):
+    """A store node whose IVF list gained no batch vector emits no
+    'store' rows — the no-recompute property the operator exists for."""
+    from melt_spark.functions.ivf import deterministic_centroids, ivf_assign
+    from melt_spark.functions.similarity import incremental_knn
+    from melt_spark.sources.parquet import read_table
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    store = emb.filter(F.col("vec_id") % 7 != 0)
+    # one-vector batch: exactly one list is touched, so untouched store
+    # lists provably exist at this fixture size
+    batch = emb.filter(F.col("vec_id") == 7)
+    out = incremental_knn(store, batch, m=8, every=50)
+    cents = deterministic_centroids(store, 50)
+    batch_lists = {r.list_id for r in
+                   ivf_assign(batch, cents).select("list_id")
+                   .distinct().collect()}
+    store_assign = ivf_assign(store, cents).select("vec_id", "list_id")
+    updated = {r.id_a for r in out.filter(F.col("kind") == "x").collect()} \
+        if "kind" in out.columns else \
+        {r.src for r in out.filter(F.col("side") == "store")
+         .select("src").distinct().collect()}
+    untouched = {r.vec_id for r in store_assign.collect()
+                 if r.list_id not in batch_lists}
+    assert updated and untouched
+    assert not (updated & untouched)
+
+
+def test_incremental_knn_batch_rows_rank_contract(spark):
+    from melt_spark.functions.similarity import incremental_knn
+    from melt_spark.sources.parquet import read_table
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    store = emb.filter(F.col("vec_id") % 7 != 0)
+    batch = emb.filter(F.col("vec_id") % 7 == 0)
+    out = incremental_knn(store, batch, m=8, every=50)
+    per = (out.groupBy("side", "src")
+           .agg(F.count(F.lit(1)).alias("n"), F.max("rank").alias("mx")))
+    assert per.filter((F.col("n") > 8)
+                      | (F.col("mx") != F.col("n"))).count() == 0
+    n_batch_srcs = (out.filter(F.col("side") == "batch")
+                    .select("src").distinct().count())
+    assert n_batch_srcs == batch.count()

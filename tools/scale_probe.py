@@ -148,7 +148,8 @@ PROBES = ["text_quality", "dedup_minhash_lsh", "clean_corpus",
           # fold to the nb chain), OHLC (pure map-side-combined agg),
           # golden records (fixed 200-name workload - expected ~flat)
           "lpa_communities", "random_walks", "knn_graph", "graph_ann",
-          "nb_calibration", "ohlc_bars", "golden_records", "theil_sen"]
+          "nb_calibration", "ohlc_bars", "golden_records", "theil_sen",
+          "incremental_knn"]
 
 
 def _span_query(via: str):
@@ -260,7 +261,9 @@ _EXTRA_QUERIES = {"span_dedup_digest": _span_query("digest"),
                   "golden_records":
                       _constituent("analytics_suite", "q_golden_records"),
                   "theil_sen":
-                      _constituent("analytics_suite", "q_theil_sen")}
+                      _constituent("analytics_suite", "q_theil_sen"),
+                  "incremental_knn":
+                      _constituent("pipeline_suite", "q_incremental_knn")}
 
 
 def _shuffle_state(spark):
