@@ -1649,6 +1649,34 @@ def _sql_zorder() -> str:
 SQL_ZORDER_VALUES = _sql_zorder()
 
 
+def q_hilbert_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert d-index for orders over (customer, order-day)
+    (functions/layout.py hilbert_value) — the better-locality clustering
+    key beside zorder_values' Morton interleave: the Hilbert walk is
+    fully contiguous (every step moves one cell), so range predicates
+    touch strictly fewer curve ranges. The quadrant-rotation state folds
+    over packed BIGINTs, identical on both engines."""
+    from ..functions.layout import hilbert_value
+
+    orders = read_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"),
+                     F.lit("1992-01-01").cast("date"))
+    return orders.select(
+        "o_orderkey",
+        hilbert_value(F.col("o_custkey"), day, bits=15).alias("hval"))
+
+
+def _sql_hilbert() -> str:
+    from ..functions.layout import hilbert_sql
+
+    day = "datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))"
+    return (f"SELECT o_orderkey, {hilbert_sql('(o_custkey)', f'({day})', 15)}"
+            " AS hval FROM orders")
+
+
+SQL_HILBERT_VALUES = _sql_hilbert()
+
+
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel analysis: the furthest stage of signup -> click -> purchase
     each user reached IN ORDER within their FIRST 8 events (sequence =
@@ -4279,6 +4307,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "ppr": (q_ppr, SQL_PPR),
     "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
     "zorder_values": (q_zorder_values, SQL_ZORDER_VALUES),
+    "hilbert_values": (q_hilbert_values, SQL_HILBERT_VALUES),
     "order_value_percentiles": (q_order_value_percentiles,
                                 SQL_ORDER_PERCENTILES),
     "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),

@@ -3340,6 +3340,19 @@ SUITE: dict[str, tuple] = {
          "SELECT 'zorder' AS kind, CAST(o_orderkey AS VARCHAR) AS key,"
          " CAST(zval AS VARCHAR) AS ints, -1.0 AS v1, -1.0 AS v2,"
          " -1.0 AS v3"),
+        # r6: Hilbert clustering keys — the contiguous space-filling
+        # curve beside the Morton interleave (functions/layout.py)
+        (ANALYTICS_SUITE["hilbert_values"],
+         lambda df: df.select(F.lit("hilbert").alias("kind"),
+                              F.col("o_orderkey").cast("string")
+                              .alias("key"),
+                              F.col("hval").cast("string").alias("ints"),
+                              F.lit(-1.0).alias("v1"),
+                              F.lit(-1.0).alias("v2"),
+                              F.lit(-1.0).alias("v3")),
+         "SELECT 'hilbert' AS kind, CAST(o_orderkey AS VARCHAR) AS key,"
+         " CAST(hval AS VARCHAR) AS ints, -1.0 AS v1, -1.0 AS v2,"
+         " -1.0 AS v3"),
         # r4b: Johnson-Lindenstrauss 64->16 projection with per-vector
         # norm distortion (functions/projection.py) — the md5-derived
         # sign matrix is shared source-of-truth between both engines

@@ -487,3 +487,36 @@ def test_incremental_knn_batch_rows_rank_contract(spark):
     n_batch_srcs = (out.filter(F.col("side") == "batch")
                     .select("src").distinct().count())
     assert n_batch_srcs == batch.count()
+
+
+# --- Hilbert curve ------------------------------------------------------------
+
+def test_hilbert_matches_python_reference(spark):
+    from melt_spark.functions.layout import hilbert_py, hilbert_value
+
+    pts = [(x, y) for x in range(0, 40, 3) for y in range(0, 40, 7)]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    rows = hilbert_value("x", "y", bits=15).alias("d")
+    out = {(r.x, r.y): r.d for r in df.select("x", "y", rows).collect()}
+    for (x, y), d in out.items():
+        assert d == hilbert_py(x, y, 15), (x, y)
+
+
+def test_hilbert_is_contiguous_and_bijective_small_grid(spark):
+    """On the full 16x16 grid (bits=4): every consecutive pair of
+    d-values is one Manhattan step apart, and d is a bijection — the
+    locality property z-order lacks (Morton takes diagonal jumps)."""
+    from melt_spark.functions.layout import hilbert_py, zvalue_py
+
+    n = 16
+    cells = sorted((hilbert_py(x, y, 4), x, y)
+                   for x in range(n) for y in range(n))
+    assert len({c[0] for c in cells}) == n * n
+    steps = [abs(a[1] - b[1]) + abs(a[2] - b[2])
+             for a, b in zip(cells, cells[1:])]
+    assert all(s == 1 for s in steps)
+    zcells = sorted((zvalue_py(x, y, 4), x, y)
+                    for x in range(n) for y in range(n))
+    zsteps = [abs(a[1] - b[1]) + abs(a[2] - b[2])
+              for a, b in zip(zcells, zcells[1:])]
+    assert any(s > 1 for s in zsteps)  # Morton's diagonal jumps
