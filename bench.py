@@ -88,7 +88,8 @@ BENCH_GROUPS_BY_NAME: dict[str, list[str]] = {
            "holt_trend", "ohlc_bars", "ab_test", "lpa_communities",
            "random_walks", "knn_graph", "graph_ann", "golden_records",
            "lsh_planner", "nb_calibration", "theil_sen", "nb_abstain",
-           "incremental_knn", "hilbert_values"],
+           "incremental_knn", "hilbert_values", "rfm_scores",
+           "otsu_threshold"],
 }
 
 EXTRA_QUERIES = [

@@ -3714,6 +3714,162 @@ FROM pairs, n
 
 
 # ---------------------------------------------------------------------------
+# round 6: RFM quintile scoring + Otsu auto-threshold
+
+
+def q_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer scoring (Hughes, "Strategic Database Marketing",
+    1994 — the recency/frequency/monetary quintile code every CRM
+    segmentation starts from): per purchasing user, days since last
+    purchase, purchase count, and total spend in exact cents, each
+    ntile(5)-coded with a (value, user_id) total order so the quintile
+    assignment is deterministic. R=5 is most recent, F=5 most frequent,
+    M=5 highest spend; code packs r*100+f*10+m."""
+    ev = read_table(spark, sf_dir, "events")
+    buys = ev.filter(F.col("event_type") == "purchase")
+    ref = buys.agg(F.max(F.to_date("ts")).alias("ref_day"))
+    per_user = (buys.groupBy("user_id")
+                .agg(F.max(F.to_date("ts")).alias("last_day"),
+                     F.count(F.lit(1)).alias("frequency"),
+                     F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                     .alias("monetary_cents"))
+                .crossJoin(F.broadcast(ref))
+                .select("user_id",
+                        F.datediff("ref_day", "last_day").cast("int")
+                        .alias("recency_days"),
+                        F.col("frequency").cast("bigint"),
+                        "monetary_cents"))
+    r = F.ntile(5).over(Window.orderBy(F.asc("recency_days"),
+                                       F.asc("user_id")))
+    f = F.ntile(5).over(Window.orderBy(F.desc("frequency"),
+                                       F.asc("user_id")))
+    m = F.ntile(5).over(Window.orderBy(F.desc("monetary_cents"),
+                                       F.asc("user_id")))
+    scored = per_user.select(
+        "user_id", "recency_days", "frequency", "monetary_cents",
+        (6 - r).alias("r"), (6 - f).alias("f"), (6 - m).alias("m"))
+    return scored.select(
+        "user_id", "recency_days", "frequency", "monetary_cents",
+        F.col("r").cast("int"), F.col("f").cast("int"),
+        F.col("m").cast("int"),
+        (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("int")
+        .alias("rfm_code"))
+
+
+SQL_RFM_SCORES = """
+WITH buys AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+ref AS (SELECT MAX(d) AS ref_day FROM buys),
+pu AS (
+  SELECT user_id,
+         CAST(datediff('day', MAX(d), (SELECT ref_day FROM ref)) AS INT)
+           AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(cents) AS BIGINT) AS monetary_cents
+  FROM buys GROUP BY user_id
+),
+scored AS (
+  SELECT user_id, recency_days, frequency, monetary_cents,
+         6 - ntile(5) OVER (ORDER BY recency_days, user_id) AS r,
+         6 - ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f,
+         6 - ntile(5) OVER (ORDER BY monetary_cents DESC, user_id) AS m
+  FROM pu
+)
+SELECT user_id, recency_days, frequency, monetary_cents,
+       CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+       CAST(r * 100 + f * 10 + m AS INT) AS rfm_code
+FROM scored
+"""
+
+
+def q_otsu_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Otsu automatic thresholding (Otsu, "A threshold selection method
+    from gray-level histograms", IEEE SMC 1979) over the document-length
+    histogram — the data-driven way to pick a filter cutoff instead of
+    hand-tuning one: 32 equal-width bins, and for every candidate
+    threshold t the between-class criterion
+    (s0·w1 − s1·w0)² div (w0·w1) in EXACT integer arithmetic (the
+    squared numerator stays < 2^63 for corpora into the millions of
+    docs; go DECIMAL beyond). chosen = 1 marks the argmax (ties to the
+    lowest t).
+
+    Scale shape: one map-side-combined histogram shuffle, then the
+    criterion sweep runs over 32 rows."""
+    docs = read_table(spark, sf_dir, "documents")
+    mm = docs.agg(F.min("n_chars").alias("lo"),
+                  F.max("n_chars").alias("hi"))
+    binned = (docs.crossJoin(F.broadcast(mm))
+              .select(F.expr("(n_chars - lo) * 32"
+                             " div (hi - lo + 1)").alias("bin"))
+              .groupBy("bin").agg(F.count(F.lit(1)).alias("n")))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = binned.select(
+        "bin", "n",
+        F.sum("n").over(w).alias("w0"),
+        F.sum(F.col("bin") * F.col("n")).over(w).alias("s0"))
+    tot = binned.agg(F.sum("n").alias("nt"),
+                     F.sum(F.col("bin") * F.col("n")).alias("st"))
+    crit = (cum.crossJoin(F.broadcast(tot))
+            .select("bin", "n", "w0",
+                    (F.col("nt") - F.col("w0")).alias("w1"),
+                    "s0", (F.col("st") - F.col("s0")).alias("s1"))
+            .withColumn(
+                "crit",
+                F.when((F.col("w0") > 0) & (F.col("w1") > 0),
+                       F.expr("(s0 * w1 - s1 * w0) * (s0 * w1 - s1 * w0)"
+                              " div (w0 * w1)")).otherwise(F.lit(0))
+                .cast("bigint")))
+    best = F.max(F.struct(F.col("crit"), (-F.col("bin")).alias("nb"))) \
+        .over(Window.partitionBy())
+    return (crit.withColumn(
+        "chosen", ((F.col("crit") == best["crit"])
+                   & (F.col("bin") == -best["nb"])).cast("int"))
+        .select(F.col("bin").cast("int").alias("t"),
+                F.col("n").cast("bigint"),
+                F.col("w0").cast("bigint"), F.col("w1").cast("bigint"),
+                "crit", "chosen"))
+
+
+SQL_OTSU_THRESHOLD = """
+WITH mm AS (SELECT MIN(n_chars) AS lo, MAX(n_chars) AS hi
+            FROM documents),
+binned AS (
+  SELECT (n_chars - mm.lo) * 32 // (mm.hi - mm.lo + 1) AS bin,
+         COUNT(*) AS n
+  FROM documents, mm GROUP BY 1
+),
+cum AS (
+  SELECT bin, n,
+         SUM(n) OVER (ORDER BY bin) AS w0,
+         SUM(bin * n) OVER (ORDER BY bin) AS s0
+  FROM binned
+),
+tot AS (SELECT SUM(n) AS nt, SUM(bin * n) AS st FROM binned),
+crit AS (
+  SELECT bin, n, w0, tot.nt - w0 AS w1, s0, tot.st - s0 AS s1,
+         CAST(CASE WHEN w0 > 0 AND tot.nt - w0 > 0 THEN
+           (s0 * (tot.nt - w0) - (tot.st - s0) * w0)
+           * (s0 * (tot.nt - w0) - (tot.st - s0) * w0)
+           // (w0 * (tot.nt - w0))
+         ELSE 0 END AS BIGINT) AS crit
+  FROM cum, tot
+),
+best AS (
+  SELECT bin AS best_bin FROM crit
+  QUALIFY row_number() OVER (ORDER BY crit DESC, bin) = 1
+)
+SELECT CAST(c.bin AS INT) AS t, CAST(c.n AS BIGINT) AS n,
+       CAST(c.w0 AS BIGINT) AS w0, CAST(c.w1 AS BIGINT) AS w1, c.crit,
+       CAST(CASE WHEN c.bin = b.best_bin THEN 1 ELSE 0 END AS INT)
+         AS chosen
+FROM crit c, best b
+"""
+
+
+# ---------------------------------------------------------------------------
 # round 6: golden-record survivorship over the fuzzy-match clusters
 
 
@@ -4269,6 +4425,8 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "random_walks": (q_random_walks, SQL_RANDOM_WALKS),
     "holt_trend": (q_holt_trend, SQL_HOLT_TREND),
     "theil_sen": (q_theil_sen, SQL_THEIL_SEN),
+    "rfm_scores": (q_rfm_scores, SQL_RFM_SCORES),
+    "otsu_threshold": (q_otsu_threshold, SQL_OTSU_THRESHOLD),
     "ohlc_bars": (q_ohlc_bars, SQL_OHLC_BARS),
     "ab_test": (q_ab_test, SQL_AB_TEST),
     "cusum_monitor": (q_cusum_monitor, SQL_CUSUM_MONITOR),

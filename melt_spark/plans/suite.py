@@ -2629,6 +2629,24 @@ SUITE: dict[str, tuple] = {
          "SELECT 'dist' AS kind, CAST(-1 AS BIGINT) AS o_custkey,"
          " o_orderkey, o_orderstatus AS detail, pr AS price, cd AS price2,"
          " nt AS rk, -1 AS drk, rn"),
+        # r6: RFM quintile segmentation — r/f/m ride the three int
+        # slots, exact cents in the double slot (< 2^52)
+        (ANALYTICS_SUITE["rfm_scores"],
+         lambda df: df.select(
+             F.lit("rfm").alias("kind"),
+             F.col("user_id").alias("o_custkey"),
+             F.col("rfm_code").cast("bigint").alias("o_orderkey"),
+             F.col("frequency").cast("string").alias("detail"),
+             F.col("monetary_cents").cast("double").alias("price"),
+             F.col("recency_days").cast("double").alias("price2"),
+             F.col("r").alias("rk"), F.col("f").alias("drk"),
+             F.col("m").alias("rn")),
+         "SELECT 'rfm' AS kind, user_id AS o_custkey,"
+         " CAST(rfm_code AS BIGINT) AS o_orderkey,"
+         " CAST(frequency AS VARCHAR) AS detail,"
+         " CAST(monetary_cents AS DOUBLE) AS price,"
+         " CAST(recency_days AS DOUBLE) AS price2,"
+         " r AS rk, f AS drk, m AS rn"),
     ),
     # -- sessionization + r4 funnel analysis (ordered-subsequence array
     #    fold, restated as DuckDB list_reduce) share the per-user entry
@@ -3353,6 +3371,22 @@ SUITE: dict[str, tuple] = {
          "SELECT 'hilbert' AS kind, CAST(o_orderkey AS VARCHAR) AS key,"
          " CAST(hval AS VARCHAR) AS ints, -1.0 AS v1, -1.0 AS v2,"
          " -1.0 AS v3"),
+        # r6: Otsu auto-threshold over the doc-length histogram — the
+        # exact-integer criterion rides the string slot (> 2^52)
+        (ANALYTICS_SUITE["otsu_threshold"],
+         lambda df: df.select(
+             F.lit("otsu").alias("kind"),
+             F.col("t").cast("string").alias("key"),
+             F.concat_ws(":", F.col("w0").cast("string"),
+                         F.col("w1").cast("string"),
+                         F.col("crit").cast("string")).alias("ints"),
+             F.col("chosen").cast("double").alias("v1"),
+             F.col("n").cast("double").alias("v2"),
+             F.lit(-1.0).alias("v3")),
+         "SELECT 'otsu' AS kind, CAST(t AS VARCHAR) AS key,"
+         " CAST(w0 AS VARCHAR) || ':' || CAST(w1 AS VARCHAR) || ':' ||"
+         " CAST(crit AS VARCHAR) AS ints, CAST(chosen AS DOUBLE) AS v1,"
+         " CAST(n AS DOUBLE) AS v2, CAST(-1.0 AS DOUBLE) AS v3"),
         # r4b: Johnson-Lindenstrauss 64->16 projection with per-vector
         # norm distortion (functions/projection.py) — the md5-derived
         # sign matrix is shared source-of-truth between both engines

@@ -520,3 +520,70 @@ def test_hilbert_is_contiguous_and_bijective_small_grid(spark):
     zsteps = [abs(a[1] - b[1]) + abs(a[2] - b[2])
               for a, b in zip(zcells, zcells[1:])]
     assert any(s > 1 for s in zsteps)  # Morton's diagonal jumps
+
+
+# --- RFM scoring -------------------------------------------------------------
+
+def test_rfm_quintiles_are_balanced_and_oriented(spark):
+    from melt_spark.plans.analytics_suite import q_rfm_scores
+
+    rows = q_rfm_scores(spark, SF_DIR).collect()
+    n = len(rows)
+    for dim in ("r", "f", "m"):
+        vals = [getattr(r, dim) for r in rows]
+        assert set(vals) <= {1, 2, 3, 4, 5}
+        # ntile balance: bucket sizes differ by at most 1
+        from collections import Counter
+        c = Counter(vals)
+        assert max(c.values()) - min(c.values()) <= 1, (dim, c)
+    # orientation: the single most-recent user scores r=5, the highest
+    # spender m=5
+    best_r = min(rows, key=lambda r: (r.recency_days, r.user_id))
+    assert best_r.r == 5
+    best_m = max(rows, key=lambda r: (r.monetary_cents, -r.user_id))
+    assert best_m.m == 5
+    assert all(r.rfm_code == r.r * 100 + r.f * 10 + r.m for r in rows)
+    assert n == len({r.user_id for r in rows})
+
+
+# --- Otsu threshold ----------------------------------------------------------
+
+def test_otsu_separates_planted_bimodal(spark):
+    """Two clearly separated length modes: the chosen threshold lands
+    strictly between them and matches a plain-Python Otsu."""
+    from melt_spark.plans.analytics_suite import q_otsu_threshold  # noqa: F401
+
+    # plain-python reference over the same integer criterion
+    import collections
+
+    def otsu(bins):
+        nt = sum(bins.values())
+        st = sum(b * n for b, n in bins.items())
+        best, bb = -1, None
+        w0 = s0 = 0
+        for b in sorted(bins):
+            w0 += bins[b]; s0 += b * bins[b]
+            w1 = nt - w0
+            if w0 and w1:
+                crit = (s0 * w1 - (st - s0) * w0) ** 2 // (w0 * w1)
+            else:
+                crit = 0
+            if crit > best:
+                best, bb = crit, b
+        return bb
+
+    low = [5] * 40 + [6] * 35
+    high = [27] * 30 + [28] * 45
+    bins = collections.Counter(low + high)
+    t = otsu(bins)
+    assert 6 <= t < 27
+
+    rows = q_otsu_threshold(spark, SF_DIR).collect()
+    chosen = [r for r in rows if r.chosen == 1]
+    assert len(chosen) == 1
+    # the fixture histogram: spark's chosen t maximizes the same
+    # integer criterion the reference computes over the output rows
+    ref = max(rows, key=lambda r: (r.crit, -r.t))
+    assert chosen[0].t == ref.t
+    total = rows[0].w0 + rows[0].w1
+    assert all(r.w0 + r.w1 == total for r in rows)
