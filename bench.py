@@ -106,7 +106,7 @@ CONSTITUENT_GROUPS: dict[str, list[str]] = {
                      "greedy_coverage", "waterfill", "diversity", "leakage"],
     "text_quality": ["text_stats", "quality_scores", "repetition",
                      "rep_ngrams", "pii_scrub", "lm_perplexity",
-                     "nb_classify"],
+                     "nb_classify", "nb_calibration", "nb_abstain"],
     "dedup_minhash_lsh": ["dedup_minhash_lsh", "incremental_minhash"],
     "ann_cosine_topk": ["ann_cosine_topk", "bm25_topk", "rrf_fusion",
                         "rrf_recall", "phrase_match"],
@@ -114,7 +114,10 @@ CONSTITUENT_GROUPS: dict[str, list[str]] = {
                    "semantic_summary", "pq_codes", "pq_adc", "ivf_pq",
                    "kmeans_train", "kmeans_outliers"],
     "dedup_clusters": ["dedup_clusters", "pagerank", "butterflies",
-                       "hits", "ppr", "canonical_docs"],
+                       "hits", "ppr", "canonical_docs",
+                       "lpa_communities", "random_walks"],
+    "embedding_lsh": ["lsh_buckets", "embedding_near_dup", "bq_rerank",
+                      "knn_graph", "graph_ann", "incremental_knn"],
     "rollup_grouping_sets": ["rollup_revenue", "cube_revenue",
                              "grouping_sets", "time_bucket_rollup",
                              "gapfill_hourly", "event_twa"],

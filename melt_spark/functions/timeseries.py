@@ -445,7 +445,7 @@ def trimmed_mean_cents(df: DataFrame, value_col: str,
 
 
 def holt_int(df: DataFrame, ts_col: str, key_cols: list[str],
-             width: int) -> DataFrame:
+             width: int, state: DataFrame | None = None) -> DataFrame:
     """Holt's linear (double-exponential) smoothing of per-key bucket
     counts — Holt, "Forecasting seasonals and trends by exponentially
     weighted moving averages" (1957; reprinted IJF 2004) — pinned to
@@ -468,6 +468,15 @@ def holt_int(df: DataFrame, ts_col: str, key_cols: list[str],
     by span/width.
 
     Output per key: n_buckets, level_final, trend_final, forecast_next.
+
+    ``state`` (optional): a prior output covering earlier buckets — the
+    incremental-maintenance handoff (ewma_int's contract): the
+    recurrence's full state is exactly (l, b), so keys present in the
+    state seed their fold from (level_final, trend_final) and fold
+    EVERY new bucket; n_buckets accumulates; quiet keys pass through
+    unchanged (full-outer state join, the r5 ADVICE fix class).
+    Continue-from-state == batch-over-everything whenever the batch
+    boundary falls on a bucket boundary — property-tested.
     """
     keys = [F.col(c) for c in key_cols]
     counts = (df.select(*keys, bucket_epoch(ts_col, width).alias("bucket"))
@@ -477,9 +486,38 @@ def holt_int(df: DataFrame, ts_col: str, key_cols: list[str],
                .agg(F.count(F.lit(1)).alias("n_buckets"),
                     F.array_sort(F.collect_list(F.struct("bucket", "x")))
                     .alias("series")))
+    if state is not None:
+        # incremental continuation (the ewma_int contract): the
+        # recurrence's state is exactly (l, b), so seeding from a prior
+        # output and folding only the NEW buckets equals the full batch
+        # whenever the batch boundary falls on a bucket boundary —
+        # property-tested. FULL-outer join: quiet keys pass through.
+        per_key = per_key.join(
+            state.select(*key_cols,
+                         F.col("level_final").alias("__l0"),
+                         F.col("trend_final").alias("__b0"),
+                         F.col("n_buckets").alias("__n0")),
+            key_cols, "full")
+        per_key = (per_key
+                   .withColumn("n_buckets",
+                               F.coalesce("n_buckets", F.lit(0)))
+                   .withColumn("series", F.coalesce(
+                       "series",
+                       F.array().cast(
+                           "array<struct<bucket:bigint,x:bigint>>"))))
+    else:
+        per_key = (per_key
+                   .withColumn("__l0", F.lit(None).cast("long"))
+                   .withColumn("__b0", F.lit(None).cast("long"))
+                   .withColumn("__n0", F.lit(None).cast("long")))
     xs = F.transform(F.col("series"), lambda s: s["x"].cast("long"))
     head = F.element_at(xs, 1)
-    tail = F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0)))
+    seeded = F.col("__l0").isNotNull()
+    init_l = F.when(seeded, F.col("__l0")).otherwise(head)
+    init_b = F.when(seeded, F.col("__b0")) \
+        .otherwise(F.lit(0).cast("long"))
+    tail = F.when(seeded, xs).otherwise(
+        F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))))
 
     def _half(u):  # exact floor-halving on both engines (see docstring)
         return F.floor(u / F.lit(2.0)).cast("long")
@@ -490,11 +528,11 @@ def holt_int(df: DataFrame, ts_col: str, key_cols: list[str],
                         _half(lnew - acc["l"] + acc["b"]).alias("b"))
 
     fold = F.aggregate(
-        tail,
-        F.struct(head.alias("l"), F.lit(0).cast("long").alias("b")),
-        step)
+        tail, F.struct(init_l.alias("l"), init_b.alias("b")), step)
     return (per_key.select(
-        *key_cols, F.col("n_buckets").cast("bigint").alias("n_buckets"),
+        *key_cols,
+        (F.col("n_buckets") + F.coalesce("__n0", F.lit(0)))
+        .cast("bigint").alias("n_buckets"),
         fold["l"].alias("level_final"),
         fold["b"].alias("trend_final"))
         .withColumn("forecast_next",

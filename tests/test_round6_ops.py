@@ -587,3 +587,34 @@ def test_otsu_separates_planted_bimodal(spark):
     assert chosen[0].t == ref.t
     total = rows[0].w0 + rows[0].w1
     assert all(r.w0 + r.w1 == total for r in rows)
+
+
+def test_holt_state_continuation_equals_batch(spark):
+    """Prefix-decomposability: holt over buckets [0..11] equals holt
+    over [0..5] fed back as state for [6..11]; quiet keys survive."""
+    from melt_spark.functions.timeseries import holt_int
+
+    counts = [3, 9, 1, 14, 7, 2, 20, 4, 11, 6, 8, 5]
+    rows = [("k", i * 3600) for i, c in enumerate(counts)
+            for _ in range(c)]
+    df = spark.createDataFrame(rows, ["k", "epoch"]).select(
+        "k", F.timestamp_seconds("epoch").alias("ts"))
+    full = holt_int(df, "ts", ["k"], 3600).collect()[0]
+
+    first = df.filter(F.unix_timestamp("ts") < 6 * 3600)
+    rest = df.filter(F.unix_timestamp("ts") >= 6 * 3600)
+    st = holt_int(first, "ts", ["k"], 3600)
+    cont = holt_int(rest, "ts", ["k"], 3600, state=st).collect()[0]
+    assert (cont.level_final, cont.trend_final, cont.n_buckets) == \
+        (full.level_final, full.trend_final, full.n_buckets)
+
+    # quiet key: present in state, absent from the batch -> unchanged
+    st2 = spark.createDataFrame(
+        [("quiet", 7, -2, 5, 4)],
+        ["k", "level_final", "trend_final", "forecast_next",
+         "n_buckets"])
+    out = {r.k: r for r in
+           holt_int(rest, "ts", ["k"], 3600, state=st2).collect()}
+    assert out["quiet"].level_final == 7
+    assert out["quiet"].trend_final == -2
+    assert out["quiet"].n_buckets == 4
