@@ -282,9 +282,14 @@ def nb_abstain(docs: DataFrame, label_col: str = "source",
                        (F.col("s1") - F.col("s2")).alias("margin")))
     actual = docs.select(F.col(id_col).alias("id"),
                          F.col(label_col).alias("actual"))
+    # two consumers below (the threshold-grid aggregate and the total) —
+    # materialize once or Catalyst re-derives the whole train+score
+    # chain under each reference (the nb_calibration lesson; one row
+    # per doc, bounded)
     md = (per_doc.join(actual, "id")
           .select("margin", (F.col("predicted") == F.col("actual"))
-                  .cast("long").alias("ok")))
+                  .cast("long").alias("ok"))
+          .localCheckpoint(eager=True))
     spark = docs.sparkSession
     thr = spark.range(1).select(F.explode(F.array(
         *[F.lit(t) for t in thresholds])).alias("thr_nano"))
