@@ -261,8 +261,8 @@ def alignment_filter(pairs: DataFrame, anchor: DataFrame,
 
 
 def knn_graph(corpus: DataFrame, m: int = 8, every: int = 50,
-              id_col: str = "vec_id",
-              vec_col: str = "embedding") -> DataFrame:
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              coarse_group: int | None = None) -> DataFrame:
     """Approximate kNN graph: top-`m` neighbors per vector by exact
     cosine WITHIN the vector's IVF list (deterministic centroids, the
     ivf.py assignment). Cluster-local pair generation is the accepted
@@ -275,10 +275,21 @@ def knn_graph(corpus: DataFrame, m: int = 8, every: int = 50,
 
     Output: (src, dst, rank, cos) — rank 1..m by (cos desc, dst asc).
     """
-    from .ivf import deterministic_centroids, ivf_assign
+    from .ivf import (deterministic_centroids, ivf_assign,
+                      two_level_assign)
 
     cents = deterministic_centroids(corpus, every, id_col, vec_col)
-    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    # coarse_group: the 64x probe showed the EXACT assignment is the
+    # bottleneck, not the pair generation — list count k = N/every grows
+    # with the corpus, so assign is O(N*k) (the semantic_dedup 36x
+    # lesson). two_level_assign is the O(N*sqrt(k)) escape; graph edges
+    # shift only where a boundary vector lands in a neighboring list
+    # (the oracle-checked constituent keeps the exact path).
+    if coarse_group:
+        assigned = two_level_assign(corpus, cents, coarse_group,
+                                    id_col, vec_col)
+    else:
+        assigned = ivf_assign(corpus, cents, id_col, vec_col)
     a = assigned.select(F.col(id_col).alias("src"), "list_id",
                         F.col("v").alias("sv"))
     b = assigned.select(F.col(id_col).alias("dst"), "list_id",

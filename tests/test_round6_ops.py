@@ -618,3 +618,20 @@ def test_holt_state_continuation_equals_batch(spark):
     assert out["quiet"].level_final == 7
     assert out["quiet"].trend_final == -2
     assert out["quiet"].n_buckets == 4
+
+
+def test_knn_graph_coarse_mostly_agrees_with_exact(spark):
+    """Two-level assignment only moves boundary vectors, so the coarse
+    graph keeps the large majority of exact edges (the two_level_assign
+    agreement bound carried to the graph)."""
+    from melt_spark.functions.similarity import knn_graph
+    from melt_spark.sources.parquet import read_table
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    exact = {(r.src, r.dst)
+             for r in knn_graph(emb, m=8, every=50).collect()}
+    coarse = {(r.src, r.dst)
+              for r in knn_graph(emb, m=8, every=50,
+                                 coarse_group=16).collect()}
+    overlap = len(exact & coarse) / len(exact)
+    assert overlap >= 0.7, overlap

@@ -149,7 +149,7 @@ PROBES = ["text_quality", "dedup_minhash_lsh", "clean_corpus",
           # golden records (fixed 200-name workload - expected ~flat)
           "lpa_communities", "random_walks", "knn_graph", "graph_ann",
           "nb_calibration", "ohlc_bars", "golden_records", "theil_sen",
-          "incremental_knn"]
+          "incremental_knn", "knn_graph_coarse"]
 
 
 def _span_query(via: str):
@@ -173,6 +173,20 @@ def _semantic_query(coarse_group):
         emb = read_table(spark, sf_dir, "embeddings")
         return semantic_dedup(emb, threshold=0.3, every=50,
                               coarse_group=coarse_group)
+    return q
+
+
+def _knn_coarse_query():
+    """knn_graph with the two-level coarse assignment — the O(N*sqrt(k))
+    scale path vs the exact O(N*k) assignment (the 64x probe showed
+    exact assign dominating; same head-to-head as semantic_dedup vs
+    semantic_dedup_coarse)."""
+    def q(spark, sf_dir):
+        from melt_spark.functions.similarity import knn_graph
+        from melt_spark.sources.parquet import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        return knn_graph(emb, m=8, every=50, coarse_group=16)
     return q
 
 
@@ -263,7 +277,8 @@ _EXTRA_QUERIES = {"span_dedup_digest": _span_query("digest"),
                   "theil_sen":
                       _constituent("analytics_suite", "q_theil_sen"),
                   "incremental_knn":
-                      _constituent("pipeline_suite", "q_incremental_knn")}
+                      _constituent("pipeline_suite", "q_incremental_knn"),
+                  "knn_graph_coarse": _knn_coarse_query()}
 
 
 def _shuffle_state(spark):
