@@ -386,6 +386,12 @@ def incremental_knn(store: DataFrame, batch: DataFrame, m: int = 8,
     existing lists — the IVF-ingest convention); cost is
     |batch|·(list sizes touched), never |store|². Output:
     (src, dst, rank, cos, side) with side ∈ {'batch', 'store'}.
+
+    At-scale note (the knn_graph 64x lesson): this function DERIVES the
+    store's assignment and adjacency for oracle-checkability — a
+    deployment reads both from persisted tables, so the only per-ingest
+    assignment cost is |batch|·k (route through two_level_assign when k
+    is corpus-proportional, as knn_graph's coarse_group does).
     """
     from .ivf import deterministic_centroids, ivf_assign
 

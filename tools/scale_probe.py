@@ -149,7 +149,7 @@ PROBES = ["text_quality", "dedup_minhash_lsh", "clean_corpus",
           # golden records (fixed 200-name workload - expected ~flat)
           "lpa_communities", "random_walks", "knn_graph", "graph_ann",
           "nb_calibration", "ohlc_bars", "golden_records", "theil_sen",
-          "incremental_knn", "knn_graph_coarse"]
+          "incremental_knn", "knn_graph_coarse", "graph_ann_coarse"]
 
 
 def _span_query(via: str):
@@ -187,6 +187,23 @@ def _knn_coarse_query():
 
         emb = read_table(spark, sf_dir, "embeddings")
         return knn_graph(emb, m=8, every=50, coarse_group=16)
+    return q
+
+
+def _graph_ann_coarse_query():
+    """Beam search over the COARSE-built kNN graph — the full graph-ANN
+    stack on its 100 TB build path."""
+    def q(spark, sf_dir):
+        from pyspark.sql import functions as FF
+
+        from melt_spark.functions.similarity import (graph_ann_search,
+                                                     knn_graph)
+        from melt_spark.sources.parquet import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        edges = knn_graph(emb, m=8, every=50, coarse_group=16)
+        return graph_ann_search(emb, emb.filter(FF.col("vec_id") < 5),
+                                edges, k=10, beam=10, rounds=2)
     return q
 
 
@@ -278,7 +295,8 @@ _EXTRA_QUERIES = {"span_dedup_digest": _span_query("digest"),
                       _constituent("analytics_suite", "q_theil_sen"),
                   "incremental_knn":
                       _constituent("pipeline_suite", "q_incremental_knn"),
-                  "knn_graph_coarse": _knn_coarse_query()}
+                  "knn_graph_coarse": _knn_coarse_query(),
+                  "graph_ann_coarse": _graph_ann_coarse_query()}
 
 
 def _shuffle_state(spark):
