@@ -89,7 +89,7 @@ BENCH_GROUPS_BY_NAME: dict[str, list[str]] = {
            "random_walks", "knn_graph", "graph_ann", "golden_records",
            "lsh_planner", "nb_calibration", "theil_sen", "nb_abstain",
            "incremental_knn", "hilbert_values", "rfm_scores",
-           "otsu_threshold"],
+           "otsu_threshold", "minhash_recall"],
 }
 
 EXTRA_QUERIES = [
@@ -107,7 +107,8 @@ CONSTITUENT_GROUPS: dict[str, list[str]] = {
     "text_quality": ["text_stats", "quality_scores", "repetition",
                      "rep_ngrams", "pii_scrub", "lm_perplexity",
                      "nb_classify", "nb_calibration", "nb_abstain"],
-    "dedup_minhash_lsh": ["dedup_minhash_lsh", "incremental_minhash"],
+    "dedup_minhash_lsh": ["dedup_minhash_lsh", "incremental_minhash",
+                          "lsh_planner", "minhash_recall"],
     "ann_cosine_topk": ["ann_cosine_topk", "bm25_topk", "rrf_fusion",
                         "rrf_recall", "phrase_match"],
     "ivf_search": ["ivf_topk", "ivf_recall", "semantic_dedup",

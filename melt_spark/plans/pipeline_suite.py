@@ -601,6 +601,98 @@ WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
 """
 
 
+def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured MinHash-LSH recall vs exact-Jaccard truth — the
+    empirical complement of lsh_planner's closed-form S-curve: the
+    banded candidate set (8 hashes, 4 bands — this entry's own
+    parameters) evaluated against the full inverted-index pair truth at
+    Jaccard thresholds 0.5..0.9. Per threshold: how many true pairs
+    exist, how many the LSH bands caught, recall in exact ppm — the
+    table that says whether the chosen (b, r) actually delivers the
+    recall the planner predicted ON THIS CORPUS.
+
+    Scale shape: truth is the digest-keyed inverted-index join (the
+    jaccard_pairs machinery), candidates are the banded self-join; the
+    evaluation itself is one left join on the pair key + a 5-row
+    threshold aggregate."""
+    from ..functions.dedup import (jaccard_pairs, lsh_candidate_pairs,
+                                   minhash_signatures)
+
+    docs = read_table(spark, sf_dir, "documents")
+    truth = jaccard_pairs(docs, threshold=0.5)
+    sigs = minhash_signatures(docs, num_hashes=8)
+    cands = (lsh_candidate_pairs(sigs, num_hashes=8, bands=4)
+             .withColumn("caught", F.lit(1)))
+    flag = (truth.join(cands, ["doc_a", "doc_b"], "left")
+            .select("jaccard",
+                    F.coalesce("caught", F.lit(0)).alias("caught")))
+    thr = (spark.range(1).select(F.explode(F.array(
+        *[F.lit(t) for t in (50, 60, 70, 80, 90)])).alias("e"))
+        .select(F.col("e").cast("int").alias("thr_e2")))
+    g = (flag.crossJoin(F.broadcast(thr))
+         .groupBy("thr_e2")
+         .agg(F.sum(F.when(F.col("jaccard")
+                           >= F.col("thr_e2") / F.lit(100.0), 1)
+                    .otherwise(0)).alias("n_true"),
+              F.sum(F.when((F.col("jaccard")
+                            >= F.col("thr_e2") / F.lit(100.0))
+                           & (F.col("caught") == 1), 1)
+                    .otherwise(0)).alias("n_caught")))
+    return g.select(
+        "thr_e2", F.col("n_true").cast("bigint"),
+        F.col("n_caught").cast("bigint"),
+        F.when(F.col("n_true") > 0,
+               F.expr("n_caught * 1000000 div n_true"))
+        .otherwise(F.lit(-1)).cast("bigint").alias("recall_ppm"))
+
+
+SQL_MINHASH_RECALL = f"""
+WITH {_SHINGLES_CTE},
+tcommon AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b,
+         CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS j
+  FROM tcommon
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+),
+sigs AS (SELECT doc_id, {_SIGS} FROM sh GROUP BY doc_id),
+bands AS (SELECT doc_id, unnest([{_BANDS}]) AS band_key FROM sigs),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+flag AS (
+  SELECT t.j,
+         CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS caught
+  FROM truth t LEFT JOIN cands c
+    ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+),
+thr AS (SELECT unnest([50, 60, 70, 80, 90]) AS thr_e2),
+g AS (
+  SELECT t.thr_e2,
+         SUM(CASE WHEN f.j >= t.thr_e2 / 100.0 THEN 1 ELSE 0 END)
+           AS n_true,
+         SUM(CASE WHEN f.j >= t.thr_e2 / 100.0 AND f.caught = 1
+                  THEN 1 ELSE 0 END) AS n_caught
+  FROM flag f CROSS JOIN thr t
+  GROUP BY t.thr_e2
+)
+SELECT CAST(thr_e2 AS INT) AS thr_e2,
+       CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_caught AS BIGINT) AS n_caught,
+       CAST(CASE WHEN n_true > 0 THEN n_caught * 1000000 // n_true
+                 ELSE -1 END AS BIGINT) AS recall_ppm
+FROM g
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clusters: connected components (iterative min-label
     propagation) over the MinHash-LSH near-dup pairs; cluster id = smallest
@@ -3450,6 +3542,7 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "ngram_novelty": (q_ngram_novelty, SQL_NGRAM_NOVELTY),
     "incremental_minhash": (q_incremental_minhash,
                             SQL_INCREMENTAL_MINHASH),
+    "minhash_recall": (q_minhash_recall, SQL_MINHASH_RECALL),
     "contrastive": (q_contrastive, SQL_CONTRASTIVE),
     "split_corpus": (q_split_corpus, _split_sql()),
     "rrf_ndcg": (q_rrf_ndcg, SQL_RRF_NDCG),

@@ -2100,6 +2100,19 @@ SUITE: dict[str, tuple] = {
          "SELECT 'plan' AS kind,"
          " CAST(bands * 100 + rows_per_band AS BIGINT) AS doc_a,"
          " CAST(s_e1 AS BIGINT) AS doc_b, p_collide AS jaccard"),
+        # r6: measured LSH recall vs exact truth — the planner's
+        # S-curve checked empirically on this corpus; doc_b packs
+        # (n_true, n_caught), recall ppm rides the double slot exactly
+        (PIPELINE_SUITE["minhash_recall"],
+         lambda df: df.select(
+             F.lit("recall").alias("kind"),
+             F.col("thr_e2").cast("bigint").alias("doc_a"),
+             (F.col("n_true") * 1_000_000 + F.col("n_caught"))
+             .cast("bigint").alias("doc_b"),
+             F.col("recall_ppm").cast("double").alias("jaccard")),
+         "SELECT 'recall' AS kind, CAST(thr_e2 AS BIGINT) AS doc_a,"
+         " CAST(n_true * 1000000 + n_caught AS BIGINT) AS doc_b,"
+         " CAST(recall_ppm AS DOUBLE) AS jaccard"),
     ),
     # -- the two iterative graph algorithms share one entry: connected
     #    components (label propagation) + r4's fixed-point PageRank

@@ -635,3 +635,26 @@ def test_knn_graph_coarse_mostly_agrees_with_exact(spark):
                                  coarse_group=16).collect()}
     overlap = len(exact & coarse) / len(exact)
     assert overlap >= 0.7, overlap
+
+
+# --- MinHash recall evaluation --------------------------------------------------
+
+def test_minhash_recall_monotone_and_consistent(spark):
+    """n_true is non-increasing in the threshold, caught <= true, and
+    higher thresholds never have WORSE recall than the S-curve predicts
+    directionally (recall grows with similarity)."""
+    from melt_spark.plans.pipeline_suite import q_minhash_recall
+
+    rows = sorted(q_minhash_recall(spark, SF_DIR).collect(),
+                  key=lambda r: r.thr_e2)
+    trues = [r.n_true for r in rows]
+    assert all(a >= b for a, b in zip(trues, trues[1:]))
+    for r in rows:
+        assert 0 <= r.n_caught <= r.n_true
+        if r.n_true:
+            assert r.recall_ppm == r.n_caught * 1_000_000 // r.n_true
+        else:
+            assert r.recall_ppm == -1
+    recalls = [r.recall_ppm for r in rows if r.n_true > 0]
+    if len(recalls) >= 2:
+        assert recalls[-1] >= recalls[0]
