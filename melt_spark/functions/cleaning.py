@@ -466,18 +466,18 @@ def contrastive_pairs(pairs: DataFrame, corpus: DataFrame,
     positive) — reproducible and oracle-checkable, the same no-RNG
     discipline as stratified_sample.
 
-    Scale note: ranking corpus ids uses one global row_number window
-    here (oracle-restatable); at 100 TB swap in a range-partitioned
-    zipWithIndex-style rank — the triplet logic is unchanged.
+    Scale shape: corpus ids rank through util.global_row_number (the
+    range-partitioned zip-with-index), NOT a partition-less row_number
+    window — no single task ever sorts the whole id list. Bit-identical
+    to the SQL window rank, so the oracle restatement holds.
     """
-    from pyspark.sql.window import Window
-
     from .sketches import kmv_hash
+    from .util import global_row_number
 
     ids = corpus.select(F.col(id_col).alias("cid")).distinct()
     n = ids.count()
-    w = Window.orderBy("cid")
-    ranked = ids.withColumn("rn", F.row_number().over(w) - 1)
+    ranked = (global_row_number(ids, [F.asc("cid")], "rn")
+              .withColumn("rn", F.col("rn") - 1))
     both = (pairs.select(F.col(id_a).alias("anchor"),
                          F.col(id_b).alias("positive"))
             .unionByName(pairs.select(F.col(id_b).alias("anchor"),
@@ -567,6 +567,9 @@ def greedy_coverage(df: DataFrame, k: int = 3, n: int = 3,
     out = picks[0]
     for p in picks[1:]:
         out = out.unionByName(p)
+    # k one-row picks: the limit is a no-op that makes the bound
+    # plan-visible, certifying the global window below for plan_lint
+    out = out.limit(k)
     w = Window.orderBy("pick").rowsBetween(Window.unboundedPreceding,
                                            Window.currentRow)
     return out.select("pick", F.col("id").alias(id_col), "gain",
@@ -593,25 +596,23 @@ def budget_waterfill(df: DataFrame, budget: int, cap_epochs: int = 4,
     rest share λ = (budget − prefix_k) div (n−k). Every comparison and
     division is BIGINT — bit-deterministic, oracle-exact.
 
-    Spark shape: one map-side-combined count per source, one window over
-    the SOURCE table (corpus-count-sized, tiny), two broadcast scalars.
-    The corpus itself is touched once.
+    Spark shape: one map-side-combined count per source, then rank +
+    running cap-sum through util.global_order_scan (range-partitioned —
+    no partition-less window, even though the source table is usually
+    small: sources can be web DOMAINS, millions of keys), two broadcast
+    scalars. The corpus itself is touched once.
 
     Output: (source, n_tokens, cap_tokens, alloc_tokens) ordered by the
     caller; Σ alloc_tokens <= budget with equality unless every source
     is cap-bound.
     """
-    from pyspark.sql.window import Window
+    from .util import global_order_scan
 
     srcs = (df.groupBy(source_col)
             .agg(F.sum(weight_col).cast("bigint").alias("n_tokens"))
             .withColumn("u", F.col("n_tokens") * F.lit(int(cap_epochs))))
-    w = Window.orderBy("u", source_col)
-    ranked = (srcs
-              .withColumn("rn", F.row_number().over(w))
-              .withColumn("prefix", F.sum("u").over(
-                  w.rowsBetween(Window.unboundedPreceding,
-                                Window.currentRow))))
+    ranked = global_order_scan(srcs, [F.asc("u"), F.asc(source_col)],
+                               rank_col="rn", cumsum={"u": "prefix"})
     n = ranked.agg(F.count(F.lit(1)).alias("__n"))
     ranked = ranked.crossJoin(F.broadcast(n))
     B = F.lit(int(budget)).cast("long")

@@ -133,6 +133,64 @@ def span_dedup(df: DataFrame, k: int = 8, text_col: str = "text",
                     (n_spans - F.size(kept_idx)).alias("n_removed")))
 
 
+def exact_substring_spans(df: DataFrame, k: int = 20,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Maximal duplicated-substring spans of >= k tokens — the
+    distributed restatement of the suffix-array ExactSubstr pass of Lee
+    et al., "Deduplicating Training Data Makes Language Models Better"
+    (ACL 2022; they use a 50-token threshold over a monolithic suffix
+    array). The reduction that makes it shuffle-friendly: a substring
+    of length >= k occurs twice in the corpus iff EVERY one of its
+    k-token shingles occurs >= 2 times, so the maximal duplicated spans
+    of a document are exactly the maximal runs of consecutive
+    duplicated k-shingle start positions (run [i..j] ==> span of
+    j - i + k tokens at position i). span_dedup's non-overlapping
+    k-blocks miss duplicates straddling a block boundary; the sliding
+    shingles here are offset-exact, the property the suffix array buys.
+
+    Scale shape: shingle text collapses to an xxhash64 digest in the
+    projection that creates it (the span_dedup digest discipline — only
+    (digest, id, pos) rows shuffle), the >= 2 occurrence count is one
+    map-side-combined aggregate, run detection is a PER-DOCUMENT window
+    (bounded by document length, never global). Repeats WITHIN one
+    document count toward the 2 occurrences, as in the paper.
+
+    Output: (doc_id, span_start 1-based token index, span_tokens) —
+    one row per maximal duplicated span.
+    """
+    from .util import spread_input
+
+    toks = spread_input(df, id_col).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("t"))
+    # guard: sequence(1, 0) DESCENDS in Spark — short docs get no grams
+    idx = F.when(F.size("t") >= k,
+                 F.sequence(F.lit(1), F.size("t") - (k - 1))) \
+           .otherwise(F.array().cast("array<int>"))
+    grams = (toks.select(
+        F.col(id_col),
+        F.explode(F.transform(
+            idx,
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.xxhash64(F.concat_ws(" ", F.slice(F.col("t"), i, k)))
+                .alias("g")))).alias("pg"))
+        .select(id_col, F.col("pg.pos").alias("pos"),
+                F.col("pg.g").alias("g")))
+    hot = (grams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+           .filter(F.col("c") >= 2).select("g"))
+    marked = grams.join(hot, "g", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = (marked.withColumn("grp",
+                              F.col("pos") - F.row_number().over(w)))
+    return (runs.groupBy(id_col, "grp")
+            .agg(F.min("pos").alias("mn"), F.max("pos").alias("mx"))
+            .select(F.col(id_col),
+                    F.col("mn").cast("int").alias("span_start"),
+                    (F.col("mx") - F.col("mn") + k).cast("int")
+                    .alias("span_tokens")))
+
+
 # ---------------------------------------------------------------------------
 # shingling
 
@@ -462,6 +520,40 @@ def simhash64(df: DataFrame, text_col: str = "text",
         f"(CASE WHEN v{b} > 0 THEN CAST({2 ** b} AS BIGINT)"
         f" ELSE CAST(0 AS BIGINT) END)" for b in range(SIMHASH64_BITS)))
     return agg.select(F.col(id_col), packed.alias("simhash64"))
+
+
+def simhash_both(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Both SimHash representations from ONE pass — the 16-bit nibble
+    bitstring (simhash) and the packed 60-bit BIGINT (simhash64) — in a
+    single token explode + grouped vote aggregate (76 codegen'd sums).
+    The separate simhash()/simhash64() builders each re-scan the corpus;
+    a caller wanting both should never pay the join."""
+    tok = df.select(F.col(id_col),
+                    F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    h = tok.withColumn("h", F.md5("tok"))
+    votes16 = [
+        F.sum(F.when(F.substring("h", b + 1, 1)
+                     .isin(*list("89abcdef")), 1).otherwise(-1))
+        .alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    votes60 = []
+    for b in range(SIMHASH64_BITS):
+        val = _hex_val("h", b // 4 + 1)
+        bit = f"(CAST(floor({val} / {2 ** (b % 4)}) AS BIGINT) % 2)"
+        votes60.append(F.expr(
+            f"SUM(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END)").alias(f"w{b}"))
+    agg = h.groupBy(id_col).agg(*votes16, *votes60)
+    bits = F.concat(*[
+        F.when(F.col(f"v{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for b in range(SIMHASH_BITS)
+    ])
+    packed = F.expr(" + ".join(
+        f"(CASE WHEN w{b} > 0 THEN CAST({2 ** b} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END)" for b in range(SIMHASH64_BITS)))
+    return agg.select(F.col(id_col), bits.alias("simhash"),
+                      packed.alias("simhash64"))
 
 
 def simhash64_near_dup_pairs(df: DataFrame, text_col: str = "text",

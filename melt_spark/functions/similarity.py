@@ -309,8 +309,9 @@ def graph_ann_search(corpus: DataFrame, queries: DataFrame,
                      max_seeds: int = 4, id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:
     """Greedy beam search over a kNN graph — the NSW search half:
-    start from fixed entry points (every `seeds_every`-th vector, at
-    most `max_seeds` — deterministic, the role HNSW's top layer plays),
+    start from fixed entry points (the smallest id in each of the first
+    `max_seeds` occupied `seeds_every`-wide id strides — deterministic
+    and order-independent, the role HNSW's top layer plays),
     then `rounds` unrolled iterations of expand-neighbors → exact-score
     → keep-beam. Per round: one equi-join frontier⋈edges + one distinct
     + one bounded scoring join (≤ beam·(m+1) candidates per query) —
@@ -321,6 +322,9 @@ def graph_ann_search(corpus: DataFrame, queries: DataFrame,
     where in_exact marks membership in the brute-force top-k — recall
     measured in-band, per hit.
     """
+    if rounds < 1:
+        raise ValueError(f"graph_ann_search needs rounds >= 1, "
+                         f"got {rounds}")
     q = queries.select(F.col(id_col).alias("query_id"),
                        _dvec(vec_col).alias("qv"))
     cvecs = corpus.select(F.col(id_col).alias("cand"),
@@ -329,10 +333,16 @@ def graph_ann_search(corpus: DataFrame, queries: DataFrame,
     # re-derives the whole kNN BUILD (the expensive half) under every
     # reference — the union-of-filters recompute trap. N·m rows, cheap.
     edges = edges.localCheckpoint(eager=True)
+    # entry points: the smallest id in each of the first max_seeds
+    # occupied strides — NOT `id % seeds_every == 0`, which silently
+    # yields zero seeds (empty result) on a sparse or offset id space.
+    # On a dense 0-based space this picks the identical 0, s, 2s, ...
     seeds = (corpus
-             .filter((F.col(id_col) % seeds_every == 0)
-                     & (F.col(id_col) < seeds_every * max_seeds))
-             .select(F.col(id_col).alias("cand")))
+             .groupBy(F.expr(f"{id_col} div {seeds_every}")
+                      .alias("__stride"))
+             .agg(F.min(id_col).alias("cand"))
+             .orderBy("__stride").limit(max_seeds)
+             .select("cand"))
     frontier = (q.select("query_id")
                 .crossJoin(F.broadcast(seeds)))
     scored = None

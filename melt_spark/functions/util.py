@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -22,3 +22,119 @@ def spread_input(df: DataFrame, key_col: str) -> DataFrame:
     if files and len(files) < cores:
         return df.repartition(cores, F.col(key_col))
     return df
+
+
+_MID_ROW_MASK = (1 << 33) - 1  # monotonically_increasing_id: low 33 bits
+                               # are the record number within a partition,
+                               # upper bits the partition id (documented
+                               # layout of the Spark expression)
+
+
+def global_order_scan(df: DataFrame, order_cols: list[Column],
+                      rank_col: str | None = None,
+                      cumsum: dict[str, str] | None = None,
+                      total_col: str | None = None) -> DataFrame:
+    """Distributed replacement for partition-less window functions over a
+    TOTAL order — ``row_number()`` (``rank_col``), running sums
+    (``cumsum`` maps source column -> output column, frame = unbounded
+    preceding .. current row), and the total row count (``total_col``) —
+    WITHOUT the single-reducer sort ``WindowExec: No Partition Defined``
+    costs (every row through ONE task; the round-6 audit's hazard class,
+    guarded repo-wide by tools/plan_lint.py).
+
+    Distributed plan: range-partition on the order (ranges are assigned
+    to ascending partition ids, so partition id increases with the
+    order), sort within each range, and read (partition,
+    row-in-partition) off ``monotonically_increasing_id`` — the
+    distributed zip-with-index. A tiny per-partition aggregate table
+    (<= shuffle partitions rows; its ``limit`` is the plan-visible bound
+    the lint checks) turns local positions into exact global ranks and
+    per-partition sum offsets into exact global running sums. Results
+    are bit-identical to the SQL window functions, so oracle hashes
+    hold.
+
+    ``order_cols`` must be a TOTAL order (break ties with a unique key):
+    with duplicate sort keys, tied rows' ranks would depend on physical
+    placement.
+
+    Scale shape: one range shuffle of the frame + one tiny aggregate +
+    one broadcast join (+ for running sums only, one hash exchange on
+    the partition tag — 1/parts of the rows per task, balanced by the
+    range bounds). No stage sees more than 1/parts of the data."""
+    cumsum = dict(cumsum or {})
+    spark = df.sparkSession
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cols = list(df.columns)
+    tagged = (df.repartitionByRange(parts, *order_cols)
+              .sortWithinPartitions(*order_cols)
+              .withColumn("__mid", F.monotonically_increasing_id())
+              .withColumn("__pid", F.shiftright("__mid", 33)))
+
+    per_part = (tagged.groupBy("__pid")
+                .agg(F.count(F.lit(1)).alias("__c"),
+                     *[F.sum(src).alias(f"__t_{dst}")
+                       for src, dst in cumsum.items()]))
+    w_prev = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    off_cols = [F.col("__pid").alias("__opid"),
+                F.coalesce(F.sum("__c").over(w_prev), F.lit(0))
+                .alias("__off")]
+    if total_col is not None:
+        off_cols.append(F.sum("__c").over(w_all).alias(total_col))
+    for dst in cumsum.values():
+        off_cols.append(
+            F.coalesce(F.sum(f"__t_{dst}").over(w_prev),
+                       F.lit(0)).alias(f"__soff_{dst}"))
+    offs = per_part.limit(parts).select(*off_cols)
+
+    joined = tagged.join(F.broadcast(offs),
+                         F.col("__pid") == F.col("__opid"), "inner")
+    out_cols = [F.col(c) for c in cols]
+    if rank_col is not None:
+        out_cols.append(
+            (F.col("__off") + F.col("__mid").bitwiseAND(
+                F.lit(_MID_ROW_MASK)) + F.lit(1)).alias(rank_col))
+    if cumsum:
+        # in-partition running sum: the window is PARTITIONED (by the
+        # range-partition tag), so it distributes — each task folds only
+        # its own range's rows, then the broadcast offset globalizes it
+        w_loc = Window.partitionBy("__pid").orderBy(*order_cols) \
+            .rowsBetween(Window.unboundedPreceding, 0)
+        for src, dst in cumsum.items():
+            out_cols.append((F.sum(src).over(w_loc)
+                             + F.col(f"__soff_{dst}")).alias(dst))
+    if total_col is not None:
+        out_cols.append(F.col(total_col))
+    return joined.select(*out_cols)
+
+
+def global_row_number(df: DataFrame, order_cols: list[Column],
+                      out_col: str) -> DataFrame:
+    """``row_number()`` over a total order, distributed — see
+    global_order_scan."""
+    return global_order_scan(df, order_cols, rank_col=out_col)
+
+
+def global_ntile(df: DataFrame, n_tiles: int,
+                 order_cols: list[Column], out_col: str) -> DataFrame:
+    """ntile(n) over a TOTAL order of the whole frame, distributed (see
+    global_order_scan): the exact global rank plus the exact ntile
+    arithmetic (first ``n % t`` tiles get ``n div t + 1`` rows) —
+    bit-identical to the SQL window function, so oracle hashes hold."""
+    cols = list(df.columns)
+    ranked = global_order_scan(df, order_cols, rank_col="__p",
+                               total_col="__n")
+    # exact ntile arithmetic, all BIGINT: q = n div t, r = n mod t; the
+    # first r tiles hold q+1 rows, the rest q. ceil(a/b) = (a+b-1) div b.
+    t = int(n_tiles)
+    tile_sql = f"""CAST(CASE
+        WHEN __p <= (__n % {t}) * ((__n div {t}) + 1)
+        THEN (__p + (__n div {t})) div ((__n div {t}) + 1)
+        ELSE (__n % {t})
+             + (__p - (__n % {t}) * ((__n div {t}) + 1)
+                + greatest(__n div {t}, 1) - 1)
+               div greatest(__n div {t}, 1)
+        END AS INT) AS {out_col}"""
+    return ranked.selectExpr(*[f"`{c}`" for c in cols], tile_sql)

@@ -1655,7 +1655,15 @@ def q_hilbert_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     key beside zorder_values' Morton interleave: the Hilbert walk is
     fully contiguous (every step moves one cell), so range predicates
     touch strictly fewer curve ranges. The quadrant-rotation state folds
-    over packed BIGINTs, identical on both engines."""
+    over packed BIGINTs, identical on both engines.
+
+    The x coordinate is o_custkey % 32768, made EXPLICIT on both
+    engines: a 15-bit grid holds ~32k distinct cells per axis, so above
+    ~32k customers (SF >= ~0.25) distinct customers alias onto the same
+    cell and the curve's locality is per-cell, not per-customer. For a
+    larger key domain, bucket the key into the grid (key * 32768 div
+    max_key) instead of masking — masking scatters neighbouring keys,
+    bucketing preserves their order."""
     from ..functions.layout import hilbert_value
 
     orders = read_table(spark, sf_dir, "orders")
@@ -1663,14 +1671,16 @@ def q_hilbert_values(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.lit("1992-01-01").cast("date"))
     return orders.select(
         "o_orderkey",
-        hilbert_value(F.col("o_custkey"), day, bits=15).alias("hval"))
+        hilbert_value(F.col("o_custkey") % 32768, day, bits=15)
+        .alias("hval"))
 
 
 def _sql_hilbert() -> str:
     from ..functions.layout import hilbert_sql
 
     day = "datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))"
-    return (f"SELECT o_orderkey, {hilbert_sql('(o_custkey)', f'({day})', 15)}"
+    return (f"SELECT o_orderkey, "
+            f"{hilbert_sql('(o_custkey % 32768)', f'({day})', 15)}"
             " AS hval FROM orders")
 
 
@@ -2233,21 +2243,29 @@ FROM events GROUP BY 1
 
 
 def q_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Monthly revenue trend with month-over-month delta (lag window over
-    an aggregate)."""
+    """Monthly revenue trend with month-over-month delta. The lag rides
+    util.global_row_number + a self-join on rank-1 (exactly lag() over
+    the month order, but distributed) instead of a partition-less lag
+    window — months are few, but the plan discipline is uniform."""
+    from ..functions.util import global_row_number
+
     orders = read_table(spark, sf_dir, "orders")
     monthly = (orders.groupBy(
         F.date_format(F.date_trunc("month", "o_orderdate"),
                       "yyyy-MM").alias("month"))
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
              .alias("revenue")))
-    w = Window.orderBy("month")
+    ranked = global_row_number(monthly, [F.asc("month")], "rn")
+    prev = ranked.select((F.col("rn") + 1).alias("rn"),
+                         F.col("revenue").alias("prev_revenue"))
     # NULL first-month delta -> 0 sentinel: the driver hash degrades a
     # NULL-bearing numeric column to NaN-bearing float64 on the DuckDB side.
-    return monthly.select(
-        "month", F.col("revenue").cast("double").alias("revenue"),
-        F.coalesce((F.col("revenue") - F.lag("revenue").over(w))
-                   .cast("double"), F.lit(0.0)).alias("mom_delta"))
+    return (ranked.join(prev, "rn", "left")
+            .select("month",
+                    F.col("revenue").cast("double").alias("revenue"),
+                    F.coalesce((F.col("revenue") - F.col("prev_revenue"))
+                               .cast("double"), F.lit(0.0))
+                    .alias("mom_delta")))
 
 
 SQL_MONTHLY_REVENUE = """
@@ -3557,7 +3575,10 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.coalesce("n_a", F.lit(0)).cast("bigint")
                      .alias("n_a"),
                      F.coalesce("n_b", F.lit(0)).cast("bigint")
-                     .alias("n_b")))
+                     .alias("n_b"))
+             # exactly PSI_NBINS rows (unique-keyed left join onto the
+             # literal bin spine): no-op limit = plan-visible bound
+             .limit(PSI_NBINS))
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     tot = dense.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
     cum = (dense.crossJoin(F.broadcast(tot))
@@ -3724,7 +3745,13 @@ def q_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase, purchase count, and total spend in exact cents, each
     ntile(5)-coded with a (value, user_id) total order so the quintile
     assignment is deterministic. R=5 is most recent, F=5 most frequent,
-    M=5 highest spend; code packs r*100+f*10+m."""
+    M=5 highest spend; code packs r*100+f*10+m.
+
+    Scale shape: each quintile rides util.global_ntile — a range
+    shuffle + tiny offset table + broadcast join — instead of the
+    partition-less ntile window that sorts every user through ONE task
+    (the round-6 audit's single-reducer hazard). Bit-identical to the
+    SQL window ntile, so the oracle hash still holds."""
     ev = read_table(spark, sf_dir, "events")
     buys = ev.filter(F.col("event_type") == "purchase")
     ref = buys.agg(F.max(F.to_date("ts")).alias("ref_day"))
@@ -3739,15 +3766,18 @@ def q_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("recency_days"),
                         F.col("frequency").cast("bigint"),
                         "monetary_cents"))
-    r = F.ntile(5).over(Window.orderBy(F.asc("recency_days"),
-                                       F.asc("user_id")))
-    f = F.ntile(5).over(Window.orderBy(F.desc("frequency"),
-                                       F.asc("user_id")))
-    m = F.ntile(5).over(Window.orderBy(F.desc("monetary_cents"),
-                                       F.asc("user_id")))
-    scored = per_user.select(
+    from ..functions.util import global_ntile
+
+    tiled = global_ntile(per_user, 5,
+                         [F.asc("recency_days"), F.asc("user_id")], "tr")
+    tiled = global_ntile(tiled, 5,
+                         [F.desc("frequency"), F.asc("user_id")], "tf")
+    tiled = global_ntile(tiled, 5,
+                         [F.desc("monetary_cents"), F.asc("user_id")], "tm")
+    scored = tiled.select(
         "user_id", "recency_days", "frequency", "monetary_cents",
-        (6 - r).alias("r"), (6 - f).alias("f"), (6 - m).alias("m"))
+        (6 - F.col("tr")).alias("r"), (6 - F.col("tf")).alias("f"),
+        (6 - F.col("tm")).alias("m"))
     return scored.select(
         "user_id", "recency_days", "frequency", "monetary_cents",
         F.col("r").cast("int"), F.col("f").cast("int"),
@@ -3804,7 +3834,10 @@ def q_otsu_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = (docs.crossJoin(F.broadcast(mm))
               .select(F.expr("(n_chars - lo) * 32"
                              " div (hi - lo + 1)").alias("bin"))
-              .groupBy("bin").agg(F.count(F.lit(1)).alias("n")))
+              .groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+              # bin in [0, 32) by construction: the no-op limit makes
+              # the bound plan-visible for the cumsum window below
+              .limit(32))
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     cum = binned.select(
         "bin", "n",
@@ -4231,11 +4264,16 @@ med AS (
           = (np.n_pairs + 1) // 2
 ),
 t0 AS (SELECT event_type, MIN(bucket) AS t0 FROM counts GROUP BY 1),
+-- LEFT JOIN + COALESCE keep single-bucket keys (zero pair slopes) in
+-- the result with slope 0, matching the Spark side's contract-total
+-- output (timeseries.theil_sen emits slope_e9=0 for those keys)
 res AS (
   SELECT c.event_type,
-         c.x * 1000000000 - m.slope_e9 * (c.bucket - t.t0) AS v,
+         c.x * 1000000000
+           - COALESCE(m.slope_e9, 0) * (c.bucket - t.t0) AS v,
          c.bucket
-  FROM counts c JOIN med m USING (event_type) JOIN t0 t USING (event_type)
+  FROM counts c LEFT JOIN med m USING (event_type)
+       JOIN t0 t USING (event_type)
 ),
 nb AS (SELECT event_type, COUNT(*) AS n_buckets FROM counts GROUP BY 1),
 icpt AS (
@@ -4245,10 +4283,12 @@ icpt AS (
                              ORDER BY r2.v, r2.bucket)
           = (nb.n_buckets + 1) // 2
 )
-SELECT m.event_type, CAST(nb.n_buckets AS BIGINT) AS n_buckets,
-       CAST(np.n_pairs AS BIGINT) AS n_pairs, m.slope_e9,
+SELECT nb.event_type, CAST(nb.n_buckets AS BIGINT) AS n_buckets,
+       CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(m.slope_e9, 0) AS BIGINT) AS slope_e9,
        CAST(i.intercept_nano AS BIGINT) AS intercept_nano
-FROM med m JOIN np USING (event_type) JOIN nb USING (event_type)
+FROM nb LEFT JOIN np USING (event_type)
+LEFT JOIN med m USING (event_type)
 JOIN icpt i USING (event_type)
 """
 

@@ -383,6 +383,47 @@ FROM totals t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
 """
 
 
+def q_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-substring spans >= 20 tokens
+    (functions/dedup.exact_substring_spans — the distributed ExactSubstr
+    of Lee et al., ACL 2022) over the raw corpus: sliding 20-token
+    shingles, offset-exact, so duplicates straddling span_dedup's block
+    boundaries are found too. The fixture's planted exact copies emit
+    full-document spans; natural boilerplate emits partial ones."""
+    from ..functions.dedup import exact_substring_spans
+
+    return exact_substring_spans(read_table(spark, sf_dir, "documents"),
+                                 k=20)
+
+
+SQL_EXACT_SUBSTRING = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, CAST(unnest(generate_series(1, len(t) - 19)) AS INT)
+           AS pos, t
+  FROM toks WHERE len(t) >= 20
+),
+g AS (
+  SELECT doc_id, pos,
+         array_to_string(t[pos:pos + 19], ' ') AS gram
+  FROM pos
+),
+hot AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+m AS (SELECT doc_id, pos FROM g JOIN hot USING (gram)),
+r AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+           AS grp
+  FROM m
+)
+SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
+       CAST(MAX(pos) - MIN(pos) + 20 AS INT) AS span_tokens
+FROM r GROUP BY doc_id, grp
+"""
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup pairs (inverted-index join), j >= 0.8,
     with the hot-shingle df cap ON (the scale default — an uncapped
@@ -784,8 +825,13 @@ SQL_CANONICAL_DOCS = _canonical_sql()
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit md5-backed SimHash per document."""
-    return simhash(read_table(spark, sf_dir, "documents"))
+    """Per-document SimHash, both representations in ONE vote pass: the
+    16-bit md5-nibble bitstring (readable demo) and the production
+    packed 60-bit BIGINT whose Hamming distance is bit_count(a ^ b) —
+    one token explode, one grouped aggregate, no join."""
+    from ..functions.dedup import simhash_both
+
+    return simhash_both(read_table(spark, sf_dir, "documents"))
 
 
 def q_simhash64_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -802,23 +848,32 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(read_table(spark, sf_dir, "documents"))
 
 
+from ..functions.dedup import SIMHASH64_BITS, _hex_val  # noqa: E402
+
 _SIM_SUMS = ", ".join(
     "SUM(CASE WHEN substr(h, {p}, 1) IN "
     "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v{b}"
     .format(p=b + 1, b=b) for b in range(SIMHASH_BITS))
 _SIM_BITS = " || ".join(
     f"CASE WHEN v{b} > 0 THEN '1' ELSE '0' END" for b in range(SIMHASH_BITS))
+# packed 60-bit votes in the SAME aggregate (w{b}: the v{b} names carry
+# the 16-bit votes)
+_SIM_SUMS_W = ", ".join(
+    f"SUM(CASE WHEN (CAST(floor({_hex_val('h', b // 4 + 1)}"
+    f" / {2 ** (b % 4)}) AS BIGINT) % 2) = 1 THEN 1 ELSE -1 END) AS w{b}"
+    for b in range(SIMHASH64_BITS))
+_SIM_PACK_W = " + ".join(
+    f"(CASE WHEN w{b} > 0 THEN CAST({2 ** b} AS BIGINT)"
+    f" ELSE CAST(0 AS BIGINT) END)" for b in range(SIMHASH64_BITS))
 
 SQL_SIMHASH = f"""
 WITH tok AS (
   SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
 ),
 h AS (SELECT doc_id, md5(tok) AS h FROM tok),
-agg AS (SELECT doc_id, {_SIM_SUMS} FROM h GROUP BY doc_id)
-SELECT doc_id, {_SIM_BITS} AS simhash FROM agg
+agg AS (SELECT doc_id, {_SIM_SUMS}, {_SIM_SUMS_W} FROM h GROUP BY doc_id)
+SELECT doc_id, {_SIM_BITS} AS simhash, {_SIM_PACK_W} AS simhash64 FROM agg
 """
-
-from ..functions.dedup import SIMHASH64_BITS, _hex_val  # noqa: E402
 
 _S64_SUMS = ", ".join(
     f"SUM(CASE WHEN (CAST(floor({_hex_val('h', b // 4 + 1)}"
@@ -1339,8 +1394,8 @@ def _graph_ann_sql(rounds: int = 2, beam: int = 10, k: int = 10) -> str:
   SELECT vec_id AS query_id, {_DVEC} AS qv
   FROM embeddings WHERE vec_id < 5
 ),
-seeds AS (SELECT vec_id AS cand FROM embeddings
-          WHERE vec_id % 50 = 0 AND vec_id < 200),
+seeds AS (SELECT MIN(vec_id) AS cand FROM embeddings
+          GROUP BY vec_id // 50 ORDER BY vec_id // 50 LIMIT 4),
 f0 AS (SELECT query_id, cand FROM q, seeds)"""]
     for r in range(1, rounds + 1):
         ctes.append(f"""e{r} AS (
@@ -3468,24 +3523,26 @@ def q_lsh_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH parameter planner — the S-curve table (Leskovec,
     Rajaraman, Ullman, "Mining of Massive Datasets" ch. 3) every LSH
     deployment consults before picking (bands, rows): for each divisor
-    split of 16 hashes and each Jaccard decile s, the candidate
-    probability 1-(1-s^r)^b, plus per-plan the threshold estimate
-    (1/b)^(1/r) as the s_e1 = -1 row. Pure closed-form math (pow rounded
-    to 9 decimals per the ln-fold discipline) — the planner justifying
-    the bands=4/rows=2 choice dedup_minhash_lsh runs with."""
+    split of the signature's 8 hashes and each Jaccard decile s, the
+    candidate probability 1-(1-s^r)^b, plus per-plan the threshold
+    estimate (1/b)^(1/r) as the s_e1 = -1 row. Pure closed-form math
+    (pow rounded to 9 decimals per the ln-fold discipline). 8 hashes
+    matches the deployed dedup_minhash_lsh / minhash_recall signature,
+    so the grid CONTAINS the shipped (bands=4, rows=2) operating point
+    it justifies."""
     # spark.range + explode, NOT createDataFrame: a Python-list frame
     # evaluates through applySchemaToPythonRDD (Python worker spin-up on
     # every action — measured ~10 s for these 50 rows); range+array
     # literals stay entirely JVM-side (milliseconds)
     b = (spark.range(1).select(F.explode(F.array(
-        *[F.lit(x) for x in (1, 2, 4, 8, 16)])).alias("b"))
+        *[F.lit(x) for x in (1, 2, 4, 8)])).alias("b"))
         .select(F.col("b").cast("int").alias("bands")))
     s = (spark.range(1).select(F.explode(F.array(
         *[F.lit(x) for x in range(1, 10)])).alias("s"))
         .select(F.col("s").cast("int").alias("s_e1")))
     g = (b.crossJoin(s)
          .withColumn("rows_per_band",
-                     F.expr("16 div bands").cast("int"))
+                     F.expr("8 div bands").cast("int"))
          .withColumn("sv", F.col("s_e1").cast("double") / 10.0))
     curve = g.select(
         "bands", "rows_per_band", "s_e1",
@@ -3493,26 +3550,26 @@ def q_lsh_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         F.col("rows_per_band")),
                             F.col("bands")), 9).alias("p_collide"))
     thresh = b.select(
-        "bands", F.expr("16 div bands").cast("int").alias("rows_per_band"),
+        "bands", F.expr("8 div bands").cast("int").alias("rows_per_band"),
         F.lit(-1).cast("int").alias("s_e1"),
         F.round(F.pow(1.0 / F.col("bands"),
-                      1.0 / F.expr("16 div bands")), 9)
+                      1.0 / F.expr("8 div bands")), 9)
         .alias("p_collide"))
     return curve.unionByName(thresh)
 
 
 SQL_LSH_PLANNER = """
-WITH b AS (SELECT unnest([1, 2, 4, 8, 16]) AS bands),
+WITH b AS (SELECT unnest([1, 2, 4, 8]) AS bands),
 s AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS s_e1)
 SELECT CAST(bands AS INT) AS bands,
-       CAST(16 // bands AS INT) AS rows_per_band,
+       CAST(8 // bands AS INT) AS rows_per_band,
        CAST(s_e1 AS INT) AS s_e1,
        round(1.0 - pow(1.0 - pow(CAST(s_e1 AS DOUBLE) / 10.0,
-                                 16 // bands), bands), 9) AS p_collide
+                                 8 // bands), bands), 9) AS p_collide
 FROM b, s
 UNION ALL
-SELECT CAST(bands AS INT), CAST(16 // bands AS INT), CAST(-1 AS INT),
-       round(pow(1.0 / bands, 1.0 / (16 // bands)), 9)
+SELECT CAST(bands AS INT), CAST(8 // bands AS INT), CAST(-1 AS INT),
+       round(pow(1.0 / bands, 1.0 / (8 // bands)), 9)
 FROM b
 """
 
@@ -3551,6 +3608,7 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
+    "exact_substring": (q_exact_substring, SQL_EXACT_SUBSTRING),
     "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
     "prefix_jaccard": (q_prefix_jaccard, SQL_DEDUP_JACCARD),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),

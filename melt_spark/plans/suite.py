@@ -2039,6 +2039,20 @@ SUITE: dict[str, tuple] = {
                               F.col("verdict").alias("s1")),
          "SELECT 'incr' AS kind, fp AS k1, doc_id AS n1, dup_of AS n2,"
          " verdict AS s1"),
+        # r7: maximal duplicated-substring spans (Lee et al. ExactSubstr,
+        # sliding-shingle restatement) — offset-exact, finds duplicates
+        # that straddle span_dedup's non-overlapping block boundaries
+        (PIPELINE_SUITE["exact_substring"],
+         lambda df: df.select(F.lit("substr").alias("kind"),
+                              F.col("doc_id").cast("string").alias("k1"),
+                              F.col("span_start").cast("bigint")
+                              .alias("n1"),
+                              F.col("span_tokens").cast("bigint")
+                              .alias("n2"),
+                              F.lit("").alias("s1")),
+         "SELECT 'substr' AS kind, CAST(doc_id AS VARCHAR) AS k1,"
+         " CAST(span_start AS BIGINT) AS n1,"
+         " CAST(span_tokens AS BIGINT) AS n2, '' AS s1"),
     ),
     # n-gram Jaccard near-dup: the inverted-index join and the r4b
     # PPJoin-style prefix-filtered join must produce the SAME pair set —

@@ -103,6 +103,109 @@ def test_live_scenario_load_diff_sync(spark, derby):
     assert '{"id":3}' not in {r["key"] for r in topic_state().collect()}
 
 
+def test_live_cdc_full_sync_then_tail_chains_versions(spark, derby,
+                                                      tmp_path):
+    """T6/T7 as ONE RUNNING LOOP against live Derby (round-6 verdict
+    item 5; reference sql_server.clj:155-162 capture-version-then-
+    backfill and integration_test.clj:203-226 version chaining):
+
+    Derby has no change tracking, so the test maintains the CHANGETABLE
+    analogue itself (ACC_CHANGES — exactly what a trigger would write);
+    every fetch is a REAL JDBC read, every mutation a REAL SQL execute.
+
+    Proves at-least-once with NO GAP: a change that lands between
+    version capture and backfill completion replays AGAIN in the first
+    tick (overlap, not gap) and the compacted topic still converges;
+    then three more chained micro-batches (update+delete / insert /
+    idle) each verify topic == database via diff."""
+    from melt_spark.streaming.cdc_tail import CdcTail
+
+    execute_sql(
+        spark, derby,
+        "CREATE TABLE ACC_T (ID BIGINT PRIMARY KEY,"
+        " NAME VARCHAR(40), BAL DOUBLE)",
+        "CREATE TABLE ACC_CHANGES (SYS_CHANGE_VERSION BIGINT,"
+        " SYS_CHANGE_OPERATION VARCHAR(1), ID BIGINT)",
+        "INSERT INTO ACC_T VALUES (1, 'ann', 10.5), (2, 'bob', 20.0),"
+        " (3, 'cyd', 30.25)",
+    )
+    src = Source(name="acc_t", schema="app", keys=("id",))
+
+    def lower(df):
+        return df.select(*[F.col(c).alias(c.lower()) for c in df.columns])
+
+    def read_base():
+        return lower(_read(spark, derby, table="ACC_T"))
+
+    def fetch_changes():
+        from melt_spark.operators.cdc import changes_with_entity
+
+        ch = lower(_read(spark, derby, table="ACC_CHANGES"))
+        return changes_with_entity(ch, read_base(), ["id"])
+
+    records = []
+
+    def produce(msgs):
+        # version order within a batch — the reference replays ordered
+        rows = (msgs.orderBy("sys_change_version")
+                .select("topic", "key", "value").collect()
+                if "sys_change_version" in msgs.columns
+                else msgs.select("topic", "key", "value").collect())
+        base = len(records)
+        records.extend((r["topic"], r["key"], r["value"], base + i)
+                       for i, r in enumerate(rows))
+
+    def topic_state():
+        df = spark.createDataFrame(
+            records, "topic string, key string, value string, offset long")
+        return latest_state(df).select("topic", "key", "value")
+
+    def clean():
+        return diff_matches(diff(src.messages(read_base()), topic_state()))
+
+    tail = CdcTail(source=src, fetch_changes=fetch_changes, send=produce,
+                   checkpoint_path=str(tmp_path / "cdc_version.json"))
+
+    # T7 handoff: capture version BEFORE backfill; a change lands while
+    # the backfill "runs" (between capture and tail start)
+    v0 = 0
+    execute_sql(spark, derby,
+                "UPDATE ACC_T SET BAL = 11.0 WHERE ID = 1",
+                "INSERT INTO ACC_CHANGES VALUES (1, 'U', 1)")
+    stats = tail.full_sync_then_tail(
+        v0, backfill=lambda: produce(src.messages(read_base())))
+    # the in-flight change replays AGAIN (overlap, not gap) and the
+    # compacted state still converges — at-least-once is idempotent here
+    assert stats == {"version": 1, "sent_count": 1}
+    assert clean()
+
+    # micro-batch 2: update + delete, chained from version 1
+    execute_sql(spark, derby,
+                "UPDATE ACC_T SET BAL = 21.0 WHERE ID = 2",
+                "INSERT INTO ACC_CHANGES VALUES (2, 'U', 2)",
+                "DELETE FROM ACC_T WHERE ID = 3",
+                "INSERT INTO ACC_CHANGES VALUES (3, 'D', 3)")
+    s2 = tail.tick()
+    assert s2 == {"version": 3, "sent_count": 2}
+    assert clean()
+    assert '{"id":3}' not in {r["key"] for r in topic_state().collect()}
+
+    # micro-batch 3: insert, chained from version 3
+    execute_sql(spark, derby,
+                "INSERT INTO ACC_T VALUES (4, 'dee', 40.0)",
+                "INSERT INTO ACC_CHANGES VALUES (4, 'I', 4)")
+    s3 = tail.tick()
+    assert s3 == {"version": 4, "sent_count": 1}
+    assert clean()
+
+    # idle micro-batch: checkpoint holds, nothing re-sent
+    assert tail.tick() == {"version": 4, "sent_count": 0}
+    # and the checkpoint survives a process "restart" (fresh CdcTail)
+    tail2 = CdcTail(source=src, fetch_changes=fetch_changes, send=produce,
+                    checkpoint_path=str(tmp_path / "cdc_version.json"))
+    assert tail2.tick() == {"version": 4, "sent_count": 0}
+
+
 def test_live_jdbc_write_roundtrip(spark, derby):
     """S14-analogue via JDBC sink: write a DataFrame to a new table, read
     it back through the same connector."""

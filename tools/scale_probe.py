@@ -149,7 +149,11 @@ PROBES = ["text_quality", "dedup_minhash_lsh", "clean_corpus",
           # golden records (fixed 200-name workload - expected ~flat)
           "lpa_communities", "random_walks", "knn_graph", "graph_ann",
           "nb_calibration", "ohlc_bars", "golden_records", "theil_sen",
-          "incremental_knn", "knn_graph_coarse", "graph_ann_coarse"]
+          "incremental_knn", "knn_graph_coarse", "graph_ann_coarse",
+          # r7: the two slowest constituents (exact motif censuses riding
+          # the salted hub-skew wedge guard) — re-probed at depth after
+          # the r6 shared-wedge changes
+          "adamic_adar", "butterflies"]
 
 
 def _span_query(via: str):
@@ -296,7 +300,11 @@ _EXTRA_QUERIES = {"span_dedup_digest": _span_query("digest"),
                   "incremental_knn":
                       _constituent("pipeline_suite", "q_incremental_knn"),
                   "knn_graph_coarse": _knn_coarse_query(),
-                  "graph_ann_coarse": _graph_ann_coarse_query()}
+                  "graph_ann_coarse": _graph_ann_coarse_query(),
+                  "adamic_adar":
+                      _constituent("analytics_suite", "q_adamic_adar"),
+                  "butterflies":
+                      _constituent("analytics_suite", "q_butterflies")}
 
 
 def _shuffle_state(spark):
@@ -357,7 +365,12 @@ def main() -> None:
     only = sys.argv[3:] or PROBES
     big_dir = f"/tmp/scale_probe_{n}x"
     docs = Path(__file__).resolve().parent.parent / "docs"
-    state_path = docs / "SCALING.json"
+    # each replication factor gets its OWN json+md pair: a 64x run must
+    # never clobber the 16x table (the round-over-round regression
+    # signal) — the round-6 SCALING.md loss was exactly that
+    suffix = "" if n == 16 else f"_{n}x"
+    state_path = docs / f"SCALING{suffix}.json"
+    md_path = docs / f"SCALING{suffix}.md"
     empty = {"n": n, "base": {}, "big": {},
              "shuffle_base": {}, "shuffle_big": {}}
     state = (json.loads(state_path.read_text())
@@ -367,14 +380,18 @@ def main() -> None:
         # format) would render a SCALING.md with fabricated rows — start over
         state = dict(empty)
 
-    from melt_spark.session import get_spark
+    missing = [name for name in only
+               if name not in state["base"] or name not in state["big"]]
+    if missing:
+        from melt_spark.session import get_spark
 
-    # UI on: the probe reads per-stage shuffle write bytes from the REST API
-    spark = get_spark("scale-probe", extra_conf={"spark.ui.enabled": "true"})
-    if not Path(big_dir, "documents.parquet").exists():
-        replicate(spark, sf_dir, big_dir, n)
+        # UI on: the probe reads per-stage shuffle write bytes (REST API)
+        spark = get_spark("scale-probe",
+                          extra_conf={"spark.ui.enabled": "true"})
+        if not Path(big_dir, "documents.parquet").exists():
+            replicate(spark, sf_dir, big_dir, n)
 
-    for name in only:
+    for name in missing:
         for scale_key, shuffle_key, data_dir, runs in (
                 ("base", "shuffle_base", sf_dir, 2),
                 ("big", "shuffle_big", big_dir, 1)):
@@ -387,7 +404,10 @@ def main() -> None:
 
     base, big = state["base"], state["big"]
     sh_base, sh_big = state["shuffle_base"], state["shuffle_big"]
+    # render EVERY recorded probe (PROBES order first, any extras after):
+    # the markdown table is a pure view of the json — tests pin the two
     done = [k for k in PROBES if k in base and k in big]
+    done += sorted(k for k in base if k in big and k not in PROBES)
     ratios = {k: round(big[k] / base[k], 2) if base[k] > 0 else None
               for k in done}
     lines = [
