@@ -90,6 +90,8 @@ BENCH_GROUPS_BY_NAME: dict[str, list[str]] = {
            "lsh_planner", "nb_calibration", "theil_sen", "nb_abstain",
            "incremental_knn", "hilbert_values", "rfm_scores",
            "otsu_threshold", "minhash_recall"],
+    "r7": ["exact_substring", "exact_quantiles", "simhash",
+           "contrastive", "monthly_revenue"],
 }
 
 EXTRA_QUERIES = [

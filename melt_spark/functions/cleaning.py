@@ -476,8 +476,11 @@ def contrastive_pairs(pairs: DataFrame, corpus: DataFrame,
 
     ids = corpus.select(F.col(id_col).alias("cid")).distinct()
     n = ids.count()
+    # r1/r2/r3 below reference the ranked table three times: materialize
+    # it once (id + rank only — never the corpus text)
     ranked = (global_row_number(ids, [F.asc("cid")], "rn")
-              .withColumn("rn", F.col("rn") - 1))
+              .withColumn("rn", F.col("rn") - 1)
+              .localCheckpoint(eager=True))
     both = (pairs.select(F.col(id_a).alias("anchor"),
                          F.col(id_b).alias("positive"))
             .unionByName(pairs.select(F.col(id_b).alias("anchor"),

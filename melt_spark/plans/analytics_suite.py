@@ -2001,6 +2001,58 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+_QUANTILE_PPM = (250000, 500000, 750000, 900000, 990000)
+
+
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus-wide quantiles by global rank selection — the
+    complement of order_value_percentiles' per-group interpolation and of
+    percentile_approx's sketch: the type-1 (lower) quantile at q is THE
+    row whose global rank is 1 + (n-1)·q, selected without ever sorting
+    the table through one task (util.global_order_scan — range shuffle +
+    tiny offset table; the same primitive behind the distributed ntile).
+    Exact integer cents; ties broken by o_orderkey so the pick is
+    deterministic on both engines.
+
+    Scale shape: one range shuffle of (cents, key), one broadcast of the
+    5-row quantile spine, one per-row rank-arithmetic filter. At 100 TB
+    this is THE way to get an exact p99 — approx sketches can't certify
+    the exact value and a global orderBy().limit() can't reach rank
+    0.99·n."""
+    from ..functions.util import global_order_scan
+
+    orders = read_table(spark, sf_dir, "orders")
+    vals = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.col("o_orderkey").alias("k"))
+    ranked = global_order_scan(vals, [F.asc("cents"), F.asc("k")],
+                               rank_col="r", total_col="n")
+    spine = spark.range(1).select(F.explode(F.array(
+        *[F.lit(q) for q in _QUANTILE_PPM])).alias("q_ppm"))
+    return (ranked.crossJoin(F.broadcast(spine))
+            .filter(F.col("r") == 1 + F.expr("(n - 1) * q_ppm div 1000000"))
+            .select(F.col("q_ppm").cast("int").alias("q_ppm"),
+                    F.col("r").cast("bigint").alias("rank"),
+                    F.col("n").cast("bigint").alias("n"),
+                    F.col("cents").alias("value_cents")))
+
+
+SQL_EXACT_QUANTILES = f"""
+WITH v AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderkey AS k
+  FROM orders
+),
+n AS (SELECT COUNT(*) AS n FROM v),
+r AS (SELECT cents, row_number() OVER (ORDER BY cents, k) AS r FROM v),
+q AS (SELECT unnest([{', '.join(str(q) for q in _QUANTILE_PPM)}])
+        AS q_ppm)
+SELECT CAST(q.q_ppm AS INT) AS q_ppm, CAST(r.r AS BIGINT) AS rank,
+       CAST(n.n AS BIGINT) AS n, r.cents AS value_cents
+FROM r, q, n WHERE r.r = 1 + ((n.n - 1) * q.q_ppm) // 1000000
+"""
+
+
 def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18-style: HAVING-subquery membership — customers whose orders
     total more than 150 quantity units."""
@@ -3768,6 +3820,10 @@ def q_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "monetary_cents"))
     from ..functions.util import global_ntile
 
+    # three tilings re-reference the per-user aggregate (each
+    # global_ntile cites its input twice); materialize it ONCE — a
+    # per-user frame, already the small side of the computation
+    per_user = per_user.localCheckpoint(eager=True)
     tiled = global_ntile(per_user, 5,
                          [F.asc("recency_days"), F.asc("user_id")], "tr")
     tiled = global_ntile(tiled, 5,
@@ -4506,6 +4562,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
     "zorder_values": (q_zorder_values, SQL_ZORDER_VALUES),
     "hilbert_values": (q_hilbert_values, SQL_HILBERT_VALUES),
+    "exact_quantiles": (q_exact_quantiles, SQL_EXACT_QUANTILES),
     "order_value_percentiles": (q_order_value_percentiles,
                                 SQL_ORDER_PERCENTILES),
     "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),

@@ -3336,6 +3336,23 @@ SUITE: dict[str, tuple] = {
          "SELECT 'quant' AS kind, CAST(vec_id AS VARCHAR) AS key,"
          " CAST(dims AS VARCHAR) AS ints, scale AS v1, max_abs_err AS v2,"
          " mse AS v3"),
+        # r7: exact corpus-wide quantiles by distributed global rank
+        # selection (util.global_order_scan) — the certified-exact p99
+        # neither percentile_approx nor a TakeOrdered head can give
+        (ANALYTICS_SUITE["exact_quantiles"],
+         lambda df: df.select(F.lit("exactq").alias("kind"),
+                              F.col("q_ppm").cast("string").alias("key"),
+                              F.concat_ws(",", F.col("rank").cast("string"),
+                                          F.col("n").cast("string"))
+                              .alias("ints"),
+                              F.col("value_cents").cast("double")
+                              .alias("v1"),
+                              F.lit(-1.0).alias("v2"),
+                              F.lit(-1.0).alias("v3")),
+         "SELECT 'exactq' AS kind, CAST(q_ppm AS VARCHAR) AS key,"
+         " CAST(rank AS VARCHAR) || ',' || CAST(n AS VARCHAR) AS ints,"
+         " CAST(value_cents AS DOUBLE) AS v1,"
+         " CAST(-1.0 AS DOUBLE) AS v2, CAST(-1.0 AS DOUBLE) AS v3"),
         # r5: two-sample KS statistic over the psi_drift bins — the
         # rank-based drift complement (largest CDF gap vs PSI's
         # tail-weighted log-ratios)

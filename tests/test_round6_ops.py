@@ -302,8 +302,10 @@ def test_lsh_planner_scurve_shape(spark):
         ps = [r.p_collide for r in grp]
         assert all(x <= y + 1e-12 for x, y in zip(ps, ps[1:]))
     t4 = [r for r in rows if r.bands == 4 and r.s_e1 == -1][0]
-    # (1/4)^(1/4) ~ 0.707
-    assert abs(t4.p_collide - 0.25 ** 0.25) < 1e-6
+    # 8-hash grid (the deployed signature): bands=4 -> rows_per_band=2,
+    # threshold (1/4)^(1/2) = 0.5
+    assert t4.rows_per_band == 2
+    assert abs(t4.p_collide - 0.25 ** 0.5) < 1e-6
 
 
 # --- NB calibration -----------------------------------------------------------

@@ -152,8 +152,12 @@ PROBES = ["text_quality", "dedup_minhash_lsh", "clean_corpus",
           "incremental_knn", "knn_graph_coarse", "graph_ann_coarse",
           # r7: the two slowest constituents (exact motif censuses riding
           # the salted hub-skew wedge guard) — re-probed at depth after
-          # the r6 shared-wedge changes
-          "adamic_adar", "butterflies"]
+          # the r6 shared-wedge changes — plus the round's new operators
+          "adamic_adar", "butterflies", "exact_substring",
+          "exact_quantiles",
+          # r7: rfm after the global-ntile fix (the round-6 audit's one
+          # single-reducer hit) — the probe row the verdict asked for
+          "rfm_scores"]
 
 
 def _span_query(via: str):
@@ -304,7 +308,13 @@ _EXTRA_QUERIES = {"span_dedup_digest": _span_query("digest"),
                   "adamic_adar":
                       _constituent("analytics_suite", "q_adamic_adar"),
                   "butterflies":
-                      _constituent("analytics_suite", "q_butterflies")}
+                      _constituent("analytics_suite", "q_butterflies"),
+                  "exact_substring":
+                      _constituent("pipeline_suite", "q_exact_substring"),
+                  "exact_quantiles":
+                      _constituent("analytics_suite", "q_exact_quantiles"),
+                  "rfm_scores":
+                      _constituent("analytics_suite", "q_rfm_scores")}
 
 
 def _shuffle_state(spark):
@@ -411,7 +421,9 @@ def main() -> None:
     ratios = {k: round(big[k] / base[k], 2) if base[k] > 0 else None
               for k in done}
     lines = [
-        "# Scaling probe (generated by tools/scale_probe.py)",
+        (f"# Scaling probe at {n}x (generated by tools/scale_probe.py"
+         + ("" if n == 16 else f" {n}; companion to SCALING.md's 16x table")
+         + ")"),
         "",
         f"Rows ×{n} on documents/lineitem/orders (shifted keys, replica-",
         "salted shingles — see replicate()), same local[*] box: fixed",
@@ -590,7 +602,7 @@ def main() -> None:
             "its way exactly where a 100 TB run lives.",
             "",
         ]
-    (docs / "SCALING.md").write_text("\n".join(lines))
+    md_path.write_text("\n".join(lines))
     print(json.dumps({"n": n, "base": base, "big": big, "ratios": ratios,
                       "shuffle_base": sh_base, "shuffle_big": sh_big}))
 
