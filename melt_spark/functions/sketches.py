@@ -429,3 +429,89 @@ def kmv_difference_estimate(a: DataFrame, b: DataFrame, value_col: str,
         F.when(exact_branch, F.col("d_ba_num"))
         .otherwise(F.expr(f"(d_ba_num * union_est) div {k}"))
         .cast("bigint").alias("bnota_est"))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet, Fusy, Gandouet & Meunier, "HyperLogLog: the
+# analysis of a near-optimal cardinality estimation algorithm", AofA 2007)
+# — built on the SAME portable md5 hash as KMV so the whole sketch,
+# including the estimate, is bit-checkable against DuckDB. Engine-native
+# HLLs (Spark HLL++, DuckDB's sketch) can never cross-engine-match; this
+# one does because every piece is deterministic integer algebra:
+#
+#   register index = conv(substr(md5(x),1,3),16,10) % m   (12 bits; m=2^p
+#                    divides 4096, so the mod is exactly uniform)
+#   substream      = conv(substr(md5(x),4,12),16,10)      (48 bits)
+#   rho            = 49 - bitlength(substream)            (first-1 position;
+#                    substream=0 -> 49, probability 2^-48)
+#   S_scaled       = sum_j 2^(49-rho_j)  over all m registers, zeros
+#                    contributing 2^49 each — an EXACT BIGINT
+#                    (m * 2^49 <= 2^59 for p <= 10).
+#   raw estimate   = alpha_m * m^2 * 2^49 / S_scaled      (pure IEEE ops in
+#                    a pinned order -> bit-identical across engines)
+#   small range    = m * ln(m / zeros) when raw <= 2.5m and zeros > 0
+#                    (linear counting; ln is the one 1-ulp-risk op, so the
+#                    published estimate is round()ed per NOTES discipline).
+#
+# Spark-first shape, graded for 100 TB: one groupBy(keys, reg) max(rho) —
+# the shuffle moves at most m rows of (key, int, int) per key no matter the
+# input cardinality (partial max folds map-side), then a per-key fold of
+# <= m rows. Registers merge by max (hll_merge), the defining sketch
+# property — shard-friendly like KMV, but constant-size where KMV's
+# min-set is k rows.
+
+HLL_P = 6                      # m = 64 registers; alpha_64 = 0.709
+HLL_RHO_MAX = 49               # 48-bit substream, all-zero -> 49
+_TWO49 = 562949953421312       # 2^49, exact
+_HLL_ALPHA_M2 = 2904.064       # 0.709 * 64 * 64 — parsed identically
+                               # as a double literal on both engines
+
+
+def hll_parts(col: Column | str) -> tuple[Column, Column]:
+    """(register index, rho) for one value — the per-row map step."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.md5(c.cast("string"))
+    reg = (F.conv(F.substring(s, 1, 3), 16, 10).cast("int")
+           % (1 << HLL_P))
+    v = F.conv(F.substring(s, 4, 12), 16, 10).cast("bigint")
+    rho = F.when(v == 0, F.lit(HLL_RHO_MAX)) \
+        .otherwise(F.lit(HLL_RHO_MAX) - F.length(F.bin(v))).cast("int")
+    return reg, rho
+
+
+def hll_registers(df: DataFrame, key_cols: list[str],
+                  value_col: str) -> DataFrame:
+    """Sketch state: (keys..., reg, rho) for OBSERVED registers only —
+    zeros are implicit (the estimator reconstructs them from m - count).
+    At most m rows per key survive the aggregate."""
+    reg, rho = hll_parts(value_col)
+    return (df.select(*key_cols, reg.alias("reg"), rho.alias("rho"))
+            .groupBy(*key_cols, "reg").agg(F.max("rho").alias("rho")))
+
+
+def hll_merge(a: DataFrame, b: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Union of sketches = register-wise max — the HLL merge law."""
+    return (a.unionByName(b).groupBy(*key_cols, "reg")
+            .agg(F.max("rho").alias("rho")))
+
+
+def hll_estimate(registers: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Fold registers to (keys..., n_zero_regs, s_scaled, hll_e4):
+    s_scaled is the exact BIGINT denominator; hll_e4 the estimate in
+    1e-4 units (round()ed once, the only float-published column)."""
+    m = 1 << HLL_P
+    grouped = registers.groupBy(*key_cols) if key_cols \
+        else registers.groupBy()
+    s = grouped.agg(
+        (F.lit(m) - F.count(F.lit(1))).cast("bigint").alias("n_zero_regs"),
+        (F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - rho)"))
+         + (F.lit(m) - F.count(F.lit(1))) * F.lit(_TWO49))
+        .cast("bigint").alias("s_scaled"))
+    raw = (F.lit(_HLL_ALPHA_M2)
+           * (F.lit(float(_TWO49)) / F.col("s_scaled").cast("double")))
+    lc = F.lit(float(m)) * F.log(F.lit(float(m))
+                                 / F.col("n_zero_regs").cast("double"))
+    est = F.when((raw <= F.lit(2.5 * m)) & (F.col("n_zero_regs") > 0), lc) \
+        .otherwise(raw)
+    return s.withColumn(
+        "hll_e4", F.round(est * F.lit(10000.0)).cast("bigint"))

@@ -33,7 +33,9 @@ _MID_ROW_MASK = (1 << 33) - 1  # monotonically_increasing_id: low 33 bits
 def global_order_scan(df: DataFrame, order_cols: list[Column],
                       rank_col: str | None = None,
                       cumsum: dict[str, str] | None = None,
-                      total_col: str | None = None) -> DataFrame:
+                      total_col: str | None = None,
+                      cummax_excl: dict[str, str] | None = None
+                      ) -> DataFrame:
     """Distributed replacement for partition-less window functions over a
     TOTAL order — ``row_number()`` (``rank_col``), running sums
     (``cumsum`` maps source column -> output column, frame = unbounded
@@ -62,6 +64,7 @@ def global_order_scan(df: DataFrame, order_cols: list[Column],
     the partition tag — 1/parts of the rows per task, balanced by the
     range bounds). No stage sees more than 1/parts of the data."""
     cumsum = dict(cumsum or {})
+    cummax_excl = dict(cummax_excl or {})
     spark = df.sparkSession
     parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     cols = list(df.columns)
@@ -73,7 +76,9 @@ def global_order_scan(df: DataFrame, order_cols: list[Column],
     per_part = (tagged.groupBy("__pid")
                 .agg(F.count(F.lit(1)).alias("__c"),
                      *[F.sum(src).alias(f"__t_{dst}")
-                       for src, dst in cumsum.items()]))
+                       for src, dst in cumsum.items()],
+                     *[F.max(src).alias(f"__m_{dst}")
+                       for src, dst in cummax_excl.items()]))
     w_prev = Window.orderBy("__pid").rowsBetween(
         Window.unboundedPreceding, -1)
     w_all = Window.orderBy("__pid").rowsBetween(
@@ -87,6 +92,11 @@ def global_order_scan(df: DataFrame, order_cols: list[Column],
         off_cols.append(
             F.coalesce(F.sum(f"__t_{dst}").over(w_prev),
                        F.lit(0)).alias(f"__soff_{dst}"))
+    for dst in cummax_excl.values():
+        # max over STRICTLY PRECEDING partitions — NULL for the first
+        # (no preceding rows), which greatest() below skips
+        off_cols.append(F.max(f"__m_{dst}").over(w_prev)
+                        .alias(f"__moff_{dst}"))
     offs = per_part.limit(parts).select(*off_cols)
 
     joined = tagged.join(F.broadcast(offs),
@@ -105,6 +115,17 @@ def global_order_scan(df: DataFrame, order_cols: list[Column],
         for src, dst in cumsum.items():
             out_cols.append((F.sum(src).over(w_loc)
                              + F.col(f"__soff_{dst}")).alias(dst))
+    if cummax_excl:
+        # EXCLUSIVE running max over the total order: max of strictly
+        # preceding rows in this range (frame ends at -1) folded with the
+        # preceding partitions' max; greatest() skips NULLs, and the
+        # global first row yields NULL (no preceding rows at all) — the
+        # caller decides what an empty prefix means
+        w_exc = Window.partitionBy("__pid").orderBy(*order_cols) \
+            .rowsBetween(Window.unboundedPreceding, -1)
+        for src, dst in cummax_excl.items():
+            out_cols.append(F.greatest(F.max(src).over(w_exc),
+                                       F.col(f"__moff_{dst}")).alias(dst))
     if total_col is not None:
         out_cols.append(F.col(total_col))
     return joined.select(*out_cols)

@@ -726,6 +726,96 @@ FROM exact e JOIN sk USING (event_type)
 """
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog on the portable md5 hash (functions/sketches.py
+    hll_registers/hll_estimate) beside exact controls — three branches
+    chosen to pin BOTH estimator regimes at the sf0.01 gate:
+    per-event_type user_id (~150 distinct, raw HLL regime), global
+    o_custkey (~1500 distinct, deep raw regime), and global event_type
+    (5 distinct, linear-counting regime). s_scaled is the exact BIGINT
+    register fold; hll_e4 the 1e-4-units estimate — even the estimate
+    hash-matches DuckDB because every input to it is deterministic
+    (see the sketches.py design note)."""
+    from ..functions.sketches import hll_estimate, hll_registers
+
+    ev = read_table(spark, sf_dir, "events")
+    orders = read_table(spark, sf_dir, "orders")
+
+    def branch(df, keys, value, kind, key_expr):
+        est = hll_estimate(hll_registers(df, keys, value), keys)
+        agg = df.groupBy(*keys).agg(
+            F.countDistinct(value).alias("exact_distinct")) if keys \
+            else df.agg(F.countDistinct(value).alias("exact_distinct"))
+        joined = est.join(agg, keys) if keys else est.crossJoin(agg)
+        return joined.select(F.lit(kind).alias("kind"),
+                             key_expr.alias("key"), "n_zero_regs",
+                             "s_scaled", "hll_e4", "exact_distinct")
+
+    by_type = branch(ev, ["event_type"], "user_id", "by_type",
+                     F.col("event_type"))
+    cust = branch(orders, [], "o_custkey", "global", F.lit("o_custkey"))
+    lc = branch(ev, [], "event_type", "lc", F.lit("event_type"))
+    return by_type.unionByName(cust).unionByName(lc)
+
+
+# DuckDB restatement of hll_parts: 12-bit md5 prefix mod 64 for the
+# register, 48-bit substream for rho = 49 - bitlength (bin() renders
+# minimal on both engines). All float literals CAST AS DOUBLE — DuckDB
+# parses bare decimals as DECIMAL, which would change the arithmetic.
+def _hll_branch_sql(table: str, value: str, keys: str, kind: str,
+                    key_expr: str) -> str:
+    h3 = ("list_reduce(list_transform(string_split_regex("
+          f"substr(md5({value}), 1, 3), ''), "
+          "c -> instr('0123456789abcdef', c) - 1), (a,b) -> a*16+b)")
+    h12 = ("list_reduce(list_transform(string_split_regex("
+           f"substr(md5({value}), 4, 12), ''), "
+           "c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)), "
+           "(a,b) -> a*16+b)")
+    kcols = f"{keys}, " if keys else ""
+    kgroup = f"GROUP BY {keys}" if keys else ""
+    raw = ("CAST(2904.064 AS DOUBLE) * (CAST(562949953421312 AS DOUBLE)"
+           " / CAST(s_scaled AS DOUBLE))")
+    return f"""
+WITH h AS (
+  SELECT {kcols}{h3} % 64 AS reg,
+         CASE WHEN {h12} = 0 THEN 49
+              ELSE 49 - length(bin({h12})) END AS rho
+  FROM {table}
+), r AS (
+  SELECT {kcols}reg, MAX(rho) AS rho FROM h GROUP BY {kcols}reg
+), s AS (
+  SELECT {kcols}CAST(64 - COUNT(*) AS BIGINT) AS n_zero_regs,
+         CAST(SUM(CAST(1 AS BIGINT) << (49 - rho))
+              + (64 - COUNT(*)) * (CAST(1 AS BIGINT) << 49) AS BIGINT)
+           AS s_scaled
+  FROM r {kgroup}
+), x AS (
+  SELECT {kcols}COUNT(DISTINCT {value}) AS exact_distinct
+  FROM {table} {kgroup}
+)
+SELECT '{kind}' AS kind, {key_expr} AS key, n_zero_regs, s_scaled,
+       CAST(round(CASE WHEN {raw} <= CAST(160.0 AS DOUBLE)
+                        AND n_zero_regs > 0
+                       THEN CAST(64.0 AS DOUBLE) * ln(CAST(64.0 AS DOUBLE)
+                            / CAST(n_zero_regs AS DOUBLE))
+                       ELSE {raw} END
+                  * CAST(10000.0 AS DOUBLE)) AS BIGINT) AS hll_e4,
+       exact_distinct
+FROM s {'JOIN x USING (' + keys + ')' if keys else 'CROSS JOIN x'}
+"""
+
+
+SQL_HLL_DISTINCT = "\nUNION ALL\n".join(
+    f"SELECT * FROM (\n{b}\n) AS hb{i}" for i, b in enumerate([
+        _hll_branch_sql("events", "CAST(user_id AS VARCHAR)", "event_type",
+                        "by_type", "event_type"),
+        _hll_branch_sql("orders", "CAST(o_custkey AS VARCHAR)", "",
+                        "global", "'o_custkey'"),
+        _hll_branch_sql("events", "CAST(event_type AS VARCHAR)", "",
+                        "lc", "'event_type'"),
+    ]))
+
+
 def q_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bottom-k sample quantiles (functions/sketches.py bottomk_*):
     per order status, quartiles of o_totalprice estimated from the
@@ -4510,6 +4600,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "distinct_counts": (q_distinct_counts, SQL_DISTINCT_COUNTS),
     "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
+    "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
     "bottomk_quantiles": (q_bottomk_quantiles, SQL_BOTTOMK_QUANTILES),
     "pit_join": (q_pit_join, SQL_PIT_JOIN),
     "triangles": (q_triangles, SQL_TRIANGLES),

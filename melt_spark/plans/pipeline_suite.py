@@ -3275,6 +3275,65 @@ FROM ({union}) u""")
 SQL_GREEDY_COVERAGE = _coverage_sql()
 
 
+def q_pareto_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-frontier (skyline) selection (functions/cleaning.py
+    pareto_front, Börzsönyi et al. ICDE 2001), two branches: documents
+    un-dominated on length × lexical diversity (the "keep only
+    un-dominated documents" quality gate — the fixture corpus correlates
+    the two, so this frontier is small), and orders un-dominated on
+    total price × recency (independent dims — a frontier with real
+    depth, the machinery's actual exercise). Distributed via the
+    exclusive running max over x DESC (util.global_order_scan
+    cummax_excl), NOT the quadratic NOT-EXISTS self-join the oracle
+    restates."""
+    from ..functions.cleaning import pareto_front
+
+    docs = read_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("x"),
+        F.size(F.array_distinct(F.split("text", " "))).alias("y"))
+    d = pareto_front(feats, "x", "y", "doc_id") \
+        .select(F.lit("docs").alias("kind"), "x", "y", "n_points",
+                "min_id")
+
+    orders = read_table(spark, sf_dir, "orders")
+    ofeats = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("x"),
+        F.col("o_orderdate").cast("long").alias("y"))
+    o = pareto_front(ofeats, "x", "y", "o_orderkey") \
+        .select(F.lit("orders").alias("kind"), "x", "y", "n_points",
+                "min_id")
+    return d.unionByName(o)
+
+
+def _pareto_sql(src: str, kind: str) -> str:
+    return f"""
+SELECT * FROM (
+WITH pts AS (
+  SELECT x, y, COUNT(*) AS n_points, MIN(id) AS min_id
+  FROM ({src}) GROUP BY x, y
+)
+SELECT '{kind}' AS kind, x, y, n_points, min_id
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y))
+) AS pf_{kind}"""
+
+
+SQL_PARETO_DOCS = "\nUNION ALL\n".join([
+    _pareto_sql(f"SELECT doc_id AS id, len({_TOKS}) AS x,"
+                f" len(list_distinct({_TOKS})) AS y FROM documents",
+                "docs"),
+    _pareto_sql("SELECT o_orderkey AS id,"
+                " CAST(round(o_totalprice * 100) AS BIGINT) AS x,"
+                " CAST(floor(epoch(o_orderdate)) AS BIGINT) AS y"
+                " FROM orders", "orders"),
+])
+
+
 def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlap-coefficient near-dup pairs (functions/dedup.py
     containment_pairs): |A∩B| / min(|A|,|B|) >= 0.9 — the asymmetric
@@ -3577,6 +3636,7 @@ FROM b
 PIPELINE_SUITE: dict[str, tuple] = {
     "kmeans_train": (q_kmeans_train, SQL_KMEANS_TRAIN),
     "greedy_coverage": (q_greedy_coverage, SQL_GREEDY_COVERAGE),
+    "pareto_docs": (q_pareto_docs, SQL_PARETO_DOCS),
     "containment": (q_containment, SQL_CONTAINMENT),
     "nb_classify": (q_nb_classify, SQL_NB_CLASSIFY),
     "nb_calibration": (q_nb_calibration, SQL_NB_CALIBRATION),

@@ -2599,6 +2599,21 @@ SUITE: dict[str, tuple] = {
          "SELECT 'cover' AS kind, CAST(pick AS VARCHAR) || ':' ||"
          " CAST(doc_id AS VARCHAR) AS key, gain AS n1,"
          " covered_total AS n2, CAST(-1.0 AS DOUBLE) AS v"),
+        # r7: Pareto-frontier (skyline) selection — un-dominated points
+        # on two maximize-dims via the distributed exclusive running max
+        # (functions/cleaning.py pareto_front); key packs branch:x:y
+        (PIPELINE_SUITE["pareto_docs"],
+         lambda df: df.select(F.lit("pareto").alias("kind"),
+                              F.concat_ws(":", "kind",
+                                          F.col("x").cast("string"),
+                                          F.col("y").cast("string"))
+                              .alias("key"),
+                              F.col("n_points").alias("n1"),
+                              F.col("min_id").alias("n2"),
+                              F.lit(-1.0).alias("v")),
+         "SELECT 'pareto' AS kind, kind || ':' || CAST(x AS VARCHAR)"
+         " || ':' || CAST(y AS VARCHAR) AS key, n_points AS n1,"
+         " min_id AS n2, CAST(-1.0 AS DOUBLE) AS v"),
     ),
     # -- applyInPandas pair: per-user features + greedy sequence packing
     "user_features_pandas": merged(
@@ -3300,6 +3315,21 @@ SUITE: dict[str, tuple] = {
          " unnest([anotb_est, bnota_est]) AS a,"
          " unnest([exact_anotb, exact_bnota]) AS b,"
          " unnest([d_ab_num, d_ba_num]) AS n"),
+        # r7: portable-hash HyperLogLog beside the exact controls — even
+        # the estimate hash-matches (register-level md5 algebra; the one
+        # engine-specific sketch the suite previously could not check).
+        # kind carries the estimator regime tag (by_type/global/lc).
+        (ANALYTICS_SUITE["hll_distinct"],
+         lambda df: df.select(
+             F.concat(F.lit("hll_"), F.col("kind")).alias("kind"),
+             F.concat_ws("|", "key",
+                         F.col("n_zero_regs").cast("string")).alias("key"),
+             F.col("exact_distinct").alias("a"),
+             F.col("hll_e4").alias("b"),
+             F.col("s_scaled").alias("n")),
+         "SELECT 'hll_' || kind AS kind,"
+         " key || '|' || CAST(n_zero_regs AS VARCHAR) AS key,"
+         " exact_distinct AS a, hll_e4 AS b, s_scaled AS n"),
     ),
     # -- percentiles + deterministic math + embedding norms (all-double row)
     "numeric_profiles": merged(

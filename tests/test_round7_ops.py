@@ -177,3 +177,71 @@ def test_plan_lint_accepts_bounded_shapes(spark):
     lim = (base.groupBy((F.col("id") % 10).alias("g")).count().limit(10)
            .withColumn("rn", F.row_number().over(Window.orderBy("g"))))
     assert lint_plan(_fmt(spark, lim)) == []
+
+
+# --- util.global_order_scan cummax_excl + cleaning.pareto_front (r7b) -------
+
+def test_cummax_excl_matches_window(spark):
+    """Distributed exclusive running max must be bit-identical to
+    max() OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING .. 1 PRECEDING),
+    including the NULL empty-prefix on the global first row and
+    duplicate order keys broken by a unique id."""
+    from melt_spark.functions.util import global_order_scan
+
+    df = spark.range(997).select(
+        F.col("id"),
+        (F.col("id") % 13).alias("k"),
+        ((F.col("id") * 37) % 101).alias("v"))
+    got = global_order_scan(df, [F.col("k").asc(), F.col("id").asc()],
+                            cummax_excl={"v": "mx"})
+    w = Window.orderBy(F.col("k").asc(), F.col("id").asc()) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    want = df.withColumn("mx", F.max("v").over(w))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_pareto_front_dominance_semantics(spark):
+    """Textbook NOT-EXISTS semantics on a hand-built frame: strict
+    dominance removes, equal coordinates aggregate (n_points), a point
+    tied on one axis but beaten on the other is dominated."""
+    from melt_spark.functions.cleaning import pareto_front
+
+    rows = [
+        (1, 10, 10),   # frontier (global max corner)
+        (2, 10, 10),   # exact duplicate -> same frontier row, n_points=2
+        (3, 10, 9),    # dominated: same x as 10,10 but lower y
+        (4, 9, 10),    # dominated: same y, lower x
+        (5, 8, 12),    # frontier: beats everything on y
+        (6, 8, 11),    # dominated by (8, 12)
+        (7, 12, 1),    # frontier: beats everything on x
+        (8, 1, 1),     # dominated by all
+    ]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {(r.x, r.y): (r.n_points, r.min_id)
+           for r in pareto_front(df, "x", "y", "id").collect()}
+    assert got == {(10, 10): (2, 1), (8, 12): (1, 5), (12, 1): (1, 7)}
+
+
+def test_pareto_front_matches_not_exists_oracle(spark, sf_dir):
+    """On real data (orders price × recency) the distributed skyline
+    equals the quadratic NOT-EXISTS definition computed via an
+    anti-join."""
+    from melt_spark.functions.cleaning import pareto_front
+    from melt_spark.sources.parquet import read_table
+
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("x"),
+        F.col("o_orderdate").cast("long").alias("y"))
+    got = pareto_front(o, "x", "y", "id").select("x", "y")
+    pts = o.groupBy("x", "y").count().select("x", "y")
+    q = pts.select(F.col("x").alias("qx"), F.col("y").alias("qy"))
+    dominated = pts.join(
+        q, (F.col("qx") >= F.col("x")) & (F.col("qy") >= F.col("y"))
+        & ((F.col("qx") > F.col("x")) | (F.col("qy") > F.col("y"))),
+        "left_semi")
+    want = pts.exceptAll(dominated)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.count() >= 1

@@ -135,3 +135,60 @@ def test_kmv_intersect_estimates_track_exact(spark):
     disj = spark.createDataFrame([Row(x=i) for i in range(5000, 5600)])
     [d] = kmv_intersect_estimate(a, disj, "x", k=64).collect()
     assert d.j_num <= 3 and d.inter_est <= 0.1 * d.union_est
+
+
+# --- HyperLogLog (r7: portable-hash HLL, functions/sketches.py) ----------
+
+def test_hll_merge_equals_sketch_of_union(spark, sf_dir):
+    """Register-wise max is the HLL merge law: merge(sketch(A), sketch(B))
+    == sketch(A ∪ B), including overlapping shards."""
+    from melt_spark.functions.sketches import hll_merge, hll_registers
+
+    ev = read_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("user_id") % 3 != 0)
+    b = ev.filter(F.col("user_id") % 3 != 1)   # overlaps a on %3==2
+    merged = hll_merge(hll_registers(a, ["event_type"], "user_id"),
+                       hll_registers(b, ["event_type"], "user_id"),
+                       ["event_type"])
+    direct = hll_registers(a.unionByName(b), ["event_type"], "user_id")
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+
+def test_hll_estimate_within_error_envelope(spark, sf_dir):
+    """m=64 → stderr ~ 1.04/8 = 13%; assert a generous [ex/2, 2*ex]
+    envelope per key so a scaling bug (wrong alpha, inverted fold,
+    missing zero registers) fails loudly while hash noise never does."""
+    from melt_spark.functions.sketches import hll_estimate, hll_registers
+
+    ev = read_table(spark, sf_dir, "events")
+    est = hll_estimate(hll_registers(ev, ["event_type"], "user_id"),
+                       ["event_type"])
+    exact = (ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("ex")))
+    rows = est.join(exact, "event_type").collect()
+    assert rows
+    for r in rows:
+        got = r.hll_e4 / 10000.0
+        assert r.ex / 2 <= got <= r.ex * 2, \
+            f"{r.event_type}: est {got} vs exact {r.ex}"
+
+
+def test_hll_register_count_bounded_and_regimes(spark, sf_dir):
+    """At most m=64 observed registers per key; the suite constituent
+    exercises BOTH estimator regimes (raw HLL and linear counting)."""
+    from melt_spark.functions.sketches import hll_registers
+    from melt_spark.plans.analytics_suite import q_hll_distinct
+
+    ev = read_table(spark, sf_dir, "events")
+    per_key = (hll_registers(ev, ["event_type"], "user_id")
+               .groupBy("event_type").count().collect())
+    assert per_key and all(r["count"] <= 64 for r in per_key)
+
+    rows = q_hll_distinct(spark, sf_dir).collect()
+    kinds = {r.kind for r in rows}
+    assert {"by_type", "global", "lc"} <= kinds
+    # the lc branch (5 distinct event types) must sit in the
+    # linear-counting regime: most registers still zero
+    lc = [r for r in rows if r.kind == "lc"][0]
+    assert lc.n_zero_regs >= 50 and lc.exact_distinct <= 10
