@@ -816,6 +816,88 @@ SQL_HLL_DISTINCT = "\nUNION ALL\n".join(
     ]))
 
 
+def q_dbscan_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-based DBSCAN (functions/density.py, Ester et al. KDD 1996 /
+    He et al. MR-DBSCAN 2011): density clustering of customers on
+    (total spend cents, order count) — core points in dense grid
+    regions, border points attached to the nearest core cluster, the
+    rest labeled noise. Spend sums through DECIMAL so the integer
+    features are engine-exact; every later decision is integer/string
+    algebra. Cell sizes (25e6 cents × 2 orders, min_pts 40) are tuned
+    to the fixture's density so core, border AND noise are all
+    populated at sf0.01."""
+    from ..functions.density import dbscan_grid
+
+    orders = read_table(spark, sf_dir, "orders")
+    pts = (orders.groupBy("o_custkey")
+           .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 * 100).cast("bigint").alias("x"),
+                F.count(F.lit(1)).alias("y"))
+           .select(F.col("o_custkey").alias("id"), "x", "y"))
+    return dbscan_grid(pts, gx=25_000_000, gy=2, min_pts=40)
+
+
+SQL_DBSCAN_CUSTOMERS = """
+WITH RECURSIVE f AS MATERIALIZED (
+  SELECT o_custkey AS id,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS x,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+cells AS MATERIALIZED (
+  SELECT x // 25000000 AS cx, y // 2 AS cy, COUNT(*) AS n
+  FROM f GROUP BY 1, 2
+),
+contrib AS (
+  SELECT cx + dx AS tx, cy + dy AS ty, n
+  FROM cells,
+       (SELECT unnest([-1, 0, 1]) AS dx),
+       (SELECT unnest([-1, 0, 1]) AS dy)
+),
+neigh AS (SELECT tx AS cx, ty AS cy, SUM(n) AS nn FROM contrib
+          GROUP BY 1, 2),
+core AS MATERIALIZED (
+  SELECT c.cx, c.cy,
+         CAST(c.cx AS VARCHAR) || ':' || CAST(c.cy AS VARCHAR) AS ckey
+  FROM cells c JOIN neigh USING (cx, cy) WHERE nn >= 40
+),
+edges AS MATERIALIZED (
+  SELECT a.ckey AS src, b.ckey AS dst
+  FROM core a JOIN core b
+    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+),
+reach AS (
+  SELECT src AS node, src AS reached FROM edges
+  UNION
+  SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.reached
+),
+labels AS MATERIALIZED (
+  SELECT node AS ckey, MIN(reached) AS cluster_id FROM reach GROUP BY 1
+),
+core_lab AS MATERIALIZED (
+  SELECT core.cx, core.cy, l.cluster_id
+  FROM core JOIN labels l USING (ckey)
+),
+noncore AS (SELECT c.cx, c.cy FROM cells c ANTI JOIN core USING (cx, cy)),
+border AS (
+  SELECT n.cx, n.cy, MIN(cl.cluster_id) AS cluster_id
+  FROM noncore n JOIN core_lab cl
+    ON abs(cl.cx - n.cx) <= 1 AND abs(cl.cy - n.cy) <= 1
+  GROUP BY 1, 2
+),
+assign AS MATERIALIZED (
+  SELECT cx, cy, cluster_id, 'core' AS role FROM core_lab
+  UNION ALL
+  SELECT cx, cy, cluster_id, 'border' AS role FROM border
+)
+SELECT f.id, COALESCE(a.role, 'noise') AS role,
+       COALESCE(a.cluster_id, '') AS cluster_id
+FROM f LEFT JOIN assign a
+  ON a.cx = f.x // 25000000 AND a.cy = f.y // 2
+"""
+
+
 def q_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bottom-k sample quantiles (functions/sketches.py bottomk_*):
     per order status, quartiles of o_totalprice estimated from the
@@ -4601,6 +4683,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "distinct_counts": (q_distinct_counts, SQL_DISTINCT_COUNTS),
     "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
     "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
+    "dbscan_customers": (q_dbscan_customers, SQL_DBSCAN_CUSTOMERS),
     "bottomk_quantiles": (q_bottomk_quantiles, SQL_BOTTOMK_QUANTILES),
     "pit_join": (q_pit_join, SQL_PIT_JOIN),
     "triangles": (q_triangles, SQL_TRIANGLES),

@@ -2689,6 +2689,26 @@ SUITE: dict[str, tuple] = {
          " CAST(monetary_cents AS DOUBLE) AS price,"
          " CAST(recency_days AS DOUBLE) AS price2,"
          " r AS rk, f AS drk, m AS rn"),
+        # r7: grid-DBSCAN density segmentation of the same customer
+        # population (functions/density.py) — role + cluster ride the
+        # detail slot; the quintile (RFM) and density (DBSCAN) views of
+        # customer segmentation share one entry
+        (ANALYTICS_SUITE["dbscan_customers"],
+         lambda df: df.select(
+             F.lit("dbscan").alias("kind"),
+             F.col("id").alias("o_custkey"),
+             F.lit(-1).cast("bigint").alias("o_orderkey"),
+             F.concat_ws("@", "role", "cluster_id").alias("detail"),
+             F.lit(-1.0).alias("price"), F.lit(-1.0).alias("price2"),
+             F.lit(-1).cast("int").alias("rk"),
+             F.lit(-1).cast("int").alias("drk"),
+             F.lit(-1).cast("long").alias("rn")),
+         "SELECT 'dbscan' AS kind, id AS o_custkey,"
+         " CAST(-1 AS BIGINT) AS o_orderkey,"
+         " role || '@' || cluster_id AS detail,"
+         " CAST(-1.0 AS DOUBLE) AS price, CAST(-1.0 AS DOUBLE) AS price2,"
+         " CAST(-1 AS INT) AS rk, CAST(-1 AS INT) AS drk,"
+         " CAST(-1 AS BIGINT) AS rn"),
     ),
     # -- sessionization + r4 funnel analysis (ordered-subsequence array
     #    fold, restated as DuckDB list_reduce) share the per-user entry
