@@ -91,7 +91,8 @@ BENCH_GROUPS_BY_NAME: dict[str, list[str]] = {
            "incremental_knn", "hilbert_values", "rfm_scores",
            "otsu_threshold", "minhash_recall"],
     "r7": ["exact_substring", "exact_quantiles", "simhash",
-           "contrastive", "monthly_revenue"],
+           "contrastive", "monthly_revenue", "hll_distinct",
+           "pareto_docs", "dbscan_customers"],
 }
 
 EXTRA_QUERIES = [

@@ -592,9 +592,14 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
                          max_iterations: int = 20) -> DataFrame:
     """Dedup CLUSTERS from near-dup pairs: connected components by
     min-label propagation (each node converges to the smallest doc id
-    reachable from it). Iterative DataFrame algorithm — the loop is driver
-    control flow, every step a distributed self-join; iterations needed =
-    graph diameter in label-hops (near-dup clusters are shallow).
+    reachable from it) with PATH SHORTCUTTING — each round also replaces
+    every node's label by its label's own label (pointer jumping, the
+    Shiloach-Vishkin / Kiveris-et-al "large-star" idea), so convergence
+    needs ~log2(diameter) rounds instead of diameter rounds. Near-dup
+    clusters are shallow, but grid-cell graphs (density.dbscan_grid) can
+    chain hundreds of cells — the r7 16x probe hit exactly that with the
+    plain propagation. Iterative DataFrame algorithm — the loop is
+    driver control flow, every step a distributed join;
     localCheckpoint per round truncates the growing lineage."""
     edges = (pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
              .unionByName(
@@ -616,14 +621,27 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
         stepped = (labels.join(neighbor_min,
                                labels.node == neighbor_min.src, "left")
                    .select(F.col("node"),
+                           F.col("label").alias("old"),
                            F.least(F.col("label"),
                                    F.coalesce("nmin", F.col("label")))
-                           .alias("label"),
-                           (F.coalesce("nmin", F.col("label"))
-                            < F.col("label")).alias("chg"))
-                   .localCheckpoint(eager=True))
-        changed = stepped.filter(F.col("chg")).limit(1).count()
-        labels = stepped.select("node", "label")
+                           .alias("mid")))
+        # path shortcut: label := label's own label (every label value
+        # IS a node, so the mapping join is total; kept left+coalesce as
+        # a belt). Halves the distance to the component minimum each
+        # round — the log-rounds half of the algorithm.
+        lab_of = stepped.select(F.col("node").alias("ln"),
+                                F.col("mid").alias("ll"))
+        two = (stepped.join(lab_of, stepped.mid == lab_of.ln, "left")
+               .select(F.col("node"),
+                       F.least(F.col("mid"),
+                               F.coalesce("ll", F.col("mid")))
+                       .alias("label"),
+                       (F.least(F.col("mid"),
+                                F.coalesce("ll", F.col("mid")))
+                        < F.col("old")).alias("chg"))
+               .localCheckpoint(eager=True))
+        changed = two.filter(F.col("chg")).limit(1).count()
+        labels = two.select("node", "label")
         if changed == 0:
             converged = True
             break

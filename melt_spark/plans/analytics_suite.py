@@ -816,6 +816,131 @@ SQL_HLL_DISTINCT = "\nUNION ALL\n".join(
     ]))
 
 
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (functions/hypothesis.py) per event
+    type: does the event-value distribution differ between the two
+    md5-split user variants (the same reproducible 50/50 assignment as
+    q_ab_test)? The rank-based complement to the z-test's proportions —
+    doubled U statistics and the Σ(t³−t) tie term are exact BIGINTs, the
+    tie-corrected z rounds once to 1e-6."""
+    from ..functions.hypothesis import mann_whitney_u
+    from ..functions.sketches import kmv_hash
+
+    ev = read_table(spark, sf_dir, "events")
+    labeled = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        (kmv_hash(F.col("user_id")) % 2).cast("int").alias("grp"))
+    return mann_whitney_u(labeled, ["event_type"], "cents", "grp")
+
+
+_MW_HASH = ("list_reduce(list_transform(string_split_regex("
+            "substr(md5(CAST(user_id AS VARCHAR)), 1, 12), ''), "
+            "c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)), "
+            "(a,b) -> a*16+b) % 2")
+
+SQL_MANN_WHITNEY = f"""
+WITH pts AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+         CAST({_MW_HASH} AS INT) AS grp
+  FROM events
+),
+r AS (
+  SELECT event_type, v, grp,
+         rank() OVER (PARTITION BY event_type ORDER BY v) AS rk
+  FROM pts
+),
+t AS (
+  SELECT event_type, v, COUNT(*) AS tn
+  FROM pts GROUP BY 1, 2
+),
+agg AS (
+  SELECT r.event_type,
+         CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN grp = 0 THEN 2 * rk + tn - 1 ELSE 0 END)
+              AS BIGINT) AS r0_2x
+  FROM r JOIN t ON t.event_type = r.event_type AND t.v = r.v
+  GROUP BY 1
+),
+tc AS (
+  SELECT event_type,
+         CAST(SUM(tn * tn * tn - tn) AS BIGINT) AS tie_cube
+  FROM t GROUP BY 1
+),
+s AS (
+  SELECT a.event_type, n0, n1, r0_2x - n0 * (n0 + 1) AS u0_2x, tie_cube
+  FROM agg a JOIN tc USING (event_type)
+),
+z AS (
+  SELECT *,
+    CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(12.0 AS DOUBLE)
+      * ((CAST(n0 + n1 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+         - CAST(tie_cube AS DOUBLE)
+           / (CAST(n0 + n1 AS DOUBLE)
+              * (CAST(n0 + n1 AS DOUBLE) - CAST(1.0 AS DOUBLE))))
+      AS var
+  FROM s
+)
+SELECT event_type, n0, n1, u0_2x,
+       2 * n0 * n1 - u0_2x AS u1_2x, tie_cube,
+       CAST(round(CASE WHEN var > 0
+                       THEN (CAST(u0_2x AS DOUBLE)
+                             - CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE))
+                            / (CAST(2.0 AS DOUBLE) * sqrt(var))
+                       ELSE CAST(0.0 AS DOUBLE) END
+                  * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS z_e6
+FROM z
+"""
+
+
+def q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit (functions/hypothesis.py) of order
+    totals in cents — the forensic-accounting digit-law check (Benford
+    1938, Nigrini's audit canon). Per digit: exact observed counts, the
+    law's expected share as a ppm literal, and the χ² contribution in
+    1e-6 units (sum the column for the 8-df statistic)."""
+    from ..functions.hypothesis import benford_digits
+
+    orders = read_table(spark, sf_dir, "orders")
+    vals = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
+    return benford_digits(vals, "cents")
+
+
+def _benford_case() -> str:
+    from ..functions.hypothesis import BENFORD_PPM
+    return ("CASE digit " + " ".join(
+        f"WHEN {d} THEN {p}" for d, p in sorted(BENFORD_PPM.items()))
+        + " END")
+
+
+SQL_BENFORD_PRICES = f"""
+WITH c AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit,
+         COUNT(*) AS n_obs
+  FROM orders WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0
+  GROUP BY 1
+),
+d AS (
+  SELECT digit, n_obs, CAST(SUM(n_obs) OVER () AS BIGINT) AS n_total,
+         CAST({_benford_case()} AS BIGINT) AS exp_ppm
+  FROM c
+)
+SELECT digit, n_obs, n_total, exp_ppm,
+  CAST(round(
+    CAST(n_total AS DOUBLE)
+    * (CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE)
+       - CAST(exp_ppm AS DOUBLE) / CAST(1000000.0 AS DOUBLE))
+    * (CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE)
+       - CAST(exp_ppm AS DOUBLE) / CAST(1000000.0 AS DOUBLE))
+    / (CAST(exp_ppm AS DOUBLE) / CAST(1000000.0 AS DOUBLE))
+    * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS chi2_e6
+FROM d
+"""
+
+
 def q_dbscan_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-based DBSCAN (functions/density.py, Ester et al. KDD 1996 /
     He et al. MR-DBSCAN 2011): density clustering of customers on
@@ -4684,6 +4809,8 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
     "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
     "dbscan_customers": (q_dbscan_customers, SQL_DBSCAN_CUSTOMERS),
+    "mann_whitney": (q_mann_whitney, SQL_MANN_WHITNEY),
+    "benford_prices": (q_benford_prices, SQL_BENFORD_PRICES),
     "bottomk_quantiles": (q_bottomk_quantiles, SQL_BOTTOMK_QUANTILES),
     "pit_join": (q_pit_join, SQL_PIT_JOIN),
     "triangles": (q_triangles, SQL_TRIANGLES),

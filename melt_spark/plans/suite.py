@@ -3228,6 +3228,35 @@ SUITE: dict[str, tuple] = {
          " CAST(significant AS VARCHAR) || '|' ||"
          " CAST(rate_ppm AS VARCHAR) AS key,"
          " n_exposed * 1000000 + n_conv AS n"),
+        # r7: Mann-Whitney U rank-sum test (functions/hypothesis.py) —
+        # the rank-based complement to the ab z-test; doubled exact U
+        # statistics, tie term and z_e6 unpivot into tagged rows
+        (ANALYTICS_SUITE["mann_whitney"],
+         lambda df: df.selectExpr(
+             "event_type",
+             "stack(5, 'mw_u0', u0_2x, 'mw_u1', u1_2x, 'mw_tie',"
+             " tie_cube, 'mw_z', z_e6, 'mw_n', n0 * 1000000 + n1)"
+             " AS (kind, n)")
+         .select("kind", F.col("event_type").alias("key"), "n"),
+         "SELECT unnest(['mw_u0', 'mw_u1', 'mw_tie', 'mw_z', 'mw_n'])"
+         " AS kind, event_type AS key,"
+         " unnest([u0_2x, u1_2x, tie_cube, z_e6, n0 * 1000000 + n1])"
+         " AS n"),
+        # r7: Benford first-digit audit (functions/hypothesis.py) —
+        # observed counts and chi-square contributions per digit
+        (ANALYTICS_SUITE["benford_prices"],
+         lambda df: df.selectExpr(
+             "digit", "exp_ppm", "n_total",
+             "stack(2, 'bf_obs', n_obs, 'bf_chi', chi2_e6) AS (kind, n)")
+         .select("kind",
+                 F.concat_ws(":", F.col("digit").cast("string"),
+                             F.col("exp_ppm").cast("string"),
+                             F.col("n_total").cast("string")).alias("key"),
+                 "n"),
+         "SELECT unnest(['bf_obs', 'bf_chi']) AS kind,"
+         " CAST(digit AS VARCHAR) || ':' || CAST(exp_ppm AS VARCHAR)"
+         " || ':' || CAST(n_total AS VARCHAR) AS key,"
+         " unnest([n_obs, chi2_e6]) AS n"),
     ),
     # as-of + range join: the two temporal-join operators share one entry
     # (harmonized: event_id, user_id, a reference event id, a double value)

@@ -63,3 +63,16 @@ def test_dbscan_fixture_has_all_roles(spark, sf_dir):
                       & (F.col("cluster_id") == "")).count() == 0
     assert out.filter((F.col("role") == "noise")
                       & (F.col("cluster_id") != "")).count() == 0
+
+
+def test_connected_components_log_rounds_on_deep_chain(spark):
+    """Path shortcutting (r7): a 200-node path graph converges in
+    ~log2(diameter) rounds — 12 is ample; plain min-label propagation
+    would need 199 (the 16x grid-DBSCAN probe hit exactly this class)."""
+    from melt_spark.functions.dedup import connected_components
+
+    e = spark.range(199).select(F.col("id").alias("doc_a"),
+                                (F.col("id") + 1).alias("doc_b"))
+    out = connected_components(e, max_iterations=12)
+    assert out.count() == 200
+    assert out.filter(F.col("cluster_id") != 0).count() == 0

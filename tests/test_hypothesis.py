@@ -1,0 +1,87 @@
+"""Hypothesis tests (functions/hypothesis.py): Mann-Whitney U against
+hand-computed small samples (incl. ties), invariants, and the Benford
+digit/χ² arithmetic."""
+
+from pyspark.sql import functions as F
+
+from melt_spark.functions.hypothesis import (BENFORD_PPM, benford_digits,
+                                             mann_whitney_u)
+
+
+def _sample(spark, rows):
+    return spark.createDataFrame(rows, "k string, v long, g int")
+
+
+def test_mann_whitney_hand_computed_no_ties(spark):
+    """Textbook example: A = {1, 3, 5}, B = {2, 4, 6} -> ranks A = 1,3,5
+    (R0 = 9), U0 = 9 - 6 = 3, U1 = n0*n1 - U0 = 6."""
+    rows = [("k", 1, 0), ("k", 3, 0), ("k", 5, 0),
+            ("k", 2, 1), ("k", 4, 1), ("k", 6, 1)]
+    r = mann_whitney_u(_sample(spark, rows), ["k"], "v", "g").head()
+    assert (r.n0, r.n1) == (3, 3)
+    assert r.u0_2x == 6      # doubled U0 = 3
+    assert r.u1_2x == 12     # doubled U1 = 6
+    assert r.tie_cube == 0
+
+
+def test_mann_whitney_tie_handling(spark):
+    """A = {1, 2}, B = {2, 3}: the tied 2s share average rank 2.5 ->
+    R0 = 1 + 2.5 = 3.5 (doubled 7), U0 = 3.5 - 3 = 0.5 (doubled 1),
+    tie term = 2^3 - 2 = 6."""
+    rows = [("k", 1, 0), ("k", 2, 0), ("k", 2, 1), ("k", 3, 1)]
+    r = mann_whitney_u(_sample(spark, rows), ["k"], "v", "g").head()
+    assert r.u0_2x == 1
+    assert r.u1_2x == 2 * 2 * 2 - 1  # 2*n0*n1 - u0_2x = 7
+    assert r.tie_cube == 6
+
+
+def test_mann_whitney_identical_distributions_symmetric(spark):
+    """Same values in both groups: U0 == U1 == n0*n1/2 and z == 0."""
+    rows = [("k", v, g) for v in (10, 20, 30) for g in (0, 1)]
+    r = mann_whitney_u(_sample(spark, rows), ["k"], "v", "g").head()
+    assert r.u0_2x == r.u1_2x == r.n0 * r.n1
+    assert r.z_e6 == 0
+
+
+def test_mann_whitney_single_group_degenerate(spark):
+    """A key where only group 0 exists stays in the output with z = 0
+    (contract-total, the theil_sen lesson)."""
+    rows = [("k", 1, 0), ("k", 2, 0)]
+    r = mann_whitney_u(_sample(spark, rows), ["k"], "v", "g").head()
+    assert (r.n0, r.n1, r.z_e6) == (2, 0, 0)
+
+
+def test_benford_shares_and_chi2(spark):
+    """Exact-Benford counts (scaled ppm shares over 1e6 rows... shrunk:
+    use the ppm table itself as counts) give ~zero χ² per digit; a
+    uniform digit distribution gives a large one."""
+    ppm = spark.createDataFrame(
+        [(d, p) for d, p in BENFORD_PPM.items()], "d int, n long")
+    # expand to value rows is overkill — drive the function with one
+    # value per (digit, i) via explode of a repeat counter scaled 1e-3
+    vals = ppm.select(
+        F.explode(F.sequence(F.lit(1), (F.col("n") / 1000).cast("int")))
+        .alias("i"), "d").select(
+        (F.col("d") * 100 + 1).alias("v"))   # first digit = d
+    out = benford_digits(vals, "v").collect()
+    assert {r.digit for r in out} == set(range(1, 10))
+    total = sum(r.n_obs for r in out)
+    assert all(r.n_total == total for r in out)
+    # per-digit χ² contribution should be tiny (rounding of ppm/1000)
+    assert sum(r.chi2_e6 for r in out) < 100_000   # << 1 unit of χ²
+
+    uni = spark.range(9000).select(
+        ((F.col("id") % 9 + 1) * 10 + 3).alias("v"))
+    chi = sum(r.chi2_e6 for r in benford_digits(uni, "v").collect())
+    assert chi > 500_000_000   # χ² >> critical value at 8 df
+
+
+def test_benford_keyed_variant(spark):
+    """key_cols partitions the totals per key."""
+    df = spark.createDataFrame(
+        [("a", 123), ("a", 234), ("b", 911)], "k string, v long")
+    out = {(r.k, r.digit): (r.n_obs, r.n_total)
+           for r in benford_digits(df, "v", ["k"]).collect()}
+    assert out[("a", 1)] == (1, 2)
+    assert out[("a", 2)] == (1, 2)
+    assert out[("b", 9)] == (1, 1)

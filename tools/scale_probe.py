@@ -157,7 +157,14 @@ PROBES = ["text_quality", "dedup_minhash_lsh", "clean_corpus",
           "exact_quantiles",
           # r7: rfm after the global-ntile fix (the round-6 audit's one
           # single-reducer hit) — the probe row the verdict asked for
-          "rfm_scores"]
+          "rfm_scores",
+          # r7b: portable-hash HLL (fixed 64-register shuffle per key —
+          # expected ~flat), Pareto frontier (cell shuffles over (x,y)
+          # pairs), grid-DBSCAN (one point shuffle, then cell-sized)
+          "hll_distinct", "pareto_docs", "dbscan_customers",
+          # r7b: rank-sum + digit-law tests (per-key window ranks; 9-row
+          # digit table — both expected ~linear scan cost)
+          "mann_whitney", "benford_prices"]
 
 
 def _span_query(via: str):
@@ -314,7 +321,19 @@ _EXTRA_QUERIES = {"span_dedup_digest": _span_query("digest"),
                   "exact_quantiles":
                       _constituent("analytics_suite", "q_exact_quantiles"),
                   "rfm_scores":
-                      _constituent("analytics_suite", "q_rfm_scores")}
+                      _constituent("analytics_suite", "q_rfm_scores"),
+                  "hll_distinct":
+                      _constituent("analytics_suite", "q_hll_distinct"),
+                  "pareto_docs":
+                      _constituent("pipeline_suite", "q_pareto_docs"),
+                  "dbscan_customers":
+                      _constituent("analytics_suite",
+                                   "q_dbscan_customers"),
+                  "mann_whitney":
+                      _constituent("analytics_suite", "q_mann_whitney"),
+                  "benford_prices":
+                      _constituent("analytics_suite",
+                                   "q_benford_prices")}
 
 
 def _shuffle_state(spark):
