@@ -941,6 +941,78 @@ FROM d
 """
 
 
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve (functions/hypothesis.py) of
+    time-to-first-big-purchase: per user, days from first activity to
+    the first purchase event with value >= 130 (observed), right-
+    censored at the corpus' last date otherwise — the threshold puts
+    BOTH regimes in play at every SF (sf0.01: 88 observed / 62
+    censored). n_risk/d/censored are exact integers; S(t) is the pinned
+    ascending left-fold of IEEE factors, rounded once to 1e-6."""
+    from ..functions.hypothesis import kaplan_meier
+
+    ev = read_table(spark, sf_dir, "events")
+    tagged = ev.withColumn(
+        "big_purchase",
+        (F.col("event_type") == "purchase") & (F.col("value") >= 130.0))
+    return kaplan_meier(tagged, "user_id", "ts", "big_purchase")
+
+
+_KM_PREFIX = ("CASE WHEN len(list_filter(a, y -> y.dur < x.dur)) = 0"
+              " THEN 0 ELSE list_reduce(list_transform("
+              "list_filter(a, y -> y.dur < x.dur), z -> z.n_all),"
+              " (p, q) -> p + q) END")
+
+SQL_KAPLAN_MEIER = f"""
+WITH per AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS t0,
+         MIN(CASE WHEN event_type = 'purchase' AND value >= 130.0
+                  THEN CAST(ts AS DATE) END) AS tp,
+         MAX(CAST(ts AS DATE)) AS t1
+  FROM events GROUP BY 1
+),
+gm AS (SELECT MAX(t1) AS gmax FROM per),
+r AS (
+  SELECT date_diff('day', t0, COALESCE(tp, gmax)) AS dur,
+         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS evt
+  FROM per CROSS JOIN gm
+),
+g AS (
+  SELECT dur, CAST(SUM(evt) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n_all
+  FROM r GROUP BY 1
+),
+one AS (
+  SELECT list_sort(list(struct_pack(dur := dur, d := d,
+                                    n_all := n_all))) AS a,
+         CAST(SUM(n_all) AS BIGINT) AS total
+  FROM g
+),
+f AS (
+  SELECT a, total,
+         list_transform(a, x -> CAST(1.0 AS DOUBLE)
+           - CAST(x.d AS DOUBLE)
+             / CAST(total - {_KM_PREFIX} AS DOUBLE)) AS factors
+  FROM one
+),
+e AS (
+  SELECT unnest(a) AS x, generate_subscripts(a, 1) AS i,
+         a, total, factors
+  FROM f
+)
+SELECT x.dur AS dur_days,
+       CAST(total - CASE WHEN i = 1 THEN 0
+                         ELSE list_reduce(
+                           list_transform(a[1:i-1], y -> y.n_all),
+                           (p, q) -> p + q) END AS BIGINT) AS n_risk,
+       x.d AS d_evt,
+       x.n_all - x.d AS n_censored,
+       CAST(round(list_reduce(factors[1:i], (p, q) -> p * q)
+                  * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS s_e6
+FROM e
+"""
+
+
 def q_dbscan_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-based DBSCAN (functions/density.py, Ester et al. KDD 1996 /
     He et al. MR-DBSCAN 2011): density clustering of customers on
@@ -4811,6 +4883,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "dbscan_customers": (q_dbscan_customers, SQL_DBSCAN_CUSTOMERS),
     "mann_whitney": (q_mann_whitney, SQL_MANN_WHITNEY),
     "benford_prices": (q_benford_prices, SQL_BENFORD_PRICES),
+    "kaplan_meier": (q_kaplan_meier, SQL_KAPLAN_MEIER),
     "bottomk_quantiles": (q_bottomk_quantiles, SQL_BOTTOMK_QUANTILES),
     "pit_join": (q_pit_join, SQL_PIT_JOIN),
     "triangles": (q_triangles, SQL_TRIANGLES),

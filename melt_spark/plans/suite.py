@@ -3364,6 +3364,20 @@ SUITE: dict[str, tuple] = {
          " unnest([anotb_est, bnota_est]) AS a,"
          " unnest([exact_anotb, exact_bnota]) AS b,"
          " unnest([d_ab_num, d_ba_num]) AS n"),
+        # r7: Kaplan-Meier survival of time-to-first-big-purchase
+        # (functions/hypothesis.py) — the product-limit curve beside the
+        # cohort matrix's day-offset view of the same user timelines
+        (ANALYTICS_SUITE["kaplan_meier"],
+         lambda df: df.select(
+             F.lit("km").alias("kind"),
+             F.concat_ws(":", F.col("dur_days").cast("string"),
+                         F.col("n_censored").cast("string")).alias("key"),
+             F.col("n_risk").alias("a"),
+             F.col("d_evt").alias("b"),
+             F.col("s_e6").alias("n")),
+         "SELECT 'km' AS kind, CAST(dur_days AS VARCHAR) || ':' ||"
+         " CAST(n_censored AS VARCHAR) AS key, n_risk AS a,"
+         " d_evt AS b, s_e6 AS n"),
         # r7: portable-hash HyperLogLog beside the exact controls — even
         # the estimate hash-matches (register-level md5 algebra; the one
         # engine-specific sketch the suite previously could not check).

@@ -85,3 +85,36 @@ def test_benford_keyed_variant(spark):
     assert out[("a", 1)] == (1, 2)
     assert out[("a", 2)] == (1, 2)
     assert out[("b", 9)] == (1, 1)
+
+
+def test_kaplan_meier_hand_computed(spark):
+    """Hand-computed 3-subject example — u1 events at day 1; u2 never
+    qualifies (administratively censored at the corpus' last date,
+    2024-01-04, i.e. duration 3); u3 events at day 3:
+    t=1: n_risk 3, d 1, S = 2/3;
+    t=3: n_risk 2, d 1 (+1 censored; same-day censorings leave the risk
+    set after the events), S = 2/3 * 1/2 = 1/3."""
+    from melt_spark.functions.hypothesis import kaplan_meier
+
+    rows = [  # (user, day, qualifying)
+        ("u1", "2024-01-01", False), ("u1", "2024-01-02", True),
+        ("u2", "2024-01-01", False), ("u2", "2024-01-03", False),
+        ("u3", "2024-01-01", False), ("u3", "2024-01-04", True),
+    ]
+    df = spark.createDataFrame(rows, "uid string, d string, q boolean") \
+        .select("uid", F.to_timestamp("d").alias("ts"), "q")
+    out = {r.dur_days: (r.n_risk, r.d_evt, r.n_censored, r.s_e6)
+           for r in kaplan_meier(df, "uid", "ts", "q").collect()}
+    assert out == {1: (3, 1, 0, 666667), 3: (2, 1, 1, 333333)}
+
+
+def test_kaplan_meier_all_censored_flat_curve(spark):
+    """No qualifying events anywhere: S stays 1.0 across the board."""
+    from melt_spark.functions.hypothesis import kaplan_meier
+
+    rows = [("u%d" % i, "2024-01-0%d" % (1 + i % 5), False)
+            for i in range(8)]
+    df = spark.createDataFrame(rows, "uid string, d string, q boolean") \
+        .select("uid", F.to_timestamp("d").alias("ts"), "q")
+    out = kaplan_meier(df, "uid", "ts", "q").collect()
+    assert out and all(r.s_e6 == 1_000_000 and r.d_evt == 0 for r in out)
