@@ -92,7 +92,9 @@ BENCH_GROUPS_BY_NAME: dict[str, list[str]] = {
            "otsu_threshold", "minhash_recall"],
     "r7": ["exact_substring", "exact_quantiles", "simhash",
            "contrastive", "monthly_revenue", "hll_distinct",
-           "pareto_docs", "dbscan_customers"],
+           "pareto_docs", "dbscan_customers", "mann_whitney",
+           "benford_prices", "kaplan_meier", "chi2_weekday",
+           "log_rank"],
 }
 
 EXTRA_QUERIES = [

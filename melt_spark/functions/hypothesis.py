@@ -197,3 +197,128 @@ def kaplan_meier(df: DataFrame, id_col: str, ts_col: str,
         (F.col("x.n_all") - F.col("x.d")).cast("bigint")
         .alias("n_censored"),
         F.round(s * F.lit(1_000_000.0)).cast("bigint").alias("s_e6"))
+
+
+def chi2_independence(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Pearson chi-square test of independence over the (a, b)
+    contingency table (Pearson 1900). Returns per cell: n_obs, row_tot,
+    col_tot, n_total (exact integers) and chi2_e6 — the cell's
+    (O − E)²/E contribution in 1e-6 units with E = row·col/n computed
+    in pinned IEEE order (sum the column for the statistic;
+    (R−1)(C−1) degrees of freedom).
+
+    One map-side-combined groupBy on the cell; row/col margins re-join
+    from two more tiny aggregates (each bounded by the category
+    cardinality — broadcast). The margin CROSS JOIN densifies the
+    table: unobserved cells get O = 0 rows, whose (0−E)²/E = E
+    contribution a sparse table's statistic needs."""
+    cells = (df.groupBy(a_col, b_col)
+             .agg(F.count(F.lit(1)).alias("n_obs")))
+    rows = df.groupBy(a_col).agg(F.count(F.lit(1)).alias("row_tot"))
+    cols = df.groupBy(b_col).agg(F.count(F.lit(1)).alias("col_tot"))
+    tot = df.agg(F.count(F.lit(1)).alias("n_total"))
+    dense = rows.crossJoin(F.broadcast(cols))
+    out = (dense.join(F.broadcast(cells), [a_col, b_col], "left")
+           .crossJoin(F.broadcast(tot))
+           .withColumn("n_obs", F.coalesce("n_obs", F.lit(0))))
+    e = (F.col("row_tot").cast("double") * F.col("col_tot").cast("double")
+         / F.col("n_total").cast("double"))
+    o = F.col("n_obs").cast("double")
+    chi2 = (o - e) * (o - e) / e
+    return out.select(
+        a_col, b_col,
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+        F.col("row_tot").cast("bigint").alias("row_tot"),
+        F.col("col_tot").cast("bigint").alias("col_tot"),
+        F.col("n_total").cast("bigint").alias("n_total"),
+        F.round(chi2 * F.lit(1_000_000.0)).cast("bigint").alias("chi2_e6"))
+
+
+def log_rank(df: DataFrame, id_col: str, ts_col: str, evt_col: str,
+             group_col: str) -> DataFrame:
+    """Two-group log-rank test (Mantel, "Evaluation of survival data and
+    two new rank order statistics", Cancer Chemother. Rep. 1966) on the
+    same time-to-first-qualifying-event durations as kaplan_meier, with
+    the same administrative censoring. ``group_col`` ∈ {0, 1} per
+    subject (taken from the subject's first row by min — pass a
+    per-subject constant).
+
+    Returns per distinct duration t: n0_risk, n1_risk, d0, d1 (exact
+    integers), e0_e6 (group 0's expected events d·n0/n) and v_e6 (the
+    hypergeometric variance term), plus one dur_days = -1 summary row
+    with the chi-square statistic (Σd0 − ΣE0)²/ΣV in the chi2_e6 slot
+    (1 df). Float columns are pinned IEEE expressions rounded once.
+
+    Scale shape: identical to kaplan_meier — per-subject then
+    per-duration map-side-combined aggregates; everything after runs on
+    the bounded duration table as array expressions."""
+    per = (df.groupBy(id_col)
+           .agg(F.min(F.to_date(ts_col)).alias("__t0"),
+                F.min(F.when(F.col(evt_col), F.to_date(ts_col)))
+                .alias("__tp"),
+                F.max(F.to_date(ts_col)).alias("__t1"),
+                F.min(group_col).alias("__g")))
+    gmax = per.agg(F.max("__t1").alias("__gmax"))
+    rows = (per.crossJoin(F.broadcast(gmax))
+            .select(F.datediff(F.coalesce("__tp", "__gmax"), "__t0")
+                    .alias("dur"),
+                    F.col("__tp").isNotNull().cast("long").alias("evt"),
+                    F.col("__g").alias("g")))
+    g = (rows.groupBy("dur").agg(
+        F.sum(F.when((F.col("g") == 0) & (F.col("evt") == 1), 1)
+              .otherwise(0)).alias("d0"),
+        F.sum(F.when((F.col("g") == 1) & (F.col("evt") == 1), 1)
+              .otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("a0"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("a1")))
+    one = g.agg(F.sort_array(F.collect_list(
+        F.struct("dur", "d0", "d1", "a0", "a1"))).alias("a"),
+        F.sum("a0").cast("long").alias("t0"),
+        F.sum("a1").cast("long").alias("t1"))
+    pre0 = ("aggregate(filter(a, y -> y.dur < x.dur), 0L,"
+            " (p, y) -> p + y.a0)")
+    pre1 = ("aggregate(filter(a, y -> y.dur < x.dur), 0L,"
+            " (p, y) -> p + y.a1)")
+    ex = (one.select("t0", "t1", F.posexplode("a").alias("pos", "x"),
+                     F.expr(f"transform(a, x -> t0 - {pre0})")
+                     .alias("r0s"),
+                     F.expr(f"transform(a, x -> t1 - {pre1})")
+                     .alias("r1s"))
+          .select("t0", "t1", "pos", "x",
+                  F.expr("element_at(r0s, pos + 1)").alias("n0r"),
+                  F.expr("element_at(r1s, pos + 1)").alias("n1r")))
+    d = (F.col("x.d0") + F.col("x.d1")).cast("double")
+    n0 = F.col("n0r").cast("double")
+    n1 = F.col("n1r").cast("double")
+    n = n0 + n1
+    e0 = d * n0 / n
+    v = F.when(n > 1,
+               d * (n0 / n) * (n1 / n) * (n - d) / (n - F.lit(1.0))) \
+        .otherwise(F.lit(0.0))
+    detail = ex.select(
+        F.col("x.dur").alias("dur_days"),
+        F.col("n0r").cast("bigint").alias("n0_risk"),
+        F.col("n1r").cast("bigint").alias("n1_risk"),
+        F.col("x.d0").cast("bigint").alias("d0"),
+        F.col("x.d1").cast("bigint").alias("d1"),
+        F.round(e0 * F.lit(1_000_000.0)).cast("bigint").alias("e0_e6"),
+        F.round(v * F.lit(1_000_000.0)).cast("bigint").alias("v_e6"),
+        (e0 * F.lit(0.0)).alias("__o"), e0.alias("__e"), v.alias("__v"),
+        F.col("x.d0").cast("double").alias("__d0"))
+    # keyless 4-row-in -> 1-row-out aggregate (lint: keyless partial agg)
+    summary = detail.agg(
+        F.sum("__d0").alias("so"), F.sum("__e").alias("se"),
+        F.sum("__v").alias("sv")).select(
+        F.lit(-1).cast("bigint").alias("dur_days"),
+        F.lit(-1).cast("bigint").alias("n0_risk"),
+        F.lit(-1).cast("bigint").alias("n1_risk"),
+        F.lit(-1).cast("bigint").alias("d0"),
+        F.lit(-1).cast("bigint").alias("d1"),
+        F.lit(-1).cast("bigint").alias("e0_e6"),
+        F.when(F.col("sv") > 0,
+               F.round((F.col("so") - F.col("se"))
+                       * (F.col("so") - F.col("se"))
+                       / F.col("sv") * F.lit(1_000_000.0)))
+        .otherwise(F.lit(0.0)).cast("bigint").alias("v_e6"))
+    return (detail.drop("__o", "__e", "__v", "__d0")
+            .unionByName(summary))

@@ -1013,6 +1013,147 @@ FROM e
 """
 
 
+def q_chi2_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test (functions/hypothesis.py):
+    is event type independent of ISO weekday? Exact contingency counts
+    and margins; per-cell (O−E)²/E contributions in 1e-6 units — sum
+    for the 24-df statistic. The goodness-of-fit (Benford) and
+    independence views complete the chi-square family."""
+    from ..functions.hypothesis import chi2_independence
+
+    ev = read_table(spark, sf_dir, "events")
+    isodow = (((F.dayofweek("ts") + 5) % 7) + 1).cast("int")
+    return chi2_independence(
+        ev.select("event_type", isodow.alias("isodow")),
+        "event_type", "isodow")
+
+
+SQL_CHI2_WEEKDAY = """
+WITH pts AS (
+  SELECT event_type, CAST(isodow(ts) AS INT) AS isodow FROM events
+),
+cells AS (SELECT event_type, isodow, COUNT(*) AS n_obs
+          FROM pts GROUP BY 1, 2),
+r AS (SELECT event_type, COUNT(*) AS row_tot FROM pts GROUP BY 1),
+c AS (SELECT isodow, COUNT(*) AS col_tot FROM pts GROUP BY 1),
+t AS (SELECT COUNT(*) AS n_total FROM pts),
+dense AS (
+  SELECT r.event_type, c.isodow, r.row_tot, c.col_tot,
+         COALESCE(cells.n_obs, 0) AS n_obs
+  FROM r CROSS JOIN c
+  LEFT JOIN cells ON cells.event_type = r.event_type
+                 AND cells.isodow = c.isodow
+)
+SELECT dense.event_type, dense.isodow,
+       CAST(n_obs AS BIGINT) AS n_obs,
+       CAST(row_tot AS BIGINT) AS row_tot,
+       CAST(col_tot AS BIGINT) AS col_tot,
+       CAST(n_total AS BIGINT) AS n_total,
+       CAST(round(
+         (CAST(n_obs AS DOUBLE)
+          - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+            / CAST(n_total AS DOUBLE))
+         * (CAST(n_obs AS DOUBLE)
+            - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+              / CAST(n_total AS DOUBLE))
+         / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+            / CAST(n_total AS DOUBLE))
+         * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS chi2_e6
+FROM dense CROSS JOIN t
+"""
+
+
+def q_log_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group log-rank test (functions/hypothesis.py, Mantel 1966):
+    do the two md5-variant user cohorts (the q_ab_test split) differ in
+    time-to-first-big-purchase survival? Per-duration risk sets, events
+    and the hypergeometric E/V terms, plus the dur=-1 summary row
+    carrying the 1-df chi-square statistic — the survival-curve
+    comparison beside kaplan_meier's single-curve estimate."""
+    from ..functions.hypothesis import log_rank
+    from ..functions.sketches import kmv_hash
+
+    ev = read_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        "user_id", "ts",
+        ((F.col("event_type") == "purchase")
+         & (F.col("value") >= 130.0)).alias("big_purchase"),
+        (kmv_hash(F.col("user_id")) % 2).cast("int").alias("variant"))
+    return log_rank(tagged, "user_id", "ts", "big_purchase", "variant")
+
+
+_LR_PRE0 = ("CASE WHEN len(list_filter(a, y -> y.dur < x.dur)) = 0"
+            " THEN 0 ELSE list_reduce(list_transform("
+            "list_filter(a, y -> y.dur < x.dur), z -> z.a0),"
+            " (p, q) -> p + q) END")
+_LR_PRE1 = _LR_PRE0.replace("z.a0", "z.a1")
+
+SQL_LOG_RANK = f"""
+WITH per AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS t0,
+         MIN(CASE WHEN event_type = 'purchase' AND value >= 130.0
+                  THEN CAST(ts AS DATE) END) AS tp,
+         MAX(CAST(ts AS DATE)) AS t1,
+         MIN(CAST({_MW_HASH} AS INT)) AS g
+  FROM events GROUP BY 1
+),
+gm AS (SELECT MAX(t1) AS gmax FROM per),
+r AS (
+  SELECT date_diff('day', t0, COALESCE(tp, gmax)) AS dur,
+         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS evt, g
+  FROM per CROSS JOIN gm
+),
+gt AS (
+  SELECT dur,
+         CAST(SUM(CASE WHEN g = 0 AND evt = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS d0,
+         CAST(SUM(CASE WHEN g = 1 AND evt = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS d1,
+         CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a0,
+         CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a1
+  FROM r GROUP BY 1
+),
+one AS (
+  SELECT list_sort(list(struct_pack(dur := dur, d0 := d0, d1 := d1,
+                                    a0 := a0, a1 := a1))) AS a,
+         CAST(SUM(a0) AS BIGINT) AS t0, CAST(SUM(a1) AS BIGINT) AS t1
+  FROM gt
+),
+eq AS (SELECT unnest(a) AS x, a, t0, t1 FROM one),
+e AS (
+  SELECT x, t0 - {_LR_PRE0} AS n0r, t1 - {_LR_PRE1} AS n1r FROM eq
+),
+d AS (
+  SELECT x.dur AS dur_days,
+         CAST(n0r AS BIGINT) AS n0_risk, CAST(n1r AS BIGINT) AS n1_risk,
+         x.d0 AS d0, x.d1 AS d1,
+         CAST(x.d0 + x.d1 AS DOUBLE) * CAST(n0r AS DOUBLE)
+           / CAST(n0r + n1r AS DOUBLE) AS e0,
+         CASE WHEN n0r + n1r > 1 THEN
+           CAST(x.d0 + x.d1 AS DOUBLE)
+           * (CAST(n0r AS DOUBLE) / CAST(n0r + n1r AS DOUBLE))
+           * (CAST(n1r AS DOUBLE) / CAST(n0r + n1r AS DOUBLE))
+           * (CAST(n0r + n1r AS DOUBLE) - CAST(x.d0 + x.d1 AS DOUBLE))
+           / (CAST(n0r + n1r AS DOUBLE) - CAST(1.0 AS DOUBLE))
+         ELSE CAST(0.0 AS DOUBLE) END AS v,
+         CAST(x.d0 AS DOUBLE) AS od0
+  FROM e
+)
+SELECT dur_days, n0_risk, n1_risk, d0, d1,
+       CAST(round(e0 * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS e0_e6,
+       CAST(round(v * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS v_e6
+FROM d
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       CAST(CASE WHEN SUM(v) > 0
+                 THEN round((SUM(od0) - SUM(e0)) * (SUM(od0) - SUM(e0))
+                            / SUM(v) * CAST(1000000.0 AS DOUBLE))
+                 ELSE 0.0 END AS BIGINT)
+FROM d
+"""
+
+
 def q_dbscan_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-based DBSCAN (functions/density.py, Ester et al. KDD 1996 /
     He et al. MR-DBSCAN 2011): density clustering of customers on
@@ -4884,6 +5025,8 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "mann_whitney": (q_mann_whitney, SQL_MANN_WHITNEY),
     "benford_prices": (q_benford_prices, SQL_BENFORD_PRICES),
     "kaplan_meier": (q_kaplan_meier, SQL_KAPLAN_MEIER),
+    "chi2_weekday": (q_chi2_weekday, SQL_CHI2_WEEKDAY),
+    "log_rank": (q_log_rank, SQL_LOG_RANK),
     "bottomk_quantiles": (q_bottomk_quantiles, SQL_BOTTOMK_QUANTILES),
     "pit_join": (q_pit_join, SQL_PIT_JOIN),
     "triangles": (q_triangles, SQL_TRIANGLES),

@@ -3242,6 +3242,26 @@ SUITE: dict[str, tuple] = {
          " AS kind, event_type AS key,"
          " unnest([u0_2x, u1_2x, tie_cube, z_e6, n0 * 1000000 + n1])"
          " AS n"),
+        # r7: Pearson chi-square independence (functions/hypothesis.py)
+        # over the event_type x ISO-weekday contingency table — margins
+        # ride the key, O and the cell contribution stack into n
+        (ANALYTICS_SUITE["chi2_weekday"],
+         lambda df: df.selectExpr(
+             "event_type", "isodow", "row_tot", "col_tot", "n_total",
+             "stack(2, 'chi2_obs', n_obs, 'chi2_c', chi2_e6)"
+             " AS (kind, n)")
+         .select("kind",
+                 F.concat_ws("|", "event_type",
+                             F.col("isodow").cast("string"),
+                             F.col("row_tot").cast("string"),
+                             F.col("col_tot").cast("string"),
+                             F.col("n_total").cast("string")).alias("key"),
+                 "n"),
+         "SELECT unnest(['chi2_obs', 'chi2_c']) AS kind,"
+         " event_type || '|' || CAST(isodow AS VARCHAR) || '|' ||"
+         " CAST(row_tot AS VARCHAR) || '|' || CAST(col_tot AS VARCHAR)"
+         " || '|' || CAST(n_total AS VARCHAR) AS key,"
+         " unnest([n_obs, chi2_e6]) AS n"),
         # r7: Benford first-digit audit (functions/hypothesis.py) —
         # observed counts and chi-square contributions per digit
         (ANALYTICS_SUITE["benford_prices"],
@@ -3378,6 +3398,24 @@ SUITE: dict[str, tuple] = {
          "SELECT 'km' AS kind, CAST(dur_days AS VARCHAR) || ':' ||"
          " CAST(n_censored AS VARCHAR) AS key, n_risk AS a,"
          " d_evt AS b, s_e6 AS n"),
+        # r7: two-group log-rank test (functions/hypothesis.py, Mantel
+        # 1966) — does survival differ between the md5 variants; the
+        # E/V terms stack into n, risk sets ride a/b, the dur=-1
+        # summary row carries the 1-df chi-square statistic
+        (ANALYTICS_SUITE["log_rank"],
+         lambda df: df.selectExpr(
+             "dur_days", "d0", "d1", "n0_risk", "n1_risk",
+             "stack(2, 'lr_e', e0_e6, 'lr_v', v_e6) AS (kind, n)")
+         .select("kind",
+                 F.concat_ws(":", F.col("dur_days").cast("string"),
+                             F.col("d0").cast("string"),
+                             F.col("d1").cast("string")).alias("key"),
+                 F.col("n0_risk").alias("a"),
+                 F.col("n1_risk").alias("b"), "n"),
+         "SELECT unnest(['lr_e', 'lr_v']) AS kind,"
+         " CAST(dur_days AS VARCHAR) || ':' || CAST(d0 AS VARCHAR)"
+         " || ':' || CAST(d1 AS VARCHAR) AS key,"
+         " n0_risk AS a, n1_risk AS b, unnest([e0_e6, v_e6]) AS n"),
         # r7: portable-hash HyperLogLog beside the exact controls — even
         # the estimate hash-matches (register-level md5 algebra; the one
         # engine-specific sketch the suite previously could not check).

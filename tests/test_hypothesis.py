@@ -118,3 +118,54 @@ def test_kaplan_meier_all_censored_flat_curve(spark):
         .select("uid", F.to_timestamp("d").alias("ts"), "q")
     out = kaplan_meier(df, "uid", "ts", "q").collect()
     assert out and all(r.s_e6 == 1_000_000 and r.d_evt == 0 for r in out)
+
+
+def test_chi2_independence_hand_computed(spark):
+    """2x2 table [[10, 20], [20, 10]]: E = 15 everywhere, per-cell
+    contribution 25/15 = 5/3 -> chi2 = 20/3 (6.667 total)."""
+    from melt_spark.functions.hypothesis import chi2_independence
+
+    rows = ([("x", 1)] * 10 + [("x", 2)] * 20
+            + [("y", 1)] * 20 + [("y", 2)] * 10)
+    df = spark.createDataFrame(rows, "a string, b int")
+    out = chi2_independence(df, "a", "b").collect()
+    assert len(out) == 4
+    assert all(r.n_total == 60 for r in out)
+    assert all(r.chi2_e6 == 1_666_667 for r in out)
+
+
+def test_chi2_independence_empty_cells_counted(spark):
+    """An unobserved cell must contribute its full E — [[2,0],[1,1]]:
+    E(x,2) = 2*1/4 = 0.5, contribution (0-0.5)^2/0.5 = 0.5."""
+    from melt_spark.functions.hypothesis import chi2_independence
+
+    df = spark.createDataFrame(
+        [("x", 1), ("x", 1), ("y", 1), ("y", 2)], "a string, b int")
+    out = {(r.a, r.b): (r.n_obs, r.chi2_e6)
+           for r in chi2_independence(df, "a", "b").collect()}
+    assert out[("x", 2)] == (0, 500_000)
+    assert len(out) == 4
+
+
+def test_log_rank_hand_computed(spark):
+    """A(g0) events at dur 1, B(g1) events at dur 2, C(g0) censored at
+    the corpus end (dur 2): t=1 E0 = 2/3, V = 2/9; t=2 E0 = 1/2,
+    V = 1/4; chi2 = (1 - 7/6)^2 / (17/36) = 1/17."""
+    from melt_spark.functions.hypothesis import log_rank
+
+    rows = [
+        ("A", "2024-01-01", False, 0), ("A", "2024-01-02", True, 0),
+        ("B", "2024-01-01", False, 1), ("B", "2024-01-03", True, 1),
+        ("C", "2024-01-01", False, 0), ("C", "2024-01-03", False, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "uid string, d string, q boolean, g int") \
+        .select("uid", F.to_timestamp("d").alias("ts"), "q", "g")
+    out = {r.dur_days: r for r in
+           log_rank(df, "uid", "ts", "q", "g").collect()}
+    t1, t2, summ = out[1], out[2], out[-1]
+    assert (t1.n0_risk, t1.n1_risk, t1.d0, t1.d1) == (2, 1, 1, 0)
+    assert (t1.e0_e6, t1.v_e6) == (666667, 222222)
+    assert (t2.n0_risk, t2.n1_risk, t2.d0, t2.d1) == (1, 1, 0, 1)
+    assert (t2.e0_e6, t2.v_e6) == (500000, 250000)
+    assert summ.v_e6 == 58824   # chi2 = 1/17 in the summary slot

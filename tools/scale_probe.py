@@ -164,7 +164,10 @@ PROBES = ["text_quality", "dedup_minhash_lsh", "clean_corpus",
           "hll_distinct", "pareto_docs", "dbscan_customers",
           # r7b: rank-sum + digit-law tests (per-key window ranks; 9-row
           # digit table — both expected ~linear scan cost)
-          "mann_whitney", "benford_prices"]
+          "mann_whitney", "benford_prices",
+          # r7b wave 2: survival family (bounded duration-table folds —
+          # expected ~linear scan cost) + the chi-square contingency
+          "kaplan_meier", "log_rank", "chi2_weekday"]
 
 
 def _span_query(via: str):
@@ -333,7 +336,14 @@ _EXTRA_QUERIES = {"span_dedup_digest": _span_query("digest"),
                       _constituent("analytics_suite", "q_mann_whitney"),
                   "benford_prices":
                       _constituent("analytics_suite",
-                                   "q_benford_prices")}
+                                   "q_benford_prices"),
+                  "kaplan_meier":
+                      _constituent("analytics_suite", "q_kaplan_meier"),
+                  "log_rank":
+                      _constituent("analytics_suite", "q_log_rank"),
+                  "chi2_weekday":
+                      _constituent("analytics_suite",
+                                   "q_chi2_weekday")}
 
 
 def _shuffle_state(spark):
