@@ -619,3 +619,52 @@ def theil_sen(df: DataFrame, ts_col: str, key_cols: list[str],
     icpt = F.element_at(resid, ((F.size(resid) + 1) / 2).cast("int"))
     return out.select(*key_cols, "n_buckets", "n_pairs", "slope_e9",
                       icpt.cast("bigint").alias("intercept_nano"))
+
+
+def mad_outliers(df: DataFrame, value_col: str, key_cols: list[str],
+                 order_col: str, k_e4: int = 44478) -> DataFrame:
+    """Median-absolute-deviation outlier gate per key — the
+    breakdown-robust complement to trailing_zscore's mean/sigma detector
+    (Hampel's canon; see Leys et al., "Detecting outliers: do not use
+    standard deviation around the mean, use absolute deviation around
+    the median", JESP 2013). A point is flagged when
+    |x − median| > (k_e4/1e4) · MAD; the default k_e4 = 44478 is the
+    conventional 3 · 1.4826 (3 normal-consistency-scaled MADs) in 1e-4
+    units, so the comparison dev · 10000 > mad · k_e4 is EXACT integer
+    arithmetic.
+
+    Medians are LOWER medians by (value, order_col) total order — rank
+    picks, no averaging (the theil_sen discipline), so every output is
+    an exact integer.
+
+    Output per key: n, med (lower median of value), mad (lower median
+    of |value − med|), n_outliers.
+
+    Scale shape: two window passes PARTITIONED by key (each key sorts
+    only its own rows) + map-side-combined aggregates; nothing global.
+    """
+    ranked = (df.select(*key_cols, F.col(value_col).alias("__x"),
+                        F.col(order_col).alias("__o"))
+              .withColumn("__r", F.row_number().over(
+                  Window.partitionBy(*key_cols)
+                  .orderBy("__x", "__o"))))
+    cnt = ranked.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__n"))
+    med = (ranked.join(cnt, key_cols)
+           .filter(F.col("__r") == F.expr("(__n + 1) div 2"))
+           .select(*key_cols, F.col("__x").alias("__med")))
+    dev = (ranked.join(med, key_cols)
+           .withColumn("__d", F.abs(F.col("__x") - F.col("__med")))
+           .withColumn("__rd", F.row_number().over(
+               Window.partitionBy(*key_cols).orderBy("__d", "__o"))))
+    mad = (dev.join(cnt, key_cols)
+           .filter(F.col("__rd") == F.expr("(__n + 1) div 2"))
+           .select(*key_cols, F.col("__d").alias("__mad")))
+    flagged = (dev.join(mad, key_cols)
+               .withColumn("__out",
+                           (F.col("__d") * 10000
+                            > F.col("__mad") * k_e4).cast("long")))
+    return (flagged.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("__med").cast("bigint").alias("med"),
+                 F.min("__mad").cast("bigint").alias("mad"),
+                 F.sum("__out").cast("bigint").alias("n_outliers")))

@@ -1013,6 +1013,61 @@ FROM e
 """
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD outlier gate (functions/timeseries.py mad_outliers): per
+    event type, flag event values beyond 3 consistency-scaled median
+    absolute deviations — the robust complement to anomaly_zscore's
+    mean/sigma window. Lower-median rank picks and an integer-scaled
+    comparison keep every output exact."""
+    from ..functions.timeseries import mad_outliers
+
+    ev = read_table(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+    return mad_outliers(cents, "cents", ["event_type"], "event_id")
+
+
+SQL_MAD_OUTLIERS = """
+WITH pts AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS x
+  FROM events
+),
+r AS (
+  SELECT event_type, event_id, x,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY x, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM pts
+),
+med AS (
+  SELECT event_type, x AS med FROM r WHERE rk = (n + 1) // 2
+),
+dev AS (
+  SELECT r.event_type, r.event_id, abs(r.x - m.med) AS d, m.med, r.n
+  FROM r JOIN med m USING (event_type)
+),
+dr AS (
+  SELECT event_type, d, med, n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY d, event_id) AS rd
+  FROM dev
+),
+mad AS (
+  SELECT event_type, d AS mad FROM dr WHERE rd = (n + 1) // 2
+)
+SELECT dev.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(dev.med) AS BIGINT) AS med,
+       CAST(MIN(mad.mad) AS BIGINT) AS mad,
+       CAST(SUM(CASE WHEN dev.d * 10000 > mad.mad * 44478
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev JOIN mad USING (event_type)
+GROUP BY 1
+"""
+
+
 def q_chi2_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square independence test (functions/hypothesis.py):
     is event type independent of ISO weekday? Exact contingency counts
@@ -5027,6 +5082,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "kaplan_meier": (q_kaplan_meier, SQL_KAPLAN_MEIER),
     "chi2_weekday": (q_chi2_weekday, SQL_CHI2_WEEKDAY),
     "log_rank": (q_log_rank, SQL_LOG_RANK),
+    "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
     "bottomk_quantiles": (q_bottomk_quantiles, SQL_BOTTOMK_QUANTILES),
     "pit_join": (q_pit_join, SQL_PIT_JOIN),
     "triangles": (q_triangles, SQL_TRIANGLES),

@@ -3242,6 +3242,17 @@ SUITE: dict[str, tuple] = {
          " AS kind, event_type AS key,"
          " unnest([u0_2x, u1_2x, tie_cube, z_e6, n0 * 1000000 + n1])"
          " AS n"),
+        # r7: MAD outlier gate (functions/timeseries.py mad_outliers) —
+        # the robust complement to anomaly_zscore; all-integer unpivot
+        (ANALYTICS_SUITE["mad_outliers"],
+         lambda df: df.selectExpr(
+             "event_type",
+             "stack(4, 'mad_n', n, 'mad_med', med, 'mad_mad', mad,"
+             " 'mad_out', n_outliers) AS (kind, n)")
+         .select("kind", F.col("event_type").alias("key"), "n"),
+         "SELECT unnest(['mad_n', 'mad_med', 'mad_mad', 'mad_out'])"
+         " AS kind, event_type AS key,"
+         " unnest([n, med, mad, n_outliers]) AS n"),
         # r7: Pearson chi-square independence (functions/hypothesis.py)
         # over the event_type x ISO-weekday contingency table — margins
         # ride the key, O and the cell contribution stack into n

@@ -207,3 +207,27 @@ def test_cusum_flags_planted_level_shift(spark):
     # buckets -> S climbs to ~52.5 vs h = 4*sqrt(12.5) ~ 14.1
     assert out["shifted"].n_alarms > 0
     assert out["shifted"].s_max > 4.0 * (12.5 ** 0.5)
+
+
+def test_mad_outliers_hand_computed(spark):
+    """Values {1..9, 1000}: lower median 5, deviations {0..4, 995} ->
+    lower MAD 2 (devs sorted: 0,1,1,2,2,3,3,4,4,995 -> rank 5 = 2);
+    threshold 2 * 4.4478 = 8.90 -> only 1000 (dev 995) flags."""
+    from melt_spark.functions.timeseries import mad_outliers
+
+    rows = [("k", i, v) for i, v in
+            enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 1000])]
+    df = spark.createDataFrame(rows, "k string, oid long, v long")
+    r = mad_outliers(df, "v", ["k"], "oid").head()
+    assert (r.n, r.med, r.mad, r.n_outliers) == (10, 5, 2, 1)
+
+
+def test_mad_outliers_zero_mad_degenerate(spark):
+    """Constant-dominated key: MAD 0 -> every non-median value flags
+    (dev * 10000 > 0), the conventional degenerate behaviour."""
+    from melt_spark.functions.timeseries import mad_outliers
+
+    rows = [("k", i, 7) for i in range(5)] + [("k", 9, 8)]
+    df = spark.createDataFrame(rows, "k string, oid long, v long")
+    r = mad_outliers(df, "v", ["k"], "oid").head()
+    assert (r.med, r.mad, r.n_outliers) == (7, 0, 1)
