@@ -167,7 +167,7 @@ PROBES = ["text_quality", "dedup_minhash_lsh", "clean_corpus",
           "mann_whitney", "benford_prices",
           # r7b wave 2: survival family (bounded duration-table folds —
           # expected ~linear scan cost) + the chi-square contingency
-          "kaplan_meier", "log_rank", "chi2_weekday"]
+          "kaplan_meier", "log_rank", "chi2_weekday", "mad_outliers"]
 
 
 def _span_query(via: str):
@@ -343,7 +343,10 @@ _EXTRA_QUERIES = {"span_dedup_digest": _span_query("digest"),
                       _constituent("analytics_suite", "q_log_rank"),
                   "chi2_weekday":
                       _constituent("analytics_suite",
-                                   "q_chi2_weekday")}
+                                   "q_chi2_weekday"),
+                  "mad_outliers":
+                      _constituent("analytics_suite",
+                                   "q_mad_outliers")}
 
 
 def _shuffle_state(spark):
