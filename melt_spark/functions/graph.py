@@ -640,3 +640,56 @@ def random_walks(pairs: DataFrame, a: str, b: str,
         else:
             path = path.join(walks.select("start", col), "start")
     return path.select("start", *hops)
+
+
+def modularity(pairs: DataFrame, a: str, b: str,
+               labels: DataFrame) -> DataFrame:
+    """Newman-Girvan modularity of a node partition (Newman & Girvan,
+    "Finding and evaluating community structure in networks", Phys.
+    Rev. E 2004): Q = Σ_c (e_c/m − (d_c/2m)²) over communities c, with
+    e_c = intra-community edges, d_c = total degree inside c, m = total
+    undirected edges — the standard quality score for lpa_communities'
+    output (``labels`` = (node, community)).
+
+    Returns per community: n_nodes, e_intra, d_sum (exact integers) and
+    q_e9 — the community's contribution in 1e-9 units (pinned IEEE,
+    rounded once; sum the column for Q). Communities with zero intra
+    edges still appear (their −(d/2m)² term is part of Q).
+
+    Scale shape: the canonical undirected edge set and the degree table
+    are each one map-side-combined shuffle; m is a keyless 1-row
+    aggregate cross-joined broadcast; community sums are
+    community-cardinality tables."""
+    und = (pairs.select(F.least(F.col(a), F.col(b)).alias("u"),
+                        F.greatest(F.col(a), F.col(b)).alias("v"))
+           .filter(F.col("u") != F.col("v")).distinct()
+           .localCheckpoint(eager=True))
+    m1 = und.agg(F.count(F.lit(1)).cast("long").alias("__m"))
+    deg = (und.select(F.col("u").alias("node"))
+           .unionByName(und.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("__deg")))
+    lu = labels.select(F.col("node").alias("u"),
+                       F.col("community").alias("__cu"))
+    lv = labels.select(F.col("node").alias("v"),
+                       F.col("community").alias("__cv"))
+    intra = (und.join(lu, "u").join(lv, "v")
+             .filter(F.col("__cu") == F.col("__cv"))
+             .groupBy(F.col("__cu").alias("community"))
+             .agg(F.count(F.lit(1)).alias("e_intra")))
+    per = (deg.join(labels, "node")
+           .groupBy("community")
+           .agg(F.count(F.lit(1)).alias("n_nodes"),
+                F.sum("__deg").alias("d_sum")))
+    out = (per.join(intra, "community", "left")
+           .withColumn("e_intra", F.coalesce("e_intra", F.lit(0)))
+           .crossJoin(F.broadcast(m1)))
+    md = F.col("__m").cast("double")
+    frac = F.col("e_intra").cast("double") / md
+    half = F.col("d_sum").cast("double") / (F.lit(2.0) * md)
+    q = frac - half * half
+    return out.select(
+        "community",
+        F.col("n_nodes").cast("bigint").alias("n_nodes"),
+        F.col("e_intra").cast("bigint").alias("e_intra"),
+        F.col("d_sum").cast("bigint").alias("d_sum"),
+        F.round(q * F.lit(1e9)).cast("bigint").alias("q_e9"))

@@ -4673,6 +4673,135 @@ l{r} AS MATERIALIZED (
 SQL_LPA_COMMUNITIES = _lpa_sql()
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch conversion attribution — the marketing-
+    analytics credit assignment (e.g. Kaushik's web-analytics canon):
+    each purchase event credits the user's FIRST non-purchase touch and
+    the LAST non-purchase touch strictly before it. Per channel
+    (event type): n_last_touch, n_first_touch; conversions with no
+    prior touch land in the 'none' bucket.
+
+    Determinism: the per-user total order is (unix MICROSECONDS,
+    event_id) — events.parquet is TIMESTAMP(NANOS) and Spark reads it
+    µs-truncated (NOTES.md), so ordering by raw ts could disagree with
+    DuckDB on sub-µs ties; epoch_us on both engines pins it. Window
+    frames are per-user (distribute); counts are exact integers."""
+    ev = read_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = (Window.partitionBy("user_id").orderBy(us.asc(), "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    touch = F.when(F.col("event_type") != "purchase",
+                   F.col("event_type"))
+    tagged = (ev.withColumn(
+        "last_touch", F.last(touch, ignorenulls=True).over(w))
+        .withColumn("first_touch", F.first(touch, ignorenulls=True)
+                    .over(w))
+        .filter(F.col("event_type") == "purchase"))
+    last = (tagged.groupBy(F.coalesce("last_touch", F.lit("none"))
+                           .alias("channel"))
+            .agg(F.count(F.lit(1)).alias("n_last_touch")))
+    first = (tagged.groupBy(F.coalesce("first_touch", F.lit("none"))
+                            .alias("channel"))
+             .agg(F.count(F.lit(1)).alias("n_first_touch")))
+    return (last.join(first, "channel", "full")
+            .select("channel",
+                    F.coalesce("n_last_touch", F.lit(0)).cast("bigint")
+                    .alias("n_last_touch"),
+                    F.coalesce("n_first_touch", F.lit(0)).cast("bigint")
+                    .alias("n_first_touch")))
+
+
+SQL_ATTRIBUTION = """
+WITH t AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         CASE WHEN event_type <> 'purchase' THEN event_type END AS touch
+  FROM events
+),
+w AS (
+  SELECT event_type,
+         last_value(touch IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS last_touch,
+         first_value(touch IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS first_touch
+  FROM t
+),
+conv AS (SELECT * FROM w WHERE event_type = 'purchase'),
+l AS (SELECT COALESCE(last_touch, 'none') AS channel,
+             COUNT(*) AS n_last_touch FROM conv GROUP BY 1),
+f AS (SELECT COALESCE(first_touch, 'none') AS channel,
+             COUNT(*) AS n_first_touch FROM conv GROUP BY 1)
+SELECT COALESCE(l.channel, f.channel) AS channel,
+       CAST(COALESCE(n_last_touch, 0) AS BIGINT) AS n_last_touch,
+       CAST(COALESCE(n_first_touch, 0) AS BIGINT) AS n_first_touch
+FROM l FULL JOIN f USING (channel)
+"""
+
+
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman-Girvan modularity (functions/graph.py modularity) of the
+    3-round LPA partition over the same customer↔supplier graph — the
+    quality score that tells you whether lpa_communities found real
+    structure. Per-community contributions in 1e-9 units; exact
+    n_nodes/e_intra/d_sum beside them."""
+    from ..functions.graph import lpa_communities, modularity
+
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    pairs = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+             .select(F.col("o_custkey").alias("a"),
+                     (F.lit(1_000_000) + F.col("l_suppkey")).alias("b"))
+             .distinct())
+    labels = lpa_communities(pairs, "a", "b", rounds=3)
+    return modularity(pairs, "a", "b", labels)
+
+
+def _modularity_sql(rounds: int = 3) -> str:
+    """Reuses _lpa_sql's CTE chain for the labels, then restates the
+    modularity algebra over the same canonical undirected pairs."""
+    lpa = _lpa_sql(rounds)
+    body = lpa[len("WITH "):lpa.index("\nSELECT")]
+    return f"""WITH {body},
+lab AS (SELECT node, CAST(label AS BIGINT) AS community FROM l{rounds}),
+m1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pairs),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
+  ) GROUP BY 1
+),
+intra AS (
+  SELECT lu.community, COUNT(*) AS e_intra
+  FROM pairs p
+  JOIN lab lu ON lu.node = p.u
+  JOIN lab lv ON lv.node = p.v
+  WHERE lu.community = lv.community
+  GROUP BY 1
+),
+per AS (
+  SELECT l.community, COUNT(*) AS n_nodes, SUM(d.deg) AS d_sum
+  FROM deg d JOIN lab l USING (node) GROUP BY 1
+)
+SELECT per.community,
+       CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(COALESCE(intra.e_intra, 0) AS BIGINT) AS e_intra,
+       CAST(d_sum AS BIGINT) AS d_sum,
+       CAST(round((CAST(COALESCE(intra.e_intra, 0) AS DOUBLE)
+                   / CAST(m AS DOUBLE)
+                   - (CAST(d_sum AS DOUBLE)
+                      / (CAST(2.0 AS DOUBLE) * CAST(m AS DOUBLE)))
+                     * (CAST(d_sum AS DOUBLE)
+                        / (CAST(2.0 AS DOUBLE) * CAST(m AS DOUBLE))))
+                  * CAST(1000000000.0 AS DOUBLE)) AS BIGINT) AS q_e9
+FROM per LEFT JOIN intra USING (community) CROSS JOIN m1
+"""
+
+
+SQL_MODULARITY = _modularity_sql()
+
+
 def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic DeepWalk-style walk corpus (functions/graph.py
     random_walks, Perozzi et al. KDD 2014): one 3-hop walk per vertex of
@@ -5083,6 +5212,8 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "chi2_weekday": (q_chi2_weekday, SQL_CHI2_WEEKDAY),
     "log_rank": (q_log_rank, SQL_LOG_RANK),
     "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
+    "modularity": (q_modularity, SQL_MODULARITY),
+    "attribution": (q_attribution, SQL_ATTRIBUTION),
     "bottomk_quantiles": (q_bottomk_quantiles, SQL_BOTTOMK_QUANTILES),
     "pit_join": (q_pit_join, SQL_PIT_JOIN),
     "triangles": (q_triangles, SQL_TRIANGLES),

@@ -2226,6 +2226,17 @@ SUITE: dict[str, tuple] = {
                               F.col("node").alias("id"),
                               F.col("community").alias("val")),
          "SELECT 'lpa' AS kind, node AS id, community AS val"),
+        # r7: Newman-Girvan modularity of that LPA partition — the
+        # community-quality score; 4 stats unpivot per community
+        (ANALYTICS_SUITE["modularity"],
+         lambda df: df.selectExpr(
+             "community",
+             "stack(4, 'mod_n', n_nodes, 'mod_e', e_intra,"
+             " 'mod_d', d_sum, 'mod_q', q_e9) AS (kind, val)")
+         .select("kind", F.col("community").alias("id"), "val"),
+         "SELECT unnest(['mod_n', 'mod_e', 'mod_d', 'mod_q']) AS kind,"
+         " community AS id, unnest([n_nodes, e_intra, d_sum, q_e9])"
+         " AS val"),
         # r6: hash-deterministic DeepWalk corpus — val packs the 3-hop
         # path (node ids < 2^21 on this graph: custkey < 2^21,
         # 1e6+suppkey < 2^21)
@@ -3242,6 +3253,16 @@ SUITE: dict[str, tuple] = {
          " AS kind, event_type AS key,"
          " unnest([u0_2x, u1_2x, tie_cube, z_e6, n0 * 1000000 + n1])"
          " AS n"),
+        # r7: first/last-touch conversion attribution — per-channel
+        # purchase credit from per-user IGNORE NULLS window carries
+        (ANALYTICS_SUITE["attribution"],
+         lambda df: df.selectExpr(
+             "channel",
+             "stack(2, 'attr_last', n_last_touch,"
+             " 'attr_first', n_first_touch) AS (kind, n)")
+         .select("kind", F.col("channel").alias("key"), "n"),
+         "SELECT unnest(['attr_last', 'attr_first']) AS kind,"
+         " channel AS key, unnest([n_last_touch, n_first_touch]) AS n"),
         # r7: MAD outlier gate (functions/timeseries.py mad_outliers) —
         # the robust complement to anomaly_zscore; all-integer unpivot
         (ANALYTICS_SUITE["mad_outliers"],

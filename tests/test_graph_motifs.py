@@ -285,3 +285,32 @@ def test_kmv_reach_saturated_estimates(spark):
     assert abs(hub.reach - 41) / 41 < 0.8
     # every leaf sees {self, hub} -> exact 2... via radius 1
     assert got[5].reach == 2
+
+
+# --- modularity (r7) --------------------------------------------------------
+
+def test_modularity_two_triangles_with_bridge(spark):
+    """Two triangles joined by one bridge edge, perfectly partitioned:
+    m = 7, each community e = 3, d = 7 -> per-community contribution
+    3/7 - (7/14)^2 = 0.1785714..., Q = 0.357."""
+    from pyspark.sql import functions as F
+
+    from melt_spark.functions.graph import modularity
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "a long, b long")
+    labels = spark.createDataFrame(
+        [(n, 1) for n in (1, 2, 3)] + [(n, 2) for n in (4, 5, 6)],
+        "node long, community long")
+    out = {r.community: r for r in
+           modularity(pairs, "a", "b", labels).collect()}
+    for c in (1, 2):
+        assert (out[c].n_nodes, out[c].e_intra, out[c].d_sum) == (3, 3, 7)
+        assert out[c].q_e9 == 178571429
+    # degenerate one-community partition scores lower than the split
+    one = labels.select("node", F.lit(9).alias("community"))
+    q_one = sum(r.q_e9 for r in
+                modularity(pairs, "a", "b", one).collect())
+    assert q_one == 0  # e/m = 1, (d/2m)^2 = 1 -> Q exactly 0
+    assert sum(out[c].q_e9 for c in (1, 2)) > q_one

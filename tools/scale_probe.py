@@ -167,7 +167,10 @@ PROBES = ["text_quality", "dedup_minhash_lsh", "clean_corpus",
           "mann_whitney", "benford_prices",
           # r7b wave 2: survival family (bounded duration-table folds —
           # expected ~linear scan cost) + the chi-square contingency
-          "kaplan_meier", "log_rank", "chi2_weekday", "mad_outliers"]
+          "kaplan_meier", "log_rank", "chi2_weekday", "mad_outliers",
+          # r7b wave 3: community quality (graph grows with orders x
+          # lineitem) + attribution (per-user window carries)
+          "modularity", "attribution"]
 
 
 def _span_query(via: str):
@@ -346,7 +349,12 @@ _EXTRA_QUERIES = {"span_dedup_digest": _span_query("digest"),
                                    "q_chi2_weekday"),
                   "mad_outliers":
                       _constituent("analytics_suite",
-                                   "q_mad_outliers")}
+                                   "q_mad_outliers"),
+                  "modularity":
+                      _constituent("analytics_suite", "q_modularity"),
+                  "attribution":
+                      _constituent("analytics_suite",
+                                   "q_attribution")}
 
 
 def _shuffle_state(spark):
