@@ -68,10 +68,19 @@ def global_order_scan(df: DataFrame, order_cols: list[Column],
     spark = df.sparkSession
     parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     cols = list(df.columns)
+    # localCheckpoint is CORRECTNESS, not caching: __mid is
+    # nondeterministic per execution, and this frame is referenced
+    # twice (the offsets aggregate and the final join). Plain plan
+    # reuse usually dedups the exchange, but AQE may re-derive the
+    # subtree in a separate execution with FRESH ids — then offsets
+    # and ranks disagree and global ranks can exceed the total (seen
+    # as ntile(32) emitting 33 tiles in q_pruning_eval, r7).
+    # Materializing pins one execution's ids for both consumers.
     tagged = (df.repartitionByRange(parts, *order_cols)
               .sortWithinPartitions(*order_cols)
               .withColumn("__mid", F.monotonically_increasing_id())
-              .withColumn("__pid", F.shiftright("__mid", 33)))
+              .withColumn("__pid", F.shiftright("__mid", 33))
+              .localCheckpoint(eager=True))
 
     per_part = (tagged.groupBy("__pid")
                 .agg(F.count(F.lit(1)).alias("__c"),

@@ -4673,6 +4673,109 @@ l{r} AS MATERIALIZED (
 SQL_LPA_COMMUNITIES = _lpa_sql()
 
 
+def q_pruning_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-quality evaluation: how many of 32 size-balanced files
+    does a point-range predicate touch under a Z-ORDER layout vs the
+    natural (orderkey) layout? Files are global_ntile(32) assignments
+    over the layout's sort key (distributed — no single-reducer sort);
+    per-file min/max of both predicate columns decide skipping, the
+    Delta/Iceberg OPTIMIZE ZORDER argument as a hashed, oracle-checked
+    number instead of a pytest assertion (tests/test_layout.py proves
+    the same effect at file granularity on disk).
+
+    Output per (layout, predicate): n_files, files_hit, rows_in_hit —
+    exact integers; the z-order layout must touch fewer files than the
+    natural layout on BOTH dimensions (pytest-pinned)."""
+    from ..functions.layout import zvalue
+    from ..functions.util import global_ntile
+
+    orders = read_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"),
+                     F.lit("1992-01-01").cast("date"))
+    base = orders.select("o_orderkey", "o_custkey", day.alias("day"),
+                         zvalue(F.col("o_custkey"), day, bits=16)
+                         .alias("zval"))
+
+    def layout(df, order_cols, name):
+        tiled = global_ntile(df, 32, order_cols, "file_id")
+        # localCheckpoint: the two predicate branches below reference
+        # this frame twice — without materialization the ntile subtree
+        # (monotonically_increasing_id inside global_order_scan) would
+        # re-derive per reference with fresh nondeterministic ids (the
+        # rfm/contrastive lesson, NOTES r7); 32 rows, so it's free
+        per_file = (tiled.groupBy("file_id")
+                    .agg(F.count(F.lit(1)).alias("n_rows"),
+                         F.min("o_custkey").alias("c_lo"),
+                         F.max("o_custkey").alias("c_hi"),
+                         F.min("day").alias("d_lo"),
+                         F.max("day").alias("d_hi"))
+                    .localCheckpoint(eager=True))
+        out = None
+        for pred, lo_c, hi_c in (("cust", "c_lo", "c_hi"),
+                                 ("day", "d_lo", "d_hi")):
+            lo, hi = (100, 200) if pred == "cust" else (1200, 1300)
+            hit = (per_file
+                   .agg(F.count(F.lit(1)).alias("n_files"),
+                        F.sum(((F.col(lo_c) <= hi)
+                               & (F.col(hi_c) >= lo)).cast("long"))
+                        .alias("files_hit"),
+                        F.sum(F.when((F.col(lo_c) <= hi)
+                                     & (F.col(hi_c) >= lo),
+                                     F.col("n_rows")).otherwise(0))
+                        .alias("rows_in_hit"))
+                   .select(F.lit(name).alias("layout"),
+                           F.lit(pred).alias("pred"),
+                           F.col("n_files").cast("bigint"),
+                           F.col("files_hit").cast("bigint"),
+                           F.col("rows_in_hit").cast("bigint")))
+            out = hit if out is None else out.unionByName(hit)
+        return out
+
+    z = layout(base, [F.col("zval").asc(), F.col("o_orderkey").asc()],
+               "zorder")
+    nat = layout(base, [F.col("o_orderkey").asc()], "natural")
+    return z.unionByName(nat)
+
+
+def _pruning_sql() -> str:
+    from ..functions.layout import zvalue_sql
+
+    day = "datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))"
+    z = zvalue_sql("o_custkey", day, bits=16)
+    branches = []
+    for name, order in (("zorder", "zval, o_orderkey"),
+                        ("natural", "o_orderkey")):
+        for pred, lo, hi, locol, hicol in (
+                ("cust", 100, 200, "c_lo", "c_hi"),
+                ("day", 1200, 1300, "d_lo", "d_hi")):
+            branches.append(f"""
+SELECT * FROM (
+WITH base AS (
+  SELECT o_orderkey, o_custkey, {day} AS day, {z} AS zval FROM orders
+),
+tiled AS (
+  SELECT *, ntile(32) OVER (ORDER BY {order}) AS file_id FROM base
+),
+pf AS (
+  SELECT file_id, COUNT(*) AS n_rows,
+         MIN(o_custkey) AS c_lo, MAX(o_custkey) AS c_hi,
+         MIN(day) AS d_lo, MAX(day) AS d_hi
+  FROM tiled GROUP BY 1
+)
+SELECT '{name}' AS layout, '{pred}' AS pred,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(CASE WHEN {locol} <= {hi} AND {hicol} >= {lo}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+       CAST(SUM(CASE WHEN {locol} <= {hi} AND {hicol} >= {lo}
+                     THEN n_rows ELSE 0 END) AS BIGINT) AS rows_in_hit
+FROM pf
+) AS pe_{name}_{pred}""")
+    return "\nUNION ALL\n".join(branches)
+
+
+SQL_PRUNING_EVAL = _pruning_sql()
+
+
 def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-touch / last-touch conversion attribution — the marketing-
     analytics credit assignment (e.g. Kaushik's web-analytics canon):
@@ -5214,6 +5317,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
     "modularity": (q_modularity, SQL_MODULARITY),
     "attribution": (q_attribution, SQL_ATTRIBUTION),
+    "pruning_eval": (q_pruning_eval, SQL_PRUNING_EVAL),
     "bottomk_quantiles": (q_bottomk_quantiles, SQL_BOTTOMK_QUANTILES),
     "pit_join": (q_pit_join, SQL_PIT_JOIN),
     "triangles": (q_triangles, SQL_TRIANGLES),

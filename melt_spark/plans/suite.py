@@ -3565,6 +3565,24 @@ SUITE: dict[str, tuple] = {
          "SELECT 'zorder' AS kind, CAST(o_orderkey AS VARCHAR) AS key,"
          " CAST(zval AS VARCHAR) AS ints, -1.0 AS v1, -1.0 AS v2,"
          " -1.0 AS v3"),
+        # r7: layout-quality pruning eval — files touched by a range
+        # predicate under z-order vs natural file assignment; the
+        # OPTIMIZE ZORDER argument as a hashed number
+        (ANALYTICS_SUITE["pruning_eval"],
+         lambda df: df.select(
+             F.lit("prune").alias("kind"),
+             F.concat_ws(":", "layout", "pred").alias("key"),
+             F.concat_ws("/", F.col("n_files").cast("string"),
+                         F.col("files_hit").cast("string"),
+                         F.col("rows_in_hit").cast("string"))
+             .alias("ints"),
+             F.lit(-1.0).alias("v1"), F.lit(-1.0).alias("v2"),
+             F.lit(-1.0).alias("v3")),
+         "SELECT 'prune' AS kind, layout || ':' || pred AS key,"
+         " CAST(n_files AS VARCHAR) || '/' ||"
+         " CAST(files_hit AS VARCHAR) || '/' ||"
+         " CAST(rows_in_hit AS VARCHAR) AS ints,"
+         " -1.0 AS v1, -1.0 AS v2, -1.0 AS v3"),
         # r6: Hilbert clustering keys — the contiguous space-filling
         # curve beside the Morton interleave (functions/layout.py)
         (ANALYTICS_SUITE["hilbert_values"],

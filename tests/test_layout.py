@@ -65,3 +65,24 @@ def test_zorder_preserves_rows(spark):
     z = zorder_by(df, "x", "y", bits=4, num_partitions=4)
     assert z.count() == 1000
     assert z.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
+
+
+def test_pruning_eval_zorder_beats_natural(spark):
+    """The hashed pruning-eval numbers must show the z-order layout
+    touching FEWER files than the natural layout on the custkey
+    predicate, and no more on the day predicate — the whole point of
+    the layout rewrite (q_pruning_eval, r7). Pinned at sf0.01: the
+    fixed [100, 200] custkey predicate is 6.7% of that key space (at
+    sf0.001 it covers a third of all customers, so every file
+    legitimately hits)."""
+    from melt_spark.plans.analytics_suite import q_pruning_eval
+
+    out = {(r.layout, r.pred): r for r in
+           q_pruning_eval(spark, "/root/testdata/sf0.01").collect()}
+    assert all(r.n_files == 32 for r in out.values())
+    assert (out[("zorder", "cust")].files_hit
+            < out[("natural", "cust")].files_hit)
+    assert (out[("zorder", "day")].files_hit
+            <= out[("natural", "day")].files_hit)
+    # hit files cover at least the qualifying rows: sanity lower bound
+    assert out[("zorder", "cust")].rows_in_hit > 0

@@ -170,7 +170,7 @@ PROBES = ["text_quality", "dedup_minhash_lsh", "clean_corpus",
           "kaplan_meier", "log_rank", "chi2_weekday", "mad_outliers",
           # r7b wave 3: community quality (graph grows with orders x
           # lineitem) + attribution (per-user window carries)
-          "modularity", "attribution"]
+          "modularity", "attribution", "pruning_eval"]
 
 
 def _span_query(via: str):
@@ -354,7 +354,10 @@ _EXTRA_QUERIES = {"span_dedup_digest": _span_query("digest"),
                       _constituent("analytics_suite", "q_modularity"),
                   "attribution":
                       _constituent("analytics_suite",
-                                   "q_attribution")}
+                                   "q_attribution"),
+                  "pruning_eval":
+                      _constituent("analytics_suite",
+                                   "q_pruning_eval")}
 
 
 def _shuffle_state(spark):
