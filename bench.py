@@ -94,7 +94,8 @@ BENCH_GROUPS_BY_NAME: dict[str, list[str]] = {
            "contrastive", "monthly_revenue", "hll_distinct",
            "pareto_docs", "dbscan_customers", "mann_whitney",
            "benford_prices", "kaplan_meier", "chi2_weekday",
-           "log_rank", "mad_outliers", "modularity", "attribution", "pruning_eval"],
+           "log_rank", "mad_outliers", "modularity", "attribution", "pruning_eval",
+           "random_group_ci"],
 }
 
 EXTRA_QUERIES = [

@@ -322,3 +322,71 @@ def log_rank(df: DataFrame, id_col: str, ts_col: str, evt_col: str,
         .otherwise(F.lit(0.0)).cast("bigint").alias("v_e6"))
     return (detail.drop("__o", "__e", "__v", "__d0")
             .unionByName(summary))
+
+
+def random_group_ci(df: DataFrame, value_col: str, hash_col: str,
+                    n_reps: int = 16) -> DataFrame:
+    """Half-sample replication variance estimate and CI for the mean —
+    the random-group / balanced-half-sample family of survey-sampling
+    variance estimators (Wolter, "Introduction to Variance Estimation";
+    McCarthy's BRR lineage), made DETERMINISTIC: replicate r contains
+    the rows whose portable 48-bit hash has bit r set, so every
+    replicate is a reproducible ~half-sample and the whole estimate is
+    engine-checkable (no RNG).
+
+    Returns n_reps replicate rows (rep, n, sum_v, mean_e4) and one
+    rep = -1 summary row carrying the full-sample mean, the replication
+    standard error se_e4 (sqrt((1/R) Σ (θ_r − θ̂)²), the half-sample
+    convention) and the ±1.96·se normal CI bounds. Counts and sums are
+    exact BIGINTs; the few float outputs are pinned IEEE expressions
+    rounded once.
+
+    Scale shape: ONE map-side explode of n_reps replicate tags whose
+    partial aggregates combine before the shuffle — the shuffle moves
+    n_reps rows per task no matter the input size (the CMS/Bloom
+    fixed-size-shuffle pattern); the summary is an n_reps-row fold."""
+    tagged = (df.select(F.col(value_col).alias("__v"),
+                        F.col(hash_col).alias("__h"))
+              .select("__v", F.explode(F.sequence(
+                  F.lit(0), F.lit(n_reps - 1))).alias("rep"), "__h")
+              .filter(F.expr("(shiftright(__h, rep % 48) & 1) = 1")))
+    reps = (tagged.groupBy("rep")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("__v").cast("long").alias("sum_v")))
+    reps = reps.withColumn(
+        "mean_e4",
+        F.round(F.col("sum_v").cast("double")
+                / F.col("n").cast("double") * F.lit(10_000.0))
+        .cast("bigint"))
+    full = df.agg(F.count(F.lit(1)).cast("long").alias("__fn"),
+                  F.sum(value_col).cast("long").alias("__fs"))
+    theta = F.col("__fs").cast("double") / F.col("__fn").cast("double")
+    dev = (F.col("sum_v").cast("double") / F.col("n").cast("double")
+           - theta)
+    summ = (reps.limit(n_reps).crossJoin(F.broadcast(full))
+            .agg(F.sum(dev * dev).alias("__ss"),
+                 F.first("__fn").alias("n"),
+                 F.first("__fs").alias("sum_v"),
+                 F.first(theta).alias("__theta"))
+            .select(
+                F.lit(-1).cast("int").alias("rep"), "n", "sum_v",
+                F.round(F.col("__theta") * F.lit(10_000.0))
+                .cast("bigint").alias("mean_e4"),
+                F.round(F.sqrt(F.col("__ss") / F.lit(float(n_reps)))
+                        * F.lit(10_000.0)).cast("bigint").alias("se_e4"),
+                F.round((F.col("__theta")
+                         - F.lit(1.96) * F.sqrt(F.col("__ss")
+                                                / F.lit(float(n_reps))))
+                        * F.lit(10_000.0)).cast("bigint")
+                .alias("ci_lo_e4"),
+                F.round((F.col("__theta")
+                         + F.lit(1.96) * F.sqrt(F.col("__ss")
+                                                / F.lit(float(n_reps))))
+                        * F.lit(10_000.0)).cast("bigint")
+                .alias("ci_hi_e4")))
+    detail = reps.select(
+        F.col("rep").cast("int").alias("rep"), "n", "sum_v", "mean_e4",
+        F.lit(-1).cast("bigint").alias("se_e4"),
+        F.lit(-1).cast("bigint").alias("ci_lo_e4"),
+        F.lit(-1).cast("bigint").alias("ci_hi_e4"))
+    return detail.unionByName(summ)

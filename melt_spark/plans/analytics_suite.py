@@ -4673,6 +4673,82 @@ l{r} AS MATERIALIZED (
 SQL_LPA_COMMUNITIES = _lpa_sql()
 
 
+def q_random_group_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-sample replication CI for the mean order value
+    (functions/hypothesis.py random_group_ci): 16 deterministic
+    hash-bit half-samples, replicate means, and the random-group /
+    BRR-style standard error + 95% CI — resampling inference with no
+    RNG, so even the CI bounds hash-match the oracle. The shuffle is 16
+    rows per task regardless of input size (the CMS/Bloom pattern)."""
+    from ..functions.hypothesis import random_group_ci
+    from ..functions.sketches import kmv_hash
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("cents"),
+        kmv_hash(F.col("o_orderkey")).alias("h"))
+    return random_group_ci(base, "cents", "h", n_reps=16)
+
+
+_RG_HASH = ("list_reduce(list_transform(string_split_regex("
+            "substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12), ''), "
+            "c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)), "
+            "(a,b) -> a*16+b)")
+
+SQL_RANDOM_GROUP_CI = f"""
+WITH base AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         {_RG_HASH} AS h
+  FROM orders
+),
+tagged AS (
+  SELECT v, rep FROM base,
+       (SELECT unnest(range(0, 16)) AS rep)
+  WHERE (h >> (rep % 48)) & 1 = 1
+),
+reps AS (
+  SELECT CAST(rep AS INT) AS rep, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS BIGINT) AS sum_v
+  FROM tagged GROUP BY 1
+),
+full_s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS fn, CAST(SUM(v) AS BIGINT) AS fs
+  FROM base
+),
+summ AS (
+  SELECT SUM((CAST(sum_v AS DOUBLE) / CAST(n AS DOUBLE)
+              - CAST(fs AS DOUBLE) / CAST(fn AS DOUBLE))
+             * (CAST(sum_v AS DOUBLE) / CAST(n AS DOUBLE)
+                - CAST(fs AS DOUBLE) / CAST(fn AS DOUBLE))) AS ss,
+         MIN(fn) AS fn, MIN(fs) AS fs
+  FROM reps CROSS JOIN full_s
+)
+SELECT rep, n, sum_v,
+       CAST(round(CAST(sum_v AS DOUBLE) / CAST(n AS DOUBLE)
+                  * CAST(10000.0 AS DOUBLE)) AS BIGINT) AS mean_e4,
+       CAST(-1 AS BIGINT) AS se_e4,
+       CAST(-1 AS BIGINT) AS ci_lo_e4,
+       CAST(-1 AS BIGINT) AS ci_hi_e4
+FROM reps
+UNION ALL
+SELECT CAST(-1 AS INT), fn, fs,
+       CAST(round(CAST(fs AS DOUBLE) / CAST(fn AS DOUBLE)
+                  * CAST(10000.0 AS DOUBLE)) AS BIGINT),
+       CAST(round(sqrt(ss / CAST(16.0 AS DOUBLE))
+                  * CAST(10000.0 AS DOUBLE)) AS BIGINT),
+       CAST(round((CAST(fs AS DOUBLE) / CAST(fn AS DOUBLE)
+                   - CAST(1.96 AS DOUBLE)
+                     * sqrt(ss / CAST(16.0 AS DOUBLE)))
+                  * CAST(10000.0 AS DOUBLE)) AS BIGINT),
+       CAST(round((CAST(fs AS DOUBLE) / CAST(fn AS DOUBLE)
+                   + CAST(1.96 AS DOUBLE)
+                     * sqrt(ss / CAST(16.0 AS DOUBLE)))
+                  * CAST(10000.0 AS DOUBLE)) AS BIGINT)
+FROM summ
+"""
+
+
 def q_pruning_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Layout-quality evaluation: how many of 32 size-balanced files
     does a point-range predicate touch under a Z-ORDER layout vs the
@@ -5318,6 +5394,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "modularity": (q_modularity, SQL_MODULARITY),
     "attribution": (q_attribution, SQL_ATTRIBUTION),
     "pruning_eval": (q_pruning_eval, SQL_PRUNING_EVAL),
+    "random_group_ci": (q_random_group_ci, SQL_RANDOM_GROUP_CI),
     "bottomk_quantiles": (q_bottomk_quantiles, SQL_BOTTOMK_QUANTILES),
     "pit_join": (q_pit_join, SQL_PIT_JOIN),
     "triangles": (q_triangles, SQL_TRIANGLES),

@@ -3565,6 +3565,26 @@ SUITE: dict[str, tuple] = {
          "SELECT 'zorder' AS kind, CAST(o_orderkey AS VARCHAR) AS key,"
          " CAST(zval AS VARCHAR) AS ints, -1.0 AS v1, -1.0 AS v2,"
          " -1.0 AS v3"),
+        # r7: half-sample replication CI (random-group/BRR family) —
+        # deterministic hash half-samples, so even the CI bounds hash
+        (ANALYTICS_SUITE["random_group_ci"],
+         lambda df: df.select(
+             F.lit("rgci").alias("kind"),
+             F.col("rep").cast("string").alias("key"),
+             F.concat_ws("/", F.col("n").cast("string"),
+                         F.col("sum_v").cast("string"),
+                         F.col("mean_e4").cast("string"),
+                         F.col("se_e4").cast("string"),
+                         F.col("ci_lo_e4").cast("string"),
+                         F.col("ci_hi_e4").cast("string")).alias("ints"),
+             F.lit(-1.0).alias("v1"), F.lit(-1.0).alias("v2"),
+             F.lit(-1.0).alias("v3")),
+         "SELECT 'rgci' AS kind, CAST(rep AS VARCHAR) AS key,"
+         " CAST(n AS VARCHAR) || '/' || CAST(sum_v AS VARCHAR) || '/' ||"
+         " CAST(mean_e4 AS VARCHAR) || '/' || CAST(se_e4 AS VARCHAR)"
+         " || '/' || CAST(ci_lo_e4 AS VARCHAR) || '/' ||"
+         " CAST(ci_hi_e4 AS VARCHAR) AS ints,"
+         " -1.0 AS v1, -1.0 AS v2, -1.0 AS v3"),
         # r7: layout-quality pruning eval — files touched by a range
         # predicate under z-order vs natural file assignment; the
         # OPTIMIZE ZORDER argument as a hashed number

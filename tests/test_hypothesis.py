@@ -169,3 +169,45 @@ def test_log_rank_hand_computed(spark):
     assert (t2.n0_risk, t2.n1_risk, t2.d0, t2.d1) == (1, 1, 0, 1)
     assert (t2.e0_e6, t2.v_e6) == (500000, 250000)
     assert summ.v_e6 == 58824   # chi2 = 1/17 in the summary slot
+
+
+def test_random_group_ci_invariants(spark, sf_dir):
+    """16 replicate half-samples each hold ~half the rows; the summary
+    mean is the exact full-sample mean; the CI brackets it
+    symmetrically with a positive se."""
+    from melt_spark.functions.hypothesis import random_group_ci
+    from melt_spark.functions.sketches import kmv_hash
+    from melt_spark.sources.parquet import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("cents"), kmv_hash(F.col("o_orderkey")).alias("h"))
+    rows = random_group_ci(base, "cents", "h", n_reps=16).collect()
+    reps = [r for r in rows if r.rep >= 0]
+    summ = [r for r in rows if r.rep == -1][0]
+    assert len(reps) == 16
+    total = summ.n
+    for r in reps:
+        assert 0.40 * total <= r.n <= 0.60 * total   # ~half each
+    assert summ.mean_e4 == round(summ.sum_v / summ.n * 10_000)
+    assert summ.se_e4 > 0
+    assert summ.ci_lo_e4 < summ.mean_e4 < summ.ci_hi_e4
+    # bounds round independently -> symmetry holds to 1 rounding unit
+    assert abs((summ.mean_e4 - summ.ci_lo_e4)
+               - (summ.ci_hi_e4 - summ.mean_e4)) <= 1
+
+
+def test_random_group_ci_exact_bits(spark):
+    """Hand frame: hashes chosen so replicate 0 = {rows with bit 0},
+    replicate 1 = {rows with bit 1} — membership is exactly the hash
+    bits, nothing probabilistic."""
+    from melt_spark.functions.hypothesis import random_group_ci
+
+    df = spark.createDataFrame(
+        [(10, 0b01), (20, 0b10), (30, 0b11)], "v long, h long")
+    rows = {r.rep: r for r in
+            random_group_ci(df, "v", "h", n_reps=2).collect()}
+    assert (rows[0].n, rows[0].sum_v) == (2, 40)   # rows 10, 30
+    assert (rows[1].n, rows[1].sum_v) == (2, 50)   # rows 20, 30
+    assert rows[-1].n == 3 and rows[-1].sum_v == 60

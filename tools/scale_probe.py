@@ -170,7 +170,8 @@ PROBES = ["text_quality", "dedup_minhash_lsh", "clean_corpus",
           "kaplan_meier", "log_rank", "chi2_weekday", "mad_outliers",
           # r7b wave 3: community quality (graph grows with orders x
           # lineitem) + attribution (per-user window carries)
-          "modularity", "attribution", "pruning_eval"]
+          "modularity", "attribution", "pruning_eval",
+          "random_group_ci"]
 
 
 def _span_query(via: str):
@@ -357,7 +358,10 @@ _EXTRA_QUERIES = {"span_dedup_digest": _span_query("digest"),
                                    "q_attribution"),
                   "pruning_eval":
                       _constituent("analytics_suite",
-                                   "q_pruning_eval")}
+                                   "q_pruning_eval"),
+                  "random_group_ci":
+                      _constituent("analytics_suite",
+                                   "q_random_group_ci")}
 
 
 def _shuffle_state(spark):
