@@ -390,3 +390,107 @@ def random_group_ci(df: DataFrame, value_col: str, hash_col: str,
         F.lit(-1).cast("bigint").alias("ci_lo_e4"),
         F.lit(-1).cast("bigint").alias("ci_hi_e4"))
     return detail.unionByName(summ)
+
+
+def cuped_adjust(df: DataFrame, y_col: str, x_col: str,
+                 group_col: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng, Xu, Kohavi &
+    Walker, "Improving the sensitivity of online controlled experiments
+    by utilizing pre-experiment data", WSDM 2013): the adjusted metric
+    is Ycv = Y − θ(X − X̄) with θ = cov(X, Y)/var(X) estimated on the
+    POOLED sample (both variants, the paper's recommendation), where X
+    is a pre-experiment covariate — Ycv has the same expectation as Y
+    but lower variance whenever X correlates with Y.
+
+    Input: one row per subject with integer metrics ``y_col`` (the
+    experiment metric), ``x_col`` (the pre-period covariate) and
+    ``group_col`` ∈ {0, 1}. Returns two variant rows (kind='variant':
+    n, sum_x, sum_y exact; mean_y_e6, mean_ycv_e6, var_y_e9, var_ycv_e9
+    rounded once) and one kind='summary' row re-using the same columns
+    as slots: n=theta_e6, sum_x=diff_raw_e6 (variant1 − variant0 raw
+    means), sum_y=diff_cv_e6 (adjusted means),
+    mean_y_e6=var_reduction_ppm (1 − Σvar_cv/Σvar_y),
+    mean_ycv_e6=z_cv_e4 (the adjusted two-sample z,
+    diff_cv / sqrt(Σ var_cv_g/n_g)). Pooled and per-variant second
+    moments are exact BIGINT sums; every derived float is a pinned
+    IEEE expression.
+
+    Scale shape: two map-side-combined aggregates (pooled 1 row,
+    per-variant 2 rows) — nothing grows with subject count but the
+    combines."""
+    pooled = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x_col).cast("long").alias("sx"),
+        F.sum(y_col).cast("long").alias("sy"),
+        F.sum(F.col(x_col) * F.col(x_col)).cast("long").alias("sxx"),
+        F.sum(F.col(x_col) * F.col(y_col)).cast("long").alias("sxy"))
+    per = (df.groupBy(F.col(group_col).alias("variant"))
+           .agg(F.count(F.lit(1)).cast("long").alias("ng"),
+                F.sum(x_col).cast("long").alias("gx"),
+                F.sum(y_col).cast("long").alias("gy"),
+                F.sum(F.col(x_col) * F.col(x_col)).cast("long")
+                .alias("gxx"),
+                F.sum(F.col(y_col) * F.col(y_col)).cast("long")
+                .alias("gyy"),
+                F.sum(F.col(x_col) * F.col(y_col)).cast("long")
+                .alias("gxy")))
+    j = per.crossJoin(F.broadcast(pooled))
+    nd = F.col("n").cast("double")
+    theta_num = nd * F.col("sxy").cast("double") \
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    theta_den = nd * F.col("sxx").cast("double") \
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    theta = F.when(theta_den > 0, theta_num / theta_den) \
+        .otherwise(F.lit(0.0))
+    ngd = F.col("ng").cast("double")
+    my = F.col("gy").cast("double") / ngd
+    mx = F.col("gx").cast("double") / ngd
+    xbar = F.col("sx").cast("double") / nd
+    mycv = my - theta * (mx - xbar)
+    var_y = (F.col("gyy").cast("double") / ngd - my * my)
+    var_x = (F.col("gxx").cast("double") / ngd - mx * mx)
+    cov_xy = (F.col("gxy").cast("double") / ngd - mx * my)
+    var_cv = var_y + theta * theta * var_x \
+        - F.lit(2.0) * theta * cov_xy
+    variants = j.select(
+        F.lit("variant").alias("kind"),
+        F.col("variant").cast("int").alias("variant"),
+        F.col("ng").alias("n"), F.col("gx").alias("sum_x"),
+        F.col("gy").alias("sum_y"),
+        F.round(my * F.lit(1e6)).cast("bigint").alias("mean_y_e6"),
+        F.round(mycv * F.lit(1e6)).cast("bigint").alias("mean_ycv_e6"),
+        F.round(var_y * F.lit(1e9)).cast("bigint").alias("var_y_e9"),
+        F.round(var_cv * F.lit(1e9)).cast("bigint").alias("var_ycv_e9"),
+        theta.alias("__theta"), mycv.alias("__mycv"), my.alias("__my"),
+        (var_cv / ngd).alias("__vn"), var_y.alias("__vy"),
+        var_cv.alias("__vc"))
+    # summary from the 2 variant rows (bounded fold)
+    v = variants.limit(2)
+    summ = v.agg(
+        F.first("__theta").alias("th"),
+        F.sum(F.when(F.col("variant") == 1, F.col("__my"))
+              .otherwise(-F.col("__my"))).alias("draw"),
+        F.sum(F.when(F.col("variant") == 1, F.col("__mycv"))
+              .otherwise(-F.col("__mycv"))).alias("dcv"),
+        F.sum("__vn").alias("vsum"),
+        F.sum("__vy").alias("vy2"), F.sum("__vc").alias("vc2")
+    ).select(
+        F.lit("summary").alias("kind"),
+        F.lit(-1).cast("int").alias("variant"),
+        F.round(F.col("th") * F.lit(1e6)).cast("bigint").alias("n"),
+        F.round(F.col("draw") * F.lit(1e6)).cast("bigint")
+        .alias("sum_x"),
+        F.round(F.col("dcv") * F.lit(1e6)).cast("bigint").alias("sum_y"),
+        F.when(F.col("vy2") > 0,
+               F.round((F.lit(1.0) - F.col("vc2") / F.col("vy2"))
+                       * F.lit(1e6))).otherwise(F.lit(0.0))
+        .cast("bigint").alias("mean_y_e6"),
+        F.when(F.col("vsum") > 0,
+               F.round(F.col("dcv") / F.sqrt(F.col("vsum"))
+                       * F.lit(1e4))).otherwise(F.lit(0.0))
+        .cast("bigint").alias("mean_ycv_e6"),
+        F.lit(-1).cast("bigint").alias("var_y_e9"),
+        F.lit(-1).cast("bigint").alias("var_ycv_e9"))
+    return (variants.drop("__theta", "__mycv", "__my", "__vn", "__vy",
+                          "__vc")
+            .unionByName(summ))

@@ -4673,6 +4673,121 @@ l{r} AS MATERIALIZED (
 SQL_LPA_COMMUNITIES = _lpa_sql()
 
 
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (functions/hypothesis.py
+    cuped_adjust, Deng et al. WSDM 2013): Y = post-window purchase
+    count per user, X = pre-window activity count (the pre-experiment
+    covariate), variant = the md5 50/50 split. On this homogeneous
+    synthetic fixture corr(X, Y) ≈ 0, so the honest reduction is ≈ 0 —
+    the hand-frame pytest demonstrates real reduction on correlated
+    data; here the value is the exact, hash-checked adjustment
+    algebra."""
+    from ..functions.hypothesis import cuped_adjust
+    from ..functions.sketches import kmv_hash
+
+    ev = read_table(spark, sf_dir, "events")
+    split = F.lit("2024-01-16").cast("timestamp")
+    per = (ev.groupBy("user_id")
+           .agg(F.sum((F.col("ts") < split).cast("int")).alias("x"),
+                F.sum(((F.col("ts") >= split)
+                       & (F.col("event_type") == "purchase"))
+                      .cast("int")).alias("y")))
+    base = per.select(
+        "x", "y", (kmv_hash(F.col("user_id")) % 2).cast("int")
+        .alias("g"))
+    return cuped_adjust(base, "y", "x", "g")
+
+
+SQL_CUPED = f"""
+WITH per AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                        AND event_type = 'purchase'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS y,
+         CAST({_MW_HASH} AS INT) AS g
+  FROM events GROUP BY user_id
+),
+pooled AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM per
+),
+pv AS (
+  SELECT g AS variant, CAST(COUNT(*) AS BIGINT) AS ng,
+         CAST(SUM(x) AS BIGINT) AS gx, CAST(SUM(y) AS BIGINT) AS gy,
+         CAST(SUM(x * x) AS BIGINT) AS gxx,
+         CAST(SUM(y * y) AS BIGINT) AS gyy,
+         CAST(SUM(x * y) AS BIGINT) AS gxy
+  FROM per GROUP BY 1
+),
+d AS (
+  SELECT variant, ng, gx, gy,
+    CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+         THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         ELSE CAST(0.0 AS DOUBLE) END AS theta,
+    CAST(gy AS DOUBLE) / CAST(ng AS DOUBLE) AS my,
+    CAST(gx AS DOUBLE) / CAST(ng AS DOUBLE) AS mx,
+    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar,
+    CAST(gyy AS DOUBLE) / CAST(ng AS DOUBLE)
+      - (CAST(gy AS DOUBLE) / CAST(ng AS DOUBLE))
+        * (CAST(gy AS DOUBLE) / CAST(ng AS DOUBLE)) AS var_y,
+    CAST(gxx AS DOUBLE) / CAST(ng AS DOUBLE)
+      - (CAST(gx AS DOUBLE) / CAST(ng AS DOUBLE))
+        * (CAST(gx AS DOUBLE) / CAST(ng AS DOUBLE)) AS var_x,
+    CAST(gxy AS DOUBLE) / CAST(ng AS DOUBLE)
+      - (CAST(gx AS DOUBLE) / CAST(ng AS DOUBLE))
+        * (CAST(gy AS DOUBLE) / CAST(ng AS DOUBLE)) AS cov_xy
+  FROM pv CROSS JOIN pooled
+),
+v AS (
+  SELECT variant, ng, gx, gy, theta, my,
+         my - theta * (mx - xbar) AS mycv, var_y,
+         var_y + theta * theta * var_x
+           - CAST(2.0 AS DOUBLE) * theta * cov_xy AS var_cv
+  FROM d
+)
+SELECT 'variant' AS kind, CAST(variant AS INT) AS variant,
+       ng AS n, gx AS sum_x, gy AS sum_y,
+       CAST(round(my * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+         AS mean_y_e6,
+       CAST(round(mycv * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+         AS mean_ycv_e6,
+       CAST(round(var_y * CAST(1000000000.0 AS DOUBLE)) AS BIGINT)
+         AS var_y_e9,
+       CAST(round(var_cv * CAST(1000000000.0 AS DOUBLE)) AS BIGINT)
+         AS var_ycv_e9
+FROM v
+UNION ALL
+SELECT 'summary', CAST(-1 AS INT),
+       CAST(round(MIN(theta) * CAST(1000000.0 AS DOUBLE)) AS BIGINT),
+       CAST(round(SUM(CASE WHEN variant = 1 THEN my ELSE -my END)
+                  * CAST(1000000.0 AS DOUBLE)) AS BIGINT),
+       CAST(round(SUM(CASE WHEN variant = 1 THEN mycv ELSE -mycv END)
+                  * CAST(1000000.0 AS DOUBLE)) AS BIGINT),
+       CAST(CASE WHEN SUM(var_y) > 0
+                 THEN round((CAST(1.0 AS DOUBLE)
+                             - SUM(var_cv) / SUM(var_y))
+                            * CAST(1000000.0 AS DOUBLE))
+                 ELSE 0.0 END AS BIGINT),
+       CAST(CASE WHEN SUM(var_cv / CAST(ng AS DOUBLE)) > 0
+                 THEN round(SUM(CASE WHEN variant = 1 THEN mycv
+                                     ELSE -mycv END)
+                            / sqrt(SUM(var_cv / CAST(ng AS DOUBLE)))
+                            * CAST(10000.0 AS DOUBLE))
+                 ELSE 0.0 END AS BIGINT),
+       CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+FROM v
+"""
+
+
 def q_random_group_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Half-sample replication CI for the mean order value
     (functions/hypothesis.py random_group_ci): 16 deterministic
@@ -5395,6 +5510,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "attribution": (q_attribution, SQL_ATTRIBUTION),
     "pruning_eval": (q_pruning_eval, SQL_PRUNING_EVAL),
     "random_group_ci": (q_random_group_ci, SQL_RANDOM_GROUP_CI),
+    "cuped": (q_cuped, SQL_CUPED),
     "bottomk_quantiles": (q_bottomk_quantiles, SQL_BOTTOMK_QUANTILES),
     "pit_join": (q_pit_join, SQL_PIT_JOIN),
     "triangles": (q_triangles, SQL_TRIANGLES),

@@ -3253,6 +3253,25 @@ SUITE: dict[str, tuple] = {
          " AS kind, event_type AS key,"
          " unnest([u0_2x, u1_2x, tie_cube, z_e6, n0 * 1000000 + n1])"
          " AS n"),
+        # r7: CUPED variance-reduced A/B readout (hypothesis.py,
+        # Deng et al. WSDM 2013) — the covariate-adjusted companion to
+        # the raw ab z-test; all 7 stats unpivot per row, key carries
+        # kind:variant
+        (ANALYTICS_SUITE["cuped"],
+         lambda df: df.selectExpr(
+             "kind AS ckind", "variant",
+             "stack(7, 'cu_n', n, 'cu_sx', sum_x, 'cu_sy', sum_y,"
+             " 'cu_my', mean_y_e6, 'cu_mcv', mean_ycv_e6,"
+             " 'cu_vy', var_y_e9, 'cu_vcv', var_ycv_e9) AS (kind, n)")
+         .select("kind",
+                 F.concat_ws(":", "ckind",
+                             F.col("variant").cast("string")).alias("key"),
+                 "n"),
+         "SELECT unnest(['cu_n', 'cu_sx', 'cu_sy', 'cu_my', 'cu_mcv',"
+         " 'cu_vy', 'cu_vcv']) AS kind,"
+         " kind || ':' || CAST(variant AS VARCHAR) AS key,"
+         " unnest([n, sum_x, sum_y, mean_y_e6, mean_ycv_e6,"
+         " var_y_e9, var_ycv_e9]) AS n"),
         # r7: first/last-touch conversion attribution — per-channel
         # purchase credit from per-user IGNORE NULLS window carries
         (ANALYTICS_SUITE["attribution"],

@@ -211,3 +211,42 @@ def test_random_group_ci_exact_bits(spark):
     assert (rows[0].n, rows[0].sum_v) == (2, 40)   # rows 10, 30
     assert (rows[1].n, rows[1].sum_v) == (2, 50)   # rows 20, 30
     assert rows[-1].n == 3 and rows[-1].sum_v == 60
+
+
+def test_cuped_reduces_variance_on_correlated_data(spark):
+    """Hand frame with strong X->Y correlation plus a small treatment
+    lift: theta ~ cov/var, the adjusted variance drops by >50%, the
+    adjusted diff stays near the true +2 lift."""
+    from melt_spark.functions.hypothesis import cuped_adjust
+
+    rows = []
+    for i in range(200):
+        x = i % 10                  # pre-period covariate
+        g = i % 2
+        y = 3 * x + (2 if g == 1 else 0) + (i % 3)   # strong X signal
+        rows.append((x, y, g))
+    df = spark.createDataFrame(rows, "x long, y long, g int")
+    out = {r.kind if r.variant == -1 else ("v", r.variant): r
+           for r in cuped_adjust(df, "y", "x", "g").collect()}
+    summ = out["summary"]
+    assert summ.mean_y_e6 > 500_000           # var_reduction_ppm > 50%
+    assert abs(summ.sum_y / 1e6 - 2.0) < 0.5  # diff_cv_e6 near +2
+    for g in (0, 1):
+        v = out[("v", g)]
+        assert v.var_ycv_e9 < v.var_y_e9      # per-variant reduction
+
+
+def test_cuped_zero_covariate_variance_degenerates_to_raw(spark):
+    """Constant X: theta = 0, adjusted == raw everywhere."""
+    from melt_spark.functions.hypothesis import cuped_adjust
+
+    df = spark.createDataFrame(
+        [(5, 1 + i % 4, i % 2) for i in range(40)], "x long, y long,"
+        " g int")
+    out = cuped_adjust(df, "y", "x", "g").collect()
+    summ = [r for r in out if r.variant == -1][0]
+    assert summ.n == 0                         # theta_e6
+    for r in out:
+        if r.variant >= 0:
+            assert r.mean_y_e6 == r.mean_ycv_e6
+            assert r.var_y_e9 == r.var_ycv_e9

@@ -171,7 +171,7 @@ PROBES = ["text_quality", "dedup_minhash_lsh", "clean_corpus",
           # r7b wave 3: community quality (graph grows with orders x
           # lineitem) + attribution (per-user window carries)
           "modularity", "attribution", "pruning_eval",
-          "random_group_ci"]
+          "random_group_ci", "cuped"]
 
 
 def _span_query(via: str):
@@ -361,7 +361,9 @@ _EXTRA_QUERIES = {"span_dedup_digest": _span_query("digest"),
                                    "q_pruning_eval"),
                   "random_group_ci":
                       _constituent("analytics_suite",
-                                   "q_random_group_ci")}
+                                   "q_random_group_ci"),
+                  "cuped":
+                      _constituent("analytics_suite", "q_cuped")}
 
 
 def _shuffle_state(spark):
