@@ -95,7 +95,8 @@ BENCH_GROUPS_BY_NAME: dict[str, list[str]] = {
            "pareto_docs", "dbscan_customers", "mann_whitney",
            "benford_prices", "kaplan_meier", "chi2_weekday",
            "log_rank", "mad_outliers", "modularity", "attribution", "pruning_eval",
-           "random_group_ci", "cuped"],
+           "random_group_ci", "cuped", "target_encoding",
+           "fdr_battery"],
 }
 
 EXTRA_QUERIES = [

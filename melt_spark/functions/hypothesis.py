@@ -494,3 +494,36 @@ def cuped_adjust(df: DataFrame, y_col: str, x_col: str,
     return (variants.drop("__theta", "__mycv", "__my", "__vn", "__vy",
                           "__vc")
             .unionByName(summ))
+
+
+def bh_stepup(scored: DataFrame, p_col: str, tie_col: str,
+              q_ppm: int = 100_000) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control (Benjamini & Hochberg,
+    "Controlling the false discovery rate", JRSS-B 1995) over a SMALL,
+    bounded battery of tests: reject H_(1..k) where k is the LARGEST i
+    with p_(i) <= i·q/m — including any non-passing p's below rank k
+    (the step-up property a naive per-row threshold misses).
+
+    ``scored`` must be bounded (certify with .limit before calling —
+    the single-partition sort is over the battery, never data);
+    ``p_col`` is an integer p in 1e-6 units so the comparison
+    p_e6 · m <= rank · q_ppm is exact integer arithmetic. Adds rank, m,
+    rejected."""
+    w = Window.orderBy(p_col, tie_col)
+    w_all = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+    ranked = (scored
+              .withColumn("rank", F.row_number().over(w))
+              .withColumn("m", F.count(F.lit(1)).over(w_all))
+              .withColumn("__passes",
+                          (F.col(p_col) * F.col("m")
+                           <= F.col("rank") * F.lit(q_ppm))
+                          .cast("int")))
+    max_pass = F.max(F.when(F.col("__passes") == 1, F.col("rank"))
+                     .otherwise(0)).over(w_all)
+    return (ranked
+            .withColumn("rejected",
+                        (F.col("rank") <= max_pass).cast("int"))
+            .drop("__passes")
+            .withColumn("rank", F.col("rank").cast("int"))
+            .withColumn("m", F.col("m").cast("int")))

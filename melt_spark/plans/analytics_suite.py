@@ -4673,6 +4673,158 @@ l{r} AS MATERIALIZED (
 SQL_LPA_COMMUNITIES = _lpa_sql()
 
 
+def q_fdr_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control (Benjamini & Hochberg, JRSS-B
+    1995) over the per-event-type Mann-Whitney battery — the multiple-
+    testing layer every metrics platform needs once it runs one test
+    per segment. Two-sided p-values come from the Abramowitz-Stegun
+    26.2.17 normal-CDF polynomial (identical literal coefficients on
+    both engines; exp() is the one 1-ulp-risk op, so p rounds to 1e-6
+    before the BH comparison — and the BH decision compares EXACT
+    integers p_e6 · m vs rank · q_e6 with q = 0.10). The battery is
+    category-bounded (5 event types), certified by a plan-visible
+    limit; rejected = rank <= the largest i with p_(i) <= i·q/m
+    (the step-up rule, applied via running max of passing ranks)."""
+    from ..functions.hypothesis import mann_whitney_u
+    from ..functions.sketches import kmv_hash
+
+    ev = read_table(spark, sf_dir, "events")
+    labeled = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        (kmv_hash(F.col("user_id")) % 2).cast("int").alias("grp"))
+    mw = mann_whitney_u(labeled, ["event_type"], "cents", "grp")
+    z = F.abs(F.col("z_e6").cast("double") / F.lit(1e6))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * z)
+    poly = (F.lit(0.319381530) * t
+            - F.lit(0.356563782) * t * t
+            + F.lit(1.781477937) * t * t * t
+            - F.lit(1.821255978) * t * t * t * t
+            + F.lit(1.330274429) * t * t * t * t * t)
+    pdf = F.exp(-z * z / F.lit(2.0)) / F.lit(2.5066282746310002)
+    p_two = F.lit(2.0) * pdf * poly          # 2·(1 − Φ(|z|))
+    from ..functions.hypothesis import bh_stepup
+
+    scored = (mw.select("event_type", "z_e6",
+                        F.round(p_two * F.lit(1e6)).cast("bigint")
+                        .alias("p_e6"))
+              .limit(64))                     # category-bounded battery
+    return bh_stepup(scored, "p_e6", "event_type", q_ppm=100_000) \
+        .select("event_type", "z_e6", "p_e6", "rank", "m", "rejected")
+
+
+SQL_FDR_BATTERY = f"""
+WITH mw AS (
+{SQL_MANN_WHITNEY}
+),
+p AS (
+  SELECT event_type, z_e6,
+    CAST(round(
+      CAST(2.0 AS DOUBLE)
+      * (exp(-(abs(CAST(z_e6 AS DOUBLE) / CAST(1000000.0 AS DOUBLE))
+               * abs(CAST(z_e6 AS DOUBLE) / CAST(1000000.0 AS DOUBLE))
+               / CAST(2.0 AS DOUBLE)))
+         / CAST(2.5066282746310002 AS DOUBLE))
+      * (CAST(0.319381530 AS DOUBLE) * t
+         - CAST(0.356563782 AS DOUBLE) * t * t
+         + CAST(1.781477937 AS DOUBLE) * t * t * t
+         - CAST(1.821255978 AS DOUBLE) * t * t * t * t
+         + CAST(1.330274429 AS DOUBLE) * t * t * t * t * t)
+      * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS p_e6
+  FROM (
+    SELECT event_type, z_e6,
+           CAST(1.0 AS DOUBLE)
+             / (CAST(1.0 AS DOUBLE) + CAST(0.2316419 AS DOUBLE)
+                * abs(CAST(z_e6 AS DOUBLE)
+                      / CAST(1000000.0 AS DOUBLE))) AS t
+    FROM mw
+  )
+),
+r AS (
+  SELECT event_type, z_e6, p_e6,
+         row_number() OVER (ORDER BY p_e6, event_type) AS rank,
+         COUNT(*) OVER () AS m
+  FROM p
+),
+s AS (
+  SELECT *, CASE WHEN p_e6 * m <= rank * 100000 THEN 1 ELSE 0 END
+           AS passes
+  FROM r
+)
+SELECT event_type, z_e6, p_e6, CAST(rank AS INT) AS rank,
+       CAST(m AS INT) AS m,
+       CAST(CASE WHEN rank <= MAX(CASE WHEN passes = 1 THEN rank
+                                       ELSE 0 END) OVER ()
+                 THEN 1 ELSE 0 END AS INT) AS rejected
+FROM s
+"""
+
+
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding (the Micci-Barreca 2001 /
+    Kaggle-canon categorical encoder, LOO variant): each row's category
+    is encoded as the mean target of OTHER rows in the category,
+    enc_i = (S_c − x_i)/(n_c − 1) — the leakage-free mean that a
+    K-fold pipeline approximates. Rows collapse to distinct
+    (category, value) pairs (the encoding depends on the row only
+    through its value), so the output is compact and every input to
+    the one divide is an exact BIGINT; singleton categories fall back
+    to the global mean (the standard degenerate rule).
+
+    One map-side-combined groupBy on (category, value) + two tiny
+    broadcast margins — no window, no per-row state."""
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+    cells = (base.groupBy("event_type", "cents")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_rows")))
+    cat = (base.groupBy("event_type")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_c"),
+                F.sum("cents").cast("long").alias("s_c")))
+    glob = base.agg(F.count(F.lit(1)).cast("long").alias("n_g"),
+                    F.sum("cents").cast("long").alias("s_g"))
+    j = (cells.join(F.broadcast(cat), "event_type")
+         .crossJoin(F.broadcast(glob)))
+    loo = (F.col("s_c").cast("double") - F.col("cents").cast("double")) \
+        / (F.col("n_c").cast("double") - F.lit(1.0))
+    gmean = F.col("s_g").cast("double") / F.col("n_g").cast("double")
+    enc = F.when(F.col("n_c") > 1, loo).otherwise(gmean)
+    return j.select(
+        "event_type", "cents", "n_rows", "n_c", "s_c",
+        F.round(enc * F.lit(1_000_000.0)).cast("bigint")
+        .alias("enc_e6"))
+
+
+SQL_TARGET_ENCODING = """
+WITH base AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+cells AS (
+  SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM base GROUP BY 1, 2
+),
+cat AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_c,
+         CAST(SUM(cents) AS BIGINT) AS s_c
+  FROM base GROUP BY 1
+),
+g_all AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(cents) AS BIGINT) AS s_g
+  FROM base
+)
+SELECT cells.event_type, cents, n_rows, n_c, s_c,
+       CAST(round(CASE WHEN n_c > 1
+                       THEN (CAST(s_c AS DOUBLE) - CAST(cents AS DOUBLE))
+                            / (CAST(n_c AS DOUBLE) - CAST(1.0 AS DOUBLE))
+                       ELSE CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE)
+                  END * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS enc_e6
+FROM cells JOIN cat USING (event_type) CROSS JOIN g_all
+"""
+
+
 def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance-reduced A/B readout (functions/hypothesis.py
     cuped_adjust, Deng et al. WSDM 2013): Y = post-window purchase
@@ -5511,6 +5663,8 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "pruning_eval": (q_pruning_eval, SQL_PRUNING_EVAL),
     "random_group_ci": (q_random_group_ci, SQL_RANDOM_GROUP_CI),
     "cuped": (q_cuped, SQL_CUPED),
+    "target_encoding": (q_target_encoding, SQL_TARGET_ENCODING),
+    "fdr_battery": (q_fdr_battery, SQL_FDR_BATTERY),
     "bottomk_quantiles": (q_bottomk_quantiles, SQL_BOTTOMK_QUANTILES),
     "pit_join": (q_pit_join, SQL_PIT_JOIN),
     "triangles": (q_triangles, SQL_TRIANGLES),

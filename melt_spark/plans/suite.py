@@ -3253,6 +3253,39 @@ SUITE: dict[str, tuple] = {
          " AS kind, event_type AS key,"
          " unnest([u0_2x, u1_2x, tie_cube, z_e6, n0 * 1000000 + n1])"
          " AS n"),
+        # r7: leave-one-out target encoding (Micci-Barreca / Kaggle
+        # canon) — the leakage-free categorical encoder; distinct
+        # (category, value) cells, margins packed into the key
+        (ANALYTICS_SUITE["target_encoding"],
+         lambda df: df.selectExpr(
+             "event_type", "cents", "n_c", "s_c",
+             "stack(2, 'te_n', n_rows, 'te_enc', enc_e6) AS (kind, n)")
+         .select("kind",
+                 F.concat_ws(":", "event_type",
+                             F.col("cents").cast("string"),
+                             F.col("n_c").cast("string"),
+                             F.col("s_c").cast("string")).alias("key"),
+                 "n"),
+         "SELECT unnest(['te_n', 'te_enc']) AS kind,"
+         " event_type || ':' || CAST(cents AS VARCHAR) || ':' ||"
+         " CAST(n_c AS VARCHAR) || ':' || CAST(s_c AS VARCHAR) AS key,"
+         " unnest([n_rows, enc_e6]) AS n"),
+        # r7: Benjamini-Hochberg FDR over the Mann-Whitney battery —
+        # the multiple-testing layer; p/rank/m/rejected pack per test
+        (ANALYTICS_SUITE["fdr_battery"],
+         lambda df: df.selectExpr(
+             "event_type", "rank", "m", "rejected",
+             "stack(2, 'fdr_z', z_e6, 'fdr_p', p_e6) AS (kind, n)")
+         .select("kind",
+                 F.concat_ws(":", "event_type",
+                             F.col("rank").cast("string"),
+                             F.col("m").cast("string"),
+                             F.col("rejected").cast("string"))
+                 .alias("key"), "n"),
+         "SELECT unnest(['fdr_z', 'fdr_p']) AS kind,"
+         " event_type || ':' || CAST(rank AS VARCHAR) || ':' ||"
+         " CAST(m AS VARCHAR) || ':' || CAST(rejected AS VARCHAR)"
+         " AS key, unnest([z_e6, p_e6]) AS n"),
         # r7: CUPED variance-reduced A/B readout (hypothesis.py,
         # Deng et al. WSDM 2013) — the covariate-adjusted companion to
         # the raw ab z-test; all 7 stats unpivot per row, key carries

@@ -250,3 +250,43 @@ def test_cuped_zero_covariate_variance_degenerates_to_raw(spark):
         if r.variant >= 0:
             assert r.mean_y_e6 == r.mean_ycv_e6
             assert r.var_y_e9 == r.var_ycv_e9
+
+
+def test_bh_stepup_non_monotone_rejection(spark):
+    """The step-up property: p = [.01, .06, .07, .15], q = .1, m = 4 ->
+    thresholds [.025, .05, .075, .1]; ranks 1 and 3 pass, so the
+    LARGEST passing rank (3) rejects ranks 1..3 INCLUDING the
+    non-passing p = .06 — the case a naive per-row threshold misses."""
+    from melt_spark.functions.hypothesis import bh_stepup
+
+    df = spark.createDataFrame(
+        [("a", 10_000), ("b", 60_000), ("c", 70_000), ("d", 150_000)],
+        "t string, p_e6 long").limit(16)
+    out = {r.t: (r.rank, r.rejected)
+           for r in bh_stepup(df, "p_e6", "t").collect()}
+    assert out == {"a": (1, 1), "b": (2, 1), "c": (3, 1), "d": (4, 0)}
+
+
+def test_bh_stepup_nothing_passes(spark):
+    """All p above every threshold: zero rejections."""
+    from melt_spark.functions.hypothesis import bh_stepup
+
+    df = spark.createDataFrame(
+        [("a", 900_000), ("b", 950_000)], "t string, p_e6 long").limit(4)
+    out = bh_stepup(df, "p_e6", "t").collect()
+    assert all(r.rejected == 0 for r in out)
+
+
+def test_target_encoding_loo_exact(spark, sf_dir):
+    """LOO identity: for every (category, value) cell,
+    enc = (S_c - v) / (n_c - 1) exactly (checked from the emitted
+    margins); singleton categories would fall back to the global mean
+    (not present in this fixture — every type has many rows)."""
+    from melt_spark.plans.analytics_suite import q_target_encoding
+
+    rows = q_target_encoding(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:200]:
+        assert r.n_c > 1
+        want = round((r.s_c - r.cents) / (r.n_c - 1) * 1_000_000)
+        assert r.enc_e6 == want

@@ -171,7 +171,7 @@ PROBES = ["text_quality", "dedup_minhash_lsh", "clean_corpus",
           # r7b wave 3: community quality (graph grows with orders x
           # lineitem) + attribution (per-user window carries)
           "modularity", "attribution", "pruning_eval",
-          "random_group_ci", "cuped"]
+          "random_group_ci", "cuped", "target_encoding", "fdr_battery"]
 
 
 def _span_query(via: str):
@@ -363,7 +363,12 @@ _EXTRA_QUERIES = {"span_dedup_digest": _span_query("digest"),
                       _constituent("analytics_suite",
                                    "q_random_group_ci"),
                   "cuped":
-                      _constituent("analytics_suite", "q_cuped")}
+                      _constituent("analytics_suite", "q_cuped"),
+                  "target_encoding":
+                      _constituent("analytics_suite",
+                                   "q_target_encoding"),
+                  "fdr_battery":
+                      _constituent("analytics_suite", "q_fdr_battery")}
 
 
 def _shuffle_state(spark):
