@@ -361,7 +361,7 @@ def priority_sample(df, weight_col: str, id_col: str, k: int):
     tau = top.agg(
         F.coalesce(F.when(F.count(F.lit(1)) >= k + 1, F.min("priority")),
                    F.lit(0.0)).alias("tau"))
-    w = Window.orderBy(F.desc("priority"), F.asc("id"))
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("priority"), F.asc("id"))
     return (top.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .crossJoin(F.broadcast(tau))
@@ -573,7 +573,7 @@ def greedy_coverage(df: DataFrame, k: int = 3, n: int = 3,
     # k one-row picks: the limit is a no-op that makes the bound
     # plan-visible, certifying the global window below for plan_lint
     out = out.limit(k)
-    w = Window.orderBy("pick").rowsBetween(Window.unboundedPreceding,
+    w = Window.partitionBy(F.lit(0)).orderBy("pick").rowsBetween(Window.unboundedPreceding,
                                            Window.currentRow)
     return out.select("pick", F.col("id").alias(id_col), "gain",
                       F.sum("gain").over(w).cast("bigint")

@@ -349,7 +349,7 @@ def adamic_adar(edges: DataFrame, left: str, right: str, k: int = 50,
            .agg(F.count(F.lit(1)).alias("n_common"),
                 F.sum("w_e9").cast("bigint").alias("aa_e9")))
     top = prs.orderBy(F.desc("aa_e9"), F.asc("u"), F.asc("v")).limit(k)
-    w = Window.orderBy(F.desc("aa_e9"), F.asc("u"), F.asc("v"))
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("aa_e9"), F.asc("u"), F.asc("v"))
     return top.withColumn("rank", F.row_number().over(w))
 
 

@@ -62,9 +62,9 @@ def mann_whitney_u(df: DataFrame, key_cols: list[str], value_col: str,
         F.sum(F.when(F.col("__g") == 0,
                      2 * F.col("__r") + F.col("__t") - 1).otherwise(0))
         .cast("bigint").alias("__r0_2x")))
-    tie_tot = (ties.groupBy(*key_cols, "__v")
-               .agg(F.first("__t3t").alias("__t3t"))
-               .groupBy(*key_cols)
+    # ties is already unique per (keys, value) — aggregate the cube term
+    # directly (an inner groupBy/first here would be a wasted shuffle)
+    tie_tot = (ties.groupBy(*key_cols)
                .agg(F.sum("__t3t").cast("bigint").alias("tie_cube")))
     out = agg.join(tie_tot, key_cols)
     u0_2x = (F.col("__r0_2x")
@@ -107,6 +107,12 @@ def benford_digits(df: DataFrame, value_col: str,
     units, a pinned-order IEEE expression rounded once (sum the column
     for the statistic; 8 degrees of freedom).
 
+    The counts are DENSIFIED against the fixed 1..9 digit domain (the
+    chi2_independence margin discipline): a digit with ZERO occurrences
+    still emits its row with n_obs = 0 and chi2 contribution n_total·p
+    — omitting it would understate the statistic exactly when the data
+    is most anomalous (every value starting with the same digit).
+
     One map-side-combined groupBy on (keys, digit) — 9 rows per key, no
     other shuffle; the digit is string arithmetic on the integer."""
     key_cols = list(key_cols or [])
@@ -116,21 +122,33 @@ def benford_digits(df: DataFrame, value_col: str,
               .select(*key_cols, digit)
               .groupBy(*key_cols, "digit")
               .agg(F.count(F.lit(1)).alias("n_obs")))
+    digit_dom = (df.sparkSession.range(1, 10)
+                 .select(F.col("id").cast("int").alias("digit")))
     if key_cols:
+        dom = (counts.select(*key_cols).distinct()
+               .crossJoin(F.broadcast(digit_dom)))
         w = Window.partitionBy(*key_cols)
     else:
-        # keyless: the domain is exactly the 9 digits — the no-op
-        # limit makes the bound plan-visible for tools/plan_lint.py
-        counts = counts.limit(9)
+        dom = digit_dom
         w = Window.partitionBy(F.lit(1))
-    dense = counts.withColumn("n_total", F.sum("n_obs").over(w))
+    dense = (dom.join(counts, [*key_cols, "digit"], "left")
+             .withColumn("n_obs",
+                         F.coalesce(F.col("n_obs"), F.lit(0))
+                         .cast("bigint"))
+             # the densified frame is exactly 9 rows per key; keyless,
+             # the no-op limit keeps the bound plan-visible for lint
+             )
+    if not key_cols:
+        dense = dense.limit(9)
+    dense = dense.withColumn("n_total", F.sum("n_obs").over(w))
     exp_ppm = F.element_at(
         F.create_map(*[F.lit(x) for d, p in sorted(BENFORD_PPM.items())
                        for x in (d, p)]), F.col("digit"))
     p_obs = F.col("n_obs").cast("double") / F.col("n_total").cast("double")
     p_exp = exp_ppm.cast("double") / F.lit(1_000_000.0)
-    chi2 = (F.col("n_total").cast("double") * (p_obs - p_exp)
-            * (p_obs - p_exp) / p_exp)
+    chi2 = F.when(F.col("n_total") > 0,
+                  F.col("n_total").cast("double") * (p_obs - p_exp)
+                  * (p_obs - p_exp) / p_exp).otherwise(F.lit(0.0))
     return dense.select(
         *key_cols, "digit", "n_obs", F.col("n_total").cast("bigint")
         .alias("n_total"), exp_ppm.cast("bigint").alias("exp_ppm"),
@@ -138,7 +156,7 @@ def benford_digits(df: DataFrame, value_col: str,
 
 
 def kaplan_meier(df: DataFrame, id_col: str, ts_col: str,
-                 evt_col: str) -> DataFrame:
+                 evt_col: str, group_col: str | None = None) -> DataFrame:
     """Kaplan-Meier product-limit survival estimate (Kaplan & Meier,
     "Nonparametric estimation from incomplete observations", JASA 1958)
     of time-to-first-qualifying-event: per subject, duration = days from
@@ -158,21 +176,30 @@ def kaplan_meier(df: DataFrame, id_col: str, ts_col: str,
     collected row (the otsu/ks bounded-domain pattern — never
     point-cardinality). S is a left-fold of IEEE doubles in pinned
     ascending order, rounded once (the DuckDB oracle folds the same
-    factor list with list_reduce)."""
-    per = (df.groupBy(id_col)
+    factor list with list_reduce).
+
+    ``group_col`` (r8): fit one INDEPENDENT curve per group — the
+    per-variant survival table every experimentation readout plots
+    beside the log-rank statistic. Censoring stays administrative at
+    the GLOBAL last activity date (the study end, shared by variants);
+    the bounded fold runs per group, so the output gains a leading
+    group column and nothing else changes shape."""
+    gcols = [group_col] if group_col else []
+    per = (df.groupBy(*gcols, id_col)
            .agg(F.min(F.to_date(ts_col)).alias("__t0"),
                 F.min(F.when(F.col(evt_col), F.to_date(ts_col)))
                 .alias("__tp"),
                 F.max(F.to_date(ts_col)).alias("__t1")))
     gmax = per.agg(F.max("__t1").alias("__gmax"))
     rows = (per.crossJoin(F.broadcast(gmax))
-            .select(F.datediff(F.coalesce("__tp", "__gmax"), "__t0")
+            .select(*gcols,
+                    F.datediff(F.coalesce("__tp", "__gmax"), "__t0")
                     .alias("dur"),
                     F.col("__tp").isNotNull().cast("long").alias("evt")))
-    g = (rows.groupBy("dur")
+    g = (rows.groupBy(*gcols, "dur")
          .agg(F.sum("evt").alias("d"),
               F.count(F.lit(1)).alias("n_all")))
-    one = g.agg(F.sort_array(F.collect_list(
+    one = g.groupBy(*gcols).agg(F.sort_array(F.collect_list(
         F.struct("dur", "d", "n_all"))).alias("a"),
         F.sum("n_all").cast("long").alias("total"))
     # n_risk_j = total - #(dur < t_j); factors[j] = 1 - d_j / n_risk_j;
@@ -184,13 +211,14 @@ def kaplan_meier(df: DataFrame, id_col: str, ts_col: str,
           .withColumn("factors", F.expr(
               f"transform(a, x -> 1.0D - CAST(x.d AS DOUBLE)"
               f" / CAST(total - {prefix} AS DOUBLE))"))
-          .select("a", "total", "factors",
+          .select(*gcols, "a", "total", "factors",
                   F.posexplode("a").alias("pos", "x")))
     n_risk = F.col("total") - F.expr(
         "aggregate(slice(a, 1, pos), 0L, (p, y) -> p + y.n_all)")
     s = F.expr("aggregate(slice(factors, 1, pos + 1), 1.0D,"
                " (p, f) -> p * f)")
     return ex.select(
+        *gcols,
         F.col("x.dur").alias("dur_days"),
         n_risk.cast("bigint").alias("n_risk"),
         F.col("x.d").cast("bigint").alias("d_evt"),
@@ -344,25 +372,48 @@ def random_group_ci(df: DataFrame, value_col: str, hash_col: str,
     Scale shape: ONE map-side explode of n_reps replicate tags whose
     partial aggregates combine before the shuffle — the shuffle moves
     n_reps rows per task no matter the input size (the CMS/Bloom
-    fixed-size-shuffle pattern); the summary is an n_reps-row fold."""
+    fixed-size-shuffle pattern); the summary is an n_reps-row fold.
+
+    n_reps is capped at 48 (the portable hash width): one replicate per
+    hash bit — more would silently alias replicates (duplicate
+    half-samples inflating apparent precision). The replicate detail is
+    DENSIFIED against the 0..n_reps-1 domain: an empty replicate still
+    emits its row (n = 0, mean_e4 = 0) and contributes deviation 0 to
+    the SE sum while R stays fixed at n_reps — dropping it would both
+    hide the degenerate replicate and shrink the deviation sum."""
+    if not 1 <= n_reps <= 48:
+        raise ValueError(f"n_reps must be in 1..48 (one replicate per "
+                         f"48-bit hash bit), got {n_reps}")
     tagged = (df.select(F.col(value_col).alias("__v"),
                         F.col(hash_col).alias("__h"))
               .select("__v", F.explode(F.sequence(
                   F.lit(0), F.lit(n_reps - 1))).alias("rep"), "__h")
-              .filter(F.expr("(shiftright(__h, rep % 48) & 1) = 1")))
-    reps = (tagged.groupBy("rep")
-            .agg(F.count(F.lit(1)).cast("long").alias("n"),
-                 F.sum("__v").cast("long").alias("sum_v")))
+              .filter(F.expr("(shiftright(__h, rep) & 1) = 1")))
+    rep_dom = (df.sparkSession.range(0, n_reps)
+               .select(F.col("id").cast("int").alias("rep")))
+    got = (tagged.groupBy("rep")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("__v").cast("long").alias("sum_v")))
+    reps = (rep_dom.join(got, "rep", "left")
+            .select("rep",
+                    F.coalesce(F.col("n"), F.lit(0)).cast("long")
+                    .alias("n"),
+                    F.coalesce(F.col("sum_v"), F.lit(0)).cast("long")
+                    .alias("sum_v")))
     reps = reps.withColumn(
         "mean_e4",
-        F.round(F.col("sum_v").cast("double")
-                / F.col("n").cast("double") * F.lit(10_000.0))
-        .cast("bigint"))
+        F.when(F.col("n") > 0,
+               F.round(F.col("sum_v").cast("double")
+                       / F.col("n").cast("double") * F.lit(10_000.0)))
+        .otherwise(F.lit(0)).cast("bigint"))
     full = df.agg(F.count(F.lit(1)).cast("long").alias("__fn"),
                   F.sum(value_col).cast("long").alias("__fs"))
     theta = F.col("__fs").cast("double") / F.col("__fn").cast("double")
-    dev = (F.col("sum_v").cast("double") / F.col("n").cast("double")
-           - theta)
+    # an empty replicate contributes deviation 0 (not NaN) while R
+    # stays fixed at n_reps
+    dev = F.when(F.col("n") > 0,
+                 F.col("sum_v").cast("double") / F.col("n").cast("double")
+                 - theta).otherwise(F.lit(0.0))
     summ = (reps.limit(n_reps).crossJoin(F.broadcast(full))
             .agg(F.sum(dev * dev).alias("__ss"),
                  F.first("__fn").alias("n"),
@@ -509,7 +560,7 @@ def bh_stepup(scored: DataFrame, p_col: str, tie_col: str,
     ``p_col`` is an integer p in 1e-6 units so the comparison
     p_e6 · m <= rank · q_ppm is exact integer arithmetic. Adds rank, m,
     rejected."""
-    w = Window.orderBy(p_col, tie_col)
+    w = Window.partitionBy(F.lit(0)).orderBy(p_col, tie_col)
     w_all = Window.rowsBetween(Window.unboundedPreceding,
                                Window.unboundedFollowing)
     ranked = (scored

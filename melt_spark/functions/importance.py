@@ -94,5 +94,5 @@ def importance_topk(raw_counts: DataFrame, ratios: DataFrame,
                    .alias("logw")))
     top = scored.orderBy(F.desc("logw"), F.asc("id")).limit(k)
     from pyspark.sql.window import Window
-    w = Window.orderBy(F.desc("logw"), F.asc("id"))
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("logw"), F.asc("id"))
     return top.withColumn("rank", F.row_number().over(w))

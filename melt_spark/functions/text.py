@@ -172,7 +172,7 @@ def pmi_collocations(docs: DataFrame, min_count: int = 5, k: int = 20,
     from pyspark.sql.window import Window
 
     top = scored.orderBy(F.desc("pmi_e9"), F.asc("bigram")).limit(k)
-    w = Window.orderBy(F.desc("pmi_e9"), F.asc("bigram"))
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("pmi_e9"), F.asc("bigram"))
     return top.withColumn("rank", F.row_number().over(w))
 
 

@@ -88,7 +88,7 @@ def skew_report(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
         F.max("c").cast("bigint").alias("max_key_rows"))
     top = (counts.orderBy(F.desc("c"), *keys).limit(100)
            .withColumn("rn", F.row_number().over(
-               Window.orderBy(F.desc("c"), *keys))))
+               Window.partitionBy(F.lit(0)).orderBy(F.desc("c"), *keys))))
     shares = top.agg(
         *[F.sum(F.when(F.col("rn") <= k, F.col("c")))
           .cast("bigint").alias(f"top{k}")

@@ -923,20 +923,26 @@ WITH c AS (
   FROM orders WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0
   GROUP BY 1
 ),
+dom AS (SELECT CAST(unnest(range(1, 10)) AS INT) AS digit),
 d AS (
-  SELECT digit, n_obs, CAST(SUM(n_obs) OVER () AS BIGINT) AS n_total,
-         CAST({_benford_case()} AS BIGINT) AS exp_ppm
-  FROM c
+  -- densified against the fixed 1..9 domain: an unobserved digit still
+  -- contributes its full expected-count term to the statistic
+  SELECT dom.digit, CAST(COALESCE(c.n_obs, 0) AS BIGINT) AS n_obs,
+         CAST(SUM(COALESCE(c.n_obs, 0)) OVER () AS BIGINT) AS n_total,
+         CAST({_benford_case().replace('CASE digit',
+                                       'CASE dom.digit')} AS BIGINT)
+           AS exp_ppm
+  FROM dom LEFT JOIN c ON c.digit = dom.digit
 )
 SELECT digit, n_obs, n_total, exp_ppm,
-  CAST(round(
+  CAST(round(CASE WHEN n_total > 0 THEN
     CAST(n_total AS DOUBLE)
     * (CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE)
        - CAST(exp_ppm AS DOUBLE) / CAST(1000000.0 AS DOUBLE))
     * (CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE)
        - CAST(exp_ppm AS DOUBLE) / CAST(1000000.0 AS DOUBLE))
     / (CAST(exp_ppm AS DOUBLE) / CAST(1000000.0 AS DOUBLE))
-    * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS chi2_e6
+    * CAST(1000000.0 AS DOUBLE) ELSE 0.0 END) AS BIGINT) AS chi2_e6
 FROM d
 """
 
@@ -1001,6 +1007,79 @@ e AS (
   FROM f
 )
 SELECT x.dur AS dur_days,
+       CAST(total - CASE WHEN i = 1 THEN 0
+                         ELSE list_reduce(
+                           list_transform(a[1:i-1], y -> y.n_all),
+                           (p, q) -> p + q) END AS BIGINT) AS n_risk,
+       x.d AS d_evt,
+       x.n_all - x.d AS n_censored,
+       CAST(round(list_reduce(factors[1:i], (p, q) -> p * q)
+                  * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS s_e6
+FROM e
+"""
+
+
+def q_km_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-variant Kaplan-Meier curves (functions/hypothesis.py
+    kaplan_meier with group_col): one INDEPENDENT product-limit curve
+    per md5 user variant — the survival plot every experimentation
+    readout shows beside log_rank's single test statistic. Censoring
+    stays administrative at the GLOBAL study end, so the two curves are
+    comparable."""
+    from ..functions.hypothesis import kaplan_meier
+    from ..functions.sketches import kmv_hash
+
+    ev = read_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        "user_id", "ts",
+        ((F.col("event_type") == "purchase")
+         & (F.col("value") >= 130.0)).alias("big_purchase"),
+        (kmv_hash(F.col("user_id")) % 2).cast("int").alias("variant"))
+    return kaplan_meier(tagged, "user_id", "ts", "big_purchase",
+                        group_col="variant")
+
+
+SQL_KM_VARIANTS = f"""
+WITH per AS (
+  SELECT CAST({_hex12_sql("CAST(user_id AS VARCHAR)")} % 2 AS INT)
+           AS variant,
+         user_id, MIN(CAST(ts AS DATE)) AS t0,
+         MIN(CASE WHEN event_type = 'purchase' AND value >= 130.0
+                  THEN CAST(ts AS DATE) END) AS tp,
+         MAX(CAST(ts AS DATE)) AS t1
+  FROM events GROUP BY 1, 2
+),
+gm AS (SELECT MAX(t1) AS gmax FROM per),
+r AS (
+  SELECT variant, date_diff('day', t0, COALESCE(tp, gmax)) AS dur,
+         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS evt
+  FROM per CROSS JOIN gm
+),
+g AS (
+  SELECT variant, dur, CAST(SUM(evt) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n_all
+  FROM r GROUP BY 1, 2
+),
+one AS (
+  SELECT variant,
+         list_sort(list(struct_pack(dur := dur, d := d,
+                                    n_all := n_all))) AS a,
+         CAST(SUM(n_all) AS BIGINT) AS total
+  FROM g GROUP BY 1
+),
+f AS (
+  SELECT variant, a, total,
+         list_transform(a, x -> CAST(1.0 AS DOUBLE)
+           - CAST(x.d AS DOUBLE)
+             / CAST(total - {_KM_PREFIX} AS DOUBLE)) AS factors
+  FROM one
+),
+e AS (
+  SELECT variant, unnest(a) AS x, generate_subscripts(a, 1) AS i,
+         a, total, factors
+  FROM f
+)
+SELECT variant, x.dur AS dur_days,
        CAST(total - CASE WHEN i = 1 THEN 0
                          ELSE list_reduce(
                            list_transform(a[1:i-1], y -> y.n_all),
@@ -1602,7 +1681,7 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     pairs = (orders.join(li, orders.o_orderkey == li.l_orderkey)
              .select(F.col("o_custkey").alias("a"),
-                     (F.lit(1_000_000) + F.col("l_suppkey")).alias("b"))
+                     (-F.col("l_suppkey") - F.lit(1)).alias("b"))
              .distinct())
     return kcore(pairs, "a", "b", k=24, rounds=4)
 
@@ -1614,10 +1693,10 @@ def _kcore_sql(k: int = 24, rounds: int = 4) -> str:
     # times — at sf0.1 that spilled until the DISK filled. Materialize
     # each round once (the Spark side's localCheckpoint analogue).
     ctes = ["""e0 AS MATERIALIZED (
-  SELECT DISTINCT least(o_custkey, 1000000 + l_suppkey) AS u,
-         greatest(o_custkey, 1000000 + l_suppkey) AS v
+  SELECT DISTINCT least(o_custkey, (-l_suppkey - 1)) AS u,
+         greatest(o_custkey, (-l_suppkey - 1)) AS v
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-  WHERE o_custkey <> 1000000 + l_suppkey
+  WHERE o_custkey <> (-l_suppkey - 1)
 )"""]
     for r in range(1, rounds + 1):
         ctes.append(f"""d{r} AS (
@@ -1691,17 +1770,18 @@ FROM agg QUALIFY rank <= 50
 def q_kmv_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-hop neighborhood-size estimation (functions/graph.py kmv_reach,
     HyperBall-with-KMV) over the customer↔supplier bipartite graph;
-    output restricted to supplier nodes (node > 1e6)."""
+    output restricted to supplier nodes (node < 0; suppliers pack as
+    -l_suppkey - 1, disjoint from custkeys at ANY scale)."""
     from ..functions.graph import kmv_reach
 
     orders = read_table(spark, sf_dir, "orders")
     li = read_table(spark, sf_dir, "lineitem")
     pairs = (orders.join(li, orders.o_orderkey == li.l_orderkey)
              .select(F.col("o_custkey").alias("a"),
-                     (F.lit(1_000_000) + F.col("l_suppkey")).alias("b"))
+                     (-F.col("l_suppkey") - F.lit(1)).alias("b"))
              .distinct())
     return (kmv_reach(pairs, "a", "b", radius=2, k=16)
-            .filter(F.col("node") > 1_000_000))
+            .filter(F.col("node") < 0))
 
 
 def _kmv_reach_sql(radius: int = 2, k: int = 16) -> str:
@@ -1709,10 +1789,10 @@ def _kmv_reach_sql(radius: int = 2, k: int = 16) -> str:
     # MATERIALIZED per the kcore exponential-inlining lesson
     h = _hex12_sql("CAST(src AS VARCHAR)")
     ctes = [f"""e0 AS MATERIALIZED (
-  SELECT o_custkey AS src, 1000000 + l_suppkey AS dst
+  SELECT o_custkey AS src, (-l_suppkey - 1) AS dst
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
   UNION
-  SELECT 1000000 + l_suppkey AS src, o_custkey AS dst
+  SELECT (-l_suppkey - 1) AS src, o_custkey AS dst
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 ),
 m0 AS MATERIALIZED (
@@ -1743,7 +1823,7 @@ SELECT node, CAST(n_mins AS BIGINT) AS n_mins, kth,
        CAST(CASE WHEN n_mins < {k} THEN n_mins
                  ELSE floor({float(k - 1)!r} * 281474976710656.0 / kth)
             END AS BIGINT) AS reach
-FROM sk WHERE node > 1000000
+FROM sk WHERE node < 0
 """
 
 
@@ -2383,7 +2463,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     pairs = (orders.join(li, orders.o_orderkey == li.l_orderkey)
              .select(F.col("o_custkey").alias("cust"),
-                     (F.lit(1_000_000) + F.col("l_suppkey")).alias("supp"))
+                     (-F.col("l_suppkey") - F.lit(1)).alias("supp"))
              .distinct())
     return pagerank_int(symmetrize(pairs, "cust", "supp"), iters=3,
                         checkpoint_edges=True)
@@ -2393,7 +2473,7 @@ def _pagerank_sql(iters: int = 3) -> str:
     scale, base = 10 ** 9, 10 ** 9 * 15 // 100
     ctes = [f"""
 pairs AS (
-  SELECT DISTINCT o_custkey AS cust, 1000000 + l_suppkey AS supp
+  SELECT DISTINCT o_custkey AS cust, (-l_suppkey - 1) AS supp
   FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 ),
 edges AS (SELECT cust AS src, supp AS dst FROM pairs
@@ -2433,7 +2513,7 @@ def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     pairs = (orders.join(li, orders.o_orderkey == li.l_orderkey)
              .select(F.col("o_custkey").alias("cust"),
-                     (F.lit(1_000_000) + F.col("l_suppkey")).alias("supp"))
+                     (-F.col("l_suppkey") - F.lit(1)).alias("supp"))
              .distinct())
     return ppr_int(symmetrize(pairs, "cust", "supp"), seeds=[1, 2, 3],
                    iters=3, checkpoint_edges=True)
@@ -2446,7 +2526,7 @@ def _ppr_sql(iters: int = 3, seeds: tuple = (1, 2, 3)) -> str:
     seed_list = ", ".join(str(s) for s in seeds)
     ctes = [f"""
 pairs AS (
-  SELECT DISTINCT o_custkey AS cust, 1000000 + l_suppkey AS supp
+  SELECT DISTINCT o_custkey AS cust, (-l_suppkey - 1) AS supp
   FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 ),
 edges AS (SELECT cust AS src, supp AS dst FROM pairs
@@ -2495,7 +2575,7 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     edges = (orders.join(li, orders.o_orderkey == li.l_orderkey)
              .select(F.col("o_custkey").alias("src"),
-                     (F.lit(1_000_000) + F.col("l_suppkey")).alias("dst"))
+                     (-F.col("l_suppkey") - F.lit(1)).alias("dst"))
              .distinct())
     return hits_int(edges, iters=2, checkpoint_edges=True)
 
@@ -2507,7 +2587,7 @@ def _hits_sql(iters: int = 2) -> str:
     scale = 10 ** 6
     ctes = [f"""
 edges AS MATERIALIZED (
-  SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+  SELECT DISTINCT o_custkey AS src, (-l_suppkey - 1) AS dst
   FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 ),
 n AS MATERIALIZED (
@@ -4196,7 +4276,7 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
              # exactly PSI_NBINS rows (unique-keyed left join onto the
              # literal bin spine): no-op limit = plan-visible bound
              .limit(PSI_NBINS))
-    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w = Window.partitionBy(F.lit(0)).orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     tot = dense.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
     cum = (dense.crossJoin(F.broadcast(tot))
            .select("bin",
@@ -4459,7 +4539,7 @@ def q_otsu_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
               # bin in [0, 32) by construction: the no-op limit makes
               # the bound plan-visible for the cumsum window below
               .limit(32))
-    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w = Window.partitionBy(F.lit(0)).orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     cum = binned.select(
         "bin", "n",
         F.sum("n").over(w).alias("w0"),
@@ -4622,10 +4702,10 @@ SQL_GOLDEN_RECORDS = _golden_sql()
 
 _GRAPH_EDGES_SQL = """
 pairs AS MATERIALIZED (
-  SELECT DISTINCT least(o_custkey, 1000000 + l_suppkey) AS u,
-         greatest(o_custkey, 1000000 + l_suppkey) AS v
+  SELECT DISTINCT least(o_custkey, (-l_suppkey - 1)) AS u,
+         greatest(o_custkey, (-l_suppkey - 1)) AS v
   FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-  WHERE o_custkey <> 1000000 + l_suppkey
+  WHERE o_custkey <> (-l_suppkey - 1)
 ),
 edges AS MATERIALIZED (
   SELECT u AS src, v AS dst FROM pairs
@@ -4647,7 +4727,7 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     pairs = (orders.join(li, orders.o_orderkey == li.l_orderkey)
              .select(F.col("o_custkey").alias("a"),
-                     (F.lit(1_000_000) + F.col("l_suppkey")).alias("b"))
+                     (-F.col("l_suppkey") - F.lit(1)).alias("b"))
              .distinct())
     return lpa_communities(pairs, "a", "b", rounds=3)
 
@@ -4972,28 +5052,41 @@ WITH base AS (
 tagged AS (
   SELECT v, rep FROM base,
        (SELECT unnest(range(0, 16)) AS rep)
-  WHERE (h >> (rep % 48)) & 1 = 1
+  WHERE (h >> rep) & 1 = 1
 ),
-reps AS (
+got AS (
   SELECT CAST(rep AS INT) AS rep, CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(v) AS BIGINT) AS sum_v
   FROM tagged GROUP BY 1
+),
+reps AS (
+  -- densified against the 0..n_reps-1 replicate domain: an empty
+  -- replicate still emits its row and deviates 0 while R stays fixed
+  SELECT CAST(dom.rep AS INT) AS rep,
+         CAST(COALESCE(got.n, 0) AS BIGINT) AS n,
+         CAST(COALESCE(got.sum_v, 0) AS BIGINT) AS sum_v
+  FROM (SELECT unnest(range(0, 16)) AS rep) dom
+  LEFT JOIN got ON got.rep = dom.rep
 ),
 full_s AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS fn, CAST(SUM(v) AS BIGINT) AS fs
   FROM base
 ),
 summ AS (
-  SELECT SUM((CAST(sum_v AS DOUBLE) / CAST(n AS DOUBLE)
+  SELECT SUM(CASE WHEN n > 0 THEN
+             (CAST(sum_v AS DOUBLE) / CAST(n AS DOUBLE)
               - CAST(fs AS DOUBLE) / CAST(fn AS DOUBLE))
              * (CAST(sum_v AS DOUBLE) / CAST(n AS DOUBLE)
-                - CAST(fs AS DOUBLE) / CAST(fn AS DOUBLE))) AS ss,
+                - CAST(fs AS DOUBLE) / CAST(fn AS DOUBLE))
+             ELSE 0.0 END) AS ss,
          MIN(fn) AS fn, MIN(fs) AS fs
   FROM reps CROSS JOIN full_s
 )
 SELECT rep, n, sum_v,
-       CAST(round(CAST(sum_v AS DOUBLE) / CAST(n AS DOUBLE)
-                  * CAST(10000.0 AS DOUBLE)) AS BIGINT) AS mean_e4,
+       CAST(CASE WHEN n > 0 THEN
+            round(CAST(sum_v AS DOUBLE) / CAST(n AS DOUBLE)
+                  * CAST(10000.0 AS DOUBLE)) ELSE 0 END AS BIGINT)
+         AS mean_e4,
        CAST(-1 AS BIGINT) AS se_e4,
        CAST(-1 AS BIGINT) AS ci_lo_e4,
        CAST(-1 AS BIGINT) AS ci_hi_e4
@@ -5199,7 +5292,7 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     pairs = (orders.join(li, orders.o_orderkey == li.l_orderkey)
              .select(F.col("o_custkey").alias("a"),
-                     (F.lit(1_000_000) + F.col("l_suppkey")).alias("b"))
+                     (-F.col("l_suppkey") - F.lit(1)).alias("b"))
              .distinct())
     labels = lpa_communities(pairs, "a", "b", rounds=3)
     return modularity(pairs, "a", "b", labels)
@@ -5261,7 +5354,7 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     pairs = (orders.join(li, orders.o_orderkey == li.l_orderkey)
              .select(F.col("o_custkey").alias("a"),
-                     (F.lit(1_000_000) + F.col("l_suppkey")).alias("b"))
+                     (-F.col("l_suppkey") - F.lit(1)).alias("b"))
              .distinct())
     return random_walks(pairs, "a", "b", steps=3)
 
@@ -5655,6 +5748,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "mann_whitney": (q_mann_whitney, SQL_MANN_WHITNEY),
     "benford_prices": (q_benford_prices, SQL_BENFORD_PRICES),
     "kaplan_meier": (q_kaplan_meier, SQL_KAPLAN_MEIER),
+    "km_variants": (q_km_variants, SQL_KM_VARIANTS),
     "chi2_weekday": (q_chi2_weekday, SQL_CHI2_WEEKDAY),
     "log_rank": (q_log_rank, SQL_LOG_RANK),
     "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),

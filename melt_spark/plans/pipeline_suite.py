@@ -2599,12 +2599,15 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.unionByName(w).unionByName(d)
 
 
-def _sql_bpe(rounds: int = BPE_ROUNDS) -> str:
-    """Unrolled oracle: per round, a pair-count CTE + a LIMIT-1 argmax +
-    a recursive-CTE greedy merge (the consume-two-at-a-time scan the
-    Spark fold is equivalent to; see functions/bpe.py docstring).
-    WITH RECURSIVE prefixes the whole CTE list (DuckDB quirk, NOTES.md);
-    the recursion depth is the word length."""
+def _bpe_chain(rounds: int = BPE_ROUNDS) -> str:
+    """The shared unrolled-training CTE chain deriving
+    w{{rounds}}(word, freq, syms) — per round, a pair-count CTE + a
+    LIMIT-1 argmax + a recursive-CTE greedy merge (the
+    consume-two-at-a-time scan the Spark fold is equivalent to; see
+    functions/bpe.py docstring). Callers prefix WITH RECURSIVE (DuckDB
+    quirk, NOTES.md); the recursion depth is the word length. Reused by
+    the train, encode and BPE-pack oracles so all three restate ONE
+    segmentation."""
     parts = [f"""
 w0 AS (
   SELECT word, freq, string_split_regex(word, '') AS syms
@@ -2637,12 +2640,16 @@ w0 AS (
 ),
 {wc} AS (SELECT word, freq, acc AS syms FROM {s}
          WHERE i = len(syms) + 1)""")
+    return ",".join(parts)
+
+
+def _sql_bpe(rounds: int = BPE_ROUNDS) -> str:
     merges = "\nUNION ALL\n".join(
         f"SELECT 'bpe_merge' AS kind, CAST({r} AS BIGINT) AS doc_id,"
         f" CAST(n AS BIGINT) AS n, s1 || '+' || s2 AS fp,"
         f" CAST(-1 AS BIGINT) AS m FROM b{r}"
         for r in range(1, rounds + 1))
-    return ("WITH RECURSIVE " + ",".join(parts) + "\n" + merges + f"""
+    return ("WITH RECURSIVE " + _bpe_chain(rounds) + "\n" + merges + f"""
 UNION ALL
 SELECT 'bpe_word' AS kind, CAST(-1 AS BIGINT) AS doc_id, freq AS n,
        word || '>' || array_to_string(syms, '|') AS fp,
@@ -2658,6 +2665,100 @@ GROUP BY t.doc_id
 
 
 SQL_BPE_TRAIN = _sql_bpe()
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide BPE tokenization (functions/bpe.py bpe_encode): apply
+    the 3-round trained segmentation to EVERY document — the tokenize
+    step a training-data pipeline executes per doc per epoch. Output is
+    one row per doc with exact word/token counts and the FULL ordered
+    token stream ('|'-joined), so the oracle hash certifies the entire
+    encoded corpus, not a sample."""
+    from ..functions.bpe import bpe_encode, bpe_train
+
+    docs = read_table(spark, sf_dir, "documents")
+    _merges, words = bpe_train(docs, rounds=BPE_ROUNDS)
+    return bpe_encode(docs, words)
+
+
+def _sql_bpe_encode(rounds: int = BPE_ROUNDS) -> str:
+    return f"""WITH RECURSIVE {_bpe_chain(rounds)},
+t AS (
+  SELECT doc_id, generate_subscripts({_TOKS}, 1) AS pos,
+         unnest({_TOKS}) AS word
+  FROM documents
+),
+e AS (
+  SELECT t.doc_id, t.pos,
+         COALESCE(w.syms, string_split_regex(t.word, '')) AS seg
+  FROM t LEFT JOIN w{rounds} w USING (word)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(seg)) AS BIGINT) AS n_tokens,
+       string_agg(array_to_string(seg, '|'), '|' ORDER BY pos) AS stream
+FROM e GROUP BY doc_id
+"""
+
+
+SQL_BPE_ENCODE = _sql_bpe_encode()
+
+
+# BPE-pack budget: 3-round BPE tokens are near-character granularity, so
+# the budget is ~8x the whitespace-word budget for comparable pack sizes
+PACK_BPE_BUDGET = 2048
+
+
+def q_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing under REAL tokenizer counts: train → encode →
+    pack in one plan, so the pack manifest's budget is measured in the
+    tokens the training loader actually consumes (pack_sequences'
+    whitespace counts are the layout-only approximation). Same greedy
+    walk, same Arrow-batched per-group packer."""
+    from ..functions.bpe import bpe_encode, bpe_train
+    from ..functions.packing import pack_sequences
+
+    docs = read_table(spark, sf_dir, "documents")
+    _merges, words = bpe_train(docs, rounds=BPE_ROUNDS)
+    enc = bpe_encode(docs, words)
+    return pack_sequences(enc, budget=PACK_BPE_BUDGET,
+                          n_groups=PACK_GROUPS,
+                          tokens_col=F.col("n_tokens"))
+
+
+def _sql_pack_bpe(rounds: int = BPE_ROUNDS) -> str:
+    return f"""WITH RECURSIVE {_bpe_chain(rounds)},
+tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS word FROM documents
+),
+cnt AS (
+  SELECT tok.doc_id, CAST(SUM(len(w.syms)) AS BIGINT) AS n_tokens
+  FROM tok JOIN w{rounds} w USING (word) GROUP BY tok.doc_id
+),
+base AS (
+  SELECT doc_id % {PACK_GROUPS} AS grp, doc_id, n_tokens,
+         CAST(row_number() OVER (PARTITION BY doc_id % {PACK_GROUPS}
+                                 ORDER BY doc_id) AS BIGINT) AS rn
+  FROM cnt
+),
+packed AS (
+  SELECT grp, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS pack_id,
+         CAST(1 AS BIGINT) AS pack_pos, n_tokens AS fill
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT d.grp, d.rn, d.doc_id, d.n_tokens,
+    CASE WHEN p.fill + d.n_tokens <= {PACK_BPE_BUDGET}
+         THEN p.pack_id ELSE p.pack_id + 1 END,
+    CASE WHEN p.fill + d.n_tokens <= {PACK_BPE_BUDGET}
+         THEN p.pack_pos + 1 ELSE CAST(1 AS BIGINT) END,
+    CASE WHEN p.fill + d.n_tokens <= {PACK_BPE_BUDGET}
+         THEN p.fill + d.n_tokens ELSE d.n_tokens END
+  FROM packed p JOIN base d ON d.grp = p.grp AND d.rn = p.rn + 1
+)
+SELECT grp, doc_id, n_tokens, pack_id, pack_pos FROM packed
+"""
+
+
+SQL_PACK_BPE = _sql_pack_bpe()
 
 
 def q_postings_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3699,6 +3800,8 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "jl_projection": (q_jl_projection, SQL_JL_PROJECTION),
     "priority_sample": (q_priority_sample, SQL_PRIORITY_SAMPLE),
     "bpe_train": (q_bpe_train, SQL_BPE_TRAIN),
+    "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
+    "pack_bpe": (q_pack_bpe, SQL_PACK_BPE),
     "postings_stats": (q_postings_stats, SQL_POSTINGS_STATS),
     "pq_codes": (q_pq_codes, SQL_PQ_CODES),
     "pq_adc": (q_pq_adc, SQL_PQ_ADC),

@@ -2121,11 +2121,11 @@ SUITE: dict[str, tuple] = {
          lambda df: df.select(
              F.lit("recall").alias("kind"),
              F.col("thr_e2").cast("bigint").alias("doc_a"),
-             (F.col("n_true") * 1_000_000 + F.col("n_caught"))
+             (F.col("n_true") * 4_294_967_296 + F.col("n_caught"))
              .cast("bigint").alias("doc_b"),
              F.col("recall_ppm").cast("double").alias("jaccard")),
          "SELECT 'recall' AS kind, CAST(thr_e2 AS BIGINT) AS doc_a,"
-         " CAST(n_true * 1000000 + n_caught AS BIGINT) AS doc_b,"
+         " CAST(n_true * 4294967296 + n_caught AS BIGINT) AS doc_b,"
          " CAST(recall_ppm AS DOUBLE) AS jaccard"),
     ),
     # -- the two iterative graph algorithms share one entry: connected
@@ -2178,12 +2178,13 @@ SUITE: dict[str, tuple] = {
          "SELECT 'kcore' AS kind, node AS id, deg AS val"),
         # r5: Adamic-Adar link prediction — supplier pairs through shared
         # customers, integer-scaled neighbor weights (functions/graph.py
-        # adamic_adar); id packs the pair as u*1e6+v (suppkeys < 1e6)
+        # adamic_adar); id packs the pair as u*2^32+v — collision-free
+        # for any suppkey < 2^32 (u*1e6+v aliased once keys passed 1e6)
         (ANALYTICS_SUITE["adamic_adar"],
          lambda df: df.selectExpr(
              "stack(2, 'aa', aa_e9, 'aa_n', n_common) AS (kind, val)",
-             "u * 1000000 + v AS id").select("kind", "id", "val"),
-         "SELECT unnest(['aa', 'aa_n']) AS kind, u * 1000000 + v AS id,"
+             "u * 4294967296 + v AS id").select("kind", "id", "val"),
+         "SELECT unnest(['aa', 'aa_n']) AS kind, u * 4294967296 + v AS id,"
          " unnest([aa_e9, n_common]) AS val"),
         # r5: HyperBall-with-KMV 2-hop reach estimation per supplier node
         # (functions/graph.py kmv_reach); kth is the sketch state
@@ -2520,6 +2521,17 @@ SUITE: dict[str, tuple] = {
         (PIPELINE_SUITE["bpe_train"],
          lambda df: df,
          "SELECT kind, doc_id, n, fp, m"),
+        # r8: corpus-wide BPE tokenization (functions/bpe.py
+        # bpe_encode) — the apply step of the trained merge table; the
+        # md5 of the FULL ordered token stream rides fp, so the entry
+        # hash certifies every token of every encoded document
+        (PIPELINE_SUITE["bpe_encode"],
+         lambda df: df.select(F.lit("bpe_enc").alias("kind"), "doc_id",
+                              F.col("n_tokens").alias("n"),
+                              F.md5("stream").alias("fp"),
+                              F.col("n_words").alias("m")),
+         "SELECT 'bpe_enc' AS kind, doc_id, n_tokens AS n,"
+         " md5(stream) AS fp, n_words AS m"),
         # r5: winnowing fingerprints (MOSS, SIGMOD 2003) — pos rides n,
         # the 48-bit fingerprint rides m
         (PIPELINE_SUITE["winnow"],
@@ -2646,6 +2658,20 @@ SUITE: dict[str, tuple] = {
                               F.col("pack_id").cast("double").alias("c"),
                               F.col("pack_pos").cast("double").alias("d")),
          "SELECT 'pack' AS kind, doc_id AS id, CAST(grp AS DOUBLE) AS a,"
+         " CAST(n_tokens AS DOUBLE) AS b, CAST(pack_id AS DOUBLE) AS c,"
+         " CAST(pack_pos AS DOUBLE) AS d"),
+        # r8: packing under REAL BPE token counts — train -> encode ->
+        # pack in one plan (functions/bpe.py bpe_encode); the budget is
+        # measured in the tokens the training loader actually consumes
+        (PIPELINE_SUITE["pack_bpe"],
+         lambda df: df.select(F.lit("pack_bpe").alias("kind"),
+                              F.col("doc_id").alias("id"),
+                              F.col("grp").cast("double").alias("a"),
+                              F.col("n_tokens").cast("double").alias("b"),
+                              F.col("pack_id").cast("double").alias("c"),
+                              F.col("pack_pos").cast("double").alias("d")),
+         "SELECT 'pack_bpe' AS kind, doc_id AS id,"
+         " CAST(grp AS DOUBLE) AS a,"
          " CAST(n_tokens AS DOUBLE) AS b, CAST(pack_id AS DOUBLE) AS c,"
          " CAST(pack_pos AS DOUBLE) AS d"),
     ),
@@ -3232,13 +3258,13 @@ SUITE: dict[str, tuple] = {
                          F.col("z_micro").cast("string"),
                          F.col("significant").cast("string"),
                          F.col("rate_ppm").cast("string")).alias("key"),
-             (F.col("n_exposed") * 1_000_000 + F.col("n_conv"))
+             (F.col("n_exposed") * 4_294_967_296 + F.col("n_conv"))
              .alias("n")),
          "SELECT 'ab' AS kind, CAST(variant AS VARCHAR) || '|' ||"
          " CAST(z_micro AS VARCHAR) || '|' ||"
          " CAST(significant AS VARCHAR) || '|' ||"
          " CAST(rate_ppm AS VARCHAR) AS key,"
-         " n_exposed * 1000000 + n_conv AS n"),
+         " n_exposed * 4294967296 + n_conv AS n"),
         # r7: Mann-Whitney U rank-sum test (functions/hypothesis.py) —
         # the rank-based complement to the ab z-test; doubled exact U
         # statistics, tie term and z_e6 unpivot into tagged rows
@@ -3246,12 +3272,12 @@ SUITE: dict[str, tuple] = {
          lambda df: df.selectExpr(
              "event_type",
              "stack(5, 'mw_u0', u0_2x, 'mw_u1', u1_2x, 'mw_tie',"
-             " tie_cube, 'mw_z', z_e6, 'mw_n', n0 * 1000000 + n1)"
+             " tie_cube, 'mw_z', z_e6, 'mw_n', n0 * 4294967296 + n1)"
              " AS (kind, n)")
          .select("kind", F.col("event_type").alias("key"), "n"),
          "SELECT unnest(['mw_u0', 'mw_u1', 'mw_tie', 'mw_z', 'mw_n'])"
          " AS kind, event_type AS key,"
-         " unnest([u0_2x, u1_2x, tie_cube, z_e6, n0 * 1000000 + n1])"
+         " unnest([u0_2x, u1_2x, tie_cube, z_e6, n0 * 4294967296 + n1])"
          " AS n"),
         # r7: leave-one-out target encoding (Micci-Barreca / Kaggle
         # canon) — the leakage-free categorical encoder; distinct
@@ -3480,6 +3506,22 @@ SUITE: dict[str, tuple] = {
              F.col("d_evt").alias("b"),
              F.col("s_e6").alias("n")),
          "SELECT 'km' AS kind, CAST(dur_days AS VARCHAR) || ':' ||"
+         " CAST(n_censored AS VARCHAR) AS key, n_risk AS a,"
+         " d_evt AS b, s_e6 AS n"),
+        # r8: per-variant Kaplan-Meier curves (kaplan_meier with
+        # group_col) — the survival table an experiment readout plots
+        # beside the log-rank statistic; global administrative censor
+        (ANALYTICS_SUITE["km_variants"],
+         lambda df: df.select(
+             F.lit("km_v").alias("kind"),
+             F.concat_ws(":", F.col("variant").cast("string"),
+                         F.col("dur_days").cast("string"),
+                         F.col("n_censored").cast("string")).alias("key"),
+             F.col("n_risk").alias("a"),
+             F.col("d_evt").alias("b"),
+             F.col("s_e6").alias("n")),
+         "SELECT 'km_v' AS kind, CAST(variant AS VARCHAR) || ':' ||"
+         " CAST(dur_days AS VARCHAR) || ':' ||"
          " CAST(n_censored AS VARCHAR) AS key, n_risk AS a,"
          " d_evt AS b, s_e6 AS n"),
         # r7: two-group log-rank test (functions/hypothesis.py, Mantel

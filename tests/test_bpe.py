@@ -105,3 +105,50 @@ def test_checkpointed_deep_training_matches_unchunked(spark, sf_dir):
         == [tuple(r) for r in m2.orderBy("round").collect()]
     assert {r.word: r.seg for r in w1.collect()} \
         == {r.word: r.seg for r in w2.collect()}
+
+
+def test_bpe_encode_hand_computed(spark):
+    """Encode applies the trained segmentation per word in order; the
+    stream is the '|'-joined full token sequence."""
+    from melt_spark.functions.bpe import bpe_encode
+
+    docs = _docs(spark, ["abab cd abab", "cd cd"])
+    _merges, words = bpe_train(docs, rounds=2)
+    out = {r.doc_id: r for r in bpe_encode(docs, words).collect()}
+    # rounds: (a,b) count 4 -> ab; (c,d) count 3 beats (ab,ab) at 2 -> cd
+    assert (out[0].n_words, out[0].n_tokens) == (3, 5)
+    assert out[0].stream == "ab|ab|cd|ab|ab"
+    assert (out[1].n_words, out[1].n_tokens) == (2, 2)
+    assert out[1].stream == "cd|cd"
+
+
+def test_bpe_encode_oov_falls_back_to_chars(spark):
+    """Encoding a NEW corpus against yesterday's vocab: unseen words
+    segment to characters (the training initialization), so the encoder
+    is total."""
+    from melt_spark.functions.bpe import bpe_encode
+
+    train = _docs(spark, ["abab abab"])
+    _m, words = bpe_train(train, rounds=2)
+    new = _docs(spark, ["abab zq"])
+    out = bpe_encode(new, words).collect()[0]
+    assert out.stream == "abab|z|q"
+    assert (out.n_words, out.n_tokens) == (2, 3)
+
+
+def test_bpe_encode_token_counts_match_train_segmentation(spark, sf_dir):
+    """Corpus-wide: sum of per-doc n_tokens == freq-weighted n_syms of
+    the vocabulary — encode and train agree on the whole corpus."""
+    from pyspark.sql import functions as F
+
+    from melt_spark.functions.bpe import bpe_encode
+    from melt_spark.sources.parquet import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    _m, words = bpe_train(docs, rounds=3)
+    enc_total = bpe_encode(docs, words).agg(
+        F.sum("n_tokens")).collect()[0][0]
+    vocab_total = words.select(
+        (F.col("freq") * F.col("n_syms")).alias("t")).agg(
+        F.sum("t")).collect()[0][0]
+    assert enc_total == vocab_total

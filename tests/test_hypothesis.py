@@ -290,3 +290,93 @@ def test_target_encoding_loo_exact(spark, sf_dir):
         assert r.n_c > 1
         want = round((r.s_c - r.cents) / (r.n_c - 1) * 1_000_000)
         assert r.enc_e6 == want
+
+
+def test_benford_unobserved_digit_counted(spark):
+    """Densification (r8, ADVICE): every value starting with digit 1
+    must still emit rows for digits 2..9 with n_obs = 0, each
+    contributing its full expected-count term n_total*p to the
+    statistic — omitting them understates chi2 exactly when the data is
+    most anomalous."""
+    df = spark.createDataFrame([(100 + i,) for i in range(50)],
+                               "v long")
+    out = {r.digit: r for r in benford_digits(df, "v").collect()}
+    assert set(out) == set(range(1, 10))
+    assert out[1].n_obs == 50
+    for d in range(2, 10):
+        assert out[d].n_obs == 0
+        assert out[d].n_total == 50
+        # n_total * p_exp * 1e6 (chi2 = n*(0-p)^2/p = n*p)
+        assert out[d].chi2_e6 == round(50 * BENFORD_PPM[d])
+
+
+def test_benford_keyed_densified(spark):
+    """Keyed variant densifies per key: both keys emit all 9 digits."""
+    df = spark.createDataFrame(
+        [("a", 123), ("a", 234), ("b", 911)], "k string, v long")
+    out = {(r.k, r.digit): (r.n_obs, r.n_total)
+           for r in benford_digits(df, "v", ["k"]).collect()}
+    assert len(out) == 18
+    assert out[("a", 1)] == (1, 2)
+    assert out[("a", 9)] == (0, 2)
+    assert out[("b", 9)] == (1, 1)
+    assert out[("b", 1)] == (0, 1)
+
+
+def test_random_group_ci_rejects_aliasing_rep_count(spark):
+    """n_reps > 48 would reuse hash bits (duplicate half-samples
+    inflating apparent precision) — must raise, not alias."""
+    import pytest
+
+    from melt_spark.functions.hypothesis import random_group_ci
+
+    df = spark.createDataFrame([(1, 3)], "v long, h long")
+    with pytest.raises(ValueError, match="48"):
+        random_group_ci(df, "v", "h", n_reps=49)
+    with pytest.raises(ValueError):
+        random_group_ci(df, "v", "h", n_reps=0)
+
+
+def test_random_group_ci_empty_replicate_densified(spark):
+    """A replicate no row hashes into still emits its detail row with
+    n = 0 and contributes deviation 0 while R stays fixed."""
+    from melt_spark.functions.hypothesis import random_group_ci
+
+    # h = 0b01: only bit 0 set -> replicate 1 is empty
+    df = spark.createDataFrame([(10, 1), (20, 1)], "v long, h long")
+    out = {r.rep: r for r in
+           random_group_ci(df, "v", "h", n_reps=2).collect()}
+    assert set(out) == {-1, 0, 1}
+    assert (out[0].n, out[0].sum_v) == (2, 30)
+    assert (out[1].n, out[1].sum_v, out[1].mean_e4) == (0, 0, 0)
+    # SE: sqrt((dev0^2 + 0^2)/2), dev0 = 15 - 15 = 0
+    assert out[-1].se_e4 == 0
+
+
+def test_kaplan_meier_grouped_matches_per_group_fit(spark):
+    """group_col fits one independent curve per group under the GLOBAL
+    censor date: filtering group g from the grouped output must equal a
+    solo fit of group g's rows IF that group carries the global max
+    date (here both groups span the full window)."""
+    from melt_spark.functions.hypothesis import kaplan_meier
+
+    rows = [
+        # group a: u1 evt day2; u2 censored (last global day 4)
+        ("a", 1, "2024-01-01", False), ("a", 1, "2024-01-03", True),
+        ("a", 2, "2024-01-01", False), ("a", 2, "2024-01-05", False),
+        # group b: u3 evt day1; u4 evt day4
+        ("b", 3, "2024-01-02", False), ("b", 3, "2024-01-03", True),
+        ("b", 4, "2024-01-01", False), ("b", 4, "2024-01-05", True),
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, uid long, d string, evt boolean").select(
+        "g", "uid", F.col("d").cast("timestamp").alias("ts"), "evt")
+    got = {(r.g, r.dur_days): (r.n_risk, r.d_evt, r.n_censored, r.s_e6)
+           for r in kaplan_meier(df, "uid", "ts", "evt",
+                                 group_col="g").collect()}
+    # group a: u1 dur 2 evt; u2 dur 4 censored (global max 2024-01-05)
+    assert got[("a", 2)] == (2, 1, 0, 500_000)
+    assert got[("a", 4)] == (1, 0, 1, 500_000)
+    # group b: u3 dur 1 evt; u4 dur 4 evt
+    assert got[("b", 1)] == (2, 1, 0, 500_000)
+    assert got[("b", 4)] == (1, 1, 0, 0)
