@@ -137,6 +137,15 @@ CONSTITUENT_GROUPS: dict[str, list[str]] = {
 MAX_STDOUT_BYTES = 2048
 
 
+def detail_name() -> str:
+    """Round-stamped detail artifact (r7 verdict item #6): with
+    SPARK_GRAFT_ROUND=N set, detail goes to BENCH_DETAIL_r{N}.json so
+    driver/judge re-runs stop clobbering the round-close working tree;
+    unstamped runs keep the stable BENCH_DETAIL.json path."""
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "").strip()
+    return f"BENCH_DETAIL_r{rnd}.json" if rnd else "BENCH_DETAIL.json"
+
+
 def extended_queries() -> list[tuple[str, object]]:
     """(name, fn) for every non-headliner benched query, resolved via the
     registry — KeyError (loud) if a constituent was renamed."""
@@ -244,8 +253,7 @@ def main() -> None:
         "constituents": constituent_times,
         "errors": errors,
     }
-    detail_path = Path(__file__).resolve().parent / "docs" / \
-        "BENCH_DETAIL.json"
+    detail_path = Path(__file__).resolve().parent / "docs" / detail_name()
     detail_path.write_text(json.dumps(detail, indent=1) + "\n")
 
     line = compact_line(total, sf, timings, len(errors))

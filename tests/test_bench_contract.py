@@ -56,3 +56,15 @@ def test_constituent_groups_resolve_via_registry():
     for entry, names in bench.CONSTITUENT_GROUPS.items():
         for n in names:
             assert n in reg, f"{entry}: {n} not in registry"
+
+
+def test_detail_path_round_stamped(monkeypatch):
+    """SPARK_GRAFT_ROUND=N routes the detail artifact to a round-stamped
+    file so driver/judge re-runs stop clobbering the round-close working
+    tree (r7 verdict item #6)."""
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "8")
+    assert bench.detail_name() == "BENCH_DETAIL_r8.json"
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "  ")
+    assert bench.detail_name() == "BENCH_DETAIL.json"
+    monkeypatch.delenv("SPARK_GRAFT_ROUND")
+    assert bench.detail_name() == "BENCH_DETAIL.json"

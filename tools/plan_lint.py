@@ -113,10 +113,52 @@ def _is_bounded(nid: int, names: dict, children: dict, details: dict,
     return False
 
 
+# Fixture fact tables — the unbounded inputs at scale. A BroadcastExchange
+# whose subtree reaches one of these scans without crossing an aggregate or
+# a limit ships an unbounded frame to every executor (the r6 nb_classify
+# incident: Catalyst broadcast a post-explode corpus side because the
+# fixture-scale stats looked small — at 100 TB that broadcast is fatal).
+_FACT_TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
+
+
+def _broadcast_unbounded(nid: int, names: dict, children: dict,
+                         details: dict) -> str | None:
+    """Walk down from a BroadcastExchange; return a description if the
+    subtree reaches a fact-table scan without a boundedness certificate
+    (limit-class node or ANY aggregate — an agg re-bounds cardinality to
+    the group domain, the deliberate vocab/dimension pattern)."""
+    todo = list(children.get(nid, []))
+    saw_generate = False
+    while todo:
+        cur = todo.pop()
+        base = _base_name(names.get(cur, ""))
+        if base in _LIMIT_NODES or base in _AGG_NODES:
+            continue  # certificate: this path is bounded / re-bounded
+        if base in ("ReusedExchange", "Subquery", "ReusedSubquery"):
+            continue  # audited at its defining site
+        if base == "Generate":
+            saw_generate = True
+        if base == "Scan":
+            loc = details.get(cur, "")
+            for t in _FACT_TABLES:
+                if f"{t}.parquet" in loc:
+                    return (f"fact scan '{t}'"
+                            + (" below Generate" if saw_generate else ""))
+            continue
+        todo.extend(children.get(cur, []))
+    return None
+
+
 def lint_plan(plan: str) -> list[str]:
     """Return a list of human-readable hits for one formatted plan."""
     names, children, details = _parse_trees(plan)
     hits = []
+    for nid, name in names.items():
+        if _base_name(name) == "BroadcastExchange":
+            why = _broadcast_unbounded(nid, names, children, details)
+            if why:
+                hits.append(f"BroadcastExchange({nid}) over unbounded "
+                            f"input: {why}")
     for nid, name in names.items():
         if _base_name(name) != "Exchange":
             continue
