@@ -1,0 +1,85 @@
+"""URL/domain provenance gating — the C4/RefinedWeb cleaning step the
+corpus pipeline runs BEFORE content-quality scoring: extract the
+registrable domain from each document's URL, drop blocklisted domains,
+cap documents per domain, and profile what survived per domain.
+
+Background (public): C4 (Raffel et al., JMLR 2020) applies source-level
+blocklists; RefinedWeb (Penedo et al., NeurIPS 2023) documents URL
+filtering + per-domain caps as the first pipeline stage; the
+"registrable domain" notion (eTLD+1) follows the Public Suffix List
+convention (publicsuffix.org) — the label directly left of the public
+suffix, so `www.example.co.uk` and `cdn.example.co.uk` both gate as
+`example.co.uk`.
+
+Scale shape: pure string expressions (codegen'd, zero Python) for the
+extraction; ONE hash shuffle on the domain for the cap's per-domain
+row_number (partitioned window — distributes); one map-side-combined
+groupBy for the profile. The suffix set is a literal — a production run
+swaps in the full PSL the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Multi-label public suffixes the fixture URLs exercise; a production
+# deployment replaces this literal with the full Public Suffix List.
+MULTI_SUFFIXES = ("co.uk", "ac.uk", "com.au", "co.jp", "org.uk")
+
+
+def registrable_domain(url: Column) -> Column:
+    """eTLD+1 of a URL: host = authority part, lowercased, port
+    stripped; registrable = last two labels, or last three when the
+    last two form a listed multi-label public suffix."""
+    host = F.regexp_extract(F.lower(url), r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+    labels = F.split(host, r"[.]")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.element_at(labels, -2),
+                        F.element_at(labels, -1))
+    is_multi = last2.isin(*MULTI_SUFFIXES)
+    return F.when(
+        (n >= 3) & is_multi,
+        F.concat_ws(".", F.element_at(labels, -3), last2)
+    ).when(n >= 2, last2).otherwise(host)
+
+
+def domain_gate(docs: DataFrame, url_col: str,
+                blocklist: list[str], max_per_domain: int,
+                id_col: str = "doc_id",
+                chars_col: str = "n_chars") -> DataFrame:
+    """Per-document gate verdicts: (id, domain, verdict) with verdict in
+    {'kept', 'blocked', 'capped'}. Blocklisted domains drop whole;
+    surviving domains keep their first ``max_per_domain`` docs in
+    ``id_col`` order (deterministic — the cap is reproducible on any
+    engine). The cap ranks only unblocked docs."""
+    d = docs.select(F.col(id_col).alias("id"), F.col(chars_col).alias("nc"),
+                    registrable_domain(F.col(url_col)).alias("domain"))
+    blocked = F.col("domain").isin(*blocklist)
+    # rank within (domain, blocked) so blocked docs don't consume cap
+    # slots — one hash shuffle on the domain, window distributes
+    ranked = (d.withColumn("__blocked", blocked)
+              .withColumn("__rn", F.row_number().over(
+                  Window.partitionBy("domain", "__blocked").orderBy("id"))))
+    verdict = (F.when(F.col("__blocked"), F.lit("blocked"))
+               .when(F.col("__rn") > max_per_domain, F.lit("capped"))
+               .otherwise(F.lit("kept")))
+    return ranked.select("id", "domain", "nc", verdict.alias("verdict"))
+
+
+def domain_profile(gated: DataFrame) -> DataFrame:
+    """Per-domain provenance profile over domain_gate's verdicts:
+    (domain, n_docs, n_kept, n_blocked, n_capped, kept_chars) — the
+    table a corpus audit reads to see WHERE the training data comes
+    from and what the gate did to each origin. One map-side-combined
+    groupBy on the domain."""
+    return (gated.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("verdict") == "kept").cast("int"))
+        .cast("bigint").alias("n_kept"),
+        F.sum((F.col("verdict") == "blocked").cast("int"))
+        .cast("bigint").alias("n_blocked"),
+        F.sum((F.col("verdict") == "capped").cast("int"))
+        .cast("bigint").alias("n_capped"),
+        F.sum(F.when(F.col("verdict") == "kept", F.col("nc"))
+              .otherwise(F.lit(0))).cast("bigint").alias("kept_chars")))

@@ -3734,7 +3734,107 @@ FROM b
 """
 
 
+# --- URL/domain provenance gate (functions/provenance.py, r8) ----------
+# The fixture corpus carries source labels but no URLs; the gate derives
+# a deterministic URL per doc (subdomain by doc_id%3, TLD by doc_id%4 —
+# including a multi-label .co.uk suffix so eTLD+1 extraction is actually
+# exercised) and the SAME expression is restated in the oracle.
+DOMAIN_BLOCKLIST = ["src1.com", "src2.co.uk"]
+DOMAIN_CAP = 4
+
+
+def _doc_urls(docs: DataFrame) -> DataFrame:
+    sub = (F.when(F.col("doc_id") % 3 == 1, F.lit("www."))
+           .when(F.col("doc_id") % 3 == 2, F.lit("cdn."))
+           .otherwise(F.lit("")))
+    # modulus 7 is coprime with the fixture's source cycle (doc_id %
+    # 20), so every source spans every TLD and the blocklist/cap paths
+    # actually fire
+    t = F.col("doc_id") % 7
+    tld = (F.when(t < 2, F.lit(".com"))
+           .when(t < 4, F.lit(".org"))
+           .when(t < 6, F.lit(".co.uk"))
+           .otherwise(F.lit(".net")))
+    return docs.withColumn(
+        "url", F.concat(F.lit("https://"), sub, F.col("source"), tld,
+                        F.lit("/p/"), F.col("doc_id").cast("string")))
+
+
+def q_domain_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL provenance gate (functions/provenance.py): registrable-domain
+    (eTLD+1) extraction incl. multi-label public suffixes, blocklist
+    drop, deterministic per-domain document cap, and the per-domain
+    audit profile — the C4/RefinedWeb first-stage filter the cleaning
+    family lacked. Pure string codegen + one domain shuffle."""
+    from ..functions.provenance import domain_gate, domain_profile
+
+    docs = _doc_urls(read_table(spark, sf_dir, "documents"))
+    gated = domain_gate(docs, "url", DOMAIN_BLOCKLIST, DOMAIN_CAP)
+    return domain_profile(gated).orderBy("domain")
+
+
+_URL_SQL = ("'https://' || CASE CAST(doc_id % 3 AS INT) WHEN 1 THEN 'www.'"
+            " WHEN 2 THEN 'cdn.' ELSE '' END || source ||"
+            " CASE WHEN doc_id % 7 < 2 THEN '.com'"
+            " WHEN doc_id % 7 < 4 THEN '.org'"
+            " WHEN doc_id % 7 < 6 THEN '.co.uk' ELSE '.net' END"
+            " || '/p/' || CAST(doc_id AS VARCHAR)")
+
+_DOMAIN_SQL = """
+  CASE WHEN len(labels) >= 3
+            AND labels[-2] || '.' || labels[-1]
+                IN ('co.uk', 'ac.uk', 'com.au', 'co.jp', 'org.uk')
+       THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+       WHEN len(labels) >= 2 THEN labels[-2] || '.' || labels[-1]
+       ELSE host END
+"""
+
+SQL_DOMAIN_GATE = f"""
+WITH u AS (
+  SELECT doc_id, n_chars, {_URL_SQL} AS url FROM documents
+),
+h AS (
+  SELECT doc_id, n_chars,
+         regexp_extract(lower(url),
+                        '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host
+  FROM u
+),
+d AS (
+  SELECT doc_id AS id, n_chars AS nc, {_DOMAIN_SQL} AS domain
+  FROM (SELECT doc_id, n_chars, host, string_split(host, '.') AS labels
+        FROM h)
+),
+r AS (
+  SELECT id, nc, domain,
+         domain IN ('src1.com', 'src2.co.uk') AS blocked,
+         row_number() OVER (
+           PARTITION BY domain, domain IN ('src1.com', 'src2.co.uk')
+           ORDER BY id) AS rn
+  FROM d
+),
+v AS (
+  SELECT domain, nc,
+         CASE WHEN blocked THEN 'blocked'
+              WHEN rn > {DOMAIN_CAP} THEN 'capped'
+              ELSE 'kept' END AS verdict
+  FROM r
+)
+SELECT domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN verdict = 'blocked' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_blocked,
+       CAST(SUM(CASE WHEN verdict = 'capped' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_capped,
+       CAST(SUM(CASE WHEN verdict = 'kept' THEN nc ELSE 0 END) AS BIGINT)
+         AS kept_chars
+FROM v GROUP BY domain ORDER BY domain
+"""
+
+
 PIPELINE_SUITE: dict[str, tuple] = {
+    "domain_gate": (q_domain_gate, SQL_DOMAIN_GATE),
     "kmeans_train": (q_kmeans_train, SQL_KMEANS_TRAIN),
     "greedy_coverage": (q_greedy_coverage, SQL_GREEDY_COVERAGE),
     "pareto_docs": (q_pareto_docs, SQL_PARETO_DOCS),

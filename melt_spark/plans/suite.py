@@ -2564,6 +2564,26 @@ SUITE: dict[str, tuple] = {
                               F.col("weight").alias("v")),
          "SELECT 'mix' AS kind, source AS key, n_tokens AS n1,"
          " expected_tokens AS n2, weight AS v"),
+        # r8: URL/domain provenance gate (functions/provenance.py) —
+        # eTLD+1 extraction + blocklist + per-domain cap; kept_chars
+        # rides the double slot exactly (< 2^53)
+        (PIPELINE_SUITE["domain_gate"],
+         lambda df: df.select(F.lit("dom").alias("kind"),
+                              F.col("domain").alias("key"),
+                              F.col("n_docs").alias("n1"),
+                              F.col("n_kept").alias("n2"),
+                              F.col("kept_chars").cast("double")
+                              .alias("v")),
+         "SELECT 'dom' AS kind, domain AS key, n_docs AS n1,"
+         " n_kept AS n2, CAST(kept_chars AS DOUBLE) AS v"),
+        (PIPELINE_SUITE["domain_gate"],
+         lambda df: df.select(F.lit("dom_drop").alias("kind"),
+                              F.col("domain").alias("key"),
+                              F.col("n_blocked").alias("n1"),
+                              F.col("n_capped").alias("n2"),
+                              F.lit(-1.0).alias("v")),
+         "SELECT 'dom_drop' AS kind, domain AS key, n_blocked AS n1,"
+         " n_capped AS n2, CAST(-1.0 AS DOUBLE) AS v"),
         # r5: max-min-fair budget waterfilling (functions/cleaning.py
         # budget_waterfill) — per-source token allocation under a
         # 50k-token budget with a 4-epoch cap; all-integer

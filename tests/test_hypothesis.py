@@ -380,3 +380,46 @@ def test_kaplan_meier_grouped_matches_per_group_fit(spark):
     # group b: u3 dur 1 evt; u4 dur 4 evt
     assert got[("b", 1)] == (2, 1, 0, 500_000)
     assert got[("b", 4)] == (1, 1, 0, 0)
+
+
+def test_mann_whitney_bucketed_agrees_with_exact_at_fine_buckets(spark):
+    """Property: with n_buckets >= the distinct-value span, every value
+    lands in its own bin, so bucketed midranks ARE the exact midranks —
+    u/tie/z must match the exact path bit-for-bit (only the added
+    `exact` flag differs)."""
+    import random
+
+    from melt_spark.functions.hypothesis import mann_whitney_u
+
+    rnd = random.Random(8)
+    rows = [("k", rnd.randint(0, 49), rnd.randint(0, 1))
+            for _ in range(400)]
+    df = spark.createDataFrame(rows, "k string, v long, g int")
+    exact = mann_whitney_u(df, ["k"], "v", "g").collect()[0]
+    # threshold 0 forces every key through the bucketed path; 50 bins
+    # over values 0..49 = one bin per value
+    buck = mann_whitney_u(df, ["k"], "v", "g", max_exact_rows=0,
+                          n_buckets=50).collect()[0]
+    assert buck.exact == 0
+    for c in ("n0", "n1", "u0_2x", "u1_2x", "tie_cube", "z_e6"):
+        assert getattr(buck, c) == getattr(exact, c), c
+
+
+def test_mann_whitney_adaptive_splits_by_key_size(spark):
+    """Keys under the threshold keep exact ranks (exact=1), larger keys
+    ride the bucketed path (exact=0); both appear in one output."""
+    from melt_spark.functions.hypothesis import mann_whitney_u
+
+    rows = ([("small", v, v % 2) for v in range(10)]
+            + [("big", v % 37, v % 2) for v in range(200)])
+    df = spark.createDataFrame(rows, "k string, v long, g int")
+    out = {r.k: r for r in
+           mann_whitney_u(df, ["k"], "v", "g",
+                          max_exact_rows=50).collect()}
+    assert out["small"].exact == 1
+    assert out["big"].exact == 0
+    # the bucketed key's totals are still exact counts
+    assert out["big"].n0 + out["big"].n1 == 200
+    # identity U0 + U1 = n0*n1 holds in both regimes
+    for r in out.values():
+        assert r.u0_2x + r.u1_2x == 2 * r.n0 * r.n1

@@ -1,0 +1,62 @@
+"""URL/domain provenance gate (functions/provenance.py): eTLD+1
+extraction, blocklist, per-domain caps."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from melt_spark.functions.provenance import (domain_gate, domain_profile,
+                                             registrable_domain)
+
+
+def _extract(spark, urls):
+    df = spark.createDataFrame([Row(u=u) for u in urls])
+    return [r.d for r in
+            df.select(registrable_domain(F.col("u")).alias("d")).collect()]
+
+
+def test_registrable_domain_etld_plus_one(spark):
+    got = _extract(spark, [
+        "https://www.example.com/page?q=1",
+        "http://cdn.media.example.co.uk/x",
+        "https://example.org",
+        "https://EXAMPLE.NET/UPPER",
+        "https://host:8080/with-port",
+        "https://single/",
+    ])
+    assert got == ["example.com", "example.co.uk", "example.org",
+                   "example.net", "host", "single"]
+    # the host capture stops at ':' — ports never leak into the domain
+    assert _extract(spark, ["https://a.b.example.com:8080/p"]) \
+        == ["example.com"]
+
+
+def test_domain_gate_blocklist_and_cap(spark):
+    rows = [Row(doc_id=i, n_chars=10 * (i + 1),
+                url=f"https://www.keep.com/p/{i}") for i in range(6)]
+    rows += [Row(doc_id=100 + i, n_chars=5,
+                 url=f"https://bad.co.uk/p/{i}") for i in range(3)]
+    docs = spark.createDataFrame(rows)
+    gated = domain_gate(docs, "url", ["bad.co.uk"], max_per_domain=4)
+    out = {(r.domain, r.verdict): 1 for r in gated.collect()}
+    prof = {r.domain: r for r in domain_profile(gated).collect()}
+    assert prof["bad.co.uk"].n_blocked == 3
+    assert prof["bad.co.uk"].n_kept == 0
+    assert prof["keep.com"].n_kept == 4          # cap
+    assert prof["keep.com"].n_capped == 2
+    # deterministic cap: the FIRST four doc_ids survive
+    kept = sorted(r.id for r in gated.collect()
+                  if r.verdict == "kept")
+    assert kept == [0, 1, 2, 3]
+    # kept_chars sums only kept docs: 10+20+30+40
+    assert prof["keep.com"].kept_chars == 100
+    assert out  # smoke: verdicts materialized
+
+
+def test_blocked_docs_do_not_consume_cap_slots(spark):
+    """Blocklist and cap are independent: blocking rides a separate
+    rank partition, so unblocked docs keep full cap budget."""
+    rows = [Row(doc_id=i, n_chars=1, url="https://www.x.com/p")
+            for i in range(5)]
+    docs = spark.createDataFrame(rows)
+    gated = domain_gate(docs, "url", ["never.com"], max_per_domain=5)
+    assert all(r.verdict == "kept" for r in gated.collect())

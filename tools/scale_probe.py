@@ -171,7 +171,16 @@ PROBES = ["text_quality", "dedup_minhash_lsh", "clean_corpus",
           # r7b wave 3: community quality (graph grows with orders x
           # lineitem) + attribution (per-user window carries)
           "modularity", "attribution", "pruning_eval",
-          "random_group_ci", "cuped", "target_encoding", "fdr_battery"]
+          "random_group_ci", "cuped", "target_encoding", "fdr_battery",
+          # r8: tokenizer encode (vocab broadcast join + per-doc
+          # reassembly — expected ~linear), BPE-count packing (adds the
+          # per-group Arrow walk), per-variant survival curves (bounded
+          # folds), domain provenance gate (string codegen + one domain
+          # shuffle), and the deliberately-skewed Mann-Whitney key
+          # through the bucketed hatch (256 aggregate rows per key, no
+          # one-task sort)
+          "bpe_encode", "pack_bpe", "km_variants", "domain_gate",
+          "mw_bucketed_skew"]
 
 
 def _span_query(via: str):
@@ -368,7 +377,16 @@ _EXTRA_QUERIES = {"span_dedup_digest": _span_query("digest"),
                       _constituent("analytics_suite",
                                    "q_target_encoding"),
                   "fdr_battery":
-                      _constituent("analytics_suite", "q_fdr_battery")}
+                      _constituent("analytics_suite", "q_fdr_battery"),
+                  "bpe_encode":
+                      _constituent("pipeline_suite", "q_bpe_encode"),
+                  "pack_bpe":
+                      _constituent("pipeline_suite", "q_pack_bpe"),
+                  "km_variants":
+                      _constituent("analytics_suite", "q_km_variants"),
+                  "domain_gate":
+                      _constituent("pipeline_suite", "q_domain_gate"),
+                  "mw_bucketed_skew": _mw_skew_query()}
 
 
 def _shuffle_state(spark):
@@ -417,6 +435,26 @@ def time_queries(spark, sf_dir: str, names, runs: int = 1):
         out[name] = (round(best, 2), shuffle_mb)
         spark.catalog.clearCache()
     return out
+
+
+def _mw_skew_query():
+    """Deliberately skewed Mann-Whitney key (r7 verdict next-round #3):
+    ALL events collapse onto one test key, the worst case for exact
+    per-key ranks — probed through the bucketed hatch (max_exact_rows=0)
+    to show per-key cost is n_buckets aggregates, not a one-task sort."""
+    def q(spark, sf_dir):
+        from melt_spark.functions.hypothesis import mann_whitney_u
+        from melt_spark.functions.sketches import kmv_hash
+        from melt_spark.sources.parquet import read_table
+
+        ev = read_table(spark, sf_dir, "events")
+        base = ev.select(
+            F.lit("all").alias("k"),
+            F.round(F.col("value") * 100).cast("bigint").alias("v"),
+            (kmv_hash(F.col("user_id")) % 2).cast("int").alias("g"))
+        return mann_whitney_u(base, ["k"], "v", "g",
+                              max_exact_rows=0, n_buckets=256)
+    return q
 
 
 def main() -> None:
