@@ -656,3 +656,169 @@ def bh_stepup(scored: DataFrame, p_col: str, tie_col: str,
             .drop("__passes")
             .withColumn("rank", F.col("rank").cast("int"))
             .withColumn("m", F.col("m").cast("int")))
+
+
+def welch_ttest(df: DataFrame, key_cols: list[str], value_col: str,
+                group_col: str) -> DataFrame:
+    """Per-key Welch's unequal-variance t-test (Welch, Biometrika 1947)
+    between group 0 and group 1 of ``value_col`` — the parametric
+    complement to mann_whitney_u's rank test, and the default two-sample
+    test when variances differ.
+
+    Returns (keys..., n0, n1, sum0, sum1, t_e4, df_e2): exact BIGINT
+    counts/sums, the t statistic in 1e-4 units and the
+    Welch-Satterthwaite degrees of freedom in 1e-2 units, both pinned
+    IEEE expressions rounded once. Degenerate keys (a group with < 2
+    rows, or zero pooled spread) emit t_e4 = df_e2 = 0.
+
+    Scale shape: ONE map-side-combined groupBy per key — the stats are
+    pure moments, so cost is a scan plus a key-cardinality shuffle
+    (the CUPED discipline)."""
+    g0 = F.col("__g") == 0
+    agg = (df.select(*key_cols, F.col(value_col).alias("__v"),
+                     F.col(group_col).alias("__g"))
+           .groupBy(*key_cols)
+           .agg(F.sum(g0.cast("long")).cast("bigint").alias("n0"),
+                F.sum((~g0).cast("long")).cast("bigint").alias("n1"),
+                F.sum(F.when(g0, F.col("__v")).otherwise(0))
+                .cast("bigint").alias("sum0"),
+                F.sum(F.when(~g0, F.col("__v")).otherwise(0))
+                .cast("bigint").alias("sum1"),
+                F.sum(F.when(g0, F.col("__v") * F.col("__v"))
+                      .otherwise(0)).cast("bigint").alias("__ssq0"),
+                F.sum(F.when(~g0, F.col("__v") * F.col("__v"))
+                      .otherwise(0)).cast("bigint").alias("__ssq1")))
+    n0d, n1d = F.col("n0").cast("double"), F.col("n1").cast("double")
+    m0 = F.col("sum0").cast("double") / n0d
+    m1 = F.col("sum1").cast("double") / n1d
+    var0 = (F.col("__ssq0").cast("double")
+            - F.col("sum0").cast("double") * F.col("sum0") / n0d) \
+        / (n0d - F.lit(1.0))
+    var1 = (F.col("__ssq1").cast("double")
+            - F.col("sum1").cast("double") * F.col("sum1") / n1d) \
+        / (n1d - F.lit(1.0))
+    se2 = var0 / n0d + var1 / n1d
+    ok = (F.col("n0") >= 2) & (F.col("n1") >= 2) & (se2 > 0)
+    t = F.when(ok, (m0 - m1) / F.sqrt(se2)).otherwise(F.lit(0.0))
+    dof = F.when(ok, se2 * se2
+                 / ((var0 / n0d) * (var0 / n0d) / (n0d - F.lit(1.0))
+                    + (var1 / n1d) * (var1 / n1d)
+                    / (n1d - F.lit(1.0)))).otherwise(F.lit(0.0))
+    return agg.select(
+        *key_cols, "n0", "n1", "sum0", "sum1",
+        F.round(t * F.lit(10_000.0)).cast("bigint").alias("t_e4"),
+        F.round(dof * F.lit(100.0)).cast("bigint").alias("df_e2"))
+
+
+def _midrank_2x(key_cols: list[str], v: str) -> Column:
+    """Doubled tie-averaged midrank of column ``v`` within each key:
+    2·rank + t − 1 (integral; the mann_whitney doubling discipline),
+    with t the size of the value's tie run."""
+    wr = Window.partitionBy(*key_cols).orderBy(v)
+    wt = Window.partitionBy(*key_cols, v)
+    return (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1) \
+        .cast("bigint")
+
+
+def spearman_corr(df: DataFrame, key_cols: list[str], x_col: str,
+                  y_col: str) -> DataFrame:
+    """Per-key Spearman rank correlation (Spearman 1904) between two
+    integer columns, tie-handled via midranks — the monotone-association
+    readout (metric drifting with time, feature vs label, ...).
+
+    Returns (keys..., n, rho_e6): rho = Pearson correlation of the
+    doubled midranks (doubling cancels), computed from exact DECIMAL(38)
+    rank-product sums folded once into a pinned IEEE expression.
+    Degenerate keys (constant x or y, or n < 2) emit rho_e6 = 0.
+
+    Scale shape: two rank windows PARTITIONED by key (distribute; a
+    skewed key pays its own sort, the mann_whitney floor) and one
+    map-side-combined groupBy; the rank-product sums ride DECIMAL(38)
+    so 2n-scale midranks cannot overflow at any replication."""
+    base = (df.select(*key_cols, F.col(x_col).alias("__x"),
+                      F.col(y_col).alias("__y"))
+            .withColumn("__rx", _midrank_2x(key_cols, "__x"))
+            .withColumn("__ry", _midrank_2x(key_cols, "__y")))
+    dec = "decimal(38,0)"
+    agg = (base.groupBy(*key_cols)
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(F.col("__rx").cast(dec)).alias("__sx"),
+                F.sum(F.col("__ry").cast(dec)).alias("__sy"),
+                F.sum((F.col("__rx") * F.col("__ry")).cast(dec))
+                .alias("__sxy"),
+                F.sum((F.col("__rx") * F.col("__rx")).cast(dec))
+                .alias("__sxx"),
+                F.sum((F.col("__ry") * F.col("__ry")).cast(dec))
+                .alias("__syy")))
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    cov = F.col("__sxy").cast("double") * nd - sx * sy
+    vx = F.col("__sxx").cast("double") * nd - sx * sx
+    vy = F.col("__syy").cast("double") * nd - sy * sy
+    rho = F.when((vx > 0) & (vy > 0),
+                 cov / F.sqrt(vx * vy)).otherwise(F.lit(0.0))
+    return agg.select(
+        *key_cols, "n",
+        F.round(rho * F.lit(1_000_000.0)).cast("bigint").alias("rho_e6"))
+
+
+def kruskal_wallis(df: DataFrame, key_cols: list[str], value_col: str,
+                   group_col: str) -> DataFrame:
+    """Per-key Kruskal-Wallis H test (Kruskal & Wallis, JASA 1952) —
+    the k-group generalization of mann_whitney_u: do ANY of the groups
+    of ``group_col`` (small integers) stochastically differ on
+    ``value_col``?
+
+    Returns one row per (keys..., grp): n_g and the doubled rank sum
+    r2x (exact BIGINTs), plus the key-level tie term and the
+    tie-corrected H statistic in 1e-6 units repeated on every group row
+    (the log_rank detail+summary discipline, flattened). The sum over
+    groups Σ(r2x_g²/n_g) folds in ascending group order over ONE
+    collected key row (bounded by the group cardinality — the KM
+    bounded-fold pattern), so the IEEE order is pinned for both
+    engines.
+
+    Scale shape: the mann_whitney rank machinery (per-key rank window +
+    tie counts) + two map-side-combined groupBys; nothing collects more
+    than k group rows per key."""
+    base = (df.select(*key_cols, F.col(value_col).alias("__v"),
+                      F.col(group_col).alias("__g"))
+            .withColumn("__r2x", _midrank_2x(key_cols, "__v"))
+            .withColumn("__t", F.count(F.lit(1)).over(
+                Window.partitionBy(*key_cols, "__v"))))
+    per_g = (base.groupBy(*key_cols, "__g")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_g"),
+                  F.sum("__r2x").cast("bigint").alias("r2x")))
+    ties = (base.groupBy(*key_cols, "__v")
+            .agg(F.first("__t").alias("__tt"))
+            .groupBy(*key_cols)
+            .agg(F.sum(F.col("__tt") * F.col("__tt") * F.col("__tt")
+                       - F.col("__tt")).cast("bigint").alias("tie_cube")))
+    one = (per_g.groupBy(*key_cols)
+           .agg(F.sort_array(F.collect_list(
+               F.struct("__g", "n_g", "r2x"))).alias("a"),
+               F.sum("n_g").cast("bigint").alias("__n"))
+           .join(ties, key_cols))
+    nd = F.col("__n").cast("double")
+    # Σ R_g²/n_g with R_g = r2x/2  →  Σ r2x²/n_g / 4, folded in group
+    # order; H = 12/(N(N+1))·ΣR²/n − 3(N+1), tie-corrected by
+    # C = 1 − Σ(t³−t)/(N³−N)
+    s = F.expr("aggregate(a, 0.0D, (p, x) -> p"
+               " + CAST(x.r2x AS DOUBLE) * CAST(x.r2x AS DOUBLE)"
+               " / CAST(x.n_g AS DOUBLE))") / F.lit(4.0)
+    h_raw = (F.lit(12.0) / (nd * (nd + F.lit(1.0))) * s
+             - F.lit(3.0) * (nd + F.lit(1.0)))
+    c = (F.lit(1.0) - F.col("tie_cube").cast("double")
+         / (nd * nd * nd - nd))
+    h = F.when((F.col("__n") >= 2) & (c > 0), h_raw / c) \
+        .otherwise(F.lit(0.0))
+    keyed = one.select(*key_cols, "a", "tie_cube",
+                       F.round(h * F.lit(1_000_000.0)).cast("bigint")
+                       .alias("h_e6"))
+    ex = keyed.select(*key_cols, "tie_cube", "h_e6",
+                      F.explode("a").alias("x"))
+    return ex.select(*key_cols,
+                     F.col("x.__g").cast("int").alias("grp"),
+                     F.col("x.n_g").alias("n_g"),
+                     F.col("x.r2x").alias("r2x"),
+                     "tie_cube", "h_e6")

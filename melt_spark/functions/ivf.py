@@ -31,10 +31,22 @@ from .util import spread_input  # noqa: E402,F401
 
 def deterministic_centroids(corpus: DataFrame, every: int = 50,
                             id_col: str = "vec_id",
-                            vec_col: str = "embedding") -> DataFrame:
+                            vec_col: str = "embedding",
+                            max_lists: int = 4096) -> DataFrame:
     """Every `every`-th vector (by id) becomes a centroid. Deterministic,
-    trivially reproducible in SQL."""
+    trivially reproducible in SQL.
+
+    ``max_lists`` (r8): the centroid table BROADCASTS into every assign
+    pass, and a fixed FRACTION of the corpus is unbounded at 100 TB —
+    the one shape that cannot adapt away. The smallest ``max_lists``
+    ids win (TakeOrdered — deterministic AND plan-visible, so the
+    downstream broadcast passes plan lint); every fixture scale up to
+    the 64x probe stays below the cap, so results are unchanged there.
+    Beyond the cap, switch to kmeans_centroids with fixed k — centroid
+    quality converges long before centroid count has to track corpus
+    size."""
     return (corpus.filter(F.col(id_col) % every == 0)
+            .orderBy(id_col).limit(max_lists)
             .select((F.col(id_col) / every).cast("long").alias("list_id"),
                     _dvec(vec_col).alias("centroid")))
 

@@ -48,8 +48,11 @@ def pq_codebooks(corpus: DataFrame, m_sub: int = 8, ks: int = 16,
     """(m, code, subvec): entry `code` of subspace `m` is that subspace's
     slice of the corpus vector with id == code * every — deterministic
     and oracle-restatable."""
+    # the value predicate bounds this to ks rows; the no-op limit makes
+    # the bound PLAN-VISIBLE so the broadcast below it passes plan lint
     seeds = (corpus.filter((F.col(id_col) % every == 0)
                            & (F.col(id_col) < ks * every))
+             .limit(ks)
              .select((F.col(id_col) / every).cast("long").alias("code"),
                      _dvec(vec_col).alias("v")))
     subs = None

@@ -894,6 +894,208 @@ FROM z
 """
 
 
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test (functions/hypothesis.py) per
+    event type between the two md5 user variants — the parametric
+    complement to q_mann_whitney on the same cohorts. Counts/sums are
+    exact BIGINTs; t (1e-4) and the Welch-Satterthwaite dof (1e-2) are
+    pinned IEEE expressions rounded once."""
+    from ..functions.hypothesis import welch_ttest
+    from ..functions.sketches import kmv_hash
+
+    ev = read_table(spark, sf_dir, "events")
+    labeled = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        (kmv_hash(F.col("user_id")) % 2).cast("int").alias("grp"))
+    return welch_ttest(labeled, ["event_type"], "cents", "grp")
+
+
+SQL_WELCH_TTEST = f"""
+WITH pts AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+         CAST({_MW_HASH} AS INT) AS grp
+  FROM events
+),
+a AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN grp = 0 THEN v ELSE 0 END) AS BIGINT) AS sum0,
+         CAST(SUM(CASE WHEN grp = 1 THEN v ELSE 0 END) AS BIGINT) AS sum1,
+         CAST(SUM(CASE WHEN grp = 0 THEN v * v ELSE 0 END) AS BIGINT)
+           AS ssq0,
+         CAST(SUM(CASE WHEN grp = 1 THEN v * v ELSE 0 END) AS BIGINT)
+           AS ssq1
+  FROM pts GROUP BY 1
+),
+v AS (
+  SELECT *,
+    (CAST(ssq0 AS DOUBLE)
+     - CAST(sum0 AS DOUBLE) * sum0 / CAST(n0 AS DOUBLE))
+      / (CAST(n0 AS DOUBLE) - CAST(1.0 AS DOUBLE)) AS var0,
+    (CAST(ssq1 AS DOUBLE)
+     - CAST(sum1 AS DOUBLE) * sum1 / CAST(n1 AS DOUBLE))
+      / (CAST(n1 AS DOUBLE) - CAST(1.0 AS DOUBLE)) AS var1
+  FROM a
+),
+w AS (
+  SELECT *, var0 / CAST(n0 AS DOUBLE) + var1 / CAST(n1 AS DOUBLE) AS se2
+  FROM v
+)
+SELECT event_type, n0, n1, sum0, sum1,
+  CAST(round(CASE WHEN n0 >= 2 AND n1 >= 2 AND se2 > 0
+    THEN (CAST(sum0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+          - CAST(sum1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / sqrt(se2)
+    ELSE 0.0 END * CAST(10000.0 AS DOUBLE)) AS BIGINT) AS t_e4,
+  CAST(round(CASE WHEN n0 >= 2 AND n1 >= 2 AND se2 > 0
+    THEN se2 * se2
+         / ((var0 / CAST(n0 AS DOUBLE)) * (var0 / CAST(n0 AS DOUBLE))
+              / (CAST(n0 AS DOUBLE) - CAST(1.0 AS DOUBLE))
+            + (var1 / CAST(n1 AS DOUBLE)) * (var1 / CAST(n1 AS DOUBLE))
+              / (CAST(n1 AS DOUBLE) - CAST(1.0 AS DOUBLE)))
+    ELSE 0.0 END * CAST(100.0 AS DOUBLE)) AS BIGINT) AS df_e2
+FROM w
+"""
+
+
+def q_spearman_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (functions/hypothesis.py spearman_corr)
+    per event type between event value (cents) and event time (epoch
+    seconds) — the monotone-drift readout: a nonzero rho says the
+    metric is trending over the corpus window. Midranks handle the
+    heavy value ties; the rank-product sums ride DECIMAL(38)."""
+    from ..functions.hypothesis import spearman_corr
+
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.col("ts").cast("long").alias("sec"))
+    return spearman_corr(base, ["event_type"], "cents", "sec")
+
+
+SQL_SPEARMAN_DRIFT = """
+WITH base AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x,
+         CAST(floor(epoch(ts)) AS BIGINT) AS y
+  FROM events
+),
+r AS (
+  SELECT event_type,
+    2 * rank() OVER (PARTITION BY event_type ORDER BY x)
+      + COUNT(*) OVER (PARTITION BY event_type, x) - 1 AS rx,
+    2 * rank() OVER (PARTITION BY event_type ORDER BY y)
+      + COUNT(*) OVER (PARTITION BY event_type, y) - 1 AS ry
+  FROM base
+),
+a AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(rx AS HUGEINT)) AS sx,
+         SUM(CAST(ry AS HUGEINT)) AS sy,
+         SUM(CAST(rx AS HUGEINT) * ry) AS sxy,
+         SUM(CAST(rx AS HUGEINT) * rx) AS sxx,
+         SUM(CAST(ry AS HUGEINT) * ry) AS syy
+  FROM r GROUP BY 1
+),
+d AS (
+  SELECT event_type, n,
+    CAST(sxy AS DOUBLE) * CAST(n AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+    CAST(sxx AS DOUBLE) * CAST(n AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+    CAST(syy AS DOUBLE) * CAST(n AS DOUBLE)
+      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+  FROM a
+)
+SELECT event_type, n,
+  CAST(round(CASE WHEN vx > 0 AND vy > 0
+                  THEN cov / sqrt(vx * vy) ELSE 0.0 END
+             * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS rho_e6
+FROM d
+"""
+
+
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H (functions/hypothesis.py) per event type across
+    THREE md5 user cohorts — the k-group generalization of
+    q_mann_whitney (do any cohorts differ?). Per-group exact doubled
+    rank sums; the tie-corrected H folds in group order over one
+    bounded key row and rounds once to 1e-6."""
+    from ..functions.hypothesis import kruskal_wallis
+    from ..functions.sketches import kmv_hash
+
+    ev = read_table(spark, sf_dir, "events")
+    labeled = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        (kmv_hash(F.col("user_id")) % 3).cast("int").alias("grp"))
+    return kruskal_wallis(labeled, ["event_type"], "cents", "grp")
+
+
+_KW_HASH = _MW_HASH.replace("% 2", "% 3")
+
+SQL_KRUSKAL_WALLIS = f"""
+WITH base AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+         CAST({_KW_HASH} AS INT) AS g
+  FROM events
+),
+r AS (
+  SELECT event_type, g,
+    2 * rank() OVER (PARTITION BY event_type ORDER BY v)
+      + COUNT(*) OVER (PARTITION BY event_type, v) - 1 AS r2x
+  FROM base
+),
+pg AS (
+  SELECT event_type, g, CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(r2x) AS BIGINT) AS r2x
+  FROM r GROUP BY 1, 2
+),
+tc AS (
+  SELECT event_type, CAST(SUM(t * t * t - t) AS BIGINT) AS tie_cube
+  FROM (SELECT event_type, v, COUNT(*) AS t FROM base GROUP BY 1, 2)
+  GROUP BY 1
+),
+one AS (
+  SELECT pg.event_type,
+         list_sort(list(struct_pack(g := g, n_g := n_g, r2x := r2x)))
+           AS a,
+         CAST(SUM(n_g) AS BIGINT) AS n
+  FROM pg GROUP BY 1
+),
+hh AS (
+  SELECT one.event_type, a, n, tie_cube,
+    list_reduce(list_transform(a, x ->
+        CAST(x.r2x AS DOUBLE) * CAST(x.r2x AS DOUBLE)
+        / CAST(x.n_g AS DOUBLE)), (p, q) -> p + q)
+      / CAST(4.0 AS DOUBLE) AS s
+  FROM one JOIN tc ON tc.event_type = one.event_type
+),
+hv AS (
+  SELECT event_type, a, tie_cube,
+    CASE WHEN n >= 2
+              AND (CAST(1.0 AS DOUBLE) - CAST(tie_cube AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                      * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))) > 0
+    THEN (CAST(12.0 AS DOUBLE)
+          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE)
+                                  + CAST(1.0 AS DOUBLE))) * s
+          - CAST(3.0 AS DOUBLE) * (CAST(n AS DOUBLE)
+                                   + CAST(1.0 AS DOUBLE)))
+         / (CAST(1.0 AS DOUBLE) - CAST(tie_cube AS DOUBLE)
+            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+               * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+    ELSE 0.0 END AS h
+  FROM hh
+)
+SELECT event_type, CAST(x.g AS INT) AS grp, x.n_g AS n_g, x.r2x AS r2x,
+       tie_cube,
+       CAST(round(h * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS h_e6
+FROM (SELECT event_type, tie_cube, h, unnest(a) AS x FROM hv)
+"""
+
+
 def q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit audit (functions/hypothesis.py) of order
     totals in cents — the forensic-accounting digit-law check (Benford
@@ -5746,6 +5948,9 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
     "dbscan_customers": (q_dbscan_customers, SQL_DBSCAN_CUSTOMERS),
     "mann_whitney": (q_mann_whitney, SQL_MANN_WHITNEY),
+    "welch_ttest": (q_welch_ttest, SQL_WELCH_TTEST),
+    "spearman_drift": (q_spearman_drift, SQL_SPEARMAN_DRIFT),
+    "kruskal_wallis": (q_kruskal_wallis, SQL_KRUSKAL_WALLIS),
     "benford_prices": (q_benford_prices, SQL_BENFORD_PRICES),
     "kaplan_meier": (q_kaplan_meier, SQL_KAPLAN_MEIER),
     "km_variants": (q_km_variants, SQL_KM_VARIANTS),

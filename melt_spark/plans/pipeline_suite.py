@@ -948,7 +948,7 @@ def _dot_sql(a: str, b: str, dims: int = 64) -> str:
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for query vectors vec_id < 5."""
     emb = read_table(spark, sf_dir, "embeddings")
-    return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 5).limit(5), k=10)
 
 
 BM25_TERMS = ("spark", "join", "window")
@@ -1014,7 +1014,7 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     docs = read_table(spark, sf_dir, "documents")
-    ann = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=10)
+    ann = cosine_topk(emb, emb.filter(F.col("vec_id") == 0).limit(1), k=10)
     bm25 = bm25_topk(docs, BM25_TERMS, k=15)
     return rrf_fuse(ann, bm25, "neighbor_id", "doc_id", k=10)
 
@@ -1058,7 +1058,7 @@ def q_rrf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.similarity import cosine_topk
 
     emb = read_table(spark, sf_dir, "embeddings")
-    exact = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=10) \
+    exact = cosine_topk(emb, emb.filter(F.col("vec_id") == 0).limit(1), k=10) \
         .select("neighbor_id")
     fused = q_rrf_fusion(spark, sf_dir).select(F.col("item").alias("f_item"))
     hits = exact.join(fused, exact.neighbor_id == fused.f_item, "left")
@@ -1098,7 +1098,7 @@ def q_rrf_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.similarity import cosine_topk
 
     emb = read_table(spark, sf_dir, "embeddings")
-    exact = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=10)
+    exact = cosine_topk(emb, emb.filter(F.col("vec_id") == 0).limit(1), k=10)
     fused = q_rrf_fusion(spark, sf_dir)
     return ndcg_at_k(fused, exact, sys_item="item",
                      truth_item="neighbor_id", k=10)
@@ -1219,7 +1219,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.ivf import ivf_topk
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5),
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5).limit(5),
                     k=10, nprobe=3, every=50)
 
 
@@ -1385,7 +1385,7 @@ def q_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     edges = knn_graph(emb, m=8, every=50)
-    return graph_ann_search(emb, emb.filter(F.col("vec_id") < 5), edges,
+    return graph_ann_search(emb, emb.filter(F.col("vec_id") < 5).limit(5), edges,
                             k=10, beam=10, rounds=2)
 
 
@@ -1490,7 +1490,7 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.similarity import cosine_topk
 
     emb = read_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
+    queries = emb.filter(F.col("vec_id") < 5).limit(5)
     exact = cosine_topk(emb, queries, k=10) \
         .select("query_id", "neighbor_id")
     approx = ivf_topk(emb, queries, k=10, nprobe=3, every=50) \
@@ -1575,7 +1575,7 @@ def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     cb = pq_codebooks(emb)
     codes = pq_encode(emb, cb)
-    return pq_adc_topk(codes, emb.filter(F.col("vec_id") < 5), cb, k=10)
+    return pq_adc_topk(codes, emb.filter(F.col("vec_id") < 5).limit(5), cb, k=10)
 
 
 def _sql_pq_adc() -> str:
@@ -1656,7 +1656,7 @@ def q_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.pq import ivf_pq_topk
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return ivf_pq_topk(emb, emb.filter(F.col("vec_id") < 5),
+    return ivf_pq_topk(emb, emb.filter(F.col("vec_id") < 5).limit(5),
                        k=10, nprobe=3)
 
 
@@ -1904,7 +1904,7 @@ def q_alignment_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.similarity import alignment_filter
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return (alignment_filter(emb, emb.filter(F.col("vec_id") == 0),
+    return (alignment_filter(emb, emb.filter(F.col("vec_id") == 0).limit(1),
                              threshold=0.1)
             .select(F.col("vec_id").alias("doc_id"), "align_cos",
                     "kept"))
@@ -2903,7 +2903,7 @@ def q_bq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.similarity import binary_topk
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return binary_topk(emb, emb.filter(F.col("vec_id") < 5),
+    return binary_topk(emb, emb.filter(F.col("vec_id") < 5).limit(5),
                        k=10, n_cand=30)
 
 
@@ -2953,7 +2953,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.retrieval import mmr_rerank
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return mmr_rerank(emb, emb.filter(F.col("vec_id") < 5),
+    return mmr_rerank(emb, emb.filter(F.col("vec_id") < 5).limit(5),
                       k=5, n_cand=20)
 
 

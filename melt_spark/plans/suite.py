@@ -3299,6 +3299,49 @@ SUITE: dict[str, tuple] = {
          " AS kind, event_type AS key,"
          " unnest([u0_2x, u1_2x, tie_cube, z_e6, n0 * 4294967296 + n1])"
          " AS n"),
+        # r8: Welch's unequal-variance t-test — the parametric
+        # complement to mann_whitney on the same md5 cohorts; t and
+        # the Welch-Satterthwaite dof ride the key, counts/sums the n
+        (ANALYTICS_SUITE["welch_ttest"],
+         lambda df: df.selectExpr(
+             "event_type", "t_e4", "df_e2",
+             "stack(3, 'welch_n', n0 * 4294967296 + n1,"
+             " 'welch_s0', sum0, 'welch_s1', sum1) AS (kind, n)")
+         .select("kind",
+                 F.concat_ws("|", "event_type",
+                             F.col("t_e4").cast("string"),
+                             F.col("df_e2").cast("string")).alias("key"),
+                 "n"),
+         "SELECT unnest(['welch_n', 'welch_s0', 'welch_s1']) AS kind,"
+         " event_type || '|' || CAST(t_e4 AS VARCHAR) || '|' ||"
+         " CAST(df_e2 AS VARCHAR) AS key,"
+         " unnest([n0 * 4294967296 + n1, sum0, sum1]) AS n"),
+        # r8: Spearman rank correlation of value vs event time — the
+        # per-type monotone-drift readout; rho rides the key
+        (ANALYTICS_SUITE["spearman_drift"],
+         lambda df: df.select(
+             F.lit("spear").alias("kind"),
+             F.concat_ws("|", "event_type",
+                         F.col("rho_e6").cast("string")).alias("key"),
+             F.col("n")),
+         "SELECT 'spear' AS kind, event_type || '|' ||"
+         " CAST(rho_e6 AS VARCHAR) AS key, n"),
+        # r8: Kruskal-Wallis H across three md5 cohorts — the k-group
+        # rank test; per-group rank sums ride n, tie term + H the key
+        (ANALYTICS_SUITE["kruskal_wallis"],
+         lambda df: df.selectExpr(
+             "event_type", "grp", "tie_cube", "h_e6",
+             "stack(2, 'kw_n', n_g, 'kw_r', r2x) AS (kind, n)")
+         .select("kind",
+                 F.concat_ws("|", "event_type",
+                             F.col("grp").cast("string"),
+                             F.col("tie_cube").cast("string"),
+                             F.col("h_e6").cast("string")).alias("key"),
+                 "n"),
+         "SELECT unnest(['kw_n', 'kw_r']) AS kind,"
+         " event_type || '|' || CAST(grp AS VARCHAR) || '|' ||"
+         " CAST(tie_cube AS VARCHAR) || '|' || CAST(h_e6 AS VARCHAR)"
+         " AS key, unnest([n_g, r2x]) AS n"),
         # r7: leave-one-out target encoding (Micci-Barreca / Kaggle
         # canon) — the leakage-free categorical encoder; distinct
         # (category, value) cells, margins packed into the key

@@ -423,3 +423,91 @@ def test_mann_whitney_adaptive_splits_by_key_size(spark):
     # identity U0 + U1 = n0*n1 holds in both regimes
     for r in out.values():
         assert r.u0_2x + r.u1_2x == 2 * r.n0 * r.n1
+
+
+def test_welch_ttest_hand_computed(spark):
+    """Textbook two-sample case: g0 = [1,2,3,4], g1 = [2,4,6,8]."""
+    from melt_spark.functions.hypothesis import welch_ttest
+
+    rows = [("k", v, 0) for v in (1, 2, 3, 4)] \
+        + [("k", v, 1) for v in (2, 4, 6, 8)]
+    df = spark.createDataFrame(rows, "k string, v long, g int")
+    r = welch_ttest(df, ["k"], "v", "g").collect()[0]
+    assert (r.n0, r.n1, r.sum0, r.sum1) == (4, 4, 10, 20)
+    # m0=2.5 m1=5; var0=5/3 var1=20/3; se2=25/12; t=-2.5/sqrt(25/12)
+    import math
+    t = -2.5 / math.sqrt(25 / 12.0)
+    dof = (25 / 12.0) ** 2 / ((5 / 12.0) ** 2 / 3 + (20 / 12.0) ** 2 / 3)
+    assert r.t_e4 == round(t * 10_000)
+    assert r.df_e2 == round(dof * 100)
+
+
+def test_welch_ttest_degenerate_single_row_group(spark):
+    from melt_spark.functions.hypothesis import welch_ttest
+
+    df = spark.createDataFrame([("k", 1, 0), ("k", 5, 1), ("k", 7, 1)],
+                               "k string, v long, g int")
+    r = welch_ttest(df, ["k"], "v", "g").collect()[0]
+    assert (r.t_e4, r.df_e2) == (0, 0)
+
+
+def test_spearman_perfect_and_reversed(spark):
+    from melt_spark.functions.hypothesis import spearman_corr
+
+    up = [("u", i, 10 * i) for i in range(20)]
+    dn = [("d", i, -3 * i) for i in range(20)]
+    df = spark.createDataFrame(up + dn, "k string, x long, y long")
+    out = {r.k: r.rho_e6 for r in
+           spearman_corr(df, ["k"], "x", "y").collect()}
+    assert out["u"] == 1_000_000
+    assert out["d"] == -1_000_000
+
+
+def test_spearman_ties_midrank(spark):
+    """x has a tie; rho must use midranks (scipy-verified value)."""
+    from melt_spark.functions.hypothesis import spearman_corr
+
+    # x = [1,2,2,3], y = [10,20,30,40]; midranks x: 1, 2.5, 2.5, 4
+    # rho = cov/sd = (pearson of ranks) = 0.9486832980505138
+    df = spark.createDataFrame(
+        [("k", 1, 10), ("k", 2, 20), ("k", 2, 30), ("k", 3, 40)],
+        "k string, x long, y long")
+    r = spearman_corr(df, ["k"], "x", "y").collect()[0]
+    assert r.rho_e6 == 948_683
+
+
+def test_spearman_constant_column_degenerate(spark):
+    from melt_spark.functions.hypothesis import spearman_corr
+
+    df = spark.createDataFrame([("k", 5, i) for i in range(5)],
+                               "k string, x long, y long")
+    assert spearman_corr(df, ["k"], "x", "y").collect()[0].rho_e6 == 0
+
+
+def test_kruskal_wallis_two_groups_matches_mann_whitney_regime(spark):
+    """With k=2 and no ties, H == z² asymptotically — check instead the
+    scipy-verified exact H for a small case: groups [1,2,3] vs [4,5,6]
+    give H = 3.857142857... (scipy.stats.kruskal)."""
+    from melt_spark.functions.hypothesis import kruskal_wallis
+
+    rows = [("k", v, 0) for v in (1, 2, 3)] \
+        + [("k", v, 1) for v in (4, 5, 6)]
+    df = spark.createDataFrame(rows, "k string, v long, g int")
+    out = kruskal_wallis(df, ["k"], "v", "g").collect()
+    assert len(out) == 2
+    assert all(r.h_e6 == 3_857_143 for r in out)
+    by_g = {r.grp: r for r in out}
+    # doubled rank sums: ranks 1,2,3 -> 2(1+2+3)=12; 4,5,6 -> 2(15)=30
+    assert by_g[0].r2x == 12
+    assert by_g[1].r2x == 30
+
+
+def test_kruskal_wallis_ties_corrected(spark):
+    """All-tied input: C = 0, H must degenerate to 0 (guard, not NaN)."""
+    from melt_spark.functions.hypothesis import kruskal_wallis
+
+    df = spark.createDataFrame([("k", 7, i % 3) for i in range(9)],
+                               "k string, v long, g int")
+    out = kruskal_wallis(df, ["k"], "v", "g").collect()
+    assert all(r.h_e6 == 0 for r in out)
+    assert all(r.tie_cube == 9 ** 3 - 9 for r in out)

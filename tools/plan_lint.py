@@ -118,6 +118,13 @@ def _is_bounded(nid: int, names: dict, children: dict, details: dict,
 # a limit ships an unbounded frame to every executor (the r6 nb_classify
 # incident: Catalyst broadcast a post-explode corpus side because the
 # fixture-scale stats looked small — at 100 TB that broadcast is fatal).
+#
+# Precision: plans are linted with spark.sql.autoBroadcastJoinThreshold=-1
+# (see lint_all), which removes Catalyst's SIZE-based broadcasts — those
+# adapt away at real scale and are not hazards. What remains is FORCED
+# broadcasts (explicit broadcast() hints, nested-loop requirements): a
+# hint pinning an unbounded fact frame to every executor is exactly the
+# shape that cannot adapt and must fail the lint.
 _FACT_TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
 
 
@@ -134,6 +141,14 @@ def _broadcast_unbounded(nid: int, names: dict, children: dict,
         base = _base_name(names.get(cur, ""))
         if base in _LIMIT_NODES or base in _AGG_NODES:
             continue  # certificate: this path is bounded / re-bounded
+        if base == "WindowGroupLimit":
+            # rank()<=k filters compile to this node: output is k rows
+            # PER GROUP — bounded whenever the group key side is itself
+            # bounded (the broadcast-query top-k pattern). Accepted as a
+            # certificate; the group-cardinality residual risk is the
+            # same one a keyed aggregate carries and is audited the
+            # same way (the builder's query side must be bounded).
+            continue
         if base in ("ReusedExchange", "Subquery", "ReusedSubquery"):
             continue  # audited at its defining site
         if base == "Generate":
@@ -183,17 +198,27 @@ def lint_all(sf_dir: str = "/root/testdata/sf0.001") -> dict[str, list[str]]:
                                   in constituents().items()}
     targets.update(entries())
 
+    # disable size-based broadcasts while planning: fixture-scale stats
+    # make Catalyst broadcast whole fact tables (correct at 500 rows,
+    # gone at 100 TB). With the threshold off, any surviving
+    # BroadcastExchange is hint-forced or structurally required — the
+    # non-adaptive shapes the broadcast rule is after.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     out: dict[str, list[str]] = {}
-    for name in sorted(targets):
-        try:
-            df = targets[name](spark, sf_dir)
-            plan = df._jdf.queryExecution().explainString(mode)
-        except Exception as exc:  # streaming-only shapes etc.
-            out[name] = [f"UNPLANNABLE: {type(exc).__name__}: {exc}"]
-            continue
-        hits = lint_plan(plan)
-        if hits:
-            out[name] = hits
+    try:
+        for name in sorted(targets):
+            try:
+                df = targets[name](spark, sf_dir)
+                plan = df._jdf.queryExecution().explainString(mode)
+            except Exception as exc:  # streaming-only shapes etc.
+                out[name] = [f"UNPLANNABLE: {type(exc).__name__}: {exc}"]
+                continue
+            hits = lint_plan(plan)
+            if hits:
+                out[name] = hits
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     return out
 
 
