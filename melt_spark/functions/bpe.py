@@ -128,8 +128,11 @@ def bpe_encode(docs: DataFrame, vocab: DataFrame, text_col: str = "text",
     encoder is total — encode tomorrow's crawl against today's vocab.
 
     Returns one row per document: (id, n_words, n_tokens, stream) where
-    ``stream`` is the FULL ordered token stream '|'-joined — hash it for
-    an exact end-to-end check, or split it as the loader input.
+    ``stream`` is the FULL ordered token stream '|'-joined, with each
+    word's FIRST token carrying the SentencePiece-style word-boundary
+    marker '▁' (Kudo & Richardson, EMNLP 2018) — so the stream is
+    losslessly invertible (``bpe_decode``), hashable for an exact
+    end-to-end check, and splittable as the loader input.
 
     Spark-first shape, graded for 100 TB: the corpus token stream joins
     the VOCABULARY-sized segmentation table (broadcast — a tokenizer
@@ -143,8 +146,12 @@ def bpe_encode(docs: DataFrame, vocab: DataFrame, text_col: str = "text",
                        .alias("__pos", "word"))
     vseg = vocab.select("word", F.split(seg_col, "[|]").alias("__vseg"))
     seg = F.coalesce(F.col("__vseg"), F.split("word", ""))
+    # word-start marker on the first symbol: ['th','e'] -> ['▁th','e']
+    marked = F.concat(
+        F.array(F.concat(F.lit("▁"), F.element_at(seg, 1))),
+        F.slice(seg, 2, F.greatest(F.size(seg) - 1, F.lit(0))))
     enc = (toks.join(F.broadcast(vseg), "word", "left")
-           .select("__id", "__pos", seg.alias("__seg")))
+           .select("__id", "__pos", marked.alias("__seg")))
     ordered = F.transform(
         F.array_sort(F.collect_list(F.struct("__pos", "__seg"))),
         lambda x: x["__seg"])
@@ -156,3 +163,14 @@ def bpe_encode(docs: DataFrame, vocab: DataFrame, text_col: str = "text",
                     F.col("n_words").cast("bigint").alias("n_words"),
                     F.col("n_tokens").cast("bigint").alias("n_tokens"),
                     "stream"))
+
+
+def bpe_decode(stream_col: str = "stream") -> Column:
+    """Invert ``bpe_encode``'s stream back to the original text: drop
+    the '|' joins, turn each '▁' word-start marker into a space, strip
+    the leading one. Pure string codegen — the round-trip
+    decode(encode(doc)) == doc is the tokenizer's integrity check and
+    is pinned both in pytest and as an oracle-checked flag."""
+    joined = F.replace(F.col(stream_col), F.lit("|"), F.lit(""))
+    spaced = F.replace(joined, F.lit("▁"), F.lit(" "))
+    return F.substring(spaced, 2, 2_147_483_647)

@@ -2671,14 +2671,19 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide BPE tokenization (functions/bpe.py bpe_encode): apply
     the 3-round trained segmentation to EVERY document — the tokenize
     step a training-data pipeline executes per doc per epoch. Output is
-    one row per doc with exact word/token counts and the FULL ordered
-    token stream ('|'-joined), so the oracle hash certifies the entire
-    encoded corpus, not a sample."""
-    from ..functions.bpe import bpe_encode, bpe_train
+    one row per doc with exact word/token counts, the FULL ordered
+    token stream ('|'-joined, '▁' word-start markers) and rt — the
+    decode(encode(doc)) == doc round-trip flag, so the oracle hash
+    certifies both the entire encoded corpus AND its invertibility."""
+    from ..functions.bpe import bpe_decode, bpe_encode, bpe_train
 
     docs = read_table(spark, sf_dir, "documents")
     _merges, words = bpe_train(docs, rounds=BPE_ROUNDS)
-    return bpe_encode(docs, words)
+    enc = bpe_encode(docs, words)
+    return (enc.join(docs.select("doc_id", "text"), "doc_id")
+            .select("doc_id", "n_words", "n_tokens", "stream",
+                    (bpe_decode("stream") == F.col("text")).cast("int")
+                    .alias("rt")))
 
 
 def _sql_bpe_encode(rounds: int = BPE_ROUNDS) -> str:
@@ -2690,13 +2695,27 @@ t AS (
 ),
 e AS (
   SELECT t.doc_id, t.pos,
-         COALESCE(w.syms, string_split_regex(t.word, '')) AS seg
+         COALESCE(w.syms, string_split_regex(t.word, '')) AS seg0
   FROM t LEFT JOIN w{rounds} w USING (word)
+),
+m AS (
+  -- SentencePiece-style word-start marker on the first symbol
+  SELECT doc_id, pos,
+         list_concat(['▁' || seg0[1]], seg0[2:]) AS seg
+  FROM e
+),
+g AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(len(seg)) AS BIGINT) AS n_tokens,
+         string_agg(array_to_string(seg, '|'), '|' ORDER BY pos)
+           AS stream
+  FROM m GROUP BY doc_id
 )
-SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-       CAST(SUM(len(seg)) AS BIGINT) AS n_tokens,
-       string_agg(array_to_string(seg, '|'), '|' ORDER BY pos) AS stream
-FROM e GROUP BY doc_id
+SELECT g.doc_id, g.n_words, g.n_tokens, g.stream,
+       CAST(CASE WHEN substr(replace(replace(g.stream, '|', ''),
+                                     '▁', ' '), 2) = d.text
+                 THEN 1 ELSE 0 END AS INT) AS rt
+FROM g JOIN documents d ON d.doc_id = g.doc_id
 """
 
 

@@ -2528,10 +2528,13 @@ SUITE: dict[str, tuple] = {
         (PIPELINE_SUITE["bpe_encode"],
          lambda df: df.select(F.lit("bpe_enc").alias("kind"), "doc_id",
                               F.col("n_tokens").alias("n"),
-                              F.md5("stream").alias("fp"),
+                              F.concat_ws(":", F.md5("stream"),
+                                          F.col("rt").cast("string"))
+                              .alias("fp"),
                               F.col("n_words").alias("m")),
          "SELECT 'bpe_enc' AS kind, doc_id, n_tokens AS n,"
-         " md5(stream) AS fp, n_words AS m"),
+         " md5(stream) || ':' || CAST(rt AS VARCHAR) AS fp,"
+         " n_words AS m"),
         # r5: winnowing fingerprints (MOSS, SIGMOD 2003) — pos rides n,
         # the 48-bit fingerprint rides m
         (PIPELINE_SUITE["winnow"],

@@ -117,9 +117,9 @@ def test_bpe_encode_hand_computed(spark):
     out = {r.doc_id: r for r in bpe_encode(docs, words).collect()}
     # rounds: (a,b) count 4 -> ab; (c,d) count 3 beats (ab,ab) at 2 -> cd
     assert (out[0].n_words, out[0].n_tokens) == (3, 5)
-    assert out[0].stream == "ab|ab|cd|ab|ab"
+    assert out[0].stream == "\u2581ab|ab|\u2581cd|\u2581ab|ab"
     assert (out[1].n_words, out[1].n_tokens) == (2, 2)
-    assert out[1].stream == "cd|cd"
+    assert out[1].stream == "\u2581cd|\u2581cd"
 
 
 def test_bpe_encode_oov_falls_back_to_chars(spark):
@@ -132,7 +132,7 @@ def test_bpe_encode_oov_falls_back_to_chars(spark):
     _m, words = bpe_train(train, rounds=2)
     new = _docs(spark, ["abab zq"])
     out = bpe_encode(new, words).collect()[0]
-    assert out.stream == "abab|z|q"
+    assert out.stream == "\u2581abab|\u2581z|q"
     assert (out.n_words, out.n_tokens) == (2, 3)
 
 
@@ -152,3 +152,20 @@ def test_bpe_encode_token_counts_match_train_segmentation(spark, sf_dir):
         (F.col("freq") * F.col("n_syms")).alias("t")).agg(
         F.sum("t")).collect()[0][0]
     assert enc_total == vocab_total
+
+
+def test_bpe_decode_round_trips_the_corpus(spark, sf_dir):
+    """decode(encode(doc)) == doc for EVERY fixture document — the
+    tokenizer integrity property the '\u2581' word-start markers exist
+    to guarantee."""
+    from pyspark.sql import functions as F
+
+    from melt_spark.functions.bpe import bpe_decode, bpe_encode
+    from melt_spark.sources.parquet import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    _m, words = bpe_train(docs, rounds=3)
+    enc = bpe_encode(docs, words)
+    bad = (enc.join(docs.select("doc_id", "text"), "doc_id")
+           .filter(bpe_decode("stream") != F.col("text")).count())
+    assert bad == 0

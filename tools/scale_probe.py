@@ -180,7 +180,10 @@ PROBES = ["text_quality", "dedup_minhash_lsh", "clean_corpus",
           # through the bucketed hatch (256 aggregate rows per key, no
           # one-task sort)
           "bpe_encode", "pack_bpe", "km_variants", "domain_gate",
-          "mw_bucketed_skew"]
+          "mw_bucketed_skew",
+          # r8 wave 2: the k-group/parametric/correlation tests (moment
+          # aggregates and per-key rank windows — expected ~linear)
+          "welch_ttest", "spearman_drift", "kruskal_wallis"]
 
 
 def _span_query(via: str):
@@ -246,6 +249,26 @@ def _constituent(module: str, fn_name: str):
 
         m = importlib.import_module(f"melt_spark.plans.{module}")
         return getattr(m, fn_name)(spark, sf_dir)
+    return q
+
+
+def _mw_skew_query():
+    """Deliberately skewed Mann-Whitney key (r7 verdict next-round #3):
+    ALL events collapse onto one test key, the worst case for exact
+    per-key ranks — probed through the bucketed hatch (max_exact_rows=0)
+    to show per-key cost is n_buckets aggregates, not a one-task sort."""
+    def q(spark, sf_dir):
+        from melt_spark.functions.hypothesis import mann_whitney_u
+        from melt_spark.functions.sketches import kmv_hash
+        from melt_spark.sources.parquet import read_table
+
+        ev = read_table(spark, sf_dir, "events")
+        base = ev.select(
+            F.lit("all").alias("k"),
+            F.round(F.col("value") * 100).cast("bigint").alias("v"),
+            (kmv_hash(F.col("user_id")) % 2).cast("int").alias("g"))
+        return mann_whitney_u(base, ["k"], "v", "g",
+                              max_exact_rows=0, n_buckets=256)
     return q
 
 
@@ -386,7 +409,13 @@ _EXTRA_QUERIES = {"span_dedup_digest": _span_query("digest"),
                       _constituent("analytics_suite", "q_km_variants"),
                   "domain_gate":
                       _constituent("pipeline_suite", "q_domain_gate"),
-                  "mw_bucketed_skew": _mw_skew_query()}
+                  "mw_bucketed_skew": _mw_skew_query(),
+                  "welch_ttest":
+                      _constituent("analytics_suite", "q_welch_ttest"),
+                  "spearman_drift":
+                      _constituent("analytics_suite", "q_spearman_drift"),
+                  "kruskal_wallis":
+                      _constituent("analytics_suite", "q_kruskal_wallis")}
 
 
 def _shuffle_state(spark):
@@ -435,26 +464,6 @@ def time_queries(spark, sf_dir: str, names, runs: int = 1):
         out[name] = (round(best, 2), shuffle_mb)
         spark.catalog.clearCache()
     return out
-
-
-def _mw_skew_query():
-    """Deliberately skewed Mann-Whitney key (r7 verdict next-round #3):
-    ALL events collapse onto one test key, the worst case for exact
-    per-key ranks — probed through the bucketed hatch (max_exact_rows=0)
-    to show per-key cost is n_buckets aggregates, not a one-task sort."""
-    def q(spark, sf_dir):
-        from melt_spark.functions.hypothesis import mann_whitney_u
-        from melt_spark.functions.sketches import kmv_hash
-        from melt_spark.sources.parquet import read_table
-
-        ev = read_table(spark, sf_dir, "events")
-        base = ev.select(
-            F.lit("all").alias("k"),
-            F.round(F.col("value") * 100).cast("bigint").alias("v"),
-            (kmv_hash(F.col("user_id")) % 2).cast("int").alias("g"))
-        return mann_whitney_u(base, ["k"], "v", "g",
-                              max_exact_rows=0, n_buckets=256)
-    return q
 
 
 def main() -> None:
