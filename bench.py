@@ -97,6 +97,9 @@ BENCH_GROUPS_BY_NAME: dict[str, list[str]] = {
            "log_rank", "mad_outliers", "modularity", "attribution", "pruning_eval",
            "random_group_ci", "cuped", "target_encoding",
            "fdr_battery"],
+    "r8": ["bpe_encode", "pack_bpe", "km_variants", "domain_gate",
+           "welch_ttest", "spearman_drift", "kruskal_wallis",
+           "acf_daily"],
 }
 
 EXTRA_QUERIES = [

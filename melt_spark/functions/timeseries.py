@@ -668,3 +668,64 @@ def mad_outliers(df: DataFrame, value_col: str, key_cols: list[str],
                  F.min("__med").cast("bigint").alias("med"),
                  F.min("__mad").cast("bigint").alias("mad"),
                  F.sum("__out").cast("bigint").alias("n_outliers")))
+
+
+def acf(df: DataFrame, ts_col: str, key_cols: list[str],
+        max_lag: int = 7, width: int = 86_400) -> DataFrame:
+    """Per-key autocorrelation function of the bucketed event-count
+    series at lags 1..max_lag (Box & Jenkins, "Time Series Analysis")
+    — the seasonality/persistence readout a forecasting pipeline runs
+    before choosing model orders (a weekly cycle shows as a lag-7 spike
+    on daily buckets).
+
+    Returns (keys..., lag, n_buckets, acf_e6): the standard biased
+    estimator r_ℓ = Σ(x_t−x̄)(x_{t+ℓ}−x̄) / Σ(x_t−x̄)², folded in
+    index order over the DENSIFIED series (missing buckets count 0 —
+    dropping them would splice distant days together and fabricate
+    correlation). Degenerate keys (constant series) emit acf_e6 = 0.
+
+    Scale shape: one map-side-combined groupBy on (keys, bucket) —
+    the bucket table is bounded by the corpus time span, so the
+    densify + ACF folds are array expressions over ONE bounded row per
+    key (the KM/otsu bounded-domain pattern); nothing row-scale ever
+    collects."""
+    b = bucket_epoch(ts_col, width)
+    g = (df.groupBy(*key_cols, b.alias("__b"))
+         .agg(F.count(F.lit(1)).cast("long").alias("__n")))
+    one = (g.groupBy(*key_cols)
+           .agg(F.sort_array(F.collect_list(
+               F.struct("__b", "__n"))).alias("a"),
+               F.min("__b").alias("__lo"), F.max("__b").alias("__hi")))
+    # densify over [lo, hi]: value at bucket t = recorded count or 0 —
+    # list lookup is O(span²) on a bounded span, never row-scale
+    dense = F.expr(
+        f"transform(sequence(__lo, __hi, {width}), t -> "
+        f"coalesce(try_element_at(filter(a, x -> x.__b = t), 1).__n,"
+        f" 0L))")  # try_: an EMPTY day must yield 0, not an ANSI error
+    one = one.select(*key_cols, dense.alias("xs"))
+    nd = F.expr("CAST(size(xs) AS DOUBLE)")
+    mean = F.expr("aggregate(xs, 0.0D, (p, x) -> p + CAST(x AS DOUBLE))") \
+        / nd
+    one = (one.select(*key_cols, "xs", mean.alias("__m"),
+                      F.size("xs").alias("n_buckets"))
+           .withColumn("__den", F.expr(
+               "aggregate(xs, 0.0D, (p, x) ->"
+               " p + (CAST(x AS DOUBLE) - __m)"
+               " * (CAST(x AS DOUBLE) - __m))")))
+    lags = one.select(
+        *key_cols, "xs", "__m", "__den", "n_buckets",
+        F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag"))
+    # the CASE guards short series: Spark's sequence(1, k) DESCENDS when
+    # k < 1, so the fold must not be built at all for size(xs) <= lag
+    num = F.expr(
+        "CASE WHEN size(xs) > lag THEN"
+        " aggregate(sequence(1, size(xs) - lag), 0.0D, (p, t) ->"
+        " p + (CAST(element_at(xs, t) AS DOUBLE) - __m)"
+        " * (CAST(element_at(xs, t + lag) AS DOUBLE) - __m))"
+        " ELSE 0.0D END")
+    r = F.when((F.col("__den") > 0) & (F.size("xs") > F.col("lag")),
+               num / F.col("__den")).otherwise(F.lit(0.0))
+    return lags.select(
+        *key_cols, F.col("lag").cast("int").alias("lag"),
+        F.col("n_buckets").cast("bigint").alias("n_buckets"),
+        F.round(r * F.lit(1_000_000.0)).cast("bigint").alias("acf_e6"))

@@ -1294,6 +1294,65 @@ FROM e
 """
 
 
+def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (functions/timeseries.py acf) of the
+    DAILY per-event-type count series at lags 1..7 — the seasonality
+    readout run before picking forecast model orders (a weekly cycle
+    spikes at lag 7). Series densified over the corpus span (missing
+    days count 0); the biased estimator folds in index order over one
+    bounded row per type and rounds once to 1e-6."""
+    from ..functions.timeseries import acf
+
+    events = read_table(spark, sf_dir, "events")
+    return acf(events, "ts", ["event_type"], max_lag=7, width=86_400)
+
+
+SQL_ACF_DAILY = """
+WITH g AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 86400) * 86400 AS BIGINT) AS b,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+one AS (
+  SELECT event_type, list_sort(list(struct_pack(b := b, n := n))) AS a,
+         MIN(b) AS lo, MAX(b) AS hi
+  FROM g GROUP BY 1
+),
+d AS (
+  SELECT event_type,
+    list_transform(range(lo, hi + 86400, 86400), t ->
+      COALESCE(list_filter(a, x -> x.b = t)[1].n, 0)) AS xs
+  FROM one
+),
+m AS (
+  SELECT event_type, xs,
+    list_reduce(list_transform(xs, x -> CAST(x AS DOUBLE)),
+                (p, q) -> p + q) / CAST(len(xs) AS DOUBLE) AS mu
+  FROM d
+),
+dn AS (
+  SELECT event_type, xs, mu,
+    list_reduce(list_transform(xs, x ->
+        (CAST(x AS DOUBLE) - mu) * (CAST(x AS DOUBLE) - mu)),
+      (p, q) -> p + q) AS den
+  FROM m
+),
+l AS (
+  SELECT event_type, xs, mu, den, unnest(range(1, 8)) AS lag FROM dn
+)
+SELECT event_type, CAST(lag AS INT) AS lag,
+       CAST(len(xs) AS BIGINT) AS n_buckets,
+       CAST(round(CASE WHEN den > 0 AND len(xs) > lag THEN
+         list_reduce(list_transform(range(1, len(xs) - lag + 1), t ->
+             (CAST(xs[CAST(t AS INT)] AS DOUBLE) - mu)
+             * (CAST(xs[CAST(t + lag AS INT)] AS DOUBLE) - mu)),
+           (p, q) -> p + q) / den
+         ELSE 0.0 END * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS acf_e6
+FROM l
+"""
+
+
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAD outlier gate (functions/timeseries.py mad_outliers): per
     event type, flag event values beyond 3 consistency-scaled median
@@ -5957,6 +6016,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "chi2_weekday": (q_chi2_weekday, SQL_CHI2_WEEKDAY),
     "log_rank": (q_log_rank, SQL_LOG_RANK),
     "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
+    "acf_daily": (q_acf_daily, SQL_ACF_DAILY),
     "modularity": (q_modularity, SQL_MODULARITY),
     "attribution": (q_attribution, SQL_ATTRIBUTION),
     "pruning_eval": (q_pruning_eval, SQL_PRUNING_EVAL),

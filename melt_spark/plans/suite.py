@@ -2898,6 +2898,19 @@ SUITE: dict[str, tuple] = {
          " CAST(forecast_next AS DOUBLE)]) AS v1,"
          " unnest([CAST(trend_final AS DOUBLE),"
          " CAST(n_buckets AS DOUBLE)]) AS v2"),
+        # r8: autocorrelation of the daily count series at lags 1..7 —
+        # the seasonality readout; acf_e6 < 2^52 rides the double slot
+        (ANALYTICS_SUITE["acf_daily"],
+         lambda df: df.select(
+             F.lit("acf").alias("kind"),
+             F.concat_ws("|", "event_type",
+                         F.col("lag").cast("string")).alias("key"),
+             F.col("acf_e6").cast("double").alias("v1"),
+             F.col("n_buckets").cast("double").alias("v2")),
+         "SELECT 'acf' AS kind, event_type || '|' ||"
+         " CAST(lag AS VARCHAR) AS key,"
+         " CAST(acf_e6 AS DOUBLE) AS v1,"
+         " CAST(n_buckets AS DOUBLE) AS v2"),
         # r6: Theil-Sen robust trend — median of pairwise slopes (29%
         # breakdown point), the robust complement to trend_fit's OLS;
         # intercept_nano < 2^52 so the double slot carries it exactly

@@ -231,3 +231,47 @@ def test_mad_outliers_zero_mad_degenerate(spark):
     df = spark.createDataFrame(rows, "k string, oid long, v long")
     r = mad_outliers(df, "v", ["k"], "oid").head()
     assert (r.med, r.mad, r.n_outliers) == (7, 0, 1)
+
+
+def test_acf_lag_detects_planted_period(spark):
+    """A period-2 alternating series has acf(1) ~ -1 and acf(2) ~ +1;
+    a constant series degenerates to 0 (guard, not NaN)."""
+    from pyspark.sql import functions as F
+
+    from melt_spark.functions.timeseries import acf
+
+    rows = []
+    for d in range(40):
+        # alternating 2/8 events per day for type 'alt'
+        n = 2 if d % 2 == 0 else 8
+        for i in range(n):
+            rows.append(("alt", d * 86_400 + i))
+    for d in range(40):
+        for i in range(5):
+            rows.append(("flat", d * 86_400 + i))
+    df = spark.createDataFrame(rows, "event_type string, sec long") \
+        .select("event_type", F.col("sec").cast("timestamp").alias("ts"))
+    out = {(r.event_type, r.lag): r.acf_e6
+           for r in acf(df, "ts", ["event_type"], max_lag=3).collect()}
+    assert out[("alt", 1)] < -900_000
+    assert out[("alt", 2)] > 900_000
+    assert all(out[("flat", k)] == 0 for k in (1, 2, 3))
+
+
+def test_acf_densifies_missing_buckets(spark):
+    """A day with zero events must enter the series as 0, not be
+    spliced out: series 10,(missing->0),10,(0),10 has acf(2) > 0 while
+    splicing would make it constant."""
+    from pyspark.sql import functions as F
+
+    from melt_spark.functions.timeseries import acf
+
+    rows = [("t", d * 2 * 86_400 + i) for d in range(5)
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "event_type string, sec long") \
+        .select("event_type", F.col("sec").cast("timestamp").alias("ts"))
+    out = {r.lag: (r.acf_e6, r.n_buckets)
+           for r in acf(df, "ts", ["event_type"], max_lag=2).collect()}
+    assert out[1][1] == 9          # 5 active + 4 gap days
+    assert out[2][0] > 500_000     # period-2 structure visible
+    assert out[1][0] < 0

@@ -183,7 +183,9 @@ PROBES = ["text_quality", "dedup_minhash_lsh", "clean_corpus",
           "mw_bucketed_skew",
           # r8 wave 2: the k-group/parametric/correlation tests (moment
           # aggregates and per-key rank windows — expected ~linear)
-          "welch_ttest", "spearman_drift", "kruskal_wallis"]
+          "welch_ttest", "spearman_drift", "kruskal_wallis",
+          # r8 wave 3: autocorrelation (bounded per-key day-span folds)
+          "acf_daily"]
 
 
 def _span_query(via: str):
@@ -415,7 +417,9 @@ _EXTRA_QUERIES = {"span_dedup_digest": _span_query("digest"),
                   "spearman_drift":
                       _constituent("analytics_suite", "q_spearman_drift"),
                   "kruskal_wallis":
-                      _constituent("analytics_suite", "q_kruskal_wallis")}
+                      _constituent("analytics_suite", "q_kruskal_wallis"),
+                  "acf_daily":
+                      _constituent("analytics_suite", "q_acf_daily")}
 
 
 def _shuffle_state(spark):
