@@ -822,3 +822,70 @@ def kruskal_wallis(df: DataFrame, key_cols: list[str], value_col: str,
                      F.col("x.n_g").alias("n_g"),
                      F.col("x.r2x").alias("r2x"),
                      "tie_cube", "h_e6")
+
+
+def msprt_two_sample(df: DataFrame, key_cols: list[str], value_col: str,
+                     group_col: str, tau2: float = 10_000.0
+                     ) -> DataFrame:
+    """Per-key mixture-SPRT always-valid inference (Johari, Koomen,
+    Pekelis & Walsh, "Peeking at A/B tests", KDD 2017) for the
+    difference in means between group 0 and group 1 — the sequential
+    test that stays valid under CONTINUOUS monitoring, where the fixed-
+    horizon z/t tests (q_ab_test, welch_ttest) inflate false positives
+    the moment anyone peeks early.
+
+    With θ̂ = m1 − m0, V = s²(1/n0 + 1/n1) (pooled variance of the
+    difference) and the normal mixture prior variance ``tau2``, the
+    mixture likelihood ratio is
+        Λ = sqrt(V/(V+τ²)) · exp(θ̂²τ² / (2V(V+τ²)))
+    and the always-valid p-value is min(1, 1/Λ). Also emits mde_e4 —
+    the fixed-horizon minimum detectable effect 2.8016·sqrt(V)
+    (α=.05 two-sided, 80% power; 1.9600+0.8416 rounded once) — the
+    experiment-sizing number a platform reports next to the test.
+
+    Returns (keys..., n0, n1, theta_e4, v_e9, p_e6, mde_e4): counts
+    exact; θ̂, V, p, MDE are pinned IEEE expressions rounded once (exp/
+    ln follow the round()-both-engines rule). Degenerate keys (a group
+    with < 2 rows or zero spread) emit p_e6 = 1_000_000, mde_e4 = 0.
+
+    Scale shape: ONE map-side-combined groupBy per key (pure moments,
+    the CUPED/welch discipline)."""
+    g0 = F.col("__g") == 0
+    agg = (df.select(*key_cols, F.col(value_col).alias("__v"),
+                     F.col(group_col).alias("__g"))
+           .groupBy(*key_cols)
+           .agg(F.sum(g0.cast("long")).cast("bigint").alias("n0"),
+                F.sum((~g0).cast("long")).cast("bigint").alias("n1"),
+                F.sum(F.when(g0, F.col("__v")).otherwise(0))
+                .cast("bigint").alias("__s0"),
+                F.sum(F.when(~g0, F.col("__v")).otherwise(0))
+                .cast("bigint").alias("__s1"),
+                F.sum(F.col("__v") * F.col("__v")).cast("bigint")
+                .alias("__ssq"),
+                F.sum(F.col("__v")).cast("bigint").alias("__s")))
+    n0d, n1d = F.col("n0").cast("double"), F.col("n1").cast("double")
+    nd = n0d + n1d
+    theta = (F.col("__s1").cast("double") / n1d
+             - F.col("__s0").cast("double") / n0d)
+    # pooled sample variance s² = (Σv² − (Σv)²/n) / (n − 1)
+    s2 = (F.col("__ssq").cast("double")
+          - F.col("__s").cast("double") * F.col("__s") / nd) \
+        / (nd - F.lit(1.0))
+    v = s2 * (F.lit(1.0) / n0d + F.lit(1.0) / n1d)
+    t2 = F.lit(float(tau2))
+    log_lam = (F.lit(0.5) * F.log(v / (v + t2))
+               + theta * theta * t2
+               / (F.lit(2.0) * v * (v + t2)))
+    ok = (F.col("n0") >= 2) & (F.col("n1") >= 2) & (s2 > 0)
+    p = F.when(ok, F.least(F.lit(1.0), F.exp(-log_lam))) \
+        .otherwise(F.lit(1.0))
+    mde = F.when(ok, F.lit(2.8016) * F.sqrt(v)).otherwise(F.lit(0.0))
+    return agg.select(
+        *key_cols, "n0", "n1",
+        F.when((F.col("n0") > 0) & (F.col("n1") > 0),
+               F.round(theta * F.lit(10_000.0))).otherwise(F.lit(0))
+        .cast("bigint").alias("theta_e4"),
+        F.when(ok, F.round(v * F.lit(1e9))).otherwise(F.lit(0))
+        .cast("bigint").alias("v_e9"),
+        F.round(p * F.lit(1_000_000.0)).cast("bigint").alias("p_e6"),
+        F.round(mde * F.lit(10_000.0)).cast("bigint").alias("mde_e4"))

@@ -350,3 +350,69 @@ def diversity_profile(df: DataFrame, top_r: int = 100,
                     ppm("n_types", "n_tokens").alias("ttr_e6"),
                     ppm("d_tri", "n_tri").alias("distinct3_e6"),
                     F.round(slope, 9).alias("zipf_slope")))
+
+
+def heaps_curve(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", n_points: int = 20) -> DataFrame:
+    """Vocabulary-growth (Heaps'/Herdan's law) curve: distinct types V
+    vs cumulative tokens N at ``n_points`` checkpoints along the
+    corpus' doc-id order, plus the fitted exponent β of V = k·N^β
+    (log-log OLS over the checkpoints) — the corpus statistic that
+    tells a tokenizer/dedup pipeline whether vocabulary is still
+    growing (β near 0.5 for natural text; a plateau means the crawl is
+    saturating, a β near 1 means heavy unseen content).
+
+    Returns one row per checkpoint (pt, max_doc, n_tokens, n_types)
+    with beta_e6 repeated on each — counts exact; β folds over the
+    SORTED bounded checkpoint list in pinned IEEE order, rounded once.
+
+    Scale shape: one explode + two map-side-combined groupBys (word ->
+    first doc, doc -> token count), then everything is checkpoint-sized
+    (n_points rows): the vocab and doc tables broadcast-join the tiny
+    checkpoint table; the final fit runs on ONE collected bounded row.
+    No per-row state, no global sort."""
+    toks = docs.select(F.col(id_col).alias("__d"),
+                       F.explode(tokens(text_col)).alias("__w"))
+    first = toks.groupBy("__w").agg(F.min("__d").alias("__fd"))
+    per_doc = toks.groupBy("__d").agg(F.count(F.lit(1)).alias("__nt"))
+    mx = docs.agg(F.max(F.col(id_col)).alias("__mx"))
+    pts = (mx.select(F.explode(F.sequence(
+        F.lit(1), F.lit(n_points))).alias("pt"), "__mx")
+        .select("pt", F.floor(F.col("__mx") * F.col("pt") / n_points)
+                .cast("bigint").alias("max_doc")))
+    types_at = (first.crossJoin(F.broadcast(pts))
+                .filter(F.col("__fd") <= F.col("max_doc"))
+                .groupBy("pt", "max_doc")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_types")))
+    toks_at = (per_doc.crossJoin(F.broadcast(pts))
+               .filter(F.col("__d") <= F.col("max_doc"))
+               .groupBy("pt")
+               .agg(F.sum("__nt").cast("bigint").alias("n_tokens")))
+    curve = types_at.join(toks_at, "pt")
+    one = curve.groupBy().agg(F.sort_array(F.collect_list(
+        F.struct("pt", "max_doc", "n_tokens", "n_types"))).alias("a"))
+    # log-log OLS slope over the bounded checkpoint list, index order
+    lx = "ln(CAST(x.n_tokens AS DOUBLE))"
+    ly = "ln(CAST(x.n_types AS DOUBLE))"
+    folds = one.select(
+        "a",
+        F.expr(f"aggregate(a, 0.0D, (p, x) -> p + {lx})").alias("__sx"),
+        F.expr(f"aggregate(a, 0.0D, (p, x) -> p + {ly})").alias("__sy"),
+        F.expr(f"aggregate(a, 0.0D, (p, x) -> p + {lx} * {ly})")
+        .alias("__sxy"),
+        F.expr(f"aggregate(a, 0.0D, (p, x) -> p + {lx} * {lx})")
+        .alias("__sxx"),
+        F.size("a").cast("double").alias("__n"))
+    beta = ((F.col("__sxy") * F.col("__n")
+             - F.col("__sx") * F.col("__sy"))
+            / (F.col("__sxx") * F.col("__n")
+               - F.col("__sx") * F.col("__sx")))
+    ex = folds.select(
+        F.round(beta * F.lit(1_000_000.0)).cast("bigint")
+        .alias("beta_e6"),
+        F.explode("a").alias("x"))
+    return ex.select(F.col("x.pt").cast("int").alias("pt"),
+                     F.col("x.max_doc").alias("max_doc"),
+                     F.col("x.n_tokens").alias("n_tokens"),
+                     F.col("x.n_types").alias("n_types"),
+                     "beta_e6")

@@ -959,6 +959,80 @@ FROM w
 """
 
 
+def q_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid mixture-SPRT readout (functions/hypothesis.py
+    msprt_two_sample, Johari et al. KDD 2017) per event type between
+    the md5 variants — the sequential test that survives continuous
+    peeking, beside the fixed-horizon z/t tests; plus the fixed-horizon
+    MDE the platform reports for experiment sizing."""
+    from ..functions.hypothesis import msprt_two_sample
+    from ..functions.sketches import kmv_hash
+
+    ev = read_table(spark, sf_dir, "events")
+    labeled = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        (kmv_hash(F.col("user_id")) % 2).cast("int").alias("grp"))
+    return msprt_two_sample(labeled, ["event_type"], "cents", "grp")
+
+
+SQL_MSPRT = f"""
+WITH pts AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+         CAST({_MW_HASH} AS INT) AS grp
+  FROM events
+),
+a AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN grp = 0 THEN v ELSE 0 END) AS BIGINT) AS s0,
+         CAST(SUM(CASE WHEN grp = 1 THEN v ELSE 0 END) AS BIGINT) AS s1,
+         CAST(SUM(v * v) AS BIGINT) AS ssq,
+         CAST(SUM(v) AS BIGINT) AS s
+  FROM pts GROUP BY 1
+),
+d AS (
+  SELECT *,
+    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS theta,
+    (CAST(ssq AS DOUBLE)
+     - CAST(s AS DOUBLE) * s / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)))
+      / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) - CAST(1.0 AS DOUBLE))
+      AS s2
+  FROM a
+),
+w AS (
+  SELECT *,
+    s2 * (CAST(1.0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+          + CAST(1.0 AS DOUBLE) / CAST(n1 AS DOUBLE)) AS vv,
+    (n0 >= 2 AND n1 >= 2 AND s2 > 0) AS ok
+  FROM d
+),
+l AS (
+  SELECT *,
+    CAST(0.5 AS DOUBLE) * ln(vv / (vv + CAST(10000.0 AS DOUBLE)))
+      + theta * theta * CAST(10000.0 AS DOUBLE)
+        / (CAST(2.0 AS DOUBLE) * vv * (vv + CAST(10000.0 AS DOUBLE)))
+      AS log_lam
+  FROM w
+)
+SELECT event_type, n0, n1,
+  CAST(CASE WHEN n0 > 0 AND n1 > 0
+            THEN round(theta * CAST(10000.0 AS DOUBLE)) ELSE 0 END
+       AS BIGINT) AS theta_e4,
+  CAST(CASE WHEN ok THEN round(vv * 1e9) ELSE 0 END AS BIGINT) AS v_e9,
+  CAST(round(CASE WHEN ok
+                  THEN least(CAST(1.0 AS DOUBLE), exp(-log_lam))
+                  ELSE CAST(1.0 AS DOUBLE) END
+             * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS p_e6,
+  CAST(round(CASE WHEN ok THEN CAST(2.8016 AS DOUBLE) * sqrt(vv)
+                  ELSE CAST(0.0 AS DOUBLE) END
+             * CAST(10000.0 AS DOUBLE)) AS BIGINT) AS mde_e4
+FROM l
+"""
+
+
 def q_spearman_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation (functions/hypothesis.py spearman_corr)
     per event type between event value (cents) and event time (epoch
@@ -6009,6 +6083,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "mann_whitney": (q_mann_whitney, SQL_MANN_WHITNEY),
     "welch_ttest": (q_welch_ttest, SQL_WELCH_TTEST),
     "spearman_drift": (q_spearman_drift, SQL_SPEARMAN_DRIFT),
+    "msprt": (q_msprt, SQL_MSPRT),
     "kruskal_wallis": (q_kruskal_wallis, SQL_KRUSKAL_WALLIS),
     "benford_prices": (q_benford_prices, SQL_BENFORD_PRICES),
     "kaplan_meier": (q_kaplan_meier, SQL_KAPLAN_MEIER),

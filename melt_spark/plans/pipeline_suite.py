@@ -3779,6 +3779,69 @@ def _doc_urls(docs: DataFrame) -> DataFrame:
                         F.lit("/p/"), F.col("doc_id").cast("string")))
 
 
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve (functions/text.py
+    heaps_curve): distinct types vs cumulative tokens at 20 doc-id
+    checkpoints + the fitted V = k·N^β exponent — the saturation
+    readout a crawl/dedup pipeline watches (β stalls when new data
+    stops bringing new vocabulary)."""
+    from ..functions.text import heaps_curve
+
+    docs = read_table(spark, sf_dir, "documents")
+    return heaps_curve(docs, n_points=20)
+
+
+SQL_HEAPS_LAW = f"""
+WITH toks AS (
+  SELECT doc_id AS d, unnest({_TOKS}) AS w FROM documents
+),
+fw AS (SELECT w, MIN(d) AS fd FROM toks GROUP BY 1),
+pd AS (SELECT d, COUNT(*) AS nt FROM toks GROUP BY 1),
+mx AS (SELECT MAX(doc_id) AS m FROM documents),
+pts AS (
+  SELECT pt, CAST(floor(m * pt / 20) AS BIGINT) AS max_doc
+  FROM mx, (SELECT unnest(range(1, 21)) AS pt)
+),
+ty AS (
+  SELECT pt, max_doc, CAST(COUNT(*) AS BIGINT) AS n_types
+  FROM fw JOIN pts ON fd <= max_doc GROUP BY 1, 2
+),
+tk AS (
+  SELECT pt, CAST(SUM(nt) AS BIGINT) AS n_tokens
+  FROM pd JOIN pts ON d <= max_doc GROUP BY 1
+),
+curve AS (
+  SELECT ty.pt, max_doc, n_tokens, n_types FROM ty JOIN tk USING (pt)
+),
+one AS (
+  SELECT list_sort(list(struct_pack(pt := pt, max_doc := max_doc,
+                                    n_tokens := n_tokens,
+                                    n_types := n_types))) AS a
+  FROM curve
+),
+f AS (
+  SELECT a,
+    list_reduce(list_transform(a, x ->
+        ln(CAST(x.n_tokens AS DOUBLE))), (p, q) -> p + q) AS sx,
+    list_reduce(list_transform(a, x ->
+        ln(CAST(x.n_types AS DOUBLE))), (p, q) -> p + q) AS sy,
+    list_reduce(list_transform(a, x ->
+        ln(CAST(x.n_tokens AS DOUBLE))
+        * ln(CAST(x.n_types AS DOUBLE))), (p, q) -> p + q) AS sxy,
+    list_reduce(list_transform(a, x ->
+        ln(CAST(x.n_tokens AS DOUBLE))
+        * ln(CAST(x.n_tokens AS DOUBLE))), (p, q) -> p + q) AS sxx,
+    CAST(len(a) AS DOUBLE) AS nn
+  FROM one
+)
+SELECT CAST(x.pt AS INT) AS pt, x.max_doc AS max_doc,
+       x.n_tokens AS n_tokens, x.n_types AS n_types,
+       CAST(round((sxy * nn - sx * sy) / (sxx * nn - sx * sx)
+                  * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS beta_e6
+FROM (SELECT a, sx, sy, sxy, sxx, nn, unnest(a) AS x FROM f)
+"""
+
+
 def q_domain_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL provenance gate (functions/provenance.py): registrable-domain
     (eTLD+1) extraction incl. multi-label public suffixes, blocklist
@@ -3854,6 +3917,7 @@ FROM v GROUP BY domain ORDER BY domain
 
 PIPELINE_SUITE: dict[str, tuple] = {
     "domain_gate": (q_domain_gate, SQL_DOMAIN_GATE),
+    "heaps_law": (q_heaps_law, SQL_HEAPS_LAW),
     "kmeans_train": (q_kmeans_train, SQL_KMEANS_TRAIN),
     "greedy_coverage": (q_greedy_coverage, SQL_GREEDY_COVERAGE),
     "pareto_docs": (q_pareto_docs, SQL_PARETO_DOCS),

@@ -2567,6 +2567,19 @@ SUITE: dict[str, tuple] = {
                               F.col("weight").alias("v")),
          "SELECT 'mix' AS kind, source AS key, n_tokens AS n1,"
          " expected_tokens AS n2, weight AS v"),
+        # r8: Heaps'-law vocabulary growth — types vs tokens at 20
+        # checkpoints + fitted exponent; beta_e6 rides the double slot
+        (PIPELINE_SUITE["heaps_law"],
+         lambda df: df.select(F.lit("heaps").alias("kind"),
+                              F.concat_ws("|", F.col("pt").cast("string"),
+                                          F.col("max_doc").cast("string"))
+                              .alias("key"),
+                              F.col("n_tokens").alias("n1"),
+                              F.col("n_types").alias("n2"),
+                              F.col("beta_e6").cast("double").alias("v")),
+         "SELECT 'heaps' AS kind, CAST(pt AS VARCHAR) || '|' ||"
+         " CAST(max_doc AS VARCHAR) AS key, n_tokens AS n1,"
+         " n_types AS n2, CAST(beta_e6 AS DOUBLE) AS v"),
         # r8: URL/domain provenance gate (functions/provenance.py) —
         # eTLD+1 extraction + blocklist + per-domain cap; kept_chars
         # rides the double slot exactly (< 2^53)
@@ -3332,6 +3345,19 @@ SUITE: dict[str, tuple] = {
          " event_type || '|' || CAST(t_e4 AS VARCHAR) || '|' ||"
          " CAST(df_e2 AS VARCHAR) AS key,"
          " unnest([n0 * 4294967296 + n1, sum0, sum1]) AS n"),
+        # r8: always-valid mixture-SPRT + fixed-horizon MDE — the
+        # peeking-safe sequential readout beside the fixed-horizon tests
+        (ANALYTICS_SUITE["msprt"],
+         lambda df: df.selectExpr(
+             "event_type",
+             "stack(5, 'msprt_p', p_e6, 'msprt_mde', mde_e4,"
+             " 'msprt_n', n0 * 4294967296 + n1, 'msprt_th', theta_e4,"
+             " 'msprt_v', v_e9) AS (kind, n)")
+         .select("kind", F.col("event_type").alias("key"), "n"),
+         "SELECT unnest(['msprt_p', 'msprt_mde', 'msprt_n', 'msprt_th',"
+         " 'msprt_v']) AS kind, event_type AS key,"
+         " unnest([p_e6, mde_e4, n0 * 4294967296 + n1, theta_e4, v_e9])"
+         " AS n"),
         # r8: Spearman rank correlation of value vs event time — the
         # per-type monotone-drift readout; rho rides the key
         (ANALYTICS_SUITE["spearman_drift"],

@@ -243,3 +243,25 @@ def test_quantize_int8_error_bounds(spark):
     # all-zero vector: guard scale=1, zero error
     assert rows[2].scale == 1.0
     assert rows[2].max_abs_err == 0.0
+
+
+def test_heaps_curve_monotone_and_exact_totals(spark):
+    """Checkpoints are monotone in both axes; the last checkpoint sees
+    the whole corpus (exact type/token totals); beta > 0 on growing
+    vocabulary."""
+    from pyspark.sql import Row
+
+    from melt_spark.functions.text import heaps_curve
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(f"w{j}" for j in range(i + 1)))
+         for i in range(20)])
+    out = sorted(heaps_curve(docs, n_points=5).collect(),
+                 key=lambda r: r.pt)
+    toks = [r.n_tokens for r in out]
+    typs = [r.n_types for r in out]
+    assert toks == sorted(toks) and typs == sorted(typs)
+    assert out[-1].n_tokens == sum(range(1, 21))    # 210 exact
+    assert out[-1].n_types == 20                    # w0..w19
+    assert all(r.beta_e6 == out[0].beta_e6 for r in out)
+    assert 0 < out[0].beta_e6 <= 1_000_000

@@ -511,3 +511,30 @@ def test_kruskal_wallis_ties_corrected(spark):
     out = kruskal_wallis(df, ["k"], "v", "g").collect()
     assert all(r.h_e6 == 0 for r in out)
     assert all(r.tie_cube == 9 ** 3 - 9 for r in out)
+
+
+def test_msprt_null_gives_p_one_signal_gives_small_p(spark):
+    """Identical groups: theta ~ 0 -> Lambda <= 1 -> p = 1. A strong
+    separation drives p toward 0; p is always in (0, 1e6]."""
+    from melt_spark.functions.hypothesis import msprt_two_sample
+
+    same = [("null", v, g) for g in (0, 1) for v in range(100)]
+    sep = [("sig", v, 0) for v in range(100)] \
+        + [("sig", v + 500, 1) for v in range(100)]
+    df = spark.createDataFrame(same + sep, "k string, v long, g int")
+    out = {r.k: r for r in
+           msprt_two_sample(df, ["k"], "v", "g").collect()}
+    assert out["null"].p_e6 == 1_000_000
+    assert out["null"].theta_e4 == 0
+    assert out["sig"].p_e6 < 1_000
+    assert out["sig"].theta_e4 == 5_000_000   # diff 500 in 1e-4 units
+    assert out["sig"].mde_e4 > 0
+
+
+def test_msprt_degenerate_zero_spread(spark):
+    from melt_spark.functions.hypothesis import msprt_two_sample
+
+    df = spark.createDataFrame([("k", 5, 0), ("k", 5, 0), ("k", 5, 1),
+                                ("k", 5, 1)], "k string, v long, g int")
+    r = msprt_two_sample(df, ["k"], "v", "g").collect()[0]
+    assert (r.p_e6, r.mde_e4, r.v_e9) == (1_000_000, 0, 0)

@@ -184,8 +184,10 @@ PROBES = ["text_quality", "dedup_minhash_lsh", "clean_corpus",
           # r8 wave 2: the k-group/parametric/correlation tests (moment
           # aggregates and per-key rank windows — expected ~linear)
           "welch_ttest", "spearman_drift", "kruskal_wallis",
-          # r8 wave 3: autocorrelation (bounded per-key day-span folds)
-          "acf_daily"]
+          # r8 wave 3: autocorrelation (bounded per-key day-span folds),
+          # always-valid mSPRT (pure moments) and Heaps vocab growth
+          # (two map-side groupBys + checkpoint-sized everything)
+          "acf_daily", "msprt", "heaps_law"]
 
 
 def _span_query(via: str):
@@ -419,7 +421,11 @@ _EXTRA_QUERIES = {"span_dedup_digest": _span_query("digest"),
                   "kruskal_wallis":
                       _constituent("analytics_suite", "q_kruskal_wallis"),
                   "acf_daily":
-                      _constituent("analytics_suite", "q_acf_daily")}
+                      _constituent("analytics_suite", "q_acf_daily"),
+                  "msprt":
+                      _constituent("analytics_suite", "q_msprt"),
+                  "heaps_law":
+                      _constituent("pipeline_suite", "q_heaps_law")}
 
 
 def _shuffle_state(spark):
