@@ -309,3 +309,81 @@ def nb_abstain(docs: DataFrame, label_col: str = "source",
         F.when(F.col("n_covered") > 0,
                F.expr("n_correct * 1000000 div n_covered"))
         .otherwise(F.lit(-1)).cast("bigint").alias("acc_ppm"))
+
+
+def conformal_nb(docs: DataFrame, label_col: str = "source",
+                 text_col: str = "text", id_col: str = "doc_id",
+                 cal_pct: int = 20) -> DataFrame:
+    """Split-conformal prediction sets over the NB classifier (Vovk et
+    al., "Algorithmic Learning in a Random World"; Angelopoulos & Bates,
+    arXiv:2107.07511): the DISTRIBUTION-FREE coverage guarantee a
+    production labeler wraps around any classifier — emit a SET of
+    labels per document such that the true label is inside with
+    probability >= 1 − α, no matter how miscalibrated the scores are.
+
+    Proper split: a salted portable-hash bucket (the split_corpus
+    no-RNG discipline — doc_id %-style splits CORRELATE with the
+    fixture's source cycle and would starve the training labels) routes
+    ~cal_pct%% of docs to calibration; the model trains on the rest.
+    Held-out calibration docs supply the nonconformity scores
+    s = −score_nano(true label); q̂ is the ⌈(n+1)(1−α)⌉-th smallest
+    (α = 0.1, the ceiling taken in exact integer arithmetic), found by
+    DISTRIBUTED exact rank (util.global_row_number — no single-reducer
+    sort). Test docs (the train split) get C(x) = {labels : −score ≤
+    q̂}.
+
+    Returns one row per observed prediction-set size (set_size, n_docs,
+    n_covered) — n_covered counts docs whose true label is in the set —
+    plus q_hat_nano and n_cal repeated on each row; sum n_covered /
+    sum n_docs is the empirical coverage the guarantee bounds.
+
+    Scale shape: the nb chain + one |docs|·|labels| score table
+    (localCheckpoint'd — three consumers, the nb_abstain lesson), one
+    range shuffle for the calibration rank, broadcast q̂, one
+    map-side-combined set-size aggregate."""
+    from .cleaning import hash_bucket
+    from .util import global_row_number
+
+    is_cal = hash_bucket(
+        F.concat(F.lit("cp:"), F.col(id_col).cast("string"))) < cal_pct
+    train = docs.filter(~is_cal)
+    model, labels = nb_model(train, label_col, text_col, id_col)
+    scores = nb_scores(docs, model, labels, text_col, id_col) \
+        .localCheckpoint(eager=True)
+    actual = docs.select(F.col(id_col).alias("id"),
+                         F.col(label_col).alias("__act"),
+                         hash_bucket(F.concat(
+                             F.lit("cp:"),
+                             F.col(id_col).cast("string")))
+                         .alias("__bkt"))
+    cal = (scores.join(actual, "id")
+           .filter((F.col("__bkt") < cal_pct)
+                   & (F.col("label") == F.col("__act")))
+           .select("id", (-F.col("score_nano")).alias("__nc")))
+    k = (cal.agg(F.count(F.lit(1)).cast("bigint").alias("n_cal"))
+         .select("n_cal",
+                 F.expr("(9 * (n_cal + 1) + 9) div 10").alias("__k")))
+    ranked = global_row_number(cal, [F.col("__nc"), F.col("id")], "__rn")
+    qh = (ranked.crossJoin(F.broadcast(k))
+          .filter(F.col("__rn") == F.col("__k"))
+          .select(F.col("__nc").alias("q_hat_nano"), "n_cal"))
+    test_keys = actual.filter(F.col("__bkt") >= cal_pct) \
+        .select("id", "__act")
+    test = (scores.join(test_keys.select("id").distinct(), "id")
+            .crossJoin(F.broadcast(qh)))
+    in_set = test.filter(-F.col("score_nano") <= F.col("q_hat_nano"))
+    sets = (in_set.join(actual.select("id", "__act"), "id")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("set_size"),
+                 F.max((F.col("label") == F.col("__act")).cast("int"))
+                 .alias("__cov")))
+    test_ids = test_keys.select("id")
+    dens = (test_ids.join(sets, "id", "left")
+            .select(F.coalesce("set_size", F.lit(0)).alias("set_size"),
+                    F.coalesce("__cov", F.lit(0)).alias("__cov")))
+    return (dens.groupBy("set_size")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("__cov").cast("bigint").alias("n_covered"))
+            .crossJoin(F.broadcast(qh))
+            .select(F.col("set_size").cast("int").alias("set_size"),
+                    "n_docs", "n_covered", "q_hat_nano", "n_cal"))

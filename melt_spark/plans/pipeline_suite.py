@@ -3528,11 +3528,20 @@ def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the shared NB score-table CTE chain: everything through the full
 # (doc, label) score matrix — consumed by both the argmax classifier
 # oracle (SQL_NB_CLASSIFY) and the calibration oracle (SQL_NB_CALIBRATION)
-_NB_SCORES_BODY = f"""tok AS MATERIALIZED (
+def _nb_scores_body(train_pred: str = "TRUE") -> str:
+    """The shared NB train+score CTE chain. ``train_pred`` restricts the
+    TRAINING corpus (counts, vocabulary, priors) to matching documents;
+    scoring always covers every document — the split-conformal oracle
+    trains on the non-calibration split while scoring all docs, exactly
+    like the Spark side's nb_model(train)/nb_scores(all)."""
+    return f"""tok AS MATERIALIZED (
   SELECT doc_id, source, unnest({_TOKS}) AS tok FROM documents
 ),
+tok_tr AS MATERIALIZED (
+  SELECT * FROM tok WHERE {train_pred}
+),
 c AS MATERIALIZED (
-  SELECT source AS label, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2
+  SELECT source AS label, tok, COUNT(*) AS c FROM tok_tr GROUP BY 1, 2
 ),
 ns AS MATERIALIZED (
   SELECT label, CAST(SUM(c) AS BIGINT) AS n_s FROM c GROUP BY label
@@ -3547,7 +3556,7 @@ model AS MATERIALIZED (
   FROM c JOIN ns USING (label) CROSS JOIN v
 ),
 nd AS (SELECT source AS label, COUNT(*) AS n_docs FROM documents
-       GROUP BY 1),
+       WHERE {train_pred} GROUP BY 1),
 lab AS MATERIALIZED (
   SELECT label,
          CAST(round(ln(CAST(n_docs AS DOUBLE)
@@ -3582,6 +3591,9 @@ pred AS (
   QUALIFY row_number() OVER (PARTITION BY doc_id
                              ORDER BY score_nano DESC, label) = 1
 )"""
+
+
+_NB_SCORES_BODY = _nb_scores_body()
 
 SQL_NB_CLASSIFY = f"""
 WITH {_NB_SCORES_BODY}
@@ -3696,6 +3708,66 @@ SELECT CAST(t.thr_nano AS BIGINT) AS thr_nano,
 FROM md m CROSS JOIN thr t CROSS JOIN tot
 GROUP BY t.thr_nano
 """
+
+
+def q_conformal_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction sets (functions/classify.py
+    conformal_nb): train NB on doc_id %% 5 != 0, calibrate the α=0.1
+    nonconformity quantile on the held-out 20%%, emit per-set-size
+    counts + empirical coverage over the test split — the
+    distribution-free coverage wrapper beside the abstention curve."""
+    from ..functions.classify import conformal_nb
+
+    docs = read_table(spark, sf_dir, "documents")
+    return conformal_nb(docs)
+
+
+def _sql_conformal() -> str:
+    bkt = _hex_int_sql("'cp:' || CAST(doc_id AS VARCHAR)") + " % 100"
+    return f"""
+WITH {_nb_scores_body(f"({bkt}) >= 20")},
+cal AS (
+  SELECT s.doc_id AS id, -s.score_nano AS nc
+  FROM scores s JOIN documents d
+    ON d.doc_id = s.doc_id AND d.source = s.label
+  WHERE ({bkt.replace('doc_id', 's.doc_id')}) < 20
+),
+kk AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+         (9 * (COUNT(*) + 1) + 9) // 10 AS k
+  FROM cal
+),
+qh AS (
+  SELECT nc AS q_hat_nano, n_cal
+  FROM (SELECT nc, row_number() OVER (ORDER BY nc, id) AS rn FROM cal)
+  CROSS JOIN kk WHERE rn = k
+),
+sets AS (
+  SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS set_size,
+         MAX(CASE WHEN d.source = s.label THEN 1 ELSE 0 END) AS cov
+  FROM scores s JOIN documents d ON d.doc_id = s.doc_id
+  CROSS JOIN qh
+  WHERE ({bkt.replace('doc_id', 's.doc_id')}) >= 20
+    AND -s.score_nano <= q_hat_nano
+  GROUP BY s.doc_id
+),
+dens AS (
+  SELECT COALESCE(sets.set_size, 0) AS set_size,
+         COALESCE(sets.cov, 0) AS cov
+  FROM (SELECT DISTINCT doc_id FROM documents
+        WHERE ({bkt}) >= 20) t
+  LEFT JOIN sets ON sets.doc_id = t.doc_id
+)
+SELECT CAST(set_size AS INT) AS set_size,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(cov) AS BIGINT) AS n_covered,
+       MAX(qh.q_hat_nano) AS q_hat_nano, MAX(qh.n_cal) AS n_cal
+FROM dens CROSS JOIN qh
+GROUP BY set_size
+"""
+
+
+SQL_CONFORMAL_NB = _sql_conformal()
 
 
 def q_lsh_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3918,6 +3990,7 @@ FROM v GROUP BY domain ORDER BY domain
 PIPELINE_SUITE: dict[str, tuple] = {
     "domain_gate": (q_domain_gate, SQL_DOMAIN_GATE),
     "heaps_law": (q_heaps_law, SQL_HEAPS_LAW),
+    "conformal_nb": (q_conformal_nb, SQL_CONFORMAL_NB),
     "kmeans_train": (q_kmeans_train, SQL_KMEANS_TRAIN),
     "greedy_coverage": (q_greedy_coverage, SQL_GREEDY_COVERAGE),
     "pareto_docs": (q_pareto_docs, SQL_PARETO_DOCS),

@@ -2567,6 +2567,22 @@ SUITE: dict[str, tuple] = {
                               F.col("weight").alias("v")),
          "SELECT 'mix' AS kind, source AS key, n_tokens AS n1,"
          " expected_tokens AS n2, weight AS v"),
+        # r8: split-conformal prediction sets over the NB classifier —
+        # distribution-free coverage; q_hat_nano < 2^53 rides the
+        # double slot exactly
+        (PIPELINE_SUITE["conformal_nb"],
+         lambda df: df.select(F.lit("cp").alias("kind"),
+                              F.concat_ws("|",
+                                          F.col("set_size").cast("string"),
+                                          F.col("n_cal").cast("string"))
+                              .alias("key"),
+                              F.col("n_docs").alias("n1"),
+                              F.col("n_covered").alias("n2"),
+                              F.col("q_hat_nano").cast("double")
+                              .alias("v")),
+         "SELECT 'cp' AS kind, CAST(set_size AS VARCHAR) || '|' ||"
+         " CAST(n_cal AS VARCHAR) AS key, n_docs AS n1,"
+         " n_covered AS n2, CAST(q_hat_nano AS DOUBLE) AS v"),
         # r8: Heaps'-law vocabulary growth — types vs tokens at 20
         # checkpoints + fitted exponent; beta_e6 rides the double slot
         (PIPELINE_SUITE["heaps_law"],

@@ -265,3 +265,33 @@ def test_heaps_curve_monotone_and_exact_totals(spark):
     assert out[-1].n_types == 20                    # w0..w19
     assert all(r.beta_e6 == out[0].beta_e6 for r in out)
     assert 0 < out[0].beta_e6 <= 1_000_000
+
+
+def test_conformal_nb_partition_and_quantile_semantics(spark):
+    """Prediction sets partition the test split (sum n_docs == n_test);
+    a doc's true label outside its set is exactly the uncovered count;
+    with distinctive per-class vocabulary most sets should be small."""
+    from pyspark.sql import Row
+
+    from melt_spark.functions.classify import conformal_nb
+    from melt_spark.functions.cleaning import hash_bucket
+    from pyspark.sql import functions as F
+
+    # two well-separated classes, 60 docs each
+    rows = []
+    for i in range(120):
+        lab = "a" if i % 2 == 0 else "b"
+        word = "apple" if lab == "a" else "banana"
+        rows.append(Row(doc_id=i, source=lab,
+                        text=" ".join([word] * 6)))
+    docs = spark.createDataFrame(rows)
+    out = conformal_nb(docs).collect()
+    n_test = docs.filter(hash_bucket(
+        F.concat(F.lit("cp:"), F.col("doc_id").cast("string"))) >= 20) \
+        .count()
+    assert sum(r.n_docs for r in out) == n_test
+    assert all(r.n_covered <= r.n_docs for r in out)
+    assert all(0 <= r.set_size <= 2 for r in out)
+    # perfectly separable vocab: every covered doc needs only its label
+    cov = sum(r.n_covered for r in out)
+    assert cov / n_test >= 0.85   # the 1-alpha=0.9 guarantee, n-fuzzed

@@ -187,7 +187,7 @@ PROBES = ["text_quality", "dedup_minhash_lsh", "clean_corpus",
           # r8 wave 3: autocorrelation (bounded per-key day-span folds),
           # always-valid mSPRT (pure moments) and Heaps vocab growth
           # (two map-side groupBys + checkpoint-sized everything)
-          "acf_daily", "msprt", "heaps_law"]
+          "acf_daily", "msprt", "heaps_law", "conformal_nb"]
 
 
 def _span_query(via: str):
@@ -425,7 +425,9 @@ _EXTRA_QUERIES = {"span_dedup_digest": _span_query("digest"),
                   "msprt":
                       _constituent("analytics_suite", "q_msprt"),
                   "heaps_law":
-                      _constituent("pipeline_suite", "q_heaps_law")}
+                      _constituent("pipeline_suite", "q_heaps_law"),
+                  "conformal_nb":
+                      _constituent("pipeline_suite", "q_conformal_nb")}
 
 
 def _shuffle_state(spark):
