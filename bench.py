@@ -99,7 +99,8 @@ BENCH_GROUPS_BY_NAME: dict[str, list[str]] = {
            "fdr_battery"],
     "r8": ["bpe_encode", "pack_bpe", "km_variants", "domain_gate",
            "welch_ttest", "spearman_drift", "kruskal_wallis",
-           "acf_daily", "msprt", "heaps_law", "conformal_nb"],
+           "acf_daily", "msprt", "heaps_law", "conformal_nb",
+           "gini_spend", "cochran_armitage"],
 }
 
 EXTRA_QUERIES = [

@@ -33,7 +33,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -74,3 +74,46 @@ def heavy_hitters(df: DataFrame, col: str, phi: float = 0.01) -> DataFrame:
              .groupBy(col).agg(F.count(F.lit(1)).alias("n"))
              .filter(F.col("n") > phi * n_total))
     return exact.select(F.col(col).alias("item"), "n")
+
+
+def gini_concentration(df: DataFrame, key_cols: list[str],
+                       id_col: str, value_col: str) -> DataFrame:
+    """Per-key Gini coefficient of the per-entity value distribution
+    (Gini 1912; the Lorenz-curve summary) — the concentration readout
+    behind "what share of revenue comes from how few users" and the
+    skew diagnostic's distributional complement.
+
+    Entities aggregate first (one map-side-combined groupBy on
+    (keys, id)); the sorted-order statistic uses the standard
+    G = (2·Σ r·x − (n+1)·Σx) / (n·Σx) with r the per-key row_number
+    over (value, id) — ties carry equal values, so the arbitrary order
+    within a tie cannot change Σ r·x + its mirror; the (value, id)
+    total order just makes the plan deterministic. Rank-weighted sums
+    ride DECIMAL(38) (r·x overflows BIGINT at replication scale).
+
+    Returns (keys..., n_entities, total, gini_ppm): exact counts/sums,
+    the coefficient in ppm rounded once. Degenerate keys (zero total)
+    emit gini_ppm = 0.
+
+    Scale shape: entity aggregate + one per-key rank window
+    (distributes; skewed keys pay their own sort, the exact-rank
+    floor) + one map-side-combined fold."""
+    per = (df.groupBy(*key_cols, F.col(id_col).alias("__id"))
+           .agg(F.sum(value_col).cast("long").alias("__x")))
+    w = Window.partitionBy(*key_cols).orderBy("__x", "__id")
+    ranked = per.withColumn("__r", F.row_number().over(w))
+    dec = "decimal(38,0)"
+    agg = (ranked.groupBy(*key_cols)
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_entities"),
+                F.sum("__x").cast("bigint").alias("total"),
+                F.sum((F.col("__r") * F.col("__x")).cast(dec))
+                .alias("__srx")))
+    nd = F.col("n_entities").cast("double")
+    tot = F.col("total").cast("double")
+    g = ((F.lit(2.0) * F.col("__srx").cast("double")
+          - (nd + F.lit(1.0)) * tot) / (nd * tot))
+    return agg.select(
+        *key_cols, "n_entities", "total",
+        F.when(F.col("total") > 0,
+               F.round(g * F.lit(1_000_000.0))).otherwise(F.lit(0))
+        .cast("bigint").alias("gini_ppm"))

@@ -889,3 +889,53 @@ def msprt_two_sample(df: DataFrame, key_cols: list[str], value_col: str,
         .cast("bigint").alias("v_e9"),
         F.round(p * F.lit(1_000_000.0)).cast("bigint").alias("p_e6"),
         F.round(mde * F.lit(10_000.0)).cast("bigint").alias("mde_e4"))
+
+
+def cochran_armitage(df: DataFrame, key_cols: list[str],
+                     score_col: str, hit_col: str) -> DataFrame:
+    """Per-key Cochran-Armitage trend test (Cochran, Biometrics 1954;
+    Armitage 1955): is a binary outcome's proportion MONOTONICALLY
+    trending across ordered categories (dose-response, day-of-week
+    drift, cohort-age decay)? ``score_col`` holds the small-integer
+    ordered category score, ``hit_col`` the 0/1 outcome.
+
+    z = Σwᵢ(rᵢ − nᵢp̄) / sqrt(p̄(1−p̄)·[Σw²nᵢ − (Σwnᵢ)²/N]) — every
+    ingredient an exact BIGINT sum over one map-side-combined groupBy
+    on (keys, score); z_e6 is a pinned IEEE expression rounded once.
+    Degenerate keys (p̄ ∈ {0,1} or a single category) emit z_e6 = 0.
+
+    Returns one row per (keys..., score): n_i, r_i exact, with n_total,
+    r_total and the key-level z_e6 repeated (the kruskal detail+summary
+    discipline, flattened)."""
+    cell = (df.select(*key_cols, F.col(score_col).alias("__w"),
+                      F.col(hit_col).cast("long").alias("__y"))
+            .groupBy(*key_cols, "__w")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_i"),
+                 F.sum("__y").cast("bigint").alias("r_i")))
+    tot = (cell.groupBy(*key_cols)
+           .agg(F.sum("n_i").cast("bigint").alias("n_total"),
+                F.sum("r_i").cast("bigint").alias("r_total"),
+                F.sum(F.col("__w") * F.col("r_i")).cast("bigint")
+                .alias("__swr"),
+                F.sum(F.col("__w") * F.col("n_i")).cast("bigint")
+                .alias("__swn"),
+                F.sum(F.col("__w") * F.col("__w") * F.col("n_i"))
+                .cast("bigint").alias("__sw2n"),
+                F.count(F.lit(1)).alias("__k")))
+    nd = F.col("n_total").cast("double")
+    pbar = F.col("r_total").cast("double") / nd
+    num = (F.col("__swr").cast("double")
+           - pbar * F.col("__swn").cast("double"))
+    den2 = (pbar * (F.lit(1.0) - pbar)
+            * (F.col("__sw2n").cast("double")
+               - F.col("__swn").cast("double")
+               * F.col("__swn").cast("double") / nd))
+    ok = (F.col("r_total") > 0) & (F.col("r_total") < F.col("n_total")) \
+        & (F.col("__k") >= 2) & (den2 > 0)
+    z = F.when(ok, num / F.sqrt(den2)).otherwise(F.lit(0.0))
+    keyed = tot.select(*key_cols, "n_total", "r_total",
+                       F.round(z * F.lit(1_000_000.0)).cast("bigint")
+                       .alias("z_e6"))
+    return (cell.join(keyed, key_cols)
+            .select(*key_cols, F.col("__w").cast("int").alias("score"),
+                    "n_i", "r_i", "n_total", "r_total", "z_e6"))

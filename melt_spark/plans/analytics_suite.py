@@ -1090,6 +1090,122 @@ FROM d
 """
 
 
+def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Gini coefficient of per-user spend
+    (functions/heavy.py gini_concentration) — the Lorenz-curve
+    concentration summary beside the skew diagnostic's head counts:
+    how unequal is the value distribution across users."""
+    from ..functions.heavy import gini_concentration
+
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select("event_type", "user_id",
+                     F.round(F.col("value") * 100).cast("bigint")
+                     .alias("cents"))
+    return gini_concentration(base, ["event_type"], "user_id", "cents")
+
+
+SQL_GINI_SPEND = """
+WITH per AS (
+  SELECT event_type, user_id,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY x, user_id) AS rn
+  FROM per
+),
+a AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_entities,
+         CAST(SUM(x) AS BIGINT) AS total,
+         SUM(CAST(rn AS HUGEINT) * x) AS srx
+  FROM r GROUP BY 1
+)
+SELECT event_type, n_entities, total,
+  CAST(CASE WHEN total > 0 THEN
+    round((CAST(2.0 AS DOUBLE) * CAST(srx AS DOUBLE)
+           - (CAST(n_entities AS DOUBLE) + CAST(1.0 AS DOUBLE))
+             * CAST(total AS DOUBLE))
+          / (CAST(n_entities AS DOUBLE) * CAST(total AS DOUBLE))
+          * CAST(1000000.0 AS DOUBLE))
+    ELSE 0 END AS BIGINT) AS gini_ppm
+FROM a
+"""
+
+
+def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test (functions/hypothesis.py) per event
+    type: is the share of high-value events (value >= 100) trending
+    monotonically across ISO weekday 1..7? The ordered-category
+    dose-response test beside chi2_weekday's unordered independence
+    check — a weekly ramp that chi-square dilutes shows up as one
+    signed z here."""
+    from ..functions.hypothesis import cochran_armitage
+
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.dayofweek(F.col("ts")).alias("dow_raw"),
+        (F.col("value") >= 100.0).cast("int").alias("hit"))
+    # ISO weekday 1..7 from Spark's Sunday-1 dayofweek, matching
+    # DuckDB's isodow — the chi2_weekday convention
+    base = base.select(
+        "event_type",
+        F.when(F.col("dow_raw") == 1, F.lit(7))
+        .otherwise(F.col("dow_raw") - 1).alias("isodow"), "hit")
+    return cochran_armitage(base, ["event_type"], "isodow", "hit")
+
+
+SQL_COCHRAN_ARMITAGE = """
+WITH base AS (
+  SELECT event_type, CAST(isodow(ts) AS BIGINT) AS w,
+         CASE WHEN value >= 100.0 THEN 1 ELSE 0 END AS y
+  FROM events
+),
+cell AS (
+  SELECT event_type, w, CAST(COUNT(*) AS BIGINT) AS n_i,
+         CAST(SUM(y) AS BIGINT) AS r_i
+  FROM base GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type,
+         CAST(SUM(n_i) AS BIGINT) AS n_total,
+         CAST(SUM(r_i) AS BIGINT) AS r_total,
+         CAST(SUM(w * r_i) AS BIGINT) AS swr,
+         CAST(SUM(w * n_i) AS BIGINT) AS swn,
+         CAST(SUM(w * w * n_i) AS BIGINT) AS sw2n,
+         COUNT(*) AS k
+  FROM cell GROUP BY 1
+),
+z AS (
+  SELECT event_type, n_total, r_total,
+    CASE WHEN r_total > 0 AND r_total < n_total AND k >= 2
+              AND (CAST(r_total AS DOUBLE) / CAST(n_total AS DOUBLE))
+                  * (CAST(1.0 AS DOUBLE)
+                     - CAST(r_total AS DOUBLE) / CAST(n_total AS DOUBLE))
+                  * (CAST(sw2n AS DOUBLE)
+                     - CAST(swn AS DOUBLE) * CAST(swn AS DOUBLE)
+                       / CAST(n_total AS DOUBLE)) > 0
+    THEN (CAST(swr AS DOUBLE)
+          - (CAST(r_total AS DOUBLE) / CAST(n_total AS DOUBLE))
+            * CAST(swn AS DOUBLE))
+         / sqrt((CAST(r_total AS DOUBLE) / CAST(n_total AS DOUBLE))
+                * (CAST(1.0 AS DOUBLE)
+                   - CAST(r_total AS DOUBLE) / CAST(n_total AS DOUBLE))
+                * (CAST(sw2n AS DOUBLE)
+                   - CAST(swn AS DOUBLE) * CAST(swn AS DOUBLE)
+                     / CAST(n_total AS DOUBLE)))
+    ELSE 0.0 END AS zz
+  FROM tot
+)
+SELECT c.event_type, CAST(c.w AS INT) AS score, c.n_i, c.r_i,
+       z.n_total, z.r_total,
+       CAST(round(z.zz * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS z_e6
+FROM cell c JOIN z ON z.event_type = c.event_type
+"""
+
+
 def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kruskal-Wallis H (functions/hypothesis.py) per event type across
     THREE md5 user cohorts — the k-group generalization of
@@ -6085,6 +6201,8 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "spearman_drift": (q_spearman_drift, SQL_SPEARMAN_DRIFT),
     "msprt": (q_msprt, SQL_MSPRT),
     "kruskal_wallis": (q_kruskal_wallis, SQL_KRUSKAL_WALLIS),
+    "gini_spend": (q_gini_spend, SQL_GINI_SPEND),
+    "cochran_armitage": (q_cochran_armitage, SQL_COCHRAN_ARMITAGE),
     "benford_prices": (q_benford_prices, SQL_BENFORD_PRICES),
     "kaplan_meier": (q_kaplan_meier, SQL_KAPLAN_MEIER),
     "km_variants": (q_km_variants, SQL_KM_VARIANTS),

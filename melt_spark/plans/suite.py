@@ -3384,6 +3384,30 @@ SUITE: dict[str, tuple] = {
              F.col("n")),
          "SELECT 'spear' AS kind, event_type || '|' ||"
          " CAST(rho_e6 AS VARCHAR) AS key, n"),
+        # r8: per-type Gini of per-user spend — the Lorenz-curve
+        # concentration summary beside the skew head counts
+        (ANALYTICS_SUITE["gini_spend"],
+         lambda df: df.select(
+             F.lit("gini").alias("kind"),
+             F.concat_ws("|", "event_type",
+                         F.col("gini_ppm").cast("string")).alias("key"),
+             F.col("n_entities").alias("n")),
+         "SELECT 'gini' AS kind, event_type || '|' ||"
+         " CAST(gini_ppm AS VARCHAR) AS key, n_entities AS n"),
+        # r8: Cochran-Armitage weekday trend of the high-value share —
+        # ordered-category dose-response beside chi2_weekday
+        (ANALYTICS_SUITE["cochran_armitage"],
+         lambda df: df.selectExpr(
+             "event_type", "score", "z_e6",
+             "stack(2, 'ca_n', n_i, 'ca_r', r_i) AS (kind, n)")
+         .select("kind",
+                 F.concat_ws("|", "event_type",
+                             F.col("score").cast("string"),
+                             F.col("z_e6").cast("string")).alias("key"),
+                 "n"),
+         "SELECT unnest(['ca_n', 'ca_r']) AS kind,"
+         " event_type || '|' || CAST(score AS VARCHAR) || '|' ||"
+         " CAST(z_e6 AS VARCHAR) AS key, unnest([n_i, r_i]) AS n"),
         # r8: Kruskal-Wallis H across three md5 cohorts — the k-group
         # rank test; per-group rank sums ride n, tie term + H the key
         (ANALYTICS_SUITE["kruskal_wallis"],

@@ -40,3 +40,22 @@ def test_no_hitters_above_threshold(spark):
     """Uniform data with phi above every frequency -> empty, not error."""
     df = spark.range(1000).select((F.col("id") % 500).alias("item"))
     assert heavy_hitters(df, "item", 0.5).count() == 0
+
+
+def test_gini_extremes_and_known_value(spark):
+    """Equal shares -> G = (n-1)/n-ish small bound 0; total
+    concentration -> G -> (n-1)/n; hand case [1,2,3,4] -> 0.25."""
+    from melt_spark.functions.heavy import gini_concentration
+
+    rows = ([("eq", i, 10) for i in range(10)]
+            + [("one", 0, 100)] + [("one", i, 0) for i in range(1, 10)]
+            + [("hand", i, v) for i, v in enumerate([1, 2, 3, 4])])
+    df = spark.createDataFrame(rows, "k string, uid long, v long")
+    out = {r.k: r for r in
+           gini_concentration(df, ["k"], "uid", "v").collect()}
+    assert out["eq"].gini_ppm == 0
+    # all value on one of 10 entities: G = (n-1)/n = 0.9
+    assert out["one"].gini_ppm == 900_000
+    # [1,2,3,4]: G = 2*(1+4+9+16)/(4*10) - 5/4 = 0.25
+    assert out["hand"].gini_ppm == 250_000
+    assert out["hand"].total == 10

@@ -538,3 +538,31 @@ def test_msprt_degenerate_zero_spread(spark):
                                 ("k", 5, 1)], "k string, v long, g int")
     r = msprt_two_sample(df, ["k"], "v", "g").collect()[0]
     assert (r.p_e6, r.mde_e4, r.v_e9) == (1_000_000, 0, 0)
+
+
+def test_cochran_armitage_detects_planted_trend(spark):
+    """A linear ramp in hit share across scores 1..5 gives a large
+    positive z; a flat share gives |z| ~ 0."""
+    from melt_spark.functions.hypothesis import cochran_armitage
+
+    rows = []
+    for w in range(1, 6):
+        for i in range(100):
+            rows.append(("ramp", w, 1 if i < w * 15 else 0))
+            rows.append(("flat", w, 1 if i < 40 else 0))
+    df = spark.createDataFrame(rows, "k string, w int, y int")
+    out = {(r.k, r.score): r for r in
+           cochran_armitage(df, ["k"], "w", "y").collect()}
+    assert out[("ramp", 1)].z_e6 > 5_000_000    # z > 5
+    assert abs(out[("flat", 3)].z_e6) < 1_000   # z ~ 0 exactly flat
+    assert out[("ramp", 2)].n_i == 100
+    assert out[("ramp", 5)].r_i == 75
+
+
+def test_cochran_armitage_degenerate_all_hits(spark):
+    from melt_spark.functions.hypothesis import cochran_armitage
+
+    df = spark.createDataFrame([("k", w, 1) for w in (1, 2, 3)],
+                               "k string, w int, y int")
+    assert all(r.z_e6 == 0 for r in
+               cochran_armitage(df, ["k"], "w", "y").collect())

@@ -187,7 +187,8 @@ PROBES = ["text_quality", "dedup_minhash_lsh", "clean_corpus",
           # r8 wave 3: autocorrelation (bounded per-key day-span folds),
           # always-valid mSPRT (pure moments) and Heaps vocab growth
           # (two map-side groupBys + checkpoint-sized everything)
-          "acf_daily", "msprt", "heaps_law", "conformal_nb"]
+          "acf_daily", "msprt", "heaps_law", "conformal_nb",
+          "gini_spend", "cochran_armitage"]
 
 
 def _span_query(via: str):
@@ -427,7 +428,12 @@ _EXTRA_QUERIES = {"span_dedup_digest": _span_query("digest"),
                   "heaps_law":
                       _constituent("pipeline_suite", "q_heaps_law"),
                   "conformal_nb":
-                      _constituent("pipeline_suite", "q_conformal_nb")}
+                      _constituent("pipeline_suite", "q_conformal_nb"),
+                  "gini_spend":
+                      _constituent("analytics_suite", "q_gini_spend"),
+                  "cochran_armitage":
+                      _constituent("analytics_suite",
+                                   "q_cochran_armitage")}
 
 
 def _shuffle_state(spark):
