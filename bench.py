@@ -100,7 +100,7 @@ BENCH_GROUPS_BY_NAME: dict[str, list[str]] = {
     "r8": ["bpe_encode", "pack_bpe", "km_variants", "domain_gate",
            "welch_ttest", "spearman_drift", "kruskal_wallis",
            "acf_daily", "msprt", "heaps_law", "conformal_nb",
-           "gini_spend", "cochran_armitage"],
+           "gini_spend", "cochran_armitage", "srm_check", "did"],
 }
 
 EXTRA_QUERIES = [

@@ -939,3 +939,90 @@ def cochran_armitage(df: DataFrame, key_cols: list[str],
     return (cell.join(keyed, key_cols)
             .select(*key_cols, F.col("__w").cast("int").alias("score"),
                     "n_i", "r_i", "n_total", "r_total", "z_e6"))
+
+
+def srm_check(df: DataFrame, key_cols: list[str],
+              group_col: str) -> DataFrame:
+    """Per-key sample-ratio-mismatch guard (Fabijan et al., "Diagnosing
+    sample ratio mismatch in online controlled experiments", KDD 2019):
+    the FIRST check every experimentation platform runs — if the
+    variant split deviates from the designed 50/50, the assignment
+    pipeline is broken and every downstream metric is invalid.
+
+    Returns (keys..., n0, n1, chi2_e6, srm): the 1-df chi-square of the
+    observed counts against the 50/50 design (exact integer counts;
+    (n0−n1)²/(n0+n1) — the algebraic reduction keeps it one division)
+    and the srm flag at the conventional 0.001 level (chi2 > 10.828).
+
+    One map-side-combined groupBy; nothing else."""
+    g0 = F.col("__g") == 0
+    agg = (df.select(*key_cols, F.col(group_col).alias("__g"))
+           .groupBy(*key_cols)
+           .agg(F.sum(g0.cast("long")).cast("bigint").alias("n0"),
+                F.sum((~g0).cast("long")).cast("bigint").alias("n1")))
+    d = (F.col("n0") - F.col("n1")).cast("double")
+    n = (F.col("n0") + F.col("n1")).cast("double")
+    chi2 = F.when(n > 0, d * d / n).otherwise(F.lit(0.0))
+    return agg.select(
+        *key_cols, "n0", "n1",
+        F.round(chi2 * F.lit(1_000_000.0)).cast("bigint")
+        .alias("chi2_e6"),
+        (chi2 > F.lit(10.828)).cast("int").alias("srm"))
+
+
+def diff_in_diff(df: DataFrame, key_cols: list[str], value_col: str,
+                 group_col: str, period_col: str) -> DataFrame:
+    """Per-key 2x2 difference-in-differences estimator (Card & Krueger
+    1994 canon): the causal-inference workhorse when treatment rolls
+    out to one cohort over time —
+    DiD = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre),
+    removing both the cohort baseline and the common time trend.
+
+    ``group_col`` ∈ {0,1} (control/treat), ``period_col`` ∈ {0,1}
+    (pre/post). Returns one row per (keys..., grp, period) cell with
+    exact n/sum, plus the key-level did_e4 and its large-sample
+    se_e4 = sqrt(Σ cell var/n) repeated on each row (the kruskal
+    detail discipline). Cells with n < 2 zero the SE.
+
+    One map-side-combined groupBy on (keys, grp, period) — 4 cells per
+    key; the combine folds over the SORTED bounded cell list."""
+    cell = (df.select(*key_cols, F.col(value_col).alias("__v"),
+                      F.col(group_col).alias("__g"),
+                      F.col(period_col).alias("__p"))
+            .groupBy(*key_cols, "__g", "__p")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.sum("__v").cast("bigint").alias("s"),
+                 F.sum(F.col("__v") * F.col("__v")).cast("bigint")
+                 .alias("__ssq")))
+    one = cell.groupBy(*key_cols).agg(F.sort_array(F.collect_list(
+        F.struct("__g", "__p", "n", "s", "__ssq"))).alias("a"))
+    # cell mean fetch: sign (+ for (1,1) and (0,0)... no — DiD signs:
+    # +treat-post, -treat-pre, -ctrl-post, +ctrl-pre
+    mean_of = ("aggregate(filter(a, x -> x.__g = {g} AND x.__p = {p}),"
+               " 0.0D, (q, x) -> CAST(x.s AS DOUBLE)"
+               " / CAST(x.n AS DOUBLE))")
+    var_term = ("aggregate(filter(a, x -> x.__g = {g} AND x.__p = {p}),"
+                " 0.0D, (q, x) -> CASE WHEN x.n >= 2 THEN"
+                " ((CAST(x.__ssq AS DOUBLE) - CAST(x.s AS DOUBLE)"
+                "  * CAST(x.s AS DOUBLE) / CAST(x.n AS DOUBLE))"
+                "  / (CAST(x.n AS DOUBLE) - 1.0D))"
+                " / CAST(x.n AS DOUBLE) ELSE 0.0D END)")
+    did = F.expr(
+        f"({mean_of.format(g=1, p=1)}) - ({mean_of.format(g=1, p=0)})"
+        f" - ({mean_of.format(g=0, p=1)})"
+        f" + ({mean_of.format(g=0, p=0)})")
+    se = F.sqrt(F.expr(
+        " + ".join(var_term.format(g=g, p=p)
+                   for g in (0, 1) for p in (0, 1))))
+    keyed = one.select(
+        *key_cols, "a",
+        F.round(did * F.lit(10_000.0)).cast("bigint").alias("did_e4"),
+        F.round(se * F.lit(10_000.0)).cast("bigint").alias("se_e4"))
+    ex = keyed.select(*key_cols, "did_e4", "se_e4",
+                      F.explode("a").alias("x"))
+    return ex.select(*key_cols,
+                     F.col("x.__g").cast("int").alias("grp"),
+                     F.col("x.__p").cast("int").alias("period"),
+                     F.col("x.n").alias("n"),
+                     F.col("x.s").alias("sum_v"),
+                     "did_e4", "se_e4")

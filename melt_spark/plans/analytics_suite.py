@@ -1090,6 +1090,113 @@ FROM d
 """
 
 
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guard (functions/hypothesis.py srm_check,
+    Fabijan et al. KDD 2019) on the md5 variant split per event type —
+    the validity check run BEFORE any experiment metric is read; a
+    50/50 design that drifts means broken assignment, not a winning
+    variant."""
+    from ..functions.hypothesis import srm_check
+    from ..functions.sketches import kmv_hash
+
+    ev = read_table(spark, sf_dir, "events")
+    labeled = ev.select(
+        "event_type",
+        (kmv_hash(F.col("user_id")) % 2).cast("int").alias("grp"))
+    return srm_check(labeled, ["event_type"], "grp")
+
+
+SQL_SRM_CHECK = f"""
+WITH pts AS (
+  SELECT event_type, CAST({_MW_HASH} AS INT) AS grp FROM events
+),
+a AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+  FROM pts GROUP BY 1
+)
+SELECT event_type, n0, n1,
+  CAST(round(CASE WHEN n0 + n1 > 0 THEN
+    CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n1 AS DOUBLE)
+    / CAST(n0 + n1 AS DOUBLE) ELSE 0.0 END
+    * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS chi2_e6,
+  CAST(CASE WHEN CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n1 AS DOUBLE)
+                 / CAST(n0 + n1 AS DOUBLE) > 10.828
+            THEN 1 ELSE 0 END AS INT) AS srm
+FROM a
+"""
+
+
+def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x2 difference-in-differences (functions/hypothesis.py
+    diff_in_diff) per event type: md5-variant cohorts x pre/post halves
+    of the corpus window — the causal workhorse that nets out both the
+    cohort baseline and the common time trend; exact cell moments,
+    did/se in 1e-4 pinned IEEE."""
+    from ..functions.hypothesis import diff_in_diff
+    from ..functions.sketches import kmv_hash
+
+    ev = read_table(spark, sf_dir, "events")
+    mid = ev.agg(((F.min(F.col("ts").cast("long"))
+                   + F.max(F.col("ts").cast("long"))) / 2)
+                 .alias("__mid"))
+    base = (ev.crossJoin(F.broadcast(mid))
+            .select("event_type",
+                    F.round(F.col("value") * 100).cast("bigint")
+                    .alias("cents"),
+                    (kmv_hash(F.col("user_id")) % 2).cast("int")
+                    .alias("grp"),
+                    (F.col("ts").cast("long").cast("double")
+                     >= F.col("__mid")).cast("int").alias("period")))
+    return diff_in_diff(base, ["event_type"], "cents", "grp", "period")
+
+
+SQL_DID = f"""
+WITH mid AS (
+  SELECT (MIN(CAST(floor(epoch(ts)) AS BIGINT))
+          + MAX(CAST(floor(epoch(ts)) AS BIGINT))) / 2 AS m
+  FROM events
+),
+base AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+         CAST({_MW_HASH} AS INT) AS g,
+         CASE WHEN CAST(CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE)
+                   >= m THEN 1 ELSE 0 END AS p
+  FROM events CROSS JOIN mid
+),
+cell AS (
+  SELECT event_type, g, p, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS BIGINT) AS s,
+         CAST(SUM(v * v) AS BIGINT) AS ssq
+  FROM base GROUP BY 1, 2, 3
+),
+mv AS (
+  SELECT event_type,
+    SUM(CASE WHEN g = 1 AND p = 1
+             THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END)
+    - SUM(CASE WHEN g = 1 AND p = 0
+               THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END)
+    - SUM(CASE WHEN g = 0 AND p = 1
+               THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END)
+    + SUM(CASE WHEN g = 0 AND p = 0
+               THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END)
+      AS did,
+    sqrt(SUM(CASE WHEN n >= 2 THEN
+        ((CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+          / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+        / CAST(n AS DOUBLE) ELSE 0.0 END)) AS se
+  FROM cell GROUP BY 1
+)
+SELECT c.event_type, CAST(c.g AS INT) AS grp, CAST(c.p AS INT) AS period,
+       c.n, c.s AS sum_v,
+       CAST(round(mv.did * CAST(10000.0 AS DOUBLE)) AS BIGINT)
+         AS did_e4,
+       CAST(round(mv.se * CAST(10000.0 AS DOUBLE)) AS BIGINT) AS se_e4
+FROM cell c JOIN mv ON mv.event_type = c.event_type
+"""
+
+
 def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type Gini coefficient of per-user spend
     (functions/heavy.py gini_concentration) — the Lorenz-curve
@@ -6202,6 +6309,8 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "msprt": (q_msprt, SQL_MSPRT),
     "kruskal_wallis": (q_kruskal_wallis, SQL_KRUSKAL_WALLIS),
     "gini_spend": (q_gini_spend, SQL_GINI_SPEND),
+    "srm_check": (q_srm_check, SQL_SRM_CHECK),
+    "did": (q_did, SQL_DID),
     "cochran_armitage": (q_cochran_armitage, SQL_COCHRAN_ARMITAGE),
     "benford_prices": (q_benford_prices, SQL_BENFORD_PRICES),
     "kaplan_meier": (q_kaplan_meier, SQL_KAPLAN_MEIER),

@@ -3384,6 +3384,38 @@ SUITE: dict[str, tuple] = {
              F.col("n")),
          "SELECT 'spear' AS kind, event_type || '|' ||"
          " CAST(rho_e6 AS VARCHAR) AS key, n"),
+        # r8: sample-ratio-mismatch guard on the md5 split — the
+        # validity check run before reading any experiment metric
+        (ANALYTICS_SUITE["srm_check"],
+         lambda df: df.selectExpr(
+             "event_type", "chi2_e6", "srm",
+             "stack(2, 'srm_n0', n0, 'srm_n1', n1) AS (kind, n)")
+         .select("kind",
+                 F.concat_ws("|", "event_type",
+                             F.col("chi2_e6").cast("string"),
+                             F.col("srm").cast("string")).alias("key"),
+                 "n"),
+         "SELECT unnest(['srm_n0', 'srm_n1']) AS kind,"
+         " event_type || '|' || CAST(chi2_e6 AS VARCHAR) || '|' ||"
+         " CAST(srm AS VARCHAR) AS key, unnest([n0, n1]) AS n"),
+        # r8: 2x2 difference-in-differences on variant x pre/post —
+        # cell moments ride n, the estimate/SE ride the key
+        (ANALYTICS_SUITE["did"],
+         lambda df: df.selectExpr(
+             "event_type", "grp", "period", "did_e4", "se_e4",
+             "stack(2, 'did_n', n, 'did_s', sum_v) AS (kind, n)")
+         .select("kind",
+                 F.concat_ws("|", "event_type",
+                             F.col("grp").cast("string"),
+                             F.col("period").cast("string"),
+                             F.col("did_e4").cast("string"),
+                             F.col("se_e4").cast("string")).alias("key"),
+                 "n"),
+         "SELECT unnest(['did_n', 'did_s']) AS kind,"
+         " event_type || '|' || CAST(grp AS VARCHAR) || '|' ||"
+         " CAST(period AS VARCHAR) || '|' || CAST(did_e4 AS VARCHAR)"
+         " || '|' || CAST(se_e4 AS VARCHAR) AS key,"
+         " unnest([n, sum_v]) AS n"),
         # r8: per-type Gini of per-user spend — the Lorenz-curve
         # concentration summary beside the skew head counts
         (ANALYTICS_SUITE["gini_spend"],

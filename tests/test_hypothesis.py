@@ -566,3 +566,34 @@ def test_cochran_armitage_degenerate_all_hits(spark):
                                "k string, w int, y int")
     assert all(r.z_e6 == 0 for r in
                cochran_armitage(df, ["k"], "w", "y").collect())
+
+
+def test_srm_detects_broken_split(spark):
+    from melt_spark.functions.hypothesis import srm_check
+
+    rows = [("ok", i % 2) for i in range(1000)] \
+        + [("bad", 0)] * 700 + [("bad", 1)] * 300
+    df = spark.createDataFrame(rows, "k string, g int")
+    out = {r.k: r for r in srm_check(df, ["k"], "g").collect()}
+    assert (out["ok"].srm, out["ok"].chi2_e6) == (0, 0)
+    assert out["bad"].srm == 1
+    assert out["bad"].chi2_e6 == 160_000_000   # (400)^2/1000 = 160
+
+
+def test_did_hand_computed(spark):
+    """Treat rises by 10 post, control by 2 -> DiD = 8 exactly."""
+    from melt_spark.functions.hypothesis import diff_in_diff
+
+    rows = []
+    for i in range(50):
+        rows.append(("k", 100 + (i % 3), 0, 0))     # ctrl pre ~101
+        rows.append(("k", 102 + (i % 3), 0, 1))     # ctrl post +2
+        rows.append(("k", 200 + (i % 3), 1, 0))     # treat pre ~201
+        rows.append(("k", 210 + (i % 3), 1, 1))     # treat post +10
+    df = spark.createDataFrame(rows, "k string, v long, g int, p int")
+    out = diff_in_diff(df, ["k"], "v", "g", "p").collect()
+    assert len(out) == 4
+    assert all(r.did_e4 == 80_000 for r in out)     # 8.0000
+    assert all(r.se_e4 > 0 for r in out)
+    cells = {(r.grp, r.period): r.n for r in out}
+    assert cells == {(0, 0): 50, (0, 1): 50, (1, 0): 50, (1, 1): 50}

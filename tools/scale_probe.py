@@ -188,7 +188,7 @@ PROBES = ["text_quality", "dedup_minhash_lsh", "clean_corpus",
           # always-valid mSPRT (pure moments) and Heaps vocab growth
           # (two map-side groupBys + checkpoint-sized everything)
           "acf_daily", "msprt", "heaps_law", "conformal_nb",
-          "gini_spend", "cochran_armitage"]
+          "gini_spend", "cochran_armitage", "srm_check", "did"]
 
 
 def _span_query(via: str):
@@ -433,7 +433,10 @@ _EXTRA_QUERIES = {"span_dedup_digest": _span_query("digest"),
                       _constituent("analytics_suite", "q_gini_spend"),
                   "cochran_armitage":
                       _constituent("analytics_suite",
-                                   "q_cochran_armitage")}
+                                   "q_cochran_armitage"),
+                  "srm_check":
+                      _constituent("analytics_suite", "q_srm_check"),
+                  "did": _constituent("analytics_suite", "q_did")}
 
 
 def _shuffle_state(spark):
