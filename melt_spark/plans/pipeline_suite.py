@@ -2745,15 +2745,19 @@ def q_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_pack_bpe(rounds: int = BPE_ROUNDS) -> str:
+    # base MUST be MATERIALIZED: the recursive packer below references
+    # it once per chain step, and an inlined base re-derives the ENTIRE
+    # BPE train+segment chain each step — measured >5 min at sf0.1 vs
+    # seconds materialized (the kcore exponential-inlining lesson)
     return f"""WITH RECURSIVE {_bpe_chain(rounds)},
 tok AS (
   SELECT doc_id, unnest({_TOKS}) AS word FROM documents
 ),
-cnt AS (
+cnt AS MATERIALIZED (
   SELECT tok.doc_id, CAST(SUM(len(w.syms)) AS BIGINT) AS n_tokens
   FROM tok JOIN w{rounds} w USING (word) GROUP BY tok.doc_id
 ),
-base AS (
+base AS MATERIALIZED (
   SELECT doc_id % {PACK_GROUPS} AS grp, doc_id, n_tokens,
          CAST(row_number() OVER (PARTITION BY doc_id % {PACK_GROUPS}
                                  ORDER BY doc_id) AS BIGINT) AS rn
