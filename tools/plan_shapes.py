@@ -45,17 +45,42 @@ def plan_shape(plan: str) -> dict[str, int]:
     }
 
 
-def compute_shapes(sf_dir: str) -> dict[str, dict[str, int]]:
+# Beyond the 13 bench headliners, pin the heaviest constituents (r8
+# verdict next-round #3) — the plans where a lost broadcast or a new
+# shuffle costs the most at 100 TB and where bench noise is largest, so
+# the shape pin is the only reliable regression signal for them.
+HEAVY_CONSTITUENTS = [
+    "modularity", "adamic_adar", "butterflies", "bpe_encode", "pack_bpe",
+    "conformal_nb", "dbscan_customers", "pruning_eval", "incremental_knn",
+    "graph_ann",
+]
+
+
+def _pinned_queries() -> list[tuple[str, object]]:
     import bench
+    from melt_spark.plans.registry import constituents
+
+    reg = constituents()
+    return list(bench.BENCH_QUERIES) + [
+        (n, reg[n][0]) for n in HEAVY_CONSTITUENTS]
+
+
+def compute_shapes(sf_dir: str) -> dict[str, dict[str, int]]:
     from melt_spark.session import get_spark
 
     spark = get_spark("plan-shapes")
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted")
     out: dict[str, dict[str, int]] = {}
-    for name, fn in bench.BENCH_QUERIES:
+    for name, fn in _pinned_queries():
+        # Cache-state-free shapes (r8 verdict What's-wrong #1): in a
+        # shared session, an earlier .cache() swaps InMemoryRelation into
+        # shared subplans, deleting their internal exchanges from the
+        # formatted plan — the pin must not depend on what ran before it.
+        spark.catalog.clearCache()
         df = fn(spark, sf_dir)
         out[name] = plan_shape(df._jdf.queryExecution().explainString(mode))
+    spark.catalog.clearCache()
     return out
 
 
