@@ -12,10 +12,11 @@ suffix, so `www.example.co.uk` and `cdn.example.co.uk` both gate as
 `example.co.uk`.
 
 Scale shape: pure string expressions (codegen'd, zero Python) for the
-extraction; ONE hash shuffle on the domain for the cap's per-domain
-row_number (partitioned window — distributes); one map-side-combined
-groupBy for the profile. The suffix set is a literal — a production run
-swaps in the full PSL the same way.
+extraction; the cap is a SALTED two-level top-k (rank within
+(domain, salt), then rank the bounded survivors per domain) so a hot
+origin never lands in one sort task; one map-side-combined groupBy for
+the profile. The suffix set is a literal — a production run swaps in
+the full PSL the same way.
 """
 
 from __future__ import annotations
@@ -29,10 +30,17 @@ MULTI_SUFFIXES = ("co.uk", "ac.uk", "com.au", "co.jp", "org.uk")
 
 
 def registrable_domain(url: Column) -> Column:
-    """eTLD+1 of a URL: host = authority part, lowercased, port
-    stripped; registrable = last two labels, or last three when the
-    last two form a listed multi-label public suffix."""
-    host = F.regexp_extract(F.lower(url), r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+    """eTLD+1 of a URL: host = authority part, lowercased, userinfo and
+    port stripped; registrable = last two labels, or last three when the
+    last two form a listed multi-label public suffix.
+
+    The optional ``userinfo@`` prefix is consumed greedily up to the
+    LAST '@' before the path, so ``https://user:pw@example.com`` gates
+    as ``example.com`` — without it the host capture stopped at the
+    first ':' and admitted the spoofable ``user`` (a real-crawl URL can
+    smuggle an allowed domain into userinfo: ``https://good.com:x@evil.com``)."""
+    host = F.regexp_extract(
+        F.lower(url), r"^[a-z][a-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)", 1)
     labels = F.split(host, r"[.]")
     n = F.size(labels)
     last2 = F.concat_ws(".", F.element_at(labels, -2),
@@ -47,24 +55,44 @@ def registrable_domain(url: Column) -> Column:
 def domain_gate(docs: DataFrame, url_col: str,
                 blocklist: list[str], max_per_domain: int,
                 id_col: str = "doc_id",
-                chars_col: str = "n_chars") -> DataFrame:
+                chars_col: str = "n_chars",
+                n_salts: int = 32) -> DataFrame:
     """Per-document gate verdicts: (id, domain, verdict) with verdict in
     {'kept', 'blocked', 'capped'}. Blocklisted domains drop whole;
     surviving domains keep their first ``max_per_domain`` docs in
     ``id_col`` order (deterministic — the cap is reproducible on any
-    engine). The cap ranks only unblocked docs."""
+    engine). The cap ranks only unblocked docs.
+
+    Hot-domain hatch (salted top-k): a single per-domain row_number
+    would sort a wikipedia.org-sized origin in ONE task at 100 TB.
+    Instead the cap is a two-level select: (1) rank within
+    (domain, salt) — ``n_salts`` flat tasks per domain; a row whose
+    salt-local rank exceeds the cap already has >= cap smaller ids in
+    its OWN bucket, so it is provably 'capped' with no global look;
+    (2) only salt-local survivors (<= n_salts * cap rows per domain,
+    a bounded constant) enter the per-domain rank that picks the true
+    first ``max_per_domain`` ids. Output is provably identical to the
+    unsalted window (ids are unique), and no unbounded table is ever
+    broadcast or single-task-sorted."""
     d = docs.select(F.col(id_col).alias("id"), F.col(chars_col).alias("nc"),
                     registrable_domain(F.col(url_col)).alias("domain"))
     blocked = F.col("domain").isin(*blocklist)
-    # rank within (domain, blocked) so blocked docs don't consume cap
-    # slots — one hash shuffle on the domain, window distributes
-    ranked = (d.withColumn("__blocked", blocked)
-              .withColumn("__rn", F.row_number().over(
-                  Window.partitionBy("domain", "__blocked").orderBy("id"))))
-    verdict = (F.when(F.col("__blocked"), F.lit("blocked"))
-               .when(F.col("__rn") > max_per_domain, F.lit("capped"))
-               .otherwise(F.lit("kept")))
-    return ranked.select("id", "domain", "nc", verdict.alias("verdict"))
+    blk = d.filter(blocked).select(
+        "id", "domain", "nc", F.lit("blocked").alias("verdict"))
+    unb = d.filter(~blocked)
+    local = unb.withColumn("__lrn", F.row_number().over(
+        Window.partitionBy("domain", F.pmod(F.xxhash64("id"),
+                                            F.lit(n_salts)))
+        .orderBy("id")))
+    over = local.filter(F.col("__lrn") > max_per_domain).select(
+        "id", "domain", "nc", F.lit("capped").alias("verdict"))
+    cand = (local.filter(F.col("__lrn") <= max_per_domain)
+            .withColumn("__grn", F.row_number().over(
+                Window.partitionBy("domain").orderBy("id")))
+            .select("id", "domain", "nc",
+                    F.when(F.col("__grn") <= max_per_domain, F.lit("kept"))
+                    .otherwise(F.lit("capped")).alias("verdict")))
+    return blk.unionByName(cand).unionByName(over)
 
 
 def domain_profile(gated: DataFrame) -> DataFrame:

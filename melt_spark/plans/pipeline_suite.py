@@ -3954,7 +3954,8 @@ WITH u AS (
 h AS (
   SELECT doc_id, n_chars,
          regexp_extract(lower(url),
-                        '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host
+                        '^[a-z][a-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)',
+                        1) AS host
   FROM u
 ),
 d AS (

@@ -181,6 +181,11 @@ PROBES = ["text_quality", "dedup_minhash_lsh", "clean_corpus",
           # one-task sort)
           "bpe_encode", "pack_bpe", "km_variants", "domain_gate",
           "mw_bucketed_skew",
+          # r9: deliberately hot origin — ALL documents on one domain,
+          # the worst case for the per-domain cap — through the salted
+          # two-level top-k hatch (flat (domain,salt) tasks + a bounded
+          # survivor rank, never a one-task sort)
+          "domain_gate_hot",
           # r8 wave 2: the k-group/parametric/correlation tests (moment
           # aggregates and per-key rank windows — expected ~linear)
           "welch_ttest", "spearman_drift", "kruskal_wallis",
@@ -277,7 +282,28 @@ def _mw_skew_query():
     return q
 
 
+def _domain_hot_query():
+    """Deliberately hot domain (r8 verdict watch-item #4): ALL documents
+    on one origin, the worst case for the per-domain cap — probed through
+    the salted two-level top-k hatch to show the rank cost is n_salts
+    flat tasks plus a bounded survivor rank, not a one-task sort of the
+    whole origin."""
+    def q(spark, sf_dir):
+        from melt_spark.functions.provenance import (domain_gate,
+                                                     domain_profile)
+        from melt_spark.sources.parquet import read_table
+
+        docs = read_table(spark, sf_dir, "documents").withColumn(
+            "url", F.concat(F.lit("https://onehot.example.com/p/"),
+                            F.col("doc_id").cast("string")))
+        gated = domain_gate(docs, "url", ["blocked.example.org"],
+                            max_per_domain=4)
+        return domain_profile(gated)
+    return q
+
+
 _EXTRA_QUERIES = {"span_dedup_digest": _span_query("digest"),
+                  "domain_gate_hot": _domain_hot_query(),
                   "span_dedup_text": _span_query("text"),
                   "semantic_dedup": _semantic_query(None),
                   "semantic_dedup_coarse": _semantic_query(16),
