@@ -321,35 +321,42 @@ def conformal_nb(docs: DataFrame, label_col: str = "source",
     labels per document such that the true label is inside with
     probability >= 1 − α, no matter how miscalibrated the scores are.
 
-    Proper split: a salted portable-hash bucket (the split_corpus
-    no-RNG discipline — doc_id %-style splits CORRELATE with the
-    fixture's source cycle and would starve the training labels) routes
-    ~cal_pct%% of docs to calibration; the model trains on the rest.
+    Proper THREE-WAY split: a salted portable-hash bucket (the
+    split_corpus no-RNG discipline — doc_id %-style splits CORRELATE
+    with the fixture's source cycle and would starve the training
+    labels) routes bucket < cal_pct to CALIBRATION, the next cal_pct
+    band to TEST, and the rest to TRAIN. All three are disjoint, so the
+    reported empirical coverage is measured on docs the model never saw
+    at fit time and the distribution-free 1−α guarantee applies to it
+    (evaluating on the train split would bias coverage optimistically).
     Held-out calibration docs supply the nonconformity scores
     s = −score_nano(true label); q̂ is the ⌈(n+1)(1−α)⌉-th smallest
-    (α = 0.1, the ceiling taken in exact integer arithmetic), found by
-    DISTRIBUTED exact rank (util.global_row_number — no single-reducer
-    sort). Test docs (the train split) get C(x) = {labels : −score ≤
-    q̂}.
+    (α = 0.1, the ceiling taken in exact integer arithmetic, CLAMPED to
+    n_cal — a tiny calibration set degrades to q̂ = max score instead of
+    silently emitting zero rows), found by DISTRIBUTED exact rank
+    (util.global_row_number — no single-reducer sort). Test docs get
+    C(x) = {labels : −score ≤ q̂}.
 
     Returns one row per observed prediction-set size (set_size, n_docs,
     n_covered) — n_covered counts docs whose true label is in the set —
     plus q_hat_nano and n_cal repeated on each row; sum n_covered /
     sum n_docs is the empirical coverage the guarantee bounds.
 
-    Scale shape: the nb chain + one |docs|·|labels| score table
-    (localCheckpoint'd — three consumers, the nb_abstain lesson), one
-    range shuffle for the calibration rank, broadcast q̂, one
-    map-side-combined set-size aggregate."""
+    Scale shape: the nb chain scores ONLY the cal+test bands (2·cal_pct
+    of the corpus — the train split never enters the corpus-linear
+    doc-token shuffle, the r8 probe's 283 MB diet), one |cal+test|·
+    |labels| score table (localCheckpoint'd — three consumers, the
+    nb_abstain lesson), one range shuffle for the calibration rank,
+    broadcast q̂, one map-side-combined set-size aggregate."""
     from .cleaning import hash_bucket
     from .util import global_row_number
 
-    is_cal = hash_bucket(
-        F.concat(F.lit("cp:"), F.col(id_col).cast("string"))) < cal_pct
-    train = docs.filter(~is_cal)
+    bkt = hash_bucket(
+        F.concat(F.lit("cp:"), F.col(id_col).cast("string")))
+    train = docs.filter(bkt >= 2 * cal_pct)
     model, labels = nb_model(train, label_col, text_col, id_col)
-    scores = nb_scores(docs, model, labels, text_col, id_col) \
-        .localCheckpoint(eager=True)
+    scores = nb_scores(docs.filter(bkt < 2 * cal_pct), model, labels,
+                       text_col, id_col).localCheckpoint(eager=True)
     actual = docs.select(F.col(id_col).alias("id"),
                          F.col(label_col).alias("__act"),
                          hash_bucket(F.concat(
@@ -362,12 +369,14 @@ def conformal_nb(docs: DataFrame, label_col: str = "source",
            .select("id", (-F.col("score_nano")).alias("__nc")))
     k = (cal.agg(F.count(F.lit(1)).cast("bigint").alias("n_cal"))
          .select("n_cal",
-                 F.expr("(9 * (n_cal + 1) + 9) div 10").alias("__k")))
+                 F.expr("least((9 * (n_cal + 1) + 9) div 10, n_cal)")
+                 .alias("__k")))
     ranked = global_row_number(cal, [F.col("__nc"), F.col("id")], "__rn")
     qh = (ranked.crossJoin(F.broadcast(k))
           .filter(F.col("__rn") == F.col("__k"))
           .select(F.col("__nc").alias("q_hat_nano"), "n_cal"))
-    test_keys = actual.filter(F.col("__bkt") >= cal_pct) \
+    test_keys = actual.filter((F.col("__bkt") >= cal_pct)
+                              & (F.col("__bkt") < 2 * cal_pct)) \
         .select("id", "__act")
     test = (scores.join(test_keys.select("id").distinct(), "id")
             .crossJoin(F.broadcast(qh)))

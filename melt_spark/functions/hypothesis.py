@@ -982,7 +982,11 @@ def diff_in_diff(df: DataFrame, key_cols: list[str], value_col: str,
     (pre/post). Returns one row per (keys..., grp, period) cell with
     exact n/sum, plus the key-level did_e4 and its large-sample
     se_e4 = sqrt(Σ cell var/n) repeated on each row (the kruskal
-    detail discipline). Cells with n < 2 zero the SE.
+    detail discipline). Cells with n < 2 zero the SE. A key with fewer
+    than 4 populated cells has NO DiD estimate — a missing cell would
+    otherwise enter the contrast as mean 0.0 and yield a silently wrong
+    value — so such keys emit did_e4 = se_e4 = 0 (the welch/kruskal
+    degenerate-key discipline; the cell rows still report n/sum).
 
     One map-side-combined groupBy on (keys, grp, period) — 4 cells per
     key; the combine folds over the SORTED bounded cell list."""
@@ -1014,10 +1018,13 @@ def diff_in_diff(df: DataFrame, key_cols: list[str], value_col: str,
     se = F.sqrt(F.expr(
         " + ".join(var_term.format(g=g, p=p)
                    for g in (0, 1) for p in (0, 1))))
+    full = F.size("a") >= 4
     keyed = one.select(
         *key_cols, "a",
-        F.round(did * F.lit(10_000.0)).cast("bigint").alias("did_e4"),
-        F.round(se * F.lit(10_000.0)).cast("bigint").alias("se_e4"))
+        F.when(full, F.round(did * F.lit(10_000.0)).cast("bigint"))
+        .otherwise(F.lit(0)).cast("bigint").alias("did_e4"),
+        F.when(full, F.round(se * F.lit(10_000.0)).cast("bigint"))
+        .otherwise(F.lit(0)).cast("bigint").alias("se_e4"))
     ex = keyed.select(*key_cols, "did_e4", "se_e4",
                       F.explode("a").alias("x"))
     return ex.select(*key_cols,

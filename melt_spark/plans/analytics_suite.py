@@ -1172,7 +1172,7 @@ cell AS (
   FROM base GROUP BY 1, 2, 3
 ),
 mv AS (
-  SELECT event_type,
+  SELECT event_type, COUNT(*) AS n_cells,
     SUM(CASE WHEN g = 1 AND p = 1
              THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END)
     - SUM(CASE WHEN g = 1 AND p = 0
@@ -1190,9 +1190,12 @@ mv AS (
 )
 SELECT c.event_type, CAST(c.g AS INT) AS grp, CAST(c.p AS INT) AS period,
        c.n, c.s AS sum_v,
-       CAST(round(mv.did * CAST(10000.0 AS DOUBLE)) AS BIGINT)
-         AS did_e4,
-       CAST(round(mv.se * CAST(10000.0 AS DOUBLE)) AS BIGINT) AS se_e4
+       CAST(CASE WHEN mv.n_cells >= 4
+                 THEN round(mv.did * CAST(10000.0 AS DOUBLE))
+                 ELSE 0 END AS BIGINT) AS did_e4,
+       CAST(CASE WHEN mv.n_cells >= 4
+                 THEN round(mv.se * CAST(10000.0 AS DOUBLE))
+                 ELSE 0 END AS BIGINT) AS se_e4
 FROM cell c JOIN mv ON mv.event_type = c.event_type
 """
 

@@ -3535,9 +3535,10 @@ def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _nb_scores_body(train_pred: str = "TRUE") -> str:
     """The shared NB train+score CTE chain. ``train_pred`` restricts the
     TRAINING corpus (counts, vocabulary, priors) to matching documents;
-    scoring always covers every document — the split-conformal oracle
-    trains on the non-calibration split while scoring all docs, exactly
-    like the Spark side's nb_model(train)/nb_scores(all)."""
+    the oracle scores every document and filters downstream (DuckDB
+    materializes the CTEs once, so the extra rows are free here), while
+    the Spark side scores only the docs it will consume — identical on
+    every row either side actually reads."""
     return f"""tok AS MATERIALIZED (
   SELECT doc_id, source, unnest({_TOKS}) AS tok FROM documents
 ),
@@ -3716,10 +3717,12 @@ GROUP BY t.thr_nano
 
 def q_conformal_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-conformal prediction sets (functions/classify.py
-    conformal_nb): train NB on doc_id %% 5 != 0, calibrate the α=0.1
-    nonconformity quantile on the held-out 20%%, emit per-set-size
-    counts + empirical coverage over the test split — the
-    distribution-free coverage wrapper beside the abstention curve."""
+    conformal_nb): disjoint three-way salted-hash split — train NB on
+    the 60%% band, calibrate the α=0.1 nonconformity quantile on the
+    held-out 20%%, emit per-set-size counts + empirical coverage over
+    the DISJOINT 20%% test band (docs the model never saw, so the
+    distribution-free guarantee applies to the reported coverage) —
+    beside the abstention curve."""
     from ..functions.classify import conformal_nb
 
     docs = read_table(spark, sf_dir, "documents")
@@ -3729,7 +3732,7 @@ def q_conformal_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_conformal() -> str:
     bkt = _hex_int_sql("'cp:' || CAST(doc_id AS VARCHAR)") + " % 100"
     return f"""
-WITH {_nb_scores_body(f"({bkt}) >= 20")},
+WITH {_nb_scores_body(f"({bkt}) >= 40")},
 cal AS (
   SELECT s.doc_id AS id, -s.score_nano AS nc
   FROM scores s JOIN documents d
@@ -3738,7 +3741,7 @@ cal AS (
 ),
 kk AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
-         (9 * (COUNT(*) + 1) + 9) // 10 AS k
+         LEAST((9 * (COUNT(*) + 1) + 9) // 10, COUNT(*)) AS k
   FROM cal
 ),
 qh AS (
@@ -3752,6 +3755,7 @@ sets AS (
   FROM scores s JOIN documents d ON d.doc_id = s.doc_id
   CROSS JOIN qh
   WHERE ({bkt.replace('doc_id', 's.doc_id')}) >= 20
+    AND ({bkt.replace('doc_id', 's.doc_id')}) < 40
     AND -s.score_nano <= q_hat_nano
   GROUP BY s.doc_id
 ),
@@ -3759,7 +3763,7 @@ dens AS (
   SELECT COALESCE(sets.set_size, 0) AS set_size,
          COALESCE(sets.cov, 0) AS cov
   FROM (SELECT DISTINCT doc_id FROM documents
-        WHERE ({bkt}) >= 20) t
+        WHERE ({bkt}) >= 20 AND ({bkt}) < 40) t
   LEFT JOIN sets ON sets.doc_id = t.doc_id
 )
 SELECT CAST(set_size AS INT) AS set_size,

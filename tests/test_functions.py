@@ -286,12 +286,40 @@ def test_conformal_nb_partition_and_quantile_semantics(spark):
                         text=" ".join([word] * 6)))
     docs = spark.createDataFrame(rows)
     out = conformal_nb(docs).collect()
-    n_test = docs.filter(hash_bucket(
-        F.concat(F.lit("cp:"), F.col("doc_id").cast("string"))) >= 20) \
-        .count()
+    bkt = hash_bucket(
+        F.concat(F.lit("cp:"), F.col("doc_id").cast("string")))
+    n_test = docs.filter((bkt >= 20) & (bkt < 40)).count()
     assert sum(r.n_docs for r in out) == n_test
     assert all(r.n_covered <= r.n_docs for r in out)
     assert all(0 <= r.set_size <= 2 for r in out)
     # perfectly separable vocab: every covered doc needs only its label
     cov = sum(r.n_covered for r in out)
     assert cov / n_test >= 0.85   # the 1-alpha=0.9 guarantee, n-fuzzed
+
+
+def test_conformal_nb_tiny_calibration_clamps_quantile(spark):
+    """n_cal < 9 makes ceil(0.9*(n_cal+1)) exceed n_cal; the rank is
+    clamped to n_cal (q-hat = max nonconformity) instead of silently
+    emitting zero rows."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from melt_spark.functions.classify import conformal_nb
+    from melt_spark.functions.cleaning import hash_bucket
+
+    rows = []
+    for i in range(40):
+        lab = "a" if i % 2 == 0 else "b"
+        word = "apple" if lab == "a" else "banana"
+        rows.append(Row(doc_id=i, source=lab,
+                        text=" ".join([word] * 6)))
+    docs = spark.createDataFrame(rows)
+    bkt = hash_bucket(
+        F.concat(F.lit("cp:"), F.col("doc_id").cast("string")))
+    n_cal = docs.filter(bkt < 20).count()
+    n_test = docs.filter((bkt >= 20) & (bkt < 40)).count()
+    assert 0 < n_cal < 9 and n_test > 0, "fixture must hit the tiny band"
+    out = conformal_nb(docs).collect()
+    assert out, "tiny calibration must not collapse to zero rows"
+    assert all(r.n_cal == n_cal for r in out)
+    assert sum(r.n_docs for r in out) == n_test

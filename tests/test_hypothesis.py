@@ -597,3 +597,26 @@ def test_did_hand_computed(spark):
     assert all(r.se_e4 > 0 for r in out)
     cells = {(r.grp, r.period): r.n for r in out}
     assert cells == {(0, 0): 50, (0, 1): 50, (1, 0): 50, (1, 1): 50}
+
+
+def test_did_degenerate_key_zeroes_estimate(spark):
+    """A key missing one of the four (grp, period) cells has no DiD —
+    the missing cell must not enter the contrast as mean 0.0; did/se
+    zero out while the populated cell rows still report n/sum."""
+    from melt_spark.functions.hypothesis import diff_in_diff
+
+    rows = []
+    for i in range(20):
+        # 'full' has all four cells; 'gap' lacks (g=1, p=1)
+        rows += [("full", 10 + i % 2, 0, 0), ("full", 12 + i % 2, 0, 1),
+                 ("full", 20 + i % 2, 1, 0), ("full", 30 + i % 2, 1, 1),
+                 ("gap", 10 + i % 2, 0, 0), ("gap", 12 + i % 2, 0, 1),
+                 ("gap", 20 + i % 2, 1, 0)]
+    df = spark.createDataFrame(rows, "k string, v long, g int, p int")
+    out = diff_in_diff(df, ["k"], "v", "g", "p").collect()
+    gap = [r for r in out if r.k == "gap"]
+    full = [r for r in out if r.k == "full"]
+    assert len(gap) == 3 and len(full) == 4
+    assert all(r.did_e4 == 0 and r.se_e4 == 0 for r in gap)
+    assert all(r.did_e4 == 80_000 for r in full)    # (30-20)-(12-10)=8
+    assert all(r.n == 20 for r in gap)
