@@ -140,6 +140,42 @@ CONSTITUENT_GROUPS: dict[str, list[str]] = {
 # each plus the envelope keys sit well under it.
 MAX_STDOUT_BYTES = 2048
 
+# Contention canary (r8 verdict What's-wrong #2): the driver's r8 bench
+# recorded a ~170 s external-contention window that inflated a contiguous
+# block of measurements 9-28x and masqueraded as a regression. A fixed
+# cheap probe (message_envelope at sf0.001 — one tiny scan, no shuffle)
+# now runs every CANARY_EVERY measurements; a canary reading more than
+# CANARY_FACTOR x the series median marks every measurement between it
+# and its neighbors as "contended" in the detail artifact, so corrupted
+# blocks self-identify instead of silently recording garbage.
+CANARY_EVERY = 10
+CANARY_FACTOR = 3.0
+CANARY_SF_DIR = "/root/testdata/sf0.001"
+
+
+def contended_names(canaries: list[dict], name_seqs: list[tuple[str, int]],
+                    factor: float = CANARY_FACTOR) -> tuple[float, list[str]]:
+    """(median canary sec, names whose enclosing canaries include an
+    excursion > factor x median). ``canaries`` is [{'seq': n, 'sec': t}]
+    in chronological order; ``name_seqs`` is [(name, seq-at-measurement)].
+    Pure function — pinned by tests/test_bench_contract.py."""
+    import statistics
+
+    if not canaries:
+        return 0.0, []
+    med = statistics.median(c["sec"] for c in canaries)
+    bad = {c["seq"] for c in canaries if med > 0 and c["sec"] > factor * med}
+    if not bad:
+        return med, []
+    out = []
+    seqs = [c["seq"] for c in canaries]
+    for name, at in name_seqs:
+        prev = max((q for q in seqs if q <= at), default=None)
+        nxt = min((q for q in seqs if q > at), default=None)
+        if (prev in bad) or (nxt in bad):
+            out.append(name)
+    return med, out
+
 
 def detail_name() -> str:
     """Round-stamped detail artifact (r7 verdict item #6): with
@@ -208,7 +244,21 @@ def main() -> None:
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
+    canaries: list[dict] = []
+    name_seqs: list[tuple[str, int]] = []
+    seq = 0
+
+    def _canary() -> None:
+        t0 = time.perf_counter()
+        _force(s.q_message_envelope(spark, CANARY_SF_DIR))
+        canaries.append({"seq": seq,
+                         "sec": round(time.perf_counter() - t0, 3)})
+
     for name, fn in BENCH_QUERIES + ext:
+        if seq % CANARY_EVERY == 0:
+            _canary()
+        name_seqs.append((name, seq))
+        seq += 1
         try:
             # min of 2 is the headline (drops scheduler noise, stays
             # honest); BOTH raw runs are recorded so run-to-run variance —
@@ -233,6 +283,10 @@ def main() -> None:
     for entry, names in CONSTITUENT_GROUPS.items():
         group: dict[str, float] = {}
         for cname in names:
+            if seq % CANARY_EVERY == 0:
+                _canary()
+            name_seqs.append((f"{entry}:{cname}", seq))
+            seq += 1
             try:
                 fn = reg[cname][0]
                 t0 = time.perf_counter()
@@ -242,6 +296,9 @@ def main() -> None:
                 errors[f"{entry}:{cname}"] = \
                     f"{type(exc).__name__}: {str(exc)[:200]}"
         constituent_times[entry] = group
+
+    _canary()   # closing reading so the last block has a right edge
+    med, contended = contended_names(canaries, name_seqs)
 
     core = {k for k, _ in BENCH_QUERIES}
     total = round(sum(v for k, v in timings.items() if k in core), 3)
@@ -256,6 +313,14 @@ def main() -> None:
         "total_with_new_ops": round(sum(timings.values()), 3),
         "constituents": constituent_times,
         "errors": errors,
+        "canary": {
+            "query": f"message_envelope@{CANARY_SF_DIR.rsplit('/', 1)[-1]}",
+            "every": CANARY_EVERY,
+            "factor": CANARY_FACTOR,
+            "median_sec": med,
+            "series": canaries,
+            "contended": contended,
+        },
     }
     detail_path = Path(__file__).resolve().parent / "docs" / detail_name()
     detail_path.write_text(json.dumps(detail, indent=1) + "\n")

@@ -58,6 +58,38 @@ def test_constituent_groups_resolve_via_registry():
             assert n in reg, f"{entry}: {n} not in registry"
 
 
+def test_canary_flags_contended_block():
+    """r8 verdict What's-wrong #2: a ~170 s contention window inflated a
+    contiguous measurement block 9-28x and the artifact recorded it as a
+    regression. The canary series must flag exactly the measurements
+    whose enclosing canary readings show a >3x excursion."""
+    canaries = [{"seq": 0, "sec": 0.5}, {"seq": 10, "sec": 0.5},
+                {"seq": 20, "sec": 5.0},   # excursion: block 10..29 bad
+                {"seq": 30, "sec": 0.5}, {"seq": 40, "sec": 0.5}]
+    name_seqs = [(f"q{i}", i) for i in range(40)]
+    med, contended = bench.contended_names(canaries, name_seqs)
+    assert med == 0.5
+    assert contended == [f"q{i}" for i in range(10, 30)]
+    # quiet series -> nothing flagged
+    quiet = [{"seq": s, "sec": 0.5} for s in (0, 10, 20)]
+    med, contended = bench.contended_names(quiet, name_seqs)
+    assert (med, contended) == (0.5, [])
+    # empty series is safe
+    assert bench.contended_names([], name_seqs) == (0.0, [])
+
+
+def test_detail_contract_carries_canary_keys():
+    """The detail artifact's canary block is part of the bench contract:
+    bench.main() writes query/every/factor/median_sec/series/contended.
+    Pinned here statically (no Spark) via the constants it derives from."""
+    assert bench.CANARY_EVERY >= 1
+    assert bench.CANARY_FACTOR > 1.0
+    assert bench.CANARY_SF_DIR.endswith("sf0.001")
+    src = open(bench.__file__).read()
+    for key in ('"median_sec"', '"series"', '"contended"', '"canary"'):
+        assert key in src, f"detail artifact lost canary key {key}"
+
+
 def test_detail_path_round_stamped(monkeypatch):
     """SPARK_GRAFT_ROUND=N routes the detail artifact to a round-stamped
     file so driver/judge re-runs stop clobbering the round-close working
