@@ -31,6 +31,7 @@ from typing import Mapping
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from .util import one_partition
 
 # ---------------------------------------------------------------------------
 # PII redaction — portable regex subset (works in Java regex and RE2)
@@ -361,7 +362,8 @@ def priority_sample(df, weight_col: str, id_col: str, k: int):
     tau = top.agg(
         F.coalesce(F.when(F.count(F.lit(1)) >= k + 1, F.min("priority")),
                    F.lit(0.0)).alias("tau"))
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("priority"), F.asc("id"))
+    w = Window.partitionBy(one_partition(F.col("priority")))\
+        .orderBy(F.desc("priority"), F.asc("id"))
     return (top.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .crossJoin(F.broadcast(tau))
@@ -573,7 +575,8 @@ def greedy_coverage(df: DataFrame, k: int = 3, n: int = 3,
     # k one-row picks: the limit is a no-op that makes the bound
     # plan-visible, certifying the global window below for plan_lint
     out = out.limit(k)
-    w = Window.partitionBy(F.lit(0)).orderBy("pick").rowsBetween(Window.unboundedPreceding,
+    w = Window.partitionBy(one_partition(F.col("pick")))\
+        .orderBy("pick").rowsBetween(Window.unboundedPreceding,
                                            Window.currentRow)
     return out.select("pick", F.col("id").alias(id_col), "gain",
                       F.sum("gain").over(w).cast("bigint")

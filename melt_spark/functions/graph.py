@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .util import one_partition
 
 SCALE = 10 ** 9        # fixed-point rank units per unit of rank mass
 DAMP_NUM, DAMP_DEN = 85, 100
@@ -349,7 +350,8 @@ def adamic_adar(edges: DataFrame, left: str, right: str, k: int = 50,
            .agg(F.count(F.lit(1)).alias("n_common"),
                 F.sum("w_e9").cast("bigint").alias("aa_e9")))
     top = prs.orderBy(F.desc("aa_e9"), F.asc("u"), F.asc("v")).limit(k)
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("aa_e9"), F.asc("u"), F.asc("v"))
+    w = Window.partitionBy(one_partition(F.col("aa_e9")))\
+        .orderBy(F.desc("aa_e9"), F.asc("u"), F.asc("v"))
     return top.withColumn("rank", F.row_number().over(w))
 
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .util import one_partition
 from pyspark.sql.window import Window
 
 
@@ -208,7 +209,7 @@ def benford_digits(df: DataFrame, value_col: str,
         w = Window.partitionBy(*key_cols)
     else:
         dom = digit_dom
-        w = Window.partitionBy(F.lit(1))
+        w = Window.partitionBy(one_partition(F.col("digit")))
     dense = (dom.join(counts, [*key_cols, "digit"], "left")
              .withColumn("n_obs",
                          F.coalesce(F.col("n_obs"), F.lit(0))
@@ -638,9 +639,11 @@ def bh_stepup(scored: DataFrame, p_col: str, tie_col: str,
     ``p_col`` is an integer p in 1e-6 units so the comparison
     p_e6 · m <= rank · q_ppm is exact integer arithmetic. Adds rank, m,
     rejected."""
-    w = Window.partitionBy(F.lit(0)).orderBy(p_col, tie_col)
-    w_all = Window.rowsBetween(Window.unboundedPreceding,
-                               Window.unboundedFollowing)
+    w = Window.partitionBy(one_partition(F.col(p_col)))\
+        .orderBy(p_col, tie_col)
+    w_all = Window.partitionBy(one_partition(F.col(p_col)))\
+        .rowsBetween(Window.unboundedPreceding,
+                     Window.unboundedFollowing)
     ranked = (scored
               .withColumn("rank", F.row_number().over(w))
               .withColumn("m", F.count(F.lit(1)).over(w_all))

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .util import one_partition
 
 N_BUCKETS = 256
 
@@ -94,5 +95,6 @@ def importance_topk(raw_counts: DataFrame, ratios: DataFrame,
                    .alias("logw")))
     top = scored.orderBy(F.desc("logw"), F.asc("id")).limit(k)
     from pyspark.sql.window import Window
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("logw"), F.asc("id"))
+    w = Window.partitionBy(one_partition(F.col("logw")))\
+        .orderBy(F.desc("logw"), F.asc("id"))
     return top.withColumn("rank", F.row_number().over(w))

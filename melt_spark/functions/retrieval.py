@@ -25,6 +25,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .util import one_partition
 
 
 def bm25_topk(docs: DataFrame, query_terms: Sequence[str], k: int = 15,
@@ -74,7 +75,8 @@ def bm25_topk(docs: DataFrame, query_terms: Sequence[str], k: int = 15,
     top = per_doc.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
     # rank over the k survivors only (the global sort already happened)
     from pyspark.sql.window import Window
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc(id_col))
+    w = Window.partitionBy(one_partition(F.col("score")))\
+        .orderBy(F.desc("score"), F.asc(id_col))
     # ln is NOT IEEE-correctly-rounded (JVM Math.log vs libm differ by
     # 1 ulp on some inputs — observed), so the raw double can't be
     # hash-compared across engines; 9 decimals is ~7 orders above ulp
@@ -106,7 +108,8 @@ def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame,
     j = a.join(b, "item", "full_outer").select("item", fused.alias("fused"))
     top = j.orderBy(F.desc("fused"), F.asc("item")).limit(k)
     from pyspark.sql.window import Window
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("fused"), F.asc("item"))
+    w = Window.partitionBy(one_partition(F.col("fused")))\
+        .orderBy(F.desc("fused"), F.asc("item"))
     return top.withColumn("rank", F.row_number().over(w))
 
 

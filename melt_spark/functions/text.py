@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from .util import one_partition
 from pyspark.sql.window import Window
 
 # Distinctive stopwords per language for the n-gram/stopword heuristic.
@@ -172,7 +173,8 @@ def pmi_collocations(docs: DataFrame, min_count: int = 5, k: int = 20,
     from pyspark.sql.window import Window
 
     top = scored.orderBy(F.desc("pmi_e9"), F.asc("bigram")).limit(k)
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("pmi_e9"), F.asc("bigram"))
+    w = Window.partitionBy(one_partition(F.col("pmi_e9")))\
+        .orderBy(F.desc("pmi_e9"), F.asc("bigram"))
     return top.withColumn("rank", F.row_number().over(w))
 
 

@@ -18,6 +18,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..functions.util import one_partition
 from pyspark.sql.window import Window
 
 
@@ -88,7 +89,8 @@ def skew_report(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
         F.max("c").cast("bigint").alias("max_key_rows"))
     top = (counts.orderBy(F.desc("c"), *keys).limit(100)
            .withColumn("rn", F.row_number().over(
-               Window.partitionBy(F.lit(0)).orderBy(F.desc("c"), *keys))))
+               Window.partitionBy(one_partition(F.col("c")))
+               .orderBy(F.desc("c"), *keys))))
     shares = top.agg(
         *[F.sum(F.when(F.col("rn") <= k, F.col("c")))
           .cast("bigint").alias(f"top{k}")

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..functions.util import one_partition
 from pyspark.sql.window import Window
 
 from ..operators.latest_state import incremental_refresh, latest_state
@@ -4837,7 +4838,8 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
              # exactly PSI_NBINS rows (unique-keyed left join onto the
              # literal bin spine): no-op limit = plan-visible bound
              .limit(PSI_NBINS))
-    w = Window.partitionBy(F.lit(0)).orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w = Window.partitionBy(one_partition(F.col("bin"))).orderBy("bin")\
+        .rowsBetween(Window.unboundedPreceding, 0)
     tot = dense.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
     cum = (dense.crossJoin(F.broadcast(tot))
            .select("bin",
@@ -5100,7 +5102,8 @@ def q_otsu_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
               # bin in [0, 32) by construction: the no-op limit makes
               # the bound plan-visible for the cumsum window below
               .limit(32))
-    w = Window.partitionBy(F.lit(0)).orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w = Window.partitionBy(one_partition(F.col("bin"))).orderBy("bin")\
+        .rowsBetween(Window.unboundedPreceding, 0)
     cum = binned.select(
         "bin", "n",
         F.sum("n").over(w).alias("w0"),
@@ -5118,7 +5121,7 @@ def q_otsu_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
                               " div (w0 * w1)")).otherwise(F.lit(0))
                 .cast("bigint")))
     best = F.max(F.struct(F.col("crit"), (-F.col("bin")).alias("nb"))) \
-        .over(Window.partitionBy())
+        .over(Window.partitionBy(one_partition(F.col("bin"))))
     return (crit.withColumn(
         "chosen", ((F.col("crit") == best["crit"])
                    & (F.col("bin") == -best["nb"])).cast("int"))

@@ -2722,6 +2722,74 @@ FROM g JOIN documents d ON d.doc_id = g.doc_id
 SQL_BPE_ENCODE = _sql_bpe_encode()
 
 
+def q_incremental_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental BPE encode (r8 verdict next-round #7, the
+    batch-vs-store discipline of incremental_minhash/incremental_knn):
+    encode ONLY a new batch against the PERSISTED vocab/merge table —
+    the shape a daily-crawl pipeline actually runs: the tokenizer is
+    trained once, then every day's crawl is encoded against the frozen
+    store. The batch is an id-shifted copy of the corpus with a novel
+    trailing token per doc, so the encoder's out-of-vocabulary fallback
+    (character segmentation) is exercised on every row; rt certifies
+    the round-trip still holds for OOV streams. The vocab store is
+    derived here for the self-contained demo; in production it persists
+    beside the fingerprint store and the training corpus NEVER re-enters
+    the encode plan (corpus-linear cost in the BATCH only)."""
+    from ..functions.bpe import bpe_decode, bpe_encode, bpe_train
+
+    docs = read_table(spark, sf_dir, "documents")
+    _merges, words = bpe_train(docs, rounds=BPE_ROUNDS)   # persisted store
+    batch = docs.select(
+        (F.col("doc_id") + 50000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" nv"),
+                 (F.col("doc_id") % 5).cast("string")).alias("text"))
+    enc = bpe_encode(batch, words)
+    return (enc.join(batch.select("doc_id", "text"), "doc_id")
+            .select("doc_id", "n_words", "n_tokens", "stream",
+                    (bpe_decode("stream") == F.col("text")).cast("int")
+                    .alias("rt")))
+
+
+def _sql_incremental_bpe(rounds: int = BPE_ROUNDS) -> str:
+    return f"""WITH RECURSIVE {_bpe_chain(rounds)},
+nb AS (
+  SELECT doc_id + 50000 AS doc_id,
+         text || ' nv' || CAST(doc_id % 5 AS VARCHAR) AS text
+  FROM documents
+),
+t AS (
+  SELECT doc_id, generate_subscripts({_TOKS}, 1) AS pos,
+         unnest({_TOKS}) AS word
+  FROM nb
+),
+e AS (
+  SELECT t.doc_id, t.pos,
+         COALESCE(w.syms, string_split_regex(t.word, '')) AS seg0
+  FROM t LEFT JOIN w{rounds} w USING (word)
+),
+m AS (
+  SELECT doc_id, pos,
+         list_concat(['▁' || seg0[1]], seg0[2:]) AS seg
+  FROM e
+),
+g AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(len(seg)) AS BIGINT) AS n_tokens,
+         string_agg(array_to_string(seg, '|'), '|' ORDER BY pos)
+           AS stream
+  FROM m GROUP BY doc_id
+)
+SELECT g.doc_id, g.n_words, g.n_tokens, g.stream,
+       CAST(CASE WHEN substr(replace(replace(g.stream, '|', ''),
+                                     '▁', ' '), 2) = d.text
+                 THEN 1 ELSE 0 END AS INT) AS rt
+FROM g JOIN nb d ON d.doc_id = g.doc_id
+"""
+
+
+SQL_INCREMENTAL_BPE = _sql_incremental_bpe()
+
+
 # BPE-pack budget: 3-round BPE tokens are near-character granularity, so
 # the budget is ~8x the whitespace-word budget for comparable pack sizes
 PACK_BPE_BUDGET = 2048
@@ -4066,6 +4134,7 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "priority_sample": (q_priority_sample, SQL_PRIORITY_SAMPLE),
     "bpe_train": (q_bpe_train, SQL_BPE_TRAIN),
     "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
+    "incremental_bpe": (q_incremental_bpe, SQL_INCREMENTAL_BPE),
     "pack_bpe": (q_pack_bpe, SQL_PACK_BPE),
     "postings_stats": (q_postings_stats, SQL_POSTINGS_STATS),
     "pq_codes": (q_pq_codes, SQL_PQ_CODES),

@@ -2535,6 +2535,21 @@ SUITE: dict[str, tuple] = {
          "SELECT 'bpe_enc' AS kind, doc_id, n_tokens AS n,"
          " md5(stream) || ':' || CAST(rt AS VARCHAR) AS fp,"
          " n_words AS m"),
+        # r9: incremental BPE encode (batch-vs-store) — a NEW id-shifted
+        # batch with a novel trailing token per doc encoded against the
+        # PERSISTED vocab only (the daily-crawl shape); the md5:rt fp
+        # certifies every token of every batch doc AND the OOV-fallback
+        # round-trip
+        (PIPELINE_SUITE["incremental_bpe"],
+         lambda df: df.select(F.lit("bpe_inc").alias("kind"), "doc_id",
+                              F.col("n_tokens").alias("n"),
+                              F.concat_ws(":", F.md5("stream"),
+                                          F.col("rt").cast("string"))
+                              .alias("fp"),
+                              F.col("n_words").alias("m")),
+         "SELECT 'bpe_inc' AS kind, doc_id, n_tokens AS n,"
+         " md5(stream) || ':' || CAST(rt AS VARCHAR) AS fp,"
+         " n_words AS m"),
         # r5: winnowing fingerprints (MOSS, SIGMOD 2003) — pos rides n,
         # the 48-bit fingerprint rides m
         (PIPELINE_SUITE["winnow"],
