@@ -1,0 +1,157 @@
+"""Distributed PCA top component over an embedding corpus — the
+anisotropy / "all-but-the-top" readout an embedding pipeline runs before
+indexing or averaging vectors.
+
+Background (public): Mu & Viswanath, "All-but-the-Top: Simple and
+Effective Postprocessing for Word Representations" (ICLR 2018) — real
+embedding clouds have a large common component; subtracting the top
+principal direction(s) materially improves similarity tasks. Ethayarajh,
+"How Contextual are Contextualized Word Representations?" (EMNLP 2019)
+measures the same anisotropy for contextual encoders. The share of
+variance in the top component is the number a pipeline reads to decide
+whether to de-mean/de-ax its vectors before ANN indexing.
+
+Spark-first shape, graded for 100 TB:
+  * components quantize ONCE to e6 integers, so the d·(d+1)/2 covariance
+    moments are EXACT integer sums (n·Σqᵢqⱼ − ΣqᵢΣqⱼ in DECIMAL(38) —
+    order-independent, shuffle-safe, hash-identical on any engine);
+  * the moment pass is one map-side-combined groupBy over per-row pair
+    explosions: n·d²/2 rows into d²/2 aggregates — the inherent exact-
+    covariance cost, and the ONLY corpus-sized stage;
+  * power iteration runs on the d²-row covariance frame (bounded — 64
+    dims = 4096 rows), unrolled a fixed number of rounds like bpe_train:
+    each round is a broadcast of the 1-row eigenvector frame into a
+    64-row matvec whose inner sum is an ORDERED ascending-j fold (the
+    lm.py pinned-IEEE discipline), then an ordered-i fold for the norm.
+    Nothing here grows with the corpus.
+
+Determinism: integers everywhere until the covariance is cast (exactly,
+same value both engines) to double; every float fold is order-pinned;
+the iteration starts from the all-ones vector so the eigenvector sign is
+fixed by construction, not by an RNG or a tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+E6 = 1_000_000
+
+
+def _quantized(emb: DataFrame, vec_col: str) -> DataFrame:
+    q = F.transform(F.col(vec_col).cast("array<double>"),
+                    lambda x: F.round(x * F.lit(float(E6))).cast("bigint"))
+    return emb.select(q.alias("q"))
+
+
+def pca_top_component(emb: DataFrame, vec_col: str = "embedding",
+                      iters: int = 8) -> DataFrame:
+    """Top principal component of the (centered) embedding cloud.
+
+    Returns d rows (dim, v_e6, cdiag, n) — dim ascending, v_e6 the
+    estimated eigenvector component in 1e-6 units, cdiag the dim's
+    scaled variance n²·var·1e12 (exact integer, rendered as double) —
+    plus a dim = -1 summary row where v_e6 carries share_ppm and cdiag
+    the trace.
+
+    Honest contract: v is the ``iters``-round power iterate from the
+    all-ones start (deterministic), and share_ppm = ‖C·v‖/trace is its
+    Rayleigh-style readout — a certified LOWER bound on the true top
+    share (Rayleigh quotient ≤ λ₁), converging as (λ₂/λ₁)^iters. On an
+    ANISOTROPIC cloud — the regime where the all-but-the-top decision
+    matters — the gap is large and 8 rounds land on the top direction;
+    on a near-isotropic cloud the estimate stays conservative, which is
+    the correct signal (nothing dominant to subtract). The number is
+    the decision readout, not a full eigendecomposition."""
+    qd = _quantized(emb, vec_col)
+    d = F.size("q")
+    # per-row upper-triangle products: struct(i, j, qq) for i <= j
+    pairs = F.flatten(F.transform(
+        F.sequence(F.lit(1), d),
+        lambda i: F.transform(
+            F.sequence(i, d),
+            lambda j: F.struct(
+                i.cast("int").alias("i"), j.cast("int").alias("j"),
+                (F.element_at("q", i) * F.element_at("q", j))
+                .alias("qq")))))
+    upper = (qd.select(F.explode(pairs).alias("p"))
+             .groupBy("p.i", "p.j")
+             .agg(F.sum(F.col("p.qq").cast("decimal(38,0)")).alias("P")))
+    sums = (qd.select(F.posexplode("q").alias("i0", "qi"))
+            .groupBy((F.col("i0") + 1).alias("i"))
+            .agg(F.sum("qi").cast("decimal(38,0)").alias("s"),
+                 F.count(F.lit(1)).cast("bigint").alias("n")))
+    si = sums.select("i", "s", "n")
+    sj = sums.select(F.col("i").alias("j"), F.col("s").alias("sj"))
+    cup = (upper.join(si, "i").join(sj, "j")
+           .select("i", "j",
+                   (F.col("n") * F.col("P") - F.col("s") * F.col("sj"))
+                   .cast("decimal(38,0)").alias("c"), "n"))
+    # mirror the upper triangle into the full symmetric matrix, then one
+    # bounded (d rows) frame of ordered per-row coefficient lists
+    cfull = cup.select("i", "j", "c", "n").unionByName(
+        cup.filter(F.col("i") != F.col("j"))
+        .select(F.col("j").alias("i"), F.col("i").alias("j"), "c", "n"))
+    crow = (cfull.groupBy("i")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    "j", F.col("c").cast("double").alias("cd")))),
+                lambda x: x["cd"]).alias("arr"),
+                F.max("n").alias("n"))
+            .localCheckpoint(eager=True))   # d rows; 2 consumers/iter
+    diag = (cup.filter(F.col("i") == F.col("j"))
+            .select("i", F.col("c").cast("double").alias("cdiag")))
+    # trace summed EXACTLY in decimal, cast once — a float sum over a
+    # shuffled aggregate would be order-nondeterministic
+    trace = (cup.filter(F.col("i") == F.col("j"))
+             .agg(F.sum("c").cast("decimal(38,0)").cast("double")
+                  .alias("tr")))
+
+    # v0 = all ones (deterministic sign; width derived from the data so
+    # non-64-dim corpora work); each round: w = C·v (ordered-j fold per
+    # row), lambda = ||w|| (ordered-i fold), v = w / lambda
+    v = (crow.agg(F.max("i").alias("d"))
+         .select(F.transform(F.sequence(F.lit(1), F.col("d")),
+                             lambda _: F.lit(1.0)).alias("varr")))
+    for _ in range(iters):
+        wrow = (crow.crossJoin(F.broadcast(v))
+                .select("i", F.aggregate(
+                    F.zip_with("arr",
+                               F.slice("varr", 1, F.size("arr")),
+                               lambda c, vv: c * vv),
+                    F.lit(0.0), lambda acc, x: acc + x).alias("w")))
+        v = (wrow.groupBy()
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("i", "w"))),
+                 lambda x: x["w"]).alias("warr"))
+             .select(
+                 "warr",
+                 F.sqrt(F.aggregate("warr", F.lit(0.0),
+                                    lambda a, x: a + x * x)).alias("lam"))
+             .select(F.when(
+                 F.col("lam") > 0,
+                 F.transform("warr", lambda x: x / F.col("lam")))
+                 .otherwise(F.col("warr")).alias("varr"),
+                 F.col("lam")))
+    final = v.crossJoin(F.broadcast(trace)).select(
+        "varr",
+        F.when(F.col("tr") > 0,
+               F.round(F.col("lam") / F.col("tr") * F.lit(1e6)))
+        .otherwise(F.lit(0.0)).cast("bigint").alias("share_ppm"),
+        F.col("tr")).localCheckpoint(eager=True)   # 1 row, 2 consumers
+    per_dim = (crow.select("i", "n")
+               .join(diag, "i")
+               .crossJoin(F.broadcast(final.select("varr")))
+               .select(F.col("i").cast("int").alias("dim"),
+                       F.round(F.element_at("varr", F.col("i"))
+                               * F.lit(float(E6))).cast("bigint")
+                       .alias("v_e6"),
+                       "cdiag", "n"))
+    n1 = crow.agg(F.max("n").alias("n"))
+    summary = (final.crossJoin(F.broadcast(n1))
+               .select(F.lit(-1).cast("int").alias("dim"),
+                       F.col("share_ppm").alias("v_e6"),
+                       F.col("tr").alias("cdiag"),
+                       F.col("n")))
+    return per_dim.unionByName(summary)

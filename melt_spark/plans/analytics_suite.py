@@ -3453,6 +3453,108 @@ FROM embeddings
 """
 
 
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA top-component / anisotropy readout over the embedding corpus
+    (functions/pca.py pca_top_component; Mu & Viswanath ICLR 2018
+    "all-but-the-top", Ethayarajh EMNLP 2019): exact-integer covariance
+    moments (one map-side-combined d²/2 aggregate — the only
+    corpus-sized stage), then 8 unrolled power-iteration rounds on the
+    bounded d²-row matrix with order-pinned float folds. Per-dim
+    eigenvector estimate + scaled variances, plus the dim=-1 summary
+    carrying share_ppm — the number that decides whether to de-mean /
+    de-ax vectors before ANN indexing."""
+    from ..functions.pca import pca_top_component
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return pca_top_component(emb)
+
+
+def _sql_embedding_pca(d: int = 64, iters: int = 8) -> str:
+    """Oracle restatement — d pinned to the fixture's 64 dims; the same
+    quantization, exact HUGEINT moments, and the identical 8 ordered
+    product-fold rounds (list_reduce over list_prepend(0.0, ...) is the
+    same left-fold sequence as Spark's F.aggregate)."""
+    rng = f"range(1, {d + 1})"
+    its = []
+    for k in range(1, iters + 1):
+        its.append(f"""
+w{k} AS (
+  SELECT c.i,
+         list_reduce(list_prepend(0.0,
+           list_transform({rng},
+             jj -> c.arr[jj] * v{k - 1}.varr[jj])), (a, b) -> a + b) AS w
+  FROM crow c, v{k - 1}
+),
+g{k} AS (
+  SELECT warr,
+         sqrt(list_reduce(list_prepend(0.0,
+           list_transform(warr, x -> x * x)), (a, b) -> a + b)) AS lam
+  FROM (SELECT list(w ORDER BY i) AS warr FROM w{k})
+),
+v{k} AS (
+  SELECT CASE WHEN lam > 0 THEN list_transform(warr, x -> x / lam)
+              ELSE warr END AS varr, lam
+  FROM g{k}
+)""")
+    return f"""
+WITH qe AS (
+  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
+  FROM embeddings
+),
+up AS (
+  SELECT ii.i AS i, jj.j AS j,
+         SUM(CAST(q[ii.i] AS HUGEINT) * q[jj.j]) AS P
+  FROM qe, (SELECT unnest({rng}) AS i) ii, (SELECT unnest({rng}) AS j) jj
+  WHERE jj.j >= ii.i
+  GROUP BY 1, 2
+),
+sm AS (
+  SELECT ii.i AS i, SUM(CAST(q[ii.i] AS HUGEINT)) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM qe, (SELECT unnest({rng}) AS i) ii GROUP BY 1
+),
+cup AS (
+  SELECT u.i, u.j,
+         CAST(si.n AS HUGEINT) * u.P - si.s * sj.s AS c, si.n
+  FROM up u JOIN sm si ON si.i = u.i JOIN sm sj ON sj.i = u.j
+),
+cfull AS (
+  SELECT i, j, c, n FROM cup
+  UNION ALL
+  SELECT j AS i, i AS j, c, n FROM cup WHERE i <> j
+),
+crow AS (
+  SELECT i, list(CAST(c AS DOUBLE) ORDER BY j) AS arr, MAX(n) AS n
+  FROM cfull GROUP BY i
+),
+tr AS (
+  SELECT CAST(SUM(c) AS DOUBLE) AS tr FROM cup WHERE i = j
+),
+v0 AS (SELECT list_transform({rng}, x -> 1.0) AS varr),
+{",".join(its)},
+fin AS (
+  SELECT varr,
+         CAST(CASE WHEN tr.tr > 0
+                   THEN round(lam / tr.tr * 1000000.0) ELSE 0.0 END
+              AS BIGINT) AS share_ppm,
+         tr.tr
+  FROM v{iters}, tr
+)
+SELECT CAST(c.i AS INT) AS dim,
+       CAST(round(fin.varr[c.i] * 1000000.0) AS BIGINT) AS v_e6,
+       CAST(d.c AS DOUBLE) AS cdiag, c.n
+FROM crow c JOIN cup d ON d.i = c.i AND d.j = c.i CROSS JOIN fin
+UNION ALL
+SELECT CAST(-1 AS INT) AS dim, share_ppm AS v_e6, tr AS cdiag,
+       (SELECT MAX(n) FROM crow) AS n
+FROM fin
+"""
+
+
+SQL_EMBEDDING_PCA = _sql_embedding_pca()
+
+
 def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 scalar-quantization error profile per vector (the 4×-smaller
     scan path for 100 TB embedding corpora; see functions/similarity.py)."""
@@ -6395,6 +6497,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "unpivot_part_metrics": (q_unpivot_part_metrics,
                              SQL_UNPIVOT_PART_METRICS),
     "embedding_stats": (q_embedding_stats, SQL_EMBEDDING_STATS),
+    "embedding_pca": (q_embedding_pca, SQL_EMBEDDING_PCA),
     "quantize_int8": (q_quantize_int8, SQL_QUANTIZE_INT8),
     "daily_active_users": (q_daily_active_users, SQL_DAILY_ACTIVE_USERS),
     "monthly_revenue": (q_monthly_revenue, SQL_MONTHLY_REVENUE),

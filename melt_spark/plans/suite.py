@@ -3838,6 +3838,20 @@ SUITE: dict[str, tuple] = {
          "SELECT 'embedding' AS kind, CAST(vec_id AS VARCHAR) AS key,"
          " CAST(dims AS VARCHAR) AS ints, norm AS v1, vmin AS v2,"
          " vmax AS v3"),
+        # r9: PCA top-component / anisotropy readout (functions/pca.py):
+        # exact-integer covariance + 8 order-pinned power-iteration
+        # rounds; v_e6 (and the dim=-1 share_ppm) ride v1, the scaled
+        # per-dim variance rides v2 — every eigenvector digit hashes
+        (ANALYTICS_SUITE["embedding_pca"],
+         lambda df: df.select(F.lit("pca").alias("kind"),
+                              F.col("dim").cast("string").alias("key"),
+                              F.col("n").cast("string").alias("ints"),
+                              F.col("v_e6").cast("double").alias("v1"),
+                              F.col("cdiag").alias("v2"),
+                              F.lit(-1.0).alias("v3")),
+         "SELECT 'pca' AS kind, CAST(dim AS VARCHAR) AS key,"
+         " CAST(n AS VARCHAR) AS ints, CAST(v_e6 AS DOUBLE) AS v1,"
+         " cdiag AS v2, -1.0 AS v3"),
         # r4: Morton z-values (functions/layout.py) — multi-dimensional
         # clustering keys for scan pruning, bit-exact across engines
         (ANALYTICS_SUITE["zorder_values"],

@@ -186,6 +186,10 @@ PROBES = ["text_quality", "dedup_minhash_lsh", "clean_corpus",
           # two-level top-k hatch (flat (domain,salt) tasks + a bounded
           # survivor rank, never a one-task sort)
           "domain_gate_hot",
+          # r9: batch-vs-store tokenizer encode + the exact-covariance
+          # PCA readout (one map-side d^2/2 aggregate is the only
+          # corpus-sized stage — expected ~linear, shuffle ~flat at d^2)
+          "incremental_bpe", "embedding_pca",
           # r8 wave 2: the k-group/parametric/correlation tests (moment
           # aggregates and per-key rank windows — expected ~linear)
           "welch_ttest", "spearman_drift", "kruskal_wallis",
@@ -304,6 +308,10 @@ def _domain_hot_query():
 
 _EXTRA_QUERIES = {"span_dedup_digest": _span_query("digest"),
                   "domain_gate_hot": _domain_hot_query(),
+                  "incremental_bpe":
+                      _constituent("pipeline_suite", "q_incremental_bpe"),
+                  "embedding_pca":
+                      _constituent("analytics_suite", "q_embedding_pca"),
                   "span_dedup_text": _span_query("text"),
                   "semantic_dedup": _semantic_query(None),
                   "semantic_dedup_coarse": _semantic_query(16),
