@@ -52,6 +52,38 @@ def registrable_domain(url: Column) -> Column:
     ).when(n >= 2, last2).otherwise(host)
 
 
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a crawl URL — the key every crawler dedups on
+    before any content is fetched twice (C4/RefinedWeb run URL-level
+    exact dedup as stage zero). Contract, applied in order:
+
+      1. fragment dropped (everything from the first '#');
+      2. userinfo dropped (up to the last '@' before the path);
+      3. scheme and host lowercased; ports dropped; a leading 'www.'
+         dropped (www/apex serve the same resource in practice);
+      4. tracking parameters removed from the query (utm_*, gclid,
+         fbclid — the client-side decoration that multiplies URLs
+         without changing content);
+      5. trailing '/' runs stripped.
+
+    Pure string codegen (regexp extract/replace, no lookarounds — the
+    regex subset Java and RE2 agree on), so the DuckDB oracle restates
+    it verbatim."""
+    scheme = F.lower(F.regexp_extract(
+        url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(
+        url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    rest = F.regexp_extract(
+        url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    rest = F.regexp_replace(
+        rest, r"(utm_[a-zA-Z0-9_]+|gclid|fbclid)=[^&#]*&", "")
+    rest = F.regexp_replace(
+        rest, r"[?&](utm_[a-zA-Z0-9_]+|gclid|fbclid)=[^&#]*$", "")
+    rest = F.regexp_replace(rest, r"/+$", "")
+    return F.concat(scheme, F.lit("://"), host, rest)
+
+
 def domain_gate(docs: DataFrame, url_col: str,
                 blocklist: list[str], max_per_domain: int,
                 id_col: str = "doc_id",

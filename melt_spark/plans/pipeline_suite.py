@@ -4064,8 +4064,87 @@ FROM v GROUP BY domain ORDER BY domain
 """
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level exact dedup on the canonical key (functions/provenance
+    canonical_url) — the stage-zero dedup every crawler runs BEFORE
+    fetching or hashing any content (C4/RefinedWeb). Each group of six
+    consecutive doc_ids carries six decorations of the same resource
+    (bare, www., utm param, fragment, trailing slash, userinfo+port+two
+    trackers); per canonical URL the output reports how many docs and
+    how many DISTINCT raw spellings collapsed onto it. Pure string
+    codegen + one map-side-combined groupBy on the canonical key."""
+    from ..functions.provenance import canonical_url
+
+    docs = read_table(spark, sf_dir, "documents")
+    gid = (F.col("doc_id") / 6).cast("bigint")
+    v = (F.col("doc_id") % 6).cast("int")
+    # host keyed on the GROUP (not the per-doc source) so each group's
+    # six decorations really are one resource spelled six ways
+    host = F.concat(F.lit("ex"), (gid % 7).cast("string"))
+    gid = gid.cast("string")
+    base = F.concat(host, F.lit(".com/a/"), gid)
+    url = (F.when(v == 0, F.concat(F.lit("https://"), base))
+           .when(v == 1, F.concat(F.lit("https://www."), base))
+           .when(v == 2, F.concat(F.lit("https://"), base,
+                                  F.lit("?utm_source=feed")))
+           .when(v == 3, F.concat(F.lit("https://"), base,
+                                  F.lit("#frag")))
+           .when(v == 4, F.concat(F.lit("https://"), base, F.lit("/")))
+           .otherwise(F.concat(
+               F.lit("https://u:p@www."), host,
+               F.lit(".com:8080/a/"), gid,
+               F.lit("?utm_a=1&gclid=x"))))
+    u = docs.select("doc_id", url.alias("url"))
+    return (u.select("doc_id", "url",
+                     canonical_url(F.col("url")).alias("canon"))
+            .groupBy("canon")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.countDistinct("url").cast("bigint")
+                 .alias("n_spellings"),
+                 F.min("doc_id").alias("keeper")))
+
+
+_CANON_SQL = """
+  lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+  || '://' ||
+  regexp_replace(lower(regexp_extract(url,
+    '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)', 1)),
+    '^www\\.', '')
+  || regexp_replace(regexp_replace(regexp_replace(
+       regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1),
+       '(utm_[a-zA-Z0-9_]+|gclid|fbclid)=[^&#]*&', '', 'g'),
+       '[?&](utm_[a-zA-Z0-9_]+|gclid|fbclid)=[^&#]*$', ''),
+       '/+$', '')
+"""
+
+SQL_URL_DEDUP = f"""
+WITH u AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 6 AS INT)
+      WHEN 0 THEN 'https://' || h || '.com/a/' || g
+      WHEN 1 THEN 'https://www.' || h || '.com/a/' || g
+      WHEN 2 THEN 'https://' || h || '.com/a/' || g || '?utm_source=feed'
+      WHEN 3 THEN 'https://' || h || '.com/a/' || g || '#frag'
+      WHEN 4 THEN 'https://' || h || '.com/a/' || g || '/'
+      ELSE 'https://u:p@www.' || h || '.com:8080/a/' || g
+           || '?utm_a=1&gclid=x'
+    END AS url
+  FROM (SELECT doc_id,
+               'ex' || CAST((doc_id // 6) % 7 AS VARCHAR) AS h,
+               CAST(doc_id // 6 AS VARCHAR) AS g
+        FROM documents)
+)
+SELECT ({_CANON_SQL}) AS canon,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_spellings,
+       MIN(doc_id) AS keeper
+FROM u GROUP BY 1
+"""
+
+
 PIPELINE_SUITE: dict[str, tuple] = {
     "domain_gate": (q_domain_gate, SQL_DOMAIN_GATE),
+    "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
     "heaps_law": (q_heaps_law, SQL_HEAPS_LAW),
     "conformal_nb": (q_conformal_nb, SQL_CONFORMAL_NB),
     "kmeans_train": (q_kmeans_train, SQL_KMEANS_TRAIN),

@@ -2631,6 +2631,18 @@ SUITE: dict[str, tuple] = {
                               F.lit(-1.0).alias("v")),
          "SELECT 'dom_drop' AS kind, domain AS key, n_blocked AS n1,"
          " n_capped AS n2, CAST(-1.0 AS DOUBLE) AS v"),
+        # r9: URL-level exact dedup on the canonical key
+        # (functions/provenance.py canonical_url) — stage-zero crawl
+        # dedup: fragments/userinfo/ports/www/tracking params/trailing
+        # slashes collapse; keeper doc rides the double slot exactly
+        (PIPELINE_SUITE["url_dedup"],
+         lambda df: df.select(F.lit("urlc").alias("kind"),
+                              F.col("canon").alias("key"),
+                              F.col("n_docs").alias("n1"),
+                              F.col("n_spellings").alias("n2"),
+                              F.col("keeper").cast("double").alias("v")),
+         "SELECT 'urlc' AS kind, canon AS key, n_docs AS n1,"
+         " n_spellings AS n2, CAST(keeper AS DOUBLE) AS v"),
         # r5: max-min-fair budget waterfilling (functions/cleaning.py
         # budget_waterfill) — per-source token allocation under a
         # 50k-token budget with a 4-epoch cap; all-integer

@@ -74,3 +74,25 @@ def test_blocked_docs_do_not_consume_cap_slots(spark):
     docs = spark.createDataFrame(rows)
     gated = domain_gate(docs, "url", ["never.com"], max_per_domain=5)
     assert all(r.verdict == "kept" for r in gated.collect())
+
+
+def test_canonical_url_contract(spark):
+    """The six decoration classes collapse; distinct resources don't."""
+    from melt_spark.functions.provenance import canonical_url
+
+    df = spark.createDataFrame([Row(u=u) for u in [
+        "https://ex1.com/a/7",
+        "https://www.ex1.com/a/7",
+        "https://ex1.com/a/7?utm_source=feed",
+        "https://ex1.com/a/7#frag",
+        "https://ex1.com/a/7/",
+        "https://u:p@www.ex1.com:8080/a/7?utm_a=1&gclid=x",
+        "HTTPS://EX1.com/a/7",               # scheme+host case-folded
+        "https://ex1.com/a/7?id=9&utm_b=2",  # keeps real params
+        "https://ex1.com/a/8",               # different resource
+    ]])
+    got = [r.c for r in
+           df.select(canonical_url(F.col("u")).alias("c")).collect()]
+    assert got[:7] == ["https://ex1.com/a/7"] * 7
+    assert got[7] == "https://ex1.com/a/7?id=9"
+    assert got[8] == "https://ex1.com/a/8"
