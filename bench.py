@@ -101,7 +101,8 @@ BENCH_GROUPS_BY_NAME: dict[str, list[str]] = {
            "welch_ttest", "spearman_drift", "kruskal_wallis",
            "acf_daily", "msprt", "heaps_law", "conformal_nb",
            "gini_spend", "cochran_armitage", "srm_check", "did"],
-    "r9": ["incremental_bpe", "embedding_pca", "url_dedup"],
+    "r9": ["incremental_bpe", "embedding_pca", "url_dedup",
+           "regex_pretokenize"],
 }
 
 EXTRA_QUERIES = [

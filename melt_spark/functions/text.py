@@ -42,6 +42,25 @@ def token_count_bpe(col: Column | str) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(TOKEN_REGEX), F.lit(0)))
 
 
+# Simplified GPT-2 pre-tokenization pattern (Radford et al. 2019; the
+# pattern ships in the public gpt-2 encoder.py): contractions split off,
+# letter runs / digit runs / punct runs each with the optional LEADING
+# space glued on (the '▁'-free way GPT-2 marks word starts). Two
+# deliberate simplifications keep Java (Spark) and RE2 (DuckDB)
+# bit-agreeing: ASCII classes instead of \p{L}/\p{N}, and no
+# trailing-whitespace lookahead (RE2 has no lookarounds) — standalone
+# whitespace RUNS between tokens are consumed by the leading-space
+# alternatives one space at a time, surplus spaces are skipped.
+GPT2_PRETOKEN_REGEX = (r"'s|'t|'re|'ve|'m|'ll|'d"
+                       r"| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+")
+
+
+def regex_pretokens(col: Column | str) -> Column:
+    """GPT-2-style pre-token ARRAY — what a BPE trainer/encoder consumes
+    upstream of merges: 'don't stop!' -> [don, 't, ' stop', !]."""
+    return F.regexp_extract_all(col, F.lit(GPT2_PRETOKEN_REGEX), F.lit(0))
+
+
 def stopword_hits(col: Column | str, lang: str) -> Column:
     """Distinct stopwords of `lang` present in the text."""
     return F.size(F.array_intersect(

@@ -4064,6 +4064,45 @@ FROM v GROUP BY domain ORDER BY domain
 """
 
 
+def q_regex_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2-style regex pre-tokenization (functions/text.py
+    regex_pretokens — the public gpt-2 encoder.py pattern, ASCII/RE2
+    subset): per doc the exact pre-token stream a BPE trainer consumes,
+    md5-hashed token-by-token so every boundary decision hashes. The
+    text gets a deterministic mixed-case/contraction/digit/punct tail
+    so all pattern branches execute on every row. Pure string codegen,
+    zero shuffles beyond the scan."""
+    from ..functions.text import regex_pretokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.concat(F.col("text"), F.lit(" Don't stop, x9y 42 ok!"))
+    toks = regex_pretokens(t)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_toks"),
+        F.aggregate(toks, F.lit(0).cast("bigint"),
+                    lambda a, x: a + F.length(x)).alias("n_chars"),
+        F.md5(F.concat_ws("\x01", toks)).alias("tok_md5"))
+
+
+_PRETOK_SQL = ("'''s|''t|''re|''ve|''m|''ll|''d"
+               "| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+'")
+
+SQL_REGEX_PRETOKENIZE = f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(text || ' Don''t stop, x9y 42 ok!',
+                            {_PRETOK_SQL}, 0) AS toks
+  FROM documents
+)
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+       CAST(list_reduce(list_prepend(0, list_transform(toks,
+            x -> strlen(x))), (a, b) -> a + b) AS BIGINT) AS n_chars,
+       md5(array_to_string(toks, chr(1))) AS tok_md5
+FROM t
+"""
+
+
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level exact dedup on the canonical key (functions/provenance
     canonical_url) — the stage-zero dedup every crawler runs BEFORE
@@ -4145,6 +4184,7 @@ FROM u GROUP BY 1
 PIPELINE_SUITE: dict[str, tuple] = {
     "domain_gate": (q_domain_gate, SQL_DOMAIN_GATE),
     "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
+    "regex_pretokenize": (q_regex_pretokenize, SQL_REGEX_PRETOKENIZE),
     "heaps_law": (q_heaps_law, SQL_HEAPS_LAW),
     "conformal_nb": (q_conformal_nb, SQL_CONFORMAL_NB),
     "kmeans_train": (q_kmeans_train, SQL_KMEANS_TRAIN),

@@ -1640,6 +1640,20 @@ SUITE: dict[str, tuple] = {
                               F.col("token").alias("key"),
                               F.lit("").alias("sval"), "n"),
          "SELECT 'tokens' AS kind, token AS key, '' AS sval, n"),
+        # r9: GPT-2-style regex pre-tokenization (functions/text.py
+        # regex_pretokens) — md5 of the exact per-doc pre-token stream,
+        # so every boundary decision of the Java/RE2-shared pattern
+        # hashes on both engines
+        (PIPELINE_SUITE["regex_pretokenize"],
+         lambda df: df.select(F.lit("rtok").alias("kind"),
+                              F.col("doc_id").cast("string").alias("key"),
+                              F.concat_ws(":", "tok_md5",
+                                          F.col("n_chars").cast("string"))
+                              .alias("sval"),
+                              F.col("n_toks").alias("n")),
+         "SELECT 'rtok' AS kind, CAST(doc_id AS VARCHAR) AS key,"
+         " tok_md5 || ':' || CAST(n_chars AS VARCHAR) AS sval,"
+         " n_toks AS n"),
         # r5: n-gram novelty — per val doc, distinct 3-grams the train
         # slice never saw (functions/cleaning.py ngram_novelty); all
         # exact integers, gram text digest-joined

@@ -323,3 +323,17 @@ def test_conformal_nb_tiny_calibration_clamps_quantile(spark):
     assert out, "tiny calibration must not collapse to zero rows"
     assert all(r.n_cal == n_cal for r in out)
     assert sum(r.n_docs for r in out) == n_test
+
+
+def test_regex_pretokens_gpt2_boundaries(spark):
+    """Contractions split; leading space glues to the following run;
+    digits/punct are their own runs (the public GPT-2 pattern, ASCII
+    subset)."""
+    from pyspark.sql import Row
+
+    from melt_spark.functions.text import regex_pretokens
+
+    df = spark.createDataFrame([Row(t="Don't stop, x9y 42 ok!")])
+    [row] = df.select(regex_pretokens("t").alias("toks")).collect()
+    assert row.toks == ["Don", "'t", " stop", ",", " x", "9", "y",
+                        " 42", " ok", "!"]
