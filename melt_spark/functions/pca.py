@@ -39,13 +39,18 @@ from pyspark.sql import functions as F
 E6 = 1_000_000
 
 
-def _quantized(emb: DataFrame, vec_col: str) -> DataFrame:
+def _quantized(emb: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    from .util import spread_input
+
     q = F.transform(F.col(vec_col).cast("array<double>"),
                     lambda x: F.round(x * F.lit(float(E6))).cast("bigint"))
-    return emb.select(q.alias("q"))
+    # the d^2/2 pair explosion below is the CPU-heavy stage — spread a
+    # few-file input across cores first (no-op on a real many-file table)
+    return spread_input(emb, id_col).select(q.alias("q"))
 
 
 def pca_top_component(emb: DataFrame, vec_col: str = "embedding",
+                      id_col: str = "vec_id",
                       iters: int = 8) -> DataFrame:
     """Top principal component of the (centered) embedding cloud.
 
@@ -64,7 +69,7 @@ def pca_top_component(emb: DataFrame, vec_col: str = "embedding",
     on a near-isotropic cloud the estimate stays conservative, which is
     the correct signal (nothing dominant to subtract). The number is
     the decision readout, not a full eigendecomposition."""
-    qd = _quantized(emb, vec_col)
+    qd = _quantized(emb, vec_col, id_col)
     d = F.size("q")
     # per-row upper-triangle products: struct(i, j, qq) for i <= j
     pairs = F.flatten(F.transform(

@@ -190,6 +190,7 @@ PROBES = ["text_quality", "dedup_minhash_lsh", "clean_corpus",
           # PCA readout (one map-side d^2/2 aggregate is the only
           # corpus-sized stage — expected ~linear, shuffle ~flat at d^2)
           "incremental_bpe", "embedding_pca", "url_dedup",
+          "regex_pretokenize",
           # r8 wave 2: the k-group/parametric/correlation tests (moment
           # aggregates and per-key rank windows — expected ~linear)
           "welch_ttest", "spearman_drift", "kruskal_wallis",
@@ -314,6 +315,9 @@ _EXTRA_QUERIES = {"span_dedup_digest": _span_query("digest"),
                       _constituent("analytics_suite", "q_embedding_pca"),
                   "url_dedup":
                       _constituent("pipeline_suite", "q_url_dedup"),
+                  "regex_pretokenize":
+                      _constituent("pipeline_suite",
+                                   "q_regex_pretokenize"),
                   "span_dedup_text": _span_query("text"),
                   "semantic_dedup": _semantic_query(None),
                   "semantic_dedup_coarse": _semantic_query(16),
