@@ -251,10 +251,18 @@ def main() -> None:
     seq = 0
 
     def _canary() -> None:
-        t0 = time.perf_counter()
-        _force(s.q_message_envelope(spark, CANARY_SF_DIR))
-        canaries.append({"seq": seq,
-                         "sec": round(time.perf_counter() - t0, 3)})
+        # same fault-isolation rule as the measurements: a failing canary
+        # (missing probe fixture, transient executor loss) must not abort
+        # the run and cost the round its bench artifact — it just leaves
+        # a gap in the series
+        try:
+            t0 = time.perf_counter()
+            _force(s.q_message_envelope(spark, CANARY_SF_DIR))
+            canaries.append({"seq": seq,
+                             "sec": round(time.perf_counter() - t0, 3)})
+        except Exception as exc:  # noqa: BLE001
+            errors[f"canary@{seq}"] = \
+                f"{type(exc).__name__}: {str(exc)[:200]}"
 
     for name, fn in BENCH_QUERIES + ext:
         if seq % CANARY_EVERY == 0:

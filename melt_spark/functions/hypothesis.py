@@ -1021,7 +1021,12 @@ def diff_in_diff(df: DataFrame, key_cols: list[str], value_col: str,
     se = F.sqrt(F.expr(
         " + ".join(var_term.format(g=g, p=p)
                    for g in (0, 1) for p in (0, 1))))
-    full = F.size("a") >= 4
+    # all FOUR binary contrast cells must be present — counting rows
+    # would let a non-binary grp/period value stand in for a missing
+    # {0,1}x{0,1} cell and re-admit the mean-0.0 contrast bug
+    def _has(g: int, p: int):
+        return F.exists("a", lambda x: (x["__g"] == g) & (x["__p"] == p))
+    full = _has(0, 0) & _has(0, 1) & _has(1, 0) & _has(1, 1)
     keyed = one.select(
         *key_cols, "a",
         F.when(full, F.round(did * F.lit(10_000.0)).cast("bigint"))

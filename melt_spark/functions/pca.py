@@ -45,8 +45,14 @@ def _quantized(emb: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     q = F.transform(F.col(vec_col).cast("array<double>"),
                     lambda x: F.round(x * F.lit(float(E6))).cast("bigint"))
     # the d^2/2 pair explosion below is the CPU-heavy stage — spread a
-    # few-file input across cores first (no-op on a real many-file table)
-    return spread_input(emb, id_col).select(q.alias("q"))
+    # few-file input across cores first (no-op on a real many-file table).
+    # NULL/empty vectors are SKIPPED (contract: malformed rows must not
+    # abort a 100 TB job — sequence(1, 0) descends and element_at(q, 0)
+    # raises on every engine)
+    return (spread_input(emb, id_col)
+            .filter(F.col(vec_col).isNotNull()
+                    & (F.size(vec_col) >= 1))
+            .select(q.alias("q")))
 
 
 def pca_top_component(emb: DataFrame, vec_col: str = "embedding",
@@ -78,7 +84,11 @@ def pca_top_component(emb: DataFrame, vec_col: str = "embedding",
             F.sequence(i, d),
             lambda j: F.struct(
                 i.cast("int").alias("i"), j.cast("int").alias("j"),
-                (F.element_at("q", i) * F.element_at("q", j))
+                # decimal BEFORE multiplying: a bigint product would
+                # silently wrap past 9.2e18 (|component| >= ~3037 at e6
+                # quantization) while the oracle's HUGEINT stays exact
+                (F.element_at("q", i).cast("decimal(18,0)")
+                 * F.element_at("q", j).cast("decimal(18,0)"))
                 .alias("qq")))))
     upper = (qd.select(F.explode(pairs).alias("p"))
              .groupBy("p.i", "p.j")

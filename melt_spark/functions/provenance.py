@@ -76,10 +76,17 @@ def canonical_url(url: Column) -> Column:
     host = F.regexp_replace(host, r"^www\.", "")
     rest = F.regexp_extract(
         url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    # tracking-param strip, NAME-ANCHORED at its delimiter (an unanchored
+    # pattern would also mangle params merely CONTAINING a tracker name,
+    # e.g. ?xgclid=1 — corrupting the canonical key): normalize the one
+    # '?' to '&' so every param starts with '&', drop '&tracker=value'
+    # params (each consumes only to the next '&' — runs of consecutive
+    # trackers all match in one pass), then restore the first '&' to '?'
+    rest = F.regexp_replace(rest, r"^([^?]*)[?]", "$1&")
     rest = F.regexp_replace(
-        rest, r"(utm_[a-zA-Z0-9_]+|gclid|fbclid)=[^&#]*&", "")
-    rest = F.regexp_replace(
-        rest, r"[?&](utm_[a-zA-Z0-9_]+|gclid|fbclid)=[^&#]*$", "")
+        rest, r"&(utm_[a-zA-Z0-9_]+|gclid|fbclid)=[^&]*", "")
+    rest = F.regexp_replace(rest, r"^([^&]*)&", "$1?")
+    rest = F.regexp_replace(rest, r"[?]$", "")   # emptied query: drop '?'
     rest = F.regexp_replace(rest, r"/+$", "")
     return F.concat(scheme, F.lit("://"), host, rest)
 

@@ -1173,7 +1173,9 @@ cell AS (
   FROM base GROUP BY 1, 2, 3
 ),
 mv AS (
-  SELECT event_type, COUNT(*) AS n_cells,
+  SELECT event_type,
+    COUNT(DISTINCT CASE WHEN g IN (0, 1) AND p IN (0, 1)
+                        THEN g * 2 + p END) AS n_cells,
     SUM(CASE WHEN g = 1 AND p = 1
              THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END)
     - SUM(CASE WHEN g = 1 AND p = 0
@@ -3501,6 +3503,7 @@ WITH qe AS (
   SELECT list_transform(CAST(embedding AS DOUBLE[]),
                         x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
   FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) >= 1
 ),
 up AS (
   SELECT ii.i AS i, jj.j AS j,

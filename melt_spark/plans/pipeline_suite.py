@@ -4074,7 +4074,9 @@ def q_regex_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffles beyond the scan."""
     from ..functions.text import regex_pretokens
 
-    docs = read_table(spark, sf_dir, "documents")
+    from ..functions.util import spread_input
+
+    docs = spread_input(read_table(spark, sf_dir, "documents"), "doc_id")
     t = F.concat(F.col("text"), F.lit(" Don't stop, x9y 42 ok!"))
     toks = regex_pretokens(t)
     return docs.select(
@@ -4097,7 +4099,7 @@ WITH t AS (
 )
 SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
        CAST(list_reduce(list_prepend(0, list_transform(toks,
-            x -> strlen(x))), (a, b) -> a + b) AS BIGINT) AS n_chars,
+            x -> length(x))), (a, b) -> a + b) AS BIGINT) AS n_chars,
        md5(array_to_string(toks, chr(1))) AS tok_md5
 FROM t
 """
@@ -4149,10 +4151,13 @@ _CANON_SQL = """
   regexp_replace(lower(regexp_extract(url,
     '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)', 1)),
     '^www\\.', '')
-  || regexp_replace(regexp_replace(regexp_replace(
-       regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1),
-       '(utm_[a-zA-Z0-9_]+|gclid|fbclid)=[^&#]*&', '', 'g'),
-       '[?&](utm_[a-zA-Z0-9_]+|gclid|fbclid)=[^&#]*$', ''),
+  || regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       regexp_replace(
+         regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1),
+         '^([^?]*)[?]', '\\1&'),
+       '&(utm_[a-zA-Z0-9_]+|gclid|fbclid)=[^&]*', '', 'g'),
+       '^([^&]*)&', '\\1?'),
+       '[?]$', ''),
        '/+$', '')
 """
 

@@ -205,4 +205,4 @@ def test_incremental_encode_against_persisted_store_idempotent(
           .select((bpe_decode("stream") == F.col("text")).alias("ok"))
           .collect())
     assert all(r.ok for r in rt)
-    assert first[100][2].startswith("▁abab|▁z|z|▁c|d".split("|")[0])
+    assert first[100][2] == "▁abab|▁z|z|▁c|d"   # OOV 'zz' char-split

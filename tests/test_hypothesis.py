@@ -620,3 +620,20 @@ def test_did_degenerate_key_zeroes_estimate(spark):
     assert all(r.did_e4 == 0 and r.se_e4 == 0 for r in gap)
     assert all(r.did_e4 == 80_000 for r in full)    # (30-20)-(12-10)=8
     assert all(r.n == 20 for r in gap)
+
+
+def test_did_nonbinary_cell_cannot_stand_in_for_missing_cell(spark):
+    """Four populated cells but one is (g=2, p=1): the binary contrast
+    is still missing (1,1), so did/se must zero (r9 review finding —
+    a row-count guard admitted the mean-0.0 bug through non-binary
+    cohort values)."""
+    from melt_spark.functions.hypothesis import diff_in_diff
+
+    rows = []
+    for i in range(10):
+        rows += [("k", 10, 0, 0), ("k", 12, 0, 1),
+                 ("k", 20, 1, 0), ("k", 30, 2, 1)]
+    df = spark.createDataFrame(rows, "k string, v long, g int, p int")
+    out = diff_in_diff(df, ["k"], "v", "g", "p").collect()
+    assert len(out) == 4
+    assert all(r.did_e4 == 0 and r.se_e4 == 0 for r in out)

@@ -50,3 +50,19 @@ def test_degenerate_constant_cloud(spark):
     share = [r.v_e6 for r in out if r.dim == -1][0]
     assert share == 0
     assert all(r.cdiag == 0.0 for r in out if r.dim >= 0)
+
+
+def test_null_and_empty_vectors_are_skipped(spark):
+    """A malformed row must not abort the job (r9 review finding):
+    null/empty embeddings are skipped; n counts only valid rows."""
+    from pyspark.sql import Row as R
+
+    df = spark.createDataFrame(
+        [R(vec_id=0, embedding=[1.0, 2.0]),
+         R(vec_id=1, embedding=[3.0, 5.0]),
+         R(vec_id=2, embedding=[]),
+         R(vec_id=3, embedding=None)],
+        "vec_id long, embedding array<double>")
+    out = pca_top_component(df).collect()
+    assert all(r.n == 2 for r in out)
+    assert sorted(r.dim for r in out) == [-1, 1, 2]

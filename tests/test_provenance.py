@@ -96,3 +96,28 @@ def test_canonical_url_contract(spark):
     assert got[:7] == ["https://ex1.com/a/7"] * 7
     assert got[7] == "https://ex1.com/a/7?id=9"
     assert got[8] == "https://ex1.com/a/8"
+
+
+def test_canonical_url_tracker_names_are_anchored(spark):
+    """A param whose NAME merely contains a tracker name must survive —
+    an unanchored pattern corrupted the canonical key (r9 review
+    finding); runs of consecutive trackers all strip in one pass and
+    param order does not change the key."""
+    from melt_spark.functions.provenance import canonical_url
+
+    df = spark.createDataFrame([Row(u=u) for u in [
+        "https://ex.com/p?xgclid=1&id=2",        # NOT a tracker
+        "https://ex.com/p?id=2&xgclid=1",        # same, other order kept
+        "https://ex.com/p?utm_a=1&utm_b=2&id=3",  # consecutive trackers
+        "https://ex.com/p?utm_a=1&id=3&utm_b=2",
+        "https://ex.com/p?",                      # emptied query
+        "https://ex.com/p?myutm_x=1",             # substring-prefix safe
+    ]])
+    got = [r.c for r in
+           df.select(canonical_url(F.col("u")).alias("c")).collect()]
+    assert got[0] == "https://ex.com/p?xgclid=1&id=2"
+    assert got[1] == "https://ex.com/p?id=2&xgclid=1"
+    assert got[2] == "https://ex.com/p?id=3"
+    assert got[3] == "https://ex.com/p?id=3"
+    assert got[4] == "https://ex.com/p"
+    assert got[5] == "https://ex.com/p?myutm_x=1"
