@@ -179,6 +179,28 @@ def contended_names(canaries: list[dict], name_seqs: list[tuple[str, int]],
     return med, out
 
 
+def box_speed(spark) -> dict:
+    """Fixed JVM arithmetic workloads, recorded per run so round-over-round
+    bench totals can be HARDWARE-NORMALIZED: the r9 close-run measured the
+    untouched, plan-pinned headliners ~45% slower than r8 on a box whose
+    pure-Python loop was equally slower — plan pins prove no plan changed,
+    and this denominator proves (or refutes) 'the box, not the code' for
+    any future such shift. Single-partition run = per-core speed;
+    32-partition run = whole-box throughput."""
+    def best_of(n_rows: int, parts: int) -> float:
+        best = None
+        for _ in range(2):   # first run pays JIT — min is the warm number
+            t0 = time.perf_counter()
+            spark.range(0, n_rows, 1, parts).selectExpr(
+                "sum(id * 2 + 7) AS s").collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    return {"jvm_1core_sec": best_of(50_000_000, 1),
+            "jvm_32core_sec": best_of(800_000_000, 32)}
+
+
 def detail_name() -> str:
     """Round-stamped detail artifact (r7 verdict item #6): with
     SPARK_GRAFT_ROUND=N set, detail goes to BENCH_DETAIL_r{N}.json so
@@ -323,6 +345,7 @@ def main() -> None:
         "total_with_new_ops": round(sum(timings.values()), 3),
         "constituents": constituent_times,
         "errors": errors,
+        "box": box_speed(spark),
         "canary": {
             "query": f"message_envelope@{CANARY_SF_DIR.rsplit('/', 1)[-1]}",
             "every": CANARY_EVERY,
