@@ -42,6 +42,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .text import tokens
 from .util import spread_input
@@ -125,3 +126,42 @@ def lm_score(docs: DataFrame, id_col: str = "doc_id",
                     F.when(F.col("avg_nll").isNull(), F.lit(-1.0))
                     .otherwise(F.round(F.exp(F.col("avg_nll")), 6))
                     .alias("ppl")))
+
+
+def ccnet_buckets(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  group_col: str = "source") -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al.,
+    "CCNet: Extracting high quality monolingual datasets from web crawl
+    data", LREC 2020): per group (CCNet buckets per language; here per
+    source), rank documents by LM score and cut EXACT terciles — head =
+    the lowest-perplexity third (kept outright in CCNet), middle, tail.
+    Documents with no bigrams bucket 'skip'.
+
+    Deterministic: ranks order on (avg_nll rounded to 9 — identical on
+    both engines — then the unique doc id), and the tercile cut is
+    integer arithmetic (rn*3 vs n), so every bucket decision hashes.
+
+    Scale shape: the lm_score chain + ONE per-group rank window (the
+    mann_whitney per-key sort floor — groups are languages/sources, a
+    bounded set with balanced populations) sharing its exchange with
+    the per-group count window."""
+    scored = lm_score(docs, id_col, text_col)
+    j = scored.join(docs.select(id_col, F.col(group_col).alias("grp")),
+                    id_col)
+    valid = j.filter(F.col("n_bigrams") > 0)
+    w = Window.partitionBy("grp").orderBy("avg_nll", id_col)
+    wc = Window.partitionBy("grp")
+    ranked = (valid.withColumn("__rn", F.row_number().over(w))
+              .withColumn("__n", F.count(F.lit(1)).over(wc)))
+    bucket = (F.when(F.col("__rn") * 3 <= F.col("__n"), F.lit("head"))
+              .when(F.col("__rn") * 3 <= 2 * F.col("__n"),
+                    F.lit("middle"))
+              .otherwise(F.lit("tail")))
+    out = ranked.select(id_col, F.col("grp").alias(group_col),
+                        "n_bigrams", "avg_nll",
+                        bucket.alias("bucket"))
+    skip = j.filter(F.col("n_bigrams") == 0).select(
+        id_col, F.col("grp").alias(group_col), "n_bigrams", "avg_nll",
+        F.lit("skip").alias("bucket"))
+    return out.unionByName(skip)

@@ -2449,6 +2449,42 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (functions/lm.py
+    ccnet_buckets, Wenzek et al. LREC 2020): per source, exact terciles
+    of the corpus-LM document scores — head kept outright, tail dropped
+    or re-scored in the CCNet recipe. One per-group rank window over
+    the lm_score chain; every bucket decision is integer arithmetic on
+    deterministic ranks, so it hashes."""
+    from ..functions.lm import ccnet_buckets
+
+    docs = read_table(spark, sf_dir, "documents")
+    return ccnet_buckets(docs)
+
+
+SQL_CCNET_BUCKETS = f"""
+WITH j AS (
+  SELECT l.doc_id, l.n_bigrams, l.avg_nll, d.source
+  FROM ({SQL_LM_PERPLEXITY}) l JOIN documents d USING (doc_id)
+),
+r AS (
+  SELECT doc_id, source, n_bigrams, avg_nll,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY avg_nll, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM j WHERE n_bigrams > 0
+)
+SELECT doc_id, source, n_bigrams, avg_nll,
+       CASE WHEN rn * 3 <= n THEN 'head'
+            WHEN rn * 3 <= 2 * n THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM r
+UNION ALL
+SELECT doc_id, source, n_bigrams, avg_nll, 'skip' AS bucket
+FROM j WHERE n_bigrams = 0
+"""
+
+
 PHRASE = ("table", "scan", "merge")
 
 
@@ -4190,6 +4226,7 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "domain_gate": (q_domain_gate, SQL_DOMAIN_GATE),
     "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
     "regex_pretokenize": (q_regex_pretokenize, SQL_REGEX_PRETOKENIZE),
+    "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
     "heaps_law": (q_heaps_law, SQL_HEAPS_LAW),
     "conformal_nb": (q_conformal_nb, SQL_CONFORMAL_NB),
     "kmeans_train": (q_kmeans_train, SQL_KMEANS_TRAIN),

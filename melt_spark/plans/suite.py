@@ -2007,7 +2007,12 @@ SUITE: dict[str, tuple] = {
         # classify.py — the fastText-gate stand-in; integer nano-nat
         # scores so the argmax is exact cross-engine)
         .join(PIPELINE_SUITE["nb_classify"][0](spark, sf_dir)
-              .select("doc_id", "predicted", "score_nano"), "doc_id"),
+              .select("doc_id", "predicted", "score_nano"), "doc_id")
+        # r9: CCNet head/middle/tail perplexity tercile per doc
+        # (functions/lm.py ccnet_buckets — the bucket CCNet keeps/drops
+        # on, cut by exact per-source ranks of the same LM scores)
+        .join(PIPELINE_SUITE["ccnet_buckets"][0](spark, sf_dir)
+              .select("doc_id", "bucket"), "doc_id"),
         joined(
             "doc_id", PIPELINE_SUITE["text_stats"],
             (PIPELINE_SUITE["quality_scores"],
@@ -2022,7 +2027,9 @@ SUITE: dict[str, tuple] = {
             (PIPELINE_SUITE["lm_perplexity"],
              ["n_bigrams", "avg_nll", "ppl"]),
             (PIPELINE_SUITE["nb_classify"],
-             ["predicted", "score_nano"]))[1]),
+             ["predicted", "score_nano"]),
+            (PIPELINE_SUITE["ccnet_buckets"],
+             ["bucket"]))[1]),
     # -- exact doc-level dedup + NEW r3 sub-document span dedup (C4-style:
     #    first corpus-wide occurrence of each k-token span survives, docs
     #    reassembled from surviving spans)

@@ -72,3 +72,24 @@ def test_phrase_shorter_than_doc_guard(spark):
 def test_phrase_empty_raises(spark):
     with pytest.raises(ValueError):
         phrase_match(_docs(spark, ["x"]), ())
+
+
+def test_ccnet_buckets_exact_terciles(spark):
+    """Per group: head/middle/tail are exact thirds of the ranked valid
+    docs (rn*3 vs n integer cut); bigram-less docs bucket 'skip'."""
+    from pyspark.sql import Row
+
+    from melt_spark.functions.lm import ccnet_buckets
+
+    rows = []
+    for i in range(9):                       # 9 valid docs in group 'a'
+        rows.append(Row(doc_id=i, source="a",
+                        text=" ".join(["w%d" % (j % (i + 2))
+                                       for j in range(6)])))
+    rows.append(Row(doc_id=99, source="a", text="solo"))   # 1 token
+    df = spark.createDataFrame(rows)
+    out = {r.doc_id: r.bucket for r in ccnet_buckets(df).collect()}
+    assert out[99] == "skip"
+    from collections import Counter
+    c = Counter(v for k, v in out.items() if k != 99)
+    assert c == {"head": 3, "middle": 3, "tail": 3}
