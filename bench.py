@@ -102,7 +102,7 @@ BENCH_GROUPS_BY_NAME: dict[str, list[str]] = {
            "acf_daily", "msprt", "heaps_law", "conformal_nb",
            "gini_spend", "cochran_armitage", "srm_check", "did"],
     "r9": ["incremental_bpe", "embedding_pca", "url_dedup",
-           "regex_pretokenize"],
+           "regex_pretokenize", "ccnet_buckets"],
 }
 
 EXTRA_QUERIES = [

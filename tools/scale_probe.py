@@ -190,7 +190,7 @@ PROBES = ["text_quality", "dedup_minhash_lsh", "clean_corpus",
           # PCA readout (one map-side d^2/2 aggregate is the only
           # corpus-sized stage — expected ~linear, shuffle ~flat at d^2)
           "incremental_bpe", "embedding_pca", "url_dedup",
-          "regex_pretokenize",
+          "regex_pretokenize", "ccnet_buckets",
           # r8 wave 2: the k-group/parametric/correlation tests (moment
           # aggregates and per-key rank windows — expected ~linear)
           "welch_ttest", "spearman_drift", "kruskal_wallis",
@@ -318,6 +318,8 @@ _EXTRA_QUERIES = {"span_dedup_digest": _span_query("digest"),
                   "regex_pretokenize":
                       _constituent("pipeline_suite",
                                    "q_regex_pretokenize"),
+                  "ccnet_buckets":
+                      _constituent("pipeline_suite", "q_ccnet_buckets"),
                   "span_dedup_text": _span_query("text"),
                   "semantic_dedup": _semantic_query(None),
                   "semantic_dedup_coarse": _semantic_query(16),
