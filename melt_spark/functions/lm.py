@@ -42,7 +42,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from .text import tokens
 from .util import spread_input
@@ -142,18 +141,42 @@ def ccnet_buckets(docs: DataFrame, id_col: str = "doc_id",
     both engines — then the unique doc id), and the tercile cut is
     integer arithmetic (rn*3 vs n), so every bucket decision hashes.
 
-    Scale shape: the lm_score chain + ONE per-group rank window (the
-    mann_whitney per-key sort floor — groups are languages/sources, a
-    bounded set with balanced populations) sharing its exchange with
-    the per-group count window."""
+    Scale shape (r10 hatch — the r9 verdict's one scale-killer): the
+    original per-group ``row_number().over(partitionBy(grp))`` is a
+    one-task sort of an ENTIRE source at 100 TB (a corpus has a handful
+    of sources/languages, each multi-TB — the exact floor mann_whitney
+    and domain_gate already hatch). Replaced by util.global_order_scan
+    over the TOTAL order (grp, avg_nll, id): a RANGE shuffle splits even
+    an all-one-source corpus across every task on (avg_nll, id), and the
+    per-group rank falls out as ``global_rank - min(global_rank in
+    group) + 1`` because groups are contiguous in the total order. Group
+    sizes and first-ranks come from one tiny keyed aggregate (one row
+    per source — the bounded dimension domain) broadcast back. Ranks are
+    bit-identical to the window version (pytest-pinned), so the oracle
+    hash is unchanged. No stage sees more than 1/parts of any source."""
+    from .util import global_order_scan
+
     scored = lm_score(docs, id_col, text_col)
-    j = scored.join(docs.select(id_col, F.col(group_col).alias("grp")),
-                    id_col)
+    # materialize the narrow per-doc frame ONCE: repartitionByRange's
+    # range-bound sampling pass re-executes its child, and without this
+    # the whole corpus-linear lm_score chain runs twice (the first 64x
+    # probe of this hatch measured exactly 2x the shuffle bytes); the
+    # skip branch below is a third consumer. The checkpoint is one
+    # ~40-byte row per document — the same doc-count-not-token-count
+    # footprint global_order_scan itself pins.
+    j = (scored.join(docs.select(id_col, F.col(group_col).alias("grp")),
+                     id_col)
+         .localCheckpoint(eager=False))
     valid = j.filter(F.col("n_bigrams") > 0)
-    w = Window.partitionBy("grp").orderBy("avg_nll", id_col)
-    wc = Window.partitionBy("grp")
-    ranked = (valid.withColumn("__rn", F.row_number().over(w))
-              .withColumn("__n", F.count(F.lit(1)).over(wc)))
+    granked = global_order_scan(
+        valid, [F.asc("grp"), F.asc("avg_nll"), F.asc(id_col)],
+        rank_col="__grn")
+    stats = (granked.groupBy("grp")
+             .agg(F.min("__grn").alias("__first"),
+                  F.count(F.lit(1)).alias("__n")))
+    ranked = (granked.join(F.broadcast(stats), "grp")
+              .withColumn("__rn",
+                          F.col("__grn") - F.col("__first") + F.lit(1)))
     bucket = (F.when(F.col("__rn") * 3 <= F.col("__n"), F.lit("head"))
               .when(F.col("__rn") * 3 <= 2 * F.col("__n"),
                     F.lit("middle"))

@@ -93,3 +93,54 @@ def test_ccnet_buckets_exact_terciles(spark):
     from collections import Counter
     c = Counter(v for k, v in out.items() if k != 99)
     assert c == {"head": 3, "middle": 3, "tail": 3}
+
+
+def test_ccnet_hatch_matches_window_ranks(spark, sf_dir):
+    """r10 scale hatch (VERDICT r9 #1): the global_order_scan tercile cut
+    must be BIT-IDENTICAL to the naive per-group rank window it replaced
+    — same discipline as mann_whitney's fine-buckets-≡-exact pin. Runs on
+    the real fixture (multi-source) so group boundaries inside and across
+    range partitions are both exercised."""
+    from pyspark.sql.window import Window
+
+    from melt_spark.functions.lm import ccnet_buckets, lm_score
+
+    docs = read_table(spark, sf_dir, "documents")
+    got = {(r.doc_id): (r.source, r.bucket)
+           for r in ccnet_buckets(docs).collect()}
+
+    scored = lm_score(docs)
+    j = scored.join(docs.select("doc_id", F.col("source").alias("grp")),
+                    "doc_id")
+    valid = j.filter(F.col("n_bigrams") > 0)
+    w = Window.partitionBy("grp").orderBy("avg_nll", "doc_id")
+    wc = Window.partitionBy("grp")
+    naive = (valid.withColumn("rn", F.row_number().over(w))
+             .withColumn("n", F.count(F.lit(1)).over(wc)))
+    bucket = (F.when(F.col("rn") * 3 <= F.col("n"), F.lit("head"))
+              .when(F.col("rn") * 3 <= 2 * F.col("n"), F.lit("middle"))
+              .otherwise(F.lit("tail")))
+    want = {r.doc_id: (r.grp, r.b)
+            for r in naive.select("doc_id", "grp",
+                                  bucket.alias("b")).collect()}
+    want.update({r.doc_id: (r.grp, "skip")
+                 for r in j.filter(F.col("n_bigrams") == 0)
+                 .select("doc_id", "grp").collect()})
+    assert got == want and len(got) == docs.count()
+
+
+def test_ccnet_hatch_all_one_source(spark):
+    """Worst case for the old window: EVERY doc in one group. The hatch
+    must still cut exact terciles (range shuffle splits the group; the
+    per-group rank reconstruction is offset arithmetic)."""
+    from collections import Counter
+
+    from melt_spark.functions.lm import ccnet_buckets
+
+    rows = [Row(doc_id=i, source="onehot",
+                text=" ".join("w%d" % (j % (i % 17 + 2))
+                              for j in range(8)))
+            for i in range(300)]
+    out = ccnet_buckets(spark.createDataFrame(rows)).collect()
+    c = Counter(r.bucket for r in out)
+    assert c == {"head": 100, "middle": 100, "tail": 100}
