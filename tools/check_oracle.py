@@ -24,7 +24,10 @@ from __future__ import annotations
 import datetime
 import decimal
 import math
+import os
 import sys
+import threading
+import time
 from collections import Counter
 from pathlib import Path
 
@@ -87,9 +90,65 @@ def duck_rows(con, sql):
     return sorted(c for c in cols), data
 
 
+class StderrWarningGate:
+    """Count WindowExec 'No Partition Defined' lines emitted during the
+    drive, process-wide (r9 verdict What's-wrong #2: the zero-warning pin
+    lived only as a NOTES sentence — this makes it CI). log4j writes to
+    file descriptor 2 from the JVM, outside Python's sys.stderr, so the
+    gate dup2's a pipe over fd 2 and a pump thread tees every byte back
+    to the original stream while counting pattern hits — the drive output
+    stays live and the count is exact. dup2 swaps the fd table entry
+    process-wide, so it catches JVM writes even when installed after (or
+    before) the JVM starts. One warning line = one unpartitioned window
+    execution that Catalyst did NOT fold away (the r8 lesson: lit(0)
+    partition keys are folded out and still warn; util.one_partition is
+    the surviving idiom) — any hit is a new single-task window to justify
+    or fix, and the drive exits nonzero."""
+
+    PATTERN = b"No Partition Defined"
+
+    def __init__(self):
+        self.count = 0
+        self._orig = os.dup(2)
+        r, w = os.pipe()
+        os.dup2(w, 2)
+        os.close(w)
+        self._r = r
+        self._t = threading.Thread(target=self._pump, daemon=True)
+        self._t.start()
+
+    def _pump(self):
+        tail = b""
+        while True:
+            try:
+                chunk = os.read(self._r, 65536)
+            except OSError:
+                break
+            if not chunk:
+                break
+            os.write(self._orig, chunk)
+            *lines, tail = (tail + chunk).split(b"\n")
+            self.count += sum(1 for ln in lines if self.PATTERN in ln)
+
+    def settle(self) -> int:
+        """Give in-flight log lines a beat to drain, return the count."""
+        time.sleep(0.5)
+        return self.count
+
+    def close(self) -> int:
+        """Restore fd 2 and return the final count (pytest hygiene — the
+        drive itself just exits)."""
+        n = self.settle()
+        os.dup2(self._orig, 2)
+        os.close(self._orig)
+        os.close(self._r)
+        return n
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    gate = StderrWarningGate()
 
     import __spark_entry__ as entrymod
     from melt_spark.session import get_spark
@@ -145,9 +204,14 @@ def main():
             continue
         print(f"PASS  {name} ({len(s_data)} rows)")
 
+    n_warn = gate.settle()
     print(f"\n{checked - len(failures)}/{checked} oracle-checked pass;"
-          f" {len(weak)} weak (rows-only): {weak}")
-    if failures:
+          f" {len(weak)} weak (rows-only): {weak};"
+          f" {n_warn} 'No Partition Defined' warnings")
+    if n_warn:
+        print(f"FAIL  drive emitted {n_warn} unpartitioned-window "
+              "warnings (pin: ZERO — see util.one_partition)")
+    if failures or n_warn:
         sys.exit(1)
 
 
