@@ -201,6 +201,38 @@ def box_speed(spark) -> dict:
             "jvm_32core_sec": best_of(800_000_000, 32)}
 
 
+# Committed reference box (r9 verdict What's-wrong #3): the r9 round-close
+# calibration readings (NOTES.md r9 bench context — jvm_1core 0.34 s /
+# jvm_32core 0.44 s, the box whose 18.1 s close-run the judge's A/B traced
+# to hardware). Every future run normalizes its headline against THESE
+# numbers, so a uniformly slow box — which inflates measurements AND the
+# contention-canary median together, evading the burst canary — reads as
+# a box-speed ratio instead of a fake regression.
+BOX_BASELINE = {"jvm_1core_sec": 0.34, "jvm_32core_sec": 0.44}
+
+
+def box_normalized(total: float, box: dict,
+                   baseline: dict | None = None) -> float | None:
+    """Headline seconds re-expressed in REFERENCE-BOX time: multiply by
+    the geometric mean of the (baseline/measured) speed ratios of the
+    1-core and 32-core calibration workloads (the headliners mix serial
+    driver/stage-boundary time with parallel scan time, so neither ratio
+    alone is right; the geomean is the symmetric compromise). A box
+    measuring 2x slower than the committed baseline halves its raw total.
+    Pure function — pinned by tests/test_bench_contract.py. Returns None
+    when a calibration reading is missing or non-positive (the raw value
+    then stands alone, never a fabricated normalization)."""
+    baseline = baseline or BOX_BASELINE
+    try:
+        r1 = baseline["jvm_1core_sec"] / box["jvm_1core_sec"]
+        r32 = baseline["jvm_32core_sec"] / box["jvm_32core_sec"]
+    except (KeyError, TypeError, ZeroDivisionError):
+        return None
+    if r1 <= 0 or r32 <= 0:
+        return None
+    return round(total * (r1 * r32) ** 0.5, 3)
+
+
 def detail_name() -> str:
     """Round-stamped detail artifact (r7 verdict item #6): with
     SPARK_GRAFT_ROUND=N set, detail goes to BENCH_DETAIL_r{N}.json so
@@ -225,8 +257,9 @@ def extended_queries() -> list[tuple[str, object]]:
 
 
 def compact_line(total: float, sf, timings: dict[str, float],
-                 n_errors: int) -> str:
-    """The ONE stdout JSON line: headline metric + 13 headliner seconds.
+                 n_errors: int, box_norm: float | None = None) -> str:
+    """The ONE stdout JSON line: headline metric + 13 headliner seconds
+    (+ the box-normalized headline when calibration succeeded).
     Kept under MAX_STDOUT_BYTES by construction (pinned by pytest)."""
     core = [k for k, _ in BENCH_QUERIES]
     out = {
@@ -237,6 +270,8 @@ def compact_line(total: float, sf, timings: dict[str, float],
         "sf": sf,
         "detail": "docs/BENCH_DETAIL.json",
     }
+    if box_norm is not None:
+        out["value_box_normalized"] = box_norm
     if n_errors:
         out["n_errors"] = n_errors
     return json.dumps(out)
@@ -334,10 +369,13 @@ def main() -> None:
 
     core = {k for k, _ in BENCH_QUERIES}
     total = round(sum(v for k, v in timings.items() if k in core), 3)
+    box = box_speed(spark)
+    norm = box_normalized(total, box)
 
     detail = {
         "metric": "headline_queries_total",
         "value": total,
+        "value_box_normalized": norm,
         "unit": "sec",
         "sf": sf,
         "queries": timings,
@@ -345,7 +383,8 @@ def main() -> None:
         "total_with_new_ops": round(sum(timings.values()), 3),
         "constituents": constituent_times,
         "errors": errors,
-        "box": box_speed(spark),
+        "box": box,
+        "box_baseline": BOX_BASELINE,
         "canary": {
             "query": f"message_envelope@{CANARY_SF_DIR.rsplit('/', 1)[-1]}",
             "every": CANARY_EVERY,
@@ -358,7 +397,7 @@ def main() -> None:
     detail_path = Path(__file__).resolve().parent / "docs" / detail_name()
     detail_path.write_text(json.dumps(detail, indent=1) + "\n")
 
-    line = compact_line(total, sf, timings, len(errors))
+    line = compact_line(total, sf, timings, len(errors), box_norm=norm)
     assert len(line.encode()) <= MAX_STDOUT_BYTES, \
         f"bench stdout line {len(line.encode())}B exceeds budget"
     print(line)

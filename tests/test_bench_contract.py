@@ -20,12 +20,14 @@ def test_compact_line_fits_budget_worst_case():
     # worst case: every headliner present with a wide timing value, sf a
     # long string, errors present
     timings = {name: 12345.678 for name, _fn in bench.BENCH_QUERIES}
-    line = bench.compact_line(99999.999, "0.001", timings, n_errors=99)
+    line = bench.compact_line(99999.999, "0.001", timings, n_errors=99,
+                              box_norm=88888.888)
     n = len(line.encode())
     assert n <= bench.MAX_STDOUT_BYTES, f"{n}B > {bench.MAX_STDOUT_BYTES}B"
     parsed = json.loads(line)
     assert parsed["metric"] == "headline_queries_total"
     assert parsed["value"] == 99999.999
+    assert parsed["value_box_normalized"] == 88888.888
     assert set(parsed["queries"]) == {n for n, _ in bench.BENCH_QUERIES}
 
 
@@ -100,3 +102,36 @@ def test_detail_path_round_stamped(monkeypatch):
     assert bench.detail_name() == "BENCH_DETAIL.json"
     monkeypatch.delenv("SPARK_GRAFT_ROUND")
     assert bench.detail_name() == "BENCH_DETAIL.json"
+
+
+def test_box_normalized_pure_function():
+    """r9 verdict What's-wrong #3: a uniformly slow box inflated the r9
+    headline +60% and the burst canary (correctly) stayed silent — only a
+    COMMITTED box baseline lets the artifact self-normalize. Pins the
+    committed r9 close-run reference values, the geomean direction (a
+    slower box scales its raw total DOWN), and the missing-reading
+    degradation (None, never a fabricated number)."""
+    assert bench.BOX_BASELINE == {"jvm_1core_sec": 0.34,
+                                  "jvm_32core_sec": 0.44}
+    # reading the baseline box exactly -> identity
+    assert bench.box_normalized(10.0, dict(bench.BOX_BASELINE)) == 10.0
+    # a uniformly 2x-slower box halves its raw total
+    slow = {"jvm_1core_sec": 0.68, "jvm_32core_sec": 0.88}
+    assert bench.box_normalized(20.0, slow) == 10.0
+    # asymmetric ratios take the geometric mean: 2x and 8x -> 4x
+    skew = {"jvm_1core_sec": 0.68, "jvm_32core_sec": 3.52}
+    assert bench.box_normalized(40.0, skew) == 10.0
+    # missing / zero / malformed calibration -> None, raw value stands
+    assert bench.box_normalized(10.0, {}) is None
+    assert bench.box_normalized(10.0, {"jvm_1core_sec": 0.0,
+                                       "jvm_32core_sec": 0.44}) is None
+    assert bench.box_normalized(10.0, None) is None
+
+
+def test_detail_contract_carries_box_keys():
+    """The detail artifact must carry BOTH the raw and the box-normalized
+    headline plus the committed baseline (r9 verdict fix: 'assert in
+    test_bench_contract.py that the detail carries both')."""
+    src = open(bench.__file__).read()
+    for key in ('"value_box_normalized"', '"box_baseline"', '"box"'):
+        assert key in src, f"detail artifact lost box key {key}"
