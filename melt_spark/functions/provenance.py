@@ -61,10 +61,30 @@ def canonical_url(url: Column) -> Column:
       2. userinfo dropped (up to the last '@' before the path);
       3. scheme and host lowercased; ports dropped; a leading 'www.'
          dropped (www/apex serve the same resource in practice);
-      4. tracking parameters removed from the query (utm_*, gclid,
+      4. tracking parameters removed from the QUERY ONLY (utm_*, gclid,
          fbclid — the client-side decoration that multiplies URLs
          without changing content);
-      5. trailing '/' runs stripped.
+      5. trailing '/' runs stripped from the PATH ONLY.
+
+    Path and query are normalized SEPARATELY (r10, ADVICE fix): the
+    earlier single-string pass deleted a literal '&gclid=...' sequence
+    occurring in a PATH segment (legal without any '?' — '&' is a valid
+    path character) and '/+$' stripped slashes ending a query VALUE
+    (?p=/x/ -> ?p=/x) — both silently merged distinct resources in
+    stage-zero dedup, invisibly to the oracle because both engines
+    agreed. Now the path keeps every '&' and only the query loses
+    trackers; the trailing-slash strip runs only on the path (so
+    '/a/?x=1' canonicalizes to '/a?x=1' — path-level slash equivalence
+    holds regardless of query).
+
+    Deliberately NOT normalized (pinned in tests/test_provenance.py):
+    %-encoding case ('%2F' vs '%2f' stay distinct — uppercasing hex
+    needs a per-match callback no pure-regexp engine subset shares) and
+    ports, which are dropped ENTIRELY (not just :80/:443 — crawl
+    decorations near-always keep the scheme default; a genuinely
+    distinct same-host service on another port is rarer than the
+    decoration noise, and the collapse is the conservative dedup-side
+    choice).
 
     Pure string codegen (regexp extract/replace, no lookarounds — the
     regex subset Java and RE2 agree on), so the DuckDB oracle restates
@@ -74,21 +94,24 @@ def canonical_url(url: Column) -> Column:
     host = F.lower(F.regexp_extract(
         url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)", 1))
     host = F.regexp_replace(host, r"^www\.", "")
-    rest = F.regexp_extract(
-        url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    path = F.regexp_extract(
+        url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(
+        url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*[^?#]*[?]([^#]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")
     # tracking-param strip, NAME-ANCHORED at its delimiter (an unanchored
     # pattern would also mangle params merely CONTAINING a tracker name,
-    # e.g. ?xgclid=1 — corrupting the canonical key): normalize the one
-    # '?' to '&' so every param starts with '&', drop '&tracker=value'
+    # e.g. ?xgclid=1 — corrupting the canonical key): prefix the query
+    # with '&' so every param starts with '&', drop '&tracker=value'
     # params (each consumes only to the next '&' — runs of consecutive
-    # trackers all match in one pass), then restore the first '&' to '?'
-    rest = F.regexp_replace(rest, r"^([^?]*)[?]", "$1&")
-    rest = F.regexp_replace(
-        rest, r"&(utm_[a-zA-Z0-9_]+|gclid|fbclid)=[^&]*", "")
-    rest = F.regexp_replace(rest, r"^([^&]*)&", "$1?")
-    rest = F.regexp_replace(rest, r"[?]$", "")   # emptied query: drop '?'
-    rest = F.regexp_replace(rest, r"/+$", "")
-    return F.concat(scheme, F.lit("://"), host, rest)
+    # trackers all match in one pass), then turn a surviving leading '&'
+    # back into '?'; a fully-emptied query contributes nothing
+    qn = F.when(query == "", F.lit("")).otherwise(
+        F.concat(F.lit("&"), query))
+    qn = F.regexp_replace(
+        qn, r"&(utm_[a-zA-Z0-9_]+|gclid|fbclid)=[^&]*", "")
+    qn = F.regexp_replace(qn, r"^&", "?")
+    return F.concat(scheme, F.lit("://"), host, path, qn)
 
 
 def domain_gate(docs: DataFrame, url_col: str,
@@ -112,26 +135,40 @@ def domain_gate(docs: DataFrame, url_col: str,
     a bounded constant) enter the per-domain rank that picks the true
     first ``max_per_domain`` ids. Output is provably identical to the
     unsalted window (ids are unique), and no unbounded table is ever
-    broadcast or single-task-sorted."""
+    broadcast or single-task-sorted.
+
+    Single-frame derivation (r10, ADVICE fix): the first cut of the
+    hatch unioned three branches that each re-derived the scan — the
+    registrable_domain regex chain ran three times and the probes showed
+    the COMMON (non-hot) case regressing ~7-10x. Now ONE salt-local
+    window runs over the whole frame (blocked rows rank among
+    themselves — the block flag is in the partition key, so they still
+    consume no cap slots), the frame is localCheckpoint'd (one narrow
+    row per doc), and both output branches read the materialized frame:
+    blocked/provably-capped verdicts are pure projections; only the
+    bounded survivors pay the second window."""
     d = docs.select(F.col(id_col).alias("id"), F.col(chars_col).alias("nc"),
                     registrable_domain(F.col(url_col)).alias("domain"))
-    blocked = F.col("domain").isin(*blocklist)
-    blk = d.filter(blocked).select(
-        "id", "domain", "nc", F.lit("blocked").alias("verdict"))
-    unb = d.filter(~blocked)
-    local = unb.withColumn("__lrn", F.row_number().over(
-        Window.partitionBy("domain", F.pmod(F.xxhash64("id"),
-                                            F.lit(n_salts)))
-        .orderBy("id")))
-    over = local.filter(F.col("__lrn") > max_per_domain).select(
-        "id", "domain", "nc", F.lit("capped").alias("verdict"))
-    cand = (local.filter(F.col("__lrn") <= max_per_domain)
+    local = (d.withColumn("__blk", F.col("domain").isin(*blocklist))
+             .withColumn("__lrn", F.row_number().over(
+                 Window.partitionBy("__blk", "domain",
+                                    F.pmod(F.xxhash64("id"),
+                                           F.lit(n_salts)))
+                 .orderBy("id")))
+             .localCheckpoint(eager=False))
+    pre = (local.filter(F.col("__blk")
+                        | (F.col("__lrn") > max_per_domain))
+           .select("id", "domain", "nc",
+                   F.when(F.col("__blk"), F.lit("blocked"))
+                   .otherwise(F.lit("capped")).alias("verdict")))
+    cand = (local.filter(~F.col("__blk")
+                         & (F.col("__lrn") <= max_per_domain))
             .withColumn("__grn", F.row_number().over(
                 Window.partitionBy("domain").orderBy("id")))
             .select("id", "domain", "nc",
                     F.when(F.col("__grn") <= max_per_domain, F.lit("kept"))
                     .otherwise(F.lit("capped")).alias("verdict")))
-    return blk.unionByName(cand).unionByName(over)
+    return pre.unionByName(cand)
 
 
 def domain_profile(gated: DataFrame) -> DataFrame:

@@ -121,3 +121,49 @@ def test_canonical_url_tracker_names_are_anchored(spark):
     assert got[3] == "https://ex.com/p?id=3"
     assert got[4] == "https://ex.com/p"
     assert got[5] == "https://ex.com/p?myutm_x=1"
+
+
+def test_canonical_url_path_query_split(spark):
+    """r10 ADVICE fix: tracker strip and trailing-slash strip each touch
+    ONLY their own component. A literal '&gclid=...' inside a PATH
+    segment ('&' is a legal path character, no '?' required) must
+    survive, and a '/' ending a query VALUE must survive; the slash
+    strip now applies to the path even when a query follows."""
+    from melt_spark.functions.provenance import canonical_url
+
+    df = spark.createDataFrame([Row(u=u) for u in [
+        "https://ex.com/a&gclid=1/b",        # tracker-lookalike in PATH
+        "https://ex.com/a&utm_x=2/b",
+        "https://ex.com/p?p=/x/",            # query value ends in '/'
+        "https://ex.com/a/?x=1",             # path slash BEFORE query
+        "https://ex.com/p?q=a&gclid=1/b",    # real tracker, value has /
+    ]])
+    got = [r.c for r in
+           df.select(canonical_url(F.col("u")).alias("c")).collect()]
+    assert got[0] == "https://ex.com/a&gclid=1/b"
+    assert got[1] == "https://ex.com/a&utm_x=2/b"
+    assert got[2] == "https://ex.com/p?p=/x/"
+    assert got[3] == "https://ex.com/a?x=1"
+    assert got[4] == "https://ex.com/p?q=a"
+
+
+def test_canonical_url_pinned_exclusions(spark):
+    """Documented-out normalizations stay OUT (r9 verdict item #7 — the
+    contract is explicit either way): %-encoding case is NOT folded
+    (distinct keys), and ports are dropped ENTIRELY — default and
+    non-default alike."""
+    from melt_spark.functions.provenance import canonical_url
+
+    df = spark.createDataFrame([Row(u=u) for u in [
+        "https://ex.com/a%2Fb",
+        "https://ex.com/a%2fb",              # stays distinct from above
+        "https://ex.com:443/x",
+        "https://ex.com:80/x",
+        "https://ex.com:8080/x",             # ALL ports collapse
+    ]])
+    got = [r.c for r in
+           df.select(canonical_url(F.col("u")).alias("c")).collect()]
+    assert got[0] == "https://ex.com/a%2Fb"
+    assert got[1] == "https://ex.com/a%2fb"
+    assert got[0] != got[1]
+    assert got[2] == got[3] == got[4] == "https://ex.com/x"
