@@ -332,10 +332,11 @@ def conformal_nb(docs: DataFrame, label_col: str = "source",
     Held-out calibration docs supply the nonconformity scores
     s = −score_nano(true label); q̂ is the ⌈(n+1)(1−α)⌉-th smallest
     (α = 0.1, the ceiling taken in exact integer arithmetic, CLAMPED to
-    n_cal — a tiny calibration set degrades to q̂ = max score instead of
-    silently emitting zero rows), found by DISTRIBUTED exact rank
-    (util.global_row_number — no single-reducer sort). Test docs get
-    C(x) = {labels : −score ≤ q̂}.
+    n_cal — a tiny calibration set degrades to q̂ = max score, and an
+    EMPTY one (n_cal = 0) to the q̂ = +∞ sentinel, i.e. every test doc
+    gets the full label set — instead of silently emitting zero rows),
+    found by DISTRIBUTED exact rank (util.global_row_number — no
+    single-reducer sort). Test docs get C(x) = {labels : −score ≤ q̂}.
 
     Returns one row per observed prediction-set size (set_size, n_docs,
     n_covered) — n_covered counts docs whose true label is in the set —
@@ -372,9 +373,20 @@ def conformal_nb(docs: DataFrame, label_col: str = "source",
                  F.expr("least((9 * (n_cal + 1) + 9) div 10, n_cal)")
                  .alias("__k")))
     ranked = global_row_number(cal, [F.col("__nc"), F.col("id")], "__rn")
-    qh = (ranked.crossJoin(F.broadcast(k))
-          .filter(F.col("__rn") == F.col("__k"))
-          .select(F.col("__nc").alias("q_hat_nano"), "n_cal"))
+    # EMPTY calibration band (n_cal = 0, so k = 0 matches no rank): fall
+    # back to q_hat = +inf sentinel instead of an empty qh frame — the
+    # r9 clamp only covered 1 <= n_cal < 9, and an empty qh turned the
+    # final crossJoin into ZERO output rows (ADVICE r9). The honest
+    # conformal degenerate: with no calibration evidence the
+    # distribution-free set is the WHOLE label space (every label
+    # passes -score <= q_hat), coverage trivially 1.
+    pick = (ranked.crossJoin(F.broadcast(k.select("__k")))
+            .filter(F.col("__rn") == F.col("__k"))
+            .select(F.lit(1).alias("__one"), F.col("__nc").alias("__q")))
+    qh = (k.select("n_cal", F.lit(1).alias("__one"))
+          .join(pick, "__one", "left")
+          .select(F.coalesce("__q", F.lit((1 << 63) - 1))
+                  .alias("q_hat_nano"), "n_cal"))
     test_keys = actual.filter((F.col("__bkt") >= cal_pct)
                               & (F.col("__bkt") < 2 * cal_pct)) \
         .select("id", "__act")

@@ -39,7 +39,8 @@ from pyspark.sql import functions as F
 E6 = 1_000_000
 
 
-def _quantized(emb: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+def _quantized(emb: DataFrame, vec_col: str, id_col: str,
+               dim: int | None = None) -> DataFrame:
     from .util import spread_input
 
     q = F.transform(F.col(vec_col).cast("array<double>"),
@@ -48,16 +49,32 @@ def _quantized(emb: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     # few-file input across cores first (no-op on a real many-file table).
     # NULL/empty vectors are SKIPPED (contract: malformed rows must not
     # abort a 100 TB job — sequence(1, 0) descends and element_at(q, 0)
-    # raises on every engine)
-    return (spread_input(emb, id_col)
+    # raises on every engine). Width discipline (r10, ADVICE fix): a
+    # ragged corpus must not silently mix dimensions — per-dim moments
+    # would divide by DIFFERENT n per dimension while the pinned-d
+    # oracle divides by the total row count, silently diverging. Rows
+    # are kept ONLY at one width: the declared ``dim``, or (when the
+    # caller has no contract to pin) the MODAL width, found by one
+    # cheap size-histogram aggregate (ties break to the smaller width
+    # — deterministic on every engine) and broadcast back.
+    base = (spread_input(emb, id_col)
             .filter(F.col(vec_col).isNotNull()
-                    & (F.size(vec_col) >= 1))
+                    & (F.size(vec_col) >= 1)))
+    if dim is not None:
+        return (base.filter(F.size(vec_col) == int(dim))
+                .select(q.alias("q")))
+    modal = (base.groupBy(F.size(vec_col).alias("__w"))
+             .agg(F.count(F.lit(1)).alias("__c"))
+             .orderBy(F.desc("__c"), F.asc("__w")).limit(1)
+             .select("__w"))
+    return (base.join(F.broadcast(modal), F.size(vec_col) == F.col("__w"))
             .select(q.alias("q")))
 
 
 def pca_top_component(emb: DataFrame, vec_col: str = "embedding",
                       id_col: str = "vec_id",
-                      iters: int = 8) -> DataFrame:
+                      iters: int = 8,
+                      dim: int | None = None) -> DataFrame:
     """Top principal component of the (centered) embedding cloud.
 
     Returns d rows (dim, v_e6, cdiag, n) — dim ascending, v_e6 the
@@ -75,7 +92,7 @@ def pca_top_component(emb: DataFrame, vec_col: str = "embedding",
     on a near-isotropic cloud the estimate stays conservative, which is
     the correct signal (nothing dominant to subtract). The number is
     the decision readout, not a full eigendecomposition."""
-    qd = _quantized(emb, vec_col, id_col)
+    qd = _quantized(emb, vec_col, id_col, dim=dim)
     d = F.size("q")
     # per-row upper-triangle products: struct(i, j, qq) for i <= j
     pairs = F.flatten(F.transform(
@@ -170,3 +187,90 @@ def pca_top_component(emb: DataFrame, vec_col: str = "embedding",
                        F.col("tr").alias("cdiag"),
                        F.col("n")))
     return per_dim.unionByName(summary)
+
+
+def abtt_ann_overlap(emb: DataFrame, dim: int, k: int = 10,
+                     n_queries: int = 5,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     iters: int = 8) -> DataFrame:
+    """All-but-the-top APPLIED (r10, r9 verdict #4): subtract the
+    per-dim mean and the top-component projection from every vector
+    (Mu & Viswanath ICLR 2018's correction, their D=1 case), run exact
+    cosine top-k in the CORRECTED space, and flag per neighbor whether
+    it also appears in the RAW-space top-k — avg(in_raw) is the
+    overlap, 1 − overlap the neighborhood churn the anisotropy readout
+    (share_ppm) predicts. This is the decision loop closed: the r9
+    readout said whether to de-mean; this operator de-means and shows
+    what it changes.
+
+    Cross-engine exactness: every correction input is an INTEGER —
+    q (e6-quantized components), mu_e6 = floor(s/n + 0.5) from the
+    exact per-dim sums, v_e6 the pca readout's certified eigenvector
+    digits. The projection Σ xc·v_e6 is an exact bigint (≤ d·1e12·|x|);
+    the only floats are one identical (proj·v_e6)/1e12 half-up
+    quantization (floor(x+0.5) — portable, unlike round()) and the
+    cosine folds, which run in index order from a 0.0 seed (the
+    similarity.cosine discipline DuckDB's list_reduce reproduces).
+
+    Scale shape: the pca moment pass is the corpus-sized stage
+    (inherited); the correction itself is one broadcast of two d-length
+    arrays into a map-side transform; both top-k passes broadcast the
+    bounded (limit n_queries) query side so the corpus never shuffles;
+    the corrected frame is localCheckpoint'd (one narrow row per
+    vector) because the corpus and query sides both read it."""
+    from .similarity import cosine_topk
+
+    d = int(dim)
+    base = (emb.filter(F.col(vec_col).isNotNull()
+                       & (F.size(vec_col) == d)))
+    q = F.transform(F.col(vec_col).cast("array<double>"),
+                    lambda x: F.round(x * F.lit(float(E6))).cast("bigint"))
+    qd = base.select(F.col(id_col).alias("id"), q.alias("q"))
+
+    sums = (qd.select(F.posexplode("q").alias("i0", "qi"))
+            .groupBy((F.col("i0") + 1).alias("i"))
+            .agg(F.sum("qi").cast("bigint").alias("s"),
+                 F.count(F.lit(1)).cast("bigint").alias("n")))
+    mu = (sums.groupBy()
+          .agg(F.transform(
+              F.array_sort(F.collect_list(F.struct(
+                  "i",
+                  F.floor(F.col("s").cast("double") / F.col("n")
+                          + F.lit(0.5)).cast("bigint").alias("m")))),
+              lambda x: x["m"]).alias("muarr")))
+    ve = (pca_top_component(emb, vec_col, id_col, iters=iters, dim=d)
+          .filter(F.col("dim") >= 1)
+          .groupBy()
+          .agg(F.transform(
+              F.array_sort(F.collect_list(F.struct("dim", "v_e6"))),
+              lambda x: x["v_e6"]).alias("varr")))
+    cons = mu.crossJoin(ve)   # one row: (muarr, varr)
+
+    xc = F.zip_with("q", "muarr", lambda x, m: x - m)
+    corr = (qd.crossJoin(F.broadcast(cons))
+            .withColumn("xc", xc)
+            .withColumn("proj", F.aggregate(
+                F.zip_with("xc", "varr", lambda x, v: x * v),
+                F.lit(0).cast("bigint"), lambda acc, x: acc + x))
+            .select("id", F.zip_with(
+                "xc", "varr",
+                lambda x, v: (x - F.floor(
+                    F.col("proj").cast("double") * v / F.lit(1e12)
+                    + F.lit(0.5)).cast("bigint")).cast("double"))
+                .alias("cd"))
+            .localCheckpoint(eager=False))
+    raw = qd.select("id", F.transform(
+        "q", lambda x: x.cast("double")).alias("rd"))
+
+    corr_top = cosine_topk(
+        corr, corr.filter(F.col("id") < n_queries).limit(n_queries),
+        k=k, id_col="id", vec_col="cd")
+    raw_top = cosine_topk(
+        raw, raw.filter(F.col("id") < n_queries).limit(n_queries),
+        k=k, id_col="id", vec_col="rd")
+    return (corr_top.join(
+        raw_top.select("query_id", "neighbor_id",
+                       F.lit(1).alias("__r")),
+        ["query_id", "neighbor_id"], "left")
+        .select("query_id", "neighbor_id", "rank", "cos",
+                F.coalesce("__r", F.lit(0)).cast("int").alias("in_raw")))

@@ -3468,14 +3468,19 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.pca import pca_top_component
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return pca_top_component(emb)
+    # dim pinned to the oracle's d=64 contract (r10 ADVICE fix): a
+    # ragged row can no longer slip a 63- or 65-wide vector into the
+    # moments the SQL restatement divides by the pinned-width count
+    return pca_top_component(emb, dim=64)
 
 
-def _sql_embedding_pca(d: int = 64, iters: int = 8) -> str:
-    """Oracle restatement — d pinned to the fixture's 64 dims; the same
-    quantization, exact HUGEINT moments, and the identical 8 ordered
-    product-fold rounds (list_reduce over list_prepend(0.0, ...) is the
-    same left-fold sequence as Spark's F.aggregate)."""
+def _pca_prefix(d: int = 64, iters: int = 8) -> str:
+    """Shared CTE chain (qe .. fin) for the PCA oracle restatements —
+    d pinned to the fixture's 64 dims; the same quantization, exact
+    HUGEINT moments, and the identical 8 ordered product-fold rounds
+    (list_reduce over list_prepend(0.0, ...) is the same left-fold
+    sequence as Spark's F.aggregate). Used by both the readout
+    (_sql_embedding_pca) and the applied correction (_sql_abtt_ann)."""
     rng = f"range(1, {d + 1})"
     its = []
     for k in range(1, iters + 1):
@@ -3498,12 +3503,11 @@ v{k} AS (
               ELSE warr END AS varr, lam
   FROM g{k}
 )""")
-    return f"""
-WITH qe AS (
+    return f"""qe AS (
   SELECT list_transform(CAST(embedding AS DOUBLE[]),
                         x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
   FROM embeddings
-  WHERE embedding IS NOT NULL AND len(embedding) >= 1
+  WHERE embedding IS NOT NULL AND len(embedding) = {d}
 ),
 up AS (
   SELECT ii.i AS i, jj.j AS j,
@@ -3543,7 +3547,12 @@ fin AS (
               AS BIGINT) AS share_ppm,
          tr.tr
   FROM v{iters}, tr
-)
+)"""
+
+
+def _sql_embedding_pca(d: int = 64, iters: int = 8) -> str:
+    return f"""
+WITH {_pca_prefix(d, iters)}
 SELECT CAST(c.i AS INT) AS dim,
        CAST(round(fin.varr[c.i] * 1000000.0) AS BIGINT) AS v_e6,
        CAST(d.c AS DOUBLE) AS cdiag, c.n
@@ -3556,6 +3565,108 @@ FROM fin
 
 
 SQL_EMBEDDING_PCA = _sql_embedding_pca()
+
+
+def q_abtt_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top APPLIED (functions/pca.py abtt_ann_overlap; Mu &
+    Viswanath ICLR 2018, D=1): de-mean + subtract the top-component
+    projection from every embedding, exact cosine top-10 in the
+    corrected space for the ann_cosine_topk query set, each neighbor
+    flagged in_raw if it also ranks top-10 in the RAW space —
+    avg(in_raw) is the neighborhood overlap the anisotropy readout
+    (embedding_pca's share_ppm) predicts, closing the readout's
+    decision loop. Integer corrections (q, mu_e6, v_e6 all exact),
+    portable half-up quantization, order-pinned cosine folds."""
+    from ..functions.pca import abtt_ann_overlap
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return abtt_ann_overlap(emb, dim=64, k=10, n_queries=5)
+
+
+def _sql_abtt_ann(d: int = 64, iters: int = 8, k: int = 10,
+                  nq: int = 5) -> str:
+    rng = f"range(1, {d + 1})"
+
+    def dot(a: str, b: str) -> str:
+        # same seedless left fold as pipeline_suite._dot_sql / Spark's
+        # aggregate-from-0.0 (0.0 + x1 == x1 exactly in IEEE)
+        return (f"list_reduce(list_transform(generate_series(1, {d}),"
+                f" i -> {a}[i] * {b}[i]), (x, y) -> x + y)")
+
+    return f"""
+WITH {_pca_prefix(d, iters)},
+ve AS (
+  SELECT list_transform(varr,
+                        x -> CAST(round(x * 1000000.0) AS BIGINT)) AS varr
+  FROM fin
+),
+mu AS (
+  SELECT list(CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT)
+              ORDER BY i) AS muarr
+  FROM sm
+),
+qi AS (
+  SELECT vec_id AS id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {d}
+),
+xcp AS (
+  SELECT id, list_transform({rng}, i -> q[i] - muarr[i]) AS xc
+  FROM qi, mu
+),
+pj AS (
+  SELECT id, xc,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform({rng}, i -> xc[i] * ve.varr[i])),
+           (a, b) -> a + b) AS proj
+  FROM xcp, ve
+),
+cv AS (
+  SELECT id,
+         list_transform({rng},
+           i -> CAST(xc[i] - CAST(floor(CAST(proj AS DOUBLE) * ve.varr[i]
+                / 1000000000000.0 + 0.5) AS BIGINT) AS DOUBLE)) AS cd
+  FROM pj, ve
+),
+rv AS (SELECT id, list_transform(q, x -> CAST(x AS DOUBLE)) AS rd
+       FROM qi),
+cq AS (SELECT id AS query_id, cd AS qv FROM cv WHERE id < {nq}),
+cs AS (
+  SELECT query_id, c.id AS neighbor_id,
+         {dot("qv", "c.cd")}
+           / (sqrt({dot("qv", "qv")}) * sqrt({dot("c.cd", "c.cd")})) AS cos
+  FROM cq, cv c WHERE query_id <> c.id
+),
+ct AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rank
+       FROM cs),
+rq AS (SELECT id AS query_id, rd AS qv FROM rv WHERE id < {nq}),
+rs AS (
+  SELECT query_id, c.id AS neighbor_id,
+         {dot("qv", "c.rd")}
+           / (sqrt({dot("qv", "qv")}) * sqrt({dot("c.rd", "c.rd")})) AS cos
+  FROM rq, rv c WHERE query_id <> c.id
+),
+rt AS (
+  SELECT query_id, neighbor_id FROM
+    (SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+     FROM rs)
+  WHERE rank <= {k}
+)
+SELECT ct.query_id, ct.neighbor_id, ct.rank, ct.cos,
+       CAST(CASE WHEN rt.neighbor_id IS NOT NULL
+                 THEN 1 ELSE 0 END AS INT) AS in_raw
+FROM ct LEFT JOIN rt
+  ON rt.query_id = ct.query_id AND rt.neighbor_id = ct.neighbor_id
+WHERE ct.rank <= {k}
+"""
+
+
+SQL_ABTT_ANN = _sql_abtt_ann()
 
 
 def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6501,6 +6612,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
                              SQL_UNPIVOT_PART_METRICS),
     "embedding_stats": (q_embedding_stats, SQL_EMBEDDING_STATS),
     "embedding_pca": (q_embedding_pca, SQL_EMBEDDING_PCA),
+    "abtt_ann": (q_abtt_ann, SQL_ABTT_ANN),
     "quantize_int8": (q_quantize_int8, SQL_QUANTIZE_INT8),
     "daily_active_users": (q_daily_active_users, SQL_DAILY_ACTIVE_USERS),
     "monthly_revenue": (q_monthly_revenue, SQL_MONTHLY_REVENUE),

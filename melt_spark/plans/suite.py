@@ -3885,6 +3885,22 @@ SUITE: dict[str, tuple] = {
          "SELECT 'pca' AS kind, CAST(dim AS VARCHAR) AS key,"
          " CAST(n AS VARCHAR) AS ints, CAST(v_e6 AS DOUBLE) AS v1,"
          " cdiag AS v2, -1.0 AS v3"),
+        # r10: all-but-the-top APPLIED (functions/pca.py
+        # abtt_ann_overlap) — de-meaned + top-component-subtracted
+        # cosine top-10 with the raw-space overlap flag; cos rides v1,
+        # in_raw rides v2 — the readout's decision loop, hash-closed
+        (ANALYTICS_SUITE["abtt_ann"],
+         lambda df: df.select(F.lit("abtt").alias("kind"),
+                              F.concat_ws(":", "query_id",
+                                          "neighbor_id").alias("key"),
+                              F.col("rank").cast("string").alias("ints"),
+                              F.col("cos").alias("v1"),
+                              F.col("in_raw").cast("double").alias("v2"),
+                              F.lit(-1.0).alias("v3")),
+         "SELECT 'abtt' AS kind, CAST(query_id AS VARCHAR) || ':' ||"
+         " CAST(neighbor_id AS VARCHAR) AS key,"
+         " CAST(rank AS VARCHAR) AS ints, cos AS v1,"
+         " CAST(in_raw AS DOUBLE) AS v2, -1.0 AS v3"),
         # r4: Morton z-values (functions/layout.py) — multi-dimensional
         # clustering keys for scan pruning, bit-exact across engines
         (ANALYTICS_SUITE["zorder_values"],

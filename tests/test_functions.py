@@ -337,3 +337,43 @@ def test_regex_pretokens_gpt2_boundaries(spark):
     [row] = df.select(regex_pretokens("t").alias("toks")).collect()
     assert row.toks == ["Don", "'t", " stop", ",", " x", "9", "y",
                         " 42", " ok", "!"]
+
+
+def test_conformal_nb_empty_calibration_full_sets(spark):
+    """r10 ADVICE fix: an EMPTY calibration band (n_cal = 0) must still
+    emit test-band rows — q-hat falls back to the +inf sentinel and
+    every test doc gets the full label set (the honest distribution-free
+    degenerate), not zero output rows."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from melt_spark.functions.classify import conformal_nb
+    from melt_spark.functions.cleaning import hash_bucket
+
+    base = []
+    for i in range(400):
+        lab = "a" if i % 2 == 0 else "b"
+        word = "apple" if lab == "a" else "banana"
+        base.append(Row(doc_id=i, source=lab,
+                        text=" ".join([word] * 6)))
+    docs = spark.createDataFrame(base)
+    bkt = hash_bucket(
+        F.concat(F.lit("cp:"), F.col("doc_id").cast("string")))
+    # drop every calibration-band doc; keep test + train bands
+    docs = docs.filter(~((bkt < 20)
+                         & (F.col("source") == F.col("source"))))
+    docs = spark.createDataFrame(docs.collect())  # pin the fixture
+    n_test = docs.filter((hash_bucket(F.concat(
+        F.lit("cp:"), F.col("doc_id").cast("string"))) >= 20)
+        & (hash_bucket(F.concat(
+            F.lit("cp:"), F.col("doc_id").cast("string"))) < 40)).count()
+    assert n_test > 0, "fixture must keep a test band"
+    out = conformal_nb(docs).collect()
+    assert out, "empty calibration must not collapse to zero rows"
+    assert all(r.n_cal == 0 for r in out)
+    assert all(r.q_hat_nano == (1 << 63) - 1 for r in out)
+    # every test doc carries the FULL label set (2 labels here)
+    assert {r.set_size for r in out} == {2}
+    assert sum(r.n_docs for r in out) == n_test
+    assert sum(r.n_covered for r in out) == n_test
+
