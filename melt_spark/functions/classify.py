@@ -368,10 +368,14 @@ def conformal_nb(docs: DataFrame, label_col: str = "source",
            .filter((F.col("__bkt") < cal_pct)
                    & (F.col("label") == F.col("__act")))
            .select("id", (-F.col("score_nano")).alias("__nc")))
+    # one row; materialized because BOTH the rank pick and the fallback
+    # left-join read it — without this the whole cal chain (scores join,
+    # documents scan) re-plans under each consumer
     k = (cal.agg(F.count(F.lit(1)).cast("bigint").alias("n_cal"))
          .select("n_cal",
                  F.expr("least((9 * (n_cal + 1) + 9) div 10, n_cal)")
-                 .alias("__k")))
+                 .alias("__k"))
+         .localCheckpoint(eager=False))
     ranked = global_row_number(cal, [F.col("__nc"), F.col("id")], "__rn")
     # EMPTY calibration band (n_cal = 0, so k = 0 matches no rank): fall
     # back to q_hat = +inf sentinel instead of an empty qh frame — the

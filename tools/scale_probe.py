@@ -186,11 +186,19 @@ PROBES = ["text_quality", "dedup_minhash_lsh", "clean_corpus",
           # two-level top-k hatch (flat (domain,salt) tasks + a bounded
           # survivor rank, never a one-task sort)
           "domain_gate_hot",
+          # r10: deliberately hot SOURCE — ALL documents in one ccnet
+          # group, the worst case for the per-source tercile cut —
+          # through the global_order_scan hatch (range shuffle splits
+          # the group on (avg_nll, id); never a one-task sort)
+          "ccnet_hot",
           # r9: batch-vs-store tokenizer encode + the exact-covariance
           # PCA readout (one map-side d^2/2 aggregate is the only
           # corpus-sized stage — expected ~linear, shuffle ~flat at d^2)
           "incremental_bpe", "embedding_pca", "url_dedup",
           "regex_pretokenize", "ccnet_buckets",
+          # r10: all-but-the-top applied (pca chain + corrected-space
+          # brute-force top-k — expected ~ embedding_pca + ann cost)
+          "abtt_ann",
           # r8 wave 2: the k-group/parametric/correlation tests (moment
           # aggregates and per-key rank windows — expected ~linear)
           "welch_ttest", "spearman_drift", "kruskal_wallis",
@@ -307,12 +315,31 @@ def _domain_hot_query():
     return q
 
 
+def _ccnet_hot_query():
+    """Deliberately hot source (r9 verdict what's-wrong #1): ALL
+    documents in ONE ccnet group — the worst case for the per-source
+    tercile cut — probed through the r10 global_order_scan hatch to
+    show the rank cost is a balanced range shuffle on (avg_nll, id)
+    plus a one-row broadcast, not a one-task sort of the whole source."""
+    def q(spark, sf_dir):
+        from melt_spark.functions.lm import ccnet_buckets
+        from melt_spark.sources.parquet import read_table
+
+        docs = (read_table(spark, sf_dir, "documents")
+                .withColumn("source", F.lit("onehot")))
+        return ccnet_buckets(docs)
+    return q
+
+
 _EXTRA_QUERIES = {"span_dedup_digest": _span_query("digest"),
                   "domain_gate_hot": _domain_hot_query(),
+                  "ccnet_hot": _ccnet_hot_query(),
                   "incremental_bpe":
                       _constituent("pipeline_suite", "q_incremental_bpe"),
                   "embedding_pca":
                       _constituent("analytics_suite", "q_embedding_pca"),
+                  "abtt_ann":
+                      _constituent("analytics_suite", "q_abtt_ann"),
                   "url_dedup":
                       _constituent("pipeline_suite", "q_url_dedup"),
                   "regex_pretokenize":
