@@ -59,6 +59,41 @@ def scrub_pii(col: Column | str) -> Column:
     return c
 
 
+def luhn_card_counts(col: Column | str) -> tuple[Column, Column]:
+    """(n_candidates, n_valid) payment-card detection: digit runs of
+    13-19 characters (the ISO/IEC 7812 PAN length range) validated by
+    the Luhn mod-10 checksum (Luhn, US patent 2,950,048 — 1960, public
+    domain; the check every card number carries). The length gate comes
+    from SPLITTING on non-digits (exact run semantics — a 20-digit run
+    is one too-long candidate, not a 19-digit prefix match; RE2 has no
+    lookbehind so a regex boundary can't express this portably).
+
+    All integer arithmetic over substrings — identical on any engine:
+    digit at 1-based index i of an L-char run doubles when its position
+    from the RIGHT is even, i.e. (L - i) % 2 == 1; doubled digits > 9
+    subtract 9; valid iff the total is divisible by 10. Scan-speed,
+    no shuffle — the per-row projection discipline of the PII battery
+    above."""
+    c = F.col(col) if isinstance(col, str) else col
+    runs = F.filter(
+        F.split(c, r"[^0-9]+"),
+        lambda s: (F.length(s) >= 13) & (F.length(s) <= 19))
+
+    def luhn_sum(s: Column) -> Column:
+        d = lambda i: F.substr(s, i, F.lit(1)).cast("int")  # noqa: E731
+        return F.aggregate(
+            F.sequence(F.lit(1), F.length(s)),
+            F.lit(0),
+            lambda acc, i: acc + F.when(
+                (F.length(s) - i) % 2 == 1,
+                F.when(d(i) * 2 > 9, d(i) * 2 - 9).otherwise(d(i) * 2)
+            ).otherwise(d(i)))
+
+    valid = F.filter(runs, lambda s: luhn_sum(s) % 10 == 0)
+    return (F.size(runs).cast("bigint"),
+            F.size(valid).cast("bigint"))
+
+
 # ---------------------------------------------------------------------------
 # repetition signals (Gopher-style quality heuristics, per-document)
 

@@ -61,12 +61,14 @@ def _bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             lambda i: F.struct(
                 i.alias("idx"),
                 F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
                 F.concat_ws(" ", F.element_at(toks, i),
                             F.element_at(toks, i + 1)).alias("bg")))
-    ).otherwise(F.array().cast("array<struct<idx:int,w1:string,bg:string>>"))
+    ).otherwise(F.array().cast(
+        "array<struct<idx:int,w1:string,w2:string,bg:string>>"))
     return (df.select(F.col(id_col).alias("id"),
                       F.explode(pairs).alias("p"))
-            .select("id", "p.idx", "p.w1", "p.bg"))
+            .select("id", "p.idx", "p.w1", "p.w2", "p.bg"))
 
 
 def _digested(bg: DataFrame) -> DataFrame:
@@ -76,7 +78,8 @@ def _digested(bg: DataFrame) -> DataFrame:
     corpus bytes. 64-bit collisions are vanishingly unlikely (~n²/2^65)
     and would only merge two bigrams' counts, not corrupt the plan."""
     return bg.select("id", "idx", F.xxhash64("bg").alias("h2"),
-                     F.xxhash64("w1").alias("h1"))
+                     F.xxhash64("w1").alias("h1"),
+                     F.xxhash64("w2").alias("hw2"))
 
 
 def bigram_model(docs: DataFrame, id_col: str = "doc_id",
@@ -125,6 +128,68 @@ def lm_score(docs: DataFrame, id_col: str = "doc_id",
                     F.when(F.col("avg_nll").isNull(), F.lit(-1.0))
                     .otherwise(F.round(F.exp(F.col("avg_nll")), 6))
                     .alias("ppl")))
+
+
+def kn_score(docs: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Per-document mean NLL + perplexity under an interpolated
+    Kneser-Ney bigram model trained on the corpus itself — the smoothing
+    real LM-filter pipelines (KenLM behind CCNet) actually use, beside
+    lm_score's add-1 baseline. Public background: Kneser & Ney (ICASSP
+    1995); Chen & Goodman, "An empirical study of smoothing techniques
+    for language modeling" (Harvard TR-10-98) eq. for interpolated KN:
+
+        p(w2|w1) = (c(w1 w2) − D)/c1(w1)
+                   + D · N1+(w1 ·)/c1(w1) · N1+(· w2)/T
+
+    with fixed discount D = 0.75, N1+(w1 ·) the distinct continuations
+    of w1, N1+(· w2) the distinct left contexts of w2, and T the number
+    of distinct bigram TYPES. Self-scoring keeps every scored bigram
+    observed, so c − D > 0 and no max(·, 0) branch is needed.
+
+    Spark-first shape — identical to lm_score's: ONE digested bigram
+    explode feeds every statistic (c2 by (h1, hw2); c1/N1+fwd re-aggregate
+    the vocabulary-sized c2 table; N1+bwd re-aggregates it by hw2; T is a
+    keyless agg riding along broadcast). All shuffles move int64 digests.
+
+    Determinism: p is one fixed-order IEEE expression over exact integers
+    (identical on both engines), ln is folded in bigram-index order from
+    a 0.0 seed, the mean rounds to 9 and ppl to 6 — the lm_score
+    discipline verbatim."""
+    bg = _digested(_bigrams(docs, id_col, text_col))
+    c2 = bg.groupBy("h1", "hw2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("h1").agg(
+        F.sum("c2").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1f"))
+    n1b = c2.groupBy("hw2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1b"))
+    tt = c2.agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    model = (c2.join(c1, "h1").join(n1b, "hw2")
+             .crossJoin(F.broadcast(tt)))
+    p = ((F.col("c2").cast("double") - F.lit(0.75)) / F.col("c1")
+         + F.lit(0.75) * F.col("n1f") / F.col("c1")
+         * (F.col("n1b").cast("double") / F.col("t")))
+    nll = (bg.join(model, ["h1", "hw2"])
+           .select("id", "idx", (-F.log(p)).alias("nll")))
+    per_doc = (nll.groupBy("id")
+               .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                    F.aggregate(
+                        F.array_sort(F.collect_list(
+                            F.struct("idx", "nll"))),
+                        F.lit(0.0),
+                        lambda acc, s: acc + s["nll"]).alias("sum_nll")))
+    scored = per_doc.select(
+        "id",
+        F.round(F.col("sum_nll") / F.col("n_bigrams"), 9)
+        .alias("avg_nll_kn"))
+    return (docs.select(F.col(id_col).alias("id"))
+            .join(scored, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.coalesce("avg_nll_kn", F.lit(-1.0))
+                    .alias("avg_nll_kn"),
+                    F.when(F.col("avg_nll_kn").isNull(), F.lit(-1.0))
+                    .otherwise(F.round(F.exp(F.col("avg_nll_kn")), 6))
+                    .alias("ppl_kn")))
 
 
 def ccnet_buckets(docs: DataFrame, id_col: str = "doc_id",

@@ -2449,6 +2449,109 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
 
+def q_luhn_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payment-card PAN detection with Luhn mod-10 validation
+    (functions/cleaning.py luhn_card_counts) over a planted-candidate
+    corpus: every doc carries one 16-digit and one 15-digit candidate
+    derived from doc_id (valid or not exactly as the checksum falls —
+    BOTH engines run their own Luhn, so the verdict itself is the
+    cross-check), plus a too-short and a too-long run pinning the
+    13-19 length gate. The high-precision PII class the regex battery
+    (email/ipv4/phone) can't express — card numbers need the checksum
+    to avoid flagging every long number."""
+    from ..functions.cleaning import luhn_card_counts
+
+    docs = read_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" card "),
+            F.lpad(F.col("doc_id").cast("string"), 16, "5"),
+            F.lit(" alt "),
+            F.lpad((F.col("doc_id") * 7 + 3).cast("string"), 15, "4"),
+            F.lit(" junk 12345 and 99999999999999999999 end"))
+        .alias("text"))
+    nc, nv = luhn_card_counts("text")
+    return planted.select("doc_id",
+                          nc.alias("n_card_candidates"),
+                          nv.alias("n_valid_cards"))
+
+
+_LUHN_SQL = """list_reduce(list_prepend(0,
+      list_transform(generate_series(1, len(s)),
+        i -> CASE WHEN (len(s) - i) % 2 = 1
+                  THEN CASE WHEN CAST(s[i] AS INT) * 2 > 9
+                            THEN CAST(s[i] AS INT) * 2 - 9
+                            ELSE CAST(s[i] AS INT) * 2 END
+                  ELSE CAST(s[i] AS INT) END)),
+      (a, b) -> a + b)"""
+
+SQL_LUHN_CARDS = f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' card ' || lpad(CAST(doc_id AS VARCHAR), 16, '5')
+              || ' alt ' || lpad(CAST(doc_id * 7 + 3 AS VARCHAR), 15, '4')
+              || ' junk 12345 and 99999999999999999999 end' AS text
+  FROM documents
+),
+runs AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[^0-9]+'),
+                     s -> len(s) >= 13 AND len(s) <= 19) AS rs
+  FROM planted
+)
+SELECT doc_id,
+  CAST(len(rs) AS BIGINT) AS n_card_candidates,
+  CAST(len(list_filter(rs, s -> {_LUHN_SQL} % 10 = 0)) AS BIGINT)
+    AS n_valid_cards
+FROM runs
+"""
+
+
+def q_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity (functions/lm.py
+    kn_score; Kneser & Ney 1995, Chen & Goodman TR-10-98): the smoothing
+    a KenLM-backed CCNet filter actually uses, beside the add-1
+    baseline — fixed D = 0.75 discount, continuation counts from the
+    same single digested bigram explode. avg NLL and ppl hash on both
+    engines via the pinned-order ln fold."""
+    from ..functions.lm import kn_score
+
+    docs = read_table(spark, sf_dir, "documents")
+    return kn_score(docs)
+
+
+SQL_KN_PERPLEXITY = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+bg AS (
+  SELECT doc_id, g.i AS idx, t[g.i] AS w1, t[g.i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, SUM(c2) AS c1, COUNT(*) AS n1f FROM c2 GROUP BY w1),
+n1b AS (SELECT w2, COUNT(*) AS n1b FROM c2 GROUP BY w2),
+tt AS (SELECT COUNT(*) AS t FROM c2),
+nll AS (
+  SELECT b.doc_id, b.idx,
+         -ln((CAST(c2.c2 AS DOUBLE) - 0.75) / c1.c1
+             + 0.75 * c1.n1f / c1.c1
+             * (CAST(n1b.n1b AS DOUBLE) / tt.t)) AS nll
+  FROM bg b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+  JOIN n1b USING (w2), tt
+),
+per AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         list_reduce(list_prepend(0.0, list(nll ORDER BY idx)),
+                     (a, b) -> a + b) AS s
+  FROM nll GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(round(p.s / p.n_bigrams, 9), -1.0) AS avg_nll_kn,
+  coalesce(round(exp(round(p.s / p.n_bigrams, 9)), 6), -1.0) AS ppl_kn
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail perplexity bucketing (functions/lm.py
     ccnet_buckets, Wenzek et al. LREC 2020): per source, exact terciles
@@ -4314,6 +4417,8 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "semantic_summary": (q_semantic_summary, SQL_SEMANTIC_SUMMARY),
     "heavy_tokens": (q_heavy_tokens, SQL_HEAVY_TOKENS),
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
+    "kn_perplexity": (q_kn_perplexity, SQL_KN_PERPLEXITY),
+    "luhn_cards": (q_luhn_cards, SQL_LUHN_CARDS),
     "phrase_match": (q_phrase_match, SQL_PHRASE_MATCH),
     "jl_projection": (q_jl_projection, SQL_JL_PROJECTION),
     "priority_sample": (q_priority_sample, SQL_PRIORITY_SAMPLE),

@@ -2012,7 +2012,18 @@ SUITE: dict[str, tuple] = {
         # (functions/lm.py ccnet_buckets — the bucket CCNet keeps/drops
         # on, cut by exact per-source ranks of the same LM scores)
         .join(PIPELINE_SUITE["ccnet_buckets"][0](spark, sf_dir)
-              .select("doc_id", "bucket"), "doc_id"),
+              .select("doc_id", "bucket"), "doc_id")
+        # r10: interpolated Kneser-Ney perplexity beside the add-1
+        # baseline (functions/lm.py kn_score — the smoothing KenLM-backed
+        # CCNet filters actually run; continuation counts, D = 0.75)
+        .join(PIPELINE_SUITE["kn_perplexity"][0](spark, sf_dir)
+              .select("doc_id", "avg_nll_kn", "ppl_kn"), "doc_id")
+        # r10: Luhn-validated payment-card detection (functions/
+        # cleaning.py luhn_card_counts — the checksum PII class the
+        # regex battery can't express)
+        .join(PIPELINE_SUITE["luhn_cards"][0](spark, sf_dir)
+              .select("doc_id", "n_card_candidates", "n_valid_cards"),
+              "doc_id"),
         joined(
             "doc_id", PIPELINE_SUITE["text_stats"],
             (PIPELINE_SUITE["quality_scores"],
@@ -2029,7 +2040,11 @@ SUITE: dict[str, tuple] = {
             (PIPELINE_SUITE["nb_classify"],
              ["predicted", "score_nano"]),
             (PIPELINE_SUITE["ccnet_buckets"],
-             ["bucket"]))[1]),
+             ["bucket"]),
+            (PIPELINE_SUITE["kn_perplexity"],
+             ["avg_nll_kn", "ppl_kn"]),
+            (PIPELINE_SUITE["luhn_cards"],
+             ["n_card_candidates", "n_valid_cards"]))[1]),
     # -- exact doc-level dedup + NEW r3 sub-document span dedup (C4-style:
     #    first corpus-wide occurrence of each k-token span survives, docs
     #    reassembled from surviving spans)

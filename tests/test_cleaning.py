@@ -155,3 +155,24 @@ def test_mixture_weights_invariants(spark, sf_dir):
     assert largest.weight < largest.n_tokens / total
     est = sum(r.expected_tokens for r in rows)
     assert abs(est - total) <= len(rows)  # floor() slack only
+
+
+def test_luhn_card_counts_contract(spark):
+    """Luhn mod-10 over 13-19-digit runs: the public test PANs validate,
+    off-by-one numbers don't, and the length gate treats a 20-digit run
+    as ONE too-long candidate (split semantics, not a prefix match)."""
+    from pyspark.sql import Row
+
+    from melt_spark.functions.cleaning import luhn_card_counts
+
+    df = spark.createDataFrame([
+        Row(doc_id=0, text="visa 4111111111111111 ok"),
+        Row(doc_id=1, text="near 4111111111111112 no"),
+        Row(doc_id=2, text="amex 378282246310005 and mc 5500005555555559"),
+        Row(doc_id=3, text="short 12345 long 99999999999999999999"),
+        Row(doc_id=4, text="no digits at all"),
+    ])
+    nc, nv = luhn_card_counts("text")
+    got = {r.doc_id: (r.nc, r.nv) for r in
+           df.select("doc_id", nc.alias("nc"), nv.alias("nv")).collect()}
+    assert got == {0: (1, 1), 1: (1, 0), 2: (2, 2), 3: (0, 0), 4: (0, 0)}

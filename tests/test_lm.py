@@ -144,3 +144,49 @@ def test_ccnet_hatch_all_one_source(spark):
     out = ccnet_buckets(spark.createDataFrame(rows)).collect()
     c = Counter(r.bucket for r in out)
     assert c == {"head": 100, "middle": 100, "tail": 100}
+
+
+def test_kn_score_matches_hand_model(spark):
+    """Interpolated KN on a hand corpus: stats and the per-doc mean NLL
+    recomputed in Python (same D = 0.75, same fold order)."""
+    import math
+
+    from melt_spark.functions.lm import kn_score
+
+    texts = ["a b a b", "a b c"]
+    df = _docs(spark, texts)
+    # corpus bigrams: d0: (a b)x2... wait per doc: d0: ab, ba, ab; d1: ab, bc
+    from collections import Counter
+    big = []
+    for t in texts:
+        ts = t.split()
+        big += [(ts[i], ts[i + 1]) for i in range(len(ts) - 1)]
+    c2 = Counter(big)
+    c1 = Counter(w1 for w1, _ in big)
+    n1f = Counter(w1 for (w1, _w2) in c2)
+    n1b = Counter(w2 for (_w1, w2) in c2)
+    T = len(c2)
+
+    def p(w1, w2):
+        return ((c2[(w1, w2)] - 0.75) / c1[w1]
+                + 0.75 * n1f[w1] / c1[w1] * (n1b[w2] / T))
+
+    want = {}
+    for i, t in enumerate(texts):
+        ts = t.split()
+        nlls = [-math.log(p(ts[j], ts[j + 1])) for j in range(len(ts) - 1)]
+        s = 0.0
+        for x in nlls:
+            s += x
+        want[i] = round(s / len(nlls), 9)
+    got = {r.doc_id: r.avg_nll_kn for r in kn_score(df).collect()}
+    assert got == want
+
+
+def test_kn_score_short_doc_sentinel(spark):
+    from melt_spark.functions.lm import kn_score
+
+    out = {r.doc_id: (r.avg_nll_kn, r.ppl_kn)
+           for r in kn_score(_docs(spark, ["solo", "a b", "a c"])).collect()}
+    assert out[0] == (-1.0, -1.0)
+    assert out[1][0] > 0 and out[2][0] > 0

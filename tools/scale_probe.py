@@ -199,6 +199,11 @@ PROBES = ["text_quality", "dedup_minhash_lsh", "clean_corpus",
           # r10: all-but-the-top applied (pca chain + corrected-space
           # brute-force top-k — expected ~ embedding_pca + ann cost)
           "abtt_ann",
+          # r10: Kneser-Ney perplexity (same digested-bigram shape as
+          # lm_perplexity — expected the same ~linear profile) and the
+          # Luhn card scan (pure per-row projection — expected ~flat
+          # shuffle, linear time)
+          "kn_perplexity", "luhn_cards",
           # r8 wave 2: the k-group/parametric/correlation tests (moment
           # aggregates and per-key rank windows — expected ~linear)
           "welch_ttest", "spearman_drift", "kruskal_wallis",
@@ -340,6 +345,10 @@ _EXTRA_QUERIES = {"span_dedup_digest": _span_query("digest"),
                       _constituent("analytics_suite", "q_embedding_pca"),
                   "abtt_ann":
                       _constituent("analytics_suite", "q_abtt_ann"),
+                  "kn_perplexity":
+                      _constituent("pipeline_suite", "q_kn_perplexity"),
+                  "luhn_cards":
+                      _constituent("pipeline_suite", "q_luhn_cards"),
                   "url_dedup":
                       _constituent("pipeline_suite", "q_url_dedup"),
                   "regex_pretokenize":
