@@ -75,6 +75,63 @@ def quantize_int8(vec: Column) -> tuple[Column, Column]:
     return scale, q
 
 
+def int8_rerank_topk(corpus: DataFrame, queries: DataFrame,
+                     k: int = 10, overscan: int = 4,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Two-stage ANN on the int8 scale path: scan in int8 (the 4x-
+    smaller representation a 100 TB corpus is actually stored in), keep
+    the top ``overscan * k`` candidates per query by the exact-integer
+    quantized dot product, re-rank ONLY those against the full-precision
+    vectors, and flag each survivor ``in_exact`` if it also makes the
+    full-precision exact top-k — avg(in_exact) is the measured int8
+    recall, the number quantization_error's per-vector mse predicts.
+    Public background: symmetric scalar quantization + rerank is the
+    standard memory-bound ANN recipe (e.g. FAISS SQ8 + refine).
+
+    Determinism: the candidate score is (exact bigint dot) x two
+    identically-derived scales — one fixed-order IEEE product — with id
+    tie-break; rerank cosines are the similarity.cosine ordered folds.
+
+    Scale shape: queries are bounded (caller limits) and broadcast; the
+    corpus streams ONCE through the int8 scorer carrying its original
+    vector alongside (no second corpus scan for the rerank — only
+    overscan*k*|Q| candidate rows reach the full-precision stage); the
+    exact baseline reuses cosine_topk's broadcast-stream shape."""
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        _dvec(vec_col).alias("qv"))
+    qs, qq = quantize_int8(F.col("qv"))
+    qf = qv.select("query_id", "qv", qs.alias("qs"), qq.alias("qq"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       _dvec(vec_col).alias("cv"))
+    cs, cq = quantize_int8(F.col("cv"))
+    cf = cv.select("neighbor_id", "cv", cs.alias("cs"), cq.alias("cq"))
+
+    di = F.aggregate(F.zip_with("qq", "cq", lambda a, b: a * b),
+                     F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    scored = (F.broadcast(qf).crossJoin(cf)
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("approx",
+                          di.cast("double") * F.col("qs") * F.col("cs")))
+    wa = Window.partitionBy("query_id").orderBy(
+        F.desc("approx"), F.asc("neighbor_id"))
+    cand = (scored.withColumn("__arn", F.row_number().over(wa))
+            .filter(F.col("__arn") <= k * overscan))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id"))
+    rer = (cand.withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+           .withColumn("rank", F.row_number().over(wr))
+           .filter(F.col("rank") <= k))
+    exact = cosine_topk(corpus, queries, k=k, id_col=id_col,
+                        vec_col=vec_col)
+    return (rer.join(exact.select("query_id", "neighbor_id",
+                                  F.lit(1).alias("__e")),
+                     ["query_id", "neighbor_id"], "left")
+            .select("query_id", "neighbor_id", "rank", "cos",
+                    F.coalesce("__e", F.lit(0)).cast("int")
+                    .alias("in_exact")))
+
+
 def quantization_error(df: DataFrame, id_col: str = "vec_id",
                        vec_col: str = "embedding") -> DataFrame:
     """Per-vector reconstruction error of int8 quantization:

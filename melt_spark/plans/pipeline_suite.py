@@ -951,6 +951,83 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 5).limit(5), k=10)
 
 
+def q_ann_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage int8 ANN (functions/similarity.py int8_rerank_topk):
+    exact-integer quantized dot products pick 4x-overscanned candidates,
+    full-precision cosine re-ranks only those, in_exact flags measured
+    recall against the exact top-10 — the memory-bound scale path
+    (FAISS-style SQ8 + refine) beside the brute-force baseline."""
+    from ..functions.similarity import int8_rerank_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return int8_rerank_topk(
+        emb, emb.filter(F.col("vec_id") < 5).limit(5), k=10, overscan=4)
+
+
+SQL_ANN_INT8_RERANK = f"""
+WITH v AS (SELECT vec_id, {_DVEC} AS e FROM embeddings),
+s AS (
+  SELECT vec_id, e,
+    CASE WHEN list_max(list_transform(e, x -> abs(x))) = 0 THEN 1.0
+         ELSE list_max(list_transform(e, x -> abs(x))) / 127.0 END AS scale
+  FROM v
+),
+q AS (
+  SELECT vec_id, e, scale,
+    list_transform(e, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv
+  FROM s
+),
+qs AS (SELECT vec_id AS query_id, e AS qe, scale AS qsc, qv AS qqv
+       FROM q WHERE vec_id < 5),
+sc AS (
+  SELECT query_id, c.vec_id AS neighbor_id, qe, c.e AS ce,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(generate_series(1, 64), i -> qqv[i] * c.qv[i])),
+           (a, b) -> a + b) AS DOUBLE) * qsc * c.scale AS approx
+  FROM qs, q c WHERE query_id <> c.vec_id
+),
+cand AS (
+  SELECT query_id, neighbor_id, qe, ce FROM
+    (SELECT *, row_number() OVER (PARTITION BY query_id
+                                  ORDER BY approx DESC, neighbor_id)
+       AS arn FROM sc)
+  WHERE arn <= 40
+),
+rr AS (
+  SELECT query_id, neighbor_id,
+         {_dot_sql('qe', 'ce')}
+           / (sqrt({_dot_sql('qe', 'qe')}) * sqrt({_dot_sql('ce', 'ce')}))
+           AS cos
+  FROM cand
+),
+rt AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rank
+       FROM rr),
+exs AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         {_dot_sql('qe', 'c.e')}
+           / (sqrt({_dot_sql('qe', 'qe')}) * sqrt({_dot_sql('c.e', 'c.e')}))
+           AS cos
+  FROM (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5) qx,
+       v c WHERE query_id <> c.vec_id
+),
+ex AS (
+  SELECT query_id, neighbor_id FROM
+    (SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+     FROM exs)
+  WHERE rank <= 10
+)
+SELECT rt.query_id, rt.neighbor_id, rt.rank, rt.cos,
+       CAST(CASE WHEN ex.neighbor_id IS NOT NULL
+                 THEN 1 ELSE 0 END AS INT) AS in_exact
+FROM rt LEFT JOIN ex
+  ON ex.query_id = rt.query_id AND ex.neighbor_id = rt.neighbor_id
+WHERE rt.rank <= 10
+"""
+
+
 BM25_TERMS = ("spark", "join", "window")
 
 
@@ -4402,6 +4479,7 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "simhash_near_dup": (q_simhash_near_dup, SQL_SIMHASH_NEAR_DUP),
     "simhash64_near_dup": (q_simhash64_near_dup, SQL_SIMHASH64_NEAR_DUP),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_TOPK),
+    "ann_int8_rerank": (q_ann_int8_rerank, SQL_ANN_INT8_RERANK),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "rrf_fusion": (q_rrf_fusion, SQL_RRF_FUSION),
     "rrf_recall": (q_rrf_recall, SQL_RRF_RECALL),

@@ -2308,6 +2308,19 @@ SUITE: dict[str, tuple] = {
                               "rank", F.col("cos").alias("v")),
          "SELECT 'ann' AS kind, query_id AS qid, neighbor_id AS did,"
          " rank, cos AS v"),
+        # r10: int8 scan + full-precision rerank (functions/similarity.py
+        # int8_rerank_topk — the memory-bound scale path; in_exact folds
+        # into the kind so measured recall hashes per neighbor)
+        (PIPELINE_SUITE["ann_int8_rerank"],
+         lambda df: df.select(
+             F.when(F.col("in_exact") == 1, F.lit("int8_hit"))
+             .otherwise(F.lit("int8_miss")).alias("kind"),
+             F.col("query_id").alias("qid"),
+             F.col("neighbor_id").alias("did"),
+             "rank", F.col("cos").alias("v")),
+         "SELECT CASE WHEN in_exact = 1 THEN 'int8_hit'"
+         " ELSE 'int8_miss' END AS kind, query_id AS qid,"
+         " neighbor_id AS did, rank, cos AS v"),
         (PIPELINE_SUITE["bm25_topk"],
          lambda df: df.select(F.lit("bm25").alias("kind"),
                               F.lit(-1).cast("bigint").alias("qid"),

@@ -203,7 +203,7 @@ PROBES = ["text_quality", "dedup_minhash_lsh", "clean_corpus",
           # lm_perplexity — expected the same ~linear profile) and the
           # Luhn card scan (pure per-row projection — expected ~flat
           # shuffle, linear time)
-          "kn_perplexity", "luhn_cards",
+          "kn_perplexity", "luhn_cards", "ann_int8_rerank",
           # r8 wave 2: the k-group/parametric/correlation tests (moment
           # aggregates and per-key rank windows — expected ~linear)
           "welch_ttest", "spearman_drift", "kruskal_wallis",
@@ -349,6 +349,8 @@ _EXTRA_QUERIES = {"span_dedup_digest": _span_query("digest"),
                       _constituent("pipeline_suite", "q_kn_perplexity"),
                   "luhn_cards":
                       _constituent("pipeline_suite", "q_luhn_cards"),
+                  "ann_int8_rerank":
+                      _constituent("pipeline_suite", "q_ann_int8_rerank"),
                   "url_dedup":
                       _constituent("pipeline_suite", "q_url_dedup"),
                   "regex_pretokenize":
