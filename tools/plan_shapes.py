@@ -53,6 +53,9 @@ HEAVY_CONSTITUENTS = [
     "modularity", "adamic_adar", "butterflies", "bpe_encode", "pack_bpe",
     "conformal_nb", "dbscan_customers", "pruning_eval", "incremental_knn",
     "graph_ann",
+    # r10: the two heaviest new constituents (base probe 14.0 s / 11.9 s)
+    # plus the hatched tercile cut whose plan IS the scale argument
+    "kn_perplexity", "abtt_ann", "ccnet_buckets",
 ]
 
 
