@@ -130,6 +130,90 @@ def lm_score(docs: DataFrame, id_col: str = "doc_id",
                     .alias("ppl")))
 
 
+def lm_score_store(batch: DataFrame, model: DataFrame,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Score NEW documents under a FROZEN bigram model (batch-vs-store,
+    the daily-crawl shape: CCNet scores each crawl with a model trained
+    once — new text never re-enters training). Unlike lm_score's inner
+    join (self-scoring: every bigram is in the model), a new batch has
+    UNSEEN bigrams and UNSEEN contexts; add-1 smoothing gives them
+        p = 1/(c1(w1) + V)   (context seen, bigram unseen)
+        p = 1/V              (context unseen)
+    via two LEFT joins against the model — same digest keys, no text in
+    any exchange. Output (id, n_bigrams, avg_nll) with the lm_score
+    sentinel for bigram-less docs; folds/rounding identical."""
+    bg = _digested(_bigrams(batch, id_col, text_col))
+    ctx = model.groupBy("h1").agg(F.max("c1").alias("c1s"))
+    vv = model.agg(F.max("v").alias("v0"))
+    j = (bg.join(model.select("h2", "h1", "c2", "c1", "v"),
+                 ["h2", "h1"], "left")
+         .join(ctx, "h1", "left")
+         .crossJoin(F.broadcast(vv)))
+    nll = j.select(
+        "id", "idx",
+        F.when(F.col("c2").isNotNull(),
+               F.log((F.col("c1") + F.col("v")).cast("double")
+                     / (F.col("c2") + F.lit(1)).cast("double")))
+        .when(F.col("c1s").isNotNull(),
+              F.log((F.col("c1s") + F.col("v0")).cast("double")))
+        .otherwise(F.log(F.col("v0").cast("double"))).alias("nll"))
+    per_doc = (nll.groupBy("id")
+               .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                    F.aggregate(
+                        F.array_sort(F.collect_list(
+                            F.struct("idx", "nll"))),
+                        F.lit(0.0),
+                        lambda acc, s: acc + s["nll"]).alias("sum_nll")))
+    scored = per_doc.select(
+        "id", "n_bigrams",
+        F.round(F.col("sum_nll") / F.col("n_bigrams"), 9).alias("avg_nll"))
+    return (batch.select(F.col(id_col).alias("id"))
+            .join(scored, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.coalesce("n_bigrams", F.lit(0)).cast("bigint")
+                    .alias("n_bigrams"),
+                    F.coalesce("avg_nll", F.lit(-1.0)).alias("avg_nll")))
+
+
+def ccnet_assign(batch: DataFrame, store_docs: DataFrame,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 group_col: str = "source") -> DataFrame:
+    """Assign NEW documents to the STORE's frozen CCNet buckets: score
+    the batch under the store-trained model (lm_score_store backoff for
+    unseen bigrams/contexts) and compare against the store's per-source
+    tercile BOUNDARY scores — head_cut = max head avg_nll, mid_cut =
+    max middle avg_nll, read off ccnet_buckets' exact cut. This is the
+    production CCNet step (Wenzek LREC 2020 applies frozen per-language
+    perplexity cutoffs to every new crawl); the store is never
+    re-ranked. A source with too few docs for a head band routes new
+    docs past the null boundary to the next verdict (tail-ward — the
+    conservative side). Batch cost only: the store enters via the
+    model (vocabulary-sized) and one boundary row per source."""
+    model = bigram_model(store_docs, id_col, text_col)
+    scored = lm_score_store(batch, model, id_col, text_col)
+    b = ccnet_buckets(store_docs, id_col, text_col, group_col)
+    bounds = (b.filter(F.col("bucket") != "skip")
+              .groupBy(F.col(group_col).alias("grp"))
+              .agg(F.max(F.when(F.col("bucket") == "head",
+                                F.col("avg_nll"))).alias("head_cut"),
+                   F.max(F.when(F.col("bucket") != "tail",
+                                F.col("avg_nll"))).alias("mid_cut")))
+    j = (scored.join(batch.select(id_col,
+                                  F.col(group_col).alias("grp")), id_col)
+         .join(F.broadcast(bounds), "grp", "left"))
+    bucket = (F.when(F.col("n_bigrams") == 0, F.lit("skip"))
+              .when(F.col("head_cut").isNotNull()
+                    & (F.col("avg_nll") <= F.col("head_cut")),
+                    F.lit("head"))
+              .when(F.col("mid_cut").isNotNull()
+                    & (F.col("avg_nll") <= F.col("mid_cut")),
+                    F.lit("middle"))
+              .otherwise(F.lit("tail")))
+    return j.select(id_col, F.col("grp").alias(group_col), "n_bigrams",
+                    "avg_nll", bucket.alias("bucket"))
+
+
 def kn_score(docs: DataFrame, id_col: str = "doc_id",
              text_col: str = "text") -> DataFrame:
     """Per-document mean NLL + perplexity under an interpolated

@@ -2665,6 +2665,89 @@ FROM j WHERE n_bigrams = 0
 """
 
 
+def q_ccnet_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-store CCNet assignment (functions/lm.py ccnet_assign):
+    a NEW id-shifted batch — every doc carrying one unseen-bigram and
+    one unseen-context pair — scored under the STORE-trained model via
+    the add-1 backoff left joins, then bucketed against the store's
+    frozen per-source tercile boundaries. The production CCNet step:
+    frozen cutoffs applied to every new crawl, the store never
+    re-ranked (Wenzek et al. LREC 2020)."""
+    from ..functions.lm import ccnet_assign
+
+    docs = read_table(spark, sf_dir, "documents")
+    batch = docs.select(
+        (F.col("doc_id") + 70000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" nv"),
+                 (F.col("doc_id") % 5).cast("string"),
+                 F.lit(" qq")).alias("text"),
+        "source")
+    return ccnet_assign(batch, docs)
+
+
+SQL_CCNET_ASSIGN = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+bg AS (
+  SELECT doc_id, g.i AS idx, t[g.i] AS w1, t[g.i] || ' ' || t[g.i+1] AS bg
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+),
+c2 AS (SELECT bg, w1, COUNT(*) AS c2 FROM bg GROUP BY bg, w1),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+voc AS (SELECT COUNT(DISTINCT tok) AS v
+        FROM (SELECT unnest(t) AS tok FROM toks)),
+nb AS (
+  SELECT doc_id + 70000 AS doc_id,
+         text || ' nv' || CAST(doc_id % 5 AS VARCHAR) || ' qq' AS text,
+         source
+  FROM documents
+),
+btoks AS (SELECT doc_id, source, {_TOKS} AS t FROM nb),
+bbg AS (
+  SELECT doc_id, g.i AS idx, t[g.i] AS w1, t[g.i] || ' ' || t[g.i+1] AS bg
+  FROM btoks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+),
+bnll AS (
+  SELECT b.doc_id, b.idx,
+         CASE WHEN c2.c2 IS NOT NULL
+              THEN ln(CAST(c1.c1 + voc.v AS DOUBLE)
+                      / CAST(c2.c2 + 1 AS DOUBLE))
+              WHEN c1.c1 IS NOT NULL
+              THEN ln(CAST(c1.c1 + voc.v AS DOUBLE))
+              ELSE ln(CAST(voc.v AS DOUBLE)) END AS nll
+  FROM bbg b LEFT JOIN c2 USING (bg, w1) LEFT JOIN c1 USING (w1), voc
+),
+bper AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         list_reduce(list_prepend(0.0, list(nll ORDER BY idx)),
+                     (a, b) -> a + b) AS s
+  FROM bnll GROUP BY doc_id
+),
+bscore AS (
+  SELECT d.doc_id, d.source,
+    CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+    coalesce(round(p.s / p.n_bigrams, 9), -1.0) AS avg_nll
+  FROM nb d LEFT JOIN bper p USING (doc_id)
+),
+bounds AS (
+  SELECT source AS grp,
+         MAX(CASE WHEN bucket = 'head' THEN avg_nll END) AS head_cut,
+         MAX(CASE WHEN bucket <> 'tail' THEN avg_nll END) AS mid_cut
+  FROM ({{ccnet}}) WHERE bucket <> 'skip' GROUP BY source
+)
+SELECT s.doc_id, s.source, s.n_bigrams, s.avg_nll,
+  CASE WHEN s.n_bigrams = 0 THEN 'skip'
+       WHEN b.head_cut IS NOT NULL AND s.avg_nll <= b.head_cut
+         THEN 'head'
+       WHEN b.mid_cut IS NOT NULL AND s.avg_nll <= b.mid_cut
+         THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM bscore s LEFT JOIN bounds b ON b.grp = s.source
+"""
+
+SQL_CCNET_ASSIGN = SQL_CCNET_ASSIGN.replace(
+    "{ccnet}", SQL_CCNET_BUCKETS)
+
+
 PHRASE = ("table", "scan", "merge")
 
 
@@ -4431,6 +4514,7 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
     "regex_pretokenize": (q_regex_pretokenize, SQL_REGEX_PRETOKENIZE),
     "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
+    "ccnet_assign": (q_ccnet_assign, SQL_CCNET_ASSIGN),
     "heaps_law": (q_heaps_law, SQL_HEAPS_LAW),
     "conformal_nb": (q_conformal_nb, SQL_CONFORMAL_NB),
     "kmeans_train": (q_kmeans_train, SQL_KMEANS_TRAIN),

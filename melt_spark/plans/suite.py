@@ -2599,6 +2599,21 @@ SUITE: dict[str, tuple] = {
          "SELECT 'bpe_inc' AS kind, doc_id, n_tokens AS n,"
          " md5(stream) || ':' || CAST(rt AS VARCHAR) AS fp,"
          " n_words AS m"),
+        # r10: batch-vs-store CCNet assignment (functions/lm.py
+        # ccnet_assign) — new batch scored under the FROZEN store model
+        # (unseen-bigram/context backoff) and bucketed against the
+        # store's frozen per-source tercile boundaries; avg_nll rides n
+        # as exact nanos, source:bucket rides fp
+        (PIPELINE_SUITE["ccnet_assign"],
+         lambda df: df.select(F.lit("ccnet_inc").alias("kind"), "doc_id",
+                              F.round(F.col("avg_nll") * 1e9)
+                              .cast("bigint").alias("n"),
+                              F.concat_ws(":", "source", "bucket")
+                              .alias("fp"),
+                              F.col("n_bigrams").alias("m")),
+         "SELECT 'ccnet_inc' AS kind, doc_id,"
+         " CAST(round(avg_nll * 1000000000.0) AS BIGINT) AS n,"
+         " source || ':' || bucket AS fp, n_bigrams AS m"),
         # r5: winnowing fingerprints (MOSS, SIGMOD 2003) — pos rides n,
         # the 48-bit fingerprint rides m
         (PIPELINE_SUITE["winnow"],

@@ -190,3 +190,39 @@ def test_kn_score_short_doc_sentinel(spark):
            for r in kn_score(_docs(spark, ["solo", "a b", "a c"])).collect()}
     assert out[0] == (-1.0, -1.0)
     assert out[1][0] > 0 and out[2][0] > 0
+
+
+def test_ccnet_assign_frozen_boundaries(spark):
+    """Batch-vs-store: a store doc's twin (same text) must land in the
+    SAME bucket the store gave it (score equal under the frozen model,
+    boundary comparison inclusive); a doc made of entirely novel tokens
+    scores the unseen-context backoff ln(V) on every bigram and lands
+    tail-ward; bigram-less docs skip."""
+    from melt_spark.functions.lm import ccnet_assign, ccnet_buckets
+
+    store_rows = []
+    for i in range(12):
+        store_rows.append(
+            Row(doc_id=i, source="s",
+                text=" ".join("w%d" % (j % (i % 6 + 2))
+                              for j in range(8))))
+    store = spark.createDataFrame(store_rows)
+    store_buckets = {r.doc_id: r.bucket
+                     for r in ccnet_buckets(store).collect()}
+
+    # twins of store docs 0..11, plus a fully-novel doc and a 1-token doc
+    batch_rows = [
+        Row(doc_id=100 + i, source="s",
+            text=" ".join("w%d" % (j % (i % 6 + 2)) for j in range(8)))
+        for i in range(12)]
+    batch_rows.append(Row(doc_id=200, source="s",
+                          text="zq1 zq2 zq3 zq4"))
+    batch_rows.append(Row(doc_id=201, source="s", text="solo"))
+    batch = spark.createDataFrame(batch_rows)
+
+    got = {r.doc_id: r.bucket
+           for r in ccnet_assign(batch, store).collect()}
+    for i in range(12):
+        assert got[100 + i] == store_buckets[i], (i, got[100 + i])
+    assert got[200] == "tail"
+    assert got[201] == "skip"

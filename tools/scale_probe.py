@@ -204,6 +204,7 @@ PROBES = ["text_quality", "dedup_minhash_lsh", "clean_corpus",
           # Luhn card scan (pure per-row projection — expected ~flat
           # shuffle, linear time)
           "kn_perplexity", "luhn_cards", "ann_int8_rerank",
+          "ccnet_assign",
           # r8 wave 2: the k-group/parametric/correlation tests (moment
           # aggregates and per-key rank windows — expected ~linear)
           "welch_ttest", "spearman_drift", "kruskal_wallis",
@@ -351,6 +352,8 @@ _EXTRA_QUERIES = {"span_dedup_digest": _span_query("digest"),
                       _constituent("pipeline_suite", "q_luhn_cards"),
                   "ann_int8_rerank":
                       _constituent("pipeline_suite", "q_ann_int8_rerank"),
+                  "ccnet_assign":
+                      _constituent("pipeline_suite", "q_ccnet_assign"),
                   "url_dedup":
                       _constituent("pipeline_suite", "q_url_dedup"),
                   "regex_pretokenize":
