@@ -190,9 +190,17 @@ def ccnet_assign(batch: DataFrame, store_docs: DataFrame,
     docs past the null boundary to the next verdict (tail-ward — the
     conservative side). Batch cost only: the store enters via the
     model (vocabulary-sized) and one boundary row per source."""
-    model = bigram_model(store_docs, id_col, text_col)
+    # ONE model build shared by store scoring and batch scoring (the
+    # first 64x probe measured ~3 corpus chains when ccnet_buckets
+    # rebuilt its own model — the vocab-sized model is checkpointed and
+    # consumed by both sides). lm_score_store on the store itself is
+    # bit-equal to lm_score (every bigram is in the model, so only the
+    # c2 path fires), so the boundaries match ccnet_buckets exactly.
+    model = (bigram_model(store_docs, id_col, text_col)
+             .localCheckpoint(eager=False))
     scored = lm_score_store(batch, model, id_col, text_col)
-    b = ccnet_buckets(store_docs, id_col, text_col, group_col)
+    store_scored = lm_score_store(store_docs, model, id_col, text_col)
+    b = _tercile_cut(store_scored, store_docs, id_col, group_col)
     bounds = (b.filter(F.col("bucket") != "skip")
               .groupBy(F.col(group_col).alias("grp"))
               .agg(F.max(F.when(F.col("bucket") == "head",
@@ -303,9 +311,18 @@ def ccnet_buckets(docs: DataFrame, id_col: str = "doc_id",
     per source — the bounded dimension domain) broadcast back. Ranks are
     bit-identical to the window version (pytest-pinned), so the oracle
     hash is unchanged. No stage sees more than 1/parts of any source."""
+    scored = lm_score(docs, id_col, text_col)
+    return _tercile_cut(scored, docs, id_col, group_col)
+
+
+def _tercile_cut(scored: DataFrame, docs: DataFrame, id_col: str,
+                 group_col: str) -> DataFrame:
+    """The hatched exact tercile cut over a (id, n_bigrams, avg_nll)
+    frame — shared by ccnet_buckets (self-scores) and ccnet_assign's
+    store-boundary derivation (store scored once under the shared
+    model)."""
     from .util import global_order_scan
 
-    scored = lm_score(docs, id_col, text_col)
     # materialize the narrow per-doc frame ONCE: repartitionByRange's
     # range-bound sampling pass re-executes its child, and without this
     # the whole corpus-linear lm_score chain runs twice (the first 64x
