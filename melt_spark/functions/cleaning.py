@@ -467,6 +467,66 @@ def split_corpus(df: DataFrame, val_pct: int = 5, test_pct: int = 5,
          .otherwise(F.lit("train")))
 
 
+def cluster_split(docs: DataFrame, pairs: DataFrame,
+                  val_pct: int = 5, test_pct: int = 5,
+                  id_col: str = "doc_id",
+                  chars_col: str = "n_chars") -> DataFrame:
+    """CLUSTER-aware train/val/test split: every near-dup cluster is
+    assigned atomically by hashing its CLUSTER id (the component's
+    smallest member; singletons are their own cluster), so a document
+    and its near-duplicates can never straddle train and eval — the
+    leakage a per-DOC hash split permits whenever near-dups exist (the
+    RefinedWeb/Dolma discipline: dedup keys, not doc ids, route the
+    split). A cluster whose id equals a doc id lands in the same split
+    that doc would get from split_corpus, so the representative's
+    assignment is stable across the two operators.
+
+    Returns per-split totals (split, n_docs, n_clusters, sum_chars)
+    plus one '__naive_leak' row quantifying the counterfactual: how
+    many clusters (and docs inside them) the per-doc hash split WOULD
+    have scattered across splits — the eval-contamination this
+    operator exists to prevent; 0 straddling clusters under the
+    cluster split is structural, not sampled.
+
+    Scale shape: connected_components' log-rounds propagation is the
+    only iterative stage (inherited); everything after is one narrow
+    row per doc, two hash projections and two map-side aggregates."""
+    from .dedup import connected_components
+
+    cc = connected_components(pairs)
+    lab = (docs.select(F.col(id_col).alias("doc_id"),
+                       F.col(chars_col).alias("nc"))
+           .join(cc, "doc_id", "left")
+           .select("doc_id", "nc",
+                   F.coalesce("cluster_id", F.col("doc_id"))
+                   .alias("cluster_id")))
+
+    def assign(key: Column) -> Column:
+        b = hash_bucket(F.concat(F.lit("split:"), key.cast("string")))
+        return (F.when(b < test_pct, F.lit("test"))
+                .when(b < test_pct + val_pct, F.lit("val"))
+                .otherwise(F.lit("train")))
+
+    per = lab.select("doc_id", "nc", "cluster_id",
+                     assign(F.col("cluster_id")).alias("split"),
+                     assign(F.col("doc_id")).alias("naive"))
+    summary = (per.groupBy("split")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                    F.countDistinct("cluster_id").cast("bigint")
+                    .alias("n_clusters"),
+                    F.sum("nc").cast("bigint").alias("sum_chars")))
+    leaky = (per.groupBy("cluster_id")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.countDistinct("naive").alias("k"))
+             .filter(F.col("k") > 1))
+    leak = leaky.agg(
+        F.lit("__naive_leak").alias("split"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.lit(-1).cast("bigint").alias("sum_chars"))
+    return summary.unionByName(leak)
+
+
 def export_sorted(df: DataFrame, path: str, sort_col: str = "doc_id",
                   n_files: int = 8,
                   max_records_per_file: int | None = None) -> None:

@@ -824,6 +824,66 @@ FROM lab"""
 SQL_CANONICAL_DOCS = _canonical_sql()
 
 
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val/test split (functions/cleaning.py
+    cluster_split): near-dup clusters route the split atomically so a
+    doc and its near-duplicates can never straddle train and eval;
+    the '__naive_leak' row quantifies the contamination the per-doc
+    hash split would have caused on this corpus."""
+    from ..functions.cleaning import cluster_split
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, num_hashes=8, bands=4,
+                                threshold=0.8)
+    return cluster_split(docs, pairs)
+
+
+def _cluster_split_sql() -> str:
+    """Reuses SQL_DEDUP_CLUSTERS' CTE chain (the _canonical_sql strip
+    pattern) + the split_corpus bucket arithmetic on cluster vs doc."""
+    body = SQL_DEDUP_CLUSTERS.strip()
+    head = "WITH RECURSIVE "
+    assert body.startswith(head)
+    ctes, final = body[len(head):].rsplit("\nSELECT node AS doc_id", 1)
+    hc = _hex_int_sql("'split:' || CAST(cluster_id AS VARCHAR)")
+    hd = _hex_int_sql("'split:' || CAST(doc_id AS VARCHAR)")
+    return f"""WITH RECURSIVE {ctes},
+cc AS (
+SELECT node AS doc_id{final}
+),
+lab AS (
+  SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+         d.n_chars
+  FROM documents d LEFT JOIN cc USING (doc_id)
+),
+per AS (
+  SELECT doc_id, cluster_id, n_chars,
+    CASE WHEN {hc} % 100 < 5 THEN 'test'
+         WHEN {hc} % 100 < 10 THEN 'val' ELSE 'train' END AS split,
+    CASE WHEN {hd} % 100 < 5 THEN 'test'
+         WHEN {hd} % 100 < 10 THEN 'val' ELSE 'train' END AS naive
+  FROM lab
+),
+s1 AS (
+  SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+  FROM per GROUP BY 1
+),
+lk AS (
+  SELECT cluster_id, COUNT(*) AS n
+  FROM per GROUP BY 1 HAVING COUNT(DISTINCT naive) > 1
+)
+SELECT * FROM s1
+UNION ALL
+SELECT '__naive_leak' AS split,
+       CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(-1 AS BIGINT) AS sum_chars
+FROM lk
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document SimHash, both representations in ONE vote pass: the
     16-bit md5-nibble bitstring (readable demo) and the production
@@ -4509,6 +4569,10 @@ FROM u GROUP BY 1
 """
 
 
+# deferred: _cluster_split_sql needs _hex_int_sql, defined above
+SQL_CLUSTER_SPLIT = _cluster_split_sql()
+
+
 PIPELINE_SUITE: dict[str, tuple] = {
     "domain_gate": (q_domain_gate, SQL_DOMAIN_GATE),
     "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
@@ -4558,6 +4622,7 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "mixture_weights": (q_mixture_weights, SQL_MIXTURE_WEIGHTS),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "cluster_split": (q_cluster_split, SQL_CLUSTER_SPLIT),
     "canonical_docs": (q_canonical_docs, SQL_CANONICAL_DOCS),
     "simhash": (q_simhash, SQL_SIMHASH),
     "simhash_near_dup": (q_simhash_near_dup, SQL_SIMHASH_NEAR_DUP),

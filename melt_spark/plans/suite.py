@@ -2174,6 +2174,30 @@ SUITE: dict[str, tuple] = {
                               F.col("doc_id").alias("id"),
                               F.col("cluster_id").alias("val")),
          "SELECT 'cc' AS kind, doc_id AS id, cluster_id AS val"),
+        # r10: cluster-aware train/val/test split (functions/cleaning.py
+        # cluster_split) — whole near-dup clusters route the split so
+        # train and eval can never share near-duplicates; the
+        # __naive_leak rows quantify the contamination a per-doc hash
+        # split would have caused. Unpivoted to (kind, -1, val).
+        (PIPELINE_SUITE["cluster_split"],
+         lambda df: df.select(F.explode(F.array(
+             F.struct(F.concat(F.lit("cs_docs:"), F.col("split"))
+                      .alias("kind"),
+                      F.col("n_docs").cast("double").alias("val")),
+             F.struct(F.concat(F.lit("cs_clusters:"), F.col("split"))
+                      .alias("kind"),
+                      F.col("n_clusters").cast("double").alias("val")),
+             F.struct(F.concat(F.lit("cs_chars:"), F.col("split"))
+                      .alias("kind"),
+                      F.col("sum_chars").cast("double").alias("val"))))
+             .alias("s"))
+         .select(F.col("s.kind").alias("kind"),
+                 F.lit(-1).cast("bigint").alias("id"),
+                 F.col("s.val").alias("val")),
+         "SELECT unnest(['cs_docs:' || split, 'cs_clusters:' || split,"
+         " 'cs_chars:' || split]) AS kind, CAST(-1 AS BIGINT) AS id,"
+         " unnest([CAST(n_docs AS DOUBLE), CAST(n_clusters AS DOUBLE),"
+         " CAST(sum_chars AS DOUBLE)]) AS val"),
         (ANALYTICS_SUITE["pagerank"],
          lambda df: df.select(F.lit("pagerank").alias("kind"),
                               F.col("node").alias("id"),

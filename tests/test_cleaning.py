@@ -176,3 +176,47 @@ def test_luhn_card_counts_contract(spark):
     got = {r.doc_id: (r.nc, r.nv) for r in
            df.select("doc_id", nc.alias("nc"), nv.alias("nv")).collect()}
     assert got == {0: (1, 1), 1: (1, 0), 2: (2, 2), 3: (0, 0), 4: (0, 0)}
+
+
+def test_cluster_split_atomic_and_leak_counterfactual(spark):
+    """Every near-dup cluster lands in ONE split; the naive-leak row
+    counts clusters the per-doc hash split scatters. Hand graph: docs
+    0-9, near-dup pairs chain {0,1,2} and {5,6}; the cluster split must
+    put each chain wholly in one split regardless of where the members'
+    own doc hashes point."""
+    from pyspark.sql import Row
+
+    from melt_spark.functions.cleaning import cluster_split, hash_bucket
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, n_chars=10 + i) for i in range(10)])
+    pairs = spark.createDataFrame(
+        [Row(doc_a=0, doc_b=1), Row(doc_a=1, doc_b=2),
+         Row(doc_a=5, doc_b=6)])
+    out = cluster_split(docs, pairs).collect()
+    rows = {r.split: r for r in out}
+    leak = rows.pop("__naive_leak")
+    assert sum(r.n_docs for r in rows.values()) == 10
+    assert sum(r.n_clusters for r in rows.values()) == 7  # 10-3 merged
+    assert sum(r.sum_chars for r in rows.values()) == sum(10 + i
+                                                          for i in range(10))
+    # counterfactual: recompute the naive split by hand and compare
+    import hashlib
+
+    def bucket(x):
+        return int(hashlib.md5(f"split:{x}".encode())
+                   .hexdigest()[:6], 16) % 100
+
+    def split_of(b):
+        return "test" if b < 5 else ("val" if b < 10 else "train")
+
+    clusters = [[0, 1, 2], [5, 6]] + [[i] for i in (3, 4, 7, 8, 9)]
+    leaky = [c for c in clusters
+             if len({split_of(bucket(d)) for d in c}) > 1]
+    assert leak.n_clusters == len(leaky)
+    assert leak.n_docs == sum(len(c) for c in leaky)
+    assert leak.sum_chars == -1
+    # atomicity: each cluster's docs share the CLUSTER-id split
+    for c in clusters:
+        s = {split_of(bucket(min(c)))}
+        assert len(s) == 1

@@ -204,7 +204,7 @@ PROBES = ["text_quality", "dedup_minhash_lsh", "clean_corpus",
           # Luhn card scan (pure per-row projection — expected ~flat
           # shuffle, linear time)
           "kn_perplexity", "luhn_cards", "ann_int8_rerank",
-          "ccnet_assign",
+          "ccnet_assign", "cluster_split",
           # r8 wave 2: the k-group/parametric/correlation tests (moment
           # aggregates and per-key rank windows — expected ~linear)
           "welch_ttest", "spearman_drift", "kruskal_wallis",
@@ -354,6 +354,8 @@ _EXTRA_QUERIES = {"span_dedup_digest": _span_query("digest"),
                       _constituent("pipeline_suite", "q_ann_int8_rerank"),
                   "ccnet_assign":
                       _constituent("pipeline_suite", "q_ccnet_assign"),
+                  "cluster_split":
+                      _constituent("pipeline_suite", "q_cluster_split"),
                   "url_dedup":
                       _constituent("pipeline_suite", "q_url_dedup"),
                   "regex_pretokenize":
