@@ -61,6 +61,42 @@ def regex_pretokens(col: Column | str) -> Column:
     return F.regexp_extract_all(col, F.lit(GPT2_PRETOKEN_REGEX), F.lit(0))
 
 
+def pretoken_fertility(docs, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       group_col: str = "source"):
+    """Per-source tokenizer-fertility readout: pretokens per whitespace
+    word and characters per pretoken under the GPT-2 pre-tokenization —
+    the two numbers tokenizer comparisons lead with (HF tokenizer docs
+    call pretokens-per-word "fertility"; chars-per-token is the
+    compression rate). High fertility on a source means the tokenizer
+    fragments it (more compute per character at train time) — the
+    readout a corpus-mixing decision consults next to diversity and
+    quality.
+
+    Exact integers end-to-end (counts and lengths), the two ratios
+    quantized once to e6 via portable half-up floor(x+0.5). One
+    map-side-combined groupBy on the source — scan-speed otherwise."""
+    grp = F.col(group_col).alias("grp")
+    per = docs.select(
+        grp,
+        F.size(regex_pretokens(text_col)).cast("bigint").alias("npt"),
+        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("nw"),
+        F.length(text_col).cast("bigint").alias("nc"))
+    agg = (per.groupBy("grp")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("npt").cast("bigint").alias("n_pretokens"),
+                F.sum("nw").cast("bigint").alias("n_words"),
+                F.sum("nc").cast("bigint").alias("n_chars")))
+    ppw = F.floor(F.col("n_pretokens").cast("double")
+                  / F.col("n_words") * F.lit(1e6) + F.lit(0.5))
+    cpp = F.floor(F.col("n_chars").cast("double")
+                  / F.col("n_pretokens") * F.lit(1e6) + F.lit(0.5))
+    return agg.select(F.col("grp").alias(group_col), "n_docs",
+                      "n_pretokens", "n_words", "n_chars",
+                      ppw.cast("bigint").alias("ppw_e6"),
+                      cpp.cast("bigint").alias("cpp_e6"))
+
+
 def stopword_hits(col: Column | str, lang: str) -> Column:
     """Distinct stopwords of `lang` present in the text."""
     return F.size(F.array_intersect(

@@ -4483,6 +4483,43 @@ FROM t
 """
 
 
+def q_pretoken_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer fertility (functions/text.py
+    pretoken_fertility): pretokens/word and chars/pretoken under the
+    GPT-2 pre-tokenization — the compression readout a corpus-mixing
+    decision consults next to diversity; exact counts, one e6
+    quantization each."""
+    from ..functions.text import pretoken_fertility
+
+    docs = read_table(spark, sf_dir, "documents")
+    return pretoken_fertility(docs)
+
+
+SQL_PRETOKEN_FERTILITY = f"""
+WITH per AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(text, {_PRETOK_SQL}, 0)) AS BIGINT)
+           AS npt,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+         CAST(length(text) AS BIGINT) AS nc
+  FROM documents
+),
+agg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(npt) AS BIGINT) AS n_pretokens,
+         CAST(SUM(nw) AS BIGINT) AS n_words,
+         CAST(SUM(nc) AS BIGINT) AS n_chars
+  FROM per GROUP BY 1
+)
+SELECT source, n_docs, n_pretokens, n_words, n_chars,
+  CAST(floor(CAST(n_pretokens AS DOUBLE) / n_words * 1000000.0 + 0.5)
+       AS BIGINT) AS ppw_e6,
+  CAST(floor(CAST(n_chars AS DOUBLE) / n_pretokens * 1000000.0 + 0.5)
+       AS BIGINT) AS cpp_e6
+FROM agg
+"""
+
+
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level exact dedup on the canonical key (functions/provenance
     canonical_url) — the stage-zero dedup every crawler runs BEFORE
@@ -4577,6 +4614,7 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "domain_gate": (q_domain_gate, SQL_DOMAIN_GATE),
     "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
     "regex_pretokenize": (q_regex_pretokenize, SQL_REGEX_PRETOKENIZE),
+    "pretoken_fertility": (q_pretoken_fertility, SQL_PRETOKEN_FERTILITY),
     "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
     "ccnet_assign": (q_ccnet_assign, SQL_CCNET_ASSIGN),
     "heaps_law": (q_heaps_law, SQL_HEAPS_LAW),

@@ -2670,6 +2670,28 @@ SUITE: dict[str, tuple] = {
                               F.col("weight").alias("v")),
          "SELECT 'mix' AS kind, source AS key, n_tokens AS n1,"
          " expected_tokens AS n2, weight AS v"),
+        # r10: per-source tokenizer fertility (functions/text.py
+        # pretoken_fertility) — pretokens/word and chars/pretoken as
+        # exact e6 ints; two tagged rows per source
+        (PIPELINE_SUITE["pretoken_fertility"],
+         lambda df: df.select(F.explode(F.array(
+             F.struct(F.lit("fert").alias("kind"),
+                      F.col("n_pretokens").alias("n1"),
+                      F.col("n_words").alias("n2"),
+                      F.col("ppw_e6").cast("double").alias("v")),
+             F.struct(F.lit("fert_chars").alias("kind"),
+                      F.col("n_chars").alias("n1"),
+                      F.col("n_pretokens").alias("n2"),
+                      F.col("cpp_e6").cast("double").alias("v"))))
+             .alias("s"), F.col("source").alias("key"))
+         .select(F.col("s.kind").alias("kind"), "key",
+                 F.col("s.n1").alias("n1"), F.col("s.n2").alias("n2"),
+                 F.col("s.v").alias("v")),
+         "SELECT unnest(['fert', 'fert_chars']) AS kind, source AS key,"
+         " unnest([n_pretokens, n_chars]) AS n1,"
+         " unnest([n_words, n_pretokens]) AS n2,"
+         " unnest([CAST(ppw_e6 AS DOUBLE), CAST(cpp_e6 AS DOUBLE)])"
+         " AS v"),
         # r8: split-conformal prediction sets over the NB classifier —
         # distribution-free coverage; q_hat_nano < 2^53 rides the
         # double slot exactly
