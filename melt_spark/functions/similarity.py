@@ -132,6 +132,81 @@ def int8_rerank_topk(corpus: DataFrame, queries: DataFrame,
                     .alias("in_exact")))
 
 
+def embedding_drift(emb: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    label_col: str = "label",
+                    dim: int = 64) -> DataFrame:
+    """Embedding-space drift monitor: split the corpus into a reference
+    and a candidate half (deterministic id parity — in production the
+    two sides are yesterday's and today's embedding runs) and report,
+    per label, how far the CLASS CENTROID moved: centroid cosine and
+    the L2 shift. The check an embedding pipeline runs after swapping
+    an encoder version or re-embedding a refreshed corpus — centroid
+    drift predicts ANN-index staleness before any recall measurement
+    (the distributional cousin of psi_drift's scalar bins).
+
+    Exactness: components quantize once to e6 integers; per-(label,
+    dim) side sums are exact BIGINTs; the cosine runs on the RAW SUM
+    vectors (cosine is scale-invariant, so sum vs mean cancels) with
+    DECIMAL(38) products, and the L2 shift clears denominators the
+    same way: diff_i = sr_i*n_cand - sc_i*n_ref is exact, so both
+    readouts are one IEEE expression over exact integers, quantized
+    once to e9. Ragged/null vectors are excluded by the pinned width.
+
+    Scale shape: one posexplode -> (label, dim) map-side-combined
+    aggregate (d rows per label) carries the whole corpus; everything
+    after is label-count-sized."""
+    d = int(dim)
+    base = emb.filter(F.col(vec_col).isNotNull()
+                      & (F.size(vec_col) == d))
+    q = F.transform(F.col(vec_col).cast("array<double>"),
+                    lambda x: F.round(x * F.lit(1e6)).cast("bigint"))
+    rows = base.select(F.col(label_col).alias("lab"),
+                       (F.col(id_col) % 2 == 0).alias("is_ref"),
+                       q.alias("q"))
+    by_dim = (rows.select("lab", "is_ref",
+                          F.posexplode("q").alias("i", "qi"))
+              .groupBy("lab", "i")
+              .agg(F.sum(F.when(F.col("is_ref"), F.col("qi"))
+                         .otherwise(F.lit(0)))
+                   .cast("decimal(19,0)").alias("sr"),
+                   F.sum(F.when(~F.col("is_ref"), F.col("qi"))
+                         .otherwise(F.lit(0)))
+                   .cast("decimal(19,0)").alias("sc")))
+    counts = (rows.groupBy("lab")
+              .agg(F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+                   .cast("bigint").alias("n_ref"),
+                   F.sum(F.when(~F.col("is_ref"), 1).otherwise(0))
+                   .cast("bigint").alias("n_cand")))
+    j = by_dim.join(F.broadcast(counts), "lab")
+    diff = (F.col("sr") * F.col("n_cand").cast("decimal(19,0)")
+            - F.col("sc") * F.col("n_ref").cast("decimal(19,0)"))
+    mom = (j.groupBy("lab")
+           .agg(F.sum(F.col("sr") * F.col("sc"))
+                .cast("decimal(38,0)").alias("dot"),
+                F.sum(F.col("sr") * F.col("sr"))
+                .cast("decimal(38,0)").alias("ra"),
+                F.sum(F.col("sc") * F.col("sc"))
+                .cast("decimal(38,0)").alias("rb"),
+                F.sum(diff * diff).cast("decimal(38,0)").alias("d2"),
+                F.max("n_ref").alias("n_ref"),
+                F.max("n_cand").alias("n_cand")))
+    cos = F.when((F.col("ra") > 0) & (F.col("rb") > 0),
+                 F.col("dot").cast("double")
+                 / (F.sqrt(F.col("ra").cast("double"))
+                    * F.sqrt(F.col("rb").cast("double"))))         .otherwise(F.lit(0.0))
+    l2 = F.when((F.col("n_ref") > 0) & (F.col("n_cand") > 0),
+                F.sqrt(F.col("d2").cast("double"))
+                / (F.col("n_ref").cast("double") * F.col("n_cand")
+                   * F.lit(1e6))).otherwise(F.lit(-1.0))
+    return mom.select(
+        F.col("lab").alias(label_col), "n_ref", "n_cand",
+        F.floor(cos * F.lit(1e9) + F.lit(0.5)).cast("bigint")
+        .alias("centroid_cos_e9"),
+        F.floor(l2 * F.lit(1e9) + F.lit(0.5)).cast("bigint")
+        .alias("l2_shift_e9"))
+
+
 def quantization_error(df: DataFrame, id_col: str = "vec_id",
                        vec_col: str = "embedding") -> DataFrame:
     """Per-vector reconstruction error of int8 quantization:

@@ -3567,6 +3567,65 @@ FROM fin
 SQL_EMBEDDING_PCA = _sql_embedding_pca()
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor (functions/similarity.py
+    embedding_drift): per-label centroid cosine + L2 shift between the
+    id-parity reference/candidate halves — the re-embedding sanity
+    check run before trusting a refreshed ANN index; exact integer
+    moments, DECIMAL(38) products, one e9 quantization per readout."""
+    from ..functions.similarity import embedding_drift
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_drift(emb)
+
+
+SQL_EMBEDDING_DRIFT = """
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64),
+q AS (SELECT vec_id, label, vec_id % 2 = 0 AS is_ref,
+             list_transform(e, x -> CAST(round(x * 1000000.0) AS BIGINT))
+               AS q
+      FROM v),
+bd AS (
+  SELECT label AS lab, g.i AS i,
+         CAST(SUM(CASE WHEN is_ref THEN q[g.i] ELSE 0 END) AS HUGEINT)
+           AS sr,
+         CAST(SUM(CASE WHEN NOT is_ref THEN q[g.i] ELSE 0 END)
+              AS HUGEINT) AS sc
+  FROM q, unnest(generate_series(1, 64)) AS g(i)
+  GROUP BY 1, 2
+),
+cn AS (SELECT label AS lab,
+              CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_ref,
+              CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_cand
+       FROM q GROUP BY 1),
+mom AS (
+  SELECT bd.lab, SUM(sr * sc) AS dot, SUM(sr * sr) AS ra,
+         SUM(sc * sc) AS rb,
+         SUM((sr * cn.n_cand - sc * cn.n_ref)
+             * (sr * cn.n_cand - sc * cn.n_ref)) AS d2,
+         MAX(cn.n_ref) AS n_ref, MAX(cn.n_cand) AS n_cand
+  FROM bd JOIN cn USING (lab) GROUP BY 1
+)
+SELECT lab AS label, n_ref, n_cand,
+  CAST(floor(CASE WHEN ra > 0 AND rb > 0
+                  THEN CAST(dot AS DOUBLE)
+                       / (sqrt(CAST(ra AS DOUBLE))
+                          * sqrt(CAST(rb AS DOUBLE)))
+                  ELSE 0.0 END * 1000000000.0 + 0.5) AS BIGINT)
+    AS centroid_cos_e9,
+  CAST(floor(CASE WHEN n_ref > 0 AND n_cand > 0
+                  THEN sqrt(CAST(d2 AS DOUBLE))
+                       / (CAST(n_ref AS DOUBLE) * n_cand * 1000000.0)
+                  ELSE -1.0 END * 1000000000.0 + 0.5) AS BIGINT)
+    AS l2_shift_e9
+FROM mom
+"""
+
+
 def q_abtt_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-but-the-top APPLIED (functions/pca.py abtt_ann_overlap; Mu &
     Viswanath ICLR 2018, D=1): de-mean + subtract the top-component
@@ -6613,6 +6672,7 @@ ANALYTICS_SUITE: dict[str, tuple] = {
     "embedding_stats": (q_embedding_stats, SQL_EMBEDDING_STATS),
     "embedding_pca": (q_embedding_pca, SQL_EMBEDDING_PCA),
     "abtt_ann": (q_abtt_ann, SQL_ABTT_ANN),
+    "embedding_drift": (q_embedding_drift, SQL_EMBEDDING_DRIFT),
     "quantize_int8": (q_quantize_int8, SQL_QUANTIZE_INT8),
     "daily_active_users": (q_daily_active_users, SQL_DAILY_ACTIVE_USERS),
     "monthly_revenue": (q_monthly_revenue, SQL_MONTHLY_REVENUE),

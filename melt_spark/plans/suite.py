@@ -3950,6 +3950,23 @@ SUITE: dict[str, tuple] = {
          "SELECT 'bottomk' AS kind, o_orderstatus AS key,"
          " CAST(n_sample AS VARCHAR) AS ints, q_25 AS v1, q_50 AS v2,"
          " q_75 AS v3"),
+        # r10: embedding-space drift monitor (functions/similarity.py
+        # embedding_drift) — per-label centroid cosine + L2 shift
+        # between the id-parity halves, both as exact e9 ints
+        (ANALYTICS_SUITE["embedding_drift"],
+         lambda df: df.select(F.lit("edrift").alias("kind"),
+                              F.col("label").cast("string").alias("key"),
+                              F.concat_ws(":", "n_ref", "n_cand")
+                              .alias("ints"),
+                              F.col("centroid_cos_e9").cast("double")
+                              .alias("v1"),
+                              F.col("l2_shift_e9").cast("double")
+                              .alias("v2"),
+                              F.lit(-1.0).alias("v3")),
+         "SELECT 'edrift' AS kind, CAST(label AS VARCHAR) AS key,"
+         " CAST(n_ref AS VARCHAR) || ':' || CAST(n_cand AS VARCHAR)"
+         " AS ints, CAST(centroid_cos_e9 AS DOUBLE) AS v1,"
+         " CAST(l2_shift_e9 AS DOUBLE) AS v2, -1.0 AS v3"),
         (ANALYTICS_SUITE["embedding_stats"],
          lambda df: df.select(F.lit("embedding").alias("kind"),
                               F.col("vec_id").cast("string").alias("key"),

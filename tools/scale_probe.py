@@ -205,6 +205,10 @@ PROBES = ["text_quality", "dedup_minhash_lsh", "clean_corpus",
           # shuffle, linear time)
           "kn_perplexity", "luhn_cards", "ann_int8_rerank",
           "ccnet_assign", "cluster_split",
+          # r10: per-label centroid moments (one posexplode aggregate
+          # carries the corpus — expected ~linear, shuffle ~flat at
+          # labels x dims) + the fertility scan
+          "embedding_drift", "pretoken_fertility",
           # r8 wave 2: the k-group/parametric/correlation tests (moment
           # aggregates and per-key rank windows — expected ~linear)
           "welch_ttest", "spearman_drift", "kruskal_wallis",
@@ -356,6 +360,11 @@ _EXTRA_QUERIES = {"span_dedup_digest": _span_query("digest"),
                       _constituent("pipeline_suite", "q_ccnet_assign"),
                   "cluster_split":
                       _constituent("pipeline_suite", "q_cluster_split"),
+                  "embedding_drift":
+                      _constituent("analytics_suite", "q_embedding_drift"),
+                  "pretoken_fertility":
+                      _constituent("pipeline_suite",
+                                   "q_pretoken_fertility"),
                   "url_dedup":
                       _constituent("pipeline_suite", "q_url_dedup"),
                   "regex_pretokenize":
