@@ -59,6 +59,64 @@ def scrub_pii(col: Column | str) -> Column:
     return c
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that",
+                    "have", "with")
+
+
+def gopher_gate(docs, id_col: str = "doc_id", text_col: str = "text",
+                min_words: int = 50, max_words: int = 100_000):
+    """Gopher quality-filter verdicts (Rae et al. 2021, "Scaling
+    Language Models: Methods, Analysis & Insights from Training
+    Gopher", Appendix A.1.1 — the published rule set C4/MassiveWeb
+    derivatives reuse): per document,
+
+      1. word count in [min_words, max_words];
+      2. mean word length in [3, 10] characters;
+      3. symbol-to-word ratio ('#' or '...' hits / words) <= 0.1;
+      4. >= 80% of words contain at least one alphabetic character;
+      5. >= 2 hits from the canonical 8-stopword list
+         (the/be/to/of/and/that/have/with).
+
+    Emits the measured stats (exact integers; ratios quantized e6
+    half-up) plus verdict ('pass'/'fail') and the FIRST failing rule's
+    name in the order above ('ok' when passing) — the audit trail a
+    filtered-out document keeps. Pure per-row projection: scan-speed,
+    zero shuffle (the PII-battery discipline)."""
+    toks = F.split(F.col(text_col), " ")
+    nw = F.size(toks).cast("bigint")
+    nchars = F.aggregate(toks, F.lit(0).cast("bigint"),
+                         lambda a, t: a + F.length(t))
+    mwl = F.floor(nchars.cast("double") / nw * F.lit(1e6) + F.lit(0.5))         .cast("bigint")
+    n_sym = (F.size(F.regexp_extract_all(F.col(text_col),
+                                         F.lit(r"#|\.\.\."), F.lit(0)))
+             .cast("bigint"))
+    sym_ratio = F.floor(n_sym.cast("double") / nw * F.lit(1e6)
+                        + F.lit(0.5)).cast("bigint")
+    n_alpha = F.size(F.filter(
+        toks, lambda t: t.rlike("[a-zA-Z]"))).cast("bigint")
+    alpha_frac = F.floor(n_alpha.cast("double") / nw * F.lit(1e6)
+                         + F.lit(0.5)).cast("bigint")
+    n_stop = F.size(F.array_intersect(
+        toks, F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])))         .cast("bigint")
+    reason = (F.when((nw < min_words) | (nw > max_words),
+                     F.lit("word_count"))
+              .when((mwl < 3_000_000) | (mwl > 10_000_000),
+                    F.lit("mean_word_length"))
+              .when(sym_ratio > 100_000, F.lit("symbol_ratio"))
+              .when(alpha_frac < 800_000, F.lit("alpha_frac"))
+              .when(n_stop < 2, F.lit("stopwords"))
+              .otherwise(F.lit("ok")))
+    return docs.select(
+        F.col(id_col), nw.alias("n_words"),
+        mwl.alias("mean_word_len_e6"),
+        sym_ratio.alias("symbol_ratio_e6"),
+        alpha_frac.alias("alpha_frac_e6"),
+        n_stop.alias("n_stop_hits"),
+        F.when(reason == "ok", F.lit("pass")).otherwise(F.lit("fail"))
+        .alias("verdict"),
+        reason.alias("reason"))
+
+
 def luhn_card_counts(col: Column | str) -> tuple[Column, Column]:
     """(n_candidates, n_valid) payment-card detection: digit runs of
     13-19 characters (the ISO/IEC 7812 PAN length range) validated by

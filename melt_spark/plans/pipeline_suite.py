@@ -2645,6 +2645,68 @@ FROM runs
 """
 
 
+def q_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter verdicts (functions/cleaning.py
+    gopher_gate; Rae et al. 2021 Appendix A.1.1): the published rule
+    set — word count, mean word length, symbol ratio, alphabetic
+    fraction, canonical stopword floor — with per-doc measured stats,
+    pass/fail verdict and the first failing rule as the audit reason.
+    min_words lowered to 8 for the short-doc fixture so verdicts vary
+    (the published 50 would fail nearly every fixture doc on length
+    alone and leave the later rules untested)."""
+    from ..functions.cleaning import gopher_gate
+
+    docs = read_table(spark, sf_dir, "documents")
+    return gopher_gate(docs, min_words=8)
+
+
+_GOPHER_STOP_SQL = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"
+
+SQL_GOPHER_GATE = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks, text FROM documents),
+s AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS nw,
+    CAST(list_reduce(list_prepend(0, list_transform(toks,
+         x -> length(x))), (a, b) -> a + b) AS BIGINT) AS nchars,
+    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.', 0)) AS BIGINT)
+      AS n_sym,
+    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+         AS BIGINT) AS n_alpha,
+    CAST(len(list_intersect(toks, {_GOPHER_STOP_SQL})) AS BIGINT)
+      AS n_stop
+  FROM t
+),
+r AS (
+  SELECT doc_id, nw,
+    CAST(floor(CAST(nchars AS DOUBLE) / nw * 1000000.0 + 0.5)
+         AS BIGINT) AS mwl,
+    CAST(floor(CAST(n_sym AS DOUBLE) / nw * 1000000.0 + 0.5)
+         AS BIGINT) AS symr,
+    CAST(floor(CAST(n_alpha AS DOUBLE) / nw * 1000000.0 + 0.5)
+         AS BIGINT) AS af,
+    n_stop
+  FROM s
+),
+v AS (
+  SELECT *,
+    CASE WHEN nw < 8 OR nw > 100000 THEN 'word_count'
+         WHEN mwl < 3000000 OR mwl > 10000000 THEN 'mean_word_length'
+         WHEN symr > 100000 THEN 'symbol_ratio'
+         WHEN af < 800000 THEN 'alpha_frac'
+         WHEN n_stop < 2 THEN 'stopwords'
+         ELSE 'ok' END AS reason
+  FROM r
+)
+SELECT doc_id, nw AS n_words, mwl AS mean_word_len_e6,
+       symr AS symbol_ratio_e6, af AS alpha_frac_e6,
+       n_stop AS n_stop_hits,
+       CASE WHEN reason = 'ok' THEN 'pass' ELSE 'fail' END AS verdict,
+       reason
+FROM v
+"""
+
+
 def q_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram perplexity (functions/lm.py
     kn_score; Kneser & Ney 1995, Chen & Goodman TR-10-98): the smoothing
@@ -4684,6 +4746,7 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "kn_perplexity": (q_kn_perplexity, SQL_KN_PERPLEXITY),
     "luhn_cards": (q_luhn_cards, SQL_LUHN_CARDS),
+    "gopher_gate": (q_gopher_gate, SQL_GOPHER_GATE),
     "phrase_match": (q_phrase_match, SQL_PHRASE_MATCH),
     "jl_projection": (q_jl_projection, SQL_JL_PROJECTION),
     "priority_sample": (q_priority_sample, SQL_PRIORITY_SAMPLE),

@@ -2023,7 +2023,12 @@ SUITE: dict[str, tuple] = {
         # regex battery can't express)
         .join(PIPELINE_SUITE["luhn_cards"][0](spark, sf_dir)
               .select("doc_id", "n_card_candidates", "n_valid_cards"),
-              "doc_id"),
+              "doc_id")
+        # r10: Gopher rule-set verdicts (functions/cleaning.py
+        # gopher_gate — Rae et al. 2021 A.1.1; per-doc pass/fail +
+        # first-failing-rule audit reason)
+        .join(PIPELINE_SUITE["gopher_gate"][0](spark, sf_dir)
+              .select("doc_id", "verdict", "reason"), "doc_id"),
         joined(
             "doc_id", PIPELINE_SUITE["text_stats"],
             (PIPELINE_SUITE["quality_scores"],
@@ -2044,7 +2049,9 @@ SUITE: dict[str, tuple] = {
             (PIPELINE_SUITE["kn_perplexity"],
              ["avg_nll_kn", "ppl_kn"]),
             (PIPELINE_SUITE["luhn_cards"],
-             ["n_card_candidates", "n_valid_cards"]))[1]),
+             ["n_card_candidates", "n_valid_cards"]),
+            (PIPELINE_SUITE["gopher_gate"],
+             ["verdict", "reason"]))[1]),
     # -- exact doc-level dedup + NEW r3 sub-document span dedup (C4-style:
     #    first corpus-wide occurrence of each k-token span survives, docs
     #    reassembled from surviving spans)

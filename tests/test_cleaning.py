@@ -220,3 +220,32 @@ def test_cluster_split_atomic_and_leak_counterfactual(spark):
     for c in clusters:
         s = {split_of(bucket(min(c)))}
         assert len(s) == 1
+
+
+def test_gopher_gate_rule_order_and_thresholds(spark):
+    """Each rule trips on its own crafted doc in the published order;
+    a compliant doc passes."""
+    from pyspark.sql import Row
+
+    from melt_spark.functions.cleaning import gopher_gate
+
+    good = " ".join((["the", "be", "to", "of"] + ["word"] * 8) * 5)
+    rows = [
+        Row(doc_id=0, text=good),                                 # pass
+        Row(doc_id=1, text="too short"),                          # rule 1
+        Row(doc_id=2, text=" ".join(["ab"] * 60)),                # rule 2
+        Row(doc_id=3, text=" ".join(
+            (["there", "being", "words"] * 20) + ["#"] * 12)),    # rule 3
+        Row(doc_id=4, text=" ".join(
+            ["that", "have"] * 10 + ["12345"] * 40)),             # rule 4
+        Row(doc_id=5, text=" ".join(["alpha", "words"] * 30)),    # rule 5
+    ]
+    out = {r.doc_id: (r.verdict, r.reason)
+           for r in gopher_gate(spark.createDataFrame(rows),
+                                min_words=8).collect()}
+    assert out[0] == ("pass", "ok")
+    assert out[1] == ("fail", "word_count")
+    assert out[2] == ("fail", "mean_word_length")
+    assert out[3] == ("fail", "symbol_ratio")
+    assert out[4] == ("fail", "alpha_frac")
+    assert out[5] == ("fail", "stopwords")

@@ -208,7 +208,7 @@ PROBES = ["text_quality", "dedup_minhash_lsh", "clean_corpus",
           # r10: per-label centroid moments (one posexplode aggregate
           # carries the corpus — expected ~linear, shuffle ~flat at
           # labels x dims) + the fertility scan
-          "embedding_drift", "pretoken_fertility",
+          "embedding_drift", "pretoken_fertility", "gopher_gate",
           # r8 wave 2: the k-group/parametric/correlation tests (moment
           # aggregates and per-key rank windows — expected ~linear)
           "welch_ttest", "spearman_drift", "kruskal_wallis",
@@ -365,6 +365,8 @@ _EXTRA_QUERIES = {"span_dedup_digest": _span_query("digest"),
                   "pretoken_fertility":
                       _constituent("pipeline_suite",
                                    "q_pretoken_fertility"),
+                  "gopher_gate":
+                      _constituent("pipeline_suite", "q_gopher_gate"),
                   "url_dedup":
                       _constituent("pipeline_suite", "q_url_dedup"),
                   "regex_pretokenize":
