@@ -98,8 +98,13 @@ def gopher_gate(docs, id_col: str = "doc_id", text_col: str = "text",
                          + F.lit(0.5)).cast("bigint")
     n_stop = F.size(F.array_intersect(
         toks, F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])))         .cast("bigint")
-    reason = (F.when((nw < min_words) | (nw > max_words),
-                     F.lit("word_count"))
+    # NULL text must FAIL loudly: every rule comparison is NULL on a
+    # NULL document, the when-chain would fall through to 'ok', and
+    # malformed input would pass the quality gate by default (r11
+    # ADVICE fix). Explicit leading branch, mirrored in the oracle SQL.
+    reason = (F.when(F.col(text_col).isNull(), F.lit("null_text"))
+              .when((nw < min_words) | (nw > max_words),
+                    F.lit("word_count"))
               .when((mwl < 3_000_000) | (mwl > 10_000_000),
                     F.lit("mean_word_length"))
               .when(sym_ratio > 100_000, F.lit("symbol_ratio"))

@@ -142,7 +142,15 @@ def lm_score_store(batch: DataFrame, model: DataFrame,
         p = 1/V              (context unseen)
     via two LEFT joins against the model — same digest keys, no text in
     any exchange. Output (id, n_bigrams, avg_nll) with the lm_score
-    sentinel for bigram-less docs; folds/rounding identical."""
+    sentinel for bigram-less docs; folds/rounding identical.
+
+    EMPTY model (store had no doc with >= 2 tokens): v0 is NULL, every
+    nll is NULL, and avg_nll would silently coalesce to the -1.0
+    'no bigrams' sentinel while n_bigrams > 0 — empty-model scoring
+    indistinguishable from short docs (r11 ADVICE fix). avg_nll is NULL
+    exactly iff the model is empty (model rows are never-null; log
+    arguments are >= 1), so docs WITH bigrams but a NULL score get the
+    distinct -2.0 error sentinel; -1.0 keeps its single meaning."""
     bg = _digested(_bigrams(batch, id_col, text_col))
     ctx = model.groupBy("h1").agg(F.max("c1").alias("c1s"))
     vv = model.agg(F.max("v").alias("v0"))
@@ -173,7 +181,10 @@ def lm_score_store(batch: DataFrame, model: DataFrame,
             .select(F.col("id").alias(id_col),
                     F.coalesce("n_bigrams", F.lit(0)).cast("bigint")
                     .alias("n_bigrams"),
-                    F.coalesce("avg_nll", F.lit(-1.0)).alias("avg_nll")))
+                    F.when(F.col("n_bigrams").isNotNull()
+                           & F.col("avg_nll").isNull(), F.lit(-2.0))
+                    .otherwise(F.coalesce("avg_nll", F.lit(-1.0)))
+                    .alias("avg_nll")))
 
 
 def ccnet_assign(batch: DataFrame, store_docs: DataFrame,

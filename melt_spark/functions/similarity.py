@@ -43,7 +43,15 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k neighbors per query vector (excluding self).
     queries is expected to be small → Spark broadcasts it; corpus streams.
-    Deterministic tie-break: (cosine desc, neighbor id asc)."""
+    Deterministic tie-break: (cosine desc, neighbor id asc).
+
+    The per-query top-k is a salted two-level select (util.salted_topk):
+    a one-level Window.partitionBy(query_id) would funnel the ENTIRE
+    scored corpus of each query through one task — at 100 TB a single
+    corpus-sized sort per query. Salting keeps every task bounded; the
+    output is provably identical (unique neighbor-id tie-break)."""
+    from .util import salted_topk
+
     q = queries.select(F.col(id_col).alias("query_id"),
                        _dvec(vec_col).alias("qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
@@ -51,10 +59,9 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     scored = (F.broadcast(q).crossJoin(c)
               .filter(F.col("query_id") != F.col("neighbor_id"))
               .withColumn("cos", cosine(F.col("qv"), F.col("cv"))))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos"), F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
+    return (salted_topk(scored, ["query_id"],
+                        [F.desc("cos"), F.asc("neighbor_id")], k,
+                        salt_on="neighbor_id", rank_col="rank")
             .select("query_id", "neighbor_id", "rank", "cos"))
 
 
@@ -97,7 +104,26 @@ def int8_rerank_topk(corpus: DataFrame, queries: DataFrame,
     corpus streams ONCE through the int8 scorer carrying its original
     vector alongside (no second corpus scan for the rerank — only
     overscan*k*|Q| candidate rows reach the full-precision stage); the
-    exact baseline reuses cosine_topk's broadcast-stream shape."""
+    exact baseline reuses cosine_topk's broadcast-stream shape. The
+    candidate stage is a salted two-level top-k (util.salted_topk, r11
+    ADVICE fix): the earlier Window.partitionBy(query_id) held the whole
+    scored corpus in ONE task per query — the exact hazard domain_gate
+    hatched; now n_salts flat tasks rank each query's stream and only
+    the bounded <= n_salts * overscan*k survivors see a per-query
+    window. Output provably unchanged (unique id tie-break).
+
+    Overscan tuning (measured at sf0.1, 64-dim, k=10 — the
+    docs/SCALING_64x.json `int8_overscan` probe; recall =
+    avg(in_exact)):
+
+        overscan  recall   relative cost
+        2         ~0.97    1.00x
+        4         ~0.995   ~1.02x
+        8         ~1.0     ~1.06x
+
+    The scan dominates (candidate rerank is |Q|*overscan*k rows), so
+    overscan is nearly free until it approaches the corpus size —
+    raise it before reaching for a wider quantizer."""
     qv = queries.select(F.col(id_col).alias("query_id"),
                         _dvec(vec_col).alias("qv"))
     qs, qq = quantize_int8(F.col("qv"))
@@ -109,14 +135,18 @@ def int8_rerank_topk(corpus: DataFrame, queries: DataFrame,
 
     di = F.aggregate(F.zip_with("qq", "cq", lambda a, b: a * b),
                      F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    from .util import salted_topk
+
     scored = (F.broadcast(qf).crossJoin(cf)
               .filter(F.col("query_id") != F.col("neighbor_id"))
               .withColumn("approx",
                           di.cast("double") * F.col("qs") * F.col("cs")))
-    wa = Window.partitionBy("query_id").orderBy(
-        F.desc("approx"), F.asc("neighbor_id"))
-    cand = (scored.withColumn("__arn", F.row_number().over(wa))
-            .filter(F.col("__arn") <= k * overscan))
+    cand = salted_topk(scored, ["query_id"],
+                       [F.desc("approx"), F.asc("neighbor_id")],
+                       k * overscan, salt_on="neighbor_id",
+                       rank_col="__arn")
+    # rerank input is bounded (<= overscan*k per query) — a plain
+    # per-query window is safe here
     wr = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id"))
     rer = (cand.withColumn("cos", cosine(F.col("qv"), F.col("cv")))
@@ -278,14 +308,18 @@ def binary_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                            w0.alias("qw0"), w1.alias("qw1")))
     ham = (F.bit_count(F.col("qw0").bitwiseXOR(F.col("w0")))
            + F.bit_count(F.col("qw1").bitwiseXOR(F.col("w1"))))
+    from .util import salted_topk
+
     cand = (F.broadcast(qsig).crossJoin(sig)
             .filter(F.col("query_id") != F.col(id_col))
             .select("query_id", F.col(id_col).alias("neighbor_id"),
                     ham.alias("hamming")))
-    wh = Window.partitionBy("query_id").orderBy(
-        F.asc("hamming"), F.asc("neighbor_id"))
-    cand = (cand.withColumn("hrank", F.row_number().over(wh))
-            .filter(F.col("hrank") <= n_cand).drop("hrank"))
+    # salted two-level top-n_cand (util.salted_topk): the corpus-sized
+    # Hamming stream never sorts in one task per query (r11 ADVICE class)
+    cand = salted_topk(cand, ["query_id"],
+                       [F.asc("hamming"), F.asc("neighbor_id")],
+                       n_cand, salt_on="neighbor_id",
+                       rank_col="hrank").drop("hrank")
 
     qv = queries.select(F.col(id_col).alias("query_id"),
                         _dvec(vec_col).alias("qv"))

@@ -192,3 +192,35 @@ def global_ntile(df: DataFrame, n_tiles: int,
                div greatest(__n div {t}, 1)
         END AS INT) AS {out_col}"""
     return ranked.selectExpr(*[f"`{c}`" for c in cols], tile_sql)
+
+
+def salted_topk(df: DataFrame, part_cols: list[str],
+                order_cols: list[Column], n: int,
+                salt_on: str, rank_col: str = "rank",
+                n_salts: int = 32) -> DataFrame:
+    """Top-``n`` rows per group by a TOTAL order, without ever sorting a
+    whole group in one task — the salted two-level select domain_gate
+    introduced, factored out for every per-group top-k whose group can be
+    corpus-sized (an ANN candidate stage partitioned by query holds the
+    ENTIRE corpus per partition — the round-10 hazard class).
+
+    Level 1 ranks within (group, xxhash64(salt_on) % n_salts) — n_salts
+    flat tasks per group; a row ranked past ``n`` in its own bucket
+    already has >= n better rows there, so it provably misses the global
+    top-n and is dropped with no global look. Level 2 ranks the bounded
+    survivors (<= n_salts * n rows per group) with the real per-group
+    window and keeps rank <= n.
+
+    Provably identical to the one-level window when ``order_cols`` is a
+    total order (unique tie-break) — oracle hashes hold. ``rank_col``
+    carries the final 1..n rank. ``salt_on`` should be a high-cardinality
+    column (the per-row id), NOT a group key."""
+    salt = F.pmod(F.xxhash64(F.col(salt_on)), F.lit(n_salts))
+    w_local = (Window.partitionBy(*[F.col(c) for c in part_cols], salt)
+               .orderBy(*order_cols))
+    w_final = (Window.partitionBy(*[F.col(c) for c in part_cols])
+               .orderBy(*order_cols))
+    return (df.withColumn("__srn", F.row_number().over(w_local))
+            .filter(F.col("__srn") <= n).drop("__srn")
+            .withColumn(rank_col, F.row_number().over(w_final))
+            .filter(F.col(rank_col) <= n))

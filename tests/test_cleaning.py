@@ -249,3 +249,22 @@ def test_gopher_gate_rule_order_and_thresholds(spark):
     assert out[3] == ("fail", "symbol_ratio")
     assert out[4] == ("fail", "alpha_frac")
     assert out[5] == ("fail", "stopwords")
+
+
+def test_gopher_gate_null_text_fails_loudly(spark):
+    """A NULL text row must FAIL with reason 'null_text' — without the
+    explicit leading branch every rule comparison is NULL and the
+    when-chain falls through to 'ok' (r11 ADVICE fix)."""
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    from melt_spark.functions.cleaning import gopher_gate
+
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+    df = spark.createDataFrame([(0, None), (1, "the be to of "
+                                            + "word " * 20)], schema)
+    out = {r.doc_id: (r.verdict, r.reason)
+           for r in gopher_gate(df, min_words=8).collect()}
+    assert out[0] == ("fail", "null_text")
+    assert out[1] == ("pass", "ok")

@@ -35,6 +35,20 @@ def test_short_doc_sentinel(spark):
     assert out[1].n_bigrams == 1 and out[1].avg_nll > 0
 
 
+def test_empty_model_error_sentinel(spark):
+    """Scoring under an EMPTY frozen model (store had no >=2-token doc)
+    must emit the DISTINCT -2.0 sentinel, not collide with the -1.0
+    'no bigrams' one (r11 ADVICE fix)."""
+    from melt_spark.functions.lm import bigram_model, lm_score_store
+
+    empty_model = bigram_model(_docs(spark, ["solo"]))
+    batch = _docs(spark, ["two words here", "solo"])
+    out = {r.doc_id: r for r in
+           lm_score_store(batch, empty_model).collect()}
+    assert out[0].n_bigrams == 2 and out[0].avg_nll == -2.0
+    assert out[1].n_bigrams == 0 and out[1].avg_nll == -1.0
+
+
 def test_every_fixture_doc_scored_once(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     out = lm_score(docs)

@@ -106,9 +106,11 @@ class StderrWarningGate:
     or fix, and the drive exits nonzero."""
 
     PATTERN = b"No Partition Defined"
+    SENTINEL = b"__STDERR_GATE_SETTLE__"
 
     def __init__(self):
         self.count = 0
+        self._sentinels = 0
         self._orig = os.dup(2)
         r, w = os.pipe()
         os.dup2(w, 2)
@@ -129,10 +131,21 @@ class StderrWarningGate:
             os.write(self._orig, chunk)
             *lines, tail = (tail + chunk).split(b"\n")
             self.count += sum(1 for ln in lines if self.PATTERN in ln)
+            self._sentinels += sum(1 for ln in lines
+                                   if self.SENTINEL in ln)
 
     def settle(self) -> int:
-        """Give in-flight log lines a beat to drain, return the count."""
-        time.sleep(0.5)
+        """Drain in-flight log lines with a HANDSHAKE, not a fixed sleep
+        (r11 ADVICE fix: on a loaded box a JVM warning emitted in the
+        final moments could slip past a 0.5 s nap, silently demoting the
+        zero-warning pin to best-effort): write a unique sentinel line to
+        fd 2 — the pipe preserves write order, so once the pump has SEEN
+        the sentinel every byte written before it has been counted."""
+        want = self._sentinels + 1
+        os.write(2, self.SENTINEL + b"\n")
+        deadline = time.monotonic() + 10.0
+        while self._sentinels < want and time.monotonic() < deadline:
+            time.sleep(0.02)
         return self.count
 
     def close(self) -> int:
