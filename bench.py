@@ -103,6 +103,9 @@ BENCH_GROUPS_BY_NAME: dict[str, list[str]] = {
            "gini_spend", "cochran_armitage", "srm_check", "did"],
     "r9": ["incremental_bpe", "embedding_pca", "url_dedup",
            "regex_pretokenize", "ccnet_buckets"],
+    "r10": ["abtt_ann", "kn_perplexity", "luhn_cards", "ann_int8_rerank",
+            "ccnet_assign", "cluster_split", "pretoken_fertility",
+            "embedding_drift", "gopher_gate"],
 }
 
 EXTRA_QUERIES = [
@@ -119,7 +122,11 @@ CONSTITUENT_GROUPS: dict[str, list[str]] = {
                      "greedy_coverage", "waterfill", "diversity", "leakage"],
     "text_quality": ["text_stats", "quality_scores", "repetition",
                      "rep_ngrams", "pii_scrub", "lm_perplexity",
-                     "nb_classify", "nb_calibration", "nb_abstain"],
+                     "nb_classify", "nb_calibration", "nb_abstain",
+                     "ccnet_buckets", "kn_perplexity"],
+    "numeric_profiles": ["embedding_pca", "abtt_ann", "embedding_drift",
+                         "pruning_eval", "exact_quantiles",
+                         "quantize_int8"],
     "dedup_minhash_lsh": ["dedup_minhash_lsh", "incremental_minhash",
                           "lsh_planner", "minhash_recall"],
     "ann_cosine_topk": ["ann_cosine_topk", "bm25_topk", "rrf_fusion",
@@ -233,6 +240,80 @@ def box_normalized(total: float, box: dict,
     return round(total * (r1 * r32) ** 0.5, 3)
 
 
+def norm_band(total: float, box: dict,
+              baseline: dict | None = None) -> list[float] | None:
+    """The box normalization as a BAND, not a point (r10 verdict
+    What's-wrong #2): [total x 1-core-ratio, total x 32-core-ratio],
+    sorted. The true workload sits between the serial and parallel
+    extremes (Amdahl: per-query fixed driver/stage-boundary costs scale
+    with core speed, scan time with whole-box throughput), so the band
+    brackets the reference-box time the geomean point can only estimate.
+    Pure function — pinned by tests/test_bench_contract.py."""
+    baseline = baseline or BOX_BASELINE
+    try:
+        r1 = baseline["jvm_1core_sec"] / box["jvm_1core_sec"]
+        r32 = baseline["jvm_32core_sec"] / box["jvm_32core_sec"]
+    except (KeyError, TypeError, ZeroDivisionError):
+        return None
+    if r1 <= 0 or r32 <= 0:
+        return None
+    return sorted([round(total * r1, 3), round(total * r32, 3)])
+
+
+# Workload-matched calibration (r10 verdict next-round #1b): the JVM
+# arithmetic loops normalize by CORE speed, but headliner time mixes
+# serial driver/stage-boundary cost with parallel scan cost, and the
+# mix differs per box — identical code normalized to 23.2-40.5 s
+# across three boxes (a 1.7x spread). The fix the verdict prescribed:
+# calibrate with a MINI-HEADLINER whose serial/parallel mix matches the
+# workload — message_envelope + tpch_q1 at sf0.01, min-of-2 warm, the
+# exact two queries the r10 verdict named. MINI_BASELINE is the
+# committed r11 anchor-box reading (measured beside the r11 headline on
+# a canary-quiet box, calibration jvm_1core/32core recorded in
+# BENCH_DETAIL at the time); value_box_normalized is the headline
+# re-expressed in anchor-box time through THIS ratio, with the JVM
+# geomean kept in the detail for continuity with r9/r10 artifacts.
+MINI_SF_DIR = "/root/testdata/sf0.01"
+# r11 anchor box: FULLY-WARM mini-headliner converged at ~0.75 s over
+# repeated quiet-box trials (jvm_1core ~0.15 / jvm_32core ~0.20 at
+# measurement time — the same calibration the r10 verdict records for
+# the builder's close-run box). bench.main() measures mini at the END
+# of the sweep, i.e. fully warm, matching this anchor's condition.
+MINI_BASELINE = {"mini_sec": 0.75}
+
+
+def mini_headliner_speed(spark) -> dict:
+    """min-of-2 warm seconds for the two-query mini-headliner at
+    sf0.01 — the workload-matched denominator for box normalization."""
+    def best_of(fn) -> float:
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force(fn(spark, MINI_SF_DIR))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    return {"mini_sec": round(best_of(s.q_message_envelope)
+                              + best_of(s.q_tpch_q1), 3)}
+
+
+def box_normalized_mini(total: float, mini: dict,
+                        baseline: dict | None = None) -> float | None:
+    """Headline seconds re-expressed in ANCHOR-BOX time via the
+    mini-headliner ratio. Same degradation contract as box_normalized:
+    None when the reading is missing or non-positive. Pure function —
+    pinned by tests/test_bench_contract.py."""
+    baseline = baseline or MINI_BASELINE
+    try:
+        r = baseline["mini_sec"] / mini["mini_sec"]
+    except (KeyError, TypeError, ZeroDivisionError):
+        return None
+    if r <= 0:
+        return None
+    return round(total * r, 3)
+
+
 def detail_name() -> str:
     """Round-stamped detail artifact (r7 verdict item #6): with
     SPARK_GRAFT_ROUND=N set, detail goes to BENCH_DETAIL_r{N}.json so
@@ -257,10 +338,12 @@ def extended_queries() -> list[tuple[str, object]]:
 
 
 def compact_line(total: float, sf, timings: dict[str, float],
-                 n_errors: int, box_norm: float | None = None) -> str:
+                 n_errors: int, box_norm: float | None = None,
+                 band: list[float] | None = None) -> str:
     """The ONE stdout JSON line: headline metric + 13 headliner seconds
-    (+ the box-normalized headline when calibration succeeded).
-    Kept under MAX_STDOUT_BYTES by construction (pinned by pytest)."""
+    (+ the box-normalized headline when calibration succeeded, + the
+    JVM-ratio normalization band). Kept under MAX_STDOUT_BYTES by
+    construction (pinned by pytest)."""
     core = [k for k, _ in BENCH_QUERIES]
     out = {
         "metric": "headline_queries_total",
@@ -272,6 +355,8 @@ def compact_line(total: float, sf, timings: dict[str, float],
     }
     if box_norm is not None:
         out["value_box_normalized"] = box_norm
+    if band is not None:
+        out["norm_band"] = band
     if n_errors:
         out["n_errors"] = n_errors
     return json.dumps(out)
@@ -365,39 +450,80 @@ def main() -> None:
         constituent_times[entry] = group
 
     _canary()   # closing reading so the last block has a right edge
+    med, contended_initial = contended_names(canaries, name_seqs)
+
+    # Canary-gated retry (r10 verdict next-round #1a): the r10 artifact
+    # PROVED its own contention (canary excursions to 5x median around
+    # headliner runs swinging 1.8-2.4x) and still committed the inflated
+    # minutes. Any HEADLINER whose enclosing canaries flagged contention
+    # re-runs once after the sweep, bracketed by its own canaries; the
+    # headline takes min(original, retry) — the honest best reading —
+    # and the detail records every reading plus both contended lists, so
+    # the committed artifact is self-correcting instead of
+    # self-incriminating.
+    core = {k for k, _ in BENCH_QUERIES}
+    retry_runs: dict[str, list[float]] = {}
+    flagged = [n for n in contended_initial if n in core and n in timings]
+    by_name = dict(BENCH_QUERIES)
+    for name in flagged:
+        _canary()
+        name_seqs.append((f"retry:{name}", seq))
+        seq += 1
+        try:
+            t0 = time.perf_counter()
+            _force(by_name[name](spark, sf_dir))
+            dt = round(time.perf_counter() - t0, 3)
+            retry_runs[name] = [dt]
+            timings[name] = min(timings[name], dt)
+        except Exception as exc:  # noqa: BLE001
+            errors[f"retry:{name}"] = \
+                f"{type(exc).__name__}: {str(exc)[:200]}"
+    if flagged:
+        _canary()
     med, contended = contended_names(canaries, name_seqs)
 
-    core = {k for k, _ in BENCH_QUERIES}
     total = round(sum(v for k, v in timings.items() if k in core), 3)
     box = box_speed(spark)
-    norm = box_normalized(total, box)
+    mini = mini_headliner_speed(spark)
+    norm_geo = box_normalized(total, box)
+    norm = box_normalized_mini(total, mini)
+    if norm is None:
+        norm = norm_geo
+    band = norm_band(total, box)
 
     detail = {
         "metric": "headline_queries_total",
         "value": total,
         "value_box_normalized": norm,
+        "value_box_normalized_jvm_geomean": norm_geo,
+        "norm_band": band,
         "unit": "sec",
         "sf": sf,
         "queries": timings,
         "runs": runs,
+        "retries": retry_runs,
         "total_with_new_ops": round(sum(timings.values()), 3),
         "constituents": constituent_times,
         "errors": errors,
         "box": box,
         "box_baseline": BOX_BASELINE,
+        "mini": mini,
+        "mini_baseline": MINI_BASELINE,
         "canary": {
             "query": f"message_envelope@{CANARY_SF_DIR.rsplit('/', 1)[-1]}",
             "every": CANARY_EVERY,
             "factor": CANARY_FACTOR,
             "median_sec": med,
             "series": canaries,
+            "contended_initial": contended_initial,
             "contended": contended,
         },
     }
     detail_path = Path(__file__).resolve().parent / "docs" / detail_name()
     detail_path.write_text(json.dumps(detail, indent=1) + "\n")
 
-    line = compact_line(total, sf, timings, len(errors), box_norm=norm)
+    line = compact_line(total, sf, timings, len(errors), box_norm=norm,
+                        band=band)
     assert len(line.encode()) <= MAX_STDOUT_BYTES, \
         f"bench stdout line {len(line.encode())}B exceeds budget"
     print(line)

@@ -63,25 +63,15 @@ GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that",
                     "have", "with")
 
 
-def gopher_gate(docs, id_col: str = "doc_id", text_col: str = "text",
-                min_words: int = 50, max_words: int = 100_000):
-    """Gopher quality-filter verdicts (Rae et al. 2021, "Scaling
-    Language Models: Methods, Analysis & Insights from Training
-    Gopher", Appendix A.1.1 — the published rule set C4/MassiveWeb
-    derivatives reuse): per document,
-
-      1. word count in [min_words, max_words];
-      2. mean word length in [3, 10] characters;
-      3. symbol-to-word ratio ('#' or '...' hits / words) <= 0.1;
-      4. >= 80% of words contain at least one alphabetic character;
-      5. >= 2 hits from the canonical 8-stopword list
-         (the/be/to/of/and/that/have/with).
-
-    Emits the measured stats (exact integers; ratios quantized e6
-    half-up) plus verdict ('pass'/'fail') and the FIRST failing rule's
-    name in the order above ('ok' when passing) — the audit trail a
-    filtered-out document keeps. Pure per-row projection: scan-speed,
-    zero shuffle (the PII-battery discipline)."""
+def _gopher_exprs(text_col: str, min_words: int, max_words: int,
+                  min_stop_hits: int = 2) -> tuple[dict, "Column"]:
+    """(stat columns, first-failing-reason column) of the Gopher A.1.1
+    rule set — shared by gopher_gate (the per-doc verdict readout) and
+    corpus_gate (the keep/drop stage clean_corpus consumes, r11).
+    ``min_stop_hits`` parameterizes the stopword floor (published value
+    2; 0 disables the rule — calibrated per corpus: a non-English or
+    synthetic vocabulary has none of the 8 canonical English function
+    words and the floor would zero the corpus)."""
     toks = F.split(F.col(text_col), " ")
     nw = F.size(toks).cast("bigint")
     nchars = F.aggregate(toks, F.lit(0).cast("bigint"),
@@ -109,17 +99,74 @@ def gopher_gate(docs, id_col: str = "doc_id", text_col: str = "text",
                     F.lit("mean_word_length"))
               .when(sym_ratio > 100_000, F.lit("symbol_ratio"))
               .when(alpha_frac < 800_000, F.lit("alpha_frac"))
-              .when(n_stop < 2, F.lit("stopwords"))
+              .when(n_stop < min_stop_hits, F.lit("stopwords"))
               .otherwise(F.lit("ok")))
+    stats = {"n_words": nw, "mean_word_len_e6": mwl,
+             "symbol_ratio_e6": sym_ratio, "alpha_frac_e6": alpha_frac,
+             "n_stop_hits": n_stop}
+    return stats, reason
+
+
+def gopher_gate(docs, id_col: str = "doc_id", text_col: str = "text",
+                min_words: int = 50, max_words: int = 100_000):
+    """Gopher quality-filter verdicts (Rae et al. 2021, "Scaling
+    Language Models: Methods, Analysis & Insights from Training
+    Gopher", Appendix A.1.1 — the published rule set C4/MassiveWeb
+    derivatives reuse): per document,
+
+      1. word count in [min_words, max_words];
+      2. mean word length in [3, 10] characters;
+      3. symbol-to-word ratio ('#' or '...' hits / words) <= 0.1;
+      4. >= 80% of words contain at least one alphabetic character;
+      5. >= 2 hits from the canonical 8-stopword list
+         (the/be/to/of/and/that/have/with).
+
+    Emits the measured stats (exact integers; ratios quantized e6
+    half-up) plus verdict ('pass'/'fail') and the FIRST failing rule's
+    name in the order above ('ok' when passing; NULL text fails as
+    'null_text') — the audit trail a filtered-out document keeps. Pure
+    per-row projection: scan-speed, zero shuffle (the PII-battery
+    discipline)."""
+    stats, reason = _gopher_exprs(text_col, min_words, max_words)
     return docs.select(
-        F.col(id_col), nw.alias("n_words"),
-        mwl.alias("mean_word_len_e6"),
-        sym_ratio.alias("symbol_ratio_e6"),
-        alpha_frac.alias("alpha_frac_e6"),
-        n_stop.alias("n_stop_hits"),
+        F.col(id_col),
+        *[c.alias(n) for n, c in stats.items()],
         F.when(reason == "ok", F.lit("pass")).otherwise(F.lit("fail"))
         .alias("verdict"),
         reason.alias("reason"))
+
+
+def corpus_gate_reason(text_col: str = "text", min_words: int = 50,
+                       max_words: int = 100_000,
+                       min_stop_hits: int = 2) -> Column:
+    """First-failing drop reason for the composite corpus gate
+    ('ok' = keep): the Gopher rule chain, then 'card_pii' for any
+    Luhn-valid payment-card run in the text (r11, r10 verdict
+    next-round #5 — the two r10 verdict readouts wired into an actual
+    keep/drop decision). One projection expression — composable onto
+    any frame that still carries the text column, zero shuffle.
+    ``min_stop_hits``: see _gopher_exprs (the stopword floor is a
+    per-corpus calibration; clean_corpus runs it at 0 because the
+    fixture vocabulary carries none of the 8 canonical English
+    function words, while quality_score's broader stopword-ratio
+    component stays the lexicality gate)."""
+    _stats, reason = _gopher_exprs(text_col, min_words, max_words,
+                                   min_stop_hits)
+    _nc, nv = luhn_card_counts(text_col)
+    return (F.when(reason != "ok", reason)
+            .when(nv > 0, F.lit("card_pii"))
+            .otherwise(F.lit("ok")))
+
+
+def corpus_gate(docs, id_col: str = "doc_id", text_col: str = "text",
+                min_words: int = 50, max_words: int = 100_000,
+                min_stop_hits: int = 2):
+    """Per-document verdicts of the composite gate: (id, gate_reason,
+    kept). See corpus_gate_reason."""
+    reason = corpus_gate_reason(text_col, min_words, max_words,
+                                min_stop_hits)
+    return docs.select(F.col(id_col), reason.alias("gate_reason"),
+                       (reason == "ok").cast("int").alias("kept"))
 
 
 def luhn_card_counts(col: Column | str) -> tuple[Column, Column]:

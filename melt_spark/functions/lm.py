@@ -83,11 +83,17 @@ def _digested(bg: DataFrame) -> DataFrame:
 
 
 def bigram_model(docs: DataFrame, id_col: str = "doc_id",
-                 text_col: str = "text") -> DataFrame:
+                 text_col: str = "text",
+                 bg: DataFrame | None = None) -> DataFrame:
     """(h2, h1, c2, c1, v): smoothing-ready corpus statistics keyed by
     bigram/context digests. One exploded pass feeds both aggregations; |V|
-    rides along as a broadcast scalar column."""
-    bg = _digested(_bigrams(docs, id_col, text_col))
+    rides along as a broadcast scalar column. Pass a precomputed
+    ``bg`` (= _digested(_bigrams(docs))) to share ONE explode chain
+    across several LM consumers in one plan (r11: the text_quality
+    entry feeds lm_score, ccnet_buckets and kn_score from a single
+    checkpointed frame instead of three corpus-linear chains)."""
+    if bg is None:
+        bg = _digested(_bigrams(docs, id_col, text_col))
     c2 = bg.groupBy("h2", "h1").agg(F.count(F.lit(1)).alias("c2"))
     # context counts re-aggregate the vocabulary-sized c2 table — NOT a
     # second corpus explode: c1(w1) = Σ_w2 c2(w1 w2) by construction
@@ -98,12 +104,15 @@ def bigram_model(docs: DataFrame, id_col: str = "doc_id",
 
 
 def lm_score(docs: DataFrame, id_col: str = "doc_id",
-             text_col: str = "text") -> DataFrame:
+             text_col: str = "text",
+             bg: DataFrame | None = None) -> DataFrame:
     """Per-document mean NLL + perplexity under the corpus bigram model.
     Every input document gets a row; documents with < 2 tokens score the
-    sentinel (-1.0, -1.0) with n_bigrams = 0."""
-    model = bigram_model(docs, id_col, text_col)
-    bg = _digested(_bigrams(docs, id_col, text_col))
+    sentinel (-1.0, -1.0) with n_bigrams = 0. ``bg`` shares a
+    precomputed digested-bigram frame (see bigram_model)."""
+    if bg is None:
+        bg = _digested(_bigrams(docs, id_col, text_col))
+    model = bigram_model(docs, id_col, text_col, bg=bg)
     nll = (bg.join(model, ["h2", "h1"])
            .select("id", "idx",
                    F.log((F.col("c1") + F.col("v")).cast("double")
@@ -201,15 +210,33 @@ def ccnet_assign(batch: DataFrame, store_docs: DataFrame,
     docs past the null boundary to the next verdict (tail-ward — the
     conservative side). Batch cost only: the store enters via the
     model (vocabulary-sized) and one boundary row per source."""
-    # ONE model build shared by store scoring and batch scoring (the
-    # first 64x probe measured ~3 corpus chains when ccnet_buckets
-    # rebuilt its own model — the vocab-sized model is checkpointed and
-    # consumed by both sides). lm_score_store on the store itself is
-    # bit-equal to lm_score (every bigram is in the model, so only the
-    # c2 path fires), so the boundaries match ccnet_buckets exactly.
+    model, bounds = ccnet_store_model(store_docs, id_col, text_col,
+                                      group_col)
+    return ccnet_apply(batch, model, bounds, id_col, text_col,
+                       group_col)
+
+
+def ccnet_store_model(store_docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      group_col: str = "source"
+                      ) -> tuple[DataFrame, DataFrame]:
+    """The TRAIN half of the frozen CCNet step: (model, bounds) — the
+    two artifacts a production deployment persists once and applies to
+    every crawl. ``model`` is bigram_model's vocabulary-sized (h2, h1,
+    c2, c1, v) table; ``bounds`` is one row per source (grp, head_cut,
+    mid_cut) read off the store's exact tercile cut. Both are
+    parquet-writable (digests and doubles only — no text), which is how
+    q_ccnet_assign certifies the store-READ path (r11, r10 verdict
+    next-round #4).
+
+    ONE model build shared by store scoring and boundary derivation
+    (the first 64x probe measured ~3 corpus chains when ccnet_buckets
+    rebuilt its own model — the vocab-sized model is checkpointed and
+    consumed by both sides). lm_score_store on the store itself is
+    bit-equal to lm_score (every bigram is in the model, so only the
+    c2 path fires), so the boundaries match ccnet_buckets exactly."""
     model = (bigram_model(store_docs, id_col, text_col)
              .localCheckpoint(eager=False))
-    scored = lm_score_store(batch, model, id_col, text_col)
     store_scored = lm_score_store(store_docs, model, id_col, text_col)
     b = _tercile_cut(store_scored, store_docs, id_col, group_col)
     bounds = (b.filter(F.col("bucket") != "skip")
@@ -218,6 +245,18 @@ def ccnet_assign(batch: DataFrame, store_docs: DataFrame,
                                 F.col("avg_nll"))).alias("head_cut"),
                    F.max(F.when(F.col("bucket") != "tail",
                                 F.col("avg_nll"))).alias("mid_cut")))
+    return model, bounds
+
+
+def ccnet_apply(batch: DataFrame, model: DataFrame, bounds: DataFrame,
+                id_col: str = "doc_id", text_col: str = "text",
+                group_col: str = "source") -> DataFrame:
+    """The APPLY half of the frozen CCNet step: score a new batch under
+    a persisted model (add-1 backoff for unseen bigrams/contexts) and
+    bucket against persisted per-source boundaries. Consumes ONLY the
+    two store artifacts — never the store documents — so the batch cost
+    is batch-linear and the artifacts can come straight off parquet."""
+    scored = lm_score_store(batch, model, id_col, text_col)
     j = (scored.join(batch.select(id_col,
                                   F.col(group_col).alias("grp")), id_col)
          .join(F.broadcast(bounds), "grp", "left"))
@@ -234,7 +273,8 @@ def ccnet_assign(batch: DataFrame, store_docs: DataFrame,
 
 
 def kn_score(docs: DataFrame, id_col: str = "doc_id",
-             text_col: str = "text") -> DataFrame:
+             text_col: str = "text",
+             bg: DataFrame | None = None) -> DataFrame:
     """Per-document mean NLL + perplexity under an interpolated
     Kneser-Ney bigram model trained on the corpus itself — the smoothing
     real LM-filter pipelines (KenLM behind CCNet) actually use, beside
@@ -258,8 +298,10 @@ def kn_score(docs: DataFrame, id_col: str = "doc_id",
     Determinism: p is one fixed-order IEEE expression over exact integers
     (identical on both engines), ln is folded in bigram-index order from
     a 0.0 seed, the mean rounds to 9 and ppl to 6 — the lm_score
-    discipline verbatim."""
-    bg = _digested(_bigrams(docs, id_col, text_col))
+    discipline verbatim. ``bg`` shares a precomputed digested-bigram
+    frame (see bigram_model)."""
+    if bg is None:
+        bg = _digested(_bigrams(docs, id_col, text_col))
     c2 = bg.groupBy("h1", "hw2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = c2.groupBy("h1").agg(
         F.sum("c2").cast("bigint").alias("c1"),
@@ -297,7 +339,8 @@ def kn_score(docs: DataFrame, id_col: str = "doc_id",
 
 def ccnet_buckets(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text",
-                  group_col: str = "source") -> DataFrame:
+                  group_col: str = "source",
+                  scored: DataFrame | None = None) -> DataFrame:
     """CCNet head/middle/tail perplexity bucketing (Wenzek et al.,
     "CCNet: Extracting high quality monolingual datasets from web crawl
     data", LREC 2020): per group (CCNet buckets per language; here per
@@ -321,8 +364,13 @@ def ccnet_buckets(docs: DataFrame, id_col: str = "doc_id",
     sizes and first-ranks come from one tiny keyed aggregate (one row
     per source — the bounded dimension domain) broadcast back. Ranks are
     bit-identical to the window version (pytest-pinned), so the oracle
-    hash is unchanged. No stage sees more than 1/parts of any source."""
-    scored = lm_score(docs, id_col, text_col)
+    hash is unchanged. No stage sees more than 1/parts of any source.
+
+    ``scored`` shares a precomputed lm_score frame (r11: the
+    text_quality entry scores the corpus ONCE and feeds both the
+    per-doc perplexity readout and this tercile cut)."""
+    if scored is None:
+        scored = lm_score(docs, id_col, text_col)
     return _tercile_cut(scored, docs, id_col, group_col)
 
 

@@ -1543,6 +1543,60 @@ from .combined import joined, merged  # noqa: E402
 # constituent query still executes and every value still lands in the hash.
 # docs/SUITE_MAP.md records entry -> constituent queries -> SURVEY §2 items.
 
+def q_text_quality_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text_quality entry's Spark side: the one-pass projection
+    profile joined with the LM riders, the NB classifier, and the r10
+    PII/quality verdicts — per doc_id, 1:1 everywhere.
+
+    ONE digested-bigram chain (r11, r10 verdict next-round #3 — the
+    ccnet_assign shared-model pattern applied inside the entry): the
+    constituent-registry versions of lm_perplexity / ccnet_buckets /
+    kn_perplexity each rebuild _digested(_bigrams(docs)) from scratch,
+    which in the old joined entry meant THREE corpus-linear token chains
+    per execution. Here the frame is built once and localCheckpoint'd
+    (token-narrow int64 rows), lm_score runs ONCE (checkpointed per-doc)
+    feeding both the perplexity readout and the tercile cut, and
+    kn_score reuses the same bigram frame — the oracle SQL and the entry
+    hash are unchanged (the constituents stay independently
+    oracle-checked in the registry)."""
+    from ..functions.lm import (_bigrams, _digested, ccnet_buckets,
+                                kn_score, lm_score)
+
+    docs = read_table(spark, sf_dir, "documents")
+    bg = (_digested(_bigrams(docs, "doc_id", "text"))
+          .localCheckpoint(eager=False))
+    lm = lm_score(docs, bg=bg).localCheckpoint(eager=False)
+    buckets = ccnet_buckets(docs, scored=lm)
+    kn = kn_score(docs, bg=bg)
+    return (q_text_profile_onepass(spark, sf_dir)
+            .join(lm, "doc_id")
+            # r5: NB source-classifier prediction per doc (functions/
+            # classify.py — the fastText-gate stand-in; integer nano-nat
+            # scores so the argmax is exact cross-engine)
+            .join(PIPELINE_SUITE["nb_classify"][0](spark, sf_dir)
+                  .select("doc_id", "predicted", "score_nano"), "doc_id")
+            # r9: CCNet head/middle/tail perplexity tercile per doc
+            # (functions/lm.py ccnet_buckets — the bucket CCNet
+            # keeps/drops on, cut by exact per-source ranks of the SAME
+            # shared LM scores)
+            .join(buckets.select("doc_id", "bucket"), "doc_id")
+            # r10: interpolated Kneser-Ney perplexity beside the add-1
+            # baseline (functions/lm.py kn_score — the smoothing
+            # KenLM-backed CCNet filters actually run; D = 0.75)
+            .join(kn.select("doc_id", "avg_nll_kn", "ppl_kn"), "doc_id")
+            # r10: Luhn-validated payment-card detection (functions/
+            # cleaning.py luhn_card_counts — the checksum PII class the
+            # regex battery can't express)
+            .join(PIPELINE_SUITE["luhn_cards"][0](spark, sf_dir)
+                  .select("doc_id", "n_card_candidates",
+                          "n_valid_cards"), "doc_id")
+            # r10: Gopher rule-set verdicts (functions/cleaning.py
+            # gopher_gate — Rae et al. 2021 A.1.1; per-doc pass/fail +
+            # first-failing-rule audit reason)
+            .join(PIPELINE_SUITE["gopher_gate"][0](spark, sf_dir)
+                  .select("doc_id", "verdict", "reason"), "doc_id"))
+
+
 SUITE: dict[str, tuple] = {
     # -- message/envelope surface: P1/P2/F1/F2/O4 + U1 mask + composite key
     #    + PK-less value-as-key (reference integration_test.clj:158-184)
@@ -2001,34 +2055,7 @@ SUITE: dict[str, tuple] = {
     # corpus-model scores on doc_id (1:1 — every doc gets a row). The
     # oracle restates it as the 5-way join of the constituent queries.
     "text_quality": (
-        lambda spark, sf_dir: q_text_profile_onepass(spark, sf_dir).join(
-            PIPELINE_SUITE["lm_perplexity"][0](spark, sf_dir), "doc_id")
-        # r5: NB source-classifier prediction per doc (functions/
-        # classify.py — the fastText-gate stand-in; integer nano-nat
-        # scores so the argmax is exact cross-engine)
-        .join(PIPELINE_SUITE["nb_classify"][0](spark, sf_dir)
-              .select("doc_id", "predicted", "score_nano"), "doc_id")
-        # r9: CCNet head/middle/tail perplexity tercile per doc
-        # (functions/lm.py ccnet_buckets — the bucket CCNet keeps/drops
-        # on, cut by exact per-source ranks of the same LM scores)
-        .join(PIPELINE_SUITE["ccnet_buckets"][0](spark, sf_dir)
-              .select("doc_id", "bucket"), "doc_id")
-        # r10: interpolated Kneser-Ney perplexity beside the add-1
-        # baseline (functions/lm.py kn_score — the smoothing KenLM-backed
-        # CCNet filters actually run; continuation counts, D = 0.75)
-        .join(PIPELINE_SUITE["kn_perplexity"][0](spark, sf_dir)
-              .select("doc_id", "avg_nll_kn", "ppl_kn"), "doc_id")
-        # r10: Luhn-validated payment-card detection (functions/
-        # cleaning.py luhn_card_counts — the checksum PII class the
-        # regex battery can't express)
-        .join(PIPELINE_SUITE["luhn_cards"][0](spark, sf_dir)
-              .select("doc_id", "n_card_candidates", "n_valid_cards"),
-              "doc_id")
-        # r10: Gopher rule-set verdicts (functions/cleaning.py
-        # gopher_gate — Rae et al. 2021 A.1.1; per-doc pass/fail +
-        # first-failing-rule audit reason)
-        .join(PIPELINE_SUITE["gopher_gate"][0](spark, sf_dir)
-              .select("doc_id", "verdict", "reason"), "doc_id"),
+        q_text_quality_entry,
         joined(
             "doc_id", PIPELINE_SUITE["text_stats"],
             (PIPELINE_SUITE["quality_scores"],
@@ -2677,6 +2704,29 @@ SUITE: dict[str, tuple] = {
                               F.col("weight").alias("v")),
          "SELECT 'mix' AS kind, source AS key, n_tokens AS n1,"
          " expected_tokens AS n2, weight AS v"),
+        # r11: gate-stage audit funnel (functions/cleaning.py
+        # corpus_gate_reason composed into clean_corpus's step 1) —
+        # before/after counts per source of the Gopher+Luhn+quality
+        # gate; two tagged rows per source
+        (PIPELINE_SUITE["corpus_gate"],
+         lambda df: df.select(F.explode(F.array(
+             F.struct(F.lit("gate_in").alias("kind"),
+                      F.col("n_docs").alias("n1"),
+                      F.col("n_quality_ok").alias("n2"),
+                      F.col("n_gate_ok").cast("double").alias("v")),
+             F.struct(F.lit("gate_out").alias("kind"),
+                      F.col("n_gopher_fail").alias("n1"),
+                      F.col("n_card_pii").alias("n2"),
+                      F.col("n_kept").cast("double").alias("v"))))
+             .alias("s"), F.col("source").alias("key"))
+         .select(F.col("s.kind").alias("kind"), "key",
+                 F.col("s.n1").alias("n1"), F.col("s.n2").alias("n2"),
+                 F.col("s.v").alias("v")),
+         "SELECT unnest(['gate_in', 'gate_out']) AS kind, source AS key,"
+         " unnest([n_docs, n_gopher_fail]) AS n1,"
+         " unnest([n_quality_ok, n_card_pii]) AS n2,"
+         " unnest([CAST(n_gate_ok AS DOUBLE), CAST(n_kept AS DOUBLE)])"
+         " AS v"),
         # r10: per-source tokenizer fertility (functions/text.py
         # pretoken_fertility) — pretokens/word and chars/pretoken as
         # exact e6 ints; two tagged rows per source

@@ -18,16 +18,18 @@ import bench
 
 def test_compact_line_fits_budget_worst_case():
     # worst case: every headliner present with a wide timing value, sf a
-    # long string, errors present
+    # long string, errors present, normalization band present
     timings = {name: 12345.678 for name, _fn in bench.BENCH_QUERIES}
     line = bench.compact_line(99999.999, "0.001", timings, n_errors=99,
-                              box_norm=88888.888)
+                              box_norm=88888.888,
+                              band=[77777.777, 99999.999])
     n = len(line.encode())
     assert n <= bench.MAX_STDOUT_BYTES, f"{n}B > {bench.MAX_STDOUT_BYTES}B"
     parsed = json.loads(line)
     assert parsed["metric"] == "headline_queries_total"
     assert parsed["value"] == 99999.999
     assert parsed["value_box_normalized"] == 88888.888
+    assert parsed["norm_band"] == [77777.777, 99999.999]
     assert set(parsed["queries"]) == {n for n, _ in bench.BENCH_QUERIES}
 
 
@@ -135,3 +137,60 @@ def test_detail_contract_carries_box_keys():
     src = open(bench.__file__).read()
     for key in ('"value_box_normalized"', '"box_baseline"', '"box"'):
         assert key in src, f"detail artifact lost box key {key}"
+
+
+def test_box_normalized_mini_pure_function():
+    """r10 verdict next-round #1b: the JVM-loop geomean normalization
+    spread 23.2-40.5 s for identical code across three boxes, because
+    per-query fixed costs don't scale with core speed. The
+    workload-matched mini-headliner ratio replaces it as the published
+    value_box_normalized; same degradation contract (None, never a
+    fabricated number)."""
+    assert bench.MINI_BASELINE["mini_sec"] > 0
+    # reading the anchor box exactly -> identity
+    assert bench.box_normalized_mini(10.0, dict(bench.MINI_BASELINE)) \
+        == 10.0
+    # a box whose mini-headliner reads 2x slower halves its raw total
+    slow = {"mini_sec": bench.MINI_BASELINE["mini_sec"] * 2}
+    assert bench.box_normalized_mini(20.0, slow) == 10.0
+    # missing / zero / malformed reading -> None, raw value stands
+    assert bench.box_normalized_mini(10.0, {}) is None
+    assert bench.box_normalized_mini(10.0, {"mini_sec": 0.0}) is None
+    assert bench.box_normalized_mini(10.0, None) is None
+
+
+def test_norm_band_pure_function():
+    """The JVM-ratio normalization published as a BAND (r10 verdict
+    What's-wrong #2): [1-core-scaled, 32-core-scaled] sorted — the raw
+    total bracketed by the serial and parallel extremes instead of a
+    geomean point."""
+    base = {"jvm_1core_sec": 0.34, "jvm_32core_sec": 0.44}
+    # identical box -> degenerate band at the raw value
+    assert bench.norm_band(10.0, dict(base), base) == [10.0, 10.0]
+    # 2x slower serial, 1x parallel -> band [5, 10]
+    skew = {"jvm_1core_sec": 0.68, "jvm_32core_sec": 0.44}
+    assert bench.norm_band(10.0, skew, base) == [5.0, 10.0]
+    assert bench.norm_band(10.0, {}, base) is None
+
+
+def test_detail_contract_carries_retry_and_mini_keys():
+    """r10 verdict next-round #1a: contended headliners re-run once after
+    the sweep (canary-gated retry) and the detail records every reading
+    plus both contended lists and the mini calibration."""
+    src = open(bench.__file__).read()
+    for key in ('"retries"', '"contended_initial"', '"mini"',
+                '"mini_baseline"', '"norm_band"',
+                '"value_box_normalized_jvm_geomean"'):
+        assert key in src, f"detail artifact lost key {key}"
+
+
+def test_r10_group_on_bench_surface():
+    """r10 verdict next-round #2: the nine r10 constituents must be in
+    the extended bench groups so plan regressions in them are visible to
+    BENCH_DETAIL round-over-round."""
+    assert set(bench.BENCH_GROUPS_BY_NAME["r10"]) == {
+        "abtt_ann", "kn_perplexity", "luhn_cards", "ann_int8_rerank",
+        "ccnet_assign", "cluster_split", "pretoken_fertility",
+        "embedding_drift", "gopher_gate"}
+    assert "kn_perplexity" in bench.CONSTITUENT_GROUPS["text_quality"]
+    assert "abtt_ann" in bench.CONSTITUENT_GROUPS["numeric_profiles"]

@@ -251,6 +251,41 @@ def test_gopher_gate_rule_order_and_thresholds(spark):
     assert out[5] == ("fail", "stopwords")
 
 
+def test_corpus_gate_drop_reasons(spark):
+    """The composite keep/drop gate (r11): structural Gopher failures,
+    the stopword floor at its published value, and a Luhn-valid planted
+    PAN each drop with their own first-failing reason; a compliant doc
+    keeps. clean_corpus consumes exactly this expression."""
+    from pyspark.sql import Row
+
+    from melt_spark.functions.cleaning import corpus_gate
+
+    good = " ".join((["the", "be", "to", "of"] + ["word"] * 8) * 5)
+    rows = [
+        Row(doc_id=0, text=good),                              # kept
+        Row(doc_id=1, text="too short"),                       # word_count
+        Row(doc_id=2, text=good + " 5500005555555559"),        # card_pii
+        Row(doc_id=3, text=" ".join(["alpha", "words"] * 30)),  # stopwords
+        Row(doc_id=4, text=good + " 5500005555555551"),        # bad Luhn ok
+    ]
+    out = {r.doc_id: (r.gate_reason, r.kept)
+           for r in corpus_gate(spark.createDataFrame(rows),
+                                min_words=8).collect()}
+    assert out[0] == ("ok", 1)
+    assert out[1] == ("word_count", 0)
+    assert out[2] == ("card_pii", 0)
+    assert out[3] == ("stopwords", 0)
+    assert out[4] == ("ok", 1)
+    # the floor-0 calibration clean_corpus runs: stopword rule off,
+    # everything else intact
+    out0 = {r.doc_id: r.gate_reason
+            for r in corpus_gate(spark.createDataFrame(rows),
+                                 min_words=8,
+                                 min_stop_hits=0).collect()}
+    assert out0[3] == "ok" and out0[1] == "word_count" \
+        and out0[2] == "card_pii"
+
+
 def test_gopher_gate_null_text_fails_loudly(spark):
     """A NULL text row must FAIL with reason 'null_text' — without the
     explicit leading branch every rule comparison is NULL and the

@@ -240,3 +240,30 @@ def test_ccnet_assign_frozen_boundaries(spark):
         assert got[100 + i] == store_buckets[i], (i, got[100 + i])
     assert got[200] == "tail"
     assert got[201] == "skip"
+
+
+def test_ccnet_store_persist_resume(spark, tmp_path):
+    """The frozen-store READ path (r11): ccnet_apply over model+bounds
+    RE-READ from parquet must match the in-plan ccnet_assign exactly,
+    and re-persisting (overwrite — the daily resume shape) must be
+    idempotent."""
+    from melt_spark.functions.lm import (ccnet_apply, ccnet_assign,
+                                         ccnet_store_model)
+
+    store = _docs(spark, ["a b a c a b", "b c b a b c", "c a c b c a",
+                          "a a b b c c", "b a c a b a"]) \
+        .withColumn("source", F.lit("s"))
+    batch = _docs(spark, ["a b novel1 c", "novel2 novel3", "solo"]) \
+        .withColumn("doc_id", F.col("doc_id") + 500) \
+        .withColumn("source", F.lit("s"))
+    want = sorted(map(tuple, ccnet_assign(batch, store).collect()))
+
+    model, bounds = ccnet_store_model(store)
+    for _round in range(2):   # overwrite twice: the resume shape
+        model.write.mode("overwrite").parquet(str(tmp_path / "model"))
+        bounds.write.mode("overwrite").parquet(str(tmp_path / "bounds"))
+    got = sorted(map(tuple, ccnet_apply(
+        batch,
+        spark.read.parquet(str(tmp_path / "model")),
+        spark.read.parquet(str(tmp_path / "bounds"))).collect()))
+    assert got == want
