@@ -204,6 +204,41 @@ def luhn_card_counts(col: Column | str) -> tuple[Column, Column]:
             F.size(valid).cast("bigint"))
 
 
+def iban_counts(col: Column | str) -> tuple[Column, Column]:
+    """(n_candidates, n_valid) IBAN detection — the second checksum-PII
+    class beside luhn_card_counts: candidates are alphanumeric runs
+    (split on non-alnum — exact run semantics, same rationale as the
+    card scan) of length 15-34 shaped ``CC DD BBAN`` (two uppercase
+    country letters, two check digits, alnum rest — ISO 13616);
+    validation is ISO/IEC 7064 MOD 97-10: rotate the first four chars
+    to the end, map A..Z to 10..35, and the resulting big number must
+    be ≡ 1 (mod 97). The modulus folds incrementally per character
+    (acc·10+digit or acc·100+letter, mod 97 each step), so the check is
+    exact BIGINT arithmetic on any engine — no big-integer type needed.
+    Scan-speed, zero shuffle (the PII-battery discipline)."""
+    c = F.col(col) if isinstance(col, str) else col
+    runs = F.filter(
+        F.split(c, r"[^0-9A-Za-z]+"),
+        lambda s: (F.length(s) >= 15) & (F.length(s) <= 34)
+        & s.rlike("^[A-Z]{2}[0-9]{2}[A-Z0-9]+$"))
+
+    def mod97(s: Column) -> Column:
+        r = F.concat(F.substr(s, F.lit(5), F.length(s)),
+                     F.substr(s, F.lit(1), F.lit(4)))
+        a = lambda i: F.ascii(F.substr(r, i, F.lit(1)))  # noqa: E731
+        return F.aggregate(
+            F.sequence(F.lit(1), F.length(r)),
+            F.lit(0),
+            lambda acc, i: F.when(
+                (a(i) >= 48) & (a(i) <= 57),
+                (acc * 10 + (a(i) - 48)) % 97
+            ).otherwise((acc * 100 + (a(i) - 55)) % 97))
+
+    valid = F.filter(runs, lambda s: mod97(s) == 1)
+    return (F.size(runs).cast("bigint"),
+            F.size(valid).cast("bigint"))
+
+
 # ---------------------------------------------------------------------------
 # repetition signals (Gopher-style quality heuristics, per-document)
 
@@ -553,6 +588,70 @@ def ngram_novelty(val: DataFrame, train: DataFrame, n: int = 3,
                  .alias("n_seen"))
             .select(id_col, "n_grams", "n_seen",
                     (F.col("n_grams") - F.col("n_seen")).alias("n_novel")))
+
+
+def decontam_span(train: DataFrame, bench: DataFrame, n: int = 8,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Longest contaminated SPAN per train document against a held-out
+    benchmark — the span-accounting upgrade of the n-gram-overlap
+    decontamination reports (public: Brown et al. 2020 appendix C count
+    13-gram overlaps; PaLM/Chowdhery et al. 2022 §C report contaminated
+    SPANS): a shared n-gram starting at positions p and p+1 implies a
+    shared (n+1)-gram, so the longest run of r consecutive shared
+    start positions certifies a shared span of n + r - 1 tokens —
+    exact, with only n-gram joins.
+
+    Output (train docs with >= 1 shared n-gram): (id, n_shared,
+    max_span_tokens). n_shared counts shared start positions; a doc
+    whose whole text leaked reports max_span = its token count.
+
+    Scale shape (100 TB): train n-grams explode WITH positions but
+    project to xxhash64 digests before the one membership join (the
+    dedup digest discipline — gram text never shuffles); the benchmark
+    side is a distinct digest set (benchmark-sized — broadcastable).
+    The longest run is the gaps-and-islands trick (pos - per-doc rank
+    groups consecutive positions), so runs come out of two map-side-
+    combinable aggregates, and the per-doc rank window partitions on
+    doc id — bounded by document length, never corpus-wide."""
+    from pyspark.sql.window import Window
+
+    from .util import spread_input
+
+    t = spread_input(train, id_col)
+    toks = F.split(F.col(text_col), " ")
+    idx = F.when(F.size(toks) >= n,
+                 F.sequence(F.lit(1), F.size(toks) - n + 1)) \
+           .otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(
+            " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)])))
+    tg = (t.select(F.col(id_col).alias("id"),
+                   F.posexplode(grams).alias("pos", "g")))
+    bg = (bench.select(F.explode(
+        F.transform(
+            F.when(F.size(F.split(F.col(text_col), " ")) >= n,
+                   F.sequence(F.lit(1),
+                              F.size(F.split(F.col(text_col), " "))
+                              - n + 1))
+            .otherwise(F.array().cast("array<int>")),
+            lambda i: F.xxhash64(F.concat_ws(
+                " ", *[F.element_at(F.split(F.col(text_col), " "),
+                                    i + F.lit(j))
+                       for j in range(n)])))).alias("g"))
+        .distinct())
+    shared = tg.join(bg, "g", "left_semi")
+    w = Window.partitionBy("id").orderBy("pos")
+    runs = shared.withColumn("grp",
+                             F.col("pos") - F.row_number().over(w))
+    run_len = (runs.groupBy("id", "grp")
+               .agg(F.count(F.lit(1)).alias("rl")))
+    return (run_len.groupBy("id")
+            .agg(F.sum("rl").cast("bigint").alias("n_shared"),
+                 (F.lit(n) + F.max("rl") - 1).cast("bigint")
+                 .alias("max_span_tokens"))
+            .select(F.col("id").alias(id_col), "n_shared",
+                    "max_span_tokens"))
 
 
 def split_corpus(df: DataFrame, val_pct: int = 5, test_pct: int = 5,

@@ -2343,6 +2343,65 @@ GROUP BY vg.doc_id
 """
 
 
+def q_decontam_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest contaminated span per train doc (functions/cleaning.py
+    decontam_span; Brown et al. 2020 app. C / PaLM §C span accounting):
+    consecutive shared 8-gram start positions certify the longest
+    token span each train doc shares with the benchmark slice. The
+    benchmark side carries PLANTED leaks — the 12-token prefix of every
+    train doc with doc_id % 50 == 1 (id-shifted) — so the detector's
+    full path (partial-leak runs, not just disjoint hits) executes on
+    the fixture and known docs MUST surface with span >= 12."""
+    from ..functions.cleaning import decontam_span
+
+    docs = read_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % BENCH_MOD != 0)
+    bench = (docs.filter(F.col("doc_id") % BENCH_MOD == 0)
+             .select("doc_id", "text"))
+    plant = (train.filter(F.col("doc_id") % 50 == 1)
+             .select((F.col("doc_id") + 900000).alias("doc_id"),
+                     F.array_join(F.slice(F.split(F.col("text"), " "),
+                                          1, 12), " ").alias("text")))
+    return decontam_span(train, bench.unionByName(plant), n=8)
+
+
+SQL_DECONTAM_SPAN = f"""
+WITH tt AS (SELECT doc_id, {_TOKS} AS t FROM documents
+            WHERE doc_id % {BENCH_MOD} <> 0),
+tg AS (
+  SELECT doc_id, g.i AS pos,
+         array_to_string(list_slice(t, g.i, g.i + 7), ' ') AS gram
+  FROM tt, unnest(generate_series(1, len(t) - 7)) AS g(i)
+  WHERE len(t) >= 8
+),
+bb AS (
+  SELECT {_TOKS} AS t FROM documents WHERE doc_id % {BENCH_MOD} = 0
+  UNION ALL
+  SELECT string_split(array_to_string(list_slice({_TOKS}, 1, 12), ' '),
+                      ' ') AS t
+  FROM documents
+  WHERE doc_id % {BENCH_MOD} <> 0 AND doc_id % 50 = 1
+),
+bg AS (
+  SELECT DISTINCT array_to_string(list_slice(t, g.i, g.i + 7), ' ')
+           AS gram
+  FROM bb, unnest(generate_series(1, len(t) - 7)) AS g(i)
+  WHERE len(t) >= 8
+),
+shared AS (SELECT doc_id, pos FROM tg JOIN bg USING (gram)),
+runs AS (
+  SELECT doc_id,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+           AS grp
+  FROM shared
+),
+rl AS (SELECT doc_id, grp, COUNT(*) AS rl FROM runs GROUP BY 1, 2)
+SELECT doc_id, CAST(SUM(rl) AS BIGINT) AS n_shared,
+       CAST(8 + MAX(rl) - 1 AS BIGINT) AS max_span_tokens
+FROM rl GROUP BY doc_id
+"""
+
+
 def q_split_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (functions/cleaning.py
     split_corpus): per (source, split) doc counts + char totals — the
@@ -2629,6 +2688,71 @@ def q_luhn_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return planted.select("doc_id",
                           nc.alias("n_card_candidates"),
                           nv.alias("n_valid_cards"))
+
+
+def q_iban_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IBAN detection with ISO 7064 mod-97-10 validation
+    (functions/cleaning.py iban_counts) over a planted-candidate
+    corpus: every doc carries one doc-derived 22-char GB-shaped
+    candidate (valid exactly as the checksum falls — BOTH engines run
+    their own mod-97, so the verdict is the cross-check), docs with
+    doc_id % 4 == 0 additionally carry the ISO example IBAN
+    GB82WEST12345698765432 (known valid), and a too-short run plus a
+    lowercase decoy pin the shape gate. The bank-account PII class —
+    like cards, detectable precisely only via its checksum."""
+    from ..functions.cleaning import iban_counts
+
+    docs = read_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" pay GB"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit("WEST"),
+            F.lpad(F.col("doc_id").cast("string"), 14, "1"),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.lit(" ok GB82WEST12345698765432"))
+            .otherwise(F.lit("")),
+            F.lit(" no DE4401 and gb82west12345698765432 end"))
+        .alias("text"))
+    nc, nv = iban_counts("text")
+    return planted.select("doc_id",
+                          nc.alias("n_iban_candidates"),
+                          nv.alias("n_valid_iban"))
+
+
+_IBAN_MOD97_SQL = """list_reduce(list_prepend(0,
+      list_transform(generate_series(1,
+          len(substring(s, 5) || substring(s, 1, 4))),
+        i -> ascii((substring(s, 5) || substring(s, 1, 4))[i]))),
+      (acc, a) -> CASE WHEN a >= 48 AND a <= 57
+                       THEN (acc * 10 + (a - 48)) % 97
+                       ELSE (acc * 100 + (a - 55)) % 97 END)"""
+
+SQL_IBAN_DETECT = f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' pay GB' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+              || 'WEST' || lpad(CAST(doc_id AS VARCHAR), 14, '1')
+              || CASE WHEN doc_id % 4 = 0
+                      THEN ' ok GB82WEST12345698765432' ELSE '' END
+              || ' no DE4401 and gb82west12345698765432 end' AS text
+  FROM documents
+),
+runs AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[^0-9A-Za-z]+'),
+                     s -> len(s) >= 15 AND len(s) <= 34
+                          AND regexp_matches(s,
+                              '^[A-Z]{{2}}[0-9]{{2}}[A-Z0-9]+$')) AS rs
+  FROM planted
+)
+SELECT doc_id,
+  CAST(len(rs) AS BIGINT) AS n_iban_candidates,
+  CAST(len(list_filter(rs, s -> {_IBAN_MOD97_SQL} = 1)) AS BIGINT)
+    AS n_valid_iban
+FROM runs
+"""
 
 
 _LUHN_SQL = """list_reduce(list_prepend(0,
@@ -4919,6 +5043,8 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "luhn_cards": (q_luhn_cards, SQL_LUHN_CARDS),
     "gopher_gate": (q_gopher_gate, SQL_GOPHER_GATE),
     "corpus_gate": (q_corpus_gate, SQL_CORPUS_GATE),
+    "decontam_span": (q_decontam_span, SQL_DECONTAM_SPAN),
+    "iban_detect": (q_iban_detect, SQL_IBAN_DETECT),
     "phrase_match": (q_phrase_match, SQL_PHRASE_MATCH),
     "jl_projection": (q_jl_projection, SQL_JL_PROJECTION),
     "priority_sample": (q_priority_sample, SQL_PRIORITY_SAMPLE),

@@ -1590,6 +1590,12 @@ def q_text_quality_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(PIPELINE_SUITE["luhn_cards"][0](spark, sf_dir)
                   .select("doc_id", "n_card_candidates",
                           "n_valid_cards"), "doc_id")
+            # r11: IBAN detection with ISO 7064 mod-97 validation
+            # (functions/cleaning.py iban_counts — the bank-account
+            # checksum-PII class beside the card scan)
+            .join(PIPELINE_SUITE["iban_detect"][0](spark, sf_dir)
+                  .select("doc_id", "n_iban_candidates",
+                          "n_valid_iban"), "doc_id")
             # r10: Gopher rule-set verdicts (functions/cleaning.py
             # gopher_gate — Rae et al. 2021 A.1.1; per-doc pass/fail +
             # first-failing-rule audit reason)
@@ -2077,6 +2083,8 @@ SUITE: dict[str, tuple] = {
              ["avg_nll_kn", "ppl_kn"]),
             (PIPELINE_SUITE["luhn_cards"],
              ["n_card_candidates", "n_valid_cards"]),
+            (PIPELINE_SUITE["iban_detect"],
+             ["n_iban_candidates", "n_valid_iban"]),
             (PIPELINE_SUITE["gopher_gate"],
              ["verdict", "reason"]))[1]),
     # -- exact doc-level dedup + NEW r3 sub-document span dedup (C4-style:
@@ -2109,6 +2117,18 @@ SUITE: dict[str, tuple] = {
                               F.col("verdict").alias("s1")),
          "SELECT 'incr' AS kind, fp AS k1, doc_id AS n1, dup_of AS n2,"
          " verdict AS s1"),
+        # r11: longest contaminated span per train doc vs the benchmark
+        # slice (+ planted 12-token prefix leaks) — consecutive shared
+        # 8-gram starts certify span length; gaps-and-islands, digest
+        # joins only
+        (PIPELINE_SUITE["decontam_span"],
+         lambda df: df.select(F.lit("cspan").alias("kind"),
+                              F.col("doc_id").cast("string").alias("k1"),
+                              F.col("n_shared").alias("n1"),
+                              F.col("max_span_tokens").alias("n2"),
+                              F.lit("").alias("s1")),
+         "SELECT 'cspan' AS kind, CAST(doc_id AS VARCHAR) AS k1,"
+         " n_shared AS n1, max_span_tokens AS n2, '' AS s1"),
         # r7: maximal duplicated-substring spans (Lee et al. ExactSubstr,
         # sliding-shingle restatement) — offset-exact, finds duplicates
         # that straddle span_dedup's non-overlapping block boundaries

@@ -222,6 +222,63 @@ def test_cluster_split_atomic_and_leak_counterfactual(spark):
         assert len(s) == 1
 
 
+def test_iban_mod97_validation(spark):
+    """ISO 7064 mod-97: the ISO example IBAN validates, a one-digit
+    corruption fails, shape gates (lowercase, short, no CC DD prefix)
+    exclude candidacy entirely."""
+    from pyspark.sql import Row
+
+    from melt_spark.functions.cleaning import iban_counts
+
+    rows = [
+        Row(doc_id=0, text="pay GB82WEST12345698765432 now"),   # valid
+        Row(doc_id=1, text="pay GB82WEST12345698765433 now"),   # corrupt
+        Row(doc_id=2, text="pay gb82west12345698765432 now"),   # lowercase
+        Row(doc_id=3, text="pay DE4401 now"),                   # too short
+        Row(doc_id=4, text="pay WESTGB8212345698765432 now"),   # bad shape
+        Row(doc_id=5, text="DE89370400440532013000 ok"),        # valid DE
+    ]
+    nc, nv = iban_counts("text")
+    out = {r.doc_id: (r.nc, r.nv)
+           for r in spark.createDataFrame(rows)
+           .select("doc_id", nc.alias("nc"), nv.alias("nv")).collect()}
+    assert out[0] == (1, 1)
+    assert out[1] == (1, 0)
+    assert out[2] == (0, 0)
+    assert out[3] == (0, 0)
+    assert out[4] == (0, 0)
+    assert out[5] == (1, 1)
+
+
+def test_decontam_span_hand_computed(spark):
+    """Span accounting against a hand-built leak: a doc sharing a
+    12-token prefix with the benchmark reports max_span 12 (5 shared
+    8-gram starts); two DISJOINT shared 8-grams report span 8 with
+    n_shared 2; a doc with no 8-token overlap reports nothing."""
+    from pyspark.sql import Row
+
+    from melt_spark.functions.cleaning import decontam_span
+
+    w = [f"w{i}" for i in range(30)]
+    train = spark.createDataFrame([
+        Row(doc_id=0, text=" ".join(w[:20])),        # 12-token prefix leak
+        Row(doc_id=1, text=" ".join(
+            w[:8] + ["x1", "x2", "x3"] + w[12:20])),  # two disjoint hits
+        Row(doc_id=2, text=" ".join(reversed(w[:20]))),           # clean
+    ])
+    bench = spark.createDataFrame([
+        Row(doc_id=100, text=" ".join(w[:12])),
+        Row(doc_id=101, text=" ".join(w[12:20])),
+    ])
+    out = {r.doc_id: (r.n_shared, r.max_span_tokens)
+           for r in decontam_span(train, bench, n=8).collect()}
+    # starts 1..5 consecutive (prefix leak, 8+5-1=12) plus the isolated
+    # w12..w19 hit at start 13 from the second bench doc
+    assert out[0] == (6, 12)
+    assert out[1] == (2, 8)       # w[:8] at start, w[12:20] at end
+    assert 2 not in out
+
+
 def test_gopher_gate_rule_order_and_thresholds(spark):
     """Each rule trips on its own crafted doc in the published order;
     a compliant doc passes."""

@@ -167,3 +167,30 @@ def test_canonical_url_pinned_exclusions(spark):
     assert got[1] == "https://ex.com/a%2fb"
     assert got[0] != got[1]
     assert got[2] == got[3] == got[4] == "https://ex.com/x"
+
+
+def test_canonical_url_idn_host_pinned_exclusion(spark):
+    """IDN hosts (r10 verdict item #7 — pin the contract): host labels
+    are case-folded, so an uppercase ASCII-punycode host ('XN--...')
+    matches its lowercase twin, but a raw Unicode host is NOT
+    punycode-encoded and a %-encoded host is NOT decoded — a Unicode
+    host and its xn-- form stay DISTINCT keys. Fold-to-punycode needs a
+    non-expression IDNA table (and DuckDB has none), so the exclusion
+    is pinned rather than half-implemented; crawlers emit the xn--
+    form (RFC 3986 registered names), which this handles exactly."""
+    from melt_spark.functions.provenance import canonical_url
+
+    df = spark.createDataFrame([Row(u=u) for u in [
+        "https://XN--BCHER-KVA.example/x",     # uppercase punycode
+        "https://xn--bcher-kva.example/x",     # lowercase twin
+        "https://bücher.example/x",       # raw Unicode host
+        "https://b%C3%BCcher.example/x",       # %-encoded host
+    ]])
+    got = [r.c for r in
+           df.select(canonical_url(F.col("u")).alias("c")).collect()]
+    assert got[0] == got[1] == "https://xn--bcher-kva.example/x"
+    assert got[2] == "https://bücher.example/x"   # distinct key
+    # host %-escapes fold with the host's case fold (the HOST is
+    # lowercased wholesale — unlike path %-escapes, which keep case)
+    assert got[3] == "https://b%c3%bccher.example/x"
+    assert got[2] != got[1] and got[3] != got[1]

@@ -204,7 +204,17 @@ PROBES = ["text_quality", "dedup_minhash_lsh", "clean_corpus",
           # Luhn card scan (pure per-row projection — expected ~flat
           # shuffle, linear time)
           "kn_perplexity", "luhn_cards", "ann_int8_rerank",
+          # r11: the overscan tuning knob (r10 verdict next-round #6) —
+          # the entry's overscan=4 bracketed by 2 and 8; with the salted
+          # candidate stage the int8 scan dominates, so cost should be
+          # ~flat in overscan while recall rises (recall measured by
+          # tools/int8_recall_probe.py into the same docstring table)
+          "int8_over2", "int8_over8",
           "ccnet_assign", "cluster_split",
+          # r11: the composite gate funnel (quality + Gopher-structural
+          # + Luhn card scan + one source aggregate — expected ~linear,
+          # shuffle ~flat at source count)
+          "corpus_gate",
           # r10: per-label centroid moments (one posexplode aggregate
           # carries the corpus — expected ~linear, shuffle ~flat at
           # labels x dims) + the fertility scan
@@ -341,7 +351,25 @@ def _ccnet_hot_query():
     return q
 
 
+def _int8_query(overscan: int):
+    """int8 scan+rerank at a non-default overscan — the tuning curve a
+    user consults before widening the quantizer (r10 verdict #6)."""
+    def q(spark, sf_dir):
+        from melt_spark.functions.similarity import int8_rerank_topk
+        from melt_spark.sources.parquet import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        return int8_rerank_topk(
+            emb, emb.filter(F.col("vec_id") < 5).limit(5),
+            k=10, overscan=overscan)
+    return q
+
+
 _EXTRA_QUERIES = {"span_dedup_digest": _span_query("digest"),
+                  "int8_over2": _int8_query(2),
+                  "int8_over8": _int8_query(8),
+                  "corpus_gate":
+                      _constituent("pipeline_suite", "q_corpus_gate"),
                   "domain_gate_hot": _domain_hot_query(),
                   "ccnet_hot": _ccnet_hot_query(),
                   "incremental_bpe":
