@@ -63,24 +63,42 @@ def _nano(col: Column) -> Column:
     return F.round(F.log(col) * F.lit(float(NANO)), 0).cast("bigint")
 
 
-def _doc_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, h, c_dt): per-document token counts on xxhash64 digests."""
+def char_ngrams(text_col: str, n: int = 3) -> Column:
+    """Array of character n-grams of the lowercase text — the langid
+    feature (Cavnar & Trenkle 1994). Empty array for short/NULL text."""
+    c = F.lower(F.col(text_col))
+    idx = F.when(F.length(c) >= n,
+                 F.sequence(F.lit(1), F.length(c) - n + 1)) \
+           .otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.substr(c, i, F.lit(n)))
+
+
+def _doc_tokens(docs: DataFrame, id_col: str, text_col: str,
+                feats: Column | None = None) -> DataFrame:
+    """(id, h, c_dt): per-document feature counts on xxhash64 digests.
+    ``feats`` overrides the feature extractor (default: word tokens);
+    langid passes char_ngrams — the whole NB chain is feature-agnostic
+    once features are digests."""
     docs = spread_input(docs, id_col)
+    f = feats if feats is not None else tokens(text_col)
     return (docs.select(F.col(id_col).alias("id"),
-                        F.explode(tokens(text_col)).alias("tok"))
+                        F.explode(f).alias("tok"))
             .select("id", F.xxhash64("tok").alias("h"))
             .groupBy("id", "h").agg(F.count(F.lit(1)).alias("c_dt")))
 
 
 def nb_model(docs: DataFrame, label_col: str = "source",
              text_col: str = "text",
-             id_col: str = "doc_id") -> tuple[DataFrame, DataFrame]:
+             id_col: str = "doc_id",
+             feats: Column | None = None) -> tuple[DataFrame, DataFrame]:
     """Train on the labeled corpus. Returns (model, labels):
     model  = (label, h, delta_nano)  — vocabulary-sized, sparse;
     labels = (label, prior_nano, miss_nano) — one row per class, carrying
-             ln-prior and the per-token miss mass, both in nano-nats."""
+             ln-prior and the per-token miss mass, both in nano-nats.
+    ``feats``: optional feature-array override (see _doc_tokens)."""
+    f = feats if feats is not None else tokens(text_col)
     tok = (docs.select(F.col(label_col).alias("label"),
-                       F.explode(tokens(text_col)).alias("tok"))
+                       F.explode(f).alias("tok"))
            .select("label", F.xxhash64("tok").alias("h")))
     c = tok.groupBy("label", "h").agg(F.count(F.lit(1)).alias("c"))
     n_s = c.groupBy("label").agg(F.sum("c").cast("bigint").alias("n_s"))
@@ -107,12 +125,13 @@ def nb_model(docs: DataFrame, label_col: str = "source",
 
 def nb_scores(docs: DataFrame, model: DataFrame, labels: DataFrame,
               text_col: str = "text",
-              id_col: str = "doc_id") -> DataFrame:
+              id_col: str = "doc_id",
+              feats: Column | None = None) -> DataFrame:
     """(id, label, score_nano): the FULL per-(document, label) score
     table — what nb_classify argmaxes over, exposed for consumers that
     need the whole posterior (calibration, margin-based abstention,
     top-2 disagreement audits). Exact BIGINT nano-nats throughout."""
-    dt = _doc_tokens(docs, id_col, text_col)
+    dt = _doc_tokens(docs, id_col, text_col, feats)
     # model is the broadcast side BY CONSTRUCTION (|V| x |labels| rows —
     # a text classifier model fits one machine by definition). Without
     # the hint, Catalyst's post-explode size estimate undersells dt and
@@ -139,11 +158,12 @@ def nb_scores(docs: DataFrame, model: DataFrame, labels: DataFrame,
 
 def nb_classify(docs: DataFrame, model: DataFrame, labels: DataFrame,
                 text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
+                id_col: str = "doc_id",
+                feats: Column | None = None) -> DataFrame:
     """(id, predicted, score_nano): argmax label per document — score
     desc, label asc on ties. Every input document gets a row; an empty
     document scores prior-only."""
-    scores = nb_scores(docs, model, labels, text_col, id_col)
+    scores = nb_scores(docs, model, labels, text_col, id_col, feats)
     w = Window.partitionBy("id").orderBy(F.desc("score_nano"),
                                          F.asc("label"))
     return (scores.withColumn("rn", F.row_number().over(w))
@@ -412,3 +432,35 @@ def conformal_nb(docs: DataFrame, label_col: str = "source",
             .crossJoin(F.broadcast(qh))
             .select(F.col("set_size").cast("int").alias("set_size"),
                     "n_docs", "n_covered", "q_hat_nano", "n_cal"))
+
+
+def langid_ngram(docs: DataFrame, label_col: str = "lang",
+                 text_col: str = "text", id_col: str = "doc_id",
+                 n: int = 3, train_mod: int = 5) -> DataFrame:
+    """Character-n-gram language identification (Cavnar & Trenkle,
+    "N-gram-based text categorization", SDAIR 1994 — the classic langid
+    heuristic; fastText's langid is its modern descendant): the NB
+    chain over char_ngrams features, trained on the labeled slice with
+    id % train_mod != 0 and evaluated on the HELD-OUT slice (% == 0) —
+    the train/eval split every real langid deployment has, with
+    correctness measured in-band per doc.
+
+    Output (held-out docs): (id, lang, predicted, score_nano, correct).
+
+    Scale shape: identical to nb_classify's — char n-grams explode to
+    xxhash64 digests before any exchange (gram text never shuffles),
+    the model is vocabulary-sized and broadcast, scoring is one
+    digest join + per-(doc, label) sum. Exact BIGINT nano-nats, so
+    predictions and scores hash cross-engine."""
+    feats = char_ngrams(text_col, n)
+    train = docs.filter(F.col(id_col) % train_mod != 0)
+    holdout = docs.filter(F.col(id_col) % train_mod == 0)
+    model, labels = nb_model(train, label_col, text_col, id_col, feats)
+    pred = nb_classify(holdout, model, labels, text_col, id_col, feats)
+    return (pred.join(holdout.select(F.col(id_col).alias("id"),
+                                     F.col(label_col).alias("lang")),
+                      "id")
+            .select(F.col("id").alias(id_col), "lang", "predicted",
+                    "score_nano",
+                    (F.col("predicted") == F.col("lang")).cast("int")
+                    .alias("correct")))

@@ -4330,15 +4330,20 @@ def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the shared NB score-table CTE chain: everything through the full
 # (doc, label) score matrix — consumed by both the argmax classifier
 # oracle (SQL_NB_CLASSIFY) and the calibration oracle (SQL_NB_CALIBRATION)
-def _nb_scores_body(train_pred: str = "TRUE") -> str:
+def _nb_scores_body(train_pred: str = "TRUE",
+                    feat_sql: str | None = None,
+                    label_sql: str = "source") -> str:
     """The shared NB train+score CTE chain. ``train_pred`` restricts the
     TRAINING corpus (counts, vocabulary, priors) to matching documents;
     the oracle scores every document and filters downstream (DuckDB
     materializes the CTEs once, so the extra rows are free here), while
     the Spark side scores only the docs it will consume — identical on
-    every row either side actually reads."""
+    every row either side actually reads. ``feat_sql``/``label_sql``
+    parameterize the feature extractor and label column (r11: langid
+    reuses the whole chain with char trigrams and the lang label)."""
+    feat = feat_sql if feat_sql is not None else f"unnest({_TOKS})"
     return f"""tok AS MATERIALIZED (
-  SELECT doc_id, source, unnest({_TOKS}) AS tok FROM documents
+  SELECT doc_id, {label_sql} AS source, {feat} AS tok FROM documents
 ),
 tok_tr AS MATERIALIZED (
   SELECT * FROM tok WHERE {train_pred}
@@ -4358,7 +4363,7 @@ model AS MATERIALIZED (
                     * 1000000000.0) AS BIGINT) AS delta
   FROM c JOIN ns USING (label) CROSS JOIN v
 ),
-nd AS (SELECT source AS label, COUNT(*) AS n_docs FROM documents
+nd AS (SELECT {label_sql} AS label, COUNT(*) AS n_docs FROM documents
        WHERE {train_pred} GROUP BY 1),
 lab AS MATERIALIZED (
   SELECT label,
@@ -4397,6 +4402,37 @@ pred AS (
 
 
 _NB_SCORES_BODY = _nb_scores_body()
+
+_CHAR3_SQL = ("unnest(list_transform(generate_series(1,"
+              " length(lower(text)) - 2),"
+              " i -> substring(lower(text), i, 3)))")
+
+
+def q_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID (functions/classify.py
+    langid_ngram; Cavnar & Trenkle SDAIR 1994 — the n-gram langid
+    heuristic SURVEY §2's text-analysis battery lists): the NB chain
+    over char trigrams, trained on docs with doc_id % 5 != 0 against
+    the fixture's lang labels, evaluated per-doc on the held-out
+    slice with the correctness flag in-band. (The synthetic fixture's
+    text carries little true language signal — the constituent
+    certifies determinism and cross-engine parity of the full
+    train+score chain; the discrimination property is pinned on a real
+    multilingual micro-corpus in tests/test_classify.py.)"""
+    from ..functions.classify import langid_ngram
+
+    docs = read_table(spark, sf_dir, "documents")
+    return langid_ngram(docs)
+
+
+SQL_LANGID_NGRAM = f"""
+WITH {_nb_scores_body("doc_id % 5 <> 0", _CHAR3_SQL, "lang")}
+SELECT p.doc_id, d.lang, p.predicted, p.score_nano,
+       CAST(CASE WHEN p.predicted = d.lang THEN 1 ELSE 0 END AS INT)
+         AS correct
+FROM pred p JOIN documents d USING (doc_id)
+WHERE p.doc_id % 5 = 0
+"""
 
 SQL_NB_CLASSIFY = f"""
 WITH {_NB_SCORES_BODY}
@@ -5045,6 +5081,7 @@ PIPELINE_SUITE: dict[str, tuple] = {
     "corpus_gate": (q_corpus_gate, SQL_CORPUS_GATE),
     "decontam_span": (q_decontam_span, SQL_DECONTAM_SPAN),
     "iban_detect": (q_iban_detect, SQL_IBAN_DETECT),
+    "langid_ngram": (q_langid_ngram, SQL_LANGID_NGRAM),
     "phrase_match": (q_phrase_match, SQL_PHRASE_MATCH),
     "jl_projection": (q_jl_projection, SQL_JL_PROJECTION),
     "priority_sample": (q_priority_sample, SQL_PRIORITY_SAMPLE),

@@ -2724,6 +2724,23 @@ SUITE: dict[str, tuple] = {
                               F.col("weight").alias("v")),
          "SELECT 'mix' AS kind, source AS key, n_tokens AS n1,"
          " expected_tokens AS n2, weight AS v"),
+        # r11: char-trigram NB language ID on the held-out slice
+        # (functions/classify.py langid_ngram, Cavnar-Trenkle 1994) —
+        # per-doc prediction + in-band correctness; nano-nat scores
+        # ride n1 exactly
+        (PIPELINE_SUITE["langid_ngram"],
+         lambda df: df.select(F.lit("langid").alias("kind"),
+                              F.concat_ws("|",
+                                          F.col("doc_id").cast("string"),
+                                          F.col("lang"),
+                                          F.col("predicted"))
+                              .alias("key"),
+                              F.col("score_nano").alias("n1"),
+                              F.col("correct").cast("bigint").alias("n2"),
+                              F.lit(-1.0).alias("v")),
+         "SELECT 'langid' AS kind, CAST(doc_id AS VARCHAR) || '|' ||"
+         " lang || '|' || predicted AS key, score_nano AS n1,"
+         " CAST(correct AS BIGINT) AS n2, CAST(-1.0 AS DOUBLE) AS v"),
         # r11: gate-stage audit funnel (functions/cleaning.py
         # corpus_gate_reason composed into clean_corpus's step 1) —
         # before/after counts per source of the Gopher+Luhn+quality

@@ -933,3 +933,41 @@ def test_cross_source_leakage_counts_only_cross_pairs(spark):
            for r in cross_source_leakage(docs, pairs).collect()}
     assert out == {("a", "b"): (1, 0.85), ("a", "c"): (1, 0.9),
                    ("b", "c"): (1, 0.82)}
+
+
+def test_langid_char_ngrams_discriminate_real_languages(spark):
+    """The char-trigram NB langid (r11) on a REAL multilingual
+    micro-corpus: orthographically distinct languages classify
+    perfectly on held-out docs — the discrimination property the
+    synthetic fixture can't exercise."""
+    from melt_spark.functions.classify import langid_ngram
+
+    corpus = {
+        "en": ["the quick brown fox jumps over the lazy dog",
+               "she sells sea shells by the sea shore",
+               "a journey of a thousand miles begins with one step",
+               "to be or not to be that is the question",
+               "all the world is a stage and we are players"],
+        "de": ["der schnelle braune fuchs springt ueber den faulen hund",
+               "sie verkauft muscheln am ufer des meeres",
+               "eine reise von tausend meilen beginnt mit einem schritt",
+               "sein oder nicht sein das ist hier die frage",
+               "die ganze welt ist eine buehne und wir sind spieler"],
+        "fr": ["le rapide renard brun saute par dessus le chien",
+               "elle vend des coquillages au bord de la mer",
+               "un voyage de mille lieues commence par un pas",
+               "etre ou ne pas etre telle est la question",
+               "le monde entier est une scene et nous des acteurs"],
+    }
+    rows, i = [], 0
+    for lang, texts in corpus.items():
+        for t in texts:
+            rows.append(Row(doc_id=i, lang=lang, text=t))
+            i += 1
+    docs = spark.createDataFrame(rows)
+    out = langid_ngram(docs, train_mod=5)   # ids % 5 == 0 held out
+    got = {r.doc_id: (r.lang, r.predicted, r.correct)
+           for r in out.collect()}
+    assert len(got) == 3   # one held-out doc per language
+    for _id, (lang, predicted, correct) in got.items():
+        assert predicted == lang and correct == 1, got
