@@ -355,32 +355,29 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
 # MinHash + LSH
 
 def _minhash_col(seed: int) -> Column:
-    """One MinHash permutation: min of an 8-hex-char chunk of
-    md5(saltgroup|shingle), taken as its UINT32 VALUE in a BIGINT. One md5
-    digest yields FOUR independent 32-bit chunks, so k permutations cost
-    ceil(k/4) md5 calls per shingle instead of k — md5 dominates the
-    signature pass. Restatable in any SQL dialect.
+    """One MinHash permutation: lexicographic min of an 8-hex-char chunk of
+    md5(saltgroup|shingle). One md5 digest yields FOUR independent 32-bit
+    chunks, so k permutations cost ceil(k/4) md5 calls per shingle instead
+    of k — md5 dominates the signature pass. Restatable in any SQL dialect.
 
-    Why BIGINT and not the hex substring itself (r11 optimization): a
-    string-typed min() has a variable-width aggregation buffer, which
-    Spark cannot hold in the UnsafeRow hash map — the signature pass
-    planned as SortAggregate, i.e. a full sort of the corpus-sized
-    shingle explode by doc_id on BOTH sides of the exchange (measured in
-    the clean_corpus/dedup_minhash_lsh plans), and SortAggregate's
-    interpreted path re-evaluated md5 once per permutation instead of
-    once per salt group. Fixed-length lowercase hex compares
-    lexicographically exactly as its numeric value ('0'<..<'9'<'a'<..<'f'
-    in ASCII matches digit order), so min(conv(chunk, 16, 10)) selects
-    the SAME shingle chunk as min(chunk) — band buckets, candidate pairs
-    and every checked output are bit-identical (the DuckDB oracle still
-    restates the string form, which is the cross-engine proof). With a
-    fixed-width BIGINT buffer the pass is a map-side-combined
-    HashAggregate with whole-stage codegen and subexpression-eliminated
-    md5 — no sort at any scale."""
+    Deliberately a STRING min, although the variable-width buffer plans
+    the signature pass as SortAggregate instead of HashAggregate: the
+    shingle explode emits each document's shingles contiguously, so the
+    map-side partial sort runs over nearly-doc-clustered data (near-linear
+    for TimSort) at every scale, while the fixed-width alternative —
+    min(conv(chunk, 16, 10) as bigint), order-identical because fixed-
+    length lowercase hex compares as its numeric value — pays 8 conv()
+    string parses per shingle. Measured head-to-head (r11,
+    tools/ab_minhash.py — alternating variants in ONE session so box
+    drift cancels): at 16x corpus replication the string variant won
+    every warm adjacent round of the isolated signature pass (6.55/6.69 s
+    vs 7.28/6.91 s, a 3-10% edge), and at sf0.1 the two variants sit
+    within box noise of each other in both directions, so the
+    SortAggregate shape is kept on purpose — the BIGINT rewrite buys no
+    measured time at any probed scale and costs the conv() parses."""
     group, chunk = seed // 4, seed % 4
     digest = F.md5(F.concat(F.lit(f"{group}|"), F.col("shingle")))
-    return F.min(F.conv(F.substring(digest, chunk * 8 + 1, 8),
-                        16, 10).cast("bigint"))
+    return F.min(F.substring(digest, chunk * 8 + 1, 8))
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
