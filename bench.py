@@ -339,11 +339,15 @@ def extended_queries() -> list[tuple[str, object]]:
 
 def compact_line(total: float, sf, timings: dict[str, float],
                  n_errors: int, box_norm: float | None = None,
-                 band: list[float] | None = None) -> str:
+                 band: list[float] | None = None,
+                 total_no_retry: float | None = None) -> str:
     """The ONE stdout JSON line: headline metric + 13 headliner seconds
     (+ the box-normalized headline when calibration succeeded, + the
-    JVM-ratio normalization band). Kept under MAX_STDOUT_BYTES by
-    construction (pinned by pytest)."""
+    JVM-ratio normalization band, + the PRE-RETRY total — r11 verdict
+    #6: the canary-gated retry's min(original, retry) is one-sided, so
+    the line always carries the no-retry total too; when the retry never
+    fires the two are equal and headlines stay comparable either way).
+    Kept under MAX_STDOUT_BYTES by construction (pinned by pytest)."""
     core = [k for k, _ in BENCH_QUERIES]
     out = {
         "metric": "headline_queries_total",
@@ -353,6 +357,8 @@ def compact_line(total: float, sf, timings: dict[str, float],
         "sf": sf,
         "detail": "docs/BENCH_DETAIL.json",
     }
+    if total_no_retry is not None:
+        out["value_no_retry"] = total_no_retry
     if box_norm is not None:
         out["value_box_normalized"] = box_norm
     if band is not None:
@@ -462,6 +468,7 @@ def main() -> None:
     # the committed artifact is self-correcting instead of
     # self-incriminating.
     core = {k for k, _ in BENCH_QUERIES}
+    timings_no_retry = dict(timings)   # pre-retry snapshot (lineage)
     retry_runs: dict[str, list[float]] = {}
     flagged = [n for n in contended_initial if n in core and n in timings]
     by_name = dict(BENCH_QUERIES)
@@ -483,10 +490,17 @@ def main() -> None:
     med, contended = contended_names(canaries, name_seqs)
 
     total = round(sum(v for k, v in timings.items() if k in core), 3)
+    total_no_retry = round(sum(v for k, v in timings_no_retry.items()
+                               if k in core), 3)
     box = box_speed(spark)
     mini = mini_headliner_speed(spark)
     norm_geo = box_normalized(total, box)
     norm = box_normalized_mini(total, mini)
+    # normalization lineage (r11 verdict #6): value_box_normalized's
+    # meaning changed across rounds (r10 JVM geomean → r11 mini anchor);
+    # the detail now NAMES which denominator produced it
+    normalization = "mini_anchor" if norm is not None else \
+        ("jvm_geomean" if norm_geo is not None else "none")
     if norm is None:
         norm = norm_geo
     band = norm_band(total, box)
@@ -494,8 +508,10 @@ def main() -> None:
     detail = {
         "metric": "headline_queries_total",
         "value": total,
+        "value_no_retry": total_no_retry,
         "value_box_normalized": norm,
         "value_box_normalized_jvm_geomean": norm_geo,
+        "normalization": normalization,
         "norm_band": band,
         "unit": "sec",
         "sf": sf,
@@ -523,7 +539,7 @@ def main() -> None:
     detail_path.write_text(json.dumps(detail, indent=1) + "\n")
 
     line = compact_line(total, sf, timings, len(errors), box_norm=norm,
-                        band=band)
+                        band=band, total_no_retry=total_no_retry)
     assert len(line.encode()) <= MAX_STDOUT_BYTES, \
         f"bench stdout line {len(line.encode())}B exceeds budget"
     print(line)

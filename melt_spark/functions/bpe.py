@@ -82,34 +82,54 @@ def bpe_train(docs: DataFrame, rounds: int = 3, text_col: str = "text",
     merge table in order; words = (word, freq, n_syms, seg) — the final
     segmentation of every vocabulary word, seg joined with '|'.
 
-    checkpoint_every: localCheckpoint the words table every k rounds —
-    REQUIRED at production round counts (thousands), where the unrolled
-    lineage would otherwise grow one agg+argmax+fold layer per round and
-    drown the optimizer (the connected-components pattern). The words
-    table is vocabulary-sized, so each checkpoint is cheap.
+    r12 merge-loop shape (guide §2/§5; r11 verdict next-round #3): the
+    word table localCheckpoints after word_freqs and after every round's
+    fold, and each round's 1-row argmax is COLLECTED to the driver and
+    folded back in as literals. The previous shape unrolled the rounds
+    into one plan whose per-round limit-1 argmax was a broadcast subplan:
+    every broadcast job re-derived the words lineage from the corpus
+    scan upward (round r re-ran rounds 1..r-1's folds AND word_freqs'
+    corpus shuffle — O(rounds²) recompute, 128 Exchange mentions in
+    plans/r12/bpe_train_before.txt at rounds=3), and the merge-table
+    union re-ran every argmax subplan again at the final action. Now the
+    corpus is shuffled ONCE into the vocabulary checkpoint; each round
+    reads only the vocabulary-sized previous checkpoint (one bounded job
+    per round); the merge table is a literal frame with zero recompute.
+    The argmax collect is a bounded 1-row reduction (the kmeans-centroid
+    / verify_retry driver-control-flow class, not a data collect).
+
+    Output equivalence: the argmax ordering (n DESC, s1 ASC, s2 ASC),
+    the sentinel no-op on an empty pair table, and the greedy fold are
+    unchanged — collecting the winner instead of broadcasting it cannot
+    change what it selects (tools/ab_bpe.py --check diffs the full
+    entry output multisets bit-for-bit; oracle re-checked).
+
+    checkpoint_every is kept for API compatibility but superseded: every
+    round now checkpoints (the r11 unrolled lineage it bounded is gone).
     """
     spark = docs.sparkSession
-    words = word_freqs(docs, text_col)
-    # degenerate-corpus guard: an EMPTY pair table (every word is a single
-    # symbol) would annihilate `words` through the crossJoin — a sentinel
-    # un-matchable pair (empty strings never equal a symbol) keeps the
-    # merge a no-op instead; sentinel rounds are filtered from the output
-    sentinel = spark.createDataFrame([("", "", -1)], "s1 string,"
-                                     " s2 string, n long")
-    merges = None
+    words = word_freqs(docs, text_col).localCheckpoint(eager=False)
+    merge_rows: list[tuple[int, str, str, int]] = []
     for r in range(1, rounds + 1):
-        best = (_pair_counts(words).unionByName(sentinel)
-                .orderBy(F.desc("n"), F.asc("s1"), F.asc("s2")).limit(1)
-                .select(F.lit(r).alias("round"), "s1", "s2", "n"))
-        merges = best if merges is None else merges.unionByName(best)
-        bst = F.broadcast(best.select(F.col("s1").alias("_a"),
-                                      F.col("s2").alias("_b")))
-        words = (words.crossJoin(bst)
-                 .select("word", "freq",
-                         _merge_fold(F.col("syms"), F.col("_a"),
-                                     F.col("_b")).alias("syms")))
-        if checkpoint_every and r % checkpoint_every == 0:
-            words = words.localCheckpoint(eager=True)
+        top = (_pair_counts(words)
+               .orderBy(F.desc("n"), F.asc("s1"), F.asc("s2")).limit(1)
+               .collect())
+        if top:
+            a, b, n = top[0]["s1"], top[0]["s2"], int(top[0]["n"])
+        else:
+            # degenerate corpus: every word is a single symbol — record
+            # the sentinel round (filtered from the output) and leave the
+            # words table untouched (the empty-string pair can never
+            # match a symbol, so the fold would be a no-op anyway)
+            a, b, n = "", "", -1
+        merge_rows.append((r, a, b, n))
+        if n > 0:
+            words = (words.select(
+                "word", "freq",
+                _merge_fold(F.col("syms"), F.lit(a), F.lit(b))
+                .alias("syms")).localCheckpoint(eager=False))
+    merges = spark.createDataFrame(
+        merge_rows, "round int, s1 string, s2 string, n long")
     final = words.select("word", "freq", F.size("syms").alias("n_syms"),
                          F.array_join("syms", "|").alias("seg"))
     return merges.filter(F.col("n") > 0), final

@@ -87,7 +87,8 @@ def pagerank_int(edges: DataFrame, iters: int = 3,
 
 
 def salted_neighbor_pairs(e: DataFrame,
-                          bucket_size: int = 1024) -> DataFrame:
+                          bucket_size: int = 1024,
+                          deg: DataFrame | None = None) -> DataFrame:
     """(l, r) edges → one row per unordered pair of a center vertex l's
     neighbors: columns (l, r, r2) with r < r2 — the wedge generator
     shared by the butterfly census and Adamic-Adar link prediction,
@@ -104,8 +105,13 @@ def salted_neighbor_pairs(e: DataFrame,
     under (min_b, max_b); same-bucket pairs deduplicated by r < r2) —
     output is provably identical to the unsalted join, and for the
     non-hub bulk (d <= bucket_size) nb = 1 so there is NO replication.
-    Planted-hub probe: tools/butterfly_hub_probe.py."""
-    deg = e.groupBy("l").agg(F.count(F.lit(1)).alias("d"))
+    Planted-hub probe: tools/butterfly_hub_probe.py.
+
+    ``deg``: optional precomputed (l, d) center-degree frame — callers
+    that already aggregate degrees (weights, totals) pass it so the
+    count runs once (r12; pure plumbing, counts unchanged)."""
+    if deg is None:
+        deg = e.groupBy("l").agg(F.count(F.lit(1)).alias("d"))
     eb = (e.join(deg, "l")
           .withColumn("nb", F.expr(f"(d + {bucket_size - 1})"
                                    f" div {bucket_size}"))
@@ -168,9 +174,16 @@ def butterfly_count(edges: DataFrame, left: str, right: str,
     Determinism: pure integer arithmetic; bucketing cannot change counts;
     the coefficient is one IEEE divide of exact integers.
     """
+    # the distinct edge set is COMPACT (two keys) but derives from the
+    # corpus join upstream — localCheckpoint it once (r12): it feeds the
+    # wedge generator's degree table, its bucketed self-join sides and
+    # the totals branch, and without the checkpoint each consumer
+    # re-derived the whole join+distinct lineage inside one plan
     e = (edges.select(F.col(left).alias("l"), F.col(right).alias("r"))
-         .distinct())
-    pairs = (salted_neighbor_pairs(e, bucket_size)
+         .distinct().localCheckpoint(eager=True))
+    degs = (e.groupBy("l").agg(F.count(F.lit(1)).alias("d"))
+            .localCheckpoint(eager=True))   # shared: salting + totals
+    pairs = (salted_neighbor_pairs(e, bucket_size, deg=degs)
              .groupBy("r", "r2")
              .agg(F.count(F.lit(1)).alias("n_common")))
     # `/` promotes to DOUBLE (inexact past 2^53) — stay integral with the
@@ -182,7 +195,6 @@ def butterfly_count(edges: DataFrame, left: str, right: str,
         F.coalesce(F.sum("n_common"), F.lit(0)).alias("wedges"))
         .select(F.expr("pair2 div 2").alias("butterflies"),
                 "right_pairs", "wedges"))
-    degs = e.groupBy("l").agg(F.count(F.lit(1)).alias("d"))
     totals = degs.agg(F.sum("d").alias("n_edges"),
                       F.count(F.lit(1)).alias("n_left"))
     out = stats.crossJoin(F.broadcast(totals))
@@ -337,14 +349,19 @@ def adamic_adar(edges: DataFrame, left: str, right: str, k: int = 50,
     from pyspark.sql.window import Window
 
     # center the wedge on the RIGHT vertex: pairs of left vertices share w
+    # (r12: checkpoint the compact edge set and share ONE degree table —
+    # previously the corpus join+distinct re-derived for the weight
+    # branch AND twice inside the wedge generator, whose internal degree
+    # count also duplicated the weight branch's)
     e = (edges.select(F.col(right).alias("l"), F.col(left).alias("r"))
-         .distinct())
-    deg = e.groupBy("l").agg(F.count(F.lit(1)).alias("d"))
+         .distinct().localCheckpoint(eager=True))
+    deg = (e.groupBy("l").agg(F.count(F.lit(1)).alias("d"))
+           .localCheckpoint(eager=True))
     weights = (deg.filter(F.col("d") >= 2)
                .select("l", F.round(F.lit(1e9)
                                     / F.log(F.col("d").cast("double")))
                        .cast("bigint").alias("w_e9")))
-    prs = (salted_neighbor_pairs(e, bucket_size)
+    prs = (salted_neighbor_pairs(e, bucket_size, deg=deg)
            .join(weights, "l")
            .groupBy(F.col("r").alias("u"), F.col("r2").alias("v"))
            .agg(F.count(F.lit(1)).alias("n_common"),

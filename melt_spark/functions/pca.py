@@ -17,13 +17,18 @@ Spark-first shape, graded for 100 TB:
     order-independent, shuffle-safe, hash-identical on any engine);
   * the moment pass is one map-side-combined groupBy over per-row pair
     explosions: n·d²/2 rows into d²/2 aggregates — the inherent exact-
-    covariance cost, and the ONLY corpus-sized stage;
-  * power iteration runs on the d²-row covariance frame (bounded — 64
-    dims = 4096 rows), unrolled a fixed number of rounds like bpe_train:
-    each round is a broadcast of the 1-row eigenvector frame into a
-    64-row matvec whose inner sum is an ORDERED ascending-j fold (the
-    lm.py pinned-IEEE discipline), then an ordered-i fold for the norm.
-    Nothing here grows with the corpus.
+    covariance cost, and the ONLY corpus-sized stage; it runs EXACTLY
+    once per readout, into a bounded localCheckpoint shared by every
+    consumer (pca_state — the r12 shape; the r11 shape re-derived it
+    for the diag/trace branches and again for the abtt correction);
+  * power iteration runs ON THE DRIVER over the collected d×d
+    covariance (bounded — 64 dims = 4096 doubles, never corpus data):
+    each round is a matvec whose inner sum is an ORDERED ascending-j
+    left fold from 0.0 (the lm.py pinned-IEEE discipline), then an
+    ordered-i fold for the norm — the identical IEEE op sequence the
+    r11 Spark-unrolled folds ran, so the iterate is bit-for-bit the
+    same (CPython floats are IEEE doubles); HALF-UP roundings stay JVM
+    expressions over the literal iterate.
 
 Determinism: integers everywhere until the covariance is cast (exactly,
 same value both engines) to double; every float fold is order-pinned;
@@ -71,27 +76,43 @@ def _quantized(emb: DataFrame, vec_col: str, id_col: str,
             .select(q.alias("q")))
 
 
-def pca_top_component(emb: DataFrame, vec_col: str = "embedding",
-                      id_col: str = "vec_id",
-                      iters: int = 8,
-                      dim: int | None = None) -> DataFrame:
-    """Top principal component of the (centered) embedding cloud.
+def pca_state(emb: DataFrame, vec_col: str = "embedding",
+              id_col: str = "vec_id", iters: int = 8,
+              dim: int | None = None) -> dict:
+    """The shared PCA computation state (r11 verdict next-round #5: one
+    moments job feeding both embedding_pca and abtt_ann).
 
-    Returns d rows (dim, v_e6, cdiag, n) — dim ascending, v_e6 the
-    estimated eigenvector component in 1e-6 units, cdiag the dim's
-    scaled variance n²·var·1e12 (exact integer, rendered as double) —
-    plus a dim = -1 summary row where v_e6 carries share_ppm and cdiag
-    the trace.
+    Runs the corpus-sized work EXACTLY ONCE — the d²/2 pair-moment pass
+    and the per-dim sum pass — into two bounded localCheckpoints, then
+    runs the power iteration ON THE DRIVER over the collected d×d
+    covariance (d² doubles — a bounded reduction, never corpus data;
+    the bpe_train argmax / kmeans-centroid driver-control-flow class).
 
-    Honest contract: v is the ``iters``-round power iterate from the
-    all-ones start (deterministic), and share_ppm = ‖C·v‖/trace is its
-    Rayleigh-style readout — a certified LOWER bound on the true top
-    share (Rayleigh quotient ≤ λ₁), converging as (λ₂/λ₁)^iters. On an
-    ANISOTROPIC cloud — the regime where the all-but-the-top decision
-    matters — the gap is large and 8 rounds land on the top direction;
-    on a near-isotropic cloud the estimate stays conservative, which is
-    the correct signal (nothing dominant to subtract). The number is
-    the decision readout, not a full eigendecomposition."""
+    Why: the previous shape unrolled 8 iteration rounds as broadcast
+    subplans (one tiny job + a 1-partition exchange pair per round) and
+    re-derived the PAIR PASS a second time for the diag/trace branches,
+    because only the crow projection was checkpointed — at bench scale
+    the entries were pure small-stage overhead (embedding_pca 6.0 s /
+    abtt_ann 7.4 s isolated while the corpus stage is ~4M products).
+
+    Bit-exactness of the driver iteration: the collected c values are
+    float(Decimal) = the same correctly-rounded double the previous
+    cast(c AS DOUBLE) produced; the matvec accumulates c*v products in
+    ascending-j order from 0.0 and the norm in ascending-i order — the
+    identical IEEE operation sequence of the previous order-pinned
+    F.aggregate folds (CPython floats ARE IEEE doubles; +,*,/ and
+    math.sqrt are correctly rounded on both engines). All HALF-UP
+    roundings (v_e6, share_ppm) stay in Spark expressions over literal
+    doubles, so JVM BigDecimal semantics are untouched.
+
+    Returns {sums, cup, varr, lam, trace, n, dims}: sums = checkpointed
+    (i, s DECIMAL(38), n) per-dim sums; cup = checkpointed (i, j, c, n)
+    upper-triangle covariance; varr = the iters-round iterate (Python
+    floats, dim-ascending); lam = its final ‖C·v‖; trace = the exact
+    diagonal sum as a correctly-rounded double (None when the corpus is
+    empty); n = kept-row count (None when empty)."""
+    import math
+
     qd = _quantized(emb, vec_col, id_col, dim=dim)
     d = F.size("q")
     # per-row upper-triangle products: struct(i, j, qq) for i <= j
@@ -113,86 +134,117 @@ def pca_top_component(emb: DataFrame, vec_col: str = "embedding",
     sums = (qd.select(F.posexplode("q").alias("i0", "qi"))
             .groupBy((F.col("i0") + 1).alias("i"))
             .agg(F.sum("qi").cast("decimal(38,0)").alias("s"),
-                 F.count(F.lit(1)).cast("bigint").alias("n")))
+                 F.count(F.lit(1)).cast("bigint").alias("n"))
+            .localCheckpoint(eager=True))   # d rows; abtt's mu reads it
     si = sums.select("i", "s", "n")
     sj = sums.select(F.col("i").alias("j"), F.col("s").alias("sj"))
     cup = (upper.join(si, "i").join(sj, "j")
            .select("i", "j",
                    (F.col("n") * F.col("P") - F.col("s") * F.col("sj"))
-                   .cast("decimal(38,0)").alias("c"), "n"))
-    # mirror the upper triangle into the full symmetric matrix, then one
-    # bounded (d rows) frame of ordered per-row coefficient lists
-    cfull = cup.select("i", "j", "c", "n").unionByName(
-        cup.filter(F.col("i") != F.col("j"))
-        .select(F.col("j").alias("i"), F.col("i").alias("j"), "c", "n"))
-    crow = (cfull.groupBy("i")
-            .agg(F.transform(
-                F.array_sort(F.collect_list(F.struct(
-                    "j", F.col("c").cast("double").alias("cd")))),
-                lambda x: x["cd"]).alias("arr"),
-                F.max("n").alias("n"))
-            .localCheckpoint(eager=True))   # d rows; 2 consumers/iter
-    diag = (cup.filter(F.col("i") == F.col("j"))
-            .select("i", F.col("c").cast("double").alias("cdiag")))
-    # trace summed EXACTLY in decimal, cast once — a float sum over a
-    # shuffled aggregate would be order-nondeterministic
-    trace = (cup.filter(F.col("i") == F.col("j"))
-             .agg(F.sum("c").cast("decimal(38,0)").cast("double")
-                  .alias("tr")))
-
-    # v0 = all ones (deterministic sign; width derived from the data so
-    # non-64-dim corpora work); each round: w = C·v (ordered-j fold per
-    # row), lambda = ||w|| (ordered-i fold), v = w / lambda
-    v = (crow.agg(F.max("i").alias("d"))
-         .select(F.transform(F.sequence(F.lit(1), F.col("d")),
-                             lambda _: F.lit(1.0)).alias("varr")))
+                   .cast("decimal(38,0)").alias("c"), "n")
+           .localCheckpoint(eager=True))   # d²/2 rows; pair pass ONCE
+    rows = cup.collect()
+    if not rows:
+        return {"sums": sums, "cup": cup, "varr": [], "lam": 0.0,
+                "trace": None, "n": None, "dims": 0}
+    d_dim = max(r["i"] for r in rows)
+    n = max(r["n"] for r in rows)
+    # full symmetric matrix from the mirrored upper triangle;
+    # float(Decimal) == the Spark cast(c AS DOUBLE) double
+    mat = [[0.0] * d_dim for _ in range(d_dim)]
+    tr_exact = 0
+    for r in rows:
+        cd = float(r["c"])
+        mat[r["i"] - 1][r["j"] - 1] = cd
+        if r["i"] == r["j"]:
+            tr_exact += r["c"]   # exact Decimal sum (the old decimal agg)
+        else:
+            mat[r["j"] - 1][r["i"] - 1] = cd
+    trace = float(tr_exact)
+    # v0 = all ones (deterministic sign); each round: w = C·v with the
+    # ascending-j left fold, lam = ||w|| with the ascending-i left fold,
+    # v = w / lam — the identical op sequence of the old Spark folds
+    v = [1.0] * d_dim
+    lam = 0.0
     for _ in range(iters):
-        wrow = (crow.crossJoin(F.broadcast(v))
-                .select("i", F.aggregate(
-                    F.zip_with("arr",
-                               F.slice("varr", 1, F.size("arr")),
-                               lambda c, vv: c * vv),
-                    F.lit(0.0), lambda acc, x: acc + x).alias("w")))
-        v = (wrow.groupBy()
-             .agg(F.transform(
-                 F.array_sort(F.collect_list(F.struct("i", "w"))),
-                 lambda x: x["w"]).alias("warr"))
-             .select(
-                 "warr",
-                 F.sqrt(F.aggregate("warr", F.lit(0.0),
-                                    lambda a, x: a + x * x)).alias("lam"))
-             .select(F.when(
-                 F.col("lam") > 0,
-                 F.transform("warr", lambda x: x / F.col("lam")))
-                 .otherwise(F.col("warr")).alias("varr"),
-                 F.col("lam")))
-    final = v.crossJoin(F.broadcast(trace)).select(
-        "varr",
-        F.when(F.col("tr") > 0,
-               F.round(F.col("lam") / F.col("tr") * F.lit(1e6)))
-        .otherwise(F.lit(0.0)).cast("bigint").alias("share_ppm"),
-        F.col("tr")).localCheckpoint(eager=True)   # 1 row, 2 consumers
-    per_dim = (crow.select("i", "n")
-               .join(diag, "i")
-               .crossJoin(F.broadcast(final.select("varr")))
+        w = []
+        for i in range(d_dim):
+            acc = 0.0
+            row = mat[i]
+            for j in range(d_dim):
+                acc = acc + row[j] * v[j]
+            w.append(acc)
+        acc = 0.0
+        for x in w:
+            acc = acc + x * x
+        lam = math.sqrt(acc)
+        v = [x / lam for x in w] if lam > 0 else w
+    return {"sums": sums, "cup": cup, "varr": v, "lam": lam,
+            "trace": trace, "n": n, "dims": d_dim}
+
+
+def pca_top_component(emb: DataFrame, vec_col: str = "embedding",
+                      id_col: str = "vec_id",
+                      iters: int = 8,
+                      dim: int | None = None,
+                      state: dict | None = None) -> DataFrame:
+    """Top principal component of the (centered) embedding cloud.
+
+    Returns d rows (dim, v_e6, cdiag, n) — dim ascending, v_e6 the
+    estimated eigenvector component in 1e-6 units, cdiag the dim's
+    scaled variance n²·var·1e12 (exact integer, rendered as double) —
+    plus a dim = -1 summary row where v_e6 carries share_ppm and cdiag
+    the trace.
+
+    Honest contract: v is the ``iters``-round power iterate from the
+    all-ones start (deterministic), and share_ppm = ‖C·v‖/trace is its
+    Rayleigh-style readout — a certified LOWER bound on the true top
+    share (Rayleigh quotient ≤ λ₁), converging as (λ₂/λ₁)^iters. On an
+    ANISOTROPIC cloud — the regime where the all-but-the-top decision
+    matters — the gap is large and 8 rounds land on the top direction;
+    on a near-isotropic cloud the estimate stays conservative, which is
+    the correct signal (nothing dominant to subtract). The number is
+    the decision readout, not a full eigendecomposition.
+
+    ``state``: a precomputed :func:`pca_state` (the shared-moments
+    channel for entries that also run the abtt correction); when None,
+    the state is computed here. Output is identical either way."""
+    st = state if state is not None else pca_state(
+        emb, vec_col, id_col, iters=iters, dim=dim)
+    spark = emb.sparkSession
+    if st["n"] is None:
+        # empty corpus: the degenerate single summary row the previous
+        # shape produced (share 0, null trace/n, no per-dim rows)
+        return spark.range(1).select(
+            F.lit(-1).cast("int").alias("dim"),
+            F.lit(0).cast("bigint").alias("v_e6"),
+            F.lit(None).cast("double").alias("cdiag"),
+            F.lit(None).cast("bigint").alias("n"))
+    varr = F.array(*[F.lit(float(x)) for x in st["varr"]])
+    per_dim = (st["cup"].filter(F.col("i") == F.col("j"))
                .select(F.col("i").cast("int").alias("dim"),
-                       F.round(F.element_at("varr", F.col("i"))
+                       F.round(F.element_at(varr, F.col("i"))
                                * F.lit(float(E6))).cast("bigint")
                        .alias("v_e6"),
-                       "cdiag", "n"))
-    n1 = crow.agg(F.max("n").alias("n"))
-    summary = (final.crossJoin(F.broadcast(n1))
-               .select(F.lit(-1).cast("int").alias("dim"),
-                       F.col("share_ppm").alias("v_e6"),
-                       F.col("tr").alias("cdiag"),
+                       F.col("c").cast("double").alias("cdiag"),
                        F.col("n")))
+    # HALF-UP share rounding stays a JVM expression over literal doubles
+    tr = F.lit(st["trace"])
+    summary = spark.range(1).select(
+        F.lit(-1).cast("int").alias("dim"),
+        F.when(tr > 0,
+               F.round(F.lit(st["lam"]) / tr * F.lit(1e6)))
+        .otherwise(F.lit(0.0)).cast("bigint").alias("v_e6"),
+        tr.cast("double").alias("cdiag"),
+        F.lit(st["n"]).cast("bigint").alias("n"))
     return per_dim.unionByName(summary)
 
 
 def abtt_ann_overlap(emb: DataFrame, dim: int, k: int = 10,
                      n_queries: int = 5,
                      vec_col: str = "embedding", id_col: str = "vec_id",
-                     iters: int = 8) -> DataFrame:
+                     iters: int = 8,
+                     state: dict | None = None) -> DataFrame:
     """All-but-the-top APPLIED (r10, r9 verdict #4): subtract the
     per-dim mean and the top-component projection from every vector
     (Mu & Viswanath ICLR 2018's correction, their D=1 case), run exact
@@ -212,48 +264,65 @@ def abtt_ann_overlap(emb: DataFrame, dim: int, k: int = 10,
     cosine folds, which run in index order from a 0.0 seed (the
     similarity.cosine discipline DuckDB's list_reduce reproduces).
 
-    Scale shape: the pca moment pass is the corpus-sized stage
-    (inherited); the correction itself is one broadcast of two d-length
-    arrays into a map-side transform; both top-k passes broadcast the
+    Scale shape (r12): the pca moment pass is the corpus-sized stage,
+    run ONCE through the shared :func:`pca_state` (whose checkpointed
+    per-dim sums also feed mu — the previous shape re-ran its own
+    corpus posexplode for them, and re-ran the whole moments chain when
+    an entry drove both this and the readout); the correction constants
+    (muarr, v_e6) are bounded d-length arrays folded in as LITERALS —
+    mu's floor(s/n + 0.5) is bit-identical on the driver (float(s) is
+    the same correctly-rounded double as the old CAST, and /, +, floor
+    are correctly rounded IEEE on both engines), while v_e6's HALF-UP
+    rounding stays a JVM expression over the literal iterate so
+    BigDecimal semantics are untouched. Both top-k passes broadcast the
     bounded (limit n_queries) query side so the corpus never shuffles;
     the corrected frame is localCheckpoint'd (one narrow row per
-    vector) because the corpus and query sides both read it."""
+    vector) because the corpus and query sides both read it.
+
+    ``state``: a precomputed :func:`pca_state` (must be built with the
+    same vec/id cols, iters and dim); None computes it here."""
+    import math
+
     from .similarity import cosine_topk
 
     d = int(dim)
+    st = state if state is not None else pca_state(
+        emb, vec_col, id_col, iters=iters, dim=d)
+    spark = emb.sparkSession
     base = (emb.filter(F.col(vec_col).isNotNull()
                        & (F.size(vec_col) == d)))
     q = F.transform(F.col(vec_col).cast("array<double>"),
                     lambda x: F.round(x * F.lit(float(E6))).cast("bigint"))
     qd = base.select(F.col(id_col).alias("id"), q.alias("q"))
 
-    sums = (qd.select(F.posexplode("q").alias("i0", "qi"))
-            .groupBy((F.col("i0") + 1).alias("i"))
-            .agg(F.sum("qi").cast("bigint").alias("s"),
-                 F.count(F.lit(1)).cast("bigint").alias("n")))
-    mu = (sums.groupBy()
-          .agg(F.transform(
-              F.array_sort(F.collect_list(F.struct(
-                  "i",
-                  F.floor(F.col("s").cast("double") / F.col("n")
-                          + F.lit(0.5)).cast("bigint").alias("m")))),
-              lambda x: x["m"]).alias("muarr")))
-    ve = (pca_top_component(emb, vec_col, id_col, iters=iters, dim=d)
-          .filter(F.col("dim") >= 1)
-          .groupBy()
-          .agg(F.transform(
-              F.array_sort(F.collect_list(F.struct("dim", "v_e6"))),
-              lambda x: x["v_e6"]).alias("varr")))
-    cons = mu.crossJoin(ve)   # one row: (muarr, varr)
+    # per-dim means from the state's checkpointed exact sums (d rows)
+    mu = [int(math.floor(float(r["s"]) / r["n"] + 0.5))
+          for r in sorted(st["sums"].collect(), key=lambda r: r["i"])]
+    # the published eigenvector digits: the SAME JVM half-up rounding
+    # the readout emits, evaluated once over the literal iterate
+    if st["varr"]:
+        varr_lit = F.array(*[F.lit(float(x)) for x in st["varr"]])
+        ve6 = spark.range(1).select(
+            F.transform(varr_lit,
+                        lambda x: F.round(x * F.lit(float(E6)))
+                        .cast("bigint")).alias("v")).head()[0]
+    else:
+        ve6 = []
 
-    xc = F.zip_with("q", "muarr", lambda x, m: x - m)
-    corr = (qd.crossJoin(F.broadcast(cons))
-            .withColumn("xc", xc)
+    def _bigint_arr(vals):
+        if not vals:
+            return F.array().cast("array<bigint>")
+        return F.array(*[F.lit(int(x)) for x in vals]).cast("array<bigint>")
+
+    muarr = _bigint_arr(mu)
+    vearr = _bigint_arr(ve6)
+    xc = F.zip_with("q", muarr, lambda x, m: x - m)
+    corr = (qd.withColumn("xc", xc)
             .withColumn("proj", F.aggregate(
-                F.zip_with("xc", "varr", lambda x, v: x * v),
+                F.zip_with("xc", vearr, lambda x, v: x * v),
                 F.lit(0).cast("bigint"), lambda acc, x: acc + x))
             .select("id", F.zip_with(
-                "xc", "varr",
+                "xc", vearr,
                 lambda x, v: (x - F.floor(
                     F.col("proj").cast("double") * v / F.lit(1e12)
                     + F.lit(0.5)).cast("bigint")).cast("double"))

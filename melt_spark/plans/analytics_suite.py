@@ -3455,7 +3455,8 @@ FROM embeddings
 """
 
 
-def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_embedding_pca(spark: SparkSession, sf_dir: str,
+                    state: dict | None = None) -> DataFrame:
     """PCA top-component / anisotropy readout over the embedding corpus
     (functions/pca.py pca_top_component; Mu & Viswanath ICLR 2018
     "all-but-the-top", Ethayarajh EMNLP 2019): exact-integer covariance
@@ -3470,8 +3471,11 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     # dim pinned to the oracle's d=64 contract (r10 ADVICE fix): a
     # ragged row can no longer slip a 63- or 65-wide vector into the
-    # moments the SQL restatement divides by the pinned-width count
-    return pca_top_component(emb, dim=64)
+    # moments the SQL restatement divides by the pinned-width count.
+    # ``state``: the shared pca_state channel (r11 verdict #5) — the
+    # numeric_profiles entry computes the moments once for this AND
+    # the abtt branch; standalone drives compute their own.
+    return pca_top_component(emb, dim=64, state=state)
 
 
 def _pca_prefix(d: int = 64, iters: int = 8) -> str:
@@ -3626,7 +3630,8 @@ FROM mom
 """
 
 
-def q_abtt_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_abtt_ann(spark: SparkSession, sf_dir: str,
+               state: dict | None = None) -> DataFrame:
     """All-but-the-top APPLIED (functions/pca.py abtt_ann_overlap; Mu &
     Viswanath ICLR 2018, D=1): de-mean + subtract the top-component
     projection from every embedding, exact cosine top-10 in the
@@ -3639,7 +3644,7 @@ def q_abtt_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.pca import abtt_ann_overlap
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return abtt_ann_overlap(emb, dim=64, k=10, n_queries=5)
+    return abtt_ann_overlap(emb, dim=64, k=10, n_queries=5, state=state)
 
 
 def _sql_abtt_ann(d: int = 64, iters: int = 8, k: int = 10,
@@ -6129,10 +6134,13 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = read_table(spark, sf_dir, "orders")
     li = read_table(spark, sf_dir, "lineitem")
+    # compact (a, b) pair set — checkpoint once (r12): both the LPA
+    # rounds' edge build and modularity's canonical undirected set read
+    # it, and each previously re-ran the orders⋈lineitem join+distinct
     pairs = (orders.join(li, orders.o_orderkey == li.l_orderkey)
              .select(F.col("o_custkey").alias("a"),
                      (-F.col("l_suppkey") - F.lit(1)).alias("b"))
-             .distinct())
+             .distinct().localCheckpoint(eager=True))
     labels = lpa_communities(pairs, "a", "b", rounds=3)
     return modularity(pairs, "a", "b", labels)
 

@@ -1603,6 +1603,43 @@ def q_text_quality_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .select("doc_id", "verdict", "reason"), "doc_id"))
 
 
+def _merged_shared_pca(*branches):
+    """merged() with ONE pca_state threaded through the embedding_pca
+    and abtt_ann branches (r11 verdict next-round #5 — the shared-LM-
+    chain pattern applied to the Gram/moment pass): when the entry is
+    driven, the corpus-sized d²/2 moment aggregation and the per-dim
+    sum pass run ONCE and feed both the readout and the applied
+    correction. The state is built fresh per invocation (a closure
+    local, never module state), so every drive still computes from the
+    parquet inputs. The oracle SQL is merged()'s unchanged — DuckDB's
+    CTE reuse already shares the chain on that side."""
+    _run_plain, sql = merged(*branches)
+    pca_fn = ANALYTICS_SUITE["embedding_pca"][0]
+    abtt_fn = ANALYTICS_SUITE["abtt_ann"][0]
+
+    def run(spark, sf_dir) -> DataFrame:
+        from ..functions.pca import pca_state
+
+        st: list = []   # built on first use, shared within THIS call
+
+        def shared():
+            if not st:
+                st.append(pca_state(
+                    read_table(spark, sf_dir, "embeddings"), dim=64))
+            return st[0]
+
+        out = None
+        for (fn, _sql), proj, _sp in branches:
+            if fn is pca_fn or fn is abtt_fn:
+                d = proj(fn(spark, sf_dir, state=shared()))
+            else:
+                d = proj(fn(spark, sf_dir))
+            out = d if out is None else out.unionByName(d)
+        return out
+
+    return run, sql
+
+
 SUITE: dict[str, tuple] = {
     # -- message/envelope surface: P1/P2/F1/F2/O4 + U1 mask + composite key
     #    + PK-less value-as-key (reference integration_test.clj:158-184)
@@ -3967,7 +4004,7 @@ SUITE: dict[str, tuple] = {
          " exact_distinct AS a, hll_e4 AS b, s_scaled AS n"),
     ),
     # -- percentiles + deterministic math + embedding norms (all-double row)
-    "numeric_profiles": merged(
+    "numeric_profiles": _merged_shared_pca(
         (ANALYTICS_SUITE["order_value_percentiles"],
          lambda df: df.select(F.lit("percentiles").alias("kind"),
                               F.col("o_orderstatus").alias("key"),

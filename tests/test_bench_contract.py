@@ -18,19 +18,38 @@ import bench
 
 def test_compact_line_fits_budget_worst_case():
     # worst case: every headliner present with a wide timing value, sf a
-    # long string, errors present, normalization band present
+    # long string, errors present, normalization band present, and the
+    # r12 no-retry lineage total present
     timings = {name: 12345.678 for name, _fn in bench.BENCH_QUERIES}
     line = bench.compact_line(99999.999, "0.001", timings, n_errors=99,
                               box_norm=88888.888,
-                              band=[77777.777, 99999.999])
+                              band=[77777.777, 99999.999],
+                              total_no_retry=99999.999)
     n = len(line.encode())
     assert n <= bench.MAX_STDOUT_BYTES, f"{n}B > {bench.MAX_STDOUT_BYTES}B"
     parsed = json.loads(line)
     assert parsed["metric"] == "headline_queries_total"
     assert parsed["value"] == 99999.999
+    assert parsed["value_no_retry"] == 99999.999
     assert parsed["value_box_normalized"] == 88888.888
     assert parsed["norm_band"] == [77777.777, 99999.999]
     assert set(parsed["queries"]) == {n for n, _ in bench.BENCH_QUERIES}
+
+
+def test_compact_line_and_detail_carry_retry_lineage():
+    """r11 verdict #6: the canary-gated retry takes min(original, retry)
+    — downward-biased by construction — so the compact line must always
+    carry the PRE-RETRY total beside the headline, and the detail must
+    name which denominator produced value_box_normalized."""
+    timings = {name: 1.0 for name, _fn in bench.BENCH_QUERIES}
+    line = bench.compact_line(13.0, 0.1, timings, n_errors=0,
+                              total_no_retry=14.5)
+    parsed = json.loads(line)
+    assert parsed["value_no_retry"] == 14.5
+    src = open(bench.__file__).read()
+    for key in ('"value_no_retry"', '"normalization"',
+                "timings_no_retry"):
+        assert key in src, f"bench lost retry/normalization lineage {key}"
 
 
 def test_compact_line_is_single_line_json():

@@ -9,7 +9,6 @@ Names resolve like bench.py: headliners, registry constituents, entries.
 from __future__ import annotations
 
 import json
-import os
 import sys
 import time
 from pathlib import Path
@@ -54,8 +53,12 @@ def main() -> None:
         spark.sparkContext.setJobDescription(f"warm:{name}")
         try:
             _force(fn(spark, warm))
-        except Exception:
-            pass
+        except Exception as exc:  # noqa: BLE001
+            # a broken warm-up leaves the first timed run cold and skews
+            # min-of-N — say so instead of silently recording it
+            print(f"WARN warm-up for {name} failed: "
+                  f"{type(exc).__name__}: {exc}", file=sys.stderr,
+                  flush=True)
         rs = []
         for r in range(n_runs):
             spark.sparkContext.setJobDescription(f"run{r}:{name}")
