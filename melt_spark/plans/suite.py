@@ -1176,30 +1176,56 @@ SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.%gZ') AS ts_iso FROM events
 
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1-style pricing summary. Aggregation is exact DECIMAL (order-
-    independent — SUM(double) low bits would depend on partial-agg order);
-    the FINAL projection casts to DOUBLE because the driver's correctness
-    hash degrades DuckDB decimals to float64 (r01 lesson: Decimal
-    '221669.00' vs float '221669.0' hash-mismatch)."""
+    """TPC-H Q1-style pricing summary. Aggregation is exact INTEGER
+    CENTS (order-independent; r12, guide §1.2/§2.3 — the r11 shape's
+    per-row double→DECIMAL(18,2) casts, DECIMAL(37,x) multiplies and
+    DECIMAL(38,x) sum buffers were the headliner's whole CPU cost, and
+    its 16× probe ratio was 11.87): floor(x·100 + 0.5) is exactly
+    CAST(x AS DECIMAL(18,2)) for this data's 2-decimal doubles (probed
+    bit-for-bit old-vs-new at sf0.001/0.01/0.1 and at 16× volume —
+    tools/ab_q1.py --check), the per-row measures become bigint
+    products (disc_price in 1e-4 units, charge in 1e-6 units, both
+    overflow-safe: |charge_6| < 2^37 per row, so 2^26 rows per
+    partial-agg partition fit long with 2^63 headroom), and the four
+    output rows convert long → DECIMAL(38,0) → /10^k (exact: the
+    quotient has ≤ 6 decimal digits, inside the division's result
+    scale) → DOUBLE — the same correctly-rounded double the decimal-sum
+    cast produced. The FINAL projection is DOUBLE because the driver's
+    correctness hash degrades DuckDB decimals to float64 (r01 lesson:
+    Decimal '221669.00' vs float '221669.0' hash-mismatch)."""
     li = read_table(spark, sf_dir, "lineitem")
-    d2 = lambda c: F.col(c).cast("decimal(18,2)")
-    one = F.lit(1).cast("decimal(18,2)")
-    disc_price = (d2("l_extendedprice") * (one - d2("l_discount"))) \
-        .cast("decimal(18,4)")
-    charge = disc_price * (one + d2("l_tax"))
-    qty = d2("l_quantity")
-    return (li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
-            .groupBy("l_returnflag", "l_linestatus")
-            .agg(
-                F.sum(qty).cast("double").alias("sum_qty"),
-                F.sum(d2("l_extendedprice")).cast("double").alias("sum_base_price"),
-                F.sum(disc_price).cast("double").alias("sum_disc_price"),
-                F.sum(charge).cast("double").alias("sum_charge"),
-                (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
-                (F.sum(d2("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
-                (F.sum(d2("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
-                F.count(F.lit(1)).alias("count_order"),
-            ))
+    cents = lambda c: F.floor(F.col(c) * 100.0 + 0.5)
+    qty_c = cents("l_quantity")
+    price_c = cents("l_extendedprice")
+    disc_c = cents("l_discount")
+    tax_c = cents("l_tax")
+    disc_price_4 = price_c * (F.lit(100).cast("long") - disc_c)
+    charge_6 = disc_price_4 * (F.lit(100).cast("long") + tax_c)
+    g = (li.filter(F.col("l_shipdate")
+                   <= F.lit("2000-12-01").cast("timestamp"))
+         .groupBy("l_returnflag", "l_linestatus")
+         .agg(F.sum(qty_c).alias("__qc"),
+              F.sum(price_c).alias("__pc"),
+              F.sum(disc_price_4).alias("__dp4"),
+              F.sum(charge_6).alias("__ch6"),
+              F.sum(disc_c).alias("__dc"),
+              F.count(F.lit(1)).alias("count_order")))
+
+    def dbl(col: str, denom: int):
+        return (F.col(col).cast("decimal(38,0)")
+                / F.lit(denom).cast("decimal(7,0)")).cast("double")
+
+    cnt = F.col("count_order")
+    return g.select(
+        "l_returnflag", "l_linestatus",
+        dbl("__qc", 100).alias("sum_qty"),
+        dbl("__pc", 100).alias("sum_base_price"),
+        dbl("__dp4", 10_000).alias("sum_disc_price"),
+        dbl("__ch6", 1_000_000).alias("sum_charge"),
+        (dbl("__qc", 100) / cnt).alias("avg_qty"),
+        (dbl("__pc", 100) / cnt).alias("avg_price"),
+        (dbl("__dc", 100) / cnt).alias("avg_disc"),
+        "count_order")
 
 
 SQL_TPCH_Q1 = """
