@@ -270,15 +270,19 @@ def binary_signature(vec: Column) -> tuple[Column, Column]:
     (dims 1-32 → w0 bit i = dim i+1 > 0; dims 33-64 → w1). Two words
     instead of one BIGINT because bit 63 wraps negative in both Java and
     DuckDB (NOTES.md bit-packing rule); bits 0..31 in a BIGINT column are
-    portable everywhere. Unrolled literal shifts — shiftleft with a
-    column count is not (see bloom.py)."""
+    portable everywhere. Literal bit WEIGHTS (shiftleft with a column
+    count is not portable — see bloom.py) zipped against the vector
+    slice and folded (r12): the same exact integer sum as the previous
+    64-node unrolled when-chain, without the expression-tree bloat (the
+    lsh_bucket §7.3 lesson); a missing dimension's null compares false
+    and contributes 0, exactly like the old out-of-range element_at."""
     def word(lo: int) -> Column:
-        s = F.lit(0).cast("long")
-        for i in range(32):
-            s = s + F.when(F.element_at(vec, lo + i) > 0,
-                           F.lit(1 << i).cast("long")) \
-                     .otherwise(F.lit(0).cast("long"))
-        return s
+        weights = F.array(*[F.lit(1 << i).cast("long") for i in range(32)])
+        return F.aggregate(
+            F.zip_with(F.slice(vec, lo, 32), weights,
+                       lambda x, w: F.when(x > 0, w)
+                       .otherwise(F.lit(0).cast("long"))),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
 
     return word(1), word(33)
 
@@ -349,20 +353,39 @@ def _plane_component(plane: int, dim: int) -> Column:
 
 def lsh_bucket(vec: Column, num_planes: int, dims: int) -> Column:
     """Sign pattern of the vector against num_planes hyperplanes → bucket
-    bitstring. Computed as an unrolled sum per plane (array element_at),
-    all JVM-side."""
+    bitstring. r12: the plane components are CONSTANTS, so each plane's
+    dot product is an ordered fold over a literal component array — the
+    previous shape unrolled num_planes×dims element_at/multiply/add
+    NODES into the expression tree (384 at 6×64), and analysis/codegen
+    of that tree, not execution, dominated the operators that embed it
+    (guide §7.3 'very large plans'). The fold runs the IDENTICAL IEEE
+    op sequence (0.0 + x₀·c₀, then +x₁·c₁ … ascending d, each product
+    first), and the Python-computed components are the same integer
+    arithmetic _plane_component evaluated ((p+1)·73856093·(d+1) +
+    19349663) % 2001, positive on both sides, then the same (v−1000)
+    /1000.0 divide — so buckets are bit-identical. F.slice keeps the
+    old element_at semantics on ragged vectors (only the first `dims`
+    components count; missing ones null out the plane sum → bit '0')."""
     bits = []
+    head = F.slice(vec, 1, dims)
     for p in range(num_planes):
-        s = F.lit(0.0)
-        for d in range(dims):
-            s = s + F.element_at(vec, d + 1) * _plane_component(p, d)
+        comps = F.array(*[
+            F.lit((((p + 1) * 73856093 * (d + 1) + 19349663) % 2001
+                   - 1000) / 1000.0)
+            for d in range(dims)])
+        s = F.aggregate(F.zip_with(head, comps, lambda x, c: x * c),
+                        F.lit(0.0), lambda acc, x: acc + x)
         bits.append(F.when(s >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
 
 def lsh_bucketed(corpus: DataFrame, num_planes: int = 6, dims: int = 64,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    return corpus.select(
+    # the plane dot products are interpreted per-row folds — spread a
+    # few-file input across cores first (no-op at 100 TB; r12, §2.6)
+    from .util import spread_input
+
+    return spread_input(corpus, id_col).select(
         F.col(id_col),
         lsh_bucket(_dvec(vec_col), num_planes, dims).alias("bucket"))
 
@@ -373,10 +396,18 @@ def lsh_cosine_pairs(corpus: DataFrame, threshold: float = 0.9,
                      vec_col: str = "embedding") -> DataFrame:
     """Near-duplicate embedding pairs: bucket → same-bucket candidates →
     exact cosine filter. The corpus×corpus problem becomes
-    sum-over-buckets(|bucket|²) — tractable when planes spread the space."""
-    vecs = corpus.select(F.col(id_col), _dvec(vec_col).alias("v"))
-    bucketed = lsh_bucketed(corpus, num_planes, dims, id_col, vec_col) \
-        .join(vecs, id_col)
+    sum-over-buckets(|bucket|²) — tractable when planes spread the space.
+
+    r12: bucket and vector ride ONE projection of the corpus — the
+    previous shape computed the buckets, then self-joined the corpus on
+    the id just to re-attach the vector (a full extra shuffle join of
+    the corpus with itself, same output)."""
+    from .util import spread_input
+
+    bucketed = spread_input(corpus, id_col).select(
+        F.col(id_col),
+        lsh_bucket(_dvec(vec_col), num_planes, dims).alias("bucket"),
+        _dvec(vec_col).alias("v"))
     a, b = bucketed.alias("a"), bucketed.alias("b")
     cands = a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))

@@ -139,8 +139,14 @@ FROM feats
 
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition ratios per document — boilerplate/spam
-    signals. Pure per-row array folds: scan-speed, no shuffle."""
-    docs = read_table(spark, sf_dir, "documents")
+    signals. Pure per-row array folds, no shuffle of consequence — but
+    the folds are interpreted higher-order expressions, so a one-file
+    input would run them on ONE task (r12, guide §2.6 idle capacity:
+    11.3 s single-threaded at sf0.1); spread_input repartitions only
+    when files < cores — a no-op on a real many-file 100 TB table."""
+    from ..functions.util import spread_input
+
+    docs = spread_input(read_table(spark, sf_dir, "documents"), "doc_id")
     return repetition_features(docs)
 
 
@@ -170,8 +176,11 @@ def q_rep_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram token entropy per document — pure per-row array expressions,
     zero shuffle."""
     from ..functions.cleaning import repeat_entropy_cols
+    from ..functions.util import spread_input
 
-    docs = read_table(spark, sf_dir, "documents")
+    # same one-task hazard as q_repetition (r12): the ladder folds are
+    # per-row CPU; spread a few-file input across cores first
+    docs = spread_input(read_table(spark, sf_dir, "documents"), "doc_id")
     cols = repeat_entropy_cols("text")
     return docs.select("doc_id",
                        *[c.alias(n) for n, c in cols.items()])
