@@ -260,8 +260,11 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = read_table(spark, sf_dir, "supplier")
     orders = read_table(spark, sf_dir, "orders")
     li = read_table(spark, sf_dir, "lineitem")
-    d2 = lambda c: F.col(c).cast("decimal(18,2)")
-    one = F.lit(1).cast("decimal(18,2)")
+    # exact integer 1e-4 revenue units — the q_tpch_q1 long-cents proof
+    # (r12): same columns, same product, same exact final conversion
+    rev_4 = (F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
+             * (F.lit(100).cast("long")
+                - F.floor(F.col("l_discount") * 100.0 + 0.5)))
     return (region.filter(F.col("r_name") == "ASIA")
             .join(nation, nation.n_regionkey == region.r_regionkey)
             .join(cust, cust.c_nationkey == nation.n_nationkey)
@@ -272,7 +275,8 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
                     & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
             .groupBy("n_name")
-            .agg(F.sum(d2("l_extendedprice") * (one - d2("l_discount")))
+            .agg((F.sum(rev_4).cast("decimal(38,0)")
+                  / F.lit(10_000).cast("decimal(7,0)"))
                  .cast("double").alias("revenue")))
 
 
@@ -534,8 +538,11 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer")
     orders = read_table(spark, sf_dir, "orders")
     li = read_table(spark, sf_dir, "lineitem")
-    d2 = lambda c: F.col(c).cast("decimal(18,2)")
-    one = F.lit(1).cast("decimal(18,2)")
+    # exact integer 1e-4 revenue units — the q_tpch_q1 long-cents proof
+    # (r12): same columns, same product, same exact final conversion
+    rev_4 = (F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
+             * (F.lit(100).cast("long")
+                - F.floor(F.col("l_discount") * 100.0 + 0.5)))
     return (cust
             .join(orders, cust.c_custkey == orders.o_custkey)
             .join(li, orders.o_orderkey == li.l_orderkey)
@@ -543,7 +550,8 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
                     & (F.col("l_returnflag") == "R"))
             .groupBy("c_custkey", "c_name")
-            .agg(F.sum(d2("l_extendedprice") * (one - d2("l_discount")))
+            .agg((F.sum(rev_4).cast("decimal(38,0)")
+                  / F.lit(10_000).cast("decimal(7,0)"))
                  .cast("double").alias("revenue"))
             .orderBy(F.desc("revenue"), F.asc("c_custkey"))
             .limit(20))

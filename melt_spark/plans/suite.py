@@ -1256,15 +1256,21 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer")
     orders = read_table(spark, sf_dir, "orders")
     li = read_table(spark, sf_dir, "lineitem")
-    d2 = lambda c: F.col(c).cast("decimal(18,2)")
-    one = F.lit(1).cast("decimal(18,2)")
+    # revenue as exact integer 1e-4 units (the q_tpch_q1 long-cents
+    # proof carries verbatim: same columns, same product, same exact
+    # final conversion) — the per-row decimal casts/multiplies and the
+    # DECIMAL(38,4) sum buffer were the aggregation's whole CPU cost
+    rev_4 = (F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
+             * (F.lit(100).cast("long")
+                - F.floor(F.col("l_discount") * 100.0 + 0.5)))
     cut = F.lit("1998-01-01").cast("timestamp")
     return (cust.filter(F.col("c_mktsegment") == "BUILDING")
             .join(orders, cust.c_custkey == orders.o_custkey)
             .join(li, F.col("o_orderkey") == li.l_orderkey)
             .filter((F.col("o_orderdate") < cut) & (F.col("l_shipdate") > cut))
             .groupBy("o_orderkey", "o_orderdate")
-            .agg(F.sum(d2("l_extendedprice") * (one - d2("l_discount")))
+            .agg((F.sum(rev_4).cast("decimal(38,0)")
+                  / F.lit(10_000).cast("decimal(7,0)"))
                  .cast("double").alias("revenue"))
             .select("o_orderkey",
                     F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
