@@ -37,9 +37,13 @@ def hashed_bigram_counts(docs: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id",
                          n_buckets: int = N_BUCKETS) -> DataFrame:
     """(id, bucket, c): per-document hashed-bigram bucket counts. The
-    bigram string exists only inside the projection that hashes it."""
+    bigram string exists only inside the projection that hashes it.
+    The explode+hash is per-row CPU — spread a few-file input across
+    cores first (no-op on a many-file 100 TB table; r12, guide §2.6)."""
     from .sketches import kmv_hash
+    from .util import spread_input
 
+    docs = spread_input(docs, id_col)
     toks = F.split(F.col(text_col), " ")
     idx = F.when(F.size(toks) >= 2,
                  F.sequence(F.lit(1), F.size(toks) - 1)) \

@@ -2451,7 +2451,11 @@ def q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        importance_topk)
 
     docs = read_table(spark, sf_dir, "documents")
-    counts = hashed_bigram_counts(docs)
+    # three consumers read the compact (id, bucket, c) table (both model
+    # sides + the scoring pass) — checkpoint it once so the corpus-sized
+    # bigram explode runs ONCE instead of per consumer (r12, guide §5;
+    # the broadcast model's lineage otherwise re-ran it as its own job)
+    counts = hashed_bigram_counts(docs).localCheckpoint(eager=False)
     is_target = F.col("id") % 10 == 0
     ratios = bucket_log_ratios(counts.filter(is_target),
                                counts.filter(~is_target))
